@@ -143,32 +143,28 @@ def histogram_stats(
     return out
 
 
-def oracle_histogram_stats_sql(
+def oracle_stats_ctes(
     source_cte: str,
     group_cols: list[str],
     value: str = "db",
     valid: str = "valid",
     num_bins: int = HIST_NUM_BINS,
     percentiles: list[tuple[str, float]] | None = None,
-    round_digits: int = 6,
 ) -> str:
-    """DuckDB twin of :func:`histogram_stats`, generated from the same
-    constants so Spark and oracle stay in lock-step.
-
-    ``source_cte`` must define a relation ``src`` with ``group_cols``, a double
-    column ``value`` and boolean ``valid``.
+    """DuckDB CTE chain computing :func:`histogram_stats` (unrounded), ending
+    in a relation ``stats`` with group cols + valid_count/vmin/vmax/vmean/vstd
+    + percentiles. Generated from the same constants as the Spark side so the
+    two stay in lock-step. ``source_cte`` must define a relation ``src`` with
+    ``group_cols``, a double ``value`` and boolean ``valid`` (plus any pixel
+    key columns downstream consumers need).
     """
-    from sarpro_spark.queries import sql_fround
-
     pcts = percentiles or PERCENTILES
     g = ", ".join(group_cols)
-    d = round_digits
     pct_values = ", ".join(f"('{n}', CAST({p} AS DOUBLE))" for n, p in pcts)
     pct_select = ",\n  ".join(
         f"MAX(CASE WHEN pname = '{n}' THEN pval END) AS {n}" for n, _ in pcts
     )
-    return f"""
-WITH {source_cte},
+    return f"""{source_cte},
 valid_src AS (SELECT * FROM src WHERE {valid}),
 base AS (
   SELECT {g}, COUNT(*) AS valid_count, MIN({value}) AS vmin, MAX({value}) AS vmax,
@@ -201,13 +197,38 @@ hit AS (
 piv AS (
   SELECT {g}, {pct_select}
   FROM hit GROUP BY {g}
-)
-SELECT b.{g.replace(', ', ', b.')}, b.valid_count,
-       {sql_fround('b.vmin', d)} AS vmin, {sql_fround('b.vmax', d)} AS vmax,
-       {sql_fround('b.vmean', d)} AS vmean, {sql_fround('b.vstd', d)} AS vstd,
-       {", ".join(
-           sql_fround(f"COALESCE(p.{n}, CASE WHEN {p} <= 0.5 THEN b.vmin ELSE b.vmax END)", d) + f" AS {n}"
-           for n, p in pcts
-       )}
-FROM base b LEFT JOIN piv p USING ({g})
+),
+stats AS (
+  SELECT b.{g.replace(', ', ', b.')}, b.valid_count, b.vmin, b.vmax, b.vmean, b.vstd,
+         {", ".join(
+             f"COALESCE(p.{n}, CASE WHEN {p} <= 0.5 THEN b.vmin ELSE b.vmax END) AS {n}"
+             for n, p in pcts
+         )}
+  FROM base b LEFT JOIN piv p USING ({g})
+)"""
+
+
+def oracle_histogram_stats_sql(
+    source_cte: str,
+    group_cols: list[str],
+    value: str = "db",
+    valid: str = "valid",
+    num_bins: int = HIST_NUM_BINS,
+    percentiles: list[tuple[str, float]] | None = None,
+    round_digits: int = 6,
+) -> str:
+    """Full DuckDB twin of :func:`histogram_stats` with fround'd output."""
+    from sarpro_spark.queries import sql_fround
+
+    pcts = percentiles or PERCENTILES
+    g = ", ".join(group_cols)
+    d = round_digits
+    ctes = oracle_stats_ctes(source_cte, group_cols, value, valid, num_bins, pcts)
+    return f"""
+WITH {ctes}
+SELECT {g}, valid_count,
+       {sql_fround('vmin', d)} AS vmin, {sql_fround('vmax', d)} AS vmax,
+       {sql_fround('vmean', d)} AS vmean, {sql_fround('vstd', d)} AS vstd,
+       {", ".join(sql_fround(n, d) + f" AS {n}" for n, _ in pcts)}
+FROM stats
 """.strip()

@@ -8,10 +8,17 @@ from pyspark.sql import functions as F
 
 from sarpro_spark import frames
 from sarpro_spark.frames import PX_CTE
+from sarpro_spark.operators import autoscale as asc
 from sarpro_spark.operators import elementwise as ew
 from sarpro_spark.operators import stats as st
 from sarpro_spark.queries import query, round_floats, sql_fround
-from sarpro_spark.types import DB_VALID_THRESHOLD, EPS_INTENSITY, PolarizationOperation
+from sarpro_spark.types import (
+    DB_VALID_THRESHOLD,
+    EPS_INTENSITY,
+    AutoscaleStrategy,
+    BitDepth,
+    PolarizationOperation,
+)
 
 
 # --- E1-E5: polarization math -------------------------------------------------
@@ -132,3 +139,75 @@ def q_hist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ew.with_db_mask(long)
     out = st.histogram_stats(df, ["product_id", "band"], value="db", valid="valid")
     return round_floats(out)
+
+
+# --- A2/A3/A6/A7: autoscale strategies ---------------------------------------
+
+# single-band (vv) pixel source in the dB domain, grouped per product
+_VV_SRC_CTE = f"""{PX_CTE},
+src AS (
+  SELECT product_id, row, col,
+         10.0 * LOG10(GREATEST(vv, {EPS_INTENSITY!r})) AS db,
+         (10.0 * LOG10(GREATEST(vv, {EPS_INTENSITY!r})) > {DB_VALID_THRESHOLD!r}) AS valid
+  FROM px
+)"""
+
+_KEYS = ["product_id", "row", "col"]
+
+
+def _vv_px(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ew.with_db_mask(frames.single_band(spark, sf_dir, "vv"))
+
+
+def _autoscale_query(strategy_label: str, strategy, bit_depth: BitDepth):
+    sql = asc.oracle_autoscale_sql(
+        _VV_SRC_CTE, ["product_id"], _KEYS, strategy, bit_depth
+    )
+    suffix = "u8" if bit_depth == BitDepth.U8 else "u16"
+    name = f"autoscale_{strategy_label}_{suffix}"
+
+    @query(name, sql=sql, tags=("raster", "autoscale"))
+    def _q(spark: SparkSession, sf_dir: str, _strategy=strategy, _bd=bit_depth) -> DataFrame:
+        px = _vv_px(spark, sf_dir)
+        if _strategy == "standard-a2":
+            stats = st.histogram_stats(px, ["product_id"])
+            params = asc.params_standard(stats, ["product_id"])
+            if _bd == BitDepth.U16:
+                out = asc.apply_params(px, params, ["product_id"], BitDepth.U16)
+            else:
+                q16 = asc.apply_params(px, params, ["product_id"], BitDepth.U8, out="_q16")
+                out = asc.scale_u16_to_u8(q16, ["product_id"], value="_q16", out="q").drop("_q16")
+        else:
+            out = asc.autoscale_to_bitdepth(px, ["product_id"], _strategy, _bd)
+        return out.select("product_id", "row", "col", "q")
+
+    _q.__doc__ = (
+        f"A2/A3 autoscale ({strategy_label}, {suffix}): agg -> broadcast clip "
+        f"params -> fused quantize projection (autoscale.rs)."
+    )
+    return _q
+
+
+# A2 heuristic (the reference's Standard route), both bit depths — the U8
+# path exercises the A6 double-quantization quirk.
+_autoscale_query("standard", "standard-a2", BitDepth.U16)
+_autoscale_query("standard", "standard-a2", BitDepth.U8)
+# A3 table strategies at U16
+_autoscale_query("robust", AutoscaleStrategy.ROBUST, BitDepth.U16)
+_autoscale_query("adaptive", AutoscaleStrategy.ADAPTIVE, BitDepth.U16)
+_autoscale_query("equalized", AutoscaleStrategy.EQUALIZED, BitDepth.U16)
+_autoscale_query("tamed", AutoscaleStrategy.TAMED, BitDepth.U16)
+
+
+_TAMED_SYNRGB_SQL_COPOL = asc.oracle_tamed_synrgb_sql(
+    _VV_SRC_CTE, ["product_id"], _KEYS, is_copol=True
+)
+
+
+@query("tamed_synrgb_u8_copol", sql=_TAMED_SYNRGB_SQL_COPOL, tags=("raster", "autoscale"))
+def q_tamed_synrgb_copol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (autoscale.rs:710-742): band-specific Tamed U8 scale for synRGB,
+    co-pol window [min(p02,p05), p99], linear."""
+    px = _vv_px(spark, sf_dir)
+    out = asc.tamed_synrgb_u8(px, ["product_id"], is_copol=True)
+    return out.select("product_id", "row", "col", "q")
