@@ -23,10 +23,10 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the reference's statistics core (A1) — dB conversion +
-    validity mask + grouped 4096-bin histogram percentiles over the synthetic
-    band frame at sf0.001."""
-    return spark_queries()["histogram_stats"](spark, SF0001)
+    """Flagship: the reference's headline workload — dual-band synRGB
+    (dB -> histogram stats -> band-specific Tamed autoscale -> gamma/ratio
+    composite) over the synthetic band frame at sf0.001."""
+    return spark_queries()["synrgb_default"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

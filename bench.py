@@ -23,6 +23,10 @@ HEADLINE = [
     "band_zip_ndiff",
     "db_conversion_mask",
     "histogram_stats",
+    "autoscale_standard_u8",
+    "synrgb_default",
+    "synrgb_suppressed",
+    "pad_to_square",
 ]
 
 

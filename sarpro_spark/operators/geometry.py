@@ -1,0 +1,291 @@
+"""G1/G2/G3/G4/G6: geometric operators.
+
+Reference (studied, not copied):
+  G1 ``calculate_resize_dimensions`` (resize.rs:6-30): long side -> target,
+     short side scaled proportionally with round-half-away; no-op (original
+     dims) if target > long side.
+  G2 Lanczos3 resize (resize.rs:32-89): separable Lanczos a=3 convolution.
+     Rebuilt as a grouped pandas kernel (``lanczos_resize_grouped``) — per
+     product, O(rows*cols*support) numpy; plus an oracle-friendly box-filter
+     analog (``box_resize``) as groupBy(row/k, col/k).avg.
+  G4 ``add_padding_to_square`` (padding.rs:5-49): centered copy into a
+     max_dim^2 zero canvas; pad = (max_dim - dim) / 2 (integer division).
+  G6 geotransform update (save.rs:67-87): gt1 *= cols/final_cols;
+     gt5 *= rows/final_rows; gt0 -= pad_left*gt1'; gt3 -= pad_top*gt5'.
+
+Scale notes: padding is expressed as canvas-generate + co-partitioned left
+join (never a collect); the canvas explode is O(max_dim^2) rows per product,
+distributed. Resize keeps each product's block in one task via applyInPandas
+keyed by product — the same partitioning unit the batch dataflow already uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def calculate_resize_dimensions(cols: int, rows: int, target: int) -> tuple[int, int]:
+    """G1 (pure): returns (new_cols, new_rows)."""
+    short, long_ = min(rows, cols), max(rows, cols)
+    if target > long_:
+        return cols, rows
+    scale = target / long_
+    new_short = int(np.floor(short * scale + 0.5))  # round half away (positive)
+    return (target, new_short) if cols > rows else (new_short, target)
+
+
+# --- G4: pad to square -------------------------------------------------------
+
+
+def product_dims(px: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Per-product raster dims from a dense pixel frame (row/col 0-based)."""
+    return px.groupBy(*group_cols).agg(
+        (F.max("col") + 1).cast("int").alias("cols"),
+        (F.max("row") + 1).cast("int").alias("rows"),
+    )
+
+
+def pad_to_square(
+    px: DataFrame,
+    group_cols: list[str],
+    value: str = "v",
+    fill=0.0,
+    dims: DataFrame | None = None,
+) -> DataFrame:
+    """G4: centered zero-pad each product's raster to max_dim x max_dim.
+
+    canvas = per-group sequence explode (distributed); data joins in at its
+    shifted position; absent cells take ``fill``. The join is an equi-join on
+    (group, row, col) — co-partitioned with the data, one shuffle.
+    """
+    if dims is None:
+        dims = product_dims(px, group_cols)
+    dims = dims.select(
+        *group_cols,
+        "cols",
+        "rows",
+        F.greatest("cols", "rows").alias("max_dim"),
+        ((F.greatest("cols", "rows") - F.col("cols")) / 2).cast("int").alias("pad_cols"),
+        ((F.greatest("cols", "rows") - F.col("rows")) / 2).cast("int").alias("pad_rows"),
+    )
+    canvas = (
+        dims.select(
+            *group_cols,
+            "pad_cols",
+            "pad_rows",
+            F.explode(F.sequence(F.lit(0), F.col("max_dim") - 1)).alias("row"),
+            F.col("max_dim"),
+        )
+        .select(
+            *group_cols,
+            "pad_cols",
+            "pad_rows",
+            "row",
+            F.explode(F.sequence(F.lit(0), F.col("max_dim") - 1)).alias("col"),
+        )
+    )
+    shifted = px.join(F.broadcast(dims.select(*group_cols, "pad_cols", "pad_rows")), group_cols).select(
+        *group_cols,
+        (F.col("row") + F.col("pad_rows")).alias("row"),
+        (F.col("col") + F.col("pad_cols")).alias("col"),
+        F.col(value),
+    )
+    out = canvas.drop("pad_cols", "pad_rows").join(
+        shifted, on=[*group_cols, "row", "col"], how="left"
+    )
+    return out.withColumn(value, F.coalesce(F.col(value), F.lit(fill)))
+
+
+def sql_pad_to_square(src_rel: str, group_cols: list[str], value: str = "v", fill: str = "0.0") -> str:
+    """DuckDB twin of :func:`pad_to_square` over relation ``src_rel`` with
+    columns group_cols + row + col + value. Returns CTEs ending in ``padded``."""
+    g = ", ".join(group_cols)
+    gd = ", ".join(f"d.{c}" for c in group_cols)
+    return f"""
+dims AS (
+  -- NOTE: DuckDB CAST(double AS INT) rounds while Spark cast truncates —
+  -- always FLOOR before casting on the SQL side.
+  SELECT {g}, CAST(MAX(col)+1 AS INTEGER) AS cols, CAST(MAX(row)+1 AS INTEGER) AS rows,
+         CAST(GREATEST(MAX(col)+1, MAX(row)+1) AS INTEGER) AS max_dim,
+         CAST(FLOOR((GREATEST(MAX(col)+1, MAX(row)+1) - (MAX(col)+1)) / 2.0) AS INTEGER) AS pad_cols,
+         CAST(FLOOR((GREATEST(MAX(col)+1, MAX(row)+1) - (MAX(row)+1)) / 2.0) AS INTEGER) AS pad_rows
+  FROM {src_rel} GROUP BY {g}
+),
+canvas AS (
+  SELECT {gd}, r.i AS row, c.i AS col, d.pad_cols, d.pad_rows
+  FROM dims d,
+       LATERAL (SELECT UNNEST(RANGE(0, d.max_dim)) AS i) r,
+       LATERAL (SELECT UNNEST(RANGE(0, d.max_dim)) AS i) c
+),
+shifted AS (
+  SELECT s.{g.replace(', ', ', s.')}, s.row + d.pad_rows AS row, s.col + d.pad_cols AS col, s.{value}
+  FROM {src_rel} s JOIN dims d USING ({g})
+),
+padded AS (
+  SELECT cv.{g.replace(', ', ', cv.')}, cv.row, cv.col, COALESCE(sh.{value}, {fill}) AS {value}
+  FROM canvas cv LEFT JOIN shifted sh USING ({g}, row, col)
+)""".strip()
+
+
+# --- G2 relational analog: box resize ----------------------------------------
+
+
+def box_resize(px: DataFrame, group_cols: list[str], k: int, value: str = "v") -> DataFrame:
+    """Average-pool k x k cells — the oracle-checkable resize analog (the
+    reference's GDAL Average path for >=4x reductions, sentinel1.rs:1074-1108).
+    Single shuffle with map-side combine."""
+    return (
+        px.groupBy(
+            *group_cols,
+            F.floor(F.col("row") / k).cast("int").alias("row"),
+            F.floor(F.col("col") / k).cast("int").alias("col"),
+        )
+        .agg(F.avg(value).alias(value), F.count(F.lit(1)).alias("n_src"))
+    )
+
+
+# --- G2 fidelity path: separable Lanczos3 via applyInPandas ------------------
+
+
+def _lanczos_kernel(x: np.ndarray, a: int = 3) -> np.ndarray:
+    out = np.sinc(x) * np.sinc(x / a)
+    out[np.abs(x) >= a] = 0.0
+    return out
+
+
+def _lanczos_weights(src: int, dst: int, a: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Per-output-pixel source start indices + normalized weight matrix
+    (pixel-center convention, kernel widened when minifying)."""
+    scale = src / dst
+    support = a * max(scale, 1.0)
+    centers = (np.arange(dst) + 0.5) * scale - 0.5
+    start = np.maximum(np.ceil(centers - support).astype(np.int64), 0)
+    width = int(np.ceil(2 * support)) + 1
+    idx = start[:, None] + np.arange(width)[None, :]
+    mask = idx < src
+    idx = np.minimum(idx, src - 1)
+    x = (idx - centers[:, None]) / max(scale, 1.0)
+    w = _lanczos_kernel(x, a) * mask
+    wsum = w.sum(axis=1, keepdims=True)
+    w = np.divide(w, wsum, out=np.zeros_like(w), where=wsum != 0)
+    return start, w
+
+
+def lanczos_resize_array(img: np.ndarray, new_rows: int, new_cols: int, a: int = 3) -> np.ndarray:
+    """Separable Lanczos-a resample of a 2-D array (float64 accumulation)."""
+    rows, cols = img.shape
+    startc, wc = _lanczos_weights(cols, new_cols, a)
+    idxc = np.minimum(startc[:, None] + np.arange(wc.shape[1])[None, :], cols - 1)
+    tmp = (img[:, idxc] * wc[None, :, :]).sum(axis=2)  # rows x new_cols
+    startr, wr = _lanczos_weights(rows, new_rows, a)
+    idxr = np.minimum(startr[:, None] + np.arange(wr.shape[1])[None, :], rows - 1)
+    out = (tmp[idxr, :] * wr[:, :, None]).sum(axis=1)
+    return out
+
+
+def lanczos_resize_grouped(
+    px: DataFrame,
+    group_cols: list[str],
+    target_size: int,
+    value: str = "q",
+    clamp_max: int = 255,
+) -> DataFrame:
+    """G2/G3: per-product Lanczos3 resize to ``target_size`` long side via
+    applyInPandas — each product is one grouped-map task (the reference's unit
+    of work), Arrow both ways, no driver involvement."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    key_fields = [px.schema[c] for c in group_cols]
+    schema = StructType(
+        key_fields
+        + [
+            StructField("row", IntegerType()),
+            StructField("col", IntegerType()),
+            StructField(value, IntegerType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = int(pdf["row"].max()) + 1
+        cols = int(pdf["col"].max()) + 1
+        img = np.zeros((rows, cols), dtype=np.float64)
+        img[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = pdf[value].to_numpy(dtype=np.float64)
+        new_cols, new_rows = calculate_resize_dimensions(cols, rows, target_size)
+        if (new_cols, new_rows) == (cols, rows):
+            res = img
+        else:
+            res = lanczos_resize_array(img, new_rows, new_cols)
+        res = np.clip(np.floor(res + 0.5), 0, clamp_max).astype(np.int32)
+        rr, cc = np.meshgrid(np.arange(res.shape[0]), np.arange(res.shape[1]), indexing="ij")
+        out = pd.DataFrame(
+            {
+                "row": rr.ravel().astype(np.int32),
+                "col": cc.ravel().astype(np.int32),
+                value: res.ravel(),
+            }
+        )
+        for c in group_cols:
+            out.insert(0, c, pdf[c].iloc[0])
+        return out
+
+    return px.groupBy(*group_cols).applyInPandas(fn, schema=schema)
+
+
+# --- G6: geotransform update -------------------------------------------------
+
+
+def geotransform_update(
+    dims: DataFrame,
+    target_size: int | None,
+    pad: bool,
+    gt_cols: tuple[str, ...] = ("gt0", "gt1", "gt2", "gt3", "gt4", "gt5"),
+) -> DataFrame:
+    """G1 + G3 dims plumbing + G6 column math over a per-product frame carrying
+    cols/rows + a 6-element geotransform as columns gt0..gt5.
+
+    Mirrors resize_image_data_with_meta (resize.rs:91-236) + the gt update in
+    save.rs:67-87: scale factors from the resize, centered-pad shifts, then
+      gt1' = gt1 * cols/final_cols,  gt5' = gt5 * rows/final_rows,
+      gt0' = gt0 - pad_left*gt1',    gt3' = gt3 - pad_top*gt5'.
+    """
+    cols, rows = F.col("cols"), F.col("rows")
+    if target_size is None:
+        new_cols, new_rows = cols, rows
+    else:
+        long_ = F.greatest(cols, rows)
+        short = F.least(cols, rows)
+        scale = F.lit(float(target_size)) / long_.cast("double")
+        new_short = F.floor(short.cast("double") * scale + F.lit(0.5)).cast("int")
+        no_op = F.lit(target_size) > long_
+        tgt = F.lit(target_size)
+        new_cols = F.when(no_op, cols).otherwise(F.when(cols > rows, tgt).otherwise(new_short))
+        new_rows = F.when(no_op, rows).otherwise(F.when(cols > rows, new_short).otherwise(tgt))
+    d = dims.withColumn("new_cols", new_cols).withColumn("new_rows", new_rows)
+    if pad:
+        fd = F.greatest(F.col("new_cols"), F.col("new_rows"))
+        d = (
+            d.withColumn("final_cols", fd)
+            .withColumn("final_rows", fd)
+            .withColumn("pad_left", ((fd - F.col("new_cols")) / 2).cast("int"))
+            .withColumn("pad_top", ((fd - F.col("new_rows")) / 2).cast("int"))
+        )
+    else:
+        d = (
+            d.withColumn("final_cols", F.col("new_cols"))
+            .withColumn("final_rows", F.col("new_rows"))
+            .withColumn("pad_left", F.lit(0))
+            .withColumn("pad_top", F.lit(0))
+        )
+    g0, g1, g2, g3, g4, g5 = (F.col(c) for c in gt_cols)
+    gt1n = g1 * (cols.cast("double") / F.col("final_cols").cast("double"))
+    gt5n = g5 * (rows.cast("double") / F.col("final_rows").cast("double"))
+    d = d.withColumn("gt1_new", gt1n).withColumn("gt5_new", gt5n)
+    d = d.withColumn(
+        "gt0_new", g0 - F.col("pad_left").cast("double") * F.col("gt1_new")
+    ).withColumn("gt3_new", g3 - F.col("pad_top").cast("double") * F.col("gt5_new"))
+    return d

@@ -10,8 +10,10 @@ from sarpro_spark import frames
 from sarpro_spark.frames import PX_CTE
 from sarpro_spark.operators import autoscale as asc
 from sarpro_spark.operators import elementwise as ew
+from sarpro_spark.operators import geometry as geom
 from sarpro_spark.operators import stats as st
-from sarpro_spark.queries import query, round_floats, sql_fround
+from sarpro_spark.operators import synrgb as srgb
+from sarpro_spark.queries import fround, query, round_floats, sql_fround
 from sarpro_spark.types import (
     DB_VALID_THRESHOLD,
     EPS_INTENSITY,
@@ -115,7 +117,7 @@ def q_db_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SRC_CTE = f"""{PX_CTE},
 src AS (
-  SELECT product_id, band,
+  SELECT product_id, band, row, col,
          10.0 * LOG10(GREATEST(v, {EPS_INTENSITY!r})) AS db,
          (10.0 * LOG10(GREATEST(v, {EPS_INTENSITY!r})) > {DB_VALID_THRESHOLD!r}) AS valid
   FROM (
@@ -211,3 +213,204 @@ def q_tamed_synrgb_copol(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = _vv_px(spark, sf_dir)
     out = asc.tamed_synrgb_u8(px, ["product_id"], is_copol=True)
     return out.select("product_id", "row", "col", "q")
+
+
+# --- G4: pad to square -------------------------------------------------------
+
+_PAD_SQL = f"""
+WITH {PX_CTE},
+src AS (SELECT product_id, row, col, vv AS v FROM px),
+{geom.sql_pad_to_square('src', ['product_id'])}
+SELECT product_id, row, col, v FROM padded
+""".strip()
+
+
+@query("pad_to_square", sql=_PAD_SQL, tags=("raster", "geometry"))
+def q_pad_to_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 (padding.rs:5-49): centered zero-pad to max_dim^2 via distributed
+    canvas explode + co-partitioned left join — never a collect."""
+    px = frames.single_band(spark, sf_dir, "vv")
+    return geom.pad_to_square(px, ["product_id"])
+
+
+# --- G2 relational analog: box resize ---------------------------------------
+
+# vh is integer-valued: sums are exact doubles and 2x2-block counts are powers
+# of two, so AVG is bit-exact across engines with no rounding.
+_BOX_RESIZE_SQL = f"""
+WITH {PX_CTE}
+SELECT product_id,
+       CAST(FLOOR(row / 2.0) AS INTEGER) AS row,
+       CAST(FLOOR(col / 2.0) AS INTEGER) AS col,
+       AVG(vh) AS v,
+       COUNT(*) AS n_src
+FROM px
+GROUP BY 1, 2, 3
+""".strip()
+
+
+@query("box_resize_2x", sql=_BOX_RESIZE_SQL, tags=("raster", "geometry"))
+def q_box_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 analog (sentinel1.rs:1074-1108 Average path): k x k average-pool;
+    one shuffle, map-side combine."""
+    px = frames.single_band(spark, sf_dir, "vh")
+    return geom.box_resize(px, ["product_id"], k=2)
+
+
+# --- G1+G6: resize dims + geotransform update --------------------------------
+
+_GT_SQL = f"""
+WITH {PX_CTE},
+dims AS (
+  SELECT product_id, CAST(MAX(col)+1 AS INTEGER) AS cols, CAST(MAX(row)+1 AS INTEGER) AS rows,
+         CAST(product_id AS DOUBLE) * 100.0 AS gt0, 10.0 AS gt1, 0.0 AS gt2,
+         CAST(product_id AS DOUBLE) * -50.0 AS gt3, 0.0 AS gt4, -10.0 AS gt5
+  FROM px GROUP BY product_id
+),
+rz AS (
+  SELECT *,
+    CASE WHEN 64 > GREATEST(cols, rows) THEN cols
+         WHEN cols > rows THEN 64
+         ELSE CAST(FLOOR(CAST(LEAST(cols, rows) AS DOUBLE) * (64.0 / CAST(GREATEST(cols, rows) AS DOUBLE)) + 0.5) AS INTEGER)
+    END AS new_cols,
+    CASE WHEN 64 > GREATEST(cols, rows) THEN rows
+         WHEN cols > rows THEN CAST(FLOOR(CAST(LEAST(cols, rows) AS DOUBLE) * (64.0 / CAST(GREATEST(cols, rows) AS DOUBLE)) + 0.5) AS INTEGER)
+         ELSE 64
+    END AS new_rows
+  FROM dims
+),
+pz AS (
+  SELECT *, GREATEST(new_cols, new_rows) AS final_cols, GREATEST(new_cols, new_rows) AS final_rows,
+         CAST(FLOOR((GREATEST(new_cols, new_rows) - new_cols) / 2.0) AS INTEGER) AS pad_left,
+         CAST(FLOOR((GREATEST(new_cols, new_rows) - new_rows) / 2.0) AS INTEGER) AS pad_top
+  FROM rz
+),
+gtu AS (
+  SELECT *, gt1 * (CAST(cols AS DOUBLE) / CAST(final_cols AS DOUBLE)) AS gt1_new,
+            gt5 * (CAST(rows AS DOUBLE) / CAST(final_rows AS DOUBLE)) AS gt5_new
+  FROM pz
+)
+SELECT product_id, cols, rows, new_cols, new_rows, final_cols, final_rows, pad_left, pad_top,
+       gt0 - CAST(pad_left AS DOUBLE) * gt1_new AS gt0_new,
+       gt3 - CAST(pad_top AS DOUBLE) * gt5_new AS gt3_new,
+       gt1_new, gt5_new
+FROM gtu
+""".strip()
+
+
+@query("geotransform_update", sql=_GT_SQL, tags=("raster", "geometry"))
+def q_geotransform_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 (resize.rs:6-30) + G3 dims plumbing + G6 (save.rs:67-87): resize-dim
+    calc, centered-pad shifts, geotransform column math — pure projections."""
+    px = frames.single_band(spark, sf_dir, "vv")
+    dims = geom.product_dims(px, ["product_id"]).select(
+        "product_id",
+        "cols",
+        "rows",
+        (F.col("product_id").cast("double") * 100.0).alias("gt0"),
+        F.lit(10.0).alias("gt1"),
+        F.lit(0.0).alias("gt2"),
+        (F.col("product_id").cast("double") * -50.0).alias("gt3"),
+        F.lit(0.0).alias("gt4"),
+        F.lit(-10.0).alias("gt5"),
+    )
+    out = geom.geotransform_update(dims, target_size=64, pad=True)
+    return out.select(
+        "product_id", "cols", "rows", "new_cols", "new_rows",
+        "final_cols", "final_rows", "pad_left", "pad_top",
+        "gt0_new", "gt3_new", "gt1_new", "gt5_new",
+    )
+
+
+# --- C1/C2/A8: synthetic RGB -------------------------------------------------
+
+# Wide U8 frame: A7 band-specific Tamed scale per band (copol window for vv,
+# cross-pol for vh), pivoted to (q1, q2) per pixel.
+_WIDE_U8_CTES = f"""{st.oracle_stats_ctes(_SRC_CTE, ["product_id", "band"])},
+params AS (
+  SELECT product_id, band,
+         CASE WHEN band = 'vv' THEN LEAST(p02, p05) ELSE p05 END AS low,
+         p99 AS high, 1.0 AS gamma,
+         GREATEST(p99 - CASE WHEN band = 'vv' THEN LEAST(p02, p05) ELSE p05 END, 1.0) AS qrange
+  FROM stats
+),
+q8 AS (
+  SELECT s.product_id, s.row, s.col, s.band,
+         {asc._sql_quantize(255.0, 'db', 'valid', 'q')}
+  FROM src s JOIN params pr USING (product_id, band)
+),
+wide AS (
+  SELECT a.product_id, a.row, a.col, a.q AS q1, b.q AS q2
+  FROM q8 a JOIN q8 b ON a.product_id = b.product_id AND a.row = b.row AND a.col = b.col
+  WHERE a.band = 'vv' AND b.band = 'vh'
+)"""
+
+_SYNRGB_DEFAULT_SQL = f"""
+WITH {_WIDE_U8_CTES},
+rgb0 AS (
+  SELECT product_id, row, col, q1, q2,
+         {srgb.sql_expr_r('q1')} AS r, {srgb.sql_expr_g('q2')} AS g
+  FROM wide
+)
+SELECT product_id, row, col, r, g, {srgb.sql_expr_b('r', 'g', 'q2')} AS b
+FROM rgb0
+""".strip()
+
+
+def _wide_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    long = ew.with_db_mask(frames.band_long(spark, sf_dir))
+    stats = st.histogram_stats(long, ["product_id", "band"])
+    low = F.when(F.col("band") == "vv", F.least(F.col("p02"), F.col("p05"))).otherwise(F.col("p05"))
+    params = stats.select(
+        "product_id",
+        "band",
+        low.alias("low"),
+        F.col("p99").alias("high"),
+        F.lit(1.0).alias("gamma"),
+        F.greatest(F.col("p99") - low, F.lit(1.0)).alias("qrange"),
+    )
+    q8 = asc.apply_params(long, params, ["product_id", "band"], BitDepth.U8)
+    return (
+        q8.groupBy("product_id", "row", "col")
+        .pivot("band", ["vv", "vh"])
+        .agg(F.first("q"))
+        .withColumnRenamed("vv", "q1")
+        .withColumnRenamed("vh", "q2")
+    )
+
+
+@query("synrgb_default", sql=_SYNRGB_DEFAULT_SQL, tags=("raster", "synrgb"))
+def q_synrgb_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 (synthetic_rgb.rs:10-67) on A7-scaled band pair: gamma-mapped R/G,
+    ratio-driven B — pure expressions (f64 twin of the reference's f32 LUTs;
+    the bit-faithful LUT path is synrgb_lut_map_in_pandas, golden-tested)."""
+    wide = _wide_u8(spark, sf_dir)
+    out = srgb.synrgb_default(wide, "q1", "q2")
+    return out.select("product_id", "row", "col", "r", "g", "b")
+
+
+_SYNRGB_SUPP_SQL = f"""
+WITH {_WIDE_U8_CTES},
+{srgb.sql_combined_floor_ctes('wide', ['product_id'])},
+wf AS (SELECT w.*, f.fl FROM wide w JOIN floorv f USING (product_id)),
+rgb0 AS (
+  SELECT product_id, row, col, q1, q2, fl,
+         {srgb.sql_supp_lut('q1', srgb.GAMMA_R_SUPP)} AS r0,
+         {srgb.sql_supp_lut('q2', srgb.GAMMA_G_SUPP)} AS g0
+  FROM wf
+)
+SELECT product_id, row, col,
+       CASE WHEN q1 <= fl AND q2 <= fl THEN 0 ELSE r0 END AS r,
+       CASE WHEN q1 <= fl AND q2 <= fl THEN 0 ELSE g0 END AS g,
+       CASE WHEN q1 <= fl AND q2 <= fl THEN 0 ELSE {srgb.sql_supp_b('r0', 'g0')} END AS b
+FROM rgb0
+""".strip()
+
+
+@query("synrgb_suppressed", sql=_SYNRGB_SUPP_SQL, tags=("raster", "synrgb"))
+def q_synrgb_suppressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2+A8 (synthetic_rgb.rs:88-178): joint-histogram p05 floor (+3, cap 40),
+    soft floor-subtract gammas, eps-stabilized blue, water short-circuit."""
+    wide = _wide_u8(spark, sf_dir)
+    out = srgb.synrgb_suppressed(wide, ["product_id"], "q1", "q2")
+    return out.select("product_id", "row", "col", "r", "g", "b")

@@ -1,0 +1,110 @@
+"""Tests for G1/G2/G4/G6 geometry operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sarpro_spark.operators import geometry as geom
+
+
+def test_calculate_resize_dimensions():
+    # reference semantics (resize.rs:6-30)
+    assert geom.calculate_resize_dimensions(4000, 3000, 2000) == (2000, 1500)
+    assert geom.calculate_resize_dimensions(3000, 4000, 2000) == (1500, 2000)
+    # no-op when target larger than long side
+    assert geom.calculate_resize_dimensions(100, 50, 500) == (100, 50)
+    # equal target == long side -> unchanged long, rounded short
+    assert geom.calculate_resize_dimensions(100, 50, 100) == (100, 50)
+    # round-half-up on the short side: 99*(50/100) = 49.5 -> 50
+    assert geom.calculate_resize_dimensions(100, 99, 50) == (50, 50)
+
+
+def _px(spark, rows, cols, vals=None):
+    data = []
+    for r in range(rows):
+        for c in range(cols):
+            v = float(vals[r][c]) if vals is not None else float(r * cols + c)
+            data.append(("p", r, c, v))
+    return spark.createDataFrame(data, "g string, row int, col int, v double")
+
+
+def test_pad_to_square_centered(spark):
+    px = _px(spark, 2, 4)  # rows=2, cols=4 -> canvas 4x4, pad_rows=1, pad_cols=0
+    out = geom.pad_to_square(px, ["g"]).collect()
+    assert len(out) == 16
+    by_rc = {(r["row"], r["col"]): r["v"] for r in out}
+    # original row 0 lands at canvas row 1
+    assert by_rc[(1, 0)] == 0.0 and by_rc[(1, 3)] == 3.0
+    assert by_rc[(2, 0)] == 4.0
+    # padding rows are zero-filled
+    assert all(by_rc[(0, c)] == 0.0 for c in range(4))
+    assert all(by_rc[(3, c)] == 0.0 for c in range(4))
+
+
+def test_pad_to_square_preserves_sum(spark):
+    px = _px(spark, 3, 5)
+    before = px.agg(F.sum("v")).collect()[0][0]
+    padded = geom.pad_to_square(px, ["g"])
+    after = padded.agg(F.sum("v")).collect()[0][0]
+    assert before == after
+    assert padded.count() == 25
+
+
+def test_box_resize(spark):
+    px = _px(spark, 4, 4)
+    out = geom.box_resize(px, ["g"], k=2).collect()
+    by_rc = {(r["row"], r["col"]): r["v"] for r in out}
+    # top-left 2x2 block of values [[0,1],[4,5]] -> mean 2.5
+    assert by_rc[(0, 0)] == 2.5
+    assert len(out) == 4
+
+
+def test_lanczos_identity_and_constant():
+    img = np.arange(48, dtype=np.float64).reshape(6, 8)
+    # identity: same-size resample returns the image (weights collapse to 1)
+    out = geom.lanczos_resize_array(img, 6, 8)
+    np.testing.assert_allclose(out, img, atol=1e-9)
+    # constant preservation under downscale (partition of unity)
+    const = np.full((40, 60), 7.5)
+    out = geom.lanczos_resize_array(const, 20, 30)
+    np.testing.assert_allclose(out, 7.5, atol=1e-9)
+
+
+def test_lanczos_downscale_box_agreement():
+    # smooth gradient: Lanczos downscale should stay close to box-filter
+    rows, cols = 32, 64
+    img = np.add.outer(np.linspace(0, 100, rows), np.linspace(0, 50, cols))
+    out = geom.lanczos_resize_array(img, 16, 32)
+    box = img.reshape(16, 2, 32, 2).mean(axis=(1, 3))
+    assert np.abs(out - box).max() < 1.5
+
+
+def test_lanczos_resize_grouped(spark):
+    rows, cols = 12, 16
+    data = [("p", r, c, int(10 + (r * cols + c) % 200)) for r in range(rows) for c in range(cols)]
+    px = spark.createDataFrame(data, "g string, row int, col int, q int")
+    out = geom.lanczos_resize_grouped(px, ["g"], target_size=8, value="q")
+    rows_out = out.collect()
+    # 16x12 -> long side 16 -> 8, short 12*(8/16)=6
+    assert len(rows_out) == 8 * 6
+    assert all(0 <= r["q"] <= 255 for r in rows_out)
+
+
+def test_geotransform_update_invertibility(spark):
+    dims = spark.createDataFrame(
+        [(1, 100, 80, 5.0, 2.0, 0.0, 50.0, 0.0, -2.0)],
+        "g int, cols int, rows int, gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, gt5 double",
+    )
+    out = geom.geotransform_update(dims, target_size=50, pad=True).collect()[0]
+    # 100x80 -> 50x40 -> padded to 50x50, pad_left=0, pad_top=5
+    assert (out["new_cols"], out["new_rows"]) == (50, 40)
+    assert (out["final_cols"], out["final_rows"]) == (50, 50)
+    assert (out["pad_left"], out["pad_top"]) == (0, 5)
+    # pixel size scales by cols/final_cols = 2x
+    assert out["gt1_new"] == pytest.approx(4.0)
+    assert out["gt5_new"] == pytest.approx(-3.2)
+    # origin shifts by pad * new pixel size
+    assert out["gt0_new"] == pytest.approx(5.0 - 0 * 4.0)
+    assert out["gt3_new"] == pytest.approx(50.0 - 5 * (-3.2))
