@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from sarpro_spark import frames
 from sarpro_spark.frames import PX_CTE
 from sarpro_spark.operators import autoscale as asc
+from sarpro_spark.operators import clahe as clh
 from sarpro_spark.operators import elementwise as ew
 from sarpro_spark.operators import geometry as geom
 from sarpro_spark.operators import stats as st
@@ -212,6 +213,22 @@ def q_tamed_synrgb_copol(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-pol window [min(p02,p05), p99], linear."""
     px = _vv_px(spark, sf_dir)
     out = asc.tamed_synrgb_u8(px, ["product_id"], is_copol=True)
+    return out.select("product_id", "row", "col", "q")
+
+
+# --- A4: CLAHE ---------------------------------------------------------------
+
+_CLAHE_SQL = clh.oracle_clahe_sql(_VV_SRC_CTE, ["product_id"], _KEYS, BitDepth.U16)
+
+
+@query("autoscale_clahe_u16", sql=_CLAHE_SQL, tags=("raster", "autoscale", "clahe"))
+def q_clahe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (autoscale.rs:220-345): 8x8-tile contrast-limited equalization —
+    tile histograms via one combined shuffle, clip/redistribute/CDF on the
+    tiny dense tile relation, 4 co-partitioned corner joins, exact bilinear
+    expression shape."""
+    px = _vv_px(spark, sf_dir)
+    out = clh.clahe_quantize(px, ["product_id"], BitDepth.U16)
     return out.select("product_id", "row", "col", "q")
 
 
