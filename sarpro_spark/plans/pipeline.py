@@ -1,0 +1,173 @@
+"""W9/W10/A9: pipeline assembly — ProcessingParams -> DataFrame DAG.
+
+Reference lifecycle (studied): save orchestrators
+/root/reference/src/core/processing/save.rs:23-406 and the batch loop
+/root/reference/src/api/mod.rs:474-536. The reference runs one product at a
+time and hand-stages memory (drop band1 intermediates before band2); in Spark
+the whole batch is ONE lazy DAG — every product flows through the same plan,
+partitioned by product_id, and Tungsten handles staging/spill. The sequential-
+staging trick is superseded by lazy evaluation (SURVEY §4).
+
+Plan shape per product (single band, W9):
+  scan -> dB+mask (fused projection) -> stats (2 shuffles) -> broadcast params
+  -> quantize (fused) -> optional Lanczos resize (grouped pandas task) ->
+  optional pad (canvas join) -> gt update (metadata-grain column math)
+
+Multiband (W10): band1 and band2 flow through the same stats/quantize plan
+keyed by (product, band) — Spark runs them concurrently instead of
+sequentially; the JPEG path applies A7 per band then the synRGB compositor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sarpro_spark.operators import autoscale as asc
+from sarpro_spark.operators import clahe as clh
+from sarpro_spark.operators import elementwise as ew
+from sarpro_spark.operators import geometry as geom
+from sarpro_spark.operators import synrgb as srgb
+from sarpro_spark.operators.stats import histogram_stats
+from sarpro_spark.types import (
+    AutoscaleStrategy,
+    BitDepth,
+    OutputFormat,
+    PolarizationOperation,
+    ProcessingParams,
+)
+
+
+def quantize_with_strategy(
+    px: DataFrame, group_cols: list[str], strategy: AutoscaleStrategy, bit_depth: BitDepth
+) -> DataFrame:
+    """Strategy dispatch incl. the CLAHE special path (pipeline.rs:51-67,
+    autoscale.rs:572-608). Output column ``q``."""
+    if strategy == AutoscaleStrategy.CLAHE:
+        return clh.clahe_quantize(px, group_cols, bit_depth)
+    return asc.autoscale_to_bitdepth(px, group_cols, strategy, bit_depth)
+
+
+def single_band_pipeline(
+    band: DataFrame,
+    params: ProcessingParams,
+    group_cols: list[str] = ("product_id",),
+) -> DataFrame:
+    """W9 (save.rs:23-170): dB -> autoscale(strategy, bit depth) -> optional
+    resize -> optional pad. Input: (group..., row, col, v)."""
+    group_cols = list(group_cols)
+    px = ew.with_db_mask(band)
+    q = quantize_with_strategy(px, group_cols, params.autoscale, params.bit_depth)
+    out = q.select(*group_cols, "row", "col", "q")
+    if params.size is not None:
+        clamp_max = 255 if params.bit_depth == BitDepth.U8 else 65535
+        out = geom.lanczos_resize_grouped(out, group_cols, params.size, value="q", clamp_max=clamp_max)
+    if params.pad:
+        out = geom.pad_to_square(out, group_cols, value="q", fill=0)
+    return out
+
+
+def operation_pipeline(
+    band_a: DataFrame,
+    band_b: DataFrame,
+    op: PolarizationOperation,
+    params: ProcessingParams,
+    group_cols: list[str] = ("product_id",),
+) -> DataFrame:
+    """OP(op) route (runner.rs:122-265): zip bands on the pixel key, apply the
+    linear-domain op, then the W9 pipeline."""
+    combined = ew.zip_bands(band_a, band_b, op)
+    return single_band_pipeline(combined, params, group_cols)
+
+
+def multiband_synrgb_pipeline(
+    band_long: DataFrame,
+    params: ProcessingParams,
+    group_cols: list[str] = ("product_id",),
+    copol: str = "vv",
+    crosspol: str = "vh",
+) -> DataFrame:
+    """W10 JPEG path (save.rs:286-406): per-band A7 Tamed-synRGB U8 scale,
+    then the strategy-dispatched compositor (Tamed/Clahe -> suppressed C2,
+    else default C1 — synthetic_rgb.rs:182-197)."""
+    group_cols = list(group_cols)
+    gb = [*group_cols, "band"]
+    px = ew.with_db_mask(band_long)
+    stats = histogram_stats(px, gb)
+    low = F.when(F.col("band") == copol, F.least(F.col("p02"), F.col("p05"))).otherwise(F.col("p05"))
+    p = stats.select(
+        *gb,
+        low.alias("low"),
+        F.col("p99").alias("high"),
+        F.lit(1.0).alias("gamma"),
+        F.greatest(F.col("p99") - low, F.lit(1.0)).alias("qrange"),
+    )
+    q8 = asc.apply_params(px, p, gb, BitDepth.U8)
+    wide = (
+        q8.groupBy(*group_cols, "row", "col")
+        .pivot("band", [copol, crosspol])
+        .agg(F.first("q"))
+        .withColumnRenamed(copol, "q1")
+        .withColumnRenamed(crosspol, "q2")
+    )
+    if params.autoscale in (AutoscaleStrategy.TAMED, AutoscaleStrategy.CLAHE):
+        rgb = srgb.synrgb_suppressed(wide, group_cols, "q1", "q2")
+    else:
+        rgb = srgb.synrgb_default(wide, "q1", "q2")
+    out = rgb.select(*group_cols, "row", "col", "r", "g", "b")
+    if params.size is not None:
+        # resize each channel; one grouped task per (product, channel)
+        chans = []
+        for ch in ("r", "g", "b"):
+            c = out.select(*group_cols, "row", "col", F.col(ch).alias("q"))
+            c = geom.lanczos_resize_grouped(c, group_cols, params.size, value="q")
+            chans.append(c.withColumnRenamed("q", ch))
+        a, b, c = chans
+        out = a.join(b, [*group_cols, "row", "col"]).join(c, [*group_cols, "row", "col"])
+    if params.pad:
+        out = (
+            geom.pad_to_square(out.select(*group_cols, "row", "col", "r"), group_cols, value="r", fill=0)
+            .join(
+                geom.pad_to_square(out.select(*group_cols, "row", "col", "g"), group_cols, value="g", fill=0),
+                [*group_cols, "row", "col"],
+            )
+            .join(
+                geom.pad_to_square(out.select(*group_cols, "row", "col", "b"), group_cols, value="b", fill=0),
+                [*group_cols, "row", "col"],
+            )
+        )
+    return out
+
+
+def batch_status(products: DataFrame, status_col: str = "status") -> DataFrame:
+    """A9 (api/mod.rs:452-536): per-product outcome -> BatchReport counters.
+    processed/skipped/errors as a single groupBy — the distributed analog of
+    the reference's accumulator struct."""
+    cat = (
+        F.when(F.col(status_col) == "ok", "processed")
+        .when(F.col(status_col).startswith("skip"), "skipped")
+        .otherwise("errors")
+    )
+    return (
+        products.withColumn("outcome", cat)
+        .groupBy("outcome")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def build_pipeline(band_long: DataFrame, params: ProcessingParams) -> DataFrame:
+    """Library-API analog (api/mod.rs:539-674): params -> DAG dispatch on
+    polarization/operation/format."""
+    from sarpro_spark.types import Polarization
+
+    if params.polarization == Polarization.MULTIBAND or (
+        params.format == OutputFormat.JPEG and params.polarization is None
+    ):
+        return multiband_synrgb_pipeline(band_long, params)
+    if params.operation is not None:
+        a = band_long.where(F.col("band") == "vv").drop("band")
+        b = band_long.where(F.col("band") == "vh").drop("band")
+        return operation_pipeline(a, b, params.operation, params)
+    band = params.polarization.value if params.polarization else "vv"
+    single = band_long.where(F.col("band") == band).drop("band")
+    return single_band_pipeline(single, params)

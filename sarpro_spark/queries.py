@@ -97,5 +97,6 @@ def _load_all_modules() -> None:
         return
     from sarpro_spark import queries_relational  # noqa: F401
     from sarpro_spark import queries_raster  # noqa: F401
+    from sarpro_spark import queries_sinks  # noqa: F401
 
     _LOADED = True

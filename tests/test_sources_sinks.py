@@ -1,0 +1,234 @@
+"""Tests for S1-S11 sources, W4-W8 sinks, W9/W10/A9 pipeline assembly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sarpro_spark.sinks import writers as w
+from sarpro_spark.sources import safe
+
+MANIFEST = """<?xml version="1.0" encoding="UTF-8"?>
+<xfdu:XFDU xmlns:xfdu="urn:ccsds:schema:xfdu:1" xmlns:safe="http://www.esa.int/safe/sentinel-1.0">
+  <metadataSection>
+    <safe:platform><safe:familyName>SENTINEL-1</safe:familyName><safe:number>A</safe:number>
+      <safe:instrument><safe:mode>IW</safe:mode></safe:instrument></safe:platform>
+    <safe:acquisitionPeriod><safe:startTime>2024-01-15T05:31:02.123456</safe:startTime>
+      <safe:stopTime>2024-01-15T05:31:27.654321</safe:stopTime></safe:acquisitionPeriod>
+    <safe:orbitReference><safe:orbitNumber>51234</safe:orbitNumber>
+      <safe:relativeOrbitNumber>112</safe:relativeOrbitNumber></safe:orbitReference>
+    <s1sarl1:standAloneProductInformation xmlns:s1sarl1="http://www.esa.int/safe/sentinel-1.0/sentinel-1/sar/level-1">
+      <s1sarl1:productType>GRD</s1sarl1:productType>
+      <s1sarl1:transmitterReceiverPolarisation>VV</s1sarl1:transmitterReceiverPolarisation>
+      <s1sarl1:transmitterReceiverPolarisation>VH</s1sarl1:transmitterReceiverPolarisation>
+    </s1sarl1:standAloneProductInformation>
+    <safe:processing><safe:facility name="Copernicus Ground Segment">
+      <safe:software name="Sentinel-1 IPF" version="3.61"/></safe:facility></safe:processing>
+  </metadataSection>
+</xfdu:XFDU>
+"""
+
+ANNOTATION = """<?xml version="1.0" encoding="UTF-8"?>
+<product>
+  <generalAnnotation>
+    <productInformation>
+      <rangeSamplingRate>64345238.12</rangeSamplingRate>
+      <radarFrequency>5405000454.33</radarFrequency>
+    </productInformation>
+    <downlinkInformation>
+      <prf>1717.128973</prf>
+      <txPulseLength>5.24e-05</txPulseLength>
+    </downlinkInformation>
+    <orbitList>
+      <orbit><position><x>1</x><y>2</y><z>3</z></position>
+        <velocity><vx>3000.0</vx><vy>4000.0</vy><vz>0.0</vz></velocity></orbit>
+      <orbit><position><x>1</x><y>2</y><z>3</z></position>
+        <velocity><vx>0.0</vx><vy>3000.0</vy><vz>4000.0</vz></velocity></orbit>
+      <orbit><position><x>1</x><y>2</y><z>3</z></position>
+        <velocity><vx>4000.0</vx><vy>0.0</vy><vz>3000.0</vz></velocity></orbit>
+    </orbitList>
+  </generalAnnotation>
+  <imageAnnotation><imageInformation>
+    <slantRangeTime>5.33e-03</slantRangeTime>
+    <rangePixelSpacing>10.0</rangePixelSpacing>
+    <azimuthPixelSpacing>10.0</azimuthPixelSpacing>
+    <numberOfSamples>25124</numberOfSamples>
+    <numberOfLines>16704</numberOfLines>
+  </imageInformation></imageAnnotation>
+</product>
+"""
+
+
+@pytest.fixture()
+def safe_dir(tmp_path):
+    """Two valid SAFE products + one broken (missing measurement/)."""
+    for i, name in enumerate(["A.SAFE", "B.SAFE"]):
+        p = tmp_path / name
+        (p / "annotation").mkdir(parents=True)
+        (p / "measurement").mkdir()
+        (p / "manifest.safe").write_text(MANIFEST)
+        (p / "annotation" / "iw-vv.xml").write_text(ANNOTATION)
+        (p / "measurement" / f"s1a-iw-grd-vv-{i}.tiff").write_bytes(b"II*\0")
+        (p / "measurement" / f"s1a-iw-grd-vh-{i}.tiff").write_bytes(b"II*\0")
+        (p / "measurement" / f"s1a-iw-grd-vv-{i}_warped.tiff").write_bytes(b"II*\0")
+        (p / "measurement" / "notes.txt").write_text("not a band")
+    broken = tmp_path / "C.SAFE"
+    (broken / "annotation").mkdir(parents=True)
+    (broken / "manifest.safe").write_text(MANIFEST)
+    return str(tmp_path)
+
+
+def test_iterate_and_open_products(spark, safe_dir):
+    prods = safe.iterate_safe_products(spark, safe_dir)
+    assert prods.count() == 3
+    opened = safe.open_products(spark, safe_dir, permissive=True)
+    rows = {os.path.basename(r["product_path"]): r for r in opened.collect()}
+    assert rows["A.SAFE"]["status"] == "ok"
+    assert rows["A.SAFE"]["platform"] == "SENTINEL-1"
+    assert rows["A.SAFE"]["product_type"] == "GRD"
+    assert rows["A.SAFE"]["orbit_number"] == 51234
+    assert rows["A.SAFE"]["polarizations"] == "VV,VH"
+    # band files resolved, warped intermediates skipped (P5)
+    assert rows["A.SAFE"]["vv_path"].endswith("vv-0.tiff")
+    assert rows["A.SAFE"]["vh_path"].endswith("vh-0.tiff")
+    assert rows["C.SAFE"]["status"].startswith("error:")
+
+
+def test_open_products_strict_raises(spark, safe_dir):
+    with pytest.raises(ValueError):
+        safe.open_products(spark, safe_dir, permissive=False)
+
+
+def test_classify_polarization_files(spark, safe_dir):
+    prods = safe.iterate_safe_products(spark, safe_dir)
+    files = safe.list_measurement_files(spark, prods)
+    classified = safe.classify_polarization_files(files)
+    got = {(os.path.basename(r["product_path"]), r["band"]) for r in classified.collect()}
+    assert ("A.SAFE", "vv") in got and ("A.SAFE", "vh") in got
+    # txt + warped excluded
+    assert classified.where(F.col("name").contains("_warped")).count() == 0
+    assert classified.where(F.col("name").endswith(".txt")).count() == 0
+
+
+def test_parse_annotation():
+    meta = safe.parse_annotation_xml(ANNOTATION)
+    assert meta["prf"] == pytest.approx(1717.128973)
+    # mid orbit state vector (index 1): |(0,3000,4000)| = 5000
+    assert meta["platform_velocity"] == pytest.approx(5000.0)
+    assert meta["slant_range"] == pytest.approx(5.33e-03 * safe.SPEED_OF_LIGHT / 2.0)
+    assert meta["samples"] == 25124 and meta["lines"] == 16704
+
+
+@pytest.mark.parametrize(
+    "lon,lat,expected",
+    [
+        (9.0, 48.0, "EPSG:32632"),  # central Europe, zone 32 north
+        (9.0, -30.0, "EPSG:32732"),  # southern hemisphere
+        (5.0, 60.0, "EPSG:32632"),  # Norway exception (else zone 31)
+        (5.0, 50.0, "EPSG:32631"),  # same lon below 56 -> zone 31
+        (15.0, 75.0, "EPSG:32633"),  # Svalbard band 9..21 -> 33
+        (25.0, 78.0, "EPSG:32635"),  # Svalbard band 21..33 -> 35
+        (0.0, 85.0, "EPSG:32661"),  # north UPS
+        (0.0, -85.0, "EPSG:32761"),  # south UPS
+        (185.0, 10.0, "EPSG:32631"),  # lon normalization: 185 -> -175 -> zone 1? no: (-175+180)/6=0 -> 1
+    ],
+)
+def test_lonlat_to_epsg(lon, lat, expected):
+    if (lon, lat) == (185.0, 10.0):
+        assert safe.lonlat_to_epsg(lon, lat) == "EPSG:32601"
+    else:
+        assert safe.lonlat_to_epsg(lon, lat) == expected
+
+
+def test_centroid_epsg(spark):
+    gcps = spark.createDataFrame(
+        [("p1", 8.0, 47.0), ("p1", 10.0, 49.0), ("p2", 4.0, 58.0), ("p2", 6.0, 62.0)],
+        "g string, lon double, lat double",
+    )
+    out = {r["g"]: r["target_crs"] for r in safe.centroid_epsg(gcps, ["g"]).collect()}
+    assert out["p1"] == "EPSG:32632"
+    assert out["p2"] == "EPSG:32632"  # Norway exception at (5, 60)
+
+
+def test_polarization_label():
+    assert w.polarization_label(["VV", "VH"], "sum") == "SUM(VV, VH)"
+    assert w.polarization_label(["HH", "HV"], "ratio") == "RATIO(HH, HV)"
+    assert w.polarization_label(["VV"], "sum") == "VV"
+    assert w.polarization_label(["VV", "VH"], None) == "VV,VH"
+    assert w.polarization_label([], "multiband_vv_vh") == "MULTIBAND(VV, VH)"
+    assert w.polarization_label(["VV", "VH"], "unknown_op") == "VV,VH"
+
+
+def test_worldfile_content():
+    gt = [100.0, 10.0, 0.0, 200.0, 0.0, -10.0]
+    content = w.worldfile_content(gt)
+    lines = content.strip().split("\n")
+    assert lines[0] == "10.000000000000"
+    assert lines[4] == "105.000000000000"  # C = 100 + 0.5*10 + 0
+    assert lines[5] == "195.000000000000"  # F = 200 + 0 + 0.5*(-10)
+    assert w.world_ext_for("x.jpg") == "jgw"
+    assert w.world_ext_for("x.tiff") == "tfw"
+    assert w.world_ext_for("x.webp") == "ww"
+    assert w.world_ext_for("noext") == "wld"
+
+
+def test_metadata_fields_and_json():
+    meta = safe.parse_manifest_safe(MANIFEST)
+    fields = w.extract_metadata_fields(
+        {**meta, "instrument": "SAR-C"}, operation="normalized_diff"
+    )
+    assert fields["POLARIZATIONS"] == "NORM_DIFF(VV, VH)"
+    assert fields["PLATFORM"] == "SENTINEL-1"
+    assert fields["ORBIT_NUMBER"] == "51234"
+    js = w.convert_metadata_to_json(fields, geotransform=[0, 1, 0, 0, 0, 1], crs="EPSG:32632")
+    import json
+
+    obj = json.loads(js)
+    assert obj["orbit_number"] == 51234  # numeric coercion
+    assert obj["platform"] == "SENTINEL-1"
+    assert obj["geotransform"] == [0, 1, 0, 0, 0, 1]
+    assert obj["crs"] == "EPSG:32632"
+
+
+def test_batch_status(spark):
+    from sarpro_spark.plans.pipeline import batch_status
+
+    df = spark.createDataFrame(
+        [("a", "ok"), ("b", "ok"), ("c", "skipped: x"), ("d", "error: y")],
+        "p string, status string",
+    )
+    out = {r["outcome"]: r["n"] for r in batch_status(df).collect()}
+    assert out == {"processed": 2, "skipped": 1, "errors": 1}
+
+
+def test_full_pipeline_smoke(spark, sf_dir):
+    """W9/W10 build_pipeline: params -> DAG -> rows out, for the main routes."""
+    from sarpro_spark import frames
+    from sarpro_spark.plans.pipeline import build_pipeline
+    from sarpro_spark.types import (
+        AutoscaleStrategy,
+        BitDepth,
+        OutputFormat,
+        Polarization,
+        PolarizationOperation,
+        ProcessingParams,
+    )
+
+    long = frames.band_long(spark, sf_dir)
+    # single band U16 robust
+    p1 = ProcessingParams(polarization=Polarization.VV, autoscale=AutoscaleStrategy.ROBUST,
+                          bit_depth=BitDepth.U16)
+    out1 = build_pipeline(long, p1)
+    assert out1.count() > 0 and "q" in out1.columns
+    # op route (ratio) with pad
+    p2 = ProcessingParams(operation=PolarizationOperation.RATIO, pad=True)
+    out2 = build_pipeline(long, p2)
+    assert out2.count() > 0
+    # multiband synRGB JPEG route with resize
+    p3 = ProcessingParams(polarization=Polarization.MULTIBAND, format=OutputFormat.JPEG,
+                          autoscale=AutoscaleStrategy.TAMED, size=32)
+    out3 = build_pipeline(long, p3)
+    rows = out3.limit(5).collect()
+    assert {"r", "g", "b"} <= set(out3.columns) and len(rows) > 0
