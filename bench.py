@@ -24,9 +24,16 @@ HEADLINE = [
     "db_conversion_mask",
     "histogram_stats",
     "autoscale_standard_u8",
+    "autoscale_clahe_u16",
     "synrgb_default",
     "synrgb_suppressed",
     "pad_to_square",
+    "nation_revenue_join",
+    "window_rank_orders",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_quality",
+    "events_sessionize",
 ]
 
 

@@ -1,0 +1,288 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five surfaces, each shuffle-bounded for 100 TB:
+
+  exact        md5 hash -> groupBy. One shuffle; canonical = min(doc_id).
+  n-gram Jaccard  char-n-gram inverted index self-join — candidate pairs come
+               from shared shingles (never a crossJoin); |A ∩ B| counted in the
+               join, |A|,|B| broadcast back. Hot shingles are the skew risk:
+               drop shingles with document-frequency above a cap (stop-shingle
+               filter), the standard trick at web scale.
+  MinHash+LSH  k min-hashes per doc (min over md5(seed:shingle)); band
+               signatures bucket-join candidates, then the exact minhash
+               agreement (or true Jaccard) verifies. Hashing is md5-based so
+               the DuckDB oracle reproduces signatures byte-for-byte.
+  SimHash      16-bit sign-aggregated fingerprint (hex-nibble bit table keeps
+               it portable SQL); near-dups = small Hamming distance.
+  embedding    cosine near-dup in llm/similarity.py (sign-bucket prefilter).
+
+All Spark-side logic is native column expressions (codegen, no Python in the
+hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE = 5
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BANDS = 2  # bands * rows_per_band == num_hashes
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one row per distinct content hash with the canonical
+    (minimum) id and the duplicate count."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col), h.alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedupe_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Return the deduplicated frame (keep the canonical row per hash)."""
+    canon = exact_dedup(df, id_col, text_col).select(F.col("canonical_id").alias(id_col))
+    return df.join(canon, on=id_col, how="left_semi")
+
+
+# --- character shingles ------------------------------------------------------
+
+
+def char_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_SHINGLE
+) -> DataFrame:
+    """Distinct lowercase char-n-grams per doc: (id, shingle). Docs shorter
+    than n contribute no shingles (matching SUBSTR semantics on both engines)."""
+    lowered = F.lower(F.col(text_col))
+    pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(0))))
+    return (
+        df.select(F.col(id_col), lowered.alias("_t"), pos.alias("_i"))
+        .select(F.col(id_col), F.substring(F.col("_t"), F.col("_i"), F.lit(n)).alias("shingle"))
+        .where(F.length("shingle") == n)
+        .distinct()
+    )
+
+
+def sql_char_shingles(src_rel: str, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_SHINGLE) -> str:
+    """DuckDB twin of :func:`char_shingles` (CTE body ending in ``shingles``)."""
+    return f"""
+shingles AS (
+  SELECT DISTINCT d.{id_col}, SUBSTR(LOWER(d.{text_col}), i.i, {n}) AS shingle
+  FROM {src_rel} d
+  JOIN (SELECT UNNEST(RANGE(1, (SELECT MAX(LENGTH({text_col})) FROM {src_rel}) + 1)) AS i) i
+    ON i.i <= LENGTH(d.{text_col}) - {n - 1}
+  WHERE LENGTH(SUBSTR(LOWER(d.{text_col}), i.i, {n})) = {n}
+)""".strip()
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Candidate pairs from the shingle inverted index; jaccard =
+    inter / (|A| + |B| - inter); keep pairs >= threshold, a < b.
+
+    ``max_shingle_df`` drops ultra-common shingles before the self-join —
+    the skew guard that keeps the join linear-ish at corpus scale.
+    """
+    sh = char_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(F.broadcast(hot.where(F.col("df_") <= max_shingle_df)), "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))), "doc_a")
+        .join(F.broadcast(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """k min-hashes per doc: sig_i = MIN(md5('i:' || shingle)). md5-as-hash-
+    family keeps the oracle bit-identical; at production scale swap for
+    xxhash64(seed) — same plan shape. Output: (id, sig_0..sig_{k-1})."""
+    sh = char_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """LSH: split the signature into bands; docs sharing any band bucket are
+    candidates; est_sim = fraction of agreeing min-hashes (exact rational).
+    Scale shape: bucket join on band hash (never all-pairs); candidate
+    verification is a tiny join on the signature frame."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_frames.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    banded = band_frames[0]
+    for bf in band_frames[1:]:
+        banded = banded.unionByName(bf)
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b_ = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    cand = (
+        a.join(b_, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(num_hashes)])
+    est = None
+    for i in range(num_hashes):
+        term = F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        est = term if est is None else est + term
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (est.cast("double") / F.lit(float(num_hashes))).alias("est_sim"),
+        )
+    )
+
+
+def sql_minhash_ctes(
+    src_rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> str:
+    """DuckDB CTEs ending in ``sigs`` (id, sig_0..)."""
+    shingles = sql_char_shingles(src_rel, id_col, text_col, n)
+    sig_cols = ",\n    ".join(
+        f"MIN(MD5('{i}:' || shingle)) AS sig_{i}" for i in range(num_hashes)
+    )
+    return f"""{shingles},
+sigs AS (
+  SELECT {id_col},
+    {sig_cols}
+  FROM shingles GROUP BY {id_col}
+)""".strip()
+
+
+# --- SimHash -----------------------------------------------------------------
+
+_HEX_VAL = "CASE " + " ".join(
+    f"WHEN '{d}' THEN {int(d, 16)}" for d in "0123456789abcdef"
+) + " ELSE 0 END"
+
+
+def _nibble_val(c: Column) -> Column:
+    """Portable hex-nibble -> int (matches the SQL CASE table)."""
+    expr = F.lit(0)
+    for d in "0123456789abcdef":
+        expr = F.when(c == d, F.lit(int(d, 16))).otherwise(expr)
+    return expr
+
+
+def simhash16(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_SHINGLE
+) -> DataFrame:
+    """16-bit SimHash from the first 4 md5 nibbles of each distinct shingle:
+    bit j set iff sum over shingles of (2*bit_j - 1) > 0. Output: (id, simhash).
+    Portable-by-construction (nibble CASE table on both engines)."""
+    sh = char_shingles(df, id_col, text_col, n)
+    h = F.md5(F.col("shingle"))
+    cols = []
+    for k in range(4):  # 4 nibbles -> 16 bits
+        cols.append(_nibble_val(F.substring(h, k + 1, 1)).alias(f"nib_{k}"))
+    nib = sh.select(F.col(id_col), *cols)
+    bit_sums = []
+    for j in range(16):
+        k, bit_in_nib = divmod(j, 4)
+        # nibble bits: value & (1 << (3 - bit_in_nib))? define bit j as
+        # floor(nib_k / 2^(3-bit)) % 2 reading nibbles most-significant-first
+        bit = (F.floor(F.col(f"nib_{k}") / F.lit(2 ** (3 - bit_in_nib))) % 2).cast("int")
+        bit_sums.append(F.sum(bit * 2 - 1).alias(f"s_{j}"))
+    agg = nib.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("int").alias("simhash"))
+
+
+def sql_simhash16(
+    src_rel: str, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_SHINGLE
+) -> str:
+    shingles = sql_char_shingles(src_rel, id_col, text_col, n)
+    nibs = ",\n    ".join(
+        f"(CASE SUBSTR(MD5(shingle), {k + 1}, 1) {_HEX_VAL.replace('CASE ', '')}) AS nib_{k}"
+        for k in range(4)
+    )
+    bit_sums = []
+    for j in range(16):
+        k, bit_in_nib = divmod(j, 4)
+        bit_sums.append(
+            f"SUM((CAST(FLOOR(nib_{k} / {2 ** (3 - bit_in_nib)}.0) AS INTEGER) % 2) * 2 - 1) AS s_{j}"
+        )
+    sums = ",\n    ".join(bit_sums)
+    sim_expr = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""{shingles},
+nib AS (
+  SELECT {id_col},
+    {nibs}
+  FROM shingles
+),
+bitsums AS (
+  SELECT {id_col},
+    {sums}
+  FROM nib GROUP BY {id_col}
+)
+SELECT {id_col}, CAST({sim_expr} AS INTEGER) AS simhash FROM bitsums""".strip()

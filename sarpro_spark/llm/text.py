@@ -1,0 +1,150 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting — all native column expressions (no Python in the
+row path), each with a DuckDB-expressible formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny stopword lexicons for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+#: BPE-ish pieces: runs of letters, runs of digits, or single punctuation
+BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace/punctuation tokens (lowercased, empties dropped)."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """Sub-word-ish piece count via regexp (letter runs + digit runs + punct)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_RE), 0))
+
+
+def _count_word(text_padded: Column, word: str) -> Column:
+    """Occurrences of ' word ' in the space-padded lowered text — the
+    portable stopword counter ((len - len(replace)) / len(' word '))."""
+    needle = f" {word} "
+    return (
+        (F.length(text_padded) - F.length(F.regexp_replace(text_padded, needle, " ")))
+        / F.lit(len(needle) - 1)
+    ).cast("int")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit score per language. Overlapping occurrences ('le le le')
+    are resolved left-to-right by the replace, identically in both engines."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return {
+        lang: sum((_count_word(padded, w) for w in words), F.lit(0))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id_expr(text: Column) -> Column:
+    """argmax language with deterministic tie-break (alphabetical), 'und'
+    (undetermined) when no stopword hits at all."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # alphabetical tiebreak
+    best = None
+    best_score = None
+    for lang in langs:
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    total = sum((scores[lg] for lg in langs), F.lit(0))
+    return F.when(total == 0, F.lit("und")).otherwise(best)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, token stats, punctuation/digit/stopword
+    ratios, and a composite [0,1] score (weights are engine policy, the
+    features are the operator surface)."""
+    from sarpro_spark.queries import fround
+
+    t = F.col(text_col)
+    lowered = F.lower(t)
+    n_chars = F.length(t)
+    n_tok = token_count(t)
+    toks = tokens_expr(t)
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    n_punct = F.length(F.regexp_replace(lowered, "[a-z0-9\\s]", ""))
+    n_digit = F.length(F.regexp_replace(lowered, "[^0-9]", ""))
+    padded = F.concat(F.lit(" "), lowered, F.lit(" "))
+    n_stop = sum((_count_word(padded, w) for w in LANG_STOPWORDS["en"]), F.lit(0))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    digit_ratio = n_digit.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    # composite: long-enough, low punctuation, some stopwords, sane word len
+    score = (
+        F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.2
+        + F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 8.0), 1.0).otherwise(0.0) * 0.2
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tok.alias("q_tokens"),
+        fround(mean_tok_len, 6).alias("q_mean_tok_len"),
+        fround(punct_ratio, 6).alias("q_punct_ratio"),
+        fround(digit_ratio, 6).alias("q_digit_ratio"),
+        fround(stop_ratio, 6).alias("q_stop_ratio"),
+        fround(score, 6).alias("q_score"),
+    )
+
+
+def fingerprint_expr(text: Column, length: int = 16) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase text,
+    truncated — the join-key form of content identity."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), "\\s+", " ")
+    return F.substring(F.md5(norm), 1, length)
+
+
+# --- DuckDB twins ------------------------------------------------------------
+
+
+def sql_count_word(padded: str, word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"CAST((LENGTH({padded}) - LENGTH(REGEXP_REPLACE({padded}, '{needle}', ' ', 'g'))) / {len(needle) - 1} AS INTEGER)"
+    )
+
+
+def sql_lang_id(text: str) -> str:
+    padded = f"(' ' || LOWER({text}) || ' ')"
+    score_exprs = {
+        lang: " + ".join(sql_count_word(padded, w) for w in words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    langs = sorted(score_exprs)
+    # build argmax via nested CASE, alphabetical tiebreak (strictly-greater)
+    best = f"'{langs[0]}'"
+    best_score = f"({score_exprs[langs[0]]})"
+    for lang in langs[1:]:
+        s = f"({score_exprs[lang]})"
+        best = f"CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END"
+    total = " + ".join(f"({e})" for e in score_exprs.values())
+    return f"CASE WHEN ({total}) = 0 THEN 'und' ELSE {best} END"

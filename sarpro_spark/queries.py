@@ -98,5 +98,6 @@ def _load_all_modules() -> None:
     from sarpro_spark import queries_relational  # noqa: F401
     from sarpro_spark import queries_raster  # noqa: F401
     from sarpro_spark import queries_sinks  # noqa: F401
+    from sarpro_spark import queries_llm  # noqa: F401
 
     _LOADED = True

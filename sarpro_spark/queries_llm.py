@@ -1,0 +1,361 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal — the training-data operators over documents/embeddings
+(BASELINE.json north star; first-class alongside SURVEY §2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sarpro_spark import frames
+from sarpro_spark.llm import dedup as dd
+from sarpro_spark.llm import multimodal as mm
+from sarpro_spark.llm import similarity as sim
+from sarpro_spark.llm import text as tx
+from sarpro_spark.queries import fround, query, sql_fround
+
+
+# --- exact dedup -------------------------------------------------------------
+
+_EXACT_DEDUP_SQL = """
+SELECT MD5(text) AS h, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents GROUP BY MD5(text)
+""".strip()
+
+
+@query("dedup_exact", sql=_EXACT_DEDUP_SQL, tags=("llm", "dedup"))
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, canonical = min id. One shuffle."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(d)
+
+
+# --- n-gram Jaccard near-dup -------------------------------------------------
+
+_JACCARD_SQL = f"""
+WITH {dd.sql_char_shingles('documents')},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.5
+""".strip()
+
+
+@query("dedup_ngram_jaccard", sql=_JACCARD_SQL, tags=("llm", "dedup"))
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup via shingle inverted-index self-join (no
+    crossJoin; skew guard available via max_shingle_df)."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, threshold=0.5)
+
+
+# --- MinHash signatures + LSH candidates -------------------------------------
+
+_MINHASH_SQL = f"""
+WITH {dd.sql_minhash_ctes('documents')}
+SELECT * FROM sigs
+""".strip()
+
+
+@query("dedup_minhash_signatures", sql=_MINHASH_SQL, tags=("llm", "dedup"))
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 md5-family hashes over 5-gram shingles) —
+    byte-identical across engines by construction."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    return dd.minhash_signatures(d)
+
+
+_LSH_SQL = f"""
+WITH {dd.sql_minhash_ctes('documents')},
+banded AS (
+  SELECT doc_id, 0 AS band, MD5(sig_0 || '|' || sig_1 || '|' || sig_2 || '|' || sig_3) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, MD5(sig_4 || '|' || sig_5 || '|' || sig_6 || '|' || sig_7) AS bucket FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+  CAST((CASE WHEN sa.sig_0 = sb.sig_0 THEN 1 ELSE 0 END) + (CASE WHEN sa.sig_1 = sb.sig_1 THEN 1 ELSE 0 END)
+     + (CASE WHEN sa.sig_2 = sb.sig_2 THEN 1 ELSE 0 END) + (CASE WHEN sa.sig_3 = sb.sig_3 THEN 1 ELSE 0 END)
+     + (CASE WHEN sa.sig_4 = sb.sig_4 THEN 1 ELSE 0 END) + (CASE WHEN sa.sig_5 = sb.sig_5 THEN 1 ELSE 0 END)
+     + (CASE WHEN sa.sig_6 = sb.sig_6 THEN 1 ELSE 0 END) + (CASE WHEN sa.sig_7 = sb.sig_7 THEN 1 ELSE 0 END)
+     AS DOUBLE) / 8.0 AS est_sim
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+""".strip()
+
+
+@query("dedup_minhash_lsh", sql=_LSH_SQL, tags=("llm", "dedup"))
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH: band-bucket join produces candidates (bucket join, never
+    all-pairs); est_sim = minhash agreement fraction."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(d)
+
+
+# --- SimHash -----------------------------------------------------------------
+
+_SIMHASH_SQL = f"""
+WITH {dd.sql_simhash16('documents')}
+""".strip().replace("WITH WITH", "WITH")
+
+
+@query("dedup_simhash", sql=_SIMHASH_SQL, tags=("llm", "dedup"))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (hex-nibble bit extraction, portable)."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    return dd.simhash16(d)
+
+
+# --- similarity search -------------------------------------------------------
+
+_QUERY_SEL = "SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5"
+
+
+def _spark_queries_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+_TOPK_SQL = f"""
+WITH {sim.sql_cosine_ctes('embeddings', _QUERY_SEL)},
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 10
+""".strip()
+
+
+@query("similarity_topk_bruteforce", sql=_TOPK_SQL, tags=("llm", "similarity"))
+def q_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: queries broadcast, dot product
+    as array-order aggregate (JVM, no Python), per-query rank window."""
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(e, _spark_queries_frame(spark, sf_dir), k=10)
+
+
+_TOPK_LSH_SQL = f"""
+WITH {sim.sql_cosine_ctes('embeddings', _QUERY_SEL)},
+cb AS (
+  SELECT vec_id,
+    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+    + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+    + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)
+    AS bucket
+  FROM embeddings
+),
+qb AS (SELECT vec_id AS query_id, bucket FROM cb WHERE vec_id < 5),
+filtered AS (
+  SELECT s.query_id, s.vec_id, s.sim
+  FROM scored s
+  JOIN cb ON cb.vec_id = s.vec_id
+  JOIN qb ON qb.query_id = s.query_id AND qb.bucket = cb.bucket
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM filtered
+)
+SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+""".strip()
+
+
+@query("similarity_topk_lsh", sql=_TOPK_LSH_SQL, tags=("llm", "similarity"))
+def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket ANN: candidates restricted to the query's LSH bucket —
+    the cost/recall dial; work scales with bucket size, not corpus size."""
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_lsh(e, _spark_queries_frame(spark, sf_dir), k=5)
+
+
+_NEARDUP_EMB_SQL = """
+WITH cb AS (
+  SELECT vec_id, embedding,
+    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+    + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+    + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)
+    AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+  FROM cb a JOIN cb b USING (bucket) WHERE a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT id_a, id_b,
+         SUM(CAST(x.x AS DOUBLE) * CAST(y.x AS DOUBLE)) AS dp,
+         SQRT(SUM(CAST(x.x AS DOUBLE) * CAST(x.x AS DOUBLE))) AS na,
+         SQRT(SUM(CAST(y.x AS DOUBLE) * CAST(y.x AS DOUBLE))) AS nb
+  FROM pairs p,
+       LATERAL (SELECT UNNEST(p.va) AS x, GENERATE_SUBSCRIPTS(p.va, 1) AS i) x,
+       LATERAL (SELECT UNNEST(p.vb) AS x, GENERATE_SUBSCRIPTS(p.vb, 1) AS i) y
+  WHERE x.i = y.i
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, (FLOOR((dp / (na * nb)) * 1000000.0 + 0.5) / 1000000.0) AS sim
+FROM dots
+WHERE (FLOOR((dp / (na * nb)) * 1000000.0 + 0.5) / 1000000.0) >= 0.35
+""".strip()
+
+
+@query("dedup_embedding_cosine", sql=_NEARDUP_EMB_SQL, tags=("llm", "dedup", "similarity"))
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-bucket prefilter + exact cosine
+    on in-bucket pairs."""
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(e, threshold=0.35)
+
+
+# --- text analysis -----------------------------------------------------------
+
+_LANG_ID_SQL = f"""
+SELECT doc_id, lang AS labeled_lang, {tx.sql_lang_id('text')} AS predicted_lang
+FROM documents
+""".strip()
+
+
+@query("text_lang_id", sql=_LANG_ID_SQL, tags=("llm", "text"))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID (argmax with alphabetical tiebreak,
+    'und' when zero hits) — pure string expressions."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        tx.lang_id_expr(F.col("text")).alias("predicted_lang"),
+    )
+
+
+_TOKENS_SQL = """
+SELECT doc_id,
+  LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens,
+  LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_ish,
+  LENGTH(text) AS n_chars
+FROM documents
+""".strip()
+
+
+@query("text_token_stats", sql=_TOKENS_SQL, tags=("llm", "text"))
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace/punct tokens + BPE-ish regex pieces."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.bpe_ish_count(F.col("text")).alias("n_bpe_ish"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, LOWER(text) AS lt, (' ' || LOWER(text) || ' ') AS pt,
+         LENGTH(text) AS n_chars,
+         LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tok
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_chars AS q_chars, n_tok AS q_tokens,
+    CASE WHEN n_tok > 0 THEN CAST(LEN(REGEXP_REPLACE(lt, '[^a-z0-9]', '', 'g')) AS DOUBLE) / n_tok ELSE 0.0 END AS mean_tok_len,
+    CAST(LENGTH(REGEXP_REPLACE(lt, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / GREATEST(n_chars, 1) AS punct_ratio,
+    CAST(LENGTH(REGEXP_REPLACE(lt, '[^0-9]', '', 'g')) AS DOUBLE) / GREATEST(n_chars, 1) AS digit_ratio,
+    CAST({' + '.join(tx.sql_count_word('pt', w) for w in tx.LANG_STOPWORDS['en'])} AS DOUBLE)
+      / GREATEST(n_tok, 1) AS stop_ratio
+  FROM base
+)
+SELECT doc_id, q_chars, q_tokens,
+  {sql_fround('mean_tok_len')} AS q_mean_tok_len,
+  {sql_fround('punct_ratio')} AS q_punct_ratio,
+  {sql_fround('digit_ratio')} AS q_digit_ratio,
+  {sql_fround('stop_ratio')} AS q_stop_ratio,
+  {sql_fround(
+      "LEAST(CAST(q_tokens AS DOUBLE)/50.0, 1.0)*0.4 + (1.0 - LEAST(punct_ratio*5.0, 1.0))*0.2"
+      " + LEAST(stop_ratio*4.0, 1.0)*0.2"
+      " + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 8.0 THEN 1.0 ELSE 0.0 END)*0.2"
+  )} AS q_score
+FROM feat
+""".strip()
+
+
+@query("text_quality", sql=_QUALITY_SQL, tags=("llm", "text"))
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/token/punct/digit/stopword features + composite
+    score — pure expressions, scan-parallel."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    out = tx.quality_features(d)
+    return out.select(
+        "doc_id", "q_chars", "q_tokens", "q_mean_tok_len", "q_punct_ratio",
+        "q_digit_ratio", "q_stop_ratio", "q_score",
+    )
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+       SUBSTR(MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')), 1, 16) AS fingerprint
+FROM documents
+""".strip()
+
+
+@query("text_fingerprint", sql=_FINGERPRINT_SQL, tags=("llm", "text"))
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized text (join-key
+    content identity)."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+# --- multimodal --------------------------------------------------------------
+
+_MM_META_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+  CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+  CAST(doc_id % 48 + 16 AS INTEGER) AS height,
+  CAST(STRLEN(text) AS INTEGER) AS n_bytes
+FROM documents
+""".strip()
+
+
+@query("multimodal_metadata", sql=_MM_META_SQL, tags=("llm", "multimodal"))
+def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns: binary payload + typed metadata struct; metadata-
+    only queries prune to the struct columns (payload never read)."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    b = mm.attach_binary_payload(d)
+    return b.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@query("multimodal_decode_features", sql=None, tags=("llm", "multimodal"))
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode via mapInPandas: deterministic byte-level features with
+    the real Arrow batch shape (rows-only check: no SQL twin for the kernel)."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    b = mm.attach_binary_payload(d)
+    from sarpro_spark.queries import round_floats
+
+    return round_floats(mm.decode_features(b), 6)

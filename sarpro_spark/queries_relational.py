@@ -64,3 +64,339 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count_order",
     )
     return out
+
+
+# --- multi-join with broadcast dimensions ------------------------------------
+
+_NATION_REVENUE_SQL = """
+SELECT n.n_name, r.r_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+""".strip()
+
+
+@query("nation_revenue_join", sql=_NATION_REVENUE_SQL, tags=("relational", "join"))
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way join: the big fact shuffles once on orderkey; customer/nation/
+    region are explicit broadcasts so no shuffle on the dim side — the shape
+    that survives a 100x fact scale-up."""
+    t = frames.load_all(spark, sf_dir)
+    out = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+    return out
+
+
+# --- top-k with deterministic tiebreak ---------------------------------------
+
+_TOP_PARTS_SQL = """
+SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY l_partkey
+ORDER BY revenue DESC, l_partkey LIMIT 10
+""".strip()
+
+
+@query("top_revenue_parts", sql=_TOP_PARTS_SQL, tags=("relational", "topk"))
+def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject — per-partition heaps, only k
+    rows reach the driver stage; no global sort. Revenue rounded BEFORE the
+    order so ties resolve identically in both engines via the key tiebreak."""
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("l_partkey")).limit(10)
+
+
+# --- window functions --------------------------------------------------------
+
+_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+""".strip()
+
+
+@query("window_rank_orders", sql=_WINDOW_SQL, tags=("relational", "window"))
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window pack: rank/dense_rank/row_number/lag + running sum. One shuffle
+    on the partition key serves every frame (same partitioning reused)."""
+    from pyspark.sql.window import Window as W
+
+    o = frames.load_table(spark, sf_dir, "orders")
+    by_price = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    by_price_det = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    by_date = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(by_price).alias("rnk"),
+        F.dense_rank().over(by_price).alias("drnk"),
+        F.row_number().over(by_price_det).alias("rn"),
+        F.round(
+            F.sum("o_totalprice").over(by_date.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.lag("o_orderkey", 1).over(by_date).alias("prev_order"),
+    )
+
+
+# --- rollup / cube -----------------------------------------------------------
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""".strip()
+
+
+@query("rollup_sales", sql=_ROLLUP_SQL, tags=("relational", "agg"))
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — partial aggregation feeds every grouping level
+    from one shuffle (Spark expands sets map-side)."""
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""".strip()
+
+
+@query("cube_orders", sql=_CUBE_SQL, tags=("relational", "agg"))
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = frames.load_table(spark, sf_dir, "orders")
+    return li.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# --- set operations ----------------------------------------------------------
+
+_SET_OPS_SQL = """
+WITH big_spenders AS (
+  SELECT o_custkey AS custkey FROM orders GROUP BY o_custkey HAVING SUM(o_totalprice) > 150000
+),
+machinery AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT custkey FROM big_spenders UNION SELECT custkey FROM machinery) u
+UNION ALL
+SELECT 'intersect', COUNT(*) FROM (SELECT custkey FROM big_spenders INTERSECT SELECT custkey FROM machinery) i
+UNION ALL
+SELECT 'except', COUNT(*) FROM (SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM machinery) e
+""".strip()
+
+
+@query("set_operations", sql=_SET_OPS_SQL, tags=("relational", "setop"))
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = frames.load_table(spark, sf_dir, "orders")
+    c = frames.load_table(spark, sf_dir, "customer")
+    big = (
+        o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+        .where(F.col("s") > 150000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    mach = c.where(F.col("c_mktsegment") == "MACHINERY").select(F.col("c_custkey").alias("custkey"))
+    spark_ = o.sparkSession
+    rows = [
+        ("union", big.union(mach).distinct().count()),
+        ("intersect", big.intersect(mach).count()),
+        ("except", big.exceptAll(mach).distinct().count()),
+    ]
+    return spark_.createDataFrame(rows, "op string, n bigint")
+
+
+# --- semi/anti joins ---------------------------------------------------------
+
+_SEMI_ANTI_SQL = """
+SELECT 'with_orders' AS kind, COUNT(*) AS n
+FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'without_orders', COUNT(*)
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""".strip()
+
+
+@query("semi_anti_join", sql=_SEMI_ANTI_SQL, tags=("relational", "join"))
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti — existence joins that never materialize the
+    probe side's payload (no row explosion at scale)."""
+    c = frames.load_table(spark, sf_dir, "customer")
+    o = frames.load_table(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [("with_orders", semi), ("without_orders", anti)], "kind string, n bigint"
+    )
+
+
+# --- correlated-subquery decorrelation ---------------------------------------
+
+_ABOVE_AVG_SQL = """
+WITH cavg AS (SELECT o_custkey, AVG(o_totalprice) AS avg_price FROM orders GROUP BY o_custkey)
+SELECT o.o_custkey, COUNT(*) AS n_above
+FROM orders o JOIN cavg a USING (o_custkey)
+WHERE o.o_totalprice > a.avg_price
+GROUP BY o.o_custkey
+""".strip()
+
+
+@query("orders_above_cust_avg", sql=_ABOVE_AVG_SQL, tags=("relational", "join"))
+def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated 'above my own average' — agg + self-join on the group key
+    (what Catalyst rewrites correlated subqueries into)."""
+    o = frames.load_table(spark, sf_dir, "orders")
+    cavg = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.join(cavg, "o_custkey")
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+# --- scalar function pack ----------------------------------------------------
+
+_SCALAR_SQL = """
+SELECT event_id,
+  UPPER(event_type) AS et_upper,
+  SUBSTR(event_type, 1, 3) AS et_prefix,
+  LENGTH(event_type) AS et_len,
+  REPLACE(event_type, '_', '-') AS et_dash,
+  CONCAT(event_type, '#', CAST(user_id AS VARCHAR)) AS et_tag,
+  ABS(value - 50.0) AS v_center,
+  (FLOOR(SQRT(ABS(value)) * 1000000.0 + 0.5) / 1000000.0) AS v_sqrt,
+  (FLOOR(EXP(value / 100.0) * 1000000.0 + 0.5) / 1000000.0) AS v_exp,
+  (FLOOR(LN(value + 1.0) * 1000000.0 + 0.5) / 1000000.0) AS v_ln,
+  CAST(EXTRACT(year FROM ts) AS INTEGER) AS y,
+  CAST(EXTRACT(month FROM ts) AS INTEGER) AS m,
+  CAST(EXTRACT(day FROM ts) AS INTEGER) AS d,
+  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS props_k
+FROM events
+WHERE value >= 0
+""".strip()
+
+
+@query("scalar_function_pack", sql=_SCALAR_SQL, tags=("relational", "scalar"))
+def q_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 scalar families: string, math (fround'd transcendentals —
+    libm differs across engines), date extraction, JSON path access. All
+    JVM-side, whole-stage-codegen fused."""
+    e = frames.load_table(spark, sf_dir, "events").where(F.col("value") >= 0)
+    return e.select(
+        "event_id",
+        F.upper("event_type").alias("et_upper"),
+        F.substring("event_type", 1, 3).alias("et_prefix"),
+        F.length("event_type").alias("et_len"),
+        F.regexp_replace("event_type", "_", "-").alias("et_dash"),
+        F.concat(F.col("event_type"), F.lit("#"), F.col("user_id").cast("string")).alias("et_tag"),
+        F.abs(F.col("value") - 50.0).alias("v_center"),
+        fround(F.sqrt(F.abs("value")), 6).alias("v_sqrt"),
+        fround(F.exp(F.col("value") / 100.0), 6).alias("v_exp"),
+        fround(F.log(F.col("value") + 1.0), 6).alias("v_ln"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.get_json_object("props", "$.k").cast("int").alias("props_k"),
+    )
+
+
+# --- tumbling-window aggregation over events (batch twin of streaming) -------
+
+_TUMBLING_SQL = """
+SELECT CAST(FLOOR(EPOCH(ts) / 3600.0) AS BIGINT) AS hour_bucket,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value,
+       COUNT(DISTINCT user_id) AS users
+FROM events
+GROUP BY 1, 2
+""".strip()
+
+
+@query("events_tumbling_hourly", sql=_TUMBLING_SQL, tags=("relational", "events"))
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows over the event stream — the batch twin of the
+    Structured Streaming pipeline in sarpro_spark.streaming (same grouping,
+    same results on bounded input)."""
+    e = frames.load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("hour_bucket", F.floor(F.unix_timestamp("ts") / 3600).cast("bigint"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+# --- gap-based sessionization (session_window vs lag-cumsum oracle) ----------
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+FROM sessions GROUP BY user_id, session_id
+""".strip()
+
+
+@query("events_sessionize", sql=_SESSION_SQL, tags=("relational", "events", "streaming"))
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — Spark's session_window operator
+    (the streaming stateful-session surface run in batch mode); the oracle
+    reconstructs identical sessions with lag+cumsum. Session ids are made
+    comparable by numbering sessions per user in start order."""
+    from pyspark.sql.window import Window as W
+
+    from sarpro_spark.streaming.events import sessionize
+
+    e = frames.load_table(spark, sf_dir, "events")
+    s = sessionize(e, gap="30 minutes")
+    w = W.partitionBy("user_id").orderBy("session_start")
+    return s.select(
+        "user_id",
+        (F.row_number().over(w) - 1).cast("bigint").alias("session_id"),
+        "n_events",
+        "session_value",
+    )

@@ -1,0 +1,161 @@
+"""Tests for the LLM-data-pipeline operators (dedup, similarity, text,
+multimodal) beyond the oracle gate: semantic properties on controlled data."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sarpro_spark.llm import dedup as dd
+from sarpro_spark.llm import multimodal as mm
+from sarpro_spark.llm import similarity as sim
+from sarpro_spark.llm import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different content about spark engines"),
+        (4, "der hund und die katze und das haus"),
+        (5, "le chat et le chien et les maisons des gens"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = dd.exact_dedup(docs).collect()
+    assert len(out) == 5  # 6 docs, one exact dup
+    dup = [r for r in out if r["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["canonical_id"] == 0
+    deduped = dd.dedupe_exact(docs)
+    assert deduped.count() == 5
+    assert deduped.where(F.col("doc_id") == 1).count() == 0
+
+
+def test_ngram_jaccard_finds_neardups(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert (0, 2) in pairs and 0.6 < pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs  # unrelated
+
+
+def test_minhash_lsh_candidates(spark, docs):
+    out = {(r["doc_a"], r["doc_b"]): r["est_sim"] for r in dd.minhash_lsh_pairs(docs).collect()}
+    assert out[(0, 1)] == 1.0  # identical docs always collide with est 1.0
+    for (a, b), s in out.items():
+        assert 0.0 <= s <= 1.0
+
+
+def test_simhash_neardup_property(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in dd.simhash16(docs).collect()}
+    assert out[0] == out[1]  # identical text -> identical simhash
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    # near-dup closer than unrelated (soft property on 16 bits)
+    assert hamming(out[0], out[2]) <= hamming(out[0], out[3])
+    assert all(0 <= v < 65536 for v in out.values())
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rs = np.random.RandomState(3)
+    vecs = rs.normal(0, 1, (40, 16)).astype(np.float32)
+    vecs[7] = vecs[0] * 2.0  # same direction as 0 -> cosine 1
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, emb):
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = sim.cosine_topk(emb, queries, k=3).collect()
+    assert [r["vec_id"] for r in out if r["rnk"] == 1] == [0]  # self first
+    second = [r["vec_id"] for r in out if r["rnk"] == 2]
+    assert second == [7]  # scaled copy has cosine 1, id tiebreak after self
+    assert all(abs(r["sim"]) <= 1.0 + 1e-9 for r in out)
+
+
+def test_cosine_topk_pandas_agrees(spark, emb):
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {(r["query_id"], r["rnk"]): r["vec_id"] for r in sim.cosine_topk(emb, queries, k=5).collect()}
+    qrows = sorted(queries.collect(), key=lambda r: r["query_id"])
+    qmat = np.array([r["qvec"] for r in qrows])
+    qids = [r["query_id"] for r in qrows]
+    fast = {(r["query_id"], r["rnk"]): r["vec_id"] for r in sim.cosine_topk_pandas(emb, qmat, qids, k=5).collect()}
+    assert exact == fast
+
+
+def test_lsh_topk_is_subset_of_bucket(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = sim.cosine_topk_lsh(emb, queries, k=5, n_bits=4).collect()
+    assert len(out) > 0
+    # each query's self-match must be present (same bucket by construction)
+    for qid in (0, 1, 2):
+        assert any(r["query_id"] == qid and r["vec_id"] == qid for r in out)
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat and the dog went to the house of friends"),
+        (1, "der hund und die katze und das haus ist ein traum"),
+        (2, "le chat et la maison et les gens des villes"),
+        (3, "el perro la casa de que los gatos"),
+        (4, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["pred"] for r in df.select("doc_id", tx.lang_id_expr(F.col("text")).alias("pred")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "fr"
+    assert out[3] == "es"
+    assert out[4] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "Hello, world! 123 foo-bar")], "doc_id long, text string")
+    r = df.select(
+        tx.token_count(F.col("text")).alias("t"),
+        tx.bpe_ish_count(F.col("text")).alias("b"),
+    ).collect()[0]
+    assert r["t"] == 5  # hello, world, 123, foo, bar
+    # pieces: hello , world ! 123 foo - bar  => 8
+    assert r["b"] == 8
+
+
+def test_quality_scores_ordering(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog ran to the house with a friend " * 3),
+        (1, "!!! ??? ### $$$ %%%"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["q_score"] for r in tx.quality_features(df).collect()}
+    assert out[0] > out[1]  # clean prose beats punctuation soup
+
+
+def test_multimodal_features(spark, docs):
+    b = mm.attach_binary_payload(docs)
+    feats = {r["doc_id"]: r for r in mm.decode_features(b).collect()}
+    assert len(feats) == 6
+    r = feats[0]
+    assert r["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert 0 < r["byte_mean"] < 255 and r["byte_entropy"] > 0
+    # payload column pruning: metadata-only projection must not fail
+    assert b.select("media_meta.mime").distinct().count() == 3
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        mm.sample_frames(b"\x00\x00")
