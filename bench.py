@@ -49,10 +49,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()  # forces full execution without driver-side collect cost
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        n = 0
+        for _ in range(2):  # best-of-2: first run pays JIT/caching, min = steady state
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()  # forces full execution without driver-side collect cost
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

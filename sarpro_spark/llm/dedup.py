@@ -54,18 +54,32 @@ def dedupe_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 
 
 def char_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_SHINGLE
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct lowercase char-n-grams per doc: (id, shingle). Docs shorter
-    than n contribute no shingles (matching SUBSTR semantics on both engines)."""
+    """Lowercase char-n-grams per doc: (id, shingle). Docs shorter than n
+    contribute no shingles (matching SUBSTR semantics on both engines).
+
+    ``distinct=True`` (set semantics) costs a shuffle — required for Jaccard
+    sizes and SimHash. MIN-aggregating consumers (MinHash) pass False: the
+    min over duplicates is identical and the shuffle disappears."""
+    # Heavy compute fans out from few input splits (a small parquet file is a
+    # single row group => a single task): spread docs across the cluster
+    # BEFORE the explode so shingling/hashing parallelizes. At 100 TB the
+    # input arrives pre-split and AQE coalesces this to a no-op-ish exchange.
+    sc_parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(sc_parallelism, id_col)
     lowered = F.lower(F.col(text_col))
     pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(0))))
-    return (
+    out = (
         df.select(F.col(id_col), lowered.alias("_t"), pos.alias("_i"))
         .select(F.col(id_col), F.substring(F.col("_t"), F.col("_i"), F.lit(n)).alias("shingle"))
         .where(F.length("shingle") == n)
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def sql_char_shingles(src_rel: str, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_SHINGLE) -> str:
@@ -135,8 +149,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """k min-hashes per doc: sig_i = MIN(md5('i:' || shingle)). md5-as-hash-
     family keeps the oracle bit-identical; at production scale swap for
-    xxhash64(seed) — same plan shape. Output: (id, sig_0..sig_{k-1})."""
-    sh = char_shingles(df, id_col, text_col, n)
+    xxhash64(seed) — same plan shape. Output: (id, sig_0..sig_{k-1}).
+
+    Non-distinct shingles: MIN over duplicates is identical, so the explode
+    feeds the aggregation directly (map-side combine, single shuffle)."""
+    sh = char_shingles(df, id_col, text_col, n, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
         for i in range(num_hashes)

@@ -124,13 +124,22 @@ def params_advanced(stats: DataFrame, group_cols: list[str], strategy: Autoscale
     return stats.select(*group_cols, *_finish(low0, high0, gamma, clamp_to_extent=False))
 
 
-def quantize_expr(value: Column, valid: Column, max_val: float) -> Column:
-    """Pixel quantization: valid ? floor(clamp(norm^gamma * maxval)) : 0.
-    Uses the broadcast param columns low/high/gamma/qrange."""
-    clipped = F.least(F.greatest(value, F.col("low")), F.col("high"))
-    norm = F.pow((clipped - F.col("low")) / F.col("qrange"), F.col("gamma"))
+def quantize_value(
+    value: Column, valid: Column, low: Column, high: Column, gamma: Column, qrange: Column, max_val: float
+) -> Column:
+    """Pixel quantization with explicit param columns:
+    valid ? floor(clamp(norm^gamma * maxval)) : 0."""
+    clipped = F.least(F.greatest(value, low), high)
+    norm = F.pow((clipped - low) / qrange, gamma)
     q = F.floor(F.least(F.greatest(norm * F.lit(max_val), F.lit(0.0)), F.lit(max_val))).cast("int")
     return F.when(valid, q).otherwise(F.lit(0))
+
+
+def quantize_expr(value: Column, valid: Column, max_val: float) -> Column:
+    """Pixel quantization using the broadcast param columns low/high/gamma/qrange."""
+    return quantize_value(
+        value, valid, F.col("low"), F.col("high"), F.col("gamma"), F.col("qrange"), max_val
+    )
 
 
 def apply_params(

@@ -140,20 +140,37 @@ def clahe_quantize(
         "h", F.coalesce(F.col("h").cast("double"), F.lit(0.0))
     )
 
-    # clip + redistribute
+    # clip + redistribute. Tile-level scalars (excess/add/rem/total) come from
+    # a tiny tile-grain aggregation broadcast back — not windows over the full
+    # dense relation (total = sum_clip + 256*add + rem in closed form, since
+    # exactly `rem` bins receive the +1; rem <= 256 by construction).
     over = F.col("h") > F.col("clip_thr")
     dense = dense.withColumn("h_clip", F.when(over, F.floor(F.col("clip_thr"))).otherwise(F.col("h")))
     dense = dense.withColumn("ex", F.when(over, F.col("h") - F.col("clip_thr")).otherwise(F.lit(0.0)))
-    tile_w_all = Window.partitionBy(*group_cols, "_ty", "_tx")
-    dense = dense.withColumn("excess", F.sum("ex").over(tile_w_all))
-    add = F.floor(F.col("excess") / F.lit(float(BINS)))
-    rem = _round_half_up(F.col("excess") - add * F.lit(float(BINS)))
+    tile_agg = dense.groupBy(*group_cols, "_ty", "_tx").agg(
+        F.sum("ex").alias("excess"), F.sum("h_clip").alias("_sum_clip")
+    )
+    tile_agg = tile_agg.withColumn("add_", F.floor(F.col("excess") / F.lit(float(BINS))))
+    tile_agg = tile_agg.withColumn(
+        "rem_", _round_half_up(F.col("excess") - F.col("add_") * F.lit(float(BINS)))
+    )
+    tile_agg = tile_agg.select(
+        *group_cols,
+        "_ty",
+        "_tx",
+        "add_",
+        "rem_",
+        F.greatest(
+            F.col("_sum_clip") + F.col("add_") * F.lit(float(BINS)) + F.col("rem_"), F.lit(1.0)
+        ).alias("total"),
+    )
+    dense = dense.join(F.broadcast(tile_agg), on=[*group_cols, "_ty", "_tx"])
     dense = dense.withColumn(
-        "h2", F.col("h_clip") + add + F.when(F.col("_bin") < rem, F.lit(1.0)).otherwise(F.lit(0.0))
+        "h2",
+        F.col("h_clip") + F.col("add_") + F.when(F.col("_bin") < F.col("rem_"), F.lit(1.0)).otherwise(F.lit(0.0)),
     )
 
-    # CDF per tile over all 256 bins
-    dense = dense.withColumn("total", F.greatest(F.sum("h2").over(tile_w_all), F.lit(1.0)))
+    tile_w_all = Window.partitionBy(*group_cols, "_ty", "_tx")
     cum_w = tile_w_all.orderBy("_bin").rowsBetween(Window.unboundedPreceding, 0)
     cdf = dense.select(
         *group_cols,
@@ -162,6 +179,10 @@ def clahe_quantize(
         "_bin",
         F.least(F.greatest(F.sum("h2").over(cum_w) / F.col("total"), F.lit(0.0)), F.lit(1.0)).alias("cdf"),
     )
+    # NOTE: the 4 corner joins each rebuild this relation for their broadcast,
+    # but the builds run concurrently on otherwise-idle cores — forcing a
+    # shared materialization (cache / localCheckpoint) measured ~2x SLOWER
+    # wall-clock than letting them overlap. Deliberately left recomputed.
 
     # corner coordinates + weights per pixel (exact reference arithmetic)
     rf = F.col("row").cast("double") / F.col("th").cast("double") - F.lit(0.5)

@@ -375,6 +375,10 @@ FROM rgb0
 
 
 def _wide_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7-scaled (q1, q2) per pixel WITHOUT a pixel-grain pivot: stats run on
+    the long frame (tiny result), get pivoted per band at params grain, and
+    both bands quantize in one projection over the wide frame — the pivot
+    shuffle of 2n pixel rows is gone."""
     long = ew.with_db_mask(frames.band_long(spark, sf_dir))
     stats = st.histogram_stats(long, ["product_id", "band"])
     low = F.when(F.col("band") == "vv", F.least(F.col("p02"), F.col("p05"))).otherwise(F.col("p05"))
@@ -383,16 +387,25 @@ def _wide_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         low.alias("low"),
         F.col("p99").alias("high"),
-        F.lit(1.0).alias("gamma"),
         F.greatest(F.col("p99") - low, F.lit(1.0)).alias("qrange"),
     )
-    q8 = asc.apply_params(long, params, ["product_id", "band"], BitDepth.U8)
-    return (
-        q8.groupBy("product_id", "row", "col")
-        .pivot("band", ["vv", "vh"])
-        .agg(F.first("q"))
-        .withColumnRenamed("vv", "q1")
-        .withColumnRenamed("vh", "q2")
+    pvv = params.where(F.col("band") == "vv").select(
+        "product_id", F.col("low").alias("low1"), F.col("high").alias("high1"), F.col("qrange").alias("qr1")
+    )
+    pvh = params.where(F.col("band") == "vh").select(
+        "product_id", F.col("low").alias("low2"), F.col("high").alias("high2"), F.col("qrange").alias("qr2")
+    )
+    wide = frames.band_frame(spark, sf_dir)
+    j = wide.join(F.broadcast(pvv), "product_id").join(F.broadcast(pvh), "product_id")
+    db1 = ew.to_db(F.col("vv"))
+    db2 = ew.to_db(F.col("vh"))
+    one = F.lit(1.0)
+    return j.select(
+        "product_id",
+        "row",
+        "col",
+        asc.quantize_value(db1, ew.valid_mask(db1), F.col("low1"), F.col("high1"), one, F.col("qr1"), 255.0).alias("q1"),
+        asc.quantize_value(db2, ew.valid_mask(db2), F.col("low2"), F.col("high2"), one, F.col("qr2"), 255.0).alias("q2"),
     )
 
 
@@ -427,7 +440,9 @@ FROM rgb0
 @query("synrgb_suppressed", sql=_SYNRGB_SUPP_SQL, tags=("raster", "synrgb"))
 def q_synrgb_suppressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2+A8 (synthetic_rgb.rs:88-178): joint-histogram p05 floor (+3, cap 40),
-    soft floor-subtract gammas, eps-stabilized blue, water short-circuit."""
-    wide = _wide_u8(spark, sf_dir)
+    soft floor-subtract gammas, eps-stabilized blue, water short-circuit.
+    The wide frame is cached: the A8 floor union + final compose read it 3x
+    and its lineage (stats + window) is the expensive part."""
+    wide = _wide_u8(spark, sf_dir).cache()
     out = srgb.synrgb_suppressed(wide, ["product_id"], "q1", "q2")
     return out.select("product_id", "row", "col", "r", "g", "b")

@@ -16,9 +16,9 @@ from sarpro_spark.types import DB_VALID_THRESHOLD, EPS_INTENSITY
 
 # --- W6: operation-aware polarization labels ---------------------------------
 
-_LABEL_SQL = """
+_LABEL_SQL = f"""
 WITH prods AS (
-  SELECT DISTINCT CAST(l_orderkey % 8 AS INTEGER) AS product_id FROM lineitem
+  SELECT DISTINCT CAST(l_orderkey % {frames.N_PRODUCTS} AS INTEGER) AS product_id FROM lineitem
 ),
 meta AS (
   SELECT product_id,
@@ -57,7 +57,7 @@ def q_metadata_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 (metadata.rs:40-113): operation-aware polarization label — pure
     string/conditional projection."""
     li = frames.load_table(spark, sf_dir, "lineitem")
-    prods = li.select((F.col("l_orderkey") % 8).cast("int").alias("product_id")).distinct()
+    prods = li.select((F.col("l_orderkey") % frames.N_PRODUCTS).cast("int").alias("product_id")).distinct()
     pols = (
         F.when(F.col("product_id") % 3 == 0, "VV,VH")
         .when(F.col("product_id") % 3 == 1, "HH,HV")
@@ -125,9 +125,9 @@ def q_batch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- W4: worldfile sidecar ---------------------------------------------------
 
-_WORLDFILE_SQL = """
+_WORLDFILE_SQL = f"""
 WITH prods AS (
-  SELECT DISTINCT CAST(l_orderkey % 8 AS INTEGER) AS product_id FROM lineitem
+  SELECT DISTINCT CAST(l_orderkey % {frames.N_PRODUCTS} AS INTEGER) AS product_id FROM lineitem
 ),
 gt AS (
   SELECT product_id,
@@ -149,7 +149,7 @@ def q_worldfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 (worldfile.rs:33-52): geotransform -> 6-line pixel-center world file
     content (dyadic test values keep %.12f identical across engines)."""
     li = frames.load_table(spark, sf_dir, "lineitem")
-    prods = li.select((F.col("l_orderkey") % 8).cast("int").alias("product_id")).distinct()
+    prods = li.select((F.col("l_orderkey") % frames.N_PRODUCTS).cast("int").alias("product_id")).distinct()
     gt = prods.select(
         "product_id",
         (F.col("product_id").cast("double") * 128.0).alias("gt0"),
