@@ -12,6 +12,7 @@ from sarpro_spark.operators import autoscale as asc
 from sarpro_spark.operators import clahe as clh
 from sarpro_spark.operators import elementwise as ew
 from sarpro_spark.operators import geometry as geom
+from sarpro_spark.operators import local_enhance as lenh
 from sarpro_spark.operators import stats as st
 from sarpro_spark.operators import synrgb as srgb
 from sarpro_spark.queries import fround, query, round_floats, sql_fround
@@ -230,6 +231,32 @@ def q_clahe(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = _vv_px(spark, sf_dir)
     out = clh.clahe_quantize(px, ["product_id"], BitDepth.U16)
     return out.select("product_id", "row", "col", "q")
+
+
+# --- A5: 3x3 local median + range (dead code in reference; inventory) --------
+
+_LOCAL_MEDIAN_SQL = f"""
+WITH {_VV_SRC_CTE},
+{lenh.sql_local_median_3x3('src', ['product_id'])}
+""".strip()
+# fround the float outputs (db carries cross-libm log10 noise)
+_LOCAL_MEDIAN_SQL = _LOCAL_MEDIAN_SQL.replace(
+    "vals[CAST(FLOOR(n_nbrs / 2.0) AS INTEGER) + 1] AS med",
+    f"{sql_fround('vals[CAST(FLOOR(n_nbrs / 2.0) AS INTEGER) + 1]')} AS med",
+).replace(
+    "vals[CAST(n_nbrs AS INTEGER)] - vals[1] AS rng",
+    f"{sql_fround('vals[CAST(n_nbrs AS INTEGER)] - vals[1]')} AS rng",
+)
+
+
+@query("local_median_3x3", sql=_LOCAL_MEDIAN_SQL, tags=("raster", "window"))
+def q_local_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (autoscale.rs:176-213, dead code — rebuilt for completeness): 3x3
+    valid-neighbor median + range as a 9-offset scatter + one groupBy; the
+    reference's clamped-border and upper-median semantics preserved."""
+    px = _vv_px(spark, sf_dir)
+    out = lenh.local_median_range_3x3(px, ["product_id"])
+    return round_floats(out)
 
 
 # --- G4: pad to square -------------------------------------------------------

@@ -1,0 +1,149 @@
+"""Physical-plan audit: assert the plans have the shape we designed for scale.
+
+Checks, per audited query:
+  - column pruning: parquet scans read only the needed columns (ReadSchema)
+  - filter pushdown where the query filters a scan (PushedFilters)
+  - dimension joins are broadcast (no shuffle on the small side)
+  - pixel/doc hot paths sit inside WholeStageCodegen spans
+  - no CartesianProduct anywhere (except queries that intentionally
+    cross-join a tiny broadcast relation, which must appear as
+    BroadcastNestedLoopJoin instead)
+
+Run:  python tools/explain_audit.py [query ...]
+Exits nonzero if any assertion fails; prints a one-line verdict per query.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sarpro_spark.queries import spark_queries
+from sarpro_spark.session import build_session
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# per-query expectations: substrings that MUST appear / MUST NOT appear in the
+# formatted physical plan
+AUDITS: dict[str, dict] = {
+    "pricing_summary": {
+        "require": ["PushedFilters: [IsNotNull(l_shipdate)", "HashAggregate"], "codegen": True,
+        "forbid": ["CartesianProduct"],
+        # pruning: scan must not read l_orderkey and friends
+        "schema_excludes": ["l_orderkey", "l_partkey", "l_suppkey"],
+    },
+    "nation_revenue_join": {
+        "require": ["BroadcastHashJoin"], "codegen": True,
+        "forbid": ["CartesianProduct"],
+        "schema_excludes": ["c_name", "c_acctbal", "o_totalprice"],
+    },
+    "top_revenue_parts": {
+        "require": ["TakeOrderedAndProject", "HashAggregate"],
+        "forbid": ["CartesianProduct"],
+        "schema_excludes": ["l_shipdate", "l_quantity"],
+    },
+    "band_math_ops": {
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "histogram_stats": {
+        "require": ["BroadcastHashJoin", "HashAggregate"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "autoscale_standard_u8": {
+        "require": ["BroadcastHashJoin"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "autoscale_clahe_u16": {
+        "require": ["BroadcastHashJoin"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "synrgb_default": {
+        "require": ["BroadcastHashJoin"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "pad_to_square": {
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "dedup_minhash_lsh": {
+        "require": ["HashAggregate"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "similarity_topk_bruteforce": {
+        # tiny query relation intentionally crossed: must be broadcast NLJ,
+        # never a shuffled cartesian
+        "require": ["BroadcastNestedLoopJoin"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "text_quality": {
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["lang", "source"],
+    },
+    "events_sessionize": {
+        "require": ["Window"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "multimodal_decode_features": {
+        # the ONE query where Python is the point: Arrow-batched mapInPandas
+        "require": ["MapInPandas"],
+        "forbid": ["CartesianProduct"],
+    },
+}
+
+
+def scan_read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+
+
+def main() -> int:
+    names = sys.argv[1:] or list(AUDITS)
+    # static planning: AQE hides codegen ids / finalizes lazily, and the
+    # audit is about the designed plan shape, not runtime re-planning
+    spark = build_session("explain_audit", extra_conf={"spark.sql.adaptive.enabled": "false"})
+    qs = spark_queries()
+    failures = []
+    for name in names:
+        spec = AUDITS.get(name)
+        if spec is None:
+            print(f"  {name}: no audit spec")
+            continue
+        df = qs[name](spark, SF)
+        qe = df._jdf.queryExecution()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
+        problems = []
+        if spec.get("codegen"):
+            # JVM fast path: fused codegen span, or a columnar cache scan for
+            # cached-frame consumers (the real anti-goal — Python in the row
+            # path — is covered by the BatchEvalPython forbid)
+            if "codegen id :" not in plan and "InMemoryTableScan" not in plan:
+                problems.append("no WholeStageCodegen span")
+        for s in spec.get("require", []):
+            if s not in plan:
+                problems.append(f"missing {s!r}")
+        for s in spec.get("forbid", []):
+            if s in plan:
+                problems.append(f"forbidden {s!r} present")
+        schemas = " ".join(scan_read_schemas(plan))
+        for col in spec.get("schema_excludes", []):
+            if col in schemas:
+                problems.append(f"scan reads unneeded column {col!r} (pruning failed)")
+        if problems:
+            failures.append((name, problems))
+            print(f"✗ {name}: {'; '.join(problems)}")
+        else:
+            print(f"✓ {name}")
+    print()
+    if failures:
+        print(f"PLAN AUDIT FAILED for {len(failures)}/{len(names)}")
+        return 1
+    print(f"PLAN AUDIT OK for {len(names)} queries")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
