@@ -361,6 +361,26 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- batch twin of the custom stateful streaming operator --------------------
+
+_USER_TOTALS_SQL = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY user_id
+""".strip()
+
+
+@query("user_running_totals", sql=_USER_TOTALS_SQL, tags=("relational", "streaming"))
+def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.stateful.running_user_totals (the
+    applyInPandasWithState operator) — the state a drained stream converges
+    to; equivalence is asserted in tests/test_functions_sources.py."""
+    from sarpro_spark.streaming.stateful import running_user_totals_batch
+
+    e = frames.load_table(spark, sf_dir, "events")
+    out = running_user_totals_batch(e)
+    return out.withColumn("total_value", F.round("total_value", 2))
+
+
 # --- gap-based sessionization (session_window vs lag-cumsum oracle) ----------
 
 _SESSION_SQL = """
