@@ -139,6 +139,19 @@ def multiband_synrgb_pipeline(
     return out
 
 
+def needs_warp(current_epsg: str | None, target_crs: str | None) -> bool:
+    """P4 warp-skip guard (sentinel1.rs:959-986): skip reprojection entirely
+    when the dataset already carries the target CRS — plan-level no-op
+    elimination at DAG-build time. (G5 gdalwarp itself is an external stage:
+    the engine plumbs CRS resolution — sources.safe.centroid_epsg — and this
+    guard, and documents warping as out-of-engine, per SURVEY §2.5.)"""
+    if target_crs is None:
+        return False
+    if current_epsg is None:
+        return True
+    return current_epsg.strip().upper() != target_crs.strip().upper()
+
+
 def batch_status(products: DataFrame, status_col: str = "status") -> DataFrame:
     """A9 (api/mod.rs:452-536): per-product outcome -> BatchReport counters.
     processed/skipped/errors as a single groupBy — the distributed analog of

@@ -146,6 +146,29 @@ def write_prj(path: str, projection: str) -> None:
         fh.write(projection)
 
 
+# --- W7: TIFF metadata embed rules -------------------------------------------
+
+IDENTITY_GT = [0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+
+
+def tiff_embed_plan(
+    geotransform: list[float] | None,
+    projection: str | None,
+    fields: dict[str, str],
+) -> dict:
+    """W7 (metadata.rs:297-341): what gets embedded in a GeoTIFF —
+    geotransform skipped when identity, projection written ONLY IF a
+    non-identity geotransform was set, all metadata items always. Returns the
+    embed plan (the writer stub consumes it; the rules are the operator)."""
+    set_gt = geotransform is not None and geotransform != IDENTITY_GT
+    set_proj = set_gt and projection is not None
+    return {
+        "set_geotransform": geotransform if set_gt else None,
+        "set_projection": projection if set_proj else None,
+        "metadata_items": dict(fields),
+    }
+
+
 # --- W8: JSON sidecar --------------------------------------------------------
 
 

@@ -1,0 +1,104 @@
+"""Hypothesis property tests (SURVEY §5.3): invariants that must hold for any
+input, exercised against the NumPy reference reimplementations where cheap
+and against pure-Python operator logic where Spark round-trips are too slow
+for per-example execution."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sarpro_spark.operators.geometry import calculate_resize_dimensions
+from sarpro_spark.sinks.writers import polarization_label
+from sarpro_spark.sources.safe import lonlat_to_epsg
+from tests.test_stats import ref_histogram_stats
+
+finite = st.floats(allow_nan=False, allow_infinity=False, width=64)
+
+
+@given(st.lists(st.floats(min_value=-200, max_value=200), min_size=1, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_histogram_percentiles_bounded_and_ordered(values):
+    s = ref_histogram_stats(np.asarray(values, dtype=np.float64))
+    names = ["p01", "p02", "p05", "p10", "p25", "median", "p75", "p90", "p95", "p98", "p99"]
+    # percentiles within [min, max] and monotone non-decreasing
+    prev = s["vmin"]
+    for n in names:
+        assert s["vmin"] - 1e-9 <= s[n] <= s["vmax"] + 1e-9
+        assert s[n] >= prev - 1e-9
+        prev = s[n]
+    assert s["vstd"] >= 0.0
+
+
+@given(
+    st.integers(min_value=1, max_value=100000),
+    st.integers(min_value=1, max_value=100000),
+    st.integers(min_value=1, max_value=200000),
+)
+@settings(max_examples=300, deadline=None)
+def test_resize_dimensions_invariants(cols, rows, target):
+    nc, nr = calculate_resize_dimensions(cols, rows, target)
+    long_in, long_out = max(cols, rows), max(nc, nr)
+    if target > long_in:
+        assert (nc, nr) == (cols, rows)  # no upscale
+    else:
+        assert long_out == target
+        # aspect preserved within rounding
+        if cols >= rows:
+            assert abs(nr - rows * target / cols) <= 0.5 + 1e-9
+        else:
+            assert abs(nc - cols * target / rows) <= 0.5 + 1e-9
+    # NOTE: the reference's round(short*scale) legitimately hits 0 for extreme
+    # aspect ratios (e.g. 100000x1 -> target 1); faithfulness over niceness.
+    assert nc >= 0 and nr >= 0
+
+
+@given(st.floats(min_value=-360, max_value=540), st.floats(min_value=-90, max_value=90))
+@settings(max_examples=500, deadline=None)
+def test_lonlat_to_epsg_always_valid(lon, lat):
+    epsg = lonlat_to_epsg(lon, lat)
+    assert epsg.startswith("EPSG:")
+    code = int(epsg.split(":")[1])
+    if lat >= 84.0:
+        assert code == 32661
+    elif lat <= -80.0:
+        assert code == 32761
+    else:
+        zone = code % 100
+        assert 1 <= zone <= 60
+        assert (code // 100 == 326) == (lat >= 0.0)
+
+
+@given(
+    st.lists(st.sampled_from(["VV", "VH", "HH", "HV"]), unique=True),
+    st.sampled_from(["sum", "difference", "ratio", "normalized_diff", "log_ratio", None, "junk"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_polarization_label_total(pols, op):
+    label = polarization_label(pols, op)
+    assert isinstance(label, str)
+    if op in (None, "junk") or not (
+        ({"VV", "VH"} <= set(pols)) or ({"HH", "HV"} <= set(pols))
+    ):
+        assert label == ",".join(pols)
+    else:
+        assert "(" in label and label.endswith(")")
+
+
+@given(st.lists(st.integers(min_value=0, max_value=65535), min_size=1, max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_u16_to_u8_rescale_bounds(vals):
+    from tests.test_autoscale import ref_scale_u16_to_u8
+
+    q = np.asarray(vals, dtype=np.int64)
+    out = ref_scale_u16_to_u8(q)
+    assert out.min() >= 0 and out.max() <= 255
+    if q.max() > q.min():
+        # endpoints map to the full range
+        assert out[np.argmax(q)] == 255 and out[np.argmin(q)] == 0
+    # order-preserving
+    order = np.argsort(q, kind="stable")
+    assert np.all(np.diff(out[order]) >= 0)

@@ -1,0 +1,59 @@
+"""Tests: S6 source registry, P4 warp-skip guard, W7 embed rules."""
+
+from __future__ import annotations
+
+import pytest
+
+from sarpro_spark.plans.pipeline import needs_warp
+from sarpro_spark.sinks.writers import IDENTITY_GT, tiff_embed_plan
+from sarpro_spark.sources import registry
+
+
+def test_registry_parquet_and_schema(spark, sf_dir):
+    df, info = registry.open_source(spark, f"{sf_dir}/nation.parquet", "parquet")
+    assert df.count() == 25
+    assert info.format == "parquet" and info.n_columns == 3
+    assert "n_nationkey" in info.schema_ddl
+
+
+def test_registry_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    src, _ = registry.open_source(spark, f"{sf_dir}/region.parquet", "parquet")
+    csv_path = str(tmp_path / "region_csv")
+    json_path = str(tmp_path / "region_json")
+    src.write.option("header", "true").csv(csv_path)
+    src.write.json(json_path)
+    c, ci = registry.open_source(spark, csv_path, "csv")
+    j, ji = registry.open_source(spark, json_path, "json")
+    assert c.count() == 5 and j.count() == 5
+    assert ci.n_columns == 2  # header + inferSchema defaults applied
+    assert sorted(j.columns) == sorted(src.columns)
+
+
+def test_registry_unknown_format(spark):
+    with pytest.raises(ValueError, match="unknown format"):
+        registry.open_source(spark, "/nope", "netcdf")
+    assert "parquet" in registry.supported_formats()
+
+
+def test_needs_warp_guard():
+    # P4: same CRS -> skip (sentinel1.rs:959-986)
+    assert not needs_warp("EPSG:32632", "EPSG:32632")
+    assert not needs_warp("epsg:32632 ", "EPSG:32632")
+    assert needs_warp("EPSG:4326", "EPSG:32632")
+    assert needs_warp(None, "EPSG:32632")  # unknown source CRS -> must warp
+    assert not needs_warp("EPSG:4326", None)  # no target -> never warp
+
+
+def test_tiff_embed_rules():
+    fields = {"PLATFORM": "SENTINEL-1"}
+    # identity gt -> neither gt nor projection embedded (metadata.rs:305-307)
+    p = tiff_embed_plan(IDENTITY_GT, "EPSG:32632", fields)
+    assert p["set_geotransform"] is None and p["set_projection"] is None
+    assert p["metadata_items"] == fields
+    # real gt -> both
+    gt = [500000.0, 10.0, 0.0, 6000000.0, 0.0, -10.0]
+    p = tiff_embed_plan(gt, "EPSG:32632", fields)
+    assert p["set_geotransform"] == gt and p["set_projection"] == "EPSG:32632"
+    # no gt at all -> no projection either
+    p = tiff_embed_plan(None, "EPSG:32632", fields)
+    assert p["set_geotransform"] is None and p["set_projection"] is None
