@@ -1,0 +1,89 @@
+"""Connected components over near-duplicate pair graphs — the step that turns
+pairwise dedup evidence into keep/drop decisions (cluster -> canonical doc).
+
+Algorithm: min-label propagation to fixpoint. labels start as node ids; each
+round every node takes the min label over itself + neighbors; converged when
+no label changes. Rounds = graph diameter (tiny for dedup clusters: near-dup
+components are dense blobs). Each round is one join + one groupBy — all
+DataFrame ops, lineage cut with localCheckpoint so plans don't snowball.
+This is the simple variant of the large-star/small-star map-reduce CC
+algorithm; it is exactly as shuffle-bounded and converges in the same regime.
+
+An iterative algorithm with a driver-side convergence scalar per round — the
+documented exception pattern (the per-round collect is ONE long, not data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Returns (id, cluster_id) with cluster_id = min node id in component."""
+    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = nodes.select(F.col(node_col).alias("u"), F.col(node_col).alias("lbl"))
+    for _ in range(max_iter):
+        msgs = both.join(labels, on="u").select(F.col("v").alias("u"), "lbl")
+        new_labels = (
+            labels.unionByName(msgs).groupBy("u").agg(F.min("lbl").alias("lbl"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), on="u")
+            .where(F.col("o.lbl") != F.col("n.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias(node_col), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical): cluster near-dup pairs, mark the
+    min-id doc of each cluster canonical — drop the rest for a deduplicated
+    corpus."""
+    nodes = docs.select(F.col(id_col).alias("id"))
+    cc = connected_components(nodes, pairs, "id", a, b)
+    return cc.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def sql_dedup_clusters(nodes_sel: str, edges_sel: str) -> str:
+    """DuckDB twin via recursive CTE (min-reachable-label closure).
+    ``nodes_sel`` yields (id); ``edges_sel`` yields (a, b)."""
+    return f"""
+WITH RECURSIVE
+nodes AS ({nodes_sel}),
+edges0 AS ({edges_sel}),
+edges AS (SELECT a AS u, b AS v FROM edges0 UNION ALL SELECT b, a FROM edges0),
+reach(node, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+       (node = MIN(lbl)) AS is_canonical
+FROM reach GROUP BY node
+""".strip()

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sarpro_spark import frames
+from sarpro_spark.llm import cluster as cl
 from sarpro_spark.llm import dedup as dd
 from sarpro_spark.llm import multimodal as mm
 from sarpro_spark.llm import similarity as sim
@@ -348,6 +349,24 @@ def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.height").alias("height"),
         F.col("media_meta.n_bytes").alias("n_bytes"),
     )
+
+
+# --- near-dup clustering (connected components) ------------------------------
+
+_CLUSTER_SQL = cl.sql_dedup_clusters(
+    "SELECT doc_id AS id FROM documents",
+    f"SELECT doc_a AS a, doc_b AS b FROM ({_JACCARD_SQL}) jp",
+)
+
+
+@query("dedup_cluster_components", sql=_CLUSTER_SQL, tags=("llm", "dedup", "iterative"))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: Jaccard pairs -> connected components (min-label
+    propagation to fixpoint; the oracle uses a recursive CTE). Canonical =
+    min doc id per cluster — the keep/drop decision of corpus dedup."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, threshold=0.5)
+    return cl.dedup_clusters(d, pairs)
 
 
 @query("multimodal_decode_features", sql=None, tags=("llm", "multimodal"))

@@ -361,6 +361,79 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- as-of join (custom temporal operator; DuckDB ASOF JOIN as oracle) -------
+
+_ASOF_SQL = """
+WITH su AS (
+  SELECT user_id, ts, MAX(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, CAST(EPOCH_US(e.ts) AS BIGINT) AS ts_us,
+       s.signup_event_id AS event_id_r,
+       CAST(EPOCH_US(s.ts) AS BIGINT) AS ts_us_r
+FROM events e
+ASOF LEFT JOIN su s ON e.user_id = s.user_id AND e.ts >= s.ts
+""".strip()
+
+
+@query("events_asof_signup", sql=_ASOF_SQL, tags=("relational", "temporal"))
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the time-series 'latest right at or before left' join
+    Spark lacks): union-and-forward-fill — ONE shuffle of |L|+|R| on the key,
+    no range explosion. Oracle: DuckDB's native ASOF JOIN."""
+    from sarpro_spark.operators.temporal import asof_join
+
+    e = frames.load_table(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("user_id", "ts", "event_id")
+    )
+    out = asof_join(left, right, on="user_id", left_time="ts", right_time="ts",
+                    right_cols=["event_id", "ts"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id_r").alias("event_id_r"),
+        F.unix_micros("ts_r").alias("ts_us_r"),
+    )
+
+
+# --- range join (bucketized inequality join) ---------------------------------
+
+_RANGE_SQL = """
+SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
+       CAST(EPOCH_US(e.ts) AS BIGINT) - CAST(EPOCH_US(p.ts) AS BIGINT) AS delta_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND ABS(CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) - CAST(FLOOR(EPOCH(p.ts)) AS BIGINT)) <= 600
+""".strip()
+
+
+@query("events_range_join", sql=_RANGE_SQL, tags=("relational", "temporal"))
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: purchase/error events of the same user within 10 minutes —
+    bucketized prefilter turns the inequality join into a bucket equi-join
+    whose cost tracks match density (oracle: plain inequality join)."""
+    from sarpro_spark.operators.temporal import range_join_buckets
+
+    e = frames.load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    er = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    j = range_join_buckets(p, er, on="user_id", left_time="ts", right_time="ts",
+                           max_delta_sec=600)
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("error_id"),
+        "user_id",
+        (F.unix_micros("r_ts") - F.unix_micros("ts")).alias("delta_us"),
+    )
+
+
 # --- batch twin of the custom stateful streaming operator --------------------
 
 _USER_TOTALS_SQL = """

@@ -1,0 +1,79 @@
+"""Tests: as-of join, range join, connected-components clustering."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sarpro_spark.llm import cluster as cl
+from sarpro_spark.operators import temporal as tp
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return BASE + dt.timedelta(minutes=minutes)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(0), "l0"), (1, _ts(10), "l10"), (1, _ts(20), "l20"), (2, _ts(5), "l5")],
+        "k long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(4), 100), (1, _ts(10), 200), (1, _ts(15), 300), (3, _ts(0), 999)],
+        "k long, ts timestamp, rid int",
+    )
+    out = {
+        (r["k"], r["name"]): r["rid_r"]
+        for r in tp.asof_join(left, right, on="k", right_cols=["rid"]).collect()
+    }
+    assert out[(1, "l0")] is None  # nothing at or before t=0
+    assert out[(1, "l10")] == 200  # inclusive: equal timestamp matches
+    assert out[(1, "l20")] == 300  # latest preceding
+    assert out[(2, "l5")] is None  # key with no right rows
+
+
+def test_range_join_buckets(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(0)), (1, 11, _ts(30))], "k long, lid int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, 20, _ts(5)), (1, 21, _ts(14)), (1, 22, _ts(50)), (2, 23, _ts(0))],
+        "k long, rid int, ts timestamp",
+    )
+    out = tp.range_join_buckets(left, right, on="k", left_time="ts", right_time="ts",
+                                max_delta_sec=600)
+    pairs = {(r["lid"], r["r_rid"]) for r in out.collect()}
+    # within 10 min: l@0 matches r@5; l@30 matches nothing (14 is 16min away... no: |30-14|=16min>10) -> check
+    assert (10, 20) in pairs
+    assert (10, 21) not in pairs  # 14 min > 10 min
+    assert (11, 22) not in pairs  # 20 min
+    assert all(l != 23 for (l, _) in pairs)  # key isolation
+
+
+def test_connected_components(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    # components: {0,1,2,3} (chain), {4,5}, {6}, {7}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "a long, b long"
+    )
+    out = {r["id"]: r["cluster_id"] for r in cl.connected_components(nodes, edges).collect()}
+    assert out[0] == out[1] == out[2] == out[3] == 0
+    assert out[4] == out[5] == 4
+    assert out[6] == 6 and out[7] == 7
+
+
+def test_dedup_clusters_canonical(spark):
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 4)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in
+           cl.dedup_clusters(docs, pairs).collect()}
+    assert out[1] == (1, True)
+    assert out[3] == (1, False) and out[4] == (1, False)
+    assert out[0] == (0, True) and out[2] == (2, True)
+    # deduplicated corpus keeps exactly one doc per cluster
+    n_kept = sum(1 for v in out.values() if v[1])
+    assert n_kept == 3
