@@ -1,0 +1,53 @@
+"""Bucketed co-located join: the shuffle-free join strategy for repeated big
+joins at 100 TB. Writes both sides bucketed by the join key into the local
+warehouse, then asserts the join plan contains NO shuffle exchange on either
+side — the layout the engine prescribes for fact-fact joins (band zips,
+orders x lineitem) when both sides are under the pipeline's control."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    # warehouse.dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored); drop + clear any stale location from aborted runs
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    for t in ("li_b", "ord_b"):
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    from sarpro_spark import frames
+
+    li = frames.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = frames.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .saveAsTable("li_b"))
+    (o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .saveAsTable("ord_b"))
+
+    # at this sf the tables fit under the broadcast threshold and the planner
+    # (correctly) broadcasts, disabling bucketing; force the merge path to
+    # observe the layout the design targets — big-fact x big-fact joins
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lb = spark.table("li_b")
+        ob = spark.table("ord_b")
+        j = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        plan = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "formatted")
+        # co-located: SortMergeJoin reading bucketed scans, no shuffle at all
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan, plan
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan
+        # and it computes the right thing
+        assert j.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
