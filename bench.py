@@ -25,6 +25,8 @@ HEADLINE = [
     "histogram_stats",
     "autoscale_standard_u8",
     "autoscale_clahe_u16",
+    "pipeline_kernel_standard_u8",
+    "pipeline_kernel_clahe_u16",
     "synrgb_default",
     "synrgb_suppressed",
     "pad_to_square",

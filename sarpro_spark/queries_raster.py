@@ -259,6 +259,40 @@ def q_local_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(out)
 
 
+# --- grouped-kernel image path (same oracles — bit-identical by design) ------
+
+
+@query(
+    "pipeline_kernel_standard_u8",
+    sql=asc.oracle_autoscale_sql(_VV_SRC_CTE, ["product_id"], _KEYS, "standard-a2", BitDepth.U8),
+    tags=("raster", "kernel"),
+)
+def q_kernel_std_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole W9 per-product pipeline (dB -> stats -> A2 -> U8 double
+    quantization) as ONE applyInPandas kernel per product — zero intermediate
+    shuffles; verified bit-identical to the relational path and against the
+    same DuckDB oracle."""
+    import sarpro_spark.operators.kernel as krn
+
+    px = frames.single_band(spark, sf_dir, "vv")
+    return krn.single_band_kernel(px, ["product_id"], "standard-a2", BitDepth.U8)
+
+
+@query(
+    "pipeline_kernel_clahe_u16",
+    sql=clh.oracle_clahe_sql(_VV_SRC_CTE, ["product_id"], _KEYS, BitDepth.U16),
+    tags=("raster", "kernel", "clahe"),
+)
+def q_kernel_clahe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLAHE as a vectorized per-product NumPy kernel (np.add.at histograms,
+    fancy-indexed CDF sampling) — the throughput path; same oracle as the
+    relational CLAHE."""
+    import sarpro_spark.operators.kernel as krn
+
+    px = frames.single_band(spark, sf_dir, "vv")
+    return krn.single_band_kernel(px, ["product_id"], AutoscaleStrategy.CLAHE, BitDepth.U16)
+
+
 # --- G4: pad to square -------------------------------------------------------
 
 _PAD_SQL = f"""
