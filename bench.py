@@ -29,6 +29,8 @@ HEADLINE = [
     "pipeline_kernel_clahe_u16",
     "synrgb_default",
     "synrgb_suppressed",
+    "pipeline_kernel_synrgb_default",
+    "pipeline_kernel_synrgb_suppressed",
     "pad_to_square",
     "nation_revenue_join",
     "window_rank_orders",

@@ -185,6 +185,105 @@ def clahe_np(db: np.ndarray, valid: np.ndarray, s: dict, max_val: float,
     return np.where(valid, q, 0)
 
 
+def tamed_synrgb_params_np(s: dict, is_copol: bool) -> tuple[float, float]:
+    """A7 band-specific window (autoscale.rs:710-742)."""
+    low = min(s["p02"], s["p05"]) if is_copol else s["p05"]
+    return low, s["p99"]
+
+
+def synrgb_default_np(q1: np.ndarray, q2: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """C1 in f64 — mirrors operators/synrgb.py expressions exactly (round
+    then clamp for r/g, clamp then round for b, b2==0 guard)."""
+    r = np.clip(np.floor((q1 / 255.0) ** 0.7 * 255.0 + 0.5), 0.0, 255.0).astype(np.int64)
+    g = np.clip(np.floor((q2 / 255.0) ** 0.9 * 255.0 + 0.5), 0.0, 255.0).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = r.astype(np.float64) / g.astype(np.float64)
+        b = np.floor(np.clip(ratio**0.1 * 255.0 * 0.24, 0.0, 255.0) + 0.5)
+    b = np.where(q2 == 0, 0, np.nan_to_num(b, nan=0.0)).astype(np.int64)
+    return r, g, b
+
+
+def synrgb_suppressed_np(q1: np.ndarray, q2: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """C2 + A8 in f64 — mirrors synrgb.synrgb_suppressed exactly."""
+    hist = np.bincount(np.concatenate([q1.ravel(), q2.ravel()]), minlength=256)
+    total = q1.size + q2.size
+    target = int(np.floor(total * 0.05 + 0.5))
+    cum = np.cumsum(hist)
+    fl = int(np.searchsorted(cum, target, side="left"))  # first cum >= target
+    if target == 0:
+        fl = 0
+    fl = min(fl + 3, 40)
+
+    denom = max(255.0 - fl, 1.0)
+
+    def lut(v: np.ndarray, gamma: float) -> np.ndarray:
+        shifted = (v.astype(np.float64) - fl) / denom
+        mapped = np.clip(np.floor(shifted**gamma * 255.0 + 0.5), 0.0, 255.0)
+        return np.where(v <= fl, 0, mapped).astype(np.int64)
+
+    with np.errstate(invalid="ignore"):
+        r0 = lut(q1, 1.15)
+        g0 = lut(q2, 1.10)
+    ratio = (r0 + 8.0) / (g0 + 8.0)
+    b0 = np.floor(np.clip(ratio**0.1 * 255.0 * 0.18, 0.0, 255.0) + 0.5).astype(np.int64)
+    water = (q1 <= fl) & (q2 <= fl)
+    zero = np.zeros_like(r0)
+    return (
+        np.where(water, zero, r0),
+        np.where(water, zero, g0),
+        np.where(water, zero, b0),
+    )
+
+
+def multiband_synrgb_kernel(
+    wide: DataFrame,
+    group_cols: list[str],
+    suppressed: bool = False,
+    v1: str = "vv",
+    v2: str = "vh",
+) -> DataFrame:
+    """W10 JPEG path as one grouped task per product: both bands -> dB ->
+    stats -> A7 band-specific U8 -> C1/C2 composite. Input (group..., row,
+    col, v1, v2); output (group..., row, col, r, g, b). f64 formulas —
+    bit-identical to the relational synrgb queries and their oracles."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    key_fields = [wide.schema[c] for c in group_cols]
+    schema = StructType(
+        key_fields
+        + [StructField("row", IntegerType()), StructField("col", IntegerType()),
+           StructField("r", IntegerType()), StructField("g", IntegerType()),
+           StructField("b", IntegerType())]
+    )
+
+    def band_q(pdf: pd.DataFrame, col: str, is_copol: bool) -> np.ndarray:
+        v = pdf[col].to_numpy(dtype=np.float64)
+        db = 10.0 * np.log10(np.maximum(v, EPS_INTENSITY))
+        valid = db > DB_VALID_THRESHOLD
+        s = histogram_stats_np(db[valid])
+        if s["valid_count"] == 0:
+            return np.zeros(v.size, dtype=np.int64)
+        low, high = tamed_synrgb_params_np(s, is_copol)
+        return quantize_np(db, valid, low, high, 1.0, 255.0)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        q1 = band_q(pdf, v1, is_copol=True)
+        q2 = band_q(pdf, v2, is_copol=False)
+        if suppressed:
+            r, g, b = synrgb_suppressed_np(q1, q2)
+        else:
+            r, g, b = synrgb_default_np(q1, q2)
+        out = pd.DataFrame(
+            {"row": pdf["row"].to_numpy(np.int32), "col": pdf["col"].to_numpy(np.int32),
+             "r": r.astype(np.int32), "g": g.astype(np.int32), "b": b.astype(np.int32)}
+        )
+        for c in group_cols:
+            out.insert(0, c, pdf[c].iloc[0])
+        return out
+
+    return wide.groupBy(*group_cols).applyInPandas(fn, schema=schema)
+
+
 def single_band_kernel(
     px: DataFrame,
     group_cols: list[str],

@@ -498,6 +498,16 @@ FROM rgb0
 """.strip()
 
 
+@query("pipeline_kernel_synrgb_default", sql=_SYNRGB_DEFAULT_SQL, tags=("raster", "kernel", "synrgb"))
+def q_kernel_synrgb_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 as one grouped task per product (dual-band dB -> stats -> A7 ->
+    C1), bit-identical to the relational synrgb_default and its oracle."""
+    import sarpro_spark.operators.kernel as krn
+
+    wide = frames.band_frame(spark, sf_dir)
+    return krn.multiband_synrgb_kernel(wide, ["product_id"], suppressed=False)
+
+
 @query("synrgb_suppressed", sql=_SYNRGB_SUPP_SQL, tags=("raster", "synrgb"))
 def q_synrgb_suppressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2+A8 (synthetic_rgb.rs:88-178): joint-histogram p05 floor (+3, cap 40),
@@ -507,3 +517,13 @@ def q_synrgb_suppressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = _wide_u8(spark, sf_dir).cache()
     out = srgb.synrgb_suppressed(wide, ["product_id"], "q1", "q2")
     return out.select("product_id", "row", "col", "r", "g", "b")
+
+
+@query("pipeline_kernel_synrgb_suppressed", sql=_SYNRGB_SUPP_SQL, tags=("raster", "kernel", "synrgb"))
+def q_kernel_synrgb_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2+A8 maritime-suppressed composite as a per-product kernel — same
+    oracle as the relational synrgb_suppressed."""
+    import sarpro_spark.operators.kernel as krn
+
+    wide = frames.band_frame(spark, sf_dir)
+    return krn.multiband_synrgb_kernel(wide, ["product_id"], suppressed=True)
