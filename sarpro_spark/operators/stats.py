@@ -143,6 +143,34 @@ def histogram_stats(
     return out
 
 
+def approx_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value: str = "db",
+    valid: str | None = "valid",
+    accuracy: int = 10000,
+    percentiles: list[tuple[str, float]] | None = None,
+) -> DataFrame:
+    """The sketch fast path: percentile_approx (Greenwald-Khanna) replaces the
+    explicit histogram — ONE shuffle instead of two, mergeable sketch state,
+    the right default when sarpro-exact interpolation isn't required. Error
+    <= 1/accuracy in rank terms; tested against :func:`histogram_stats`."""
+    pcts = percentiles or PERCENTILES
+    src = df.filter(F.col(valid)) if valid else df
+    fracs = F.array(*[F.lit(p) for _, p in pcts])
+    agg = src.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("valid_count"),
+        F.min(value).alias("vmin"),
+        F.max(value).alias("vmax"),
+        F.avg(value).alias("vmean"),
+        F.coalesce(F.stddev_pop(value), F.lit(0.0)).alias("vstd"),
+        F.percentile_approx(value, fracs, accuracy).alias("_pcts"),
+    )
+    for i, (name, _) in enumerate(pcts):
+        agg = agg.withColumn(name, F.element_at("_pcts", i + 1))
+    return agg.drop("_pcts")
+
+
 def oracle_stats_ctes(
     source_cte: str,
     group_cols: list[str],

@@ -145,6 +145,50 @@ def q_hist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(out)
 
 
+@query("histogram_stats_approx", sql=None, tags=("raster", "agg", "sketch"))
+def q_hist_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch fast path: percentile_approx (GK) — one shuffle, mergeable
+    state; rows-only check (approx values differ across engines by design);
+    rank-error bound vs the exact histogram asserted in tests."""
+    long = frames.band_long(spark, sf_dir)
+    df = ew.with_db_mask(long)
+    out = st.approx_stats(df, ["product_id", "band"])
+    return round_floats(out)
+
+
+# --- full OP route: E3 ratio -> W9 pipeline (composition evidence) -----------
+
+_RATIO_SRC_CTE = f"""{PX_CTE},
+src AS (
+  SELECT product_id, row, col,
+         10.0 * LOG10(GREATEST(rv, {EPS_INTENSITY!r})) AS db,
+         (10.0 * LOG10(GREATEST(rv, {EPS_INTENSITY!r})) > {DB_VALID_THRESHOLD!r}) AS valid
+  FROM (
+    SELECT product_id, row, col,
+           CASE WHEN ABS(vh) > {EPS_INTENSITY!r} THEN vv / vh ELSE 0.0 END AS rv
+    FROM px
+  ) rr
+)"""
+
+_OP_PIPELINE_SQL = asc.oracle_autoscale_sql(
+    _RATIO_SRC_CTE, ["product_id"], ["product_id", "row", "col"], "standard-a2", BitDepth.U8
+)
+
+
+@query("pipeline_op_ratio_u8", sql=_OP_PIPELINE_SQL, tags=("raster", "pipeline"))
+def q_op_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end OP route (runner.rs:122-265): band zip -> E3 ratio -> dB ->
+    A2 autoscale -> U8 double quantization, via the grouped kernel — the full
+    reference CLI path `--operation ratio` as one oracle-checked query."""
+    from sarpro_spark.plans.pipeline import operation_pipeline
+    from sarpro_spark.types import PolarizationOperation, ProcessingParams
+
+    a = frames.single_band(spark, sf_dir, "vv")
+    b = frames.single_band(spark, sf_dir, "vh")
+    params = ProcessingParams()  # standard autoscale, U8, no resize/pad
+    return operation_pipeline(a, b, PolarizationOperation.RATIO, params)
+
+
 # --- A2/A3/A6/A7: autoscale strategies ---------------------------------------
 
 # single-band (vv) pixel source in the dB domain, grouped per product

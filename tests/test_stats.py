@@ -77,6 +77,24 @@ def test_histogram_stats_matches_reference(spark, values):
         assert got[name] == pytest.approx(want[name], rel=1e-12, abs=1e-12), name
 
 
+def test_approx_stats_close_to_exact(spark):
+    """percentile_approx fast path: rank error within the GK accuracy bound
+    of the exact histogram percentiles."""
+    rs = np.random.RandomState(9)
+    vals = np.sort(rs.lognormal(0, 1.5, 20000))
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, db double")
+    exact = st.histogram_stats(df, ["g"], valid=None).collect()[0].asDict()
+    approx = st.approx_stats(df, ["g"], valid=None, accuracy=10000).collect()[0].asDict()
+    assert approx["valid_count"] == exact["valid_count"]
+    assert approx["vmin"] == exact["vmin"] and approx["vmax"] == exact["vmax"]
+    n = len(vals)
+    for name, p in st.PERCENTILES:
+        # compare by rank: approx value's position within the sorted data
+        # must be within ~2*n/accuracy of the target rank
+        rank = np.searchsorted(vals, approx[name])
+        assert abs(rank - p * n) <= 2 * n / 10000 + 2, (name, rank, p * n)
+
+
 def test_valid_filter_excludes_invalid(spark):
     data = [("g", 1.0, True), ("g", 2.0, True), ("g", 999.0, False)]
     df = spark.createDataFrame(data, "g string, db double, valid boolean")
