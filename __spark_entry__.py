@@ -25,8 +25,8 @@ SF0001 = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's headline workload — dual-band synRGB
     (dB -> histogram stats -> band-specific Tamed autoscale -> gamma/ratio
-    composite) over the synthetic band frame at sf0.001."""
-    return spark_queries()["synrgb_default"](spark, SF0001)
+    composite) as one grouped kernel task per product, at sf0.001."""
+    return spark_queries()["pipeline_kernel_synrgb_default"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

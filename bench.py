@@ -17,6 +17,9 @@ from sarpro_spark.queries import spark_queries
 from sarpro_spark.session import build_session
 
 #: headline queries (kept in sync with the flagship operator set)
+# Headline = the engine's production paths: grouped kernels for the per-
+# product raster pipelines (their relational twins stay registered and
+# oracle-checked; autoscale_standard_u8 represents the relational path).
 HEADLINE = [
     "pricing_summary",
     "band_math_ops",
@@ -24,19 +27,19 @@ HEADLINE = [
     "db_conversion_mask",
     "histogram_stats",
     "autoscale_standard_u8",
-    "autoscale_clahe_u16",
     "pipeline_kernel_standard_u8",
     "pipeline_kernel_clahe_u16",
-    "synrgb_default",
-    "synrgb_suppressed",
     "pipeline_kernel_synrgb_default",
     "pipeline_kernel_synrgb_suppressed",
+    "pipeline_op_ratio_u8",
     "pad_to_square",
     "nation_revenue_join",
     "window_rank_orders",
     "dedup_minhash_lsh",
+    "dedup_cluster_components",
     "similarity_topk_bruteforce",
     "text_quality",
+    "events_asof_signup",
     "events_sessionize",
 ]
 

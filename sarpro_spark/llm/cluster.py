@@ -31,7 +31,11 @@ def connected_components(
     both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    # the edge relation's lineage (e.g. a full near-dup pair computation) would
+    # otherwise be re-executed on EVERY iteration — materialize it once
+    both = both.localCheckpoint(eager=True)
     labels = nodes.select(F.col(node_col).alias("u"), F.col(node_col).alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         msgs = both.join(labels, on="u").select(F.col("v").alias("u"), "lbl")
         new_labels = (

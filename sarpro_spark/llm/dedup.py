@@ -97,30 +97,52 @@ shingles AS (
 # --- n-gram Jaccard ----------------------------------------------------------
 
 
+DEFAULT_MAX_SHINGLE_DF = 256
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = DEFAULT_SHINGLE,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Candidate pairs from the shingle inverted index; jaccard =
-    inter / (|A| + |B| - inter); keep pairs >= threshold, a < b.
+    """Near-dup pairs with EXACT jaccard = inter/(|A|+|B|-inter) >= threshold.
 
-    ``max_shingle_df`` drops ultra-common shingles before the self-join —
-    the skew guard that keeps the join linear-ish at corpus scale.
+    Two phases — the shape that survives corpus scale:
+      1. candidates from the inverted index over shingles with document
+         frequency <= ``max_shingle_df``. Ultra-common shingles produce df^2
+         join rows for zero selectivity (every doc pairs with every doc) —
+         the cap is what keeps the self-join linear-ish. A high-jaccard pair
+         that shares ONLY ubiquitous shingles would be missed; at threshold
+         0.5 such a pair must share half its shingle set, so in any real
+         corpus it also shares rare shingles.
+      2. exact intersection counted ONLY for candidate pairs (join of the
+         full shingle sets restricted to candidates) — jaccard values are
+         exact, not capped.
     """
     sh = char_shingles(df, id_col, text_col, n)
-    if max_shingle_df is not None:
-        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(F.broadcast(hot.where(F.col("df_") <= max_shingle_df)), "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        rare = sh.join(
+            F.broadcast(dfreq.where(F.col("df_") <= max_shingle_df)), "shingle", "left_semi"
+        )
+    else:
+        rare = sh
+    cand = (
+        rare.select(F.col(id_col).alias("doc_a"), "shingle")
+        .join(rare.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -135,6 +157,43 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out.select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+
+
+def sql_ngram_jaccard(
+    src_rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+    max_shingle_df: int = DEFAULT_MAX_SHINGLE_DF,
+) -> str:
+    """DuckDB twin of :func:`ngram_jaccard_pairs` (same candidate/verify
+    split so results hash-match)."""
+    shingles = sql_char_shingles(src_rel, id_col, text_col, n)
+    return f"""
+WITH {shingles},
+sizes AS (SELECT {id_col}, COUNT(*) AS sz FROM shingles GROUP BY {id_col}),
+sdf AS (SELECT shingle, COUNT(*) AS df_ FROM shingles GROUP BY shingle),
+rare AS (SELECT s.* FROM shingles s JOIN sdf USING (shingle) WHERE sdf.df_ <= {max_shingle_df}),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+  FROM rare a JOIN rare b USING (shingle)
+  WHERE a.{id_col} < b.{id_col}
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.{id_col} = c.doc_a
+  JOIN shingles sb ON sb.{id_col} = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.inter, za.sz AS sz_a, zb.sz AS sz_b,
+       CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes za ON za.{id_col} = i.doc_a
+JOIN sizes zb ON zb.{id_col} = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) >= {threshold!r}
+""".strip()
 
 
 # --- MinHash + LSH -----------------------------------------------------------
@@ -211,6 +270,113 @@ def minhash_lsh_pairs(
             (est.cast("double") / F.lit(float(num_hashes))).alias("est_sim"),
         )
     )
+
+
+def minhash_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production near-dup pipeline: MinHash-LSH banded candidates ->
+    EXACT jaccard verified on candidates only. Candidate cost is bucket-
+    bounded (never df^2 over hot shingles); verification cost is
+    |candidates| x shingles-per-doc. Recall is the LSH collision probability
+    1-(1-s^r)^b — with 4 bands x 4 rows: ~87% at s=0.8, ~23% at s=0.5.
+    Rows-per-band must stay high enough that baseline-similar corpora (shared
+    vocab) don't flood the buckets; raise `bands` for recall, `rows` for
+    selectivity."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(eager=True)
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_frames.append(
+            sig.select(F.col(id_col), F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    banded = band_frames[0]
+    for bf in band_frames[1:]:
+        banded = banded.unionByName(bf)
+    cand = (
+        banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+        .join(banded.select(F.col(id_col).alias("doc_b"), "band", "bucket"), ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # shingle sets are read three times (sizes + both sides of the verify
+    # join) — materialize once; candidates are tiny -> broadcast both joins
+    sh = char_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        .join(F.broadcast(cand), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))), "doc_a")
+        .join(F.broadcast(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+def sql_minhash_jaccard(
+    src_rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`minhash_jaccard_pairs`."""
+    rows_per_band = num_hashes // bands
+    ctes = sql_minhash_ctes(src_rel, id_col, text_col, n, num_hashes)
+    band_selects = []
+    for b in range(bands):
+        sig_concat = " || '|' || ".join(
+            f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT {id_col}, {b} AS band, MD5({sig_concat}) AS bucket FROM sigs"
+        )
+    banded = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {ctes},
+banded AS (
+  {banded}
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.{id_col} < b.{id_col}
+),
+sizes AS (SELECT {id_col}, COUNT(*) AS sz FROM shingles GROUP BY {id_col}),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.{id_col} = c.doc_a
+  JOIN shingles sb ON sb.{id_col} = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes za ON za.{id_col} = i.doc_a
+JOIN sizes zb ON zb.{id_col} = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) >= {threshold!r}
+""".strip()
 
 
 def sql_minhash_ctes(

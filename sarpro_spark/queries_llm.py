@@ -33,28 +33,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- n-gram Jaccard near-dup -------------------------------------------------
 
-_JACCARD_SQL = f"""
-WITH {dd.sql_char_shingles('documents')},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM shingles a JOIN shingles b USING (shingle)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
-       CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.5
-""".strip()
+_JACCARD_SQL = dd.sql_ngram_jaccard("documents", threshold=0.5)
 
 
 @query("dedup_ngram_jaccard", sql=_JACCARD_SQL, tags=("llm", "dedup"))
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup via shingle inverted-index self-join (no
-    crossJoin; skew guard available via max_shingle_df)."""
+    """n-gram Jaccard near-dup: DF-capped candidate generation + exact
+    verification on candidates only (the hot-shingle df^2 explosion never
+    happens; jaccard values stay exact)."""
     d = frames.load_table(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(d, threshold=0.5)
 
@@ -351,21 +337,37 @@ def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LSH-candidates + exact-verify near-dup pairs ----------------------------
+
+_MINHASH_VERIFIED_SQL = dd.sql_minhash_jaccard("documents", threshold=0.5)
+
+
+@query("dedup_minhash_verified", sql=_MINHASH_VERIFIED_SQL, tags=("llm", "dedup"))
+def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline: MinHash-LSH banded candidates ->
+    exact jaccard verified on candidates only — bucket-bounded candidate cost
+    (never df^2 on hot shingles), exact similarity values, documented LSH
+    recall."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    return dd.minhash_jaccard_pairs(d, threshold=0.5)
+
+
 # --- near-dup clustering (connected components) ------------------------------
 
 _CLUSTER_SQL = cl.sql_dedup_clusters(
     "SELECT doc_id AS id FROM documents",
-    f"SELECT doc_a AS a, doc_b AS b FROM ({_JACCARD_SQL}) jp",
+    f"SELECT doc_a AS a, doc_b AS b FROM ({_MINHASH_VERIFIED_SQL}) jp",
 )
 
 
 @query("dedup_cluster_components", sql=_CLUSTER_SQL, tags=("llm", "dedup", "iterative"))
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: Jaccard pairs -> connected components (min-label
-    propagation to fixpoint; the oracle uses a recursive CTE). Canonical =
-    min doc id per cluster — the keep/drop decision of corpus dedup."""
+    """Near-dup clustering: LSH-verified jaccard pairs -> connected
+    components (min-label propagation to fixpoint; oracle = recursive CTE).
+    Canonical = min doc id per cluster — the keep/drop decision of corpus
+    dedup."""
     d = frames.load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, threshold=0.5)
+    pairs = dd.minhash_jaccard_pairs(d, threshold=0.5)
     return cl.dedup_clusters(d, pairs)
 
 
