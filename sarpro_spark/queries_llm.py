@@ -352,6 +352,37 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_jaccard_pairs(d, threshold=0.5)
 
 
+# --- corpus dedup summary (the end-to-end story) -----------------------------
+
+_CORPUS_SUMMARY_SQL = f"""
+WITH clusters AS ({cl.sql_dedup_clusters(
+    "SELECT doc_id AS id FROM documents",
+    "SELECT doc_a AS a, doc_b AS b FROM (" + dd.sql_minhash_jaccard("documents", threshold=0.5) + ") jp",
+)})
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT cluster_id) AS n_clusters,
+       SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN is_canonical THEN 0 ELSE 1 END) AS n_dropped
+FROM clusters
+""".strip()
+
+
+@query("dedup_corpus_summary", sql=_CORPUS_SUMMARY_SQL, tags=("llm", "dedup"))
+def q_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: LSH-verified near-dup pairs -> clusters ->
+    keep canonical per cluster; one summary row (docs, clusters, kept,
+    dropped) — the decision output a training-data pipeline acts on."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_jaccard_pairs(d, threshold=0.5)
+    clusters = cl.dedup_clusters(d, pairs)
+    return clusters.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("is_canonical"), 0).otherwise(1)).alias("n_dropped"),
+    )
+
+
 # --- near-dup clustering (connected components) ------------------------------
 
 _CLUSTER_SQL = cl.sql_dedup_clusters(
