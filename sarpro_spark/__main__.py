@@ -18,10 +18,8 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 import time
 
-from pyspark.sql import functions as F
 
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:

@@ -20,7 +20,7 @@ runtime; these explicit forms are for the pathological keys AQE can't split
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

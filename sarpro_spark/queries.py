@@ -23,8 +23,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, FloatType
 
-from sarpro_spark import frames
-from sarpro_spark.frames import PX_CTE
 
 
 @dataclass

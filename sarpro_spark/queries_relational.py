@@ -183,6 +183,30 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""".strip()
+
+
+@query("grouping_sets_sales", sql=_GROUPING_SETS_SQL, tags=("relational", "agg"))
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status, and
+    grand total from one shuffle (SQL surface — the DataFrame API exposes
+    only rollup/cube)."""
+    frames.load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 _CUBE_SQL = """
 SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
        ROUND(SUM(o_totalprice), 2) AS total

@@ -17,8 +17,6 @@ Lanczos choice for the residual resize follows the >=4x rule
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
