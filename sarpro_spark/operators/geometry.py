@@ -57,9 +57,22 @@ def pad_to_square(
 ) -> DataFrame:
     """G4: centered zero-pad each product's raster to max_dim x max_dim.
 
-    canvas = per-group sequence explode (distributed); data joins in at its
-    shifted position; absent cells take ``fill``. The join is an equi-join on
-    (group, row, col) — co-partitioned with the data, one shuffle.
+    Scale design (the r01 version exploded the full max_dim^2 canvas out of
+    ONE dims row per product — 704M rows in a single task at the reference's
+    native 26544^2 products — then shuffled all of them through a cell-grain
+    join): here the canvas only ever exists at ROW grain until the final
+    narrow projection.
+
+      1. dims -> explode rows (one row-stub per canvas row),
+      2. repartition on (group, row) so canvas rows spread across the cluster,
+      3. data rows collapse to a per-(group, row) col->value map (one shuffle
+         of the data at row grain, map-side combine),
+      4. left-join maps to row-stubs on (group, row) — co-partitioned,
+      5. col-explode + map lookup emits the max_dim^2 cells INSIDE the task.
+
+    No max_dim^2-row shuffle exists anywhere in the plan; per-task memory is
+    O(cols) for the row map, and cell materialization parallelism is
+    (products x max_dim) row-stubs.
     """
     if dims is None:
         dims = product_dims(px, group_cols)
@@ -71,32 +84,34 @@ def pad_to_square(
         ((F.greatest("cols", "rows") - F.col("cols")) / 2).cast("int").alias("pad_cols"),
         ((F.greatest("cols", "rows") - F.col("rows")) / 2).cast("int").alias("pad_rows"),
     )
-    canvas = (
-        dims.select(
-            *group_cols,
-            "pad_cols",
-            "pad_rows",
-            F.explode(F.sequence(F.lit(0), F.col("max_dim") - 1)).alias("row"),
-            F.col("max_dim"),
-        )
-        .select(
-            *group_cols,
-            "pad_cols",
-            "pad_rows",
-            "row",
-            F.explode(F.sequence(F.lit(0), F.col("max_dim") - 1)).alias("col"),
-        )
-    )
-    shifted = px.join(F.broadcast(dims.select(*group_cols, "pad_cols", "pad_rows")), group_cols).select(
+    row_stubs = dims.select(
+        *group_cols,
+        "max_dim",
+        F.explode(F.sequence(F.lit(0), F.col("max_dim") - 1)).alias("row"),
+    ).repartition(*group_cols, "row")
+    shifted = px.join(
+        F.broadcast(dims.select(*group_cols, "pad_cols", "pad_rows")), group_cols
+    ).select(
         *group_cols,
         (F.col("row") + F.col("pad_rows")).alias("row"),
         (F.col("col") + F.col("pad_cols")).alias("col"),
         F.col(value),
     )
-    out = canvas.drop("pad_cols", "pad_rows").join(
-        shifted, on=[*group_cols, "row", "col"], how="left"
+    row_maps = shifted.groupBy(*group_cols, "row").agg(
+        F.map_from_entries(F.collect_list(F.struct("col", value))).alias("_vals")
     )
-    return out.withColumn(value, F.coalesce(F.col(value), F.lit(fill)))
+    joined = row_stubs.join(row_maps, on=[*group_cols, "row"], how="left")
+    return joined.select(
+        *group_cols,
+        "row",
+        F.explode(F.sequence(F.lit(0), F.col("max_dim") - 1)).alias("col"),
+        "_vals",
+    ).select(
+        *group_cols,
+        "row",
+        "col",
+        F.coalesce(F.element_at(F.col("_vals"), F.col("col")), F.lit(fill)).alias(value),
+    )
 
 
 def sql_pad_to_square(src_rel: str, group_cols: list[str], value: str = "v", fill: str = "0.0") -> str:

@@ -247,6 +247,44 @@ _autoscale_query("equalized", AutoscaleStrategy.EQUALIZED, BitDepth.U16)
 _autoscale_query("tamed", AutoscaleStrategy.TAMED, BitDepth.U16)
 
 
+# Merged A3 certificate: all four advanced strategies in ONE driver row
+# (HEAD_ORDER slot), each tagged with a strategy column. The four individual
+# queries above remain registered (tail) for targeted debugging.
+_A3_STRATEGIES = (
+    ("robust", AutoscaleStrategy.ROBUST),
+    ("adaptive", AutoscaleStrategy.ADAPTIVE),
+    ("equalized", AutoscaleStrategy.EQUALIZED),
+    ("tamed", AutoscaleStrategy.TAMED),
+)
+
+_A3_MERGED_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{label}' AS strategy, t.* FROM (\n"
+    + asc.oracle_autoscale_sql(_VV_SRC_CTE, ["product_id"], _KEYS, strat, BitDepth.U16)
+    + "\n) t"
+    for label, strat in _A3_STRATEGIES
+)
+
+
+@query("autoscale_advanced_u16", sql=_A3_MERGED_SQL, tags=("raster", "autoscale"))
+def q_autoscale_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (autoscale.rs strategy table): robust/adaptive/equalized/tamed U16
+    autoscale over the same dB source, unioned with a strategy label — one
+    certificate row covering the full advanced-strategy family."""
+    px = _vv_px(spark, sf_dir)
+    parts = []
+    for label, strat in _A3_STRATEGIES:
+        out = asc.autoscale_to_bitdepth(px, ["product_id"], strat, BitDepth.U16)
+        parts.append(
+            out.select(
+                F.lit(label).alias("strategy"), "product_id", "row", "col", "q"
+            )
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged
+
+
 _TAMED_SYNRGB_SQL_COPOL = asc.oracle_tamed_synrgb_sql(
     _VV_SRC_CTE, ["product_id"], _KEYS, is_copol=True
 )

@@ -361,7 +361,7 @@ _TUMBLING_SQL = """
 SELECT CAST(FLOOR(EPOCH(ts) / 3600.0) AS BIGINT) AS hour_bucket,
        event_type,
        COUNT(*) AS n,
-       ROUND(SUM(value), 2) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
        COUNT(DISTINCT user_id) AS users
 FROM events
 GROUP BY 1, 2
@@ -379,7 +379,7 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_bucket", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
             F.countDistinct("user_id").alias("users"),
         )
     )
@@ -461,7 +461,8 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- batch twin of the custom stateful streaming operator --------------------
 
 _USER_TOTALS_SQL = """
-SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY user_id
 """.strip()
 
@@ -475,7 +476,12 @@ def q_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = frames.load_table(spark, sf_dir, "events")
     out = running_user_totals_batch(e)
-    return out.withColumn("total_value", F.round("total_value", 2))
+    # The stateful twin accumulates doubles; input values are exact 2-decimal,
+    # so snapping the total to DECIMAL(18,2) recovers the exact cents value the
+    # oracle's decimal sum produces (ulp noise << 0.005 rounding distance).
+    return out.withColumn(
+        "total_value", F.col("total_value").cast("decimal(18,2)").cast("double")
+    )
 
 
 # --- gap-based sessionization (session_window vs lag-cumsum oracle) ----------
@@ -484,7 +490,7 @@ _SESSION_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
 sessions AS (
@@ -493,7 +499,8 @@ sessions AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
 FROM sessions GROUP BY user_id, session_id
 """.strip()
 

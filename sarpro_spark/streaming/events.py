@@ -27,7 +27,10 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
         src.groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # Exact decimal-cents sum: order-independent and bit-identical
+            # across engines, unlike ROUND(SUM(double),2) whose half-way
+            # semantics are engine/version-dependent (r01 hash-fail class).
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(
@@ -60,11 +63,20 @@ def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "15 m
 def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Session windows (gap-based) — the custom stateful operator surface.
     Batch mode runs the same expression; streaming mode keeps per-user session
-    state with watermark eviction."""
+    state with watermark eviction.
+
+    Boundary semantics: ``session_window`` extends each session to
+    ``last_ts + gap`` half-open, so an event at EXACTLY ``prev_ts + gap``
+    starts a NEW session — oracles must use ``gap >= threshold`` (not ``>``)
+    for the new-session flag. ``session_value`` sums on DECIMAL(18,2) so the
+    result is order-independent and bit-identical across engines."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
         .select(
             F.col("win.start").alias("session_start"),
             F.col("win.end").alias("session_end"),
