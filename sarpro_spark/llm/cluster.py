@@ -15,8 +15,25 @@ documented exception pattern (the per-round collect is ONE long, not data).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _checkpointer(df: DataFrame):
+    """Reliable ``checkpoint()`` when the session has a checkpoint dir (cluster
+    mode: survives executor loss — localCheckpoint blocks die with their
+    executor and the truncated lineage cannot recompute them); eager
+    ``localCheckpoint`` otherwise (single-node iteration speed)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        reliable = sc.getCheckpointDir() is not None
+    except AttributeError:  # older pyspark
+        reliable = sc._jsc.sc().getCheckpointDir().isDefined()
+    if reliable:
+        return lambda d: d.checkpoint(eager=True)
+    return lambda d: d.localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -26,32 +43,54 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 20,
+    check_every: int = 2,
 ) -> DataFrame:
-    """Returns (id, cluster_id) with cluster_id = min node id in component."""
+    """Returns (id, cluster_id) with cluster_id = min node id in component.
+
+    Per round: one join + one groupBy + one checkpoint job. The previous
+    label rides through the aggregation (``min(lbl) FILTER own``), so the
+    convergence probe is a narrow scan of the checkpointed labels — no join —
+    and runs only every ``check_every`` rounds: ~1.5 jobs/round vs 3 in the
+    naive form. Raises a warning if ``max_iter`` rounds pass without
+    convergence (partial labels are still a valid over-segmentation, but the
+    caller should know)."""
+    checkpoint = _checkpointer(nodes)
     both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     # the edge relation's lineage (e.g. a full near-dup pair computation) would
     # otherwise be re-executed on EVERY iteration — materialize it once
-    both = both.localCheckpoint(eager=True)
+    both = checkpoint(both)
     labels = nodes.select(F.col(node_col).alias("u"), F.col(node_col).alias("lbl"))
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        msgs = both.join(labels, on="u").select(F.col("v").alias("u"), "lbl")
+    labels = checkpoint(labels)
+    converged = False
+    for i in range(1, max_iter + 1):
+        msgs = both.join(labels, on="u").select(
+            F.col("v").alias("u"), "lbl", F.lit(False).alias("own")
+        )
         new_labels = (
-            labels.unionByName(msgs).groupBy("u").agg(F.min("lbl").alias("lbl"))
+            labels.withColumn("own", F.lit(True))
+            .unionByName(msgs)
+            .groupBy("u")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("own"), F.col("lbl"))).alias("prev"),
+            )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), on="u")
-            .where(F.col("o.lbl") != F.col("n.lbl"))
-            .limit(1)
-            .count()
+        new_labels = checkpoint(new_labels)
+        if i % check_every == 0 or i == max_iter:
+            if new_labels.where(F.col("lbl") < F.col("prev")).limit(1).count() == 0:
+                labels = new_labels.select("u", "lbl")
+                converged = True
+                break
+        labels = new_labels.select("u", "lbl")
+    if not converged:
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_iter} rounds — "
+            "labels are an over-segmentation; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
         )
-        labels = new_labels
-        if changed == 0:
-            break
     return labels.select(F.col("u").alias(node_col), F.col("lbl").alias("cluster_id"))
 
 

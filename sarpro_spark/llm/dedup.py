@@ -8,10 +8,12 @@ Five surfaces, each shuffle-bounded for 100 TB:
                join, |A|,|B| broadcast back. Hot shingles are the skew risk:
                drop shingles with document-frequency above a cap (stop-shingle
                filter), the standard trick at web scale.
-  MinHash+LSH  k min-hashes per doc (min over md5(seed:shingle)); band
+  MinHash+LSH  k min-hashes per doc via ONE md5 per shingle + k seeded linear
+               permutations (a_i*h + b_i mod 2^31-1, exact int64 arithmetic on
+               both engines — 16x fewer md5 calls than hashing per permutation
+               and still byte-reproducible in the DuckDB oracle); band
                signatures bucket-join candidates, then the exact minhash
-               agreement (or true Jaccard) verifies. Hashing is md5-based so
-               the DuckDB oracle reproduces signatures byte-for-byte.
+               agreement (or true Jaccard) verifies.
   SimHash      16-bit sign-aggregated fingerprint (hex-nibble bit table keeps
                it portable SQL); near-dups = small Hamming distance.
   embedding    cosine near-dup in llm/similarity.py (sign-bucket prefilter).
@@ -28,6 +30,22 @@ from pyspark.sql import functions as F
 DEFAULT_SHINGLE = 5
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 2  # bands * rows_per_band == num_hashes
+
+# MinHash permutation family: h -> (a*h + b) mod p over a 60-bit md5-prefix
+# base hash reduced mod p. p = 2^31 - 1 keeps a*h below 2^62 (no int64
+# overflow) and the arithmetic exact on both Spark and DuckDB.
+MINHASH_PRIME = 2147483647
+_MINHASH_SEED = 0x51AB
+
+
+def minhash_coeffs(num_hashes: int, seed: int = _MINHASH_SEED) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs shared by the Spark and SQL sides."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_PRIME, num_hashes)
+    b = rng.integers(0, MINHASH_PRIME, num_hashes)
+    return list(zip(a.tolist(), b.tolist()))
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -209,18 +227,24 @@ def minhash_signatures(
     n: int = DEFAULT_SHINGLE,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """k min-hashes per doc: sig_i = MIN(md5('i:' || shingle)). md5-as-hash-
-    family keeps the oracle bit-identical; at production scale swap for
-    xxhash64(seed) — same plan shape. Output: (id, sig_0..sig_{k-1}).
+    """k min-hashes per doc: sig_i = MIN((a_i*h + b_i) mod p) over the 60-bit
+    md5-prefix base hash h of each shingle — ONE md5 per shingle, k cheap
+    multiply-mods (codegen'd), bit-identical in the DuckDB oracle. Output:
+    (id, sig_0..sig_{k-1}) as BIGINT.
 
     Non-distinct shingles: MIN over duplicates is identical, so the explode
     feeds the aggregation directly (map-side combine, single shuffle)."""
     sh = char_shingles(df, id_col, text_col, n, distinct=False)
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+    hashed = sh.select(F.col(id_col), base.alias("_h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -389,16 +413,25 @@ def sql_minhash_ctes(
     n: int = DEFAULT_SHINGLE,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> str:
-    """DuckDB CTEs ending in ``sigs`` (id, sig_0..)."""
+    """DuckDB CTEs ending in ``sigs`` (id, sig_0..) — the exact twin of
+    :func:`minhash_signatures` (same md5-prefix base hash, same seeded
+    permutation coefficients)."""
     shingles = sql_char_shingles(src_rel, id_col, text_col, n)
+    p = MINHASH_PRIME
     sig_cols = ",\n    ".join(
-        f"MIN(MD5('{i}:' || shingle)) AS sig_{i}" for i in range(num_hashes)
+        f"MIN(({a} * h + {b}) % {p}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     )
     return f"""{shingles},
+hashed AS (
+  SELECT {id_col},
+         CAST(('0x' || SUBSTR(MD5(shingle), 1, 15)) AS BIGINT) % {p} AS h
+  FROM shingles
+),
 sigs AS (
   SELECT {id_col},
     {sig_cols}
-  FROM shingles GROUP BY {id_col}
+  FROM hashed GROUP BY {id_col}
 )""".strip()
 
 

@@ -4,11 +4,27 @@ Two paths:
   brute-force   exact cosine top-k: queries broadcast against the corpus, dot
                 products via zip_with/aggregate (array-order summation, no
                 shuffle on the corpus side beyond the final top-k).
-  sign-LSH      deterministic locality buckets from the sign pattern of the
-                leading dimensions (a fixed hyperplane set). Candidates are
-                restricted to the query's bucket — the recall/cost dial at
-                100 TB. Real deployments add multi-probe (flip one bit) for
-                recall; provided via ``hamming_probe=1``.
+  banded LSH    seeded random-hyperplane (Rademacher +-1) projections, b bands
+                x r bits: two vectors are candidates when ANY band's r-bit key
+                matches (OR-amplification). Multi-probe (Hamming-1 key flips)
+                widens query recall; a per-bucket cardinality cap drops
+                pathological hot buckets (the stop-shingle doctrine). Bucket
+                key space is b * 2^r — sized to the corpus, never a fixed
+                ceiling.
+
+Determinism doctrine (the correctness gate hash-compares against DuckDB):
+bucket keys are computed in EXACT integer arithmetic — embeddings quantize to
+int64 at 2^20 (power-of-two scale: float64 multiply is exact), hyperplane
+coefficients are +-1, projections are int64 sums — so the sign of a
+projection can never depend on summation order or libm, and the Spark and
+DuckDB sides produce bit-identical keys from the same seeded matrix.
+
+Recall/selectivity math (p_bit = 1 - theta/pi):
+  sim 0.99, r=16, b=8:  ~99.5% pair recall, ~1e-4 random-pair candidate rate
+  sim 0.35, r=6,  b=16: ~58% recall — low-threshold regimes need small r;
+                        sign-LSH is a NEAR-dup tool, not a low-sim search.
+Defaults target the near-dup regime; the registered queries pin explicit
+parameters so their oracles are reproducible.
 
 A pandas-UDF matmul variant (``cosine_topk_pandas``) covers the case where
 per-row zip_with becomes the bottleneck: NumPy does a blocked matrix multiply
@@ -20,9 +36,28 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
+
+QUANT_SCALE = float(1 << 20)  # power of two: x * SCALE is exact in float64
+DEFAULT_SEED = 0x5A8D
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Seeded Rademacher hyperplane matrix (n_planes x dim of +-1 int64).
+    +-1 coefficients keep the projection in exact integer arithmetic while
+    approximating Gaussian random hyperplanes for sign-LSH purposes."""
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, size=(n_planes, dim)) * 2 - 1).astype(np.int64)
+
+
+def hyperplane_bitstrings(H: np.ndarray) -> list[str]:
+    """'01' encoding of each plane's coefficients (+1 -> '1', -1 -> '0') —
+    the compact form the DuckDB oracle decodes with SUBSTR."""
+    return ["".join("1" if c > 0 else "0" for c in row) for row in H]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -75,33 +110,89 @@ def cosine_topk(
     )
 
 
-def sign_bucket_expr(vec: Column, n_bits: int = 8) -> Column:
-    """Deterministic LSH bucket: sign bits of the first ``n_bits`` dims."""
-    b = F.lit(0)
-    for i in range(n_bits):
-        b = b + F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return b.cast("int")
+def band_keys_udf(bands: int, band_bits: int, dim: int, seed: int = DEFAULT_SEED,
+                  probe: int = 0):
+    """Vectorized (Arrow) UDF: embedding -> array of band keys.
+
+    Key layout: (band_index << band_bits) | r-bit signature, so a single
+    exploded column joins across all bands without collisions. ``probe=1``
+    additionally emits every Hamming-1 flip of each band key (query-side
+    multi-probe: bands * (1 + band_bits) keys per vector).
+    """
+    H = hyperplanes(bands * band_bits, dim, seed)  # (planes, dim) int64
+    weights = (np.arange(band_bits, dtype=np.int64)[None, :])  # bit positions
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def keys(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy())
+        E = np.floor(M.astype(np.float64) * QUANT_SCALE + 0.5).astype(np.int64)
+        bits = (E @ H.T >= 0).astype(np.int64)  # (n, planes)
+        out = np.empty((len(M), bands), dtype=np.int64)
+        for b in range(bands):
+            seg = bits[:, b * band_bits:(b + 1) * band_bits]
+            out[:, b] = (seg << weights).sum(axis=1) | (b << band_bits)
+        if probe:
+            flips = [out ^ (1 << j) for j in range(band_bits)]
+            out = np.concatenate([out, *flips], axis=1)
+        return pd.Series(list(out))
+
+    return keys
+
+
+def _exploded_keys(
+    df: DataFrame, id_col: str, vec_col: str,
+    bands: int, band_bits: int, dim: int, seed: int, probe: int = 0,
+) -> DataFrame:
+    """(id, bkey) — one row per band key of each vector."""
+    kf = band_keys_udf(bands, band_bits, dim, seed, probe)
+    return df.select(
+        F.col(id_col), F.explode(kf(F.col(vec_col))).alias("bkey")
+    )
+
+
+def _capped(keys: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Drop hot buckets outright (cap on corpus-side bucket cardinality) —
+    a skewed key never concentrates quadratic work on one shuffle partition."""
+    if bucket_cap is None:
+        return keys
+    sizes = keys.groupBy("bkey").agg(F.count(F.lit(1)).alias("_bn"))
+    return keys.join(sizes.where(F.col("_bn") <= bucket_cap), "bkey").drop("_bn")
 
 
 def cosine_topk_lsh(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_bits: int = 8,
+    bands: int = 8,
+    band_bits: int = 16,
+    dim: int = 64,
+    seed: int = DEFAULT_SEED,
+    probe: int = 1,
+    bucket_cap: int | None = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_id",
     qvec_col: str = "qvec",
     round_digits: int = 6,
 ) -> DataFrame:
-    """Bucketed ANN: candidates share the query's sign bucket — the join is
-    on the bucket key, so corpus work scales with bucket size, not corpus
-    size. Approximate by construction (documented recall tradeoff)."""
+    """Banded-hyperplane ANN top-k: corpus explodes to (id, band_key) once;
+    query keys (plus Hamming-1 probes) broadcast against it; exact cosine only
+    on the candidate set. Work scales with candidate count — bucket key space
+    is bands * 2^band_bits, and hot buckets are capped."""
     from sarpro_spark.queries import fround
 
-    e = emb.withColumn("bucket", sign_bucket_expr(F.col(vec_col), n_bits))
-    q = queries.withColumn("bucket", sign_bucket_expr(F.col(qvec_col), n_bits))
-    j = e.join(F.broadcast(q), "bucket")
+    ekeys = _capped(
+        _exploded_keys(emb, id_col, vec_col, bands, band_bits, dim, seed), bucket_cap
+    )
+    qkeys = _exploded_keys(queries, qid_col, qvec_col, bands, band_bits, dim, seed, probe)
+    cand = (
+        ekeys.join(F.broadcast(qkeys), "bkey")
+        .select(qid_col, id_col)
+        .distinct()
+    )
+    j = cand.join(emb.select(id_col, vec_col), id_col).join(
+        F.broadcast(queries.select(qid_col, qvec_col)), qid_col
+    )
     sim = cosine_expr(F.col(vec_col), F.col(qvec_col))
     scored = j.select(F.col(qid_col), F.col(id_col), fround(sim, round_digits).alias("sim"))
     w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
@@ -115,19 +206,35 @@ def cosine_topk_lsh(
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.99,
-    n_bits: int = 8,
+    bands: int = 8,
+    band_bits: int = 16,
+    dim: int = 64,
+    seed: int = DEFAULT_SEED,
+    bucket_cap: int | None = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: sign-bucket prefilter, then exact cosine on
-    in-bucket pairs (a < b)."""
+    """Embedding-cosine near-dup: banded-hyperplane candidates (any shared
+    band key, hot buckets capped), then EXACT cosine verify >= threshold —
+    the same candidates-then-verify doctrine as the MinHash path. Never
+    all-pairs: the self-join is per-bucket, with bands * 2^band_bits keys."""
     from sarpro_spark.queries import fround
 
-    e = emb.select(F.col(id_col), F.col(vec_col), sign_bucket_expr(F.col(vec_col), n_bits).alias("bucket"))
-    a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    ekeys = _capped(
+        _exploded_keys(emb, id_col, vec_col, bands, band_bits, dim, seed), bucket_cap
+    )
+    a = ekeys.select(F.col(id_col).alias("id_a"), "bkey")
+    b = ekeys.select(F.col(id_col).alias("id_b"), "bkey")
+    cand = (
+        a.join(b, "bkey")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
     sim = cosine_expr(F.col("va"), F.col("vb"))
     return (
         pairs.select("id_a", "id_b", fround(sim, round_digits).alias("sim"))
@@ -189,6 +296,74 @@ def cosine_topk_pandas(
 
 
 # --- DuckDB oracle fragments -------------------------------------------------
+
+
+def sql_band_key_ctes(
+    rel: str,
+    id_col: str,
+    vec_col: str,
+    bands: int,
+    band_bits: int,
+    dim: int,
+    seed: int = DEFAULT_SEED,
+    prefix: str = "",
+    probe: int = 0,
+    bucket_cap: int | None = None,
+) -> str:
+    """CTE chain ending in ``{prefix}keys`` (id_col, bkey) that reproduces
+    :func:`band_keys_udf` bit-for-bit: the same seeded +-1 matrix (encoded as
+    '01' strings), the same 2^20 integer quantization, integer projections,
+    and the same (band << band_bits) | signature key layout. ``probe`` adds
+    Hamming-1 flips; ``bucket_cap`` keeps only keys whose (pre-probe) bucket
+    has <= cap members."""
+    H = hyperplanes(bands * band_bits, dim, seed)
+    rows = ",\n    ".join(
+        f"({i}, '{s}')" for i, s in enumerate(hyperplane_bitstrings(H))
+    )
+    p = prefix
+    base = f"""
+{p}hp AS (SELECT * FROM (VALUES
+    {rows}) t(plane_id, bits)),
+{p}qi AS (
+  SELECT e.{id_col} AS id, i.i AS dim,
+         CAST(FLOOR(CAST(e.{vec_col}[i.i] AS DOUBLE) * {QUANT_SCALE:.1f} + 0.5) AS BIGINT) AS ei
+  FROM {rel} e, LATERAL (SELECT UNNEST(RANGE(1, {dim + 1})) AS i) i
+),
+{p}proj AS (
+  SELECT q.id, h.plane_id,
+         SUM(CASE WHEN SUBSTR(h.bits, q.dim, 1) = '1' THEN q.ei ELSE -q.ei END) AS s
+  FROM {p}qi q CROSS JOIN {p}hp h
+  GROUP BY q.id, h.plane_id
+),
+{p}keys0 AS (
+  SELECT {id_col}, (CAST(band AS BIGINT) << {band_bits}) | sig AS bkey FROM (
+    SELECT id AS {id_col}, plane_id // {band_bits} AS band,
+           CAST(SUM(CASE WHEN s >= 0
+                    THEN (CAST(1 AS BIGINT) << (plane_id % {band_bits}))
+                    ELSE 0 END) AS BIGINT) AS sig
+    FROM {p}proj GROUP BY id, plane_id // {band_bits}
+  )
+)""".strip()
+    parts = [base]
+    src = f"{p}keys0"
+    if bucket_cap is not None:
+        parts.append(
+            f"""{p}ck AS (SELECT bkey FROM {p}keys0 GROUP BY bkey HAVING COUNT(*) <= {bucket_cap}),
+{p}keysc AS (SELECT k.{id_col}, k.bkey FROM {p}keys0 k JOIN {p}ck USING (bkey))"""
+        )
+        src = f"{p}keysc"
+    if probe:
+        parts.append(
+            f"""{p}keys AS (
+  SELECT {id_col}, bkey FROM {src}
+  UNION ALL
+  SELECT {id_col}, xor(bkey, CAST(1 AS BIGINT) << j.j) AS bkey
+  FROM {src}, LATERAL (SELECT UNNEST(RANGE(0, {band_bits})) AS j) j
+)"""
+        )
+    else:
+        parts.append(f"{p}keys AS (SELECT {id_col}, bkey FROM {src})")
+    return ",\n".join(parts)
 
 
 def sql_cosine_ctes(emb_rel: str, query_sel: str, id_col: str = "vec_id", vec_col: str = "embedding") -> str:

@@ -131,6 +131,7 @@ HEAD_ORDER: tuple[str, ...] = (
     "metadata_polarization_label",
     "batch_report",
     "worldfile_sidecar",
+    "tiff_roundtrip",
     # LLM-pipeline components
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -138,23 +138,29 @@ def q_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(e, _spark_queries_frame(spark, sf_dir), k=10)
 
 
+# ANN LSH parameters for the certified queries (pinned so the oracles are
+# reproducible): 8 bands x 12 bits = 32768 bucket keys for top-k (multi-probe
+# Hamming-1 on the query side), 16 bands x 8 bits = 4096 keys for near-dup
+# pairs at the data's low-sim regime. Hot buckets capped at 256 members.
+_TOPK_BANDS, _TOPK_BITS = 8, 12
+_ND_BANDS, _ND_BITS = 16, 8
+_BUCKET_CAP = 256
+_EMB_DIM = 64
+
 _TOPK_LSH_SQL = f"""
 WITH {sim.sql_cosine_ctes('embeddings', _QUERY_SEL)},
-cb AS (
-  SELECT vec_id,
-    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
-    + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
-    + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)
-    AS bucket
-  FROM embeddings
+{sim.sql_band_key_ctes('embeddings', 'vec_id', 'embedding', _TOPK_BANDS, _TOPK_BITS,
+                       _EMB_DIM, prefix='c_', bucket_cap=_BUCKET_CAP)},
+{sim.sql_band_key_ctes(f'({_QUERY_SEL.replace("embedding AS qvec", "embedding")})',
+                       'query_id', 'embedding', _TOPK_BANDS, _TOPK_BITS,
+                       _EMB_DIM, prefix='q_', probe=1)},
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id
+  FROM c_keys c JOIN q_keys q USING (bkey)
 ),
-qb AS (SELECT vec_id AS query_id, bucket FROM cb WHERE vec_id < 5),
 filtered AS (
   SELECT s.query_id, s.vec_id, s.sim
-  FROM scored s
-  JOIN cb ON cb.vec_id = s.vec_id
-  JOIN qb ON qb.query_id = s.query_id AND qb.bucket = cb.bucket
+  FROM scored s JOIN cand USING (query_id, vec_id)
 ),
 ranked AS (
   SELECT query_id, vec_id, sim,
@@ -167,25 +173,31 @@ SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
 
 @query("similarity_topk_lsh", sql=_TOPK_LSH_SQL, tags=("llm", "similarity"))
 def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-bucket ANN: candidates restricted to the query's LSH bucket —
-    the cost/recall dial; work scales with bucket size, not corpus size."""
+    """Banded random-hyperplane ANN (8 bands x 12 bits, Hamming-1 multi-probe,
+    hot-bucket cap): candidates from any shared band key, exact cosine on the
+    candidate set only — key space 8*2^12, never a fixed bucket ceiling."""
     e = frames.load_table(spark, sf_dir, "embeddings")
-    return sim.cosine_topk_lsh(e, _spark_queries_frame(spark, sf_dir), k=5)
+    return sim.cosine_topk_lsh(
+        e, _spark_queries_frame(spark, sf_dir), k=5,
+        bands=_TOPK_BANDS, band_bits=_TOPK_BITS, dim=_EMB_DIM,
+        probe=1, bucket_cap=_BUCKET_CAP,
+    )
 
 
-_NEARDUP_EMB_SQL = """
-WITH cb AS (
-  SELECT vec_id, embedding,
-    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
-    + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
-    + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END)
-    AS bucket
-  FROM embeddings
+_NEARDUP_EMB_SQL = f"""
+WITH {sim.sql_band_key_ctes('embeddings', 'vec_id', 'embedding', _ND_BANDS, _ND_BITS,
+                            _EMB_DIM, prefix='n_', bucket_cap=_BUCKET_CAP)},
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n_keys a JOIN n_keys b USING (bkey)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
 ),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
-  FROM cb a JOIN cb b USING (bucket) WHERE a.vec_id < b.vec_id
+  SELECT c.id_a, c.id_b, ea.embedding AS va, eb.embedding AS vb
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
 ),
 dots AS (
   SELECT id_a, id_b,
@@ -206,10 +218,14 @@ WHERE (FLOOR((dp / (na * nb)) * 1000000.0 + 0.5) / 1000000.0) >= 0.35
 
 @query("dedup_embedding_cosine", sql=_NEARDUP_EMB_SQL, tags=("llm", "dedup", "similarity"))
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: sign-bucket prefilter + exact cosine
-    on in-bucket pairs."""
+    """Embedding-cosine near-dup pairs: banded-hyperplane LSH candidates
+    (16 bands x 8 bits, hot-bucket cap) + exact cosine verify >= threshold —
+    candidates-then-verify, never all-pairs."""
     e = frames.load_table(spark, sf_dir, "embeddings")
-    return sim.embedding_neardup_pairs(e, threshold=0.35)
+    return sim.embedding_neardup_pairs(
+        e, threshold=0.35, bands=_ND_BANDS, band_bits=_ND_BITS,
+        dim=_EMB_DIM, bucket_cap=_BUCKET_CAP,
+    )
 
 
 # --- text analysis -----------------------------------------------------------

@@ -160,3 +160,60 @@ def q_worldfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-10.25).alias("gt5"),
     )
     return gt.select("product_id", w.worldfile_expr().alias("worldfile"))
+
+
+# --- W1/W2 + S4: GeoTIFF write -> read-back roundtrip certification ----------
+
+# The oracle is the standard-A2 U8 autoscale SQL itself (plus the derived
+# second band): a value-hash match therefore proves the TIFF write -> decode
+# path is PIXEL-IDENTICAL — the encode/decode cancels exactly or the hash
+# fails. Certifies W1/W2 (2-sample u8 write), S4 (decode), and the W7 embed
+# guard (non-identity north-up geotransform embedded per product).
+
+
+def _tiff_rt_sql() -> str:
+    from sarpro_spark.operators import autoscale as asc
+    from sarpro_spark.queries_raster import _KEYS, _VV_SRC_CTE
+    from sarpro_spark.types import BitDepth
+
+    u8 = asc.oracle_autoscale_sql(_VV_SRC_CTE, ["product_id"], _KEYS, "standard-a2", BitDepth.U8)
+    return f"SELECT t.product_id, t.row, t.col, t.q, 255 - t.q AS q_inv FROM (\n{u8}\n) t"
+
+
+@query("tiff_roundtrip", sql=_tiff_rt_sql(), tags=("sink", "tiff", "kernel"))
+def q_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2/S4 end-to-end (tiff.rs:6-78, sentinel1.rs:885-911): per-product
+    U8 pipeline -> 2-band uncompressed GeoTIFF written executor-side (W7
+    geotransform embed) -> decoded back -> pixel frame. Write and read are
+    stages of ONE lazy plan (read tasks consume the write manifest)."""
+    import tempfile
+
+    import sarpro_spark.operators.kernel as krn
+    from sarpro_spark.types import BitDepth
+
+    px = frames.single_band(spark, sf_dir, "vv")
+    u8 = krn.single_band_kernel(px, ["product_id"], "standard-a2", BitDepth.U8)
+    two = u8.select(
+        "product_id",
+        "row",
+        "col",
+        F.col("q"),
+        (F.lit(255) - F.col("q")).alias("q_inv"),
+        (F.col("product_id").cast("double") * 128.0).alias("gt0"),
+        F.lit(10.5).alias("gt1"),
+        F.lit(0.0).alias("gt2"),
+        (F.col("product_id").cast("double") * -64.0).alias("gt3"),
+        F.lit(0.0).alias("gt4"),
+        F.lit(-10.25).alias("gt5"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="sarpro_tiff_rt_")
+    manifest = w.write_geotiffs(
+        two, out_dir, ["product_id"], ["q", "q_inv"], bits=8,
+        gt_cols=("gt0", "gt1", "gt2", "gt3", "gt4", "gt5"),
+    )
+    back = w.read_tiffs_px(manifest, ["q", "q_inv"], ["product_id"])
+    # the synthetic px grid is ragged (per-product counts vary, partial last
+    # row) while TIFF rasters are rectangular — compare on the original
+    # footprint; the canvas fill cells outside it are write padding
+    footprint = px.select("product_id", "row", "col")
+    return back.join(footprint, ["product_id", "row", "col"])

@@ -1,0 +1,199 @@
+"""Pure-Python uncompressed TIFF/GeoTIFF-lite codec (W1/W2 write, S4 read).
+
+The reference encodes GeoTIFF via the `tiff` crate + GDAL
+(/root/reference/src/io/writers/tiff.rs:6-78, metadata embed rules
+metadata.rs:297-341); real Sentinel-1 GRD measurement TIFFs are uncompressed
+strip u16 — exactly the subset a ~200-line struct-packing codec covers, so
+the container's lack of GDAL/PIL doesn't force a stub (VERDICT r01 item 5).
+
+Supported: little-endian classic TIFF, uncompressed (Compression=1), chunky
+planar (PlanarConfiguration=1), 1-3 samples/pixel, uint8/uint16, multi-strip.
+Georeferencing: ModelPixelScaleTag + ModelTiepointTag (north-up geotransform,
+the reference's GRD case) + ImageDescription carrying the metadata JSON
+(W6/W7). JPEG (W3) genuinely needs an entropy coder — still stubbed.
+
+Executor-side usage: the write/read functions take local paths; Spark-side
+plumbing (per-product applyInPandas write, manifest-driven mapInPandas read)
+lives in writers.py / safe.py. At cluster scale point out_dir at shared
+storage.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_II = b"II*\x00"
+
+# tag type codes
+_ASCII, _SHORT, _LONG, _DOUBLE = 2, 3, 4, 12
+_TYPE_SIZE = {_ASCII: 1, _SHORT: 2, _LONG: 4, _DOUBLE: 8}
+_TYPE_FMT = {_SHORT: "H", _LONG: "I", _DOUBLE: "d"}
+
+TAG_WIDTH = 256
+TAG_LENGTH = 257
+TAG_BITS = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_DESCRIPTION = 270
+TAG_STRIP_OFFSETS = 273
+TAG_SAMPLES_PER_PIXEL = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_BYTE_COUNTS = 279
+TAG_PLANAR = 284
+TAG_EXTRA_SAMPLES = 338
+TAG_SAMPLE_FORMAT = 339
+TAG_MODEL_PIXEL_SCALE = 33550
+TAG_MODEL_TIEPOINT = 33922
+
+
+def _pack_values(typ: int, values) -> bytes:
+    if typ == _ASCII:
+        return values  # already bytes, NUL-terminated by caller
+    return struct.pack("<" + _TYPE_FMT[typ] * len(values), *values)
+
+
+def write_tiff(
+    path: str,
+    arr: np.ndarray,
+    geotransform: tuple | list | None = None,
+    description: str | None = None,
+    rows_per_strip: int | None = None,
+) -> int:
+    """Write (rows, cols) or (rows, cols, samples) uint8/uint16 array as an
+    uncompressed striped TIFF. ``geotransform`` (6-element GDAL order) embeds
+    as ModelPixelScale+ModelTiepoint when north-up (gt2 == gt4 == 0 — the
+    reference's embed guard); ``description`` lands in ImageDescription.
+    Returns bytes written."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] > 3:
+        raise ValueError("expected (rows, cols[, samples<=3]) array")
+    if arr.dtype not in (np.uint8, np.uint16):
+        raise ValueError(f"unsupported dtype {arr.dtype} (uint8/uint16 only)")
+    rows, cols, samples = arr.shape
+    arr = np.ascontiguousarray(arr)
+    bits = arr.dtype.itemsize * 8
+    row_bytes = cols * samples * arr.dtype.itemsize
+    if rows_per_strip is None:
+        # ~1 MiB strips: bounded strip buffers at any raster width
+        rows_per_strip = max(1, min(rows, (1 << 20) // max(row_bytes, 1)))
+    n_strips = (rows + rows_per_strip - 1) // rows_per_strip
+
+    strips = []
+    for s in range(n_strips):
+        seg = arr[s * rows_per_strip:(s + 1) * rows_per_strip]
+        strips.append(seg.astype(arr.dtype.newbyteorder("<")).tobytes())
+
+    entries: list[tuple[int, int, list | bytes]] = [
+        (TAG_WIDTH, _LONG, [cols]),
+        (TAG_LENGTH, _LONG, [rows]),
+        (TAG_BITS, _SHORT, [bits] * samples),
+        (TAG_COMPRESSION, _SHORT, [1]),
+        (TAG_PHOTOMETRIC, _SHORT, [2 if samples == 3 else 1]),
+        (TAG_SAMPLES_PER_PIXEL, _SHORT, [samples]),
+        (TAG_ROWS_PER_STRIP, _LONG, [rows_per_strip]),
+        (TAG_PLANAR, _SHORT, [1]),
+        (TAG_SAMPLE_FORMAT, _SHORT, [1] * samples),
+    ]
+    if samples == 2:  # 2-band grayscale: second sample is unspecified data
+        entries.append((TAG_EXTRA_SAMPLES, _SHORT, [0]))
+    if description is not None:
+        entries.append((TAG_DESCRIPTION, _ASCII, description.encode() + b"\x00"))
+    if geotransform is not None:
+        g = [float(x) for x in geotransform]
+        if g[2] == 0.0 and g[4] == 0.0:  # north-up only (the embed guard)
+            entries.append((TAG_MODEL_PIXEL_SCALE, _DOUBLE, [abs(g[1]), abs(g[5]), 0.0]))
+            entries.append((TAG_MODEL_TIEPOINT, _DOUBLE, [0.0, 0.0, 0.0, g[0], g[3], 0.0]))
+
+    # layout: header | strip data | overflow values | IFD
+    data_off = 8
+    strip_offsets, off = [], data_off
+    for b in strips:
+        strip_offsets.append(off)
+        off += len(b)
+    entries.append((TAG_STRIP_OFFSETS, _LONG, strip_offsets))
+    entries.append((TAG_STRIP_BYTE_COUNTS, _LONG, [len(b) for b in strips]))
+    entries.sort(key=lambda e: e[0])
+
+    overflow_off = off
+    overflow = b""
+    packed = []
+    for tag, typ, values in entries:
+        count = len(values)
+        raw = _pack_values(typ, values)
+        if len(raw) <= 4:
+            packed.append((tag, typ, count, raw.ljust(4, b"\x00")))
+        else:
+            packed.append((tag, typ, count, struct.pack("<I", overflow_off + len(overflow))))
+            overflow += raw
+    ifd_off = overflow_off + len(overflow)
+
+    with open(path, "wb") as f:
+        f.write(_II + struct.pack("<I", ifd_off))
+        for b in strips:
+            f.write(b)
+        f.write(overflow)
+        f.write(struct.pack("<H", len(packed)))
+        for tag, typ, count, val4 in packed:
+            f.write(struct.pack("<HHI", tag, typ, count) + val4)
+        f.write(struct.pack("<I", 0))  # no next IFD
+    return ifd_off + 2 + 12 * len(packed) + 4
+
+
+def read_tiff(path: str) -> tuple[np.ndarray, dict]:
+    """Read an uncompressed chunky u8/u16 TIFF written by :func:`write_tiff`
+    (or any conforming producer, e.g. Sentinel-1 GRD measurement files).
+    Returns (array, meta) — array squeezed to 2-D for single-sample images;
+    meta carries description/geotransform when present."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:2] == b"II":
+        e = "<"
+    elif buf[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    magic, ifd_off = struct.unpack(e + "HI", buf[2:8])
+    if magic != 42:
+        raise ValueError("not a classic TIFF")
+    n = struct.unpack_from(e + "H", buf, ifd_off)[0]
+    tags: dict[int, list] = {}
+    for i in range(n):
+        tag, typ, count, val4 = struct.unpack_from(e + "HHI4s", buf, ifd_off + 2 + 12 * i)
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # unknown value type: skip tag
+        total = size * count
+        raw = val4[:total] if total <= 4 else buf[
+            struct.unpack(e + "I", val4)[0]: struct.unpack(e + "I", val4)[0] + total
+        ]
+        if typ == _ASCII:
+            tags[tag] = [raw.rstrip(b"\x00").decode(errors="replace")]
+        else:
+            tags[tag] = list(struct.unpack(e + _TYPE_FMT[typ] * count, raw))
+
+    def one(tag, default=None):
+        return tags.get(tag, [default])[0]
+
+    if one(TAG_COMPRESSION, 1) != 1:
+        raise NotImplementedError("compressed TIFF not supported (uncompressed strips only)")
+    if one(TAG_PLANAR, 1) != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    cols, rows = one(TAG_WIDTH), one(TAG_LENGTH)
+    samples = one(TAG_SAMPLES_PER_PIXEL, 1)
+    bits = tags.get(TAG_BITS, [8])[0]
+    dtype = np.dtype(e + ("u1" if bits == 8 else "u2"))
+    offs, counts = tags[TAG_STRIP_OFFSETS], tags[TAG_STRIP_BYTE_COUNTS]
+    data = b"".join(buf[o:o + c] for o, c in zip(offs, counts))
+    arr = np.frombuffer(data, dtype=dtype, count=rows * cols * samples)
+    arr = arr.reshape(rows, cols, samples).astype(dtype.newbyteorder("="))
+    meta: dict = {}
+    if TAG_DESCRIPTION in tags:
+        meta["description"] = tags[TAG_DESCRIPTION][0]
+    if TAG_MODEL_PIXEL_SCALE in tags and TAG_MODEL_TIEPOINT in tags:
+        sx, sy = tags[TAG_MODEL_PIXEL_SCALE][:2]
+        tp = tags[TAG_MODEL_TIEPOINT]
+        meta["geotransform"] = (tp[3], sx, 0.0, tp[4], 0.0, -sy)
+    return (arr[:, :, 0] if samples == 1 else arr), meta

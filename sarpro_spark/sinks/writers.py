@@ -214,17 +214,134 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
-# --- W1-W3: image encodes (stubbed) ------------------------------------------
+# --- W1/W2: GeoTIFF encode (pure-Python codec, executor-side) ----------------
 
 
-def encode_images_foreach_partition(rgb: DataFrame, out_dir: str, group_cols: list[str]) -> None:
-    """W1-W3 plumbing: each partition encodes its products locally — pixels
-    never cross the driver. Byte encoding STUBBED (no PIL/GDAL here)."""
+def write_geotiffs(
+    px: DataFrame,
+    out_dir: str,
+    group_cols: list[str],
+    value_cols: list[str],
+    bits: int = 8,
+    gt_cols: tuple[str, ...] | None = None,
+    projection_col: str | None = None,
+    description_col: str | None = None,
+) -> DataFrame:
+    """W1 (1-band) / W2 (2-band) GeoTIFF write (tiff.rs:6-78): one TIFF per
+    product via applyInPandas — pixels are assembled and encoded inside the
+    executor task that owns the product; only a tiny manifest row (path, dims,
+    byte count) returns. W7 embed rules applied: identity geotransform is NOT
+    embedded, projection sidecar (.prj, W5) written only when a non-identity
+    geotransform was set. ``out_dir`` must be shared storage on a cluster."""
+    import numpy as np
+    import pandas as pd
+
+    from sarpro_spark.sinks.tiff import write_tiff
+
+    dtype = np.uint8 if bits == 8 else np.uint16
+    key_fields = [px.schema[c] for c in group_cols]
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        key_fields
+        + [
+            StructField("path", StringType()),
+            StructField("rows", IntegerType()),
+            StructField("cols", IntegerType()),
+            StructField("n_bands", IntegerType()),
+            StructField("n_bytes", LongType()),
+            StructField("embedded_gt", StringType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = int(pdf["row"].max()) + 1
+        cols = int(pdf["col"].max()) + 1
+        arr = np.zeros((rows, cols, len(value_cols)), dtype=dtype)
+        r, c = pdf["row"].to_numpy(), pdf["col"].to_numpy()
+        for i, vc in enumerate(value_cols):
+            arr[r, c, i] = pdf[vc].to_numpy()
+        gt = None
+        if gt_cols is not None:
+            gt = [float(pdf[g].iloc[0]) for g in gt_cols]
+            if gt == IDENTITY_GT:  # W7: identity never embedded
+                gt = None
+        desc = str(pdf[description_col].iloc[0]) if description_col else None
+        stem = "_".join(str(pdf[g].iloc[0]) for g in group_cols).replace("/", "_")
+        path = os.path.join(out_dir, f"{stem}.tif")
+        os.makedirs(out_dir, exist_ok=True)
+        n = write_tiff(path, arr[:, :, 0] if len(value_cols) == 1 else arr,
+                       geotransform=gt, description=desc)
+        if gt is not None and projection_col is not None:  # W7 projection rule
+            write_prj(path, str(pdf[projection_col].iloc[0]))
+        out = pd.DataFrame(
+            {
+                "path": [path],
+                "rows": [rows],
+                "cols": [cols],
+                "n_bands": [len(value_cols)],
+                "n_bytes": [n],
+                "embedded_gt": [json.dumps(gt) if gt is not None else None],
+            }
+        )
+        for g in reversed(group_cols):
+            out.insert(0, g, pdf[g].iloc[0])
+        return out
+
+    return px.groupBy(*group_cols).applyInPandas(fn, schema=schema)
+
+
+def read_tiffs_px(manifest: DataFrame, value_cols: list[str], group_cols: list[str]) -> DataFrame:
+    """S4 read-back over a write manifest: mapInPandas decodes each TIFF
+    executor-side and emits the dense (group, row, col, values...) frame —
+    the inverse of :func:`write_geotiffs`, used by the roundtrip
+    certification query."""
+    import numpy as np
+    import pandas as pd
+
+    from sarpro_spark.sinks.tiff import read_tiff
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    key_fields = [manifest.schema[c] for c in group_cols]
+    schema = StructType(
+        key_fields
+        + [StructField("row", IntegerType()), StructField("col", IntegerType())]
+        + [StructField(vc, IntegerType()) for vc in value_cols]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            for _, rec in pdf.iterrows():
+                arr, _meta = read_tiff(rec["path"])
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                rows, cols, _ = arr.shape
+                rr, cc = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
+                out = pd.DataFrame({"row": rr.ravel().astype(np.int32), "col": cc.ravel().astype(np.int32)})
+                for i, vc in enumerate(value_cols):
+                    out[vc] = arr[:, :, i].ravel().astype(np.int32)
+                for g in reversed(group_cols):
+                    out.insert(0, g, rec[g])
+                yield out
+
+    return manifest.mapInPandas(fn, schema=schema)
+
+
+def encode_jpegs(rgb: DataFrame, out_dir: str, group_cols: list[str]) -> None:
+    """W3: JPEG encode — STUB. A JPEG entropy coder is genuinely out of scope
+    for hand-rolled struct packing; PIL is absent from this environment. The
+    GeoTIFF path (:func:`write_geotiffs`) is the real byte sink."""
     try:
         from PIL import Image  # type: ignore  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "image encoding requires Pillow, not available in this environment; "
-            "the partition-local write pattern is the supported design"
+            "JPEG encoding requires Pillow, not available in this environment; "
+            "use write_geotiffs (W1/W2) for real byte output"
         ) from e
-    raise NotImplementedError("PIL encode path intentionally unimplemented in round 1")
+    raise NotImplementedError("PIL encode path intentionally unimplemented")

@@ -98,7 +98,7 @@ def test_lsh_topk_is_subset_of_bucket(spark, emb):
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    out = sim.cosine_topk_lsh(emb, queries, k=5, n_bits=4).collect()
+    out = sim.cosine_topk_lsh(emb, queries, k=5, bands=4, band_bits=4, dim=16).collect()
     assert len(out) > 0
     # each query's self-match must be present (same bucket by construction)
     for qid in (0, 1, 2):

@@ -232,3 +232,110 @@ def test_full_pipeline_smoke(spark, sf_dir):
     out3 = build_pipeline(long, p3)
     rows = out3.limit(5).collect()
     assert {"r", "g", "b"} <= set(out3.columns) and len(rows) > 0
+
+
+# --- pure-Python TIFF codec (W1/W2 write, S4 read) ---------------------------
+
+
+def test_tiff_roundtrip_u16_multistrip(tmp_path):
+    import numpy as np
+
+    from sarpro_spark.sinks import tiff as t
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 65536, size=(300, 47), dtype=np.uint16)
+    p = str(tmp_path / "a.tif")
+    t.write_tiff(p, arr, rows_per_strip=64)  # forces 5 strips
+    back, meta = t.read_tiff(p)
+    assert back.dtype == np.uint16 and back.shape == (300, 47)
+    assert np.array_equal(back, arr)
+    assert meta == {}
+
+
+def test_tiff_roundtrip_2band_u8_with_geo(tmp_path):
+    import numpy as np
+
+    from sarpro_spark.sinks import tiff as t
+
+    arr = np.stack(
+        [np.arange(12, dtype=np.uint8).reshape(3, 4), np.full((3, 4), 7, np.uint8)],
+        axis=2,
+    )
+    gt = (500.0, 10.0, 0.0, -250.0, 0.0, -10.0)
+    p = str(tmp_path / "b.tif")
+    t.write_tiff(p, arr, geotransform=gt, description='{"k":"v"}')
+    back, meta = t.read_tiff(p)
+    assert back.shape == (3, 4, 2)
+    assert np.array_equal(back, arr)
+    assert meta["geotransform"] == gt
+    assert meta["description"] == '{"k":"v"}'
+
+
+def test_tiff_identity_gt_not_embedded(tmp_path):
+    import numpy as np
+
+    from sarpro_spark.sinks import tiff as t
+
+    arr = np.zeros((2, 2), np.uint8)
+    p = str(tmp_path / "c.tif")
+    # rotated geotransform (gt2 != 0) must not embed either
+    t.write_tiff(p, arr, geotransform=(0.0, 1.0, 0.3, 0.0, 0.0, 1.0))
+    _, meta = t.read_tiff(p)
+    assert "geotransform" not in meta
+
+
+def test_load_band_and_downsample(tmp_path):
+    import numpy as np
+
+    from sarpro_spark.sinks import tiff as t
+    from sarpro_spark.sources.safe import load_band
+
+    arr = np.arange(64, dtype=np.uint16).reshape(8, 8) * 100
+    p = str(tmp_path / "band.tiff")
+    t.write_tiff(p, arr)
+    full = load_band(p)
+    assert np.array_equal(full, arr)
+    half = load_band(p, target_size=4)  # k=2 average pooling
+    assert half.shape == (4, 4)
+    assert half[0, 0] == (0 + 100 + 800 + 900) / 4.0
+
+
+def test_safe_e2e_read_pipeline_write(spark, tmp_path):
+    """S1->S4 open + decode -> W9 pipeline -> W1 write -> re-read: the full
+    reference dataflow on a synthetic SAFE product with REAL u16 TIFFs."""
+    import numpy as np
+
+    from sarpro_spark.sinks import tiff as t
+
+    p = tmp_path / "D.SAFE"
+    (p / "annotation").mkdir(parents=True)
+    (p / "measurement").mkdir()
+    (p / "manifest.safe").write_text(MANIFEST)
+    (p / "annotation" / "iw-vv.xml").write_text(ANNOTATION)
+    rng = np.random.default_rng(5)
+    vv = (rng.uniform(0, 4000, size=(20, 16)) ** 1.0).astype(np.uint16)
+    t.write_tiff(str(p / "measurement" / "s1a-iw-grd-vv-9.tiff"), vv)
+    t.write_tiff(str(p / "measurement" / "s1a-iw-grd-vh-9.tiff"), (vv // 2).astype(np.uint16))
+
+    prods = safe.open_products(spark, str(tmp_path), permissive=True)
+    px = safe.read_bands_px(prods.where(F.col("status") == "ok"), band="vv")
+    rows = px.collect()
+    assert len(rows) == 20 * 16
+    got = {(r["row"], r["col"]): r["v"] for r in rows}
+    assert got[(3, 5)] == float(vv[3, 5])
+
+    # pipeline: intensity -> u8 autoscale kernel -> tiff out -> re-read
+    import sarpro_spark.operators.kernel as krn
+    from sarpro_spark.types import BitDepth
+
+    frame = px.withColumnRenamed("product_path", "product_id")
+    u8 = krn.single_band_kernel(frame, ["product_id"], "standard-a2", BitDepth.U8)
+    out_dir = str(tmp_path / "out")
+    manifest = w.write_geotiffs(u8, out_dir, ["product_id"], ["q"], bits=8)
+    man = manifest.collect()
+    assert len(man) == 1 and man[0]["n_bands"] == 1
+    back = w.read_tiffs_px(manifest, ["q"], ["product_id"]).collect()
+    orig = {(r["row"], r["col"]): r["q"] for r in u8.collect()}
+    assert len(back) == 20 * 16
+    for r in back:
+        assert r["q"] == orig[(r["row"], r["col"])]
