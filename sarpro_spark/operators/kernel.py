@@ -282,6 +282,79 @@ def multiband_synrgb_kernel(
     return wide.groupBy(*group_cols).applyInPandas(fn, schema=schema)
 
 
+def single_band_kernel_tiled(
+    px: DataFrame,
+    group_cols: list[str],
+    strategy: AutoscaleStrategy | str,
+    bit_depth: BitDepth,
+    value: str = "v",
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Scale hardening of :func:`single_band_kernel`: NO task ever holds a
+    whole product, so a 26544^2 (704 MP) GRD product cannot OOM one executor.
+
+      phase 1  per-product dB histogram stats via the distributed relational
+               aggregation (map-side combine, one shuffle) + strategy params
+               (tiny frame, broadcast)
+      phase 2  quantize as a vectorized pandas kernel per (product, row-block)
+               — work unit is block_rows x cols, memory O(block)
+      phase 3  (U8 only) per-product q16 extent agg -> broadcast -> the
+               relational double-quantization rescale
+
+    Same formulas as the one-task kernel and the relational path — shares
+    their oracle SQL; bit-equality across all three is asserted in
+    tests/test_kernel.py. CLAHE is spatial (tile neighborhoods) and not
+    tileable this way — use the full kernel or the relational CLAHE."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from sarpro_spark.operators import autoscale as asc
+    from sarpro_spark.operators import elementwise as ew
+    from sarpro_spark.operators import stats as st
+
+    if strategy == AutoscaleStrategy.CLAHE:
+        raise ValueError("CLAHE is spatial — not expressible at row-block grain")
+
+    pxdb = ew.with_db_mask(px, v=value)
+    stats = st.histogram_stats(pxdb, group_cols)
+    if strategy == "standard-a2":
+        params = asc.params_standard(stats, group_cols)
+    else:
+        params = asc.params_advanced(stats, group_cols, strategy)
+    quant_max = 255.0 if bit_depth == BitDepth.U8 else 65535.0
+
+    blocks = pxdb.join(F.broadcast(params), group_cols).withColumn(
+        "_blk", F.floor(F.col("row") / block_rows).cast("int")
+    )
+    key_fields = [px.schema[c] for c in group_cols]
+    schema = StructType(
+        key_fields
+        + [StructField("row", IntegerType()), StructField("col", IntegerType()),
+           StructField("q", IntegerType())]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        low = float(pdf["low"].iloc[0])
+        high = float(pdf["high"].iloc[0])
+        gamma = float(pdf["gamma"].iloc[0])
+        db = pdf["db"].to_numpy(dtype=np.float64)
+        valid = pdf["valid"].to_numpy(dtype=bool)
+        q = quantize_np(db, valid, low, high, gamma, quant_max)
+        out = pd.DataFrame(
+            {"row": pdf["row"].to_numpy(np.int32), "col": pdf["col"].to_numpy(np.int32),
+             "q": q.astype(np.int32)}
+        )
+        for c in group_cols:
+            out.insert(0, c, pdf[c].iloc[0])
+        return out
+
+    q16 = blocks.groupBy(*group_cols, "_blk").applyInPandas(fn, schema=schema)
+    if bit_depth == BitDepth.U8:
+        q16 = q16.withColumnRenamed("q", "_q16")
+        q16 = asc.scale_u16_to_u8(q16, group_cols, value="_q16", out="q").drop("_q16")
+    return q16.select(*group_cols, "row", "col", "q")
+
+
 def single_band_kernel(
     px: DataFrame,
     group_cols: list[str],

@@ -132,6 +132,10 @@ HEAD_ORDER: tuple[str, ...] = (
     "batch_report",
     "worldfile_sidecar",
     "tiff_roundtrip",
+    "sidecar_outputs",
+    # sources (fixture-certified)
+    "safe_discovery",
+    "safe_annotations",
     # LLM-pipeline components
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -176,6 +180,7 @@ def _load_all_modules() -> None:
     from sarpro_spark import queries_relational  # noqa: F401
     from sarpro_spark import queries_raster  # noqa: F401
     from sarpro_spark import queries_sinks  # noqa: F401
+    from sarpro_spark import queries_sources  # noqa: F401
     from sarpro_spark import queries_llm  # noqa: F401
 
     _LOADED = True

@@ -43,14 +43,27 @@ def iterate_safe_products(spark: SparkSession, input_dir: str) -> DataFrame:
 
 
 def list_measurement_files(spark: SparkSession, products: DataFrame) -> DataFrame:
-    """File listing per product (paths only — metadata-scale, not data-scale)."""
-    rows = []
-    for r in products.select("product_path").collect():
-        mdir = os.path.join(r["product_path"], "measurement")
-        if os.path.isdir(mdir):
-            for name in sorted(os.listdir(mdir)):
-                rows.append((r["product_path"], os.path.join(mdir, name), name))
-    return spark.createDataFrame(rows or [], "product_path string, path string, name string")
+    """File listing per product — distributed: each executor task lists the
+    measurement/ dirs of the products it owns (mapInPandas over the driving
+    table; at millions of products the driver never walks the filesystem).
+    Paths only — metadata-scale, not data-scale."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for ppath in pdf["product_path"]:
+                mdir = os.path.join(ppath, "measurement")
+                if os.path.isdir(mdir):
+                    for name in sorted(os.listdir(mdir)):
+                        out.append((ppath, os.path.join(mdir, name), name))
+            yield pd.DataFrame(out, columns=["product_path", "path", "name"])
+
+    return (
+        products.select("product_path")
+        .repartition("product_path")
+        .mapInPandas(fn, schema="product_path string, path string, name string")
+    )
 
 
 def classify_polarization_files(files: DataFrame) -> DataFrame:
@@ -261,70 +274,91 @@ def open_products(spark: SparkSession, input_dir: str, permissive: bool = True) 
     (permissive) instead of raising — the reference's open_with_warnings.
     Returns one row per product with metadata + band file map + status.
     """
+    import pandas as pd
+
     products = iterate_safe_products(spark, input_dir)
-    rows = []
-    for r in products.collect():
-        path = r["product_path"]
-        rec = {
-            "product_path": path,
-            "status": "ok",
-            "platform": None,
-            "product_type": None,
-            "acquisition_start": None,
-            "acquisition_stop": None,
-            "orbit_number": None,
-            "polarizations": None,
-            "vv_path": None,
-            "vh_path": None,
-            "hh_path": None,
-            "hv_path": None,
-        }
-        try:
-            ann = os.path.join(path, "annotation")
-            mea = os.path.join(path, "measurement")
-            if not os.path.isdir(ann) or not os.path.isdir(mea):
-                raise ValueError("missing annotation/ or measurement/ directory")
-            manifest_path = os.path.join(path, "manifest.safe")
-            if os.path.isfile(manifest_path):
-                with open(manifest_path, encoding="utf-8") as f:
-                    meta = parse_manifest_safe(f.read())
-                rec.update(
-                    platform=meta.get("platform"),
-                    product_type=meta.get("product_type"),
-                    acquisition_start=meta.get("acquisition_start"),
-                    acquisition_stop=meta.get("acquisition_stop"),
-                    orbit_number=meta.get("orbit_number"),
-                    polarizations=",".join(meta.get("polarizations", [])),
-                )
-                if meta.get("product_type") and "GRD" not in meta["product_type"]:
-                    raise ValueError(f"unsupported product type {meta['product_type']} (GRD required)")
-            name_re = re.compile(r"\.tiff?$", re.IGNORECASE)
-            for fname in sorted(os.listdir(mea)):
-                low = fname.lower()
-                if not name_re.search(low) or "_warped.tif" in low:
-                    continue
-                for band in ("vv", "vh", "hh", "hv"):
-                    if band in low:
-                        rec[f"{band}_path"] = os.path.join(mea, fname)
-                        break
-            if not any(rec[f"{b}_path"] for b in ("vv", "vh", "hh", "hv")):
-                raise ValueError("no polarization measurement files found")
-        except Exception as e:  # noqa: BLE001
-            if not permissive:
-                raise
-            rec["status"] = f"error: {e}"
-        rows.append(rec)
+    cols = [
+        "product_path", "status", "platform", "product_type", "acquisition_start",
+        "acquisition_stop", "orbit_number", "polarizations", "vv_path", "vh_path",
+        "hh_path", "hv_path",
+    ]
     schema = (
         "product_path string, status string, platform string, product_type string, "
         "acquisition_start string, acquisition_stop string, orbit_number bigint, "
         "polarizations string, vv_path string, vh_path string, hh_path string, hv_path string"
     )
-    data = [tuple(r[k] for k in [
+
+    def fn(batches):
+        for pdf in batches:
+            out = [_open_one(p) for p in pdf["product_path"]]
+            yield pd.DataFrame(out, columns=cols)
+
+    # each executor task opens/parses the products it owns — the driver never
+    # touches the filesystem (the r01 collect() loop broke at millions of
+    # products); strict mode still raises driver-side from the status column
+    opened = (
+        products.repartition("product_path").mapInPandas(fn, schema=schema)
+    )
+    if not permissive:
+        bad = opened.where(F.col("status") != "ok").select("product_path", "status").first()
+        if bad is not None:
+            raise ValueError(f"{bad['product_path']}: {bad['status']}")
+    return opened
+
+
+def _open_one(path: str) -> tuple:
+    """Open/validate ONE product directory (runs inside executor tasks)."""
+    rec = {
+        "product_path": path,
+        "status": "ok",
+        "platform": None,
+        "product_type": None,
+        "acquisition_start": None,
+        "acquisition_stop": None,
+        "orbit_number": None,
+        "polarizations": None,
+        "vv_path": None,
+        "vh_path": None,
+        "hh_path": None,
+        "hv_path": None,
+    }
+    try:
+        ann = os.path.join(path, "annotation")
+        mea = os.path.join(path, "measurement")
+        if not os.path.isdir(ann) or not os.path.isdir(mea):
+            raise ValueError("missing annotation/ or measurement/ directory")
+        manifest_path = os.path.join(path, "manifest.safe")
+        if os.path.isfile(manifest_path):
+            with open(manifest_path, encoding="utf-8") as f:
+                meta = parse_manifest_safe(f.read())
+            rec.update(
+                platform=meta.get("platform"),
+                product_type=meta.get("product_type"),
+                acquisition_start=meta.get("acquisition_start"),
+                acquisition_stop=meta.get("acquisition_stop"),
+                orbit_number=meta.get("orbit_number"),
+                polarizations=",".join(meta.get("polarizations", [])),
+            )
+            if meta.get("product_type") and "GRD" not in meta["product_type"]:
+                raise ValueError(f"unsupported product type {meta['product_type']} (GRD required)")
+        name_re = re.compile(r"\.tiff?$", re.IGNORECASE)
+        for fname in sorted(os.listdir(mea)):
+            low = fname.lower()
+            if not name_re.search(low) or "_warped.tif" in low:
+                continue
+            for band in ("vv", "vh", "hh", "hv"):
+                if band in low:
+                    rec[f"{band}_path"] = os.path.join(mea, fname)
+                    break
+        if not any(rec[f"{b}_path"] for b in ("vv", "vh", "hh", "hv")):
+            raise ValueError("no polarization measurement files found")
+    except Exception as e:  # noqa: BLE001
+        rec["status"] = f"error: {e}"
+    return tuple(rec[k] for k in (
         "product_path", "status", "platform", "product_type", "acquisition_start",
         "acquisition_stop", "orbit_number", "polarizations", "vv_path", "vh_path",
         "hh_path", "hv_path",
-    ]) for r in rows]
-    return spark.createDataFrame(data or [], schema)
+    ))
 
 
 # --- S4/S5: band read (pure-Python uncompressed-TIFF decode) -----------------

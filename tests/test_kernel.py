@@ -56,3 +56,51 @@ def test_kernel_matches_relational(spark, sf_dir, strategy, bd):
     )
     mism = diff.limit(5).collect()
     assert not mism, f"kernel != relational: {mism}"
+
+
+@pytest.mark.parametrize(
+    "strategy,bd",
+    [("standard-a2", BitDepth.U8), (AutoscaleStrategy.TAMED, BitDepth.U16)],
+    ids=["tiled-std-u8", "tiled-tamed-u16"],
+)
+def test_tiled_kernel_bit_identical(spark, sf_dir, strategy, bd):
+    """The (product, row-block) tiled kernel must match the one-task kernel
+    bit-for-bit — block_rows=4 forces many blocks per product (the oversized-
+    product shape where a whole raster never fits one task)."""
+    px = frames.single_band(spark, sf_dir, "vv")
+    tiled = krn.single_band_kernel_tiled(px, ["product_id"], strategy, bd, block_rows=4)
+    full = krn.single_band_kernel(px, ["product_id"], strategy, bd)
+    diff = (
+        tiled.alias("t")
+        .join(full.alias("f"), ["product_id", "row", "col"], "full_outer")
+        .where(
+            F.col("t.q").isNull() | F.col("f.q").isNull() | (F.col("t.q") != F.col("f.q"))
+        )
+    )
+    mism = diff.limit(5).collect()
+    assert not mism, f"tiled != full kernel: {mism}"
+
+
+def test_tiled_kernel_tall_product(spark):
+    """Artificially tall product (4096 rows x 8 cols, 512 blocks at
+    block_rows=8): the tiled path must agree with the one-task kernel."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    rows = 4096
+    vals = (rng.uniform(0.0, 3000.0, rows * 8) ** 1.2).tolist()
+    data = [
+        ("tall", i // 8, i % 8, float(v)) for i, v in enumerate(vals)
+    ]
+    px = spark.createDataFrame(data, "product_id string, row int, col int, v double")
+    tiled = krn.single_band_kernel_tiled(px, ["product_id"], "standard-a2", BitDepth.U8, block_rows=8)
+    full = krn.single_band_kernel(px, ["product_id"], "standard-a2", BitDepth.U8)
+    t = {(r["row"], r["col"]): r["q"] for r in tiled.collect()}
+    f = {(r["row"], r["col"]): r["q"] for r in full.collect()}
+    assert t == f
+
+
+def test_tiled_kernel_rejects_clahe(spark, sf_dir):
+    px = frames.single_band(spark, sf_dir, "vv")
+    with pytest.raises(ValueError, match="spatial"):
+        krn.single_band_kernel_tiled(px, ["product_id"], AutoscaleStrategy.CLAHE, BitDepth.U16)

@@ -68,6 +68,34 @@ AUDITS: dict[str, dict] = {
     "pad_to_square": {
         "require": [], "codegen": True,
         "forbid": ["CartesianProduct", "BatchEvalPython"],
+        # the max_dim^2 cell explode must be the LAST operator — cells are
+        # materialized inside tasks and never shuffled (the r01 plan exploded
+        # the whole canvas from one dims row per product, then shuffled it)
+        "no_exchange_after_last_generate": True,
+    },
+    "autoscale_advanced_u16": {
+        "require": ["BroadcastHashJoin"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "similarity_topk_lsh": {
+        # banded-hyperplane keys via Arrow-vectorized pandas UDF; candidates
+        # from a key equi-join (never all-pairs); exact cosine JVM-side
+        "require": ["ArrowEvalPython"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "dedup_embedding_cosine": {
+        "require": ["ArrowEvalPython"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "pipeline_kernel_tiled_u8": {
+        # per-(product, row-block) grouped kernel + broadcast param join:
+        # the oversized-product path never holds a full raster in one task
+        "require": ["FlatMapGroupsInPandas", "BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "tiff_roundtrip": {
+        "require": ["FlatMapGroupsInPandas", "MapInPandas"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
     "dedup_minhash_lsh": {
         "require": ["HashAggregate"], "codegen": True,
@@ -132,6 +160,9 @@ def main() -> int:
         for col in spec.get("schema_excludes", []):
             if col in schemas:
                 problems.append(f"scan reads unneeded column {col!r} (pruning failed)")
+        if spec.get("no_exchange_after_last_generate"):
+            if plan.rfind("Exchange") > plan.rfind("Generate"):
+                problems.append("Exchange after the last Generate (cell-grain shuffle)")
         if problems:
             failures.append((name, problems))
             print(f"✗ {name}: {'; '.join(problems)}")
