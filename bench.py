@@ -41,6 +41,13 @@ HEADLINE = [
     "text_quality",
     "events_asof_signup",
     "events_sessionize",
+    # round-2 additions: rebuilt/new production paths
+    "dedup_minhash_verified",
+    "similarity_topk_lsh",
+    "dedup_embedding_cosine",
+    "pipeline_kernel_tiled_u8",
+    "tiff_roundtrip",
+    "events_sliding_windows",
 ]
 
 

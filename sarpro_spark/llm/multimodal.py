@@ -60,6 +60,8 @@ def decode_features(df: DataFrame, payload_col: str = "payload", id_col: str = "
     )
 
     def fn(batches: Iterator) -> Iterator:
+        import math
+
         import pandas as pd
 
         for pdf in batches:
@@ -67,12 +69,24 @@ def decode_features(df: DataFrame, payload_col: str = "payload", id_col: str = "
             for i, buf in zip(pdf[id_col], pdf[payload_col]):
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
                 ids.append(i)
-                nb.append(arr.size)
-                mean.append(float(arr.mean()) if arr.size else 0.0)
-                std.append(float(arr.std()) if arr.size else 0.0)
+                n = arr.size
+                nb.append(n)
+                if n == 0:
+                    mean.append(0.0), std.append(0.0), ent.append(0.0)
+                    continue
+                # exact integer moments first, float ops last — the identical
+                # IEEE sequence the SQL oracle states, so mean/std are
+                # bit-reproducible regardless of summation order
+                s1 = int(arr.sum(dtype=np.int64))
+                s2 = int((arr.astype(np.int64) ** 2).sum())
+                m = s1 / n
+                mean.append(m)
+                std.append(math.sqrt(max(s2 / n - m * m, 0.0)))
                 counts = np.bincount(arr, minlength=256)
-                p = counts[counts > 0] / max(arr.size, 1)
-                ent.append(float(-(p * np.log2(p)).sum()) if arr.size else 0.0)
+                c = counts[counts > 0].astype(np.float64)
+                # entropy = log2(n) - (sum c*log2 c)/n (same algebraic form as
+                # the oracle; residual cross-libm/sum-order noise << fround)
+                ent.append(math.log2(n) - float((c * np.log2(c)).sum()) / n)
             yield pd.DataFrame(
                 {id_col: ids, "n_bytes": nb, "byte_mean": mean, "byte_std": std, "byte_entropy": ent}
             )

@@ -242,6 +242,84 @@ def embedding_neardup_pairs(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+    cvec_col: str = "cvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF coarse quantization: each vector joins its nearest centroid
+    (fround'd cosine, centroid-id tiebreak — fully deterministic). Centroids
+    broadcast; one pass over the corpus; output (id, centroid_id) is the
+    inverted-list assignment."""
+    from sarpro_spark.queries import fround
+
+    j = emb.select(id_col, vec_col).join(F.broadcast(centroids))
+    sim = cosine_expr(F.col(vec_col), F.col(cvec_col))
+    scored = j.select(
+        F.col(id_col), F.col(cid_col), fround(sim, round_digits).alias("sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(cid_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(id_col, cid_col)
+    )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-flat ANN: deterministic sampled centroids (the first n_centroids
+    corpus vectors — at production scale swap for k-means centroids persisted
+    as a table; the operator shape is identical), corpus partitioned into
+    inverted lists by nearest centroid, queries probe their ``nprobe``
+    nearest lists, exact cosine only on the probed lists. Work per query
+    scales with corpus/n_centroids * nprobe, not corpus size."""
+    from sarpro_spark.queries import fround
+
+    centroids = (
+        emb.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+    )
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    qsim = queries.join(F.broadcast(centroids)).select(
+        F.col(qid_col),
+        F.col("centroid_id"),
+        fround(cosine_expr(F.col(qvec_col), F.col("cvec")), round_digits).alias("sim"),
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    probed = (
+        qsim.withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= nprobe)
+        .select(qid_col, "centroid_id")
+    )
+    cand = probed.join(assign, "centroid_id").select(qid_col, id_col).distinct()
+    j = cand.join(emb.select(id_col, vec_col), id_col).join(
+        F.broadcast(queries.select(qid_col, qvec_col)), qid_col
+    )
+    sim = cosine_expr(F.col(vec_col), F.col(qvec_col))
+    scored = j.select(F.col(qid_col), F.col(id_col), fround(sim, round_digits).alias("sim"))
+    w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(qid_col, id_col, "sim", "rnk")
+    )
+
+
 def cosine_topk_pandas(
     emb: DataFrame,
     query_mat: np.ndarray,
@@ -366,29 +444,33 @@ def sql_band_key_ctes(
     return ",\n".join(parts)
 
 
-def sql_cosine_ctes(emb_rel: str, query_sel: str, id_col: str = "vec_id", vec_col: str = "embedding") -> str:
-    """CTEs ending in ``scored`` (query_id, id, sim) — dot/norms via UNNEST
-    join, summation noise absorbed by fround on both sides."""
+def sql_cosine_ctes(emb_rel: str, query_sel: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding", prefix: str = "") -> str:
+    """CTEs ending in ``{prefix}scored`` (query_id, id, sim) — dot/norms via
+    UNNEST join, summation noise absorbed by fround on both sides. ``prefix``
+    lets one statement instantiate several scored relations (e.g. IVF:
+    centroid-assignment scores + query scores)."""
+    p = prefix
     return f"""
-corpus AS (SELECT {id_col}, {vec_col} FROM {emb_rel}),
-queries AS ({query_sel}),
-pairs AS (
+{p}corpus AS (SELECT {id_col}, {vec_col} FROM {emb_rel}),
+{p}queries AS ({query_sel}),
+{p}pairs AS (
   SELECT q.query_id, c.{id_col}, c.{vec_col} AS v, q.qvec
-  FROM corpus c CROSS JOIN queries q
+  FROM {p}corpus c CROSS JOIN {p}queries q
 ),
-dots AS (
+{p}dots AS (
   SELECT query_id, {id_col},
          SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dp,
          SQRT(SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE))) AS na,
          SQRT(SUM(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE))) AS nb
-  FROM pairs p,
+  FROM {p}pairs p,
        LATERAL (SELECT UNNEST(p.v) AS x, GENERATE_SUBSCRIPTS(p.v, 1) AS i) a,
        LATERAL (SELECT UNNEST(p.qvec) AS x, GENERATE_SUBSCRIPTS(p.qvec, 1) AS i) b
   WHERE a.i = b.i
   GROUP BY query_id, {id_col}
 ),
-scored AS (
+{p}scored AS (
   SELECT query_id, {id_col},
          (FLOOR((dp / (na * nb)) * 1000000.0 + 0.5) / 1000000.0) AS sim
-  FROM dots
+  FROM {p}dots
 )""".strip()

@@ -138,6 +138,59 @@ def q_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(e, _spark_queries_frame(spark, sf_dir), k=10)
 
 
+# IVF-flat ANN: sampled centroids (vec_id < 16), nprobe=2. The centroid-
+# assignment scores and the query scores are two instantiations of the same
+# fround'd cosine CTE (multiplication commutes bit-exactly, so assignment
+# scores equal Spark's operand order).
+_IVF_K, _IVF_NPROBE = 16, 2
+
+_TOPK_IVF_SQL = f"""
+WITH {sim.sql_cosine_ctes('embeddings', _QUERY_SEL)},
+{sim.sql_cosine_ctes('embeddings',
+                     f'SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {_IVF_K}',
+                     prefix='c_')},
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT cs.vec_id, cs.query_id AS centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY cs.vec_id ORDER BY cs.sim DESC, cs.query_id) AS rnk
+    FROM c_scored cs
+  ) WHERE rnk = 1
+),
+probed AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT cs.vec_id AS query_id, cs.query_id AS centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY cs.vec_id ORDER BY cs.sim DESC, cs.query_id) AS rnk
+    FROM c_scored cs WHERE cs.vec_id < 5
+  ) WHERE rnk <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id FROM probed p JOIN assign a USING (centroid_id)
+),
+filtered AS (
+  SELECT s.query_id, s.vec_id, s.sim FROM scored s JOIN cand USING (query_id, vec_id)
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM filtered
+)
+SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+""".strip()
+
+
+@query("similarity_topk_ivf", sql=_TOPK_IVF_SQL, tags=("llm", "similarity"))
+def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: corpus partitioned into inverted lists by nearest
+    centroid (deterministic sampled centroids; swap for k-means at
+    production), queries probe their nprobe nearest lists, exact cosine on
+    the probed lists only — per-query work ~ corpus/n_centroids * nprobe."""
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_ivf(
+        e, _spark_queries_frame(spark, sf_dir), k=5,
+        n_centroids=_IVF_K, nprobe=_IVF_NPROBE,
+    )
+
+
 # ANN LSH parameters for the certified queries (pinned so the oracles are
 # reproducible): 8 bands x 12 bits = 32768 bucket keys for top-k (multi-probe
 # Hamming-1 on the query side), 16 bands x 8 bits = 4096 keys for near-dup
@@ -418,10 +471,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.dedup_clusters(d, pairs)
 
 
-@query("multimodal_decode_features", sql=None, tags=("llm", "multimodal"))
+# byte-grain oracle for the decode stand-in: blob bytes via hex substrings,
+# mean/std from exact integer moments (bit-identical to the kernel), entropy
+# in the same algebraic form (residual libm/sum-order noise absorbed by
+# fround on both sides)
+_MM_FEATURES_SQL = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, n, CAST(('0x' || SUBSTR(hx, 2 * i.i - 1, 2)) AS BIGINT) AS bv
+  FROM b, LATERAL (SELECT UNNEST(RANGE(1, b.n + 1)) AS i) i
+),
+m AS (
+  SELECT doc_id, MAX(n) AS n, SUM(bv) AS s1, SUM(bv * bv) AS s2
+  FROM bytes GROUP BY doc_id
+),
+bc AS (SELECT doc_id, bv, COUNT(*) AS c FROM bytes GROUP BY doc_id, bv),
+e AS (SELECT doc_id, SUM(c * LOG2(c)) AS clc FROM bc GROUP BY doc_id)
+SELECT m.doc_id, CAST(m.n AS INTEGER) AS n_bytes,
+       {sql_fround('m.s1 / m.n')} AS byte_mean,
+       {sql_fround('SQRT(GREATEST(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n), 0.0))')} AS byte_std,
+       {sql_fround('LOG2(m.n) - e.clc / m.n')} AS byte_entropy
+FROM m JOIN e USING (doc_id)
+""".strip()
+
+
+@query("multimodal_decode_features", sql=_MM_FEATURES_SQL, tags=("llm", "multimodal"))
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed decode via mapInPandas: deterministic byte-level features with
-    the real Arrow batch shape (rows-only check: no SQL twin for the kernel)."""
+    """Decode stand-in via mapInPandas (Arrow batches, payload never leaves
+    the executor): deterministic byte-level features, now with a FULL
+    value-hash oracle — byte extraction via hex substrings on the SQL side,
+    integer-moment mean/std identical by construction."""
     d = frames.load_table(spark, sf_dir, "documents")
     b = mm.attach_binary_payload(d)
     from sarpro_spark.queries import round_floats

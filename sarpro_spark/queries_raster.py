@@ -367,14 +367,14 @@ def q_kernel_std_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kernel_tiled_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The W9 U8 pipeline at (product, row-block) grain — the oversized-
-    product hardening (no task holds a whole raster; block_rows=8 here forces
-    multiple blocks per fixture product). Same oracle as the one-task kernel
-    and the relational path."""
+    product hardening (no task holds a whole raster; block_rows=16 forces
+    multiple blocks per fixture product at every sf). Same oracle as the
+    one-task kernel and the relational path."""
     import sarpro_spark.operators.kernel as krn
 
     px = frames.single_band(spark, sf_dir, "vv")
     return krn.single_band_kernel_tiled(
-        px, ["product_id"], "standard-a2", BitDepth.U8, block_rows=8
+        px, ["product_id"], "standard-a2", BitDepth.U8, block_rows=16
     )
 
 

@@ -385,6 +385,33 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sliding windows (every event lands in window/slide buckets) -------------
+
+_SLIDING_SQL = """
+SELECT CAST((FLOOR(EPOCH(ts) / 900.0) - k.k) * 900 AS BIGINT) AS window_start,
+       event_type, COUNT(*) AS n
+FROM events, LATERAL (SELECT UNNEST(RANGE(0, 4)) AS k) k
+GROUP BY 1, 2
+""".strip()
+
+
+@query("events_sliding_windows", sql=_SLIDING_SQL, tags=("relational", "events", "streaming"))
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows via the REAL F.window operator (1 h window / 15 min
+    slide, epoch-aligned, UTC session) — each event replicated into 4
+    buckets; the oracle enumerates the same 4 starts per event. Batch twin of
+    streaming.sliding_counts (unified API: same expression streams)."""
+    from sarpro_spark.streaming.events import sliding_counts
+
+    e = frames.load_table(spark, sf_dir, "events")
+    s = sliding_counts(e)
+    return s.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
 # --- as-of join (custom temporal operator; DuckDB ASOF JOIN as oracle) -------
 
 _ASOF_SQL = """

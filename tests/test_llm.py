@@ -159,3 +159,15 @@ def test_multimodal_decode_stub_raises():
         mm.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         mm.sample_frames(b"\x00\x00")
+
+
+def test_ivf_topk_contains_self(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = sim.cosine_topk_ivf(emb, queries, k=5, n_centroids=8, nprobe=2).collect()
+    assert len(out) > 0
+    # a query is always in its own nearest-centroid list -> self always found
+    for qid in (0, 1, 2):
+        hits = [r for r in out if r["query_id"] == qid and r["vec_id"] == qid]
+        assert hits and hits[0]["rnk"] == 1
