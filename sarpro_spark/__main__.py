@@ -8,16 +8,18 @@
         --batch --continue-on-error
 
 Input is a band frame parquet (product_id, band, row, col, v) — the rebuilt
-engine's equivalent of a pre-decoded SAFE measurement set (GDAL decode is
-stubbed in this environment; sources/safe.py handles discovery/metadata).
-Output is partitioned parquet (the engine's W1/W2 analog) plus a JSON run
-report (A9).
+engine's equivalent of a pre-decoded SAFE measurement set (sources/safe.py
+handles discovery/metadata and uncompressed-TIFF decode). Output is
+partitioned parquet plus, with ``--format tiff``, per-product GeoTIFF files
+(W1/W2 via the pure-Python codec), plus a JSON run report (A9). JPEG stays
+parquet-only (encoder stubbed — no PIL here).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 
@@ -87,6 +89,26 @@ def main(argv: list[str] | None = None) -> int:
         "rows_written": n,
         "elapsed_sec": round(time.time() - t0, 3),
     }
+    if args.fmt == "tiff":
+        from sarpro_spark.sinks.writers import write_geotiffs
+
+        res = spark.read.parquet(args.output)
+        value_cols = [c for c in ("q",) if c in res.columns] or [
+            c for c in ("r", "g", "b") if c in res.columns
+        ]
+        if value_cols:
+            bits = 8 if (args.bit_depth == 8 or value_cols != ["q"]) else 16
+            # sibling dir: an extra subdir inside the parquet root would
+            # corrupt partition discovery on read-back
+            tiff_dir = args.output.rstrip("/") + "_tiff"
+            manifest = write_geotiffs(
+                res, tiff_dir, ["product_id"], value_cols, bits=bits
+            )
+            report["tiff_files"] = manifest.count()
+            report["tiff_dir"] = tiff_dir
+    elif args.fmt == "jpeg":
+        report["note"] = "jpeg encode stubbed (no PIL); parquet written"
+    report["elapsed_sec"] = round(time.time() - t0, 3)
     print(json.dumps(report))
     return 0
 

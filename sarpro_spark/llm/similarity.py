@@ -232,10 +232,18 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms precomputed per VECTOR (not per pair): numerically identical
+    # (same sqrt of the same array-order sum) but 1/3 the per-pair work
+    va = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
     pairs = cand.join(va, "id_a").join(vb, "id_b")
-    sim = cosine_expr(F.col("va"), F.col("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     return (
         pairs.select("id_a", "id_b", fround(sim, round_digits).alias("sim"))
         .where(F.col("sim") >= threshold)

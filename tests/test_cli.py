@@ -61,3 +61,17 @@ def test_cli_end_to_end(spark, sf_dir, tmp_path):
     assert {"row", "col", "q"} <= set(result.columns)
     qvals = result.agg({"q": "max"}).collect()[0][0]
     assert 0 < qvals <= 65535
+
+    # --format tiff (the default) also emits real per-product GeoTIFFs
+    import glob
+    import os
+
+    import numpy as np
+
+    from sarpro_spark.sinks import tiff as t
+
+    assert report["tiff_files"] > 0
+    tifs = sorted(glob.glob(os.path.join(report["tiff_dir"], "*.tif")))
+    assert len(tifs) == report["tiff_files"]
+    arr, _ = t.read_tiff(tifs[0])
+    assert arr.dtype == np.uint16 and arr.ndim == 2 and arr.size > 0

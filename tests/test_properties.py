@@ -102,3 +102,30 @@ def test_u16_to_u8_rescale_bounds(vals):
     # order-preserving
     order = np.argsort(q, kind="stable")
     assert np.all(np.diff(out[order]) >= 0)
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from([1, 2, 3]),
+    st.sampled_from(["uint8", "uint16"]),
+    st.integers(min_value=1, max_value=50),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_tiff_codec_roundtrip_property(rows, cols, samples, dtype, rps, rnd):
+    """Any (dims, samples, dtype, strip size) roundtrips pixel-exactly."""
+    import tempfile
+
+    from sarpro_spark.sinks import tiff as t
+
+    rng = np.random.RandomState(rnd.randint(0, 2**31 - 1))
+    hi = 256 if dtype == "uint8" else 65536
+    arr = rng.randint(0, hi, size=(rows, cols, samples)).astype(dtype)
+    if samples == 1:
+        arr = arr[:, :, 0]
+    with tempfile.NamedTemporaryFile(suffix=".tif") as fh:
+        t.write_tiff(fh.name, arr, rows_per_strip=rps)
+        back, _ = t.read_tiff(fh.name)
+    assert back.shape == arr.shape and back.dtype == arr.dtype
+    assert np.array_equal(back, arr)
