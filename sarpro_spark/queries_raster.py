@@ -435,6 +435,35 @@ def q_box_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geom.box_resize(px, ["product_id"], k=2)
 
 
+# --- S5: pyramid downsample-on-read (partition-pruned level scan) ------------
+
+
+@query("pyramid_downsample_read", sql=_BOX_RESIZE_SQL, tags=("raster", "source", "pyramid"))
+def q_pyramid_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (sentinel1.rs:1074-1108): downsample-on-read as pyramid storage +
+    partition pruning — build levels 0/1 of the vh band, write partitioned by
+    level, read back at target 32 (long side 64 -> level 1, the 2x box
+    reduction). The scan touches ONLY level 1's files (PartitionFilters);
+    oracle = the box-resize SQL, so the whole build/write/prune/read chain
+    must be value-exact."""
+    import tempfile
+
+    from sarpro_spark.sources import pyramid as pyr
+
+    px = frames.single_band(spark, sf_dir, "vh")
+    pyra = pyr.build_pyramid(px, ["product_id"], levels=2)
+    path = tempfile.mkdtemp(prefix="sarpro_pyramid_")
+    pyr.write_pyramid(pyra, path, ["product_id"])
+    out = pyr.read_pyramid_level(
+        spark, path, native_long_side=frames.GRID_WIDTH, target_size=32, levels=2
+    )
+    # partition columns come back as strings after partitionBy — restore types
+    return out.select(
+        F.col("product_id").cast("int").alias("product_id"),
+        "row", "col", "v", "n_src",
+    )
+
+
 # --- G1+G6: resize dims + geotransform update --------------------------------
 
 _GT_SQL = f"""

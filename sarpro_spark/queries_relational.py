@@ -385,6 +385,45 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- skew-resistant aggregation (salted two-phase) ---------------------------
+
+_SALTED_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       MIN(value) AS vmin, MAX(value) AS vmax
+FROM events GROUP BY event_type
+""".strip()
+
+
+@query("skewed_agg_salted", sql=_SALTED_AGG_SQL, tags=("relational", "skew"))
+def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling surface: two-phase salted aggregation (shuffle on
+    (key, salt) splits hot keys across reducers, second agg merges partials)
+    over the low-cardinality event_type key — result identical to the plain
+    GROUP BY the oracle states; DECIMAL sums keep the merge order-exact."""
+    from sarpro_spark.functions.skew import salted_agg
+
+    e = frames.load_table(spark, sf_dir, "events")
+    prepped = e.withColumn("value_dec", F.col("value").cast("decimal(18,2)"))
+    out = salted_agg(
+        prepped,
+        ["event_type"],
+        {
+            "n": ("count", "value_dec"),
+            "total_dec": ("sum", "value_dec"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+        salt_buckets=16,
+        salt_from=["event_id"],
+    )
+    return out.select(
+        "event_type", "n",
+        F.col("total_dec").cast("double").alias("total"),
+        "vmin", "vmax",
+    )
+
+
 # --- sliding windows (every event lands in window/slide buckets) -------------
 
 _SLIDING_SQL = """
