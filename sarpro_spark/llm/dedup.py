@@ -334,14 +334,26 @@ def minhash_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # shingle sets are read three times (sizes + both sides of the verify
-    # join) — materialize once; candidates are tiny -> broadcast both joins
-    sh = char_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    # verify on HASHED shingle ids: the distinct/join shuffles move int64s
+    # instead of n-char strings (same md5-prefix hash on both engines, so the
+    # oracle joins on identical values; an intra-doc-pair 60-bit collision is
+    # ~1e-12 and affects both engines identically). Materialized once;
+    # candidates are tiny -> broadcast both joins.
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+    sh = (
+        char_shingles(df, id_col, text_col, n, distinct=False)
+        .select(F.col(id_col), base.alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (
-        sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        sh.select(F.col(id_col).alias("doc_a"), "h")
         .join(F.broadcast(cand), "doc_a")
-        .join(sh.select(F.col(id_col).alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .join(sh.select(F.col(id_col).alias("doc_b"), "h"), ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -389,12 +401,13 @@ cand AS (
   FROM banded a JOIN banded b USING (band, bucket)
   WHERE a.{id_col} < b.{id_col}
 ),
-sizes AS (SELECT {id_col}, COUNT(*) AS sz FROM shingles GROUP BY {id_col}),
+hdist AS (SELECT DISTINCT {id_col}, h FROM hashed),
+sizes AS (SELECT {id_col}, COUNT(*) AS sz FROM hdist GROUP BY {id_col}),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
   FROM cand c
-  JOIN shingles sa ON sa.{id_col} = c.doc_a
-  JOIN shingles sb ON sb.{id_col} = c.doc_b AND sb.shingle = sa.shingle
+  JOIN hdist sa ON sa.{id_col} = c.doc_a
+  JOIN hdist sb ON sb.{id_col} = c.doc_b AND sb.h = sa.h
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
