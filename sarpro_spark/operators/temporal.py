@@ -59,6 +59,72 @@ def asof_join(
     return out
 
 
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Same semantics as :func:`asof_join`, via the cogroup surface:
+    ``left.groupby(key).cogroup(right.groupby(key)).applyInPandas`` with
+    ``pd.merge_asof`` inside — both sides of one key land in one task, Arrow
+    both ways. Preferable when per-key payloads are wide (merge_asof avoids
+    materializing the union frame) or when a pandas-side epilogue follows
+    anyway; the union-window form wins when key cardinality is low (no
+    group-task skew). Equivalence is asserted in tests."""
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    rcols = right_cols or [c for c in right.columns if c not in (on, right_time)]
+    out_schema = StructType(
+        [left.schema[c] for c in left.columns]
+        + [StructField(f"{c}{suffix}", right.schema[c].dataType) for c in rcols]
+    )
+    lcols = list(left.columns)
+    suffixed = [f"{c}{suffix}" for c in rcols]
+    # Pre-alias the right side to names unique across BOTH cogroup sides.
+    # Load-bearing: when the two sides share a source relation and a column
+    # was withColumn-replaced under the same name (e.g. the events ts rebuilt
+    # from nanos), Spark's cogroup Arrow writer can prune that column from
+    # one side's batches — distinct names sidestep the attribute collision.
+    right2 = right.select(
+        F.col(on),
+        F.col(right_time).alias("_rtime"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+    )
+
+    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[*lcols, *suffixed])
+        lpdf = lpdf.sort_values([left_time], kind="mergesort")
+        if rpdf.empty:
+            out = lpdf[lcols].copy()
+            for c in suffixed:
+                out[c] = None
+            return out
+        rr = rpdf.sort_values(["_rtime"], kind="mergesort")
+        merged = pd.merge_asof(
+            lpdf,
+            rr,
+            left_on=left_time,
+            right_on="_rtime",
+            by=on,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged[[*lcols, *suffixed]]
+
+    return (
+        left.groupby(on)
+        .cogroup(right2.groupby(on))
+        .applyInPandas(fn, schema=out_schema)
+    )
+
+
 def range_join_buckets(
     left: DataFrame,
     right: DataFrame,

@@ -492,6 +492,33 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_asof_cogrouped", sql=_ASOF_SQL, tags=("relational", "temporal", "cogroup"))
+def q_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same as-of join via Spark's cogroup surface:
+    left.groupby(key).cogroup(right.groupby(key)).applyInPandas with
+    pd.merge_asof — one Arrow task per key, no union frame. Same oracle as
+    the union-and-forward-fill form (DuckDB native ASOF JOIN)."""
+    from sarpro_spark.operators.temporal import asof_join_cogrouped
+
+    e = frames.load_table(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("user_id", "ts", "event_id")
+    )
+    out = asof_join_cogrouped(left, right, on="user_id", left_time="ts",
+                              right_time="ts", right_cols=["event_id", "ts"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id_r").alias("event_id_r"),
+        F.unix_micros("ts_r").alias("ts_us_r"),
+    )
+
+
 # --- range join (bucketized inequality join) ---------------------------------
 
 _RANGE_SQL = """

@@ -77,3 +77,31 @@ def test_dedup_clusters_canonical(spark):
     # deduplicated corpus keeps exactly one doc per cluster
     n_kept = sum(1 for v in out.values() if v[1])
     assert n_kept == 3
+
+
+def test_asof_cogrouped_matches_union_form(spark):
+    """The cogroup+merge_asof form and the union-and-forward-fill form must
+    produce identical results (incl. no-match nulls and exact-time ties)."""
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.operators.temporal import asof_join, asof_join_cogrouped
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"), (2, 10, "2024-01-01 11:00:00"),
+         (3, 20, "2024-01-01 09:00:00"), (4, 30, "2024-01-01 12:00:00")],
+        "event_id long, user_id long, t string",
+    ).select("event_id", "user_id", F.col("t").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 10:00:00", 100),   # exact tie with left event 1
+         (10, "2024-01-01 10:30:00", 101),
+         (20, "2024-01-01 09:30:00", 200)],  # after left event 3 -> no match
+        "user_id long, t string, event_id long",
+    ).select("user_id", F.col("t").cast("timestamp").alias("ts"), "event_id")
+    kw = dict(on="user_id", left_time="ts", right_time="ts", right_cols=["event_id", "ts"])
+    a = {r["event_id"]: (r["event_id_r"], r["ts_r"]) for r in asof_join(left, right, **kw).collect()}
+    b = {r["event_id"]: (r["event_id_r"], r["ts_r"]) for r in asof_join_cogrouped(left, right, **kw).collect()}
+    assert a == b
+    assert a[1][0] == 100   # inclusive exact match
+    assert a[2][0] == 101
+    assert a[3] == (None, None)   # right row is after -> null
+    assert a[4] == (None, None)   # user 30 has no right rows
