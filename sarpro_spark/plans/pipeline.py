@@ -181,19 +181,32 @@ def batch_status(products: DataFrame, status_col: str = "status") -> DataFrame:
     )
 
 
-def build_pipeline(band_long: DataFrame, params: ProcessingParams) -> DataFrame:
-    """Library-API analog (api/mod.rs:539-674): params -> DAG dispatch on
-    polarization/operation/format."""
+def pipeline_route(params: ProcessingParams) -> tuple[str, str]:
+    """P1/C3 dispatch decision (api/mod.rs:539-674): (route, band) where
+    route in {multiband, operation, single}. Pair preference: multiband and
+    two-input operations consume the VV/VH pair (HH/HV when VV absent is the
+    discovery layer's coalesce — the dispatch itself names the pair slot)."""
     from sarpro_spark.types import Polarization
 
     if params.polarization == Polarization.MULTIBAND or (
         params.format == OutputFormat.JPEG and params.polarization is None
     ):
-        return multiband_synrgb_pipeline(band_long, params)
+        return "multiband", "vv+vh"
     if params.operation is not None:
+        return "operation", "vv+vh"
+    band = params.polarization.value if params.polarization else "vv"
+    return "single", band
+
+
+def build_pipeline(band_long: DataFrame, params: ProcessingParams) -> DataFrame:
+    """Library-API analog (api/mod.rs:539-674): params -> DAG dispatch on
+    polarization/operation/format."""
+    route, band = pipeline_route(params)
+    if route == "multiband":
+        return multiband_synrgb_pipeline(band_long, params)
+    if route == "operation":
         a = band_long.where(F.col("band") == "vv").drop("band")
         b = band_long.where(F.col("band") == "vh").drop("band")
         return operation_pipeline(a, b, params.operation, params)
-    band = params.polarization.value if params.polarization else "vv"
     single = band_long.where(F.col("band") == band).drop("band")
     return single_band_pipeline(single, params)

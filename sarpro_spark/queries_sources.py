@@ -150,6 +150,87 @@ def q_safe_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S6: generic reader + schema inference -----------------------------------
+
+_GENERIC_READER_SQL = """
+SELECT 'csv' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+UNION ALL
+SELECT 'json' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+""".strip()
+
+
+@query("generic_reader_roundtrip", sql=_GENERIC_READER_SQL, tags=("source", "registry"))
+def q_generic_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 (gdal.rs:57-104 analog): the format registry round-trips the nation
+    table through csv (header + schema inference) and json — open_source
+    must reproduce the source rows exactly under both codecs."""
+    from sarpro_spark import frames
+    from sarpro_spark.sources.registry import open_source
+
+    n = frames.load_table(spark, sf_dir, "nation")
+    root = tempfile.mkdtemp(prefix="sarpro_reader_fx_")
+    n.coalesce(1).write.mode("overwrite").option("header", "true").csv(f"{root}/n_csv")
+    n.coalesce(1).write.mode("overwrite").json(f"{root}/n_json")
+    parts = []
+    for fmt, path in (("csv", f"{root}/n_csv"), ("json", f"{root}/n_json")):
+        df, info = open_source(spark, path, fmt)
+        assert info.n_columns == 3
+        parts.append(
+            df.select(
+                F.lit(fmt).alias("fmt"),
+                F.col("n_nationkey").cast("int").alias("n_nationkey"),
+                "n_name",
+                F.col("n_regionkey").cast("int").alias("n_regionkey"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+# --- P1/P4/C3: pipeline dispatch + warp-skip guards --------------------------
+
+_PLAN_FLAGS_SQL = """
+SELECT * FROM (VALUES
+  (0, 'single', 'vv', FALSE),
+  (1, 'single', 'vh', TRUE),
+  (2, 'multiband', 'vv+vh', FALSE),
+  (3, 'operation', 'vv+vh', TRUE),
+  (4, 'multiband', 'vv+vh', FALSE),
+  (5, 'single', 'hh', FALSE)
+) t(case_id, route, band, needs_warp)
+""".strip()
+
+
+@query("pipeline_plan_flags", sql=_PLAN_FLAGS_SQL, tags=("plan", "dispatch"))
+def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (band selection + pair preference), C3 (mode dispatch), P4
+    (warp-skip: equal CRS case-insensitively -> no warp; unknown current CRS
+    -> warp; no target -> never) — the real dispatch functions over a params
+    matrix, oracle = the expected decision table."""
+    from sarpro_spark.plans.pipeline import needs_warp, pipeline_route
+    from sarpro_spark.types import (
+        OutputFormat,
+        Polarization,
+        PolarizationOperation,
+        ProcessingParams,
+    )
+
+    cases = [
+        (0, ProcessingParams(polarization=Polarization.VV), "EPSG:32632", "EPSG:32632"),
+        (1, ProcessingParams(polarization=Polarization.VH), None, "EPSG:32632"),
+        (2, ProcessingParams(polarization=Polarization.MULTIBAND, format=OutputFormat.JPEG),
+         "EPSG:32632", "epsg:32632"),
+        (3, ProcessingParams(polarization=Polarization.VV, operation=PolarizationOperation.RATIO),
+         "EPSG:32631", "EPSG:32632"),
+        (4, ProcessingParams(polarization=None, format=OutputFormat.JPEG), "EPSG:32632", None),
+        (5, ProcessingParams(polarization=Polarization.HH), "EPSG:32633", None),
+    ]
+    rows = []
+    for cid, params, cur, tgt in cases:
+        route, band = pipeline_route(params)
+        rows.append((cid, route, band, needs_warp(cur, tgt)))
+    return spark.createDataFrame(rows, "case_id int, route string, band string, needs_warp boolean")
+
+
 # --- W5/W7/W8: sidecar + embed-plan content ----------------------------------
 
 _META_FIELDS = {"PLATFORM": "SENTINEL-1", "ORBIT_NUMBER": "51234", "POLARIZATIONS": "VV,VH"}
