@@ -333,18 +333,26 @@ def minhash_jaccard_pairs(
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=True)  # reused 3x (doc filter + both verify joins)
     )
-    # verify on HASHED shingle ids: the distinct/join shuffles move int64s
-    # instead of n-char strings (same md5-prefix hash on both engines, so the
-    # oracle joins on identical values; an intra-doc-pair 60-bit collision is
-    # ~1e-12 and affects both engines identically). Materialized once;
-    # candidates are tiny -> broadcast both joins.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    # verify on HASHED shingle ids (int64 md5-prefix — same value on both
+    # engines, so oracle joins stay in lock-step; an intra-doc-pair 60-bit
+    # collision is ~1e-12 and affects both sides identically), and ONLY for
+    # docs that appear in a candidate pair: the corpus-wide set-distinct
+    # shrinks to the candidate subset (sizes of non-candidates are never
+    # read). Materialized once; candidates are tiny -> broadcast joins.
     base = (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
         % MINHASH_PRIME
     )
     sh = (
         char_shingles(df, id_col, text_col, n, distinct=False)
+        .join(F.broadcast(cand_docs), id_col, "left_semi")
         .select(F.col(id_col), base.alias("h"))
         .distinct()
         .localCheckpoint(eager=True)
