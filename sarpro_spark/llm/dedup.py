@@ -471,49 +471,141 @@ def _nibble_val(c: Column) -> Column:
     return expr
 
 
-def simhash16(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_SHINGLE
+def simhash_bits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    bits: int = 16,
 ) -> DataFrame:
-    """16-bit SimHash from the first 4 md5 nibbles of each distinct shingle:
-    bit j set iff sum over shingles of (2*bit_j - 1) > 0. Output: (id, simhash).
-    Portable-by-construction (nibble CASE table on both engines)."""
+    """``bits``-bit SimHash (bits % 4 == 0, <= 60 so the packed value stays a
+    positive int64) from the first bits/4 md5 nibbles of each distinct
+    shingle: bit j set iff sum over shingles of (2*bit_j - 1) > 0. Output:
+    (id, simhash). Portable-by-construction (nibble CASE table on both
+    engines)."""
+    if bits % 4 or bits > 60:
+        raise ValueError("bits must be a multiple of 4, <= 60")
     sh = char_shingles(df, id_col, text_col, n)
     h = F.md5(F.col("shingle"))
     cols = []
-    for k in range(4):  # 4 nibbles -> 16 bits
+    for k in range(bits // 4):
         cols.append(_nibble_val(F.substring(h, k + 1, 1)).alias(f"nib_{k}"))
     nib = sh.select(F.col(id_col), *cols)
     bit_sums = []
-    for j in range(16):
+    for j in range(bits):
         k, bit_in_nib = divmod(j, 4)
-        # nibble bits: value & (1 << (3 - bit_in_nib))? define bit j as
-        # floor(nib_k / 2^(3-bit)) % 2 reading nibbles most-significant-first
+        # nibble bits read most-significant-first: floor(nib/2^(3-bit)) % 2
         bit = (F.floor(F.col(f"nib_{k}") / F.lit(2 ** (3 - bit_in_nib))) % 2).cast("int")
         bit_sums.append(F.sum(bit * 2 - 1).alias(f"s_{j}"))
     agg = nib.groupBy(id_col).agg(*bit_sums)
     sim = None
-    for j in range(16):
+    for j in range(bits):
         term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return agg.select(F.col(id_col), sim.cast("int").alias("simhash"))
+    out_type = "int" if bits <= 31 else "long"
+    return agg.select(F.col(id_col), sim.cast(out_type).alias("simhash"))
 
 
-def sql_simhash16(
-    src_rel: str, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_SHINGLE
+def simhash16(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_SHINGLE
+) -> DataFrame:
+    """16-bit SimHash fingerprints (the compact inventory form)."""
+    return simhash_bits(df, id_col, text_col, n, bits=16)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: the ``bits``-bit fingerprint split into
+    ``bands`` band keys (60/4 = 15-bit keys -> 4 x 32768 bucket space, never
+    a fixed small ceiling); docs sharing any band key are candidates; exact
+    Hamming distance verifies. Pigeonhole guarantee: hamming <= bands-1
+    implies at least one intact band, so recall is 100% within
+    ``max_hamming`` when ``max_hamming < bands`` — banded join, never
+    all-pairs."""
+    bits_per = bits // bands
+    mask = (1 << bits_per) - 1
+    sims = simhash_bits(df, id_col, text_col, n, bits=bits)
+    key_exprs = [
+        F.shiftright(F.col("simhash"), b * bits_per)
+        .bitwiseAND(F.lit(mask))
+        .bitwiseOR(F.lit(b << bits_per))
+        for b in range(bands)
+    ]
+    keys = sims.select(F.col(id_col), "simhash", F.explode(F.array(*key_exprs)).alias("bkey"))
+    a = keys.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"), "bkey")
+    b_ = keys.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"), "bkey")
+    cand = (
+        a.join(b_, "bkey")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def sql_simhash_neardup(
+    src_rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
 ) -> str:
+    """DuckDB twin of :func:`simhash_neardup_pairs`."""
+    bits_per = bits // bands
+    mask = (1 << bits_per) - 1
+    return f"""
+WITH sims AS (WITH {sql_simhash_bits(src_rel, id_col, text_col, n, bits)}),
+keys AS (
+  SELECT {id_col}, simhash,
+         ((simhash >> (b.b * {bits_per})) & {mask}) | (b.b << {bits_per}) AS bkey
+  FROM sims, LATERAL (SELECT UNNEST(RANGE(0, {bands})) AS b) b
+),
+cand AS (
+  SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM keys a JOIN keys b USING (bkey)
+  WHERE a.{id_col} < b.{id_col}
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+""".strip()
+
+
+def sql_simhash_bits(
+    src_rel: str, id_col: str = "doc_id", text_col: str = "text",
+    n: int = DEFAULT_SHINGLE, bits: int = 16,
+) -> str:
+    """DuckDB twin of :func:`simhash_bits`."""
     shingles = sql_char_shingles(src_rel, id_col, text_col, n)
     nibs = ",\n    ".join(
         f"(CASE SUBSTR(MD5(shingle), {k + 1}, 1) {_HEX_VAL.replace('CASE ', '')}) AS nib_{k}"
-        for k in range(4)
+        for k in range(bits // 4)
     )
     bit_sums = []
-    for j in range(16):
+    for j in range(bits):
         k, bit_in_nib = divmod(j, 4)
         bit_sums.append(
             f"SUM((CAST(FLOOR(nib_{k} / {2 ** (3 - bit_in_nib)}.0) AS INTEGER) % 2) * 2 - 1) AS s_{j}"
         )
     sums = ",\n    ".join(bit_sums)
-    sim_expr = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    sim_expr = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)" for j in range(bits)
+    )
+    out_cast = "INTEGER" if bits <= 31 else "BIGINT"
     return f"""{shingles},
 nib AS (
   SELECT {id_col},
@@ -525,4 +617,10 @@ bitsums AS (
     {sums}
   FROM nib GROUP BY {id_col}
 )
-SELECT {id_col}, CAST({sim_expr} AS INTEGER) AS simhash FROM bitsums""".strip()
+SELECT {id_col}, CAST({sim_expr} AS {out_cast}) AS simhash FROM bitsums""".strip()
+
+
+def sql_simhash16(
+    src_rel: str, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_SHINGLE
+) -> str:
+    return sql_simhash_bits(src_rel, id_col, text_col, n, bits=16)

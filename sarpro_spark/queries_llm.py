@@ -107,6 +107,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash16(d)
 
 
+_SIMHASH_PAIRS_SQL = dd.sql_simhash_neardup("documents")
+
+
+@query("dedup_simhash_pairs", sql=_SIMHASH_PAIRS_SQL, tags=("llm", "dedup"))
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: 60-bit fingerprint, 4 bands x 15-bit keys
+    (32768 buckets/band — no small-keyspace ceiling; pigeonhole: 100% recall
+    within hamming<=3), exact Hamming verify — completes the SimHash dedup
+    story beyond fingerprints."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    return dd.simhash_neardup_pairs(d)
+
+
 # --- similarity search -------------------------------------------------------
 
 _QUERY_SEL = "SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5"

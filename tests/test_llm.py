@@ -171,3 +171,15 @@ def test_ivf_topk_contains_self(spark, emb):
     for qid in (0, 1, 2):
         hits = [r for r in out if r["query_id"] == qid and r["vec_id"] == qid]
         assert hits and hits[0]["rnk"] == 1
+
+
+def test_simhash_neardup_pairs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again!"),  # near-dup of 0
+        (2, "completely different content about spark dataframes and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dd.simhash_neardup_pairs(df).collect()}
+    assert (0, 1) in out and out[(0, 1)] <= 3
+    assert (0, 2) not in out and (1, 2) not in out
