@@ -68,6 +68,23 @@ def dedupe_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return df.join(canon, on=id_col, how="left_semi")
 
 
+def normalize_text_expr(text: Column) -> Column:
+    """Canonical form for normalization-tolerant exact dedup: lowercase,
+    trim, collapse whitespace runs — the standard preprocessing that catches
+    re-encoded/re-wrapped copies plain byte-hashing misses."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup_normalized(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup over the normalized text form."""
+    h = F.md5(normalize_text_expr(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), h.alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
 # --- character shingles ------------------------------------------------------
 
 

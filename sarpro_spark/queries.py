@@ -123,7 +123,9 @@ HEAD_ORDER: tuple[str, ...] = (
     "pipeline_kernel_clahe_u16",
     "local_median_3x3",
     "pad_to_square",
-    "box_resize_2x",
+    # covers S5+S7 with the same oracle SQL as box_resize_2x (which moves to
+    # the tail): build -> partitioned write -> pruned level read
+    "pyramid_downsample_read",
     "geotransform_update",
     "pipeline_kernel_synrgb_default",
     "pipeline_kernel_synrgb_suppressed",
@@ -139,7 +141,9 @@ HEAD_ORDER: tuple[str, ...] = (
     # LLM-pipeline components
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_signatures",
+    # P1/P4/C3 dispatch certificate (dedup_minhash_signatures moves to the
+    # tail: the verified chain computes the same signatures upstream)
+    "pipeline_plan_flags",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_topk_bruteforce",

@@ -31,6 +31,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(d)
 
 
+_EXACT_NORM_SQL = r"""
+SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS h,
+       MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""".strip()
+
+
+@query("dedup_exact_normalized", sql=_EXACT_NORM_SQL, tags=("llm", "dedup"))
+def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-tolerant exact dedup: lowercase/trim/whitespace-collapse
+    before hashing — catches re-encoded and re-wrapped copies byte-hashing
+    misses (the standard first pass of a corpus dedup pipeline)."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup_normalized(d)
+
+
 # --- n-gram Jaccard near-dup -------------------------------------------------
 
 _JACCARD_SQL = dd.sql_ngram_jaccard("documents", threshold=0.5)

@@ -62,3 +62,66 @@ def test_sessionize_gap_semantics(spark):
     assert len(by_user[1]) == 2
     assert sorted(r["n_events"] for r in by_user[1]) == [1, 2]
     assert len(by_user[2]) == 1
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append mode + watermark: an event arriving behind the watermark must
+    NOT resurrect its (already finalized) window — the state-eviction bound
+    that keeps unbounded streams tractable. Two availableNow runs over one
+    checkpoint: the watermark persists between runs, so the straggler in run
+    2 is provably behind it."""
+    import pandas as pd
+
+    stage = tmp_path / "late_stream"
+    stage.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, event_type string, value double, user_id bigint"
+
+    def write_batch(name, ts_list, uids):
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(ts_list),
+                "event_type": ["click"] * len(ts_list),
+                "value": [1.0] * len(ts_list),
+                "user_id": uids,
+            }
+        ).to_parquet(stage / name, coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    out_dir = str(tmp_path / "finalized")
+
+    def drain(qname):
+        stream = spark.readStream.schema(schema).parquet(str(stage))
+        agg = se.tumbling_counts(stream, window="1 hour", watermark="30 minutes")
+
+        def sink(df, _bid):
+            df.write.mode("append").parquet(out_dir)
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")  # append emits only FINALIZED windows
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        try:
+            rows = spark.read.parquet(out_dir).collect()
+        except Exception:  # no finalized windows emitted yet
+            return {}
+        return {r["window_start"].strftime("%H:%M"): r["n"] for r in rows}
+
+    # run 1: two 10:05/10:06 events + one at 12:00 -> watermark persists at 11:30
+    write_batch("a_batch1.parquet", 
+                ["2024-01-01 10:05:00", "2024-01-01 10:06:00", "2024-01-01 12:00:00"],
+                [1, 2, 3])
+    drain("late_run1")
+
+    # run 2: a 10:07 straggler (behind the 11:30 watermark -> dropped) + 12:10
+    write_batch("b_batch2.parquet", ["2024-01-01 10:07:00", "2024-01-01 12:10:00"], [4, 5])
+    got2 = drain("late_run2")
+
+    # the 10:00 window finalizes in run 2 (watermark 11:30 > 11:00) and must
+    # count ONLY the two on-time events — the straggler was evicted
+    assert got2.get("10:00") == 2
