@@ -125,3 +125,29 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the 10:00 window finalizes in run 2 (watermark 11:30 > 11:00) and must
     # count ONLY the two on-time events — the straggler was evicted
     assert got2.get("10:00") == 2
+
+
+def test_sessionize_batch_equals_streaming(spark, sf_dir, tmp_path):
+    """session_window is the one stateful aggregation whose merge logic
+    differs most between batch and streaming — drain the bounded stream and
+    require identical sessions."""
+    import shutil
+
+    batch_events = frames.load_table(spark, sf_dir, "events")
+    batch = {
+        (r["session_start"], r["user_id"]): (r["n_events"], r["session_value"])
+        for r in se.sessionize(batch_events).collect()
+    }
+
+    stage = tmp_path / "sess_stream"
+    stage.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    stream = se.stream_events_from_parquet(spark, str(stage))
+    q = se.run_stream_to_memory(se.sessionize(stream), "sessionize_test")
+    got = {
+        (r["session_start"], r["user_id"]): (r["n_events"], r["session_value"])
+        for r in spark.sql("SELECT * FROM sessionize_test").collect()
+    }
+    q.stop()
+    assert got == batch
+    assert len(got) > 0
