@@ -116,10 +116,89 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint_expr(text: Column, length: int = 16) -> Column:
-    """Document fingerprint: md5 of the whitespace-normalized lowercase text,
-    truncated — the join-key form of content identity."""
+    """Whole-document fingerprint: md5 of the whitespace-normalized lowercase
+    text, truncated — the join-key form of content identity."""
     norm = F.regexp_replace(F.trim(F.lower(text)), "\\s+", " ")
     return F.substring(F.md5(norm), 1, length)
+
+
+# --- winnowing (rolling-hash) fingerprints -----------------------------------
+
+WINNOW_BASE = 257
+WINNOW_MOD = 1_000_000_007  # Horner intermediates stay < MOD*BASE << 2^63
+
+
+def _rolling_hash_expr(kgram: Column, k: int) -> Column:
+    """Polynomial hash h = sum(code_i * B^(k-1-i)) mod P, evaluated as the
+    Horner recurrence ((h*B + code) mod P) — the relational per-k-gram form
+    of the O(1)-per-step rolling hash an imperative scanner maintains.
+    Exact int64 arithmetic, identical in the SQL twin."""
+    h = F.lit(0).cast("long")
+    for j in range(k):
+        code = F.ascii(F.substring(kgram, j + 1, 1)).cast("long")
+        h = (h * WINNOW_BASE + code) % WINNOW_MOD
+    return h
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+) -> DataFrame:
+    """Winnowing document fingerprints (the standard local-fingerprint scheme
+    over a rolling hash): k-gram rolling hashes, then keep the MINIMUM hash
+    of every ``window`` consecutive positions — any shared substring of
+    length >= window+k-1 between two documents is guaranteed to share a
+    fingerprint. Output: distinct (id, fp)."""
+    from pyspark.sql.window import Window as W
+
+    lowered = F.lower(F.col(text_col))
+    npos = F.length(lowered) - (k - 1)
+    pos = F.explode(F.sequence(F.lit(1), F.greatest(npos, F.lit(0))))
+    grams = (
+        df.select(F.col(id_col), lowered.alias("_t"), npos.alias("_np"), pos.alias("_i"))
+        .select(
+            F.col(id_col),
+            F.col("_i"),
+            F.col("_np"),
+            _rolling_hash_expr(F.substring(F.col("_t"), F.col("_i"), k), k).alias("_h"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy("_i").rowsBetween(0, window - 1)
+    sel = (
+        grams.withColumn("fp", F.min("_h").over(w))
+        # only full windows (winnowing is defined over complete windows)
+        .where(F.col("_i") <= F.col("_np") - (window - 1))
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )
+    return sel
+
+
+def sql_winnowing(src_rel: str, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 8, window: int = 16) -> str:
+    """DuckDB twin of :func:`winnowing_fingerprints`."""
+    horner = "CAST(0 AS BIGINT)"
+    for j in range(k):
+        horner = f"(({horner}) * {WINNOW_BASE} + ascii(SUBSTR(t, i.i + {j}, 1))) % {WINNOW_MOD}"
+    return f"""
+grams AS (
+  SELECT {id_col}, i.i AS i, LENGTH(t) - {k - 1} AS np,
+         {horner} AS h
+  FROM (SELECT {id_col}, LOWER({text_col}) AS t FROM {src_rel}) d,
+       LATERAL (SELECT UNNEST(RANGE(1, GREATEST(LENGTH(d.t) - {k - 1}, 0) + 1)) AS i) i
+),
+winnowed AS (
+  SELECT {id_col},
+         MIN(h) OVER (PARTITION BY {id_col} ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp,
+         i, np
+  FROM grams
+)
+SELECT DISTINCT {id_col}, fp FROM winnowed WHERE i <= np - {window - 1}
+""".strip()
 
 
 # --- DuckDB twins ------------------------------------------------------------

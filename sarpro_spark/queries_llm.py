@@ -400,6 +400,18 @@ SELECT doc_id,
 FROM documents
 """.strip()
 
+_WINNOW_SQL = f"WITH {tx.sql_winnowing('documents')}"
+
+
+@query("text_winnowing", sql=_WINNOW_SQL, tags=("llm", "text", "fingerprint"))
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling polynomial k-gram hash + min-in-window
+    selection): any shared substring of length >= window+k-1 across documents
+    is guaranteed to share a fingerprint — the local-similarity counterpart
+    of the whole-document fingerprint."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    return tx.winnowing_fingerprints(d)
+
 
 @query("text_fingerprint", sql=_FINGERPRINT_SQL, tags=("llm", "text"))
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -183,3 +183,20 @@ def test_simhash_neardup_pairs(spark):
     out = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dd.simhash_neardup_pairs(df).collect()}
     assert (0, 1) in out and out[(0, 1)] <= 3
     assert (0, 2) not in out and (1, 2) not in out
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= window+k-1 (= 23 at defaults)
+    MUST share at least one winnowing fingerprint; disjoint docs should not."""
+    common = "abcdefghijklmnopqrstuvwxyz0123"  # 30 chars shared run
+    rows = [
+        (0, "PREFIX ONE %s SUFFIX ALPHA" % common),
+        (1, "totally other start %s and another ending" % common),
+        (2, "no overlap here at all with anything like those above ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in tx.winnowing_fingerprints(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1], "shared 30-char run must yield a common fingerprint"
+    assert not (fps[0] & fps[2])
