@@ -334,7 +334,22 @@ def minhash_jaccard_pairs(
     vocab) don't flood the buckets; raise `bands` for recall, `rows` for
     selectivity."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(eager=True)
+    # ONE shingle explode + md5 pass feeds BOTH the signature aggregation and
+    # the exact verify (the r01 form scanned and hashed the corpus twice)
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+    hashed = (
+        char_shingles(df, id_col, text_col, n, distinct=False)
+        .select(F.col(id_col), base.alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    sig = hashed.groupBy(id_col).agg(*aggs).localCheckpoint(eager=True)
     band_frames = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -357,20 +372,13 @@ def minhash_jaccard_pairs(
         .unionByName(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    # verify on HASHED shingle ids (int64 md5-prefix — same value on both
-    # engines, so oracle joins stay in lock-step; an intra-doc-pair 60-bit
-    # collision is ~1e-12 and affects both sides identically), and ONLY for
-    # docs that appear in a candidate pair: the corpus-wide set-distinct
-    # shrinks to the candidate subset (sizes of non-candidates are never
-    # read). Materialized once; candidates are tiny -> broadcast joins.
-    base = (
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
-        % MINHASH_PRIME
-    )
+    # verify on the SAME hashed shingle stream (int64 md5-prefix — identical
+    # on both engines, so oracle joins stay in lock-step; an intra-doc-pair
+    # 60-bit collision is ~1e-12 and affects both sides identically), and
+    # ONLY for docs that appear in a candidate pair: the set-distinct shrinks
+    # to the candidate subset. Candidates are tiny -> broadcast joins.
     sh = (
-        char_shingles(df, id_col, text_col, n, distinct=False)
-        .join(F.broadcast(cand_docs), id_col, "left_semi")
-        .select(F.col(id_col), base.alias("h"))
+        hashed.join(F.broadcast(cand_docs), id_col, "left_semi")
         .distinct()
         .localCheckpoint(eager=True)
     )

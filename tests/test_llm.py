@@ -200,3 +200,24 @@ def test_winnowing_shared_substring_guarantee(spark):
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[0] & fps[1], "shared 30-char run must yield a common fingerprint"
     assert not (fps[0] & fps[2])
+
+
+def test_lsh_results_independent_of_partitioning(spark, emb):
+    """Bucket keys are exact integer arithmetic: candidate sets — and thus
+    results — must be identical whatever the input partitioning."""
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    kw = dict(k=5, bands=4, band_bits=6, dim=16)
+    a = sorted(map(tuple, sim.cosine_topk_lsh(emb.repartition(1), queries, **kw).collect()))
+    b = sorted(map(tuple, sim.cosine_topk_lsh(emb.repartition(13), queries, **kw).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_minhash_pairs_independent_of_partitioning(spark):
+    rows = [(i, f"document number {i % 7} with mostly shared text content repeated "
+                f"over and over {'x' * (i % 3)}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dd.minhash_jaccard_pairs(df.repartition(1), threshold=0.5).collect()))
+    b = sorted(map(tuple, dd.minhash_jaccard_pairs(df.repartition(11), threshold=0.5).collect()))
+    assert a == b and len(a) > 0
