@@ -103,10 +103,28 @@ def dedup_clusters(
 ) -> DataFrame:
     """(doc_id, cluster_id, is_canonical): cluster near-dup pairs, mark the
     min-id doc of each cluster canonical — drop the rest for a deduplicated
-    corpus."""
+    corpus.
+
+    Only nodes that appear in an edge ride the iteration: near-dup docs are a
+    small fraction of any real corpus, so label propagation runs on the
+    pair-connected subgraph (orders of magnitude smaller than the corpus at
+    100 TB) and the singleton majority joins back in one anti-join with
+    ``cluster_id = id``."""
     nodes = docs.select(F.col(id_col).alias("id"))
-    cc = connected_components(nodes, pairs, "id", a, b)
-    return cc.select(
+    # materialize the pair computation ONCE — it feeds the edge relation, the
+    # label init, and the singleton anti-join, and is typically an expensive
+    # LSH/verify pipeline that must not re-execute per consumer
+    pairs = _checkpointer(pairs)(pairs.select(F.col(a).alias(a), F.col(b).alias(b)))
+    edge_nodes = (
+        pairs.select(F.col(a).alias("id"))
+        .unionByName(pairs.select(F.col(b).alias("id")))
+        .distinct()
+    )
+    cc = connected_components(edge_nodes, pairs, "id", a, b)
+    singletons = nodes.join(edge_nodes, "id", "left_anti").select(
+        "id", F.col("id").alias("cluster_id")
+    )
+    return cc.unionByName(singletons).select(
         F.col("id").alias(id_col),
         "cluster_id",
         (F.col("id") == F.col("cluster_id")).alias("is_canonical"),

@@ -334,22 +334,28 @@ def minhash_jaccard_pairs(
     vocab) don't flood the buckets; raise `bands` for recall, `rows` for
     selectivity."""
     rows_per_band = num_hashes // bands
-    # ONE shingle explode + md5 pass feeds BOTH the signature aggregation and
-    # the exact verify (the r01 form scanned and hashed the corpus twice)
+    # ONE shingle explode + md5 pass feeds the signature aggregation, which
+    # ALSO carries each doc's distinct shingle-hash SET (sorted array) and its
+    # size: min-hashes, set, and set-size all come out of the SAME single
+    # shuffle. The set per doc is bounded by doc length (~|text| int64s), so
+    # the agg buffer stays small even when the corpus is 100 TB.
     base = (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
         % MINHASH_PRIME
     )
-    hashed = (
-        char_shingles(df, id_col, text_col, n, distinct=False)
-        .select(F.col(id_col), base.alias("h"))
-        .localCheckpoint(eager=True)
+    hashed = char_shingles(df, id_col, text_col, n, distinct=False).select(
+        F.col(id_col), base.alias("h")
     )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"sig_{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    sig = hashed.groupBy(id_col).agg(*aggs).localCheckpoint(eager=True)
+    sig = (
+        hashed.groupBy(id_col)
+        .agg(*aggs, F.sort_array(F.collect_set("h")).alias("hset"))
+        .withColumn("sz", F.size("hset"))
+        .localCheckpoint(eager=True)
+    )
     band_frames = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -365,34 +371,17 @@ def minhash_jaccard_pairs(
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .localCheckpoint(eager=True)  # reused 3x (doc filter + both verify joins)
     )
-    cand_docs = (
-        cand.select(F.col("doc_a").alias(id_col))
-        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
-    # verify on the SAME hashed shingle stream (int64 md5-prefix — identical
-    # on both engines, so oracle joins stay in lock-step; an intra-doc-pair
-    # 60-bit collision is ~1e-12 and affects both sides identically), and
-    # ONLY for docs that appear in a candidate pair: the set-distinct shrinks
-    # to the candidate subset. Candidates are tiny -> broadcast joins.
-    sh = (
-        hashed.join(F.broadcast(cand_docs), id_col, "left_semi")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        sh.select(F.col(id_col).alias("doc_a"), "h")
-        .join(F.broadcast(cand), "doc_a")
-        .join(sh.select(F.col(id_col).alias("doc_b"), "h"), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # verify: exact |A ∩ B| via array_intersect of the per-doc hash sets —
+    # two joins of the (tiny) candidate pair list against the signature
+    # frame, zero additional shuffles of the corpus. The 60-bit md5-prefix
+    # stream is identical on both engines, so the oracle stays in lock-step
+    # (an intra-pair collision is ~1e-12 and affects both sides identically).
+    sets = sig.select(F.col(id_col), "hset", "sz")
     out = (
-        inter.join(F.broadcast(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))), "doc_a")
-        .join(F.broadcast(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))), "doc_b")
+        cand.join(sets.select(F.col(id_col).alias("doc_a"), F.col("hset").alias("set_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sets.select(F.col(id_col).alias("doc_b"), F.col("hset").alias("set_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
