@@ -106,9 +106,11 @@ def clip_params_np(s: dict, strategy: AutoscaleStrategy | str) -> tuple[float, f
     return s["p05"], s["p95"], 1.0
 
 
-def quantize_np(db: np.ndarray, valid: np.ndarray, low: float, high: float,
-                gamma: float, max_val: float) -> np.ndarray:
-    rng = max(high - low, 1.0)
+def quantize_np(db: np.ndarray, valid: np.ndarray, low, high,
+                gamma, max_val: float) -> np.ndarray:
+    """low/high/gamma may be scalars (per-product kernels) or per-pixel
+    arrays (the tiled path joins params onto rows)."""
+    rng = np.maximum(high - low, 1.0)
     clipped = np.clip(db, low, high)
     norm = ((clipped - low) / rng) ** gamma
     q = np.clip(norm * max_val, 0.0, max_val).astype(np.int64)  # trunc, as u16
@@ -288,7 +290,7 @@ def single_band_kernel_tiled(
     strategy: AutoscaleStrategy | str,
     bit_depth: BitDepth,
     value: str = "v",
-    block_rows: int = 1024,
+    max_chunk: int = 1 << 20,
 ) -> DataFrame:
     """Scale hardening of :func:`single_band_kernel`: NO task ever holds a
     whole product, so a 26544^2 (704 MP) GRD product cannot OOM one executor.
@@ -296,15 +298,19 @@ def single_band_kernel_tiled(
       phase 1  per-product dB histogram stats via the distributed relational
                aggregation (map-side combine, one shuffle) + strategy params
                (tiny frame, broadcast)
-      phase 2  quantize as a vectorized pandas kernel per (product, row-block)
-               — work unit is block_rows x cols, memory O(block)
+      phase 2  quantize as a vectorized pandas kernel over mapInPandas —
+               per-pixel params ride the broadcast join, so the kernel needs
+               NO grouping shuffle at all: it runs on the scan partitioning,
+               one Arrow batch (sub-chunked to <= max_chunk pixels) at a time,
+               memory O(chunk) regardless of product size
       phase 3  (U8 only) per-product q16 extent agg -> broadcast -> the
                relational double-quantization rescale
 
     Same formulas as the one-task kernel and the relational path — shares
     their oracle SQL; bit-equality across all three is asserted in
-    tests/test_kernel.py. CLAHE is spatial (tile neighborhoods) and not
-    tileable this way — use the full kernel or the relational CLAHE."""
+    tests/test_kernel.py (chunk-grain invariance via tiny max_chunk). CLAHE
+    is spatial (tile neighborhoods) and not tileable this way — use the full
+    kernel or the relational CLAHE."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -323,9 +329,7 @@ def single_band_kernel_tiled(
         params = asc.params_advanced(stats, group_cols, strategy)
     quant_max = 255.0 if bit_depth == BitDepth.U8 else 65535.0
 
-    blocks = pxdb.join(F.broadcast(params), group_cols).withColumn(
-        "_blk", F.floor(F.col("row") / block_rows).cast("int")
-    )
+    joined = pxdb.join(F.broadcast(params), group_cols)
     key_fields = [px.schema[c] for c in group_cols]
     schema = StructType(
         key_fields
@@ -333,23 +337,33 @@ def single_band_kernel_tiled(
            StructField("q", IntegerType())]
     )
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        low = float(pdf["low"].iloc[0])
-        high = float(pdf["high"].iloc[0])
-        gamma = float(pdf["gamma"].iloc[0])
-        db = pdf["db"].to_numpy(dtype=np.float64)
-        valid = pdf["valid"].to_numpy(dtype=bool)
-        q = quantize_np(db, valid, low, high, gamma, quant_max)
-        out = pd.DataFrame(
-            {"row": pdf["row"].to_numpy(np.int32), "col": pdf["col"].to_numpy(np.int32),
-             "q": q.astype(np.int32)}
-        )
-        for c in group_cols:
-            out.insert(0, c, pdf[c].iloc[0])
-        return out
+    def fn(batches):
+        for pdf in batches:
+            for s in range(0, len(pdf), max_chunk):
+                c = pdf.iloc[s : s + max_chunk]
+                q = quantize_np(
+                    c["db"].to_numpy(dtype=np.float64),
+                    c["valid"].to_numpy(dtype=bool),
+                    c["low"].to_numpy(dtype=np.float64),
+                    c["high"].to_numpy(dtype=np.float64),
+                    c["gamma"].to_numpy(dtype=np.float64),
+                    quant_max,
+                )
+                out = pd.DataFrame(
+                    {"row": c["row"].to_numpy(np.int32), "col": c["col"].to_numpy(np.int32),
+                     "q": q.astype(np.int32)}
+                )
+                for g in reversed(group_cols):
+                    out.insert(0, g, c[g].to_numpy())
+                yield out
 
-    q16 = blocks.groupBy(*group_cols, "_blk").applyInPandas(fn, schema=schema)
+    q16 = joined.mapInPandas(fn, schema=schema)
     if bit_depth == BitDepth.U8:
+        # q16 feeds BOTH the per-product extent agg and the rescale join —
+        # persist so the stats+quantize chain (two shuffles + a pandas kernel)
+        # executes once, not once per consumer. Plain persist (not
+        # checkpoint): lineage stays available for executor-loss recompute.
+        q16 = q16.persist()
         q16 = q16.withColumnRenamed("q", "_q16")
         q16 = asc.scale_u16_to_u8(q16, group_cols, value="_q16", out="q").drop("_q16")
     return q16.select(*group_cols, "row", "col", "q")

@@ -366,15 +366,16 @@ def q_kernel_std_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("raster", "kernel", "tiled"),
 )
 def q_kernel_tiled_u8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The W9 U8 pipeline at (product, row-block) grain — the oversized-
-    product hardening (no task holds a whole raster; block_rows=16 forces
-    multiple blocks per fixture product at every sf). Same oracle as the
-    one-task kernel and the relational path."""
+    """The W9 U8 pipeline as the shuffle-free tiled kernel — the oversized-
+    product hardening (no task holds a whole raster; quantize runs as
+    mapInPandas on the scan partitioning with broadcast per-product params;
+    max_chunk=4096 forces multiple vectorized chunks per task at every sf).
+    Same oracle as the one-task kernel and the relational path."""
     import sarpro_spark.operators.kernel as krn
 
     px = frames.single_band(spark, sf_dir, "vv")
     return krn.single_band_kernel_tiled(
-        px, ["product_id"], "standard-a2", BitDepth.U8, block_rows=16
+        px, ["product_id"], "standard-a2", BitDepth.U8, max_chunk=4096
     )
 
 

@@ -64,11 +64,12 @@ def test_kernel_matches_relational(spark, sf_dir, strategy, bd):
     ids=["tiled-std-u8", "tiled-tamed-u16"],
 )
 def test_tiled_kernel_bit_identical(spark, sf_dir, strategy, bd):
-    """The (product, row-block) tiled kernel must match the one-task kernel
-    bit-for-bit — block_rows=4 forces many blocks per product (the oversized-
-    product shape where a whole raster never fits one task)."""
+    """The shuffle-free tiled kernel must match the one-task kernel
+    bit-for-bit — max_chunk=64 forces many vectorized chunks per task, with
+    chunks spanning mixed products (the oversized-product shape where a whole
+    raster never fits one task)."""
     px = frames.single_band(spark, sf_dir, "vv")
-    tiled = krn.single_band_kernel_tiled(px, ["product_id"], strategy, bd, block_rows=4)
+    tiled = krn.single_band_kernel_tiled(px, ["product_id"], strategy, bd, max_chunk=64)
     full = krn.single_band_kernel(px, ["product_id"], strategy, bd)
     diff = (
         tiled.alias("t")
@@ -82,8 +83,8 @@ def test_tiled_kernel_bit_identical(spark, sf_dir, strategy, bd):
 
 
 def test_tiled_kernel_tall_product(spark):
-    """Artificially tall product (4096 rows x 8 cols, 512 blocks at
-    block_rows=8): the tiled path must agree with the one-task kernel."""
+    """Artificially tall product (4096 rows x 8 cols, split into 256-pixel
+    chunks): the tiled path must agree with the one-task kernel."""
     import numpy as np
 
     rng = np.random.RandomState(17)
@@ -93,7 +94,7 @@ def test_tiled_kernel_tall_product(spark):
         ("tall", i // 8, i % 8, float(v)) for i, v in enumerate(vals)
     ]
     px = spark.createDataFrame(data, "product_id string, row int, col int, v double")
-    tiled = krn.single_band_kernel_tiled(px, ["product_id"], "standard-a2", BitDepth.U8, block_rows=8)
+    tiled = krn.single_band_kernel_tiled(px, ["product_id"], "standard-a2", BitDepth.U8, max_chunk=256)
     full = krn.single_band_kernel(px, ["product_id"], "standard-a2", BitDepth.U8)
     t = {(r["row"], r["col"]): r["q"] for r in tiled.collect()}
     f = {(r["row"], r["col"]): r["q"] for r in full.collect()}
