@@ -134,6 +134,7 @@ HEAD_ORDER: tuple[str, ...] = (
     "batch_report",
     "worldfile_sidecar",
     "tiff_roundtrip",
+    "jpeg_roundtrip",
     "sidecar_outputs",
     # sources (fixture-certified)
     "safe_discovery",
@@ -141,10 +142,10 @@ HEAD_ORDER: tuple[str, ...] = (
     # LLM-pipeline components
     "dedup_exact",
     "dedup_ngram_jaccard",
-    # P1/P4/C3 dispatch certificate (dedup_minhash_signatures moves to the
-    # tail: the verified chain computes the same signatures upstream)
+    # P1/P4/C3 dispatch certificate (dedup_minhash_signatures and
+    # dedup_minhash_lsh move to the tail: the verified chain computes the
+    # same signatures and banded LSH candidates upstream)
     "pipeline_plan_flags",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",

@@ -217,3 +217,63 @@ def q_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # footprint; the canvas fill cells outside it are write padding
     footprint = px.select("product_id", "row", "col")
     return back.join(footprint, ["product_id", "row", "col"])
+
+
+# --- W3: JPEG write -> decode -> PSNR certification ---------------------------
+
+# JPEG is lossy, so the roundtrip gate is a fidelity BOUND, not equality: the
+# Spark side writes real baseline-JPEG bytes per product (executor-side),
+# decodes them back with the in-repo decoder, and computes per-product PSNR
+# against the pre-encode RGB; the oracle pins the per-product footprint and
+# asserts every product clears the bound. A product whose encode or decode is
+# broken fails rows/hash immediately.
+
+_JPEG_RT_SQL = f"""
+WITH {PX_CTE}
+SELECT product_id, COUNT(*) AS n_px, TRUE AS hi_fidelity
+FROM px GROUP BY product_id
+""".strip()
+
+
+@query("jpeg_roundtrip", sql=_JPEG_RT_SQL, tags=("sink", "jpeg", "kernel"))
+def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 end-to-end (jpeg.rs:6-30): per-product synRGB U8 -> baseline JPEG
+    bytes written executor-side (world-file + prj sidecars, JPEG embeds no
+    geotransform) -> decoded back -> per-product PSNR >= 30 dB asserted
+    against the oracle's TRUE column. Write, decode and the fidelity agg are
+    stages of ONE lazy plan."""
+    import tempfile
+
+    import sarpro_spark.operators.kernel as krn
+
+    wide = frames.band_frame(spark, sf_dir)
+    rgb = krn.multiband_synrgb_kernel(wide, ["product_id"], suppressed=False)
+    staged = rgb.select(
+        "product_id", "row", "col", "r", "g", "b",
+        (F.col("product_id").cast("double") * 128.0).alias("gt0"),
+        F.lit(10.5).alias("gt1"), F.lit(0.0).alias("gt2"),
+        (F.col("product_id").cast("double") * -64.0).alias("gt3"),
+        F.lit(0.0).alias("gt4"), F.lit(-10.25).alias("gt5"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="sarpro_jpeg_rt_")
+    manifest = w.write_jpegs(
+        staged, out_dir, ["product_id"], ["r", "g", "b"],
+        quality=92, gt_cols=("gt0", "gt1", "gt2", "gt3", "gt4", "gt5"),
+    )
+    back = w.read_jpegs_px(manifest, ["r", "g", "b"], ["product_id"])
+    orig = rgb.select(
+        "product_id", "row", "col",
+        F.col("r").alias("r0"), F.col("g").alias("g0"), F.col("b").alias("b0"),
+    )
+    joined = back.join(orig, ["product_id", "row", "col"])
+    err = (
+        (F.col("r") - F.col("r0")) * (F.col("r") - F.col("r0"))
+        + (F.col("g") - F.col("g0")) * (F.col("g") - F.col("g0"))
+        + (F.col("b") - F.col("b0")) * (F.col("b") - F.col("b0"))
+    ).cast("double")
+    per = joined.groupBy("product_id").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        (F.sum(err) / (F.count(F.lit(1)) * 3.0)).alias("mse"),
+    )
+    psnr = F.lit(10.0) * F.log10(F.lit(255.0 * 255.0) / F.greatest(F.col("mse"), F.lit(1e-12)))
+    return per.select("product_id", "n_px", (psnr >= 30.0).alias("hi_fidelity"))

@@ -10,7 +10,7 @@ Supported: little-endian classic TIFF, uncompressed (Compression=1), chunky
 planar (PlanarConfiguration=1), 1-3 samples/pixel, uint8/uint16, multi-strip.
 Georeferencing: ModelPixelScaleTag + ModelTiepointTag (north-up geotransform,
 the reference's GRD case) + ImageDescription carrying the metadata JSON
-(W6/W7). JPEG (W3) genuinely needs an entropy coder — still stubbed.
+(W6/W7). JPEG (W3) lives in the sibling codec, sinks/jpeg.py.
 
 Executor-side usage: the write/read functions take local paths; Spark-side
 plumbing (per-product applyInPandas write, manifest-driven mapInPandas read)

@@ -333,15 +333,128 @@ def read_tiffs_px(manifest: DataFrame, value_cols: list[str], group_cols: list[s
     return manifest.mapInPandas(fn, schema=schema)
 
 
-def encode_jpegs(rgb: DataFrame, out_dir: str, group_cols: list[str]) -> None:
-    """W3: JPEG encode — STUB. A JPEG entropy coder is genuinely out of scope
-    for hand-rolled struct packing; PIL is absent from this environment. The
-    GeoTIFF path (:func:`write_geotiffs`) is the real byte sink."""
-    try:
-        from PIL import Image  # type: ignore  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "JPEG encoding requires Pillow, not available in this environment; "
-            "use write_geotiffs (W1/W2) for real byte output"
-        ) from e
-    raise NotImplementedError("PIL encode path intentionally unimplemented")
+def read_jpegs_px(manifest: DataFrame, value_cols: list[str], group_cols: list[str]) -> DataFrame:
+    """Read-back over a :func:`write_jpegs` manifest: mapInPandas decodes each
+    .jpg executor-side and emits the dense (group, row, col, values...) frame
+    — used by the jpeg_roundtrip certification query (JPEG is lossy, so the
+    certification is a PSNR bound, not pixel equality)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from sarpro_spark.sinks.jpeg import decode_jpeg
+
+    key_fields = [manifest.schema[c] for c in group_cols]
+    schema = StructType(
+        key_fields
+        + [StructField("row", IntegerType()), StructField("col", IntegerType())]
+        + [StructField(vc, IntegerType()) for vc in value_cols]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            for _, rec in pdf.iterrows():
+                with open(rec["path"], "rb") as fh:
+                    arr = decode_jpeg(fh.read())
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                rows, cols, _ = arr.shape
+                rr, cc = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
+                out = pd.DataFrame({"row": rr.ravel().astype(np.int32), "col": cc.ravel().astype(np.int32)})
+                for i, vc in enumerate(value_cols):
+                    out[vc] = arr[:, :, i].ravel().astype(np.int32)
+                for g in reversed(group_cols):
+                    out.insert(0, g, rec[g])
+                yield out
+
+    return manifest.mapInPandas(fn, schema=schema)
+
+
+def write_jpegs(
+    rgb: DataFrame,
+    out_dir: str,
+    group_cols: list[str],
+    value_cols: list[str] = ("r", "g", "b"),
+    quality: int = 90,
+    gt_cols: tuple[str, ...] | None = None,
+    projection_col: str | None = None,
+) -> DataFrame:
+    """W3: JPEG byte sink (jpeg.rs:6-30 — studied, not copied; codec is the
+    in-repo baseline implementation, sinks/jpeg.py). One .jpg per product via
+    applyInPandas: pixels are assembled and entropy-coded inside the executor
+    task that owns the product; only a manifest row returns. JPEG cannot
+    embed a geotransform, so georeferencing goes to the W4 world file (.jgw)
+    + W5 .prj sidecars when ``gt_cols`` is a non-identity transform —
+    mirroring the reference's JPEG save path. ``value_cols`` of length 3 =
+    RGB, length 1 = grayscale."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sarpro_spark.sinks.jpeg import encode_jpeg
+
+    key_fields = [rgb.schema[c] for c in group_cols]
+    schema = StructType(
+        key_fields
+        + [
+            StructField("path", StringType()),
+            StructField("rows", IntegerType()),
+            StructField("cols", IntegerType()),
+            StructField("n_bands", IntegerType()),
+            StructField("n_bytes", LongType()),
+            StructField("sidecars", StringType()),
+        ]
+    )
+    vcols = list(value_cols)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = int(pdf["row"].max()) + 1
+        cols = int(pdf["col"].max()) + 1
+        r, c = pdf["row"].to_numpy(), pdf["col"].to_numpy()
+        if len(vcols) == 1:
+            arr = np.zeros((rows, cols), dtype=np.uint8)
+            arr[r, c] = pdf[vcols[0]].to_numpy()
+        else:
+            arr = np.zeros((rows, cols, 3), dtype=np.uint8)
+            for i, vc in enumerate(vcols):
+                arr[r, c, i] = pdf[vc].to_numpy()
+        stem = "_".join(str(pdf[g].iloc[0]) for g in group_cols).replace("/", "_")
+        path = os.path.join(out_dir, f"{stem}.jpg")
+        os.makedirs(out_dir, exist_ok=True)
+        data = encode_jpeg(arr, quality=quality)
+        with open(path, "wb") as fh:
+            fh.write(data)
+        sidecars = []
+        if gt_cols is not None:
+            gt = [float(pdf[g].iloc[0]) for g in gt_cols]
+            if gt != IDENTITY_GT:
+                wf = os.path.splitext(path)[0] + "." + world_ext_for(path)
+                with open(wf, "w", encoding="utf-8") as fh:
+                    fh.write(worldfile_content(gt))
+                sidecars.append(os.path.basename(wf))
+                if projection_col is not None:
+                    write_prj(path, str(pdf[projection_col].iloc[0]))
+                    sidecars.append(os.path.basename(os.path.splitext(path)[0] + ".prj"))
+        out = pd.DataFrame(
+            {
+                "path": [path],
+                "rows": [rows],
+                "cols": [cols],
+                "n_bands": [len(vcols)],
+                "n_bytes": [len(data)],
+                "sidecars": [json.dumps(sidecars)],
+            }
+        )
+        for g in reversed(group_cols):
+            out.insert(0, g, pdf[g].iloc[0])
+        return out
+
+    return rgb.groupBy(*group_cols).applyInPandas(fn, schema=schema)

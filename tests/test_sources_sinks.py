@@ -339,3 +339,88 @@ def test_safe_e2e_read_pipeline_write(spark, tmp_path):
     assert len(back) == 20 * 16
     for r in back:
         assert r["q"] == orig[(r["row"], r["col"])]
+
+
+# --- W3: JPEG codec + sink ----------------------------------------------------
+
+
+def test_jpeg_roundtrip_gray_and_rgb():
+    """Baseline JPEG encode -> decode must clear a PSNR bound at each quality
+    tier (lossy, so fidelity bound, not equality) and q=100 must be near-
+    transparent."""
+    import numpy as np
+
+    from sarpro_spark.sinks.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    x, y = np.meshgrid(np.linspace(0, 255, 96), np.linspace(0, 255, 80))
+    img = np.clip(0.5 * x + 0.4 * y + rng.normal(0, 4, x.shape), 0, 255).astype(np.uint8)
+    rgb = np.stack([img, np.roll(img, 5, 0), 255 - img], axis=2)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 10 * np.log10(255**2 / max(mse, 1e-12))
+
+    for arr, floor90, floor100 in ((img, 33.0, 45.0), (rgb, 30.0, 45.0)):
+        d90 = decode_jpeg(encode_jpeg(arr, quality=90))
+        d100 = decode_jpeg(encode_jpeg(arr, quality=100))
+        assert d90.shape == arr.shape
+        assert psnr(arr, d90) > floor90
+        assert psnr(arr, d100) > floor100
+
+
+def test_jpeg_marker_structure_and_odd_dims():
+    """JFIF marker stream: SOI/APP0/DQT/SOF0/DHT/SOS/EOI present, in order;
+    non-multiple-of-8 dimensions round-trip at the declared size."""
+    import numpy as np
+
+    from sarpro_spark.sinks.jpeg import decode_jpeg, encode_jpeg
+
+    arr = np.arange(77 * 93, dtype=np.uint8).reshape(77, 93) % 251
+    data = encode_jpeg(arr, quality=85)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xe0", b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in data
+    # SOF0 dims
+    sof = data.index(b"\xff\xc0")
+    h, wdt = int.from_bytes(data[sof + 5:sof + 7], "big"), int.from_bytes(data[sof + 7:sof + 9], "big")
+    assert (h, wdt) == (77, 93)
+    assert decode_jpeg(data).shape == (77, 93)
+
+
+def test_write_jpegs_sink_with_sidecars(spark, tmp_path):
+    """write_jpegs: one .jpg per product, world-file + prj sidecars for
+    non-identity geotransforms, manifest rows describe the bytes written."""
+    import json as _json
+
+    import numpy as np
+
+    rows = []
+    rng = np.random.default_rng(3)
+    for pid in ("P1", "P2"):
+        base = rng.integers(0, 255, size=(16, 24, 3), dtype=np.uint8)
+        for r in range(16):
+            for c in range(24):
+                rows.append((pid, r, c, int(base[r, c, 0]), int(base[r, c, 1]), int(base[r, c, 2]),
+                             100.0, 10.0, 0.0, -50.0, 0.0, -10.0))
+    df = spark.createDataFrame(
+        rows,
+        "product_id string, row int, col int, r int, g int, b int, "
+        "gt0 double, gt1 double, gt2 double, gt3 double, gt4 double, gt5 double",
+    )
+    out = str(tmp_path / "jp")
+    man = w.write_jpegs(df, out, ["product_id"], ["r", "g", "b"], quality=90,
+                        gt_cols=("gt0", "gt1", "gt2", "gt3", "gt4", "gt5"),
+                        projection_col=None).collect()
+    assert len(man) == 2
+    for m in man:
+        assert m["rows"] == 16 and m["cols"] == 24 and m["n_bands"] == 3
+        with open(m["path"], "rb") as fh:
+            assert fh.read(2) == b"\xff\xd8"
+        sidecars = _json.loads(m["sidecars"])
+        assert any(s.endswith(".jgw") for s in sidecars)
+    back = w.read_jpegs_px(
+        spark.createDataFrame([tuple(m) for m in man], schema=w.write_jpegs(
+            df, out, ["product_id"], ["r", "g", "b"]).schema), ["r", "g", "b"], ["product_id"]
+    ).collect()
+    assert len(back) == 2 * 16 * 24
