@@ -302,3 +302,141 @@ def geotransform_update(
         "gt0_new", g0 - F.col("pad_left").cast("double") * F.col("gt1_new")
     ).withColumn("gt3_new", g3 - F.col("pad_top").cast("double") * F.col("gt5_new"))
     return d
+
+
+# --- G5: in-engine affine warp (bilinear) ------------------------------------
+
+
+def affine_warp_bilinear(
+    px: DataFrame,
+    geo: DataFrame,
+    group_cols: list[str],
+    value: str = "v",
+) -> DataFrame:
+    """G5 brought in-engine for the affine case: resample each product from
+    its source grid onto a per-product TARGET grid with bilinear weights.
+    The reference shells out to gdalwarp for this (sentinel1.rs:914-1072);
+    full curvilinear CRS reprojection (datum shifts) stays external, but the
+    affine warp — scale / shear / rotation / translation onto a target
+    geotransform, the dominant GRD case — is pure relational algebra:
+
+      1. target canvas at ROW grain (explode rows -> repartition -> explode
+         cols inside the task; the pad_to_square scale pattern — no
+         O(rows*cols) single-task explode),
+      2. inverse-affine source coordinates as column expressions,
+      3. EXPLODE the 4 bilinear corners (dr, dc) with their weights,
+      4. one co-partitioned join against the source pixel frame,
+      5. groupBy target cell: value = SUM(w*v)/SUM(w) over present corners
+         (edge cells renormalize; fully out-of-footprint cells drop).
+
+    ``geo`` carries per product: sg0..sg5 (source geotransform), dg0..dg5
+    (target geotransform), dst_rows, dst_cols. Weighted-sum determinism: with
+    dyadic geotransforms and integer-quantized values every w*v product is
+    exact in f64, so the 4-corner sum is order-independent — the oracle twin
+    (sql_affine_warp) hash-matches bit-for-bit.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    stubs = geo.select(
+        *gcols, "sg0", "sg1", "sg2", "sg3", "sg4", "sg5",
+        "dg0", "dg1", "dg2", "dg3", "dg4", "dg5", "dst_cols",
+        F.explode(F.sequence(F.lit(0), F.col("dst_rows") - 1)).alias("row"),
+    ).repartition(*group_cols, "row")
+    cells = stubs.select(
+        *gcols, "sg0", "sg1", "sg2", "sg3", "sg4", "sg5",
+        "dg0", "dg1", "dg2", "dg3", "dg4", "dg5", "row",
+        F.explode(F.sequence(F.lit(0), F.col("dst_cols") - 1)).alias("col"),
+    )
+    x = F.col("dg0") + (F.col("col") + 0.5) * F.col("dg1") + (F.col("row") + 0.5) * F.col("dg2")
+    y = F.col("dg3") + (F.col("col") + 0.5) * F.col("dg4") + (F.col("row") + 0.5) * F.col("dg5")
+    det = F.col("sg1") * F.col("sg5") - F.col("sg2") * F.col("sg4")
+    cs = ((x - F.col("sg0")) * F.col("sg5") - (y - F.col("sg3")) * F.col("sg2")) / det - 0.5
+    rs = ((y - F.col("sg3")) * F.col("sg1") - (x - F.col("sg0")) * F.col("sg4")) / det - 0.5
+    src = cells.select(
+        *gcols, "row", "col",
+        F.floor(cs).cast("int").alias("c0"),
+        F.floor(rs).cast("int").alias("r0"),
+        (cs - F.floor(cs)).alias("wc"),
+        (rs - F.floor(rs)).alias("wr"),
+    )
+    corners = src.select(
+        *gcols, "row", "col", "c0", "r0", "wc", "wr",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+                    for dr in (0, 1)
+                    for dc in (0, 1)
+                ]
+            )
+        ).alias("k"),
+    ).select(
+        *gcols, "row", "col",
+        (F.col("r0") + F.col("k.dr")).alias("srow"),
+        (F.col("c0") + F.col("k.dc")).alias("scol"),
+        (
+            F.when(F.col("k.dr") == 1, F.col("wr")).otherwise(1.0 - F.col("wr"))
+            * F.when(F.col("k.dc") == 1, F.col("wc")).otherwise(1.0 - F.col("wc"))
+        ).alias("w"),
+    )
+    srcpx = px.select(
+        *gcols, F.col("row").alias("srow"), F.col("col").alias("scol"),
+        F.col(value).cast("double").alias("_v"),
+    )
+    hit = corners.join(srcpx, [*group_cols, "srow", "scol"])
+    return (
+        hit.groupBy(*group_cols, "row", "col")
+        .agg(F.sum(F.col("w") * F.col("_v")).alias("_wv"), F.sum("w").alias("_w"))
+        .where(F.col("_w") > 0.0)
+        .select(*gcols, "row", "col", (F.col("_wv") / F.col("_w")).alias(value))
+    )
+
+
+def sql_affine_warp(
+    px_rel: str,
+    geo_rel: str,
+    group_cols: list[str],
+    value: str = "v",
+) -> str:
+    """DuckDB twin of :func:`affine_warp_bilinear`. ``px_rel`` yields
+    (group, row, col, value); ``geo_rel`` yields (group, sg0..sg5, dg0..dg5,
+    dst_rows, dst_cols). Returns CTEs ending in ``warped``."""
+    g = ", ".join(group_cols)
+    gg = ", ".join(f"g.{c}" for c in group_cols)
+    gs = ", ".join(f"s.{c}" for c in group_cols)
+    return f"""
+cellsw AS (
+  SELECT {gg}, r.i AS row, c.i AS col,
+         g.dg0 + (c.i + 0.5) * g.dg1 + (r.i + 0.5) * g.dg2 AS x,
+         g.dg3 + (c.i + 0.5) * g.dg4 + (r.i + 0.5) * g.dg5 AS y,
+         g.sg0, g.sg1, g.sg2, g.sg3, g.sg4, g.sg5
+  FROM {geo_rel} g,
+       LATERAL (SELECT UNNEST(RANGE(0, g.dst_rows)) AS i) r,
+       LATERAL (SELECT UNNEST(RANGE(0, g.dst_cols)) AS i) c
+),
+srccoord AS (
+  SELECT {g}, row, col,
+         ((x - sg0) * sg5 - (y - sg3) * sg2) / (sg1 * sg5 - sg2 * sg4) - 0.5 AS cs,
+         ((y - sg3) * sg1 - (x - sg0) * sg4) / (sg1 * sg5 - sg2 * sg4) - 0.5 AS rs
+  FROM cellsw
+),
+cornersw AS (
+  SELECT {gs}, s.row, s.col,
+         CAST(FLOOR(s.rs) AS INTEGER) + k.dr AS srow,
+         CAST(FLOOR(s.cs) AS INTEGER) + k.dc AS scol,
+         (CASE WHEN k.dr = 1 THEN s.rs - FLOOR(s.rs) ELSE 1.0 - (s.rs - FLOOR(s.rs)) END)
+       * (CASE WHEN k.dc = 1 THEN s.cs - FLOOR(s.cs) ELSE 1.0 - (s.cs - FLOOR(s.cs)) END) AS w
+  FROM srccoord s,
+       LATERAL (SELECT UNNEST([0,0,1,1]) AS dr, UNNEST([0,1,0,1]) AS dc) k
+),
+warped AS (
+  SELECT {g}, row, col, SUM(w * _v) / SUM(w) AS {value}
+  FROM (
+    SELECT c.*, CAST(p.{value} AS DOUBLE) AS _v
+    FROM cornersw c
+    JOIN {px_rel} p
+      ON {' AND '.join(f'p.{c} = c.{c}' for c in group_cols)}
+     AND p.row = c.srow AND p.col = c.scol
+  ) j
+  GROUP BY {g}, row, col
+  HAVING SUM(w) > 0.0
+)""".strip()

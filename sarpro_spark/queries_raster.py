@@ -657,3 +657,61 @@ def q_kernel_synrgb_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wide = frames.band_frame(spark, sf_dir)
     return krn.multiband_synrgb_kernel(wide, ["product_id"], suppressed=True)
+
+
+# --- G5: in-engine affine warp certificate -----------------------------------
+
+# Dyadic geotransforms (powers of two) + integer u8 input make every bilinear
+# w*q product exact in f64, so the 4-corner sum is order-independent and the
+# warp hash-matches the oracle bit-for-bit (fround only guards the final
+# division). Source: per-product north-up 8m grid; target: 2x finer grid with
+# a dyadic x-shear — scale+shear+translate, the affine family gdalwarp covers
+# for GRD products (sentinel1.rs:914-1072), now in-engine.
+
+
+def _warp_sql() -> str:
+    from sarpro_spark.operators.geometry import sql_affine_warp
+    from sarpro_spark.queries import sql_fround
+
+    u8 = asc.oracle_autoscale_sql(_VV_SRC_CTE, ["product_id"], _KEYS, "standard-a2", BitDepth.U8)
+    warp = sql_affine_warp("u8", "geo", ["product_id"], "q")
+    return f"""
+WITH u8 AS ({u8}),
+geo AS (
+  SELECT product_id,
+         CAST(product_id AS DOUBLE) * 128.0 AS sg0, 8.0 AS sg1, 0.0 AS sg2,
+         CAST(product_id AS DOUBLE) * -64.0 AS sg3, 0.0 AS sg4, -8.0 AS sg5,
+         CAST(product_id AS DOUBLE) * 128.0 AS dg0, 4.0 AS dg1, 2.0 AS dg2,
+         CAST(product_id AS DOUBLE) * -64.0 AS dg3, 0.0 AS dg4, -4.0 AS dg5,
+         (MAX(row) + 1) * 2 AS dst_rows, (MAX(col) + 1) * 2 AS dst_cols
+  FROM u8 GROUP BY product_id
+),
+{warp}
+SELECT product_id, row, col, {sql_fround('q')} AS q FROM warped
+""".strip()
+
+
+@query("affine_warp_bilinear", sql=_warp_sql(), tags=("raster", "geometry", "warp"))
+def q_affine_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 affine warp in-engine: u8 product -> bilinear resample onto a 2x
+    finer sheared target grid. Canvas at row grain, corner explode, one
+    co-partitioned join, per-cell weighted agg — no per-product task."""
+    from sarpro_spark.operators.geometry import affine_warp_bilinear, product_dims
+    from sarpro_spark.queries import fround
+
+    px = _vv_px(spark, sf_dir)
+    stats = st.histogram_stats(px, ["product_id"])
+    params = asc.params_standard(stats, ["product_id"])
+    q16 = asc.apply_params(px, params, ["product_id"], BitDepth.U8, out="_q16")
+    u8 = asc.scale_u16_to_u8(q16, ["product_id"], value="_q16", out="q").drop("_q16")
+    pid = F.col("product_id").cast("double")
+    geo = product_dims(u8, ["product_id"]).select(
+        "product_id",
+        (pid * 128.0).alias("sg0"), F.lit(8.0).alias("sg1"), F.lit(0.0).alias("sg2"),
+        (pid * -64.0).alias("sg3"), F.lit(0.0).alias("sg4"), F.lit(-8.0).alias("sg5"),
+        (pid * 128.0).alias("dg0"), F.lit(4.0).alias("dg1"), F.lit(2.0).alias("dg2"),
+        (pid * -64.0).alias("dg3"), F.lit(0.0).alias("dg4"), F.lit(-4.0).alias("dg5"),
+        (F.col("rows") * 2).alias("dst_rows"), (F.col("cols") * 2).alias("dst_cols"),
+    )
+    out = affine_warp_bilinear(u8, geo, ["product_id"], value="q")
+    return out.select("product_id", "row", "col", fround(F.col("q")).alias("q"))

@@ -108,3 +108,72 @@ def test_geotransform_update_invertibility(spark):
     # origin shifts by pad * new pixel size
     assert out["gt0_new"] == pytest.approx(5.0 - 0 * 4.0)
     assert out["gt3_new"] == pytest.approx(50.0 - 5 * (-3.2))
+
+
+# --- G5: affine warp ----------------------------------------------------------
+
+
+def _geo_frame(spark, rows, cols, sg, dg, dst_rows, dst_cols):
+    return spark.createDataFrame(
+        [("P", *sg, *dg, dst_rows, dst_cols)],
+        "product_id string, sg0 double, sg1 double, sg2 double, sg3 double, sg4 double, sg5 double, "
+        "dg0 double, dg1 double, dg2 double, dg3 double, dg4 double, dg5 double, "
+        "dst_rows int, dst_cols int",
+    )
+
+
+def test_affine_warp_identity(spark):
+    """Warping onto the SOURCE grid itself must return every pixel exactly
+    (bilinear weights collapse to 1 at cell centers, edges renormalize)."""
+    from sarpro_spark.operators.geometry import affine_warp_bilinear
+
+    rng = np.random.RandomState(5)
+    vals = rng.randint(0, 256, size=(6, 7))
+    data = [("P", r, c, float(vals[r, c])) for r in range(6) for c in range(7)]
+    px = spark.createDataFrame(data, "product_id string, row int, col int, v double")
+    gt = (100.0, 8.0, 0.0, -50.0, 0.0, -8.0)
+    geo = _geo_frame(spark, 6, 7, gt, gt, 6, 7)
+    out = affine_warp_bilinear(px, geo, ["product_id"], value="v").collect()
+    assert len(out) == 6 * 7
+    got = {(r["row"], r["col"]): r["v"] for r in out}
+    for r in range(6):
+        for c in range(7):
+            assert got[(r, c)] == float(vals[r, c])
+
+
+def test_affine_warp_matches_numpy_bilinear(spark):
+    """2x upsample + dyadic shear vs a direct numpy bilinear implementation."""
+    from sarpro_spark.operators.geometry import affine_warp_bilinear
+
+    rng = np.random.RandomState(9)
+    R, C = 5, 6
+    vals = rng.randint(0, 256, size=(R, C)).astype(np.float64)
+    data = [("P", r, c, float(vals[r, c])) for r in range(R) for c in range(C)]
+    px = spark.createDataFrame(data, "product_id string, row int, col int, v double")
+    sg = (0.0, 8.0, 0.0, 0.0, 0.0, -8.0)
+    dg = (0.0, 4.0, 2.0, 0.0, 0.0, -4.0)
+    geo = _geo_frame(spark, R, C, sg, dg, 2 * R, 2 * C)
+    out = {(r["row"], r["col"]): r["v"]
+           for r in affine_warp_bilinear(px, geo, ["product_id"], value="v").collect()}
+
+    expect = {}
+    for tr in range(2 * R):
+        for tc in range(2 * C):
+            x = dg[0] + (tc + 0.5) * dg[1] + (tr + 0.5) * dg[2]
+            y = dg[3] + (tc + 0.5) * dg[4] + (tr + 0.5) * dg[5]
+            cs = (x - sg[0]) / sg[1] - 0.5
+            rs = (y - sg[3]) / sg[5] - 0.5
+            r0, c0 = int(np.floor(rs)), int(np.floor(cs))
+            wr, wc = rs - r0, cs - c0
+            acc = wsum = 0.0
+            for dr, dc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                rr, cc = r0 + dr, c0 + dc
+                if 0 <= rr < R and 0 <= cc < C:
+                    w = (wr if dr else 1 - wr) * (wc if dc else 1 - wc)
+                    acc += w * vals[rr, cc]
+                    wsum += w
+            if wsum > 0:
+                expect[(tr, tc)] = acc / wsum
+    assert set(out) == set(expect)
+    for k, v in expect.items():
+        assert abs(out[k] - v) < 1e-9, (k, out[k], v)
