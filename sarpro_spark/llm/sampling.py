@@ -1,0 +1,101 @@
+"""Deterministic sampling operators for training-data mixture construction.
+
+Random sampling is useless at pipeline scale if it is not REPRODUCIBLE: a
+re-run must keep exactly the same rows (resumable jobs, auditable mixes).
+Every operator here derives its randomness from md5(seed || id) — a pure
+column expression, identical in the DuckDB oracle, shuffle-free for the
+fraction filter and one bounded window for exact-k.
+
+  hash_bucket      uniform [0, 1e6) bucket per row
+  fraction_sample  keep rows with bucket < fraction * 1e6 — per-row Bernoulli
+                   at corpus scale, zero shuffles, exact reproducibility
+  stratified_sample  per-stratum fractions via a broadcast rate table
+  topk_per_stratum   EXACT k rows per stratum, chosen by hash order — a
+                   deterministic reservoir; one window over the stratum
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 1_000_000
+
+
+def hash_bucket(id_col: Column, seed: str = "s0") -> Column:
+    """Uniform bucket in [0, 1e6): int64 of the first 15 md5 hex chars of
+    seed||id, mod 1e6 — exact integer arithmetic on both engines."""
+    h = F.md5(F.concat(F.lit(seed), F.lit("|"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % BUCKETS
+
+
+def sql_hash_bucket(id_expr: str, seed: str = "s0") -> str:
+    return (
+        f"CAST(('0x' || SUBSTR(MD5('{seed}' || '|' || CAST({id_expr} AS VARCHAR)), 1, 15)) AS BIGINT) % {BUCKETS}"
+    )
+
+
+def fraction_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", seed: str = "s0"
+) -> DataFrame:
+    """Keep ~fraction of rows, deterministically. Pure filter: pushes down to
+    the scan, no shuffle, stable across re-runs and engines."""
+    return df.where(hash_bucket(F.col(id_col), seed) < int(fraction * BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling — the mixture-construction primitive
+    (e.g. keep 80% code, 20% web). The rate table rides a broadcast join;
+    the filter itself is still per-row hash arithmetic."""
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        [(k, int(v * BUCKETS)) for k, v in sorted(rates.items())],
+        f"{stratum_col} string, _cut long",
+    )
+    joined = df.join(F.broadcast(rate_df), stratum_col, "left")
+    cut = F.coalesce(F.col("_cut"), F.lit(int(default_rate * BUCKETS)))
+    return joined.where(hash_bucket(F.col(id_col), seed) < cut).drop("_cut")
+
+
+def topk_per_stratum(
+    df: DataFrame,
+    k: int,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """EXACT k rows per stratum in deterministic hash order (id breaks hash
+    ties) — a reproducible reservoir sample. One shuffle keyed by stratum;
+    rank state per group is O(1) in Tungsten's window operator."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(stratum_col).orderBy(
+        hash_bucket(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def sql_topk_per_stratum(
+    src_sel: str, k: int, stratum_col: str, id_col: str = "doc_id", seed: str = "s0"
+) -> str:
+    """DuckDB twin of :func:`topk_per_stratum` (same hash order)."""
+    return f"""
+SELECT * EXCLUDE (_rn) FROM (
+  SELECT s.*, ROW_NUMBER() OVER (
+    PARTITION BY {stratum_col}
+    ORDER BY {sql_hash_bucket(id_col, seed)} ASC, {id_col} ASC
+  ) AS _rn
+  FROM ({src_sel}) s
+) t WHERE _rn <= {k}
+""".strip()

@@ -551,3 +551,163 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sarpro_spark.queries import round_floats
 
     return round_floats(mm.decode_features(b), 6)
+
+
+# --- corpus hygiene: PII redaction -------------------------------------------
+
+# The synthetic corpus carries no real PII, so the query PLANTS deterministic
+# PII (email/phone/ip/card derived from doc_id) into each doc, then redacts —
+# exercising every pattern with nonzero counts while staying reproducible in
+# the oracle. At production scale the same exprs run directly on raw text.
+
+_PII_AUG = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example"
+    " or +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _pii_sql() -> str:
+    from sarpro_spark.llm.filters import sql_redact_pii
+
+    counts, redacted = sql_redact_pii("aug")
+    cnt_cols = ",\n       ".join(f"CAST({e} AS INTEGER) AS pii_{k}" for k, e in counts.items())
+    return f"""
+WITH a AS (SELECT doc_id, {_PII_AUG} AS aug FROM documents)
+SELECT doc_id,
+       {cnt_cols},
+       {redacted} AS redacted
+FROM a
+""".strip()
+
+
+@query("text_pii_redaction", sql=_pii_sql(), tags=("llm", "text", "hygiene"))
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: typed placeholder substitution + per-type counts, pure
+    regexp column exprs (patterns restricted to the Java-regex/RE2 common
+    subset). Counts are non-trivial because the query plants deterministic
+    doc_id-derived PII first; the full redacted text is value-hashed."""
+    from sarpro_spark.llm import filters as fl
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    pid = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), pid.cast("string"), F.lit("@mail.example or +1 555-"),
+        F.lpad((pid % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((pid % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (pid % 256).cast("string"), F.lit(".0."),
+        ((pid * 7) % 256).cast("string"),
+        F.lit(" card 4111-1111-1111-"), F.lpad((pid % 10000).cast("string"), 4, "0"),
+    )
+    a = d.select("doc_id", aug.alias("aug"))
+    out = fl.redact_pii(a, text_col="aug")
+    return out.select(
+        "doc_id",
+        F.col("pii_email").cast("int").alias("pii_email"),
+        F.col("pii_card").cast("int").alias("pii_card"),
+        F.col("pii_phone").cast("int").alias("pii_phone"),
+        F.col("pii_ip").cast("int").alias("pii_ip"),
+        "redacted",
+    )
+
+
+# --- corpus hygiene: benchmark contamination ---------------------------------
+
+def _contam_sql() -> str:
+    from sarpro_spark.llm.filters import sql_contamination
+
+    return sql_contamination(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0",
+    )
+
+
+@query("text_contamination", sql=_contam_sql(), tags=("llm", "text", "hygiene"))
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: fraction of each training doc's distinct
+    char-16-gram set present in the held-out benchmark slice (doc_id % 97 ==
+    0). One inverted join keyed by shingle — never doc x doc."""
+    from sarpro_spark.llm import filters as fl
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 97 != 0)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return fl.contamination_scores(train, bench)
+
+
+# --- corpus hygiene: within-doc repetition ------------------------------------
+
+
+def _repetition_sql() -> str:
+    from sarpro_spark.llm.filters import sql_repetition
+
+    return sql_repetition("SELECT doc_id, text FROM documents")
+
+
+@query("text_repetition", sql=_repetition_sql(), tags=("llm", "text", "hygiene"))
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher repetition filters: duplicate word-trigram fraction +
+    most-frequent-token share per doc. One posexplode, lead() windows, two
+    doc-keyed shuffles."""
+    from sarpro_spark.llm import filters as fl
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return fl.repetition_scores(d)
+
+
+# --- deterministic sampling ---------------------------------------------------
+
+_STRAT_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125}
+
+
+def _strat_sample_sql() -> str:
+    from sarpro_spark.llm.sampling import BUCKETS, sql_hash_bucket
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * BUCKETS)}" for k, v in sorted(_STRAT_RATES.items())
+    )
+    return f"""
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+FROM documents
+WHERE {sql_hash_bucket('doc_id')} < (CASE lang {cases} ELSE 0 END)
+GROUP BY lang
+""".strip()
+
+
+@query("sample_stratified", sql=_strat_sample_sql(), tags=("llm", "sampling"))
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling (mixture construction):
+    md5-bucket filter against a broadcast rate table — zero shuffles for the
+    sample itself, exact reproducibility across runs and engines."""
+    from sarpro_spark.llm import sampling as smp
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    kept = smp.stratified_sample(d, _STRAT_RATES, "lang")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("first_id"),
+        F.max("doc_id").alias("last_id"),
+    )
+
+
+def _topk_sample_sql() -> str:
+    from sarpro_spark.llm.sampling import sql_topk_per_stratum
+
+    inner = sql_topk_per_stratum(
+        "SELECT doc_id, lang FROM documents", 7, "lang"
+    )
+    return f"SELECT doc_id, lang FROM ({inner}) s"
+
+
+@query("sample_topk_per_stratum", sql=_topk_sample_sql(), tags=("llm", "sampling"))
+def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k-per-stratum reproducible reservoir: rows ranked by seeded hash
+    (id tiebreak) inside each stratum, k kept — one stratum-keyed window."""
+    from sarpro_spark.llm import sampling as smp
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return smp.topk_per_stratum(d.select("doc_id", "lang"), 7, "lang")

@@ -221,3 +221,81 @@ def test_minhash_pairs_independent_of_partitioning(spark):
     a = sorted(map(tuple, dd.minhash_jaccard_pairs(df.repartition(1), threshold=0.5).collect()))
     b = sorted(map(tuple, dd.minhash_jaccard_pairs(df.repartition(11), threshold=0.5).collect()))
     assert a == b and len(a) > 0
+
+
+# --- corpus hygiene + sampling ------------------------------------------------
+
+
+def test_pii_redaction_patterns(spark):
+    from sarpro_spark.llm import filters as fl
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.co.uk call +1 555-123-4567 ip 192.168.0.1 "
+             "card 4111 1111 1111 1234 done")],
+        "doc_id long, text string",
+    )
+    row = fl.redact_pii(df).collect()[0]
+    assert row["pii_email"] == 1
+    assert row["pii_phone"] == 1
+    assert row["pii_ip"] == 1
+    assert row["pii_card"] == 1
+    red = row["redacted"]
+    for tokn in ("<EMAIL>", "<PHONE>", "<IP>", "<CARD>"):
+        assert tokn in red, red
+    assert "@" not in red and "192.168" not in red and "4111" not in red
+
+
+def test_contamination_hit_and_miss(spark):
+    from sarpro_spark.llm import filters as fl
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),   # fully contained
+         (2, "zzz completely unrelated content qqq xxyyzz abc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in fl.contamination_scores(docs, bench).collect()}
+    assert out[1]["contamination"] == 1.0
+    assert out[2]["contamination"] == 0.0
+
+
+def test_repetition_scores(spark):
+    from sarpro_spark.llm import filters as fl
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),    # one token, all tri dup
+         (2, "a b c d e f g h")],                  # all distinct
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in fl.repetition_scores(df).collect()}
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[1]["dup_trigram_frac"] > 0.7
+    assert out[2]["dup_trigram_frac"] == 0.0
+    assert abs(out[2]["top_token_frac"] - 1.0 / 8.0) < 1e-9
+
+
+def test_sampling_determinism_and_exact_k(spark):
+    from sarpro_spark.llm import sampling as smp
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    a = sorted(r["doc_id"] for r in smp.fraction_sample(df, 0.25).collect())
+    b = sorted(r["doc_id"] for r in smp.fraction_sample(df, 0.25).collect())
+    assert a == b                      # reproducible
+    assert 50 <= len(a) <= 150        # ~100 of 400
+
+    # stratified: en kept at 0.5, de dropped at 0.0 default
+    kept = smp.stratified_sample(df, {"en": 0.5}, "lang").collect()
+    assert all(r["lang"] == "en" for r in kept)
+
+    # exact k per stratum, deterministic
+    k1 = sorted((r["lang"], r["doc_id"]) for r in smp.topk_per_stratum(df, 5, "lang").collect())
+    k2 = sorted((r["lang"], r["doc_id"]) for r in smp.topk_per_stratum(df, 5, "lang").collect())
+    assert k1 == k2
+    from collections import Counter
+    assert Counter(lang for lang, _ in k1) == {"en": 5, "de": 5}
