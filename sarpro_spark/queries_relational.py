@@ -617,3 +617,29 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
+
+
+# --- stream-stream join (run in batch for the oracle) ------------------------
+
+_ATTRIBUTION_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS purchase_value, c.event_id AS click_id, c.ts AS click_ts
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""".strip()
+
+
+@query("events_attribution_join", sql=_ATTRIBUTION_SQL, tags=("relational", "events", "streaming"))
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join surface (purchase-to-click attribution
+    within 1 h) run in batch mode — the same attribution_join function runs
+    as a watermarked stream-stream join in streaming mode
+    (tests/test_streaming.py asserts drained-stream == batch)."""
+    from sarpro_spark.streaming.joins import attribution_join
+
+    e = frames.load_table(spark, sf_dir, "events")
+    return attribution_join(e)

@@ -1,0 +1,75 @@
+"""Stream-stream join + streaming dedup — the remaining Structured Streaming
+surfaces (unified API: the same functions run in batch for the oracle gate
+and in streaming for the equivalence tests).
+
+Stream-stream inner joins require BOTH sides watermarked plus an event-time
+range predicate so the state store can evict: a purchase keeps click state
+only within the attribution window, which is what bounds state at
+unbounded-stream scale. Streaming dedup keys the state store by the id
+column; ``dropDuplicatesWithinWatermark`` evicts ids older than the
+watermark, the production-shape for at-least-once sources where duplicates
+arrive close together.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attribution_join(
+    events: DataFrame,
+    click_events: DataFrame | None = None,
+    window: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Purchase-to-click attribution: each purchase joined to every click by
+    the same user within the preceding ``window``. In streaming mode both
+    sides carry watermarks and the range predicate bounds join state; in
+    batch mode the identical plan is a plain range join (oracle-checkable).
+    ``click_events`` defaults to ``events`` (self-join); a file-source stream
+    self-join needs two independent readStream sources — pass the second."""
+    if click_events is None:
+        click_events = events
+    clicks = click_events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    return purchases.join(
+        clicks,
+        on=[
+            F.col("user_id") == F.col("c_user_id"),
+            F.col("click_ts") >= F.col("purchase_ts") - F.expr(window),
+            F.col("click_ts") <= F.col("purchase_ts"),
+        ],
+    ).select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
+def dedupe_events_stream(
+    events: DataFrame, id_col: str = "event_id", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming dedup: first occurrence of each id wins; state evicts past
+    the watermark (`dropDuplicatesWithinWatermark`). Batch mode reduces to
+    dropDuplicates on the id — the convergence target of the stream."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            [id_col]
+        )
+    return events.dropDuplicates([id_col])

@@ -151,3 +151,77 @@ def test_sessionize_batch_equals_streaming(spark, sf_dir, tmp_path):
     q.stop()
     assert got == batch
     assert len(got) > 0
+
+
+def test_attribution_join_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join drained over the bounded file
+    source must equal the batch range join."""
+    from sarpro_spark.streaming.events import stream_events_from_parquet
+    from sarpro_spark.streaming.joins import attribution_join
+
+    batch = attribution_join(frames.load_table(spark, sf_dir, "events"))
+    expect = {tuple(r) for r in batch.collect()}
+
+    # stream-stream joins resolve a basePath per file source: point both
+    # sources at a DIRECTORY copy of the events table
+    ev_dir = str(tmp_path / "events_dir")
+    frames.load_table(spark, sf_dir, "events").coalesce(2).write.parquet(ev_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    schema = spark.read.parquet(ev_dir).schema
+
+    def mk_stream():
+        return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(ev_dir)
+
+    out = attribution_join(mk_stream(), click_events=mk_stream())
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM attrib_join").collect()}
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_streaming_dedup_first_wins(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicated event ids collapse to one
+    row per id; batch twin agrees on the surviving id set."""
+    import datetime as dt
+
+    from sarpro_spark.streaming.events import stream_events_from_parquet
+    from sarpro_spark.streaming.joins import dedupe_events_stream
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(40):
+        ts = base + dt.timedelta(minutes=i)
+        rows.append((i % 20, ts, i % 7, "click", float(i), "{}"))  # ids repeat 2x
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    p = str(tmp_path / "dup_events.parquet")
+    df.coalesce(1).write.parquet(p)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    schema = spark.read.parquet(p).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p)
+    )
+    out = dedupe_events_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id, COUNT(*) AS n FROM dedup_stream GROUP BY event_id").collect()
+    assert len(got) == 20
+    assert all(r["n"] == 1 for r in got)
+
+    batch_ids = {r["event_id"] for r in dedupe_events_stream(df).collect()}
+    assert batch_ids == {r["event_id"] for r in got}
