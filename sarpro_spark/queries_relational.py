@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sarpro_spark import frames
-from sarpro_spark.queries import fround, query, round_floats
+from sarpro_spark.queries import fround, query, round_floats, sql_fround
 
 
 _PRICING_SQL = """
@@ -643,3 +643,94 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = frames.load_table(spark, sf_dir, "events")
     return attribution_join(e)
+
+
+# --- pivot -------------------------------------------------------------------
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_PIVOT_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       {", ".join(
+           f"SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS prio_{i + 1}"
+           for i, p in enumerate(_PRIORITIES)
+       )}
+FROM orders GROUP BY 1
+""".strip()
+
+
+@query("pivot_order_priority", sql=_PIVOT_SQL, tags=("relational", "pivot"))
+def q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: per-year order counts pivoted across the 5 priority
+    values. Spark's pivot with an EXPLICIT value list compiles to one
+    aggregate with conditional counts — no second scan, identical to the
+    oracle's CASE sums; never use implicit pivot at scale (it runs a distinct
+    scan to discover values)."""
+    o = frames.load_table(spark, sf_dir, "orders")
+    p = (
+        o.select(F.year("o_orderdate").cast("int").alias("order_year"), "o_orderpriority")
+        .groupBy("order_year")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .count()
+    )
+    renamed = p.select(
+        "order_year",
+        *[
+            F.coalesce(F.col(f"`{prio}`"), F.lit(0)).cast("bigint").alias(f"prio_{i + 1}")
+            for i, prio in enumerate(_PRIORITIES)
+        ],
+    )
+    return renamed
+
+
+# --- exact percentiles --------------------------------------------------------
+
+_PCTL_SQL = f"""
+SELECT l_returnflag,
+       {sql_fround('quantile_cont(l_extendedprice, 0.5)')} AS p50,
+       {sql_fround('quantile_cont(l_extendedprice, 0.9)')} AS p90,
+       {sql_fround('quantile_cont(l_extendedprice, 0.99)')} AS p99
+FROM lineitem GROUP BY l_returnflag
+""".strip()
+
+
+@query("lineitem_percentiles", sql=_PCTL_SQL, tags=("relational", "percentile"))
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation on the sorted set) —
+    the exact twin of the approx-sketch query family. Exact percentiles cost
+    a per-group sort; at 100 TB prefer `percentile_approx` unless the gate
+    needs bit-stable values."""
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        fround(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
+        fround(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90"),
+        fround(F.expr("percentile(l_extendedprice, 0.99)")).alias("p99"),
+    )
+
+
+# --- JSON property extraction -------------------------------------------------
+
+_JSON_PROPS_SQL = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+""".strip()
+
+
+@query("events_props_json", sql=_JSON_PROPS_SQL, tags=("relational", "json"))
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface: JSON property extraction pushed into a
+    grouped aggregate (get_json_object == json_extract_string). At scale
+    prefer from_json with an explicit schema once per column, not repeated
+    path probes."""
+    e = frames.load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
