@@ -289,19 +289,23 @@ def cosine_topk_ivf(
     qid_col: str = "query_id",
     qvec_col: str = "qvec",
     round_digits: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-flat ANN: deterministic sampled centroids (the first n_centroids
-    corpus vectors — at production scale swap for k-means centroids persisted
-    as a table; the operator shape is identical), corpus partitioned into
-    inverted lists by nearest centroid, queries probe their ``nprobe``
-    nearest lists, exact cosine only on the probed lists. Work per query
-    scales with corpus/n_centroids * nprobe, not corpus size."""
+    """IVF-flat ANN: corpus partitioned into inverted lists by nearest
+    centroid, queries probe their ``nprobe`` nearest lists, exact cosine only
+    on the probed lists. Work per query scales with corpus/n_centroids *
+    nprobe, not corpus size. ``centroids`` (centroid_id, cvec) defaults to
+    the first n_centroids corpus vectors (deterministic sample); pass
+    :func:`kmeans_train` output for trained lists at production scale."""
     from sarpro_spark.queries import fround
 
-    centroids = (
-        emb.where(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
-    )
+    if centroids is None:
+        centroids = (
+            emb.where(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+        )
+    else:
+        centroids = centroids.select("centroid_id", "cvec")
     assign = ivf_assign(emb, centroids, id_col, vec_col)
     qsim = queries.join(F.broadcast(centroids)).select(
         F.col(qid_col),
@@ -482,3 +486,113 @@ def sql_cosine_ctes(emb_rel: str, query_sel: str, id_col: str = "vec_id",
          (FLOOR((dp / (na * nb)) * 1000000.0 + 0.5) / 1000000.0) AS sim
   FROM {p}dots
 )""".strip()
+
+
+# --- distributed k-means (centroid training for IVF) --------------------------
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus — the trainer
+    behind production IVF centroids (cosine_topk_ivf takes the result via
+    ``centroids=``). Deterministic by construction:
+
+      init       first ``k`` vectors by id (reproducible, oracle-expressible)
+      assign     nearest centroid by fround'd cosine (ivf_assign — broadcast
+                 centroids, one corpus pass, id tiebreak)
+      update     per-dimension AVG in ONE groupBy (dim agg columns, map-side
+                 combine — no explode, no dim-fold shuffle), each component
+                 fround'd so float summation order can't leak across engines
+                 or cluster topologies
+
+    Per iteration: one corpus pass + one k-row shuffle. Empty clusters drop
+    (identically on both engines). Returns (centroid_id, cvec, n_members).
+    """
+    from sarpro_spark.queries import fround
+
+    cent = emb.where(F.col(id_col) < k).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    out = None
+    for _ in range(iters):
+        assign = ivf_assign(emb, cent, id_col, vec_col)
+        members = emb.join(assign, id_col)
+        aggs = [
+            fround(F.avg(F.col(vec_col)[i].cast("double")), round_digits).alias(f"_c{i}")
+            for i in range(dim)
+        ]
+        upd = members.groupBy("centroid_id").agg(
+            *aggs, F.count(F.lit(1)).alias("n_members")
+        )
+        out = upd.select(
+            "centroid_id",
+            F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("cvec"),
+            "n_members",
+        ).localCheckpoint(eager=True)
+        cent = out.select("centroid_id", "cvec")
+    return out
+
+
+def sql_kmeans(
+    emb_rel: str,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`kmeans_train` with the iterations UNROLLED (one
+    assignment + one per-dim AVG round per iteration). Ends in CTE
+    ``kfinal`` (centroid_id, cvec, n_members)."""
+    ctes = [
+        f"cent0 AS (SELECT {id_col} AS centroid_id, CAST({vec_col} AS DOUBLE[]) AS cvec, "
+        f"0 AS n_members FROM {emb_rel} WHERE {id_col} < {k})"
+    ]
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        p = f"it{it}_"
+        ctes.append(
+            sql_cosine_ctes(
+                emb_rel,
+                f"SELECT centroid_id AS query_id, cvec AS qvec FROM {prev}",
+                id_col=id_col,
+                vec_col=vec_col,
+                prefix=p,
+            )
+        )
+        ctes.append(
+            f"""{p}assign AS (
+  SELECT {id_col}, query_id AS centroid_id FROM (
+    SELECT {id_col}, query_id,
+           ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY sim DESC, query_id) AS rnk
+    FROM {p}scored
+  ) r WHERE rnk = 1
+)"""
+        )
+        ctes.append(
+            f"""{p}avg AS (
+  SELECT a.centroid_id, u.i,
+         FLOOR(AVG(CAST(u.x AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS val,
+         COUNT(*) AS cnt
+  FROM {emb_rel} e
+  JOIN {p}assign a ON a.{id_col} = e.{id_col},
+       LATERAL (SELECT UNNEST(e.{vec_col}) AS x, GENERATE_SUBSCRIPTS(e.{vec_col}, 1) AS i) u
+  GROUP BY a.centroid_id, u.i
+)"""
+        )
+        ctes.append(
+            f"""cent{it} AS (
+  SELECT centroid_id, LIST(val ORDER BY i) AS cvec, CAST(MAX(cnt) AS BIGINT) AS n_members
+  FROM {p}avg GROUP BY centroid_id
+)"""
+        )
+        prev = f"cent{it}"
+    ctes.append(f"kfinal AS (SELECT * FROM {prev})")
+    return ",\n".join(ctes)

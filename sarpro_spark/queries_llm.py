@@ -711,3 +711,34 @@ def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = frames.load_table(spark, sf_dir, "documents")
     return smp.topk_per_stratum(d.select("doc_id", "lang"), 7, "lang")
+
+
+# --- distributed k-means (IVF centroid training) ------------------------------
+
+_KMEANS_K, _KMEANS_ITERS = 8, 2
+
+
+def _kmeans_sql() -> str:
+    ctes = sim.sql_kmeans("embeddings", k=_KMEANS_K, iters=_KMEANS_ITERS)
+    return f"""
+WITH {ctes}
+SELECT centroid_id, CAST(u.i - 1 AS INTEGER) AS pos, u.x AS val, n_members
+FROM kfinal f,
+     LATERAL (SELECT UNNEST(f.cvec) AS x, GENERATE_SUBSCRIPTS(f.cvec, 1) AS i) u
+""".strip()
+
+
+@query("embedding_kmeans", sql=_kmeans_sql(), tags=("llm", "similarity", "iterative"))
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 iterations) over the embedding
+    corpus — the IVF centroid trainer. Assignment = broadcast-centroid corpus
+    pass; update = per-dim AVG in one groupBy (64 agg columns, map-side
+    combine, fround'd so summation order can't leak). Oracle = the same two
+    iterations UNROLLED in SQL; centroids compared component-wise."""
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    cent = sim.kmeans_train(e, k=_KMEANS_K, iters=_KMEANS_ITERS, dim=64)
+    return cent.select(
+        "centroid_id",
+        "n_members",
+        F.posexplode("cvec").alias("pos", "val"),
+    ).select("centroid_id", "pos", "val", "n_members")

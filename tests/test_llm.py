@@ -299,3 +299,38 @@ def test_sampling_determinism_and_exact_k(spark):
     assert k1 == k2
     from collections import Counter
     assert Counter(lang for lang, _ in k1) == {"en": 5, "de": 5}
+
+
+def test_kmeans_deterministic_and_improves(spark, sf_dir):
+    """kmeans_train: reproducible across runs; mean assignment similarity
+    does not decrease from iteration 1 to 3 (Lloyd's monotonicity, modulo
+    fround); trained centroids drop into cosine_topk_ivf."""
+    from sarpro_spark import frames
+    from sarpro_spark.llm import similarity as sim
+
+    e = frames.load_table(spark, sf_dir, "embeddings")
+
+    c1 = sim.kmeans_train(e, k=4, iters=1, dim=64)
+    c3 = sim.kmeans_train(e, k=4, iters=3, dim=64)
+    c3b = sim.kmeans_train(e, k=4, iters=3, dim=64)
+    rows3 = sorted((r["centroid_id"], tuple(r["cvec"])) for r in c3.collect())
+    rows3b = sorted((r["centroid_id"], tuple(r["cvec"])) for r in c3b.collect())
+    assert rows3 == rows3b  # deterministic
+
+    def mean_sim(cent):
+        assign = sim.ivf_assign(e, cent.select("centroid_id", "cvec"))
+        j = (
+            e.join(assign, "vec_id")
+            .join(cent.select("centroid_id", "cvec"), "centroid_id")
+            .select(sim.cosine_expr(F.col("embedding"), F.col("cvec")).alias("s"))
+        )
+        return j.agg(F.avg("s")).first()[0]
+
+    assert mean_sim(c3) >= mean_sim(c1) - 1e-6
+
+    # trained centroids slot into IVF
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = sim.cosine_topk_ivf(e, q, k=5, nprobe=2, centroids=c3)
+    assert out.count() == 15
