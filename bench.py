@@ -48,6 +48,11 @@ HEADLINE = [
     "pipeline_kernel_tiled_u8",
     "tiff_roundtrip",
     "events_sliding_windows",
+    "affine_warp_bilinear",
+    "text_contamination",
+    "text_repetition",
+    "events_attribution_join",
+    "similarity_topk_int8",
 ]
 
 

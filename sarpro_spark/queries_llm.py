@@ -742,3 +742,42 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.posexplode("cvec").alias("pos", "val"),
     ).select("centroid_id", "pos", "val", "n_members")
+
+
+# --- int8 scalar quantization -------------------------------------------------
+
+
+def _quant_sql() -> str:
+    return f"""
+WITH {sim.sql_quantize_int8('embeddings')}
+SELECT vec_id, {sql_fround('scale')} AS scale,
+       CAST(u.i - 1 AS INTEGER) AS pos, u.c AS code
+FROM qcodes q,
+     LATERAL (SELECT UNNEST(q.codes) AS c, GENERATE_SUBSCRIPTS(q.codes, 1) AS i) u
+""".strip()
+
+
+@query("embedding_quantize_int8", sql=_quant_sql(), tags=("llm", "similarity"))
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x|/127): the 4x
+    memory cut that keeps corpus-scale ANN scans in cache. Codes are exact
+    single-IEEE-op arithmetic — compared bit-for-bit against the oracle."""
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    qc = sim.quantize_int8(e)
+    return qc.select(
+        "vec_id",
+        fround(F.col("scale")).alias("scale"),
+        F.posexplode("codes").alias("pos", "code"),
+    ).select("vec_id", "scale", "pos", "code")
+
+
+_TOPK_INT8_SQL = sim.sql_cosine_topk_int8("embeddings", _QUERY_SEL, k=10)
+
+
+@query("similarity_topk_int8", sql=_TOPK_INT8_SQL, tags=("llm", "similarity"))
+def q_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized brute-force ANN: int64 dot products and norms over int8
+    codes (exact, order-independent), one fround'd float division per pair.
+    The scan is 1/4 the bytes of f32 and the hot loop is integer SIMD."""
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_int8(e, _spark_queries_frame(spark, sf_dir), k=10)

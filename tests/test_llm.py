@@ -334,3 +334,39 @@ def test_kmeans_deterministic_and_improves(spark, sf_dir):
     )
     out = sim.cosine_topk_ivf(e, q, k=5, nprobe=2, centroids=c3)
     assert out.count() == 15
+
+
+def test_int8_quantization_error_and_recall(spark, sf_dir):
+    """int8 codes reconstruct within scale/2 per component; quantized
+    brute-force top-10 overlaps exact top-10 by >= 8/10 on average."""
+    from sarpro_spark import frames
+
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    qc = sim.quantize_int8(e)
+    j = e.join(qc, "vec_id").select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("codes"),
+                    lambda x, c: F.abs(x.cast("double") - c.cast("double") * F.col("scale")),
+                )
+            )
+            / F.greatest(F.col("scale"), F.lit(1e-12))
+        ).alias("max_err_scales")
+    )
+    assert j.first()["max_err_scales"] <= 0.5 + 1e-9
+
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = sim.cosine_topk(e, q, k=10)
+    approx = sim.cosine_topk_int8(e, q, k=10)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(ex[k_] & ap[k_]) / 10 for k_ in ex]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
