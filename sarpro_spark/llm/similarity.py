@@ -663,24 +663,33 @@ def cosine_topk_int8(
     SIMD, and the float rescoring touches only k results per query."""
     from sarpro_spark.queries import fround
 
+    # norms depend on ONE side each — compute them per vector BEFORE the
+    # pair join (corpus norm once per corpus row, not once per pair)
+    def _int_norm(c: str) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(F.col(c), lambda a: (a * a).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        )
+
     qc = quantize_int8(queries, qid_col, qvec_col).select(
         F.col(qid_col), F.col("codes").alias("qcodes")
-    )
-    cc = quantize_int8(emb, id_col, vec_col)
+    ).withColumn("qnorm", _int_norm("qcodes"))
+    # widen narrow inputs (a small parquet file is one split): the quantize +
+    # dot scan should use the cluster; a 100 TB corpus already arrives split
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par, id_col)
+    cc = quantize_int8(emb, id_col, vec_col).withColumn("cnorm", _int_norm("codes"))
     j = cc.join(F.broadcast(qc))
     dp = F.aggregate(
         F.zip_with(F.col("codes"), F.col("qcodes"), lambda a, b: (a * b).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(c), lambda a: (a * a).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).cast("double")
-    )
-    sim = dp.cast("double") / (nrm("codes") * nrm("qcodes"))
+    sim = dp.cast("double") / (F.col("cnorm") * F.col("qnorm"))
     scored = j.select(
         F.col(qid_col), F.col(id_col), fround(sim, round_digits).alias("sim")
     ).where(F.col("sim").isNotNull())

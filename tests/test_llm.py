@@ -370,3 +370,25 @@ def test_int8_quantization_error_and_recall(spark, sf_dir):
         ap.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [len(ex[k_] & ap[k_]) / 10 for k_ in ex]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_kmeans_iteration_plan_shape(spark, sf_dir):
+    """The k-means iteration internals (not visible behind the checkpoint in
+    the final frame): assignment is a broadcast cross of the k centroids
+    (BroadcastNestedLoopJoin, never CartesianProduct); the update is a
+    HashAggregate."""
+    from sarpro_spark import frames
+
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    assign = sim.ivf_assign(e, cent)
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    upd = e.join(assign, "vec_id").groupBy("centroid_id").agg(
+        F.avg(F.col("embedding")[0]).alias("c0")
+    )
+    plan2 = upd._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan2

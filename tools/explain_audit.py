@@ -88,10 +88,11 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
     "pipeline_kernel_tiled_u8": {
-        # per-(product, row-block) grouped kernel + broadcast param join:
-        # the oversized-product path never holds a full raster in one task
-        "require": ["FlatMapGroupsInPandas", "BroadcastHashJoin"],
-        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        # shuffle-free oversized-product path: quantize as MapInPandas on the
+        # scan partitioning with broadcast per-product params — a grouping
+        # shuffle (FlatMapGroupsInPandas) in this plan is a regression
+        "require": ["MapInPandas", "BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BatchEvalPython", "FlatMapGroupsInPandas"],
     },
     "tiff_roundtrip": {
         "require": ["FlatMapGroupsInPandas", "MapInPandas"],
@@ -120,6 +121,59 @@ AUDITS: dict[str, dict] = {
         # the ONE query where Python is the point: Arrow-batched mapInPandas
         "require": ["MapInPandas"],
         "forbid": ["CartesianProduct"],
+    },
+    "affine_warp_bilinear": {
+        # row-grain canvas + corner explode (Generate) + co-partitioned join;
+        # all expression work, no Python, no all-pairs
+        "require": ["Generate"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "jpeg_roundtrip": {
+        # per-product grouped encode (applyInPandas) + manifest-driven
+        # mapInPandas decode — same two-stage shape as tiff_roundtrip
+        "require": ["FlatMapGroupsInPandas", "MapInPandas"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "text_contamination": {
+        "require": ["HashAggregate", "LeftSemi"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "text_pii_redaction": {
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["lang", "source", "n_chars"],
+    },
+    "sample_stratified": {
+        # rate table broadcast; the hash filter is pure row arithmetic
+        "require": ["BroadcastHashJoin"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "similarity_topk_int8": {
+        # tiny query relation broadcast-crossed against the quantized scan
+        "require": ["BroadcastNestedLoopJoin"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "embedding_kmeans": {
+        # iterative: the returned frame scans the checkpointed final
+        # centroids (iteration plans already executed — the per-iteration
+        # broadcast-cross + HashAggregate shape is asserted in
+        # tests/test_llm.py); here only the explode projection is visible
+        "require": ["Generate"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "events_attribution_join": {
+        # equi-key + event-time range predicate: hash/merge join on user_id,
+        # never a cartesian
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["props"],
+    },
+    "pivot_order_priority": {
+        # explicit-value pivot = ONE conditional-count aggregate, no second
+        # scan for value discovery
+        "require": ["HashAggregate"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["o_totalprice", "o_comment"],
     },
 }
 
