@@ -13,6 +13,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from sarpro_spark import frames
 from sarpro_spark.queries import spark_queries
 from sarpro_spark.session import build_session
 
@@ -66,8 +67,23 @@ def main() -> None:
     # the plan, not session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    def reset_caches() -> None:
+        """Isolate each query's timing from its predecessors' cache residue.
+
+        A query that persists a large working set (synrgb_suppressed's wide
+        frame, the tiled kernel) can evict the shared band_frame cache and
+        charge the recomputation to whichever query runs NEXT (the r2 bench
+        recorded a phantom 6x regression this way). Clear everything, then
+        re-materialize the shared staging table outside the timed region so
+        every query starts from the same warm state.
+        """
+        spark.catalog.clearCache()
+        frames._BAND_FRAME_CACHE.clear()
+        frames.band_frame(spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name in names:
+        reset_caches()
         best = None
         n = 0
         for _ in range(2):  # best-of-2: first run pays JIT/caching, min = steady state

@@ -103,13 +103,11 @@ def char_shingles(
     min over duplicates is identical and the shuffle disappears."""
     # Heavy compute fans out from few input splits (a small parquet file is a
     # single row group => a single task): spread docs across the cluster
-    # BEFORE the explode so shingling/hashing parallelizes. Conditional: a
-    # 100 TB corpus already arrives in thousands of splits — forcing a full
-    # repartition there would add a corpus-wide shuffle AND cap parallelism
-    # at defaultParallelism, so only widen genuinely narrow inputs.
-    sc_parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < sc_parallelism:
-        df = df.repartition(sc_parallelism, id_col)
+    # BEFORE the explode so shingling/hashing parallelizes; narrow-scan
+    # detection via inputFiles(), never df.rdd (plan-conversion-free).
+    from sarpro_spark.functions.partitioning import widen_if_narrow
+
+    df = widen_if_narrow(df, id_col)
     lowered = F.lower(F.col(text_col))
     pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(0))))
     out = (

@@ -222,7 +222,7 @@ tri AS (
   WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
 ),
 per_tok AS (SELECT {id_col}, tok, COUNT(*) AS tc FROM tri GROUP BY {id_col}, tok),
-tok_stats AS (SELECT {id_col}, SUM(tc) AS n_tokens, MAX(tc) AS top_tc FROM per_tok GROUP BY {id_col}),
+tok_stats AS (SELECT {id_col}, CAST(SUM(tc) AS BIGINT) AS n_tokens, MAX(tc) AS top_tc FROM per_tok GROUP BY {id_col}),
 tri_stats AS (
   SELECT {id_col}, COUNT(*) AS n_tri, COUNT(DISTINCT tri) AS n_tri_distinct
   FROM tri WHERE _t2 IS NOT NULL GROUP BY {id_col}

@@ -515,8 +515,10 @@ def kmeans_train(
     Per iteration: one corpus pass + one k-row shuffle. Empty clusters drop
     (identically on both engines). Returns (centroid_id, cvec, n_members).
     """
+    from sarpro_spark.llm.cluster import _checkpointer
     from sarpro_spark.queries import fround
 
+    checkpoint = _checkpointer(emb)
     cent = emb.where(F.col(id_col) < k).select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
@@ -532,11 +534,13 @@ def kmeans_train(
         upd = members.groupBy("centroid_id").agg(
             *aggs, F.count(F.lit(1)).alias("n_members")
         )
-        out = upd.select(
-            "centroid_id",
-            F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("cvec"),
-            "n_members",
-        ).localCheckpoint(eager=True)
+        out = checkpoint(
+            upd.select(
+                "centroid_id",
+                F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("cvec"),
+                "n_members",
+            )
+        )
         cent = out.select("centroid_id", "cvec")
     return out
 
@@ -679,9 +683,9 @@ def cosine_topk_int8(
     ).withColumn("qnorm", _int_norm("qcodes"))
     # widen narrow inputs (a small parquet file is one split): the quantize +
     # dot scan should use the cluster; a 100 TB corpus already arrives split
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < par:
-        emb = emb.repartition(par, id_col)
+    from sarpro_spark.functions.partitioning import widen_if_narrow
+
+    emb = widen_if_narrow(emb, id_col)
     cc = quantize_int8(emb, id_col, vec_col).withColumn("cnorm", _int_norm("codes"))
     j = cc.join(F.broadcast(qc))
     dp = F.aggregate(

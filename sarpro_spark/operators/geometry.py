@@ -351,7 +351,24 @@ def affine_warp_bilinear(
     det = F.col("sg1") * F.col("sg5") - F.col("sg2") * F.col("sg4")
     cs = ((x - F.col("sg0")) * F.col("sg5") - (y - F.col("sg3")) * F.col("sg2")) / det - 0.5
     rs = ((y - F.col("sg3")) * F.col("sg1") - (x - F.col("sg0")) * F.col("sg4")) / det - 0.5
-    src = cells.select(
+    coords = cells.select(*gcols, "row", "col", cs.alias("cs"), rs.alias("rs"))
+    return bilinear_gather(coords, px, group_cols, value)
+
+
+def bilinear_gather(
+    coords: DataFrame,
+    px: DataFrame,
+    group_cols: list[str],
+    value: str = "v",
+) -> DataFrame:
+    """Shared bilinear resampler: ``coords`` carries one row per TARGET cell
+    (group, row, col, cs, rs) with fractional source pixel coordinates;
+    returns the weighted 4-corner sample from ``px``. Corner explode -> one
+    co-partitioned join -> per-cell weighted agg (edge cells renormalize by
+    the present-corner weight mass; fully out-of-footprint cells drop)."""
+    gcols = [F.col(c) for c in group_cols]
+    cs, rs = F.col("cs"), F.col("rs")
+    src = coords.select(
         *gcols, "row", "col",
         F.floor(cs).cast("int").alias("c0"),
         F.floor(rs).cast("int").alias("r0"),
@@ -389,6 +406,250 @@ def affine_warp_bilinear(
         .where(F.col("_w") > 0.0)
         .select(*gcols, "row", "col", (F.col("_wv") / F.col("_w")).alias(value))
     )
+
+
+# --- G5b: piecewise-affine warp from a GCP grid (the reference's TPS path) ---
+
+
+def fit_gcp_tiles(gcps: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Least-squares affine fit per GCP grid cell.
+
+    ``gcps``: (group, gi, gj, gx, gy) — ground coordinates observed at source
+    pixel (row=k*gi, col=k*gj), pixel-index (center) convention. Returns one
+    row per tile (gi, gj) with the pixel->ground affine
+        x = a + b*scol + c*srow,  y = d + e*scol + f_*srow
+    fit through the tile's 4 corner GCPs (for 4 corners of a k x k cell the
+    LS solution is the closed form below; when the 4 corners are exactly
+    affine-consistent the fit interpolates them), plus the tile's ground
+    bounding box for candidate pruning.
+
+    Mirrors the reference's no-projection fallback ``gdalwarp -tps`` from the
+    product's GCP grid (/root/reference/src/io/sentinel1.rs:1017-1032): TPS is
+    approximated piecewise — exact at every GCP, affine between them — which
+    is the standard tile-wise approximation of a smooth warp grid.
+    """
+    g00 = gcps.select(*group_cols, "gi", "gj", F.col("gx").alias("x00"), F.col("gy").alias("y00"))
+    g01 = gcps.select(*group_cols, "gi", (F.col("gj") - 1).alias("gj"), F.col("gx").alias("x01"), F.col("gy").alias("y01"))
+    g10 = gcps.select(*group_cols, (F.col("gi") - 1).alias("gi"), "gj", F.col("gx").alias("x10"), F.col("gy").alias("y10"))
+    g11 = gcps.select(*group_cols, (F.col("gi") - 1).alias("gi"), (F.col("gj") - 1).alias("gj"), F.col("gx").alias("x11"), F.col("gy").alias("y11"))
+    keys = [*group_cols, "gi", "gj"]
+    t = g00.join(g01, keys).join(g10, keys).join(g11, keys)
+    kf = float(k)
+    b = ((F.col("x01") - F.col("x00")) + (F.col("x11") - F.col("x10"))) / (2.0 * kf)
+    c = ((F.col("x10") - F.col("x00")) + (F.col("x11") - F.col("x01"))) / (2.0 * kf)
+    e = ((F.col("y01") - F.col("y00")) + (F.col("y11") - F.col("y10"))) / (2.0 * kf)
+    f_ = ((F.col("y10") - F.col("y00")) + (F.col("y11") - F.col("y01"))) / (2.0 * kf)
+    mean_col = (F.col("gj").cast("double") * kf) + kf / 2.0
+    mean_row = (F.col("gi").cast("double") * kf) + kf / 2.0
+    mean_x = (F.col("x00") + F.col("x01") + F.col("x10") + F.col("x11")) / 4.0
+    mean_y = (F.col("y00") + F.col("y01") + F.col("y10") + F.col("y11")) / 4.0
+    return t.select(
+        *group_cols,
+        F.col("gi").alias("ti"),
+        F.col("gj").alias("tj"),
+        (mean_x - b * mean_col - c * mean_row).alias("a"),
+        b.alias("b"),
+        c.alias("c"),
+        (mean_y - e * mean_col - f_ * mean_row).alias("d"),
+        e.alias("e"),
+        f_.alias("f_"),
+        F.least("x00", "x01", "x10", "x11").alias("xmin"),
+        F.greatest("x00", "x01", "x10", "x11").alias("xmax"),
+        F.least("y00", "y01", "y10", "y11").alias("ymin"),
+        F.greatest("y00", "y01", "y10", "y11").alias("ymax"),
+    )
+
+
+def warp_gcp_grid(
+    px: DataFrame,
+    gcps: DataFrame,
+    geo: DataFrame,
+    group_cols: list[str],
+    k: int,
+    bucket: float = 256.0,
+    value: str = "v",
+) -> DataFrame:
+    """G5 curvilinear path in-engine: piecewise-affine warp over a GCP grid.
+
+      1. fit per-tile affines from the GCP grid (tiny relation: a k^2-fold
+         reduction of the raster — broadcastable at any product size),
+      2. target canvas at ROW grain (same scale shape as affine_warp),
+      3. candidate tile lookup via a GROUND-space bucket equi-join (each tile
+         emits keys covering its bbox; each cell one key) — never cell x tile,
+      4. exact membership by inverse affine: the cell belongs to the tile
+         whose pixel rectangle contains its source coordinate (half-open;
+         outer boundary owned by the last tile row/col),
+      5. shared bilinear gather against the source pixels.
+
+    ``geo`` carries per product: dg0..dg5 + dst_rows/dst_cols (target grid).
+    The reference handles this case by shelling to ``gdalwarp -tps``
+    (sentinel1.rs:1017-1032); here the warp stays relational end-to-end.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    tiles = fit_gcp_tiles(gcps, group_cols, k)
+    nmax = tiles.groupBy(*group_cols).agg(
+        F.max("ti").alias("_ti_max"), F.max("tj").alias("_tj_max")
+    )
+    tiles = tiles.join(F.broadcast(nmax), group_cols)
+    # bucket cover of each tile's ground bbox (bbox spans are O(k * pixel
+    # scale); the explode fanout is bounded by ceil(span/bucket)^2)
+    tiles_b = tiles.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("xmin") / bucket).cast("long"),
+                F.floor(F.col("xmax") / bucket).cast("long"),
+            )
+        ).alias("bx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("ymin") / bucket).cast("long"),
+                F.floor(F.col("ymax") / bucket).cast("long"),
+            )
+        ).alias("by"),
+    )
+    stubs = geo.select(
+        *gcols, "dg0", "dg1", "dg2", "dg3", "dg4", "dg5", "dst_cols",
+        F.explode(F.sequence(F.lit(0), F.col("dst_rows") - 1)).alias("row"),
+    ).repartition(*group_cols, "row")
+    cells = stubs.select(
+        *gcols, "row",
+        F.explode(F.sequence(F.lit(0), F.col("dst_cols") - 1)).alias("col"),
+        (F.col("dg0") + (F.col("col") + 0.5) * F.col("dg1") + (F.col("row") + 0.5) * F.col("dg2")).alias("x"),
+        (F.col("dg3") + (F.col("col") + 0.5) * F.col("dg4") + (F.col("row") + 0.5) * F.col("dg5")).alias("y"),
+    ).select(
+        *gcols, "row", "col", "x", "y",
+        F.floor(F.col("x") / bucket).cast("long").alias("bx"),
+        F.floor(F.col("y") / bucket).cast("long").alias("by"),
+    )
+    cand = cells.join(tiles_b, [*group_cols, "bx", "by"])
+    det = F.col("b") * F.col("f_") - F.col("c") * F.col("e")
+    cs = ((F.col("x") - F.col("a")) * F.col("f_") - (F.col("y") - F.col("d")) * F.col("c")) / det
+    rs = ((F.col("y") - F.col("d")) * F.col("b") - (F.col("x") - F.col("a")) * F.col("e")) / det
+    kf = float(k)
+    lo_c, hi_c = F.col("tj") * kf, (F.col("tj") + 1) * kf
+    lo_r, hi_r = F.col("ti") * kf, (F.col("ti") + 1) * kf
+    inside = (
+        (cs >= lo_c)
+        & ((cs < hi_c) | ((F.col("tj") == F.col("_tj_max")) & (cs <= hi_c)))
+        & (rs >= lo_r)
+        & ((rs < hi_r) | ((F.col("ti") == F.col("_ti_max")) & (rs <= hi_r)))
+    )
+    coords = cand.select(
+        *gcols, "row", "col", cs.alias("cs"), rs.alias("rs"), inside.alias("_in")
+    ).where(F.col("_in")).drop("_in")
+    return bilinear_gather(coords, px, group_cols, value)
+
+
+def sql_warp_gcp_grid(
+    px_rel: str,
+    gcp_rel: str,
+    geo_rel: str,
+    group_cols: list[str],
+    k: int,
+    bucket: float = 256.0,
+    value: str = "v",
+) -> str:
+    """DuckDB twin of :func:`warp_gcp_grid`. ``gcp_rel`` yields (group, gi,
+    gj, gx, gy); ``geo_rel`` yields (group, dg0..dg5, dst_rows, dst_cols).
+    Returns CTEs ending in ``warped``."""
+    g = ", ".join(group_cols)
+    gt = ", ".join(f"t.{c}" for c in group_cols)
+    gg = ", ".join(f"g.{c}" for c in group_cols)
+    kf = float(k)
+    return f"""
+gcorners AS (
+  SELECT {g}, gi AS ti, gj AS tj,
+         MAX(CASE WHEN oi = 0 AND oj = 0 THEN 1 ELSE 0 END) AS _h00,
+         MAX(CASE WHEN oi = 0 AND oj = 0 THEN gx END) AS x00,
+         MAX(CASE WHEN oi = 0 AND oj = 1 THEN gx END) AS x01,
+         MAX(CASE WHEN oi = 1 AND oj = 0 THEN gx END) AS x10,
+         MAX(CASE WHEN oi = 1 AND oj = 1 THEN gx END) AS x11,
+         MAX(CASE WHEN oi = 0 AND oj = 0 THEN gy END) AS y00,
+         MAX(CASE WHEN oi = 0 AND oj = 1 THEN gy END) AS y01,
+         MAX(CASE WHEN oi = 1 AND oj = 0 THEN gy END) AS y10,
+         MAX(CASE WHEN oi = 1 AND oj = 1 THEN gy END) AS y11,
+         COUNT(*) AS _nc
+  FROM (
+    SELECT {g}, gx, gy, gi - o.oi AS gi, gj - o.oj AS gj, o.oi, o.oj
+    FROM {gcp_rel} p,
+         LATERAL (SELECT UNNEST([0,0,1,1]) AS oi, UNNEST([0,1,0,1]) AS oj) o
+  ) s
+  GROUP BY {g}, gi, gj
+  HAVING COUNT(*) = 4 AND MAX(CASE WHEN oi = 0 AND oj = 0 THEN 1 ELSE 0 END) = 1
+),
+tilesw AS (
+  SELECT {g}, ti, tj,
+         ((x00+x01+x10+x11)/4.0
+            - (((x01-x00)+(x11-x10))/{2.0 * kf!r}) * (tj*{kf!r} + {kf / 2.0!r})
+            - (((x10-x00)+(x11-x01))/{2.0 * kf!r}) * (ti*{kf!r} + {kf / 2.0!r})) AS a,
+         ((x01-x00)+(x11-x10))/{2.0 * kf!r} AS b,
+         ((x10-x00)+(x11-x01))/{2.0 * kf!r} AS c,
+         ((y00+y01+y10+y11)/4.0
+            - (((y01-y00)+(y11-y10))/{2.0 * kf!r}) * (tj*{kf!r} + {kf / 2.0!r})
+            - (((y10-y00)+(y11-y01))/{2.0 * kf!r}) * (ti*{kf!r} + {kf / 2.0!r})) AS d,
+         ((y01-y00)+(y11-y10))/{2.0 * kf!r} AS e,
+         ((y10-y00)+(y11-y01))/{2.0 * kf!r} AS f_,
+         LEAST(x00,x01,x10,x11) AS xmin, GREATEST(x00,x01,x10,x11) AS xmax,
+         LEAST(y00,y01,y10,y11) AS ymin, GREATEST(y00,y01,y10,y11) AS ymax
+  FROM gcorners
+),
+tmax AS (SELECT {g}, MAX(ti) AS _ti_max, MAX(tj) AS _tj_max FROM tilesw GROUP BY {g}),
+tilesb AS (
+  SELECT t.*, m._ti_max, m._tj_max, bx.i AS bx, by.i AS by
+  FROM tilesw t JOIN tmax m USING ({g}),
+       LATERAL (SELECT UNNEST(RANGE(CAST(FLOOR(t.xmin/{bucket!r}) AS BIGINT),
+                                    CAST(FLOOR(t.xmax/{bucket!r}) AS BIGINT) + 1)) AS i) bx,
+       LATERAL (SELECT UNNEST(RANGE(CAST(FLOOR(t.ymin/{bucket!r}) AS BIGINT),
+                                    CAST(FLOOR(t.ymax/{bucket!r}) AS BIGINT) + 1)) AS i) by
+),
+gcellsw AS (
+  SELECT {gg}, r.i AS row, c.i AS col,
+         g.dg0 + (c.i + 0.5) * g.dg1 + (r.i + 0.5) * g.dg2 AS x,
+         g.dg3 + (c.i + 0.5) * g.dg4 + (r.i + 0.5) * g.dg5 AS y
+  FROM {geo_rel} g,
+       LATERAL (SELECT UNNEST(RANGE(0, g.dst_rows)) AS i) r,
+       LATERAL (SELECT UNNEST(RANGE(0, g.dst_cols)) AS i) c
+),
+gcand AS (
+  SELECT {gt}, t.ti, t.tj, t._ti_max, t._tj_max, cl.row, cl.col,
+         ((cl.x - t.a) * t.f_ - (cl.y - t.d) * t.c) / (t.b * t.f_ - t.c * t.e) AS cs,
+         ((cl.y - t.d) * t.b - (cl.x - t.a) * t.e) / (t.b * t.f_ - t.c * t.e) AS rs
+  FROM gcellsw cl
+  JOIN tilesb t
+    ON {' AND '.join(f't.{c} = cl.{c}' for c in group_cols)}
+   AND t.bx = CAST(FLOOR(cl.x/{bucket!r}) AS BIGINT)
+   AND t.by = CAST(FLOOR(cl.y/{bucket!r}) AS BIGINT)
+),
+gcoords AS (
+  SELECT {g}, row, col, cs, rs
+  FROM gcand
+  WHERE cs >= tj * {kf!r} AND (cs < (tj + 1) * {kf!r} OR (tj = _tj_max AND cs <= (tj + 1) * {kf!r}))
+    AND rs >= ti * {kf!r} AND (rs < (ti + 1) * {kf!r} OR (ti = _ti_max AND rs <= (ti + 1) * {kf!r}))
+),
+gcornerw AS (
+  SELECT {g}, row, col,
+         CAST(FLOOR(rs) AS INTEGER) + kk.dr AS srow,
+         CAST(FLOOR(cs) AS INTEGER) + kk.dc AS scol,
+         (CASE WHEN kk.dr = 1 THEN rs - FLOOR(rs) ELSE 1.0 - (rs - FLOOR(rs)) END)
+       * (CASE WHEN kk.dc = 1 THEN cs - FLOOR(cs) ELSE 1.0 - (cs - FLOOR(cs)) END) AS w
+  FROM gcoords,
+       LATERAL (SELECT UNNEST([0,0,1,1]) AS dr, UNNEST([0,1,0,1]) AS dc) kk
+),
+warped AS (
+  SELECT {g}, row, col, SUM(w * _v) / SUM(w) AS {value}
+  FROM (
+    SELECT c.*, CAST(p.{value} AS DOUBLE) AS _v
+    FROM gcornerw c
+    JOIN {px_rel} p
+      ON {' AND '.join(f'p.{c} = c.{c}' for c in group_cols)}
+     AND p.row = c.srow AND p.col = c.scol
+  ) j
+  GROUP BY {g}, row, col
+  HAVING SUM(w) > 0.0
+)""".strip()
 
 
 def sql_affine_warp(

@@ -165,6 +165,22 @@ def needs_warp(current_epsg: str | None, target_crs: str | None) -> bool:
     return current_epsg.strip().upper() != target_crs.strip().upper()
 
 
+def warp_route(
+    current_epsg: str | None, target_crs: str | None, has_gcps: bool = False
+) -> str:
+    """G5 route selection mirroring the reference's warp dispatch
+    (sentinel1.rs:959-1032): 'none' when no warp is needed (P4 guard),
+    'affine' for the projected affine case (in-engine
+    geometry.affine_warp_bilinear), 'gcp' when the product carries no
+    projection but has a GCP grid — the reference shells to `gdalwarp -tps
+    -s_srs` there; the engine routes to geometry.warp_gcp_grid."""
+    if not needs_warp(current_epsg, target_crs):
+        return "none"
+    if current_epsg is None and has_gcps:
+        return "gcp"
+    return "affine"
+
+
 def batch_status(products: DataFrame, status_col: str = "status") -> DataFrame:
     """A9 (api/mod.rs:452-536): per-product outcome -> BatchReport counters.
     processed/skipped/errors as a single groupBy — the distributed analog of

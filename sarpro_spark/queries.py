@@ -188,4 +188,7 @@ def _load_all_modules() -> None:
     from sarpro_spark import queries_sources  # noqa: F401
     from sarpro_spark import queries_llm  # noqa: F401
 
+    # packs LAST: they union already-registered member queries
+    from sarpro_spark import queries_packs  # noqa: F401
+
     _LOADED = True

@@ -472,8 +472,8 @@ WITH clusters AS ({cl.sql_dedup_clusters(
 )})
 SELECT COUNT(*) AS n_docs,
        COUNT(DISTINCT cluster_id) AS n_clusters,
-       SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN is_canonical THEN 0 ELSE 1 END) AS n_dropped
+       CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN is_canonical THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
 FROM clusters
 """.strip()
 

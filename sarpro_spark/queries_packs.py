@@ -1,0 +1,278 @@
+"""Union-certificate pack queries.
+
+The driver's correctness gate checks the FIRST 50 entries of ``queries()``;
+the registry has ~90. A *pack* merges several registered member queries into
+ONE driver row by unpivoting every member result to a common long schema
+
+    (part, key_id, k, v_str, v_num)
+
+and unioning — every value of every member lands in the driver's value hash,
+so a green pack row certifies each member exactly as a dedicated row would
+(same pattern as the round-2 ``autoscale_advanced_u16`` union certificate,
+generalized). Members stay individually registered in the tail for targeted
+debugging.
+
+Construction is symmetric by design: the Spark side unpivots with one
+``stack()`` projection per member (single pass — the member plan is NOT
+re-executed per column), the DuckDB side with one ``UNNEST(list-of-structs)``
+per member CTE. The numeric/string/boolean split is derived from DuckDB's own
+``DESCRIBE`` of the member oracle (memoized, binding only — no scan), so the
+two sides can't disagree about which bucket a column hashes in.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sarpro_spark.frames import TABLES
+from sarpro_spark.queries import REGISTRY, query
+
+#: sf dir used ONLY for schema binding (DESCRIBE — reads parquet footers, not
+#: data); the smallest generated scale keeps import cheap.
+_SCHEMA_SF = os.environ.get("SPARK_GRAFT_SCHEMA_SF", "/root/testdata/sf0.001")
+
+_NUM_TYPES = ("INT", "DOUBLE", "FLOAT", "DECIMAL", "REAL")
+
+_type_cache: dict[str, list[tuple[str, str]]] = {}
+_duck = None
+
+
+def _member_schema(name: str) -> list[tuple[str, str]]:
+    """(column, category) for a member's oracle, category in num/str/bool."""
+    if name in _type_cache:
+        return _type_cache[name]
+    global _duck
+    import duckdb
+
+    if _duck is None:
+        _duck = duckdb.connect()
+        for t in TABLES:
+            _duck.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{_SCHEMA_SF}/{t}.parquet')"
+            )
+    rows = _duck.execute(f"DESCRIBE {REGISTRY[name].sql}").fetchall()
+    out = []
+    for col, dtype, *_ in rows:
+        up = str(dtype).upper()
+        if up == "BOOLEAN":
+            cat = "bool"
+        elif any(t in up for t in _NUM_TYPES):
+            cat = "num"
+        elif "TIMESTAMP" in up or "DATE" in up:
+            raise TypeError(
+                f"pack member {name} column {col} is {dtype}: timestamp text "
+                "formatting differs across engines — emit epoch integers instead"
+            )
+        else:
+            cat = "str"
+        out.append((col, cat))
+    _type_cache[name] = out
+    return out
+
+
+@dataclass(frozen=True)
+class Member:
+    name: str
+    id_cols: tuple[str, ...]
+
+
+def _sql_key(id_cols: tuple[str, ...]) -> str:
+    if not id_cols:
+        return "''"
+    return " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in id_cols)
+
+
+def _spark_key(id_cols: tuple[str, ...]) -> F.Column:
+    if not id_cols:
+        return F.lit("")
+    parts: list[F.Column] = []
+    for i, c in enumerate(id_cols):
+        if i:
+            parts.append(F.lit("|"))
+        parts.append(F.col(c).cast("string"))
+    return F.concat(*parts)
+
+
+def _member_sql(m: Member, alias: str) -> tuple[str, str]:
+    """(cte, select) fragments for one member."""
+    schema = _member_schema(m.name)
+    structs = []
+    for col, cat in schema:
+        if col in m.id_cols:
+            continue
+        if cat == "num":
+            v_str, v_num = "CAST(NULL AS VARCHAR)", f"CAST({col} AS DOUBLE)"
+        else:  # str + bool both stringify ('true'/'false' in both engines)
+            v_str, v_num = f"CAST({col} AS VARCHAR)", "CAST(NULL AS DOUBLE)"
+        structs.append(f"{{'k': '{col}', 'v_str': {v_str}, 'v_num': {v_num}}}")
+    cte = f"{alias} AS ({REGISTRY[m.name].sql})"
+    sel = (
+        f"SELECT '{m.name}' AS part, key_id, u.k AS k, u.v_str AS v_str, u.v_num AS v_num\n"
+        f"FROM (SELECT {_sql_key(m.id_cols)} AS key_id, UNNEST([\n  "
+        + ",\n  ".join(structs)
+        + f"\n]) AS u FROM {alias}) z"
+    )
+    return cte, sel
+
+
+def pack_sql(members: tuple[Member, ...]) -> str:
+    ctes, sels = [], []
+    for i, m in enumerate(members):
+        cte, sel = _member_sql(m, f"pm{i}")
+        ctes.append(cte)
+        sels.append(sel)
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+def _unpivot_spark(df: DataFrame, m: Member) -> DataFrame:
+    schema = _member_schema(m.name)
+    pieces = []
+    n = 0
+    for col, cat in schema:
+        if col in m.id_cols:
+            continue
+        n += 1
+        if cat == "num":
+            pieces.append(
+                f"'{col}', CAST(NULL AS STRING), CAST(`{col}` AS DOUBLE)"
+            )
+        else:
+            pieces.append(
+                f"'{col}', CAST(`{col}` AS STRING), CAST(NULL AS DOUBLE)"
+            )
+    stack = f"stack({n}, " + ", ".join(pieces) + ") AS (k, v_str, v_num)"
+    return df.select(
+        F.lit(m.name).alias("part"),
+        _spark_key(m.id_cols).alias("key_id"),
+        F.expr(stack),
+    ).select("part", "key_id", "k", "v_str", "v_num")
+
+
+def pack_fn(members: tuple[Member, ...]):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for m in members:
+            part = _unpivot_spark(REGISTRY[m.name].fn(spark, sf_dir), m)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    return fn
+
+
+def register_pack(pack_name: str, members: tuple[Member, ...], doc: str, tags: tuple[str, ...]):
+    query(pack_name, sql=pack_sql(members), doc=doc, tags=tags)(pack_fn(members))
+
+
+# --- the packs ---------------------------------------------------------------
+# Member queries must be registered before this module loads (queries.py
+# imports it last). id_cols are association labels carried into key_id; they
+# need not be unique — the driver compares row multisets.
+
+register_pack(
+    "llm_dedup_pack",
+    (
+        Member("dedup_exact", ("h",)),
+        Member("dedup_exact_normalized", ("h",)),
+        Member("dedup_ngram_jaccard", ("doc_a", "doc_b")),
+        Member("dedup_simhash", ("doc_id",)),
+        Member("dedup_simhash_pairs", ("doc_a", "doc_b")),
+    ),
+    doc="Union certificate: exact dedup (+normalized), n-gram Jaccard pairs, "
+    "SimHash fingerprints + banded near-dup pairs — every value of each "
+    "member in one driver hash row.",
+    tags=("llm", "dedup", "pack"),
+)
+
+register_pack(
+    "llm_text_pack",
+    (
+        Member("text_lang_id", ("doc_id",)),
+        Member("text_token_stats", ("doc_id",)),
+        Member("text_quality", ("doc_id",)),
+        Member("text_fingerprint", ("doc_id",)),
+        Member("text_winnowing", ("doc_id",)),
+    ),
+    doc="Union certificate: language ID, token stats, quality features, "
+    "whole-doc fingerprint, winnowing fingerprints.",
+    tags=("llm", "text", "pack"),
+)
+
+register_pack(
+    "llm_hygiene_pack",
+    (
+        Member("text_pii_redaction", ("doc_id",)),
+        Member("text_contamination", ("doc_id",)),
+        Member("text_repetition", ("doc_id",)),
+    ),
+    doc="Union certificate: PII redaction (typed counts + full redacted "
+    "text), train/eval contamination scores, C4/Gopher repetition filters.",
+    tags=("llm", "text", "hygiene", "pack"),
+)
+
+register_pack(
+    "llm_sampling_pack",
+    (
+        Member("sample_stratified", ("lang",)),
+        Member("sample_topk_per_stratum", ("doc_id",)),
+    ),
+    doc="Union certificate: deterministic stratified Bernoulli sampling + "
+    "exact-k-per-stratum seeded reservoir.",
+    tags=("llm", "sampling", "pack"),
+)
+
+register_pack(
+    "similarity_topk_pack",
+    (
+        Member("similarity_topk_bruteforce", ("query_id", "vec_id")),
+        Member("similarity_topk_lsh", ("query_id", "vec_id")),
+        Member("similarity_topk_ivf", ("query_id", "vec_id")),
+        Member("similarity_topk_int8", ("query_id", "vec_id")),
+        Member("embedding_quantize_int8", ("vec_id", "pos")),
+    ),
+    doc="Union certificate: ANN top-k via brute force, banded-hyperplane "
+    "LSH, IVF inverted lists, int8-quantized scan, plus the int8 "
+    "quantization codes themselves.",
+    tags=("llm", "similarity", "pack"),
+)
+
+register_pack(
+    "events_windows_pack",
+    (
+        Member("events_tumbling_hourly", ("hour_bucket", "event_type")),
+        Member("events_sliding_windows", ("window_start", "event_type")),
+    ),
+    doc="Union certificate: tumbling 1h and sliding 1h/15min window "
+    "aggregations over events (batch twins of the streaming pipelines).",
+    tags=("relational", "events", "streaming", "pack"),
+)
+
+register_pack(
+    "sink_sidecar_pack",
+    (
+        Member("metadata_polarization_label", ("product_id",)),
+        Member("worldfile_sidecar", ("product_id",)),
+        Member("sidecar_outputs", ("product_id", "kind")),
+        Member("batch_report", ("outcome",)),
+        Member("pipeline_plan_flags", ("case_id",)),
+    ),
+    doc="Union certificate: W6 operation-aware labels, W4 world-file "
+    "content, W5/W7/W8 sidecar + embed plans, A9 batch report, P1/P4/C3 "
+    "dispatch decision table.",
+    tags=("sink", "plan", "pack"),
+)
+
+register_pack(
+    "sources_pack",
+    (
+        Member("safe_discovery", ("product",)),
+        Member("safe_annotations", ()),
+        Member("generic_reader_roundtrip", ("fmt", "n_nationkey")),
+    ),
+    doc="Union certificate: S1-S3/S10/S11 SAFE discovery over the fixture "
+    "tree, S8/S9 manifest+annotation parse, S6 generic reader roundtrip.",
+    tags=("source", "pack"),
+)

@@ -691,6 +691,138 @@ SELECT product_id, row, col, {sql_fround('q')} AS q FROM warped
 """.strip()
 
 
+# --- G5b: piecewise-affine GCP warp certificate ------------------------------
+
+# Fixture: a genuinely CURVILINEAR ground grid — per-tile x spacing cycles
+# {64,128,256} ground units per 16 px and y spacing {64,128} (cumulative sums,
+# so no single affine fits the whole grid), plus a constant x-shear of 2/px.
+# All coefficients are dyadic: per-tile b in {4,8,16}, f in {-4,-8}, c=2,
+# det=b*f a power of two — every inverse-affine coordinate, membership test
+# and bilinear weight is exact IEEE arithmetic on both engines (fround only
+# guards the final weighted division, as in affine_warp_bilinear).
+
+_GCP_K = 16
+
+
+def _warp_gcp_sql() -> str:
+    from sarpro_spark.operators.geometry import sql_warp_gcp_grid
+
+    u8 = asc.oracle_autoscale_sql(_VV_SRC_CTE, ["product_id"], _KEYS, "standard-a2", BitDepth.U8)
+    warp = sql_warp_gcp_grid("u8", "gcp", "wgeo", ["product_id"], _GCP_K, 256.0, "q")
+    return f"""
+WITH u8 AS ({u8}),
+wdims AS (
+  SELECT product_id, CAST(MAX(row)+1 AS INTEGER) AS rows, CAST(MAX(col)+1 AS INTEGER) AS cols
+  FROM u8 GROUP BY product_id
+),
+gjs AS (
+  SELECT product_id, j.i AS gj,
+         64.0 * (CASE (j.i + product_id) % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) AS sx
+  FROM wdims, LATERAL (SELECT UNNEST(RANGE(0, CAST(CEIL(cols/{_GCP_K}.0) AS BIGINT) + 1)) AS i) j
+),
+gjc AS (
+  SELECT product_id, gj,
+         COALESCE(SUM(sx) OVER (PARTITION BY product_id ORDER BY gj
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS sxc
+  FROM gjs
+),
+gis AS (
+  SELECT product_id, i.i AS gi,
+         64.0 * (CASE (i.i + product_id) % 2 WHEN 0 THEN 1 ELSE 2 END) AS sy
+  FROM wdims, LATERAL (SELECT UNNEST(RANGE(0, CAST(CEIL(rows/{_GCP_K}.0) AS BIGINT) + 1)) AS i) i
+),
+gic AS (
+  SELECT product_id, gi,
+         COALESCE(SUM(sy) OVER (PARTITION BY product_id ORDER BY gi
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS syc
+  FROM gis
+),
+gcp AS (
+  SELECT gi_.product_id, gi_.gi, gj_.gj,
+         CAST(gi_.product_id AS DOUBLE) * 4096.0 + gj_.sxc + 2.0 * ({_GCP_K}.0 * gi_.gi) AS gx,
+         CAST(gi_.product_id AS DOUBLE) * -4096.0 - gi_.syc AS gy
+  FROM gic gi_ JOIN gjc gj_ USING (product_id)
+),
+wgeo AS (
+  SELECT product_id, MIN(gx) AS dg0, 4.0 AS dg1, 0.0 AS dg2,
+         MAX(gy) AS dg3, 0.0 AS dg4, -4.0 AS dg5,
+         CAST(CEIL((MAX(gy) - MIN(gy)) / 4.0) AS BIGINT) AS dst_rows,
+         CAST(CEIL((MAX(gx) - MIN(gx)) / 4.0) AS BIGINT) AS dst_cols
+  FROM gcp GROUP BY product_id
+),
+{warp}
+SELECT product_id, row, col, {sql_fround('q')} AS q FROM warped
+""".strip()
+
+
+@query("warp_gcp_grid", sql=_warp_gcp_sql(), tags=("raster", "geometry", "warp", "gcp"))
+def q_warp_gcp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 curvilinear path (reference: gdalwarp -tps from GCPs when the
+    product has no projection, sentinel1.rs:1017-1032): piecewise-affine fit
+    over a curvilinear GCP grid, ground-bucket tile lookup, shared bilinear
+    gather — the warp stays relational end-to-end; the pipeline routes here
+    via plans.pipeline.warp_route when projection is absent (P4 mirror)."""
+    from pyspark.sql.window import Window as W
+
+    from sarpro_spark.operators.geometry import product_dims, warp_gcp_grid
+    from sarpro_spark.queries import fround
+
+    px = _vv_px(spark, sf_dir)
+    stats = st.histogram_stats(px, ["product_id"])
+    params = asc.params_standard(stats, ["product_id"])
+    q16 = asc.apply_params(px, params, ["product_id"], BitDepth.U8, out="_q16")
+    u8 = asc.scale_u16_to_u8(q16, ["product_id"], value="_q16", out="q").drop("_q16")
+    dims = product_dims(u8, ["product_id"])
+    kf = float(_GCP_K)
+    pid = F.col("product_id")
+    gj = dims.select(
+        "product_id",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("cols") / kf).cast("int"))
+        ).alias("gj"),
+    ).withColumn(
+        "sx",
+        F.lit(64.0)
+        * F.when((F.col("gj") + pid) % 3 == 0, 1.0)
+        .when((F.col("gj") + pid) % 3 == 1, 2.0)
+        .otherwise(4.0),
+    )
+    gi = dims.select(
+        "product_id",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("rows") / kf).cast("int"))
+        ).alias("gi"),
+    ).withColumn(
+        "sy",
+        F.lit(64.0) * F.when((F.col("gi") + pid) % 2 == 0, 1.0).otherwise(2.0),
+    )
+    wj = W.partitionBy("product_id").orderBy("gj").rowsBetween(W.unboundedPreceding, -1)
+    wi = W.partitionBy("product_id").orderBy("gi").rowsBetween(W.unboundedPreceding, -1)
+    gjc = gj.select(
+        "product_id", "gj", F.coalesce(F.sum("sx").over(wj), F.lit(0.0)).alias("sxc")
+    )
+    gic = gi.select(
+        "product_id", "gi", F.coalesce(F.sum("sy").over(wi), F.lit(0.0)).alias("syc")
+    )
+    gcps = gic.join(gjc, "product_id").select(
+        "product_id", "gi", "gj",
+        (pid.cast("double") * 4096.0 + F.col("sxc") + 2.0 * (kf * F.col("gi"))).alias("gx"),
+        (pid.cast("double") * -4096.0 - F.col("syc")).alias("gy"),
+    )
+    geo = gcps.groupBy("product_id").agg(
+        F.min("gx").alias("dg0"),
+        F.lit(4.0).alias("dg1"),
+        F.lit(0.0).alias("dg2"),
+        F.max("gy").alias("dg3"),
+        F.lit(0.0).alias("dg4"),
+        F.lit(-4.0).alias("dg5"),
+        F.ceil((F.max("gy") - F.min("gy")) / 4.0).cast("long").alias("dst_rows"),
+        F.ceil((F.max("gx") - F.min("gx")) / 4.0).cast("long").alias("dst_cols"),
+    )
+    out = warp_gcp_grid(u8, gcps, geo, ["product_id"], k=_GCP_K, bucket=256.0, value="q")
+    return out.select("product_id", "row", "col", fround(F.col("q")).alias("q"))
+
+
 @query("affine_warp_bilinear", sql=_warp_sql(), tags=("raster", "geometry", "warp"))
 def q_affine_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 affine warp in-engine: u8 product -> bilinear resample onto a 2x

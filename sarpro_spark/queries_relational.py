@@ -13,6 +13,13 @@ from sarpro_spark import frames
 from sarpro_spark.queries import fround, query, round_floats, sql_fround
 
 
+def _epoch_us(col: str) -> F.Column:
+    """unix_micros that also accepts TIMESTAMP_NTZ (the testdata's native
+    events.ts type): the NTZ->LTZ cast is value-preserving under the session's
+    pinned UTC timezone, matching DuckDB's EPOCH_US on naive timestamps."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 _PRICING_SQL = """
 SELECT
   l_returnflag, l_linestatus,
@@ -486,9 +493,9 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        _epoch_us("ts").alias("ts_us"),
         F.col("event_id_r").alias("event_id_r"),
-        F.unix_micros("ts_r").alias("ts_us_r"),
+        _epoch_us("ts_r").alias("ts_us_r"),
     )
 
 
@@ -513,9 +520,9 @@ def q_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        _epoch_us("ts").alias("ts_us"),
         F.col("event_id_r").alias("event_id_r"),
-        F.unix_micros("ts_r").alias("ts_us_r"),
+        _epoch_us("ts_r").alias("ts_us_r"),
     )
 
 
@@ -547,7 +554,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.col("r_event_id").alias("error_id"),
         "user_id",
-        (F.unix_micros("r_ts") - F.unix_micros("ts")).alias("delta_us"),
+        (_epoch_us("r_ts") - _epoch_us("ts")).alias("delta_us"),
     )
 
 
@@ -588,8 +595,8 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -645,13 +652,42 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_join(e)
 
 
+# --- streaming dedup (dropDuplicatesWithinWatermark batch twin) ---------------
+
+_STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, value, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+  FROM (SELECT * FROM events UNION ALL SELECT * FROM events) u
+) d WHERE rn = 1
+""".strip()
+
+
+@query("events_stream_dedup", sql=_STREAM_DEDUP_SQL, tags=("relational", "events", "streaming"))
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup surface (dropDuplicatesWithinWatermark) run in batch
+    mode over an at-least-once feed (every event delivered twice): first
+    occurrence per event_id wins. The duplicates are full-row identical so the
+    kept row is deterministic; drained-stream == batch is asserted in
+    tests/test_streaming.py. Oracle: ROW_NUMBER() = 1 per id."""
+    from sarpro_spark.streaming.joins import dedupe_events_stream
+
+    e = frames.load_table(spark, sf_dir, "events")
+    doubled = e.unionByName(e)
+    out = dedupe_events_stream(doubled)
+    return out.select(
+        "event_id", "user_id", "event_type", "value",
+        _epoch_us("ts").alias("ts_us"),
+    )
+
+
 # --- pivot -------------------------------------------------------------------
 
 _PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 _PIVOT_SQL = f"""
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
        {", ".join(
-           f"SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS prio_{i + 1}"
+           f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS prio_{i + 1}"
            for i, p in enumerate(_PRIORITIES)
        )}
 FROM orders GROUP BY 1
@@ -713,7 +749,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_PROPS_SQL = f"""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type

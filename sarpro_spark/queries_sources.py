@@ -190,13 +190,14 @@ def q_generic_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PLAN_FLAGS_SQL = """
 SELECT * FROM (VALUES
-  (0, 'single', 'vv', FALSE),
-  (1, 'single', 'vh', TRUE),
-  (2, 'multiband', 'vv+vh', FALSE),
-  (3, 'operation', 'vv+vh', TRUE),
-  (4, 'multiband', 'vv+vh', FALSE),
-  (5, 'single', 'hh', FALSE)
-) t(case_id, route, band, needs_warp)
+  (0, 'single', 'vv', FALSE, 'none'),
+  (1, 'single', 'vh', TRUE, 'gcp'),
+  (2, 'multiband', 'vv+vh', FALSE, 'none'),
+  (3, 'operation', 'vv+vh', TRUE, 'affine'),
+  (4, 'multiband', 'vv+vh', FALSE, 'none'),
+  (5, 'single', 'hh', FALSE, 'none'),
+  (6, 'single', 'vv', TRUE, 'affine')
+) t(case_id, route, band, needs_warp, warp_route)
 """.strip()
 
 
@@ -204,9 +205,11 @@ SELECT * FROM (VALUES
 def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 (band selection + pair preference), C3 (mode dispatch), P4
     (warp-skip: equal CRS case-insensitively -> no warp; unknown current CRS
-    -> warp; no target -> never) — the real dispatch functions over a params
-    matrix, oracle = the expected decision table."""
-    from sarpro_spark.plans.pipeline import needs_warp, pipeline_route
+    -> warp; no target -> never) + G5 route selection (no projection + GCP
+    grid -> piecewise-affine GCP warp, the reference's -tps branch; no GCPs
+    -> affine assuming source georef) — the real dispatch functions over a
+    params matrix, oracle = the expected decision table."""
+    from sarpro_spark.plans.pipeline import needs_warp, pipeline_route, warp_route
     from sarpro_spark.types import (
         OutputFormat,
         Polarization,
@@ -215,20 +218,24 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cases = [
-        (0, ProcessingParams(polarization=Polarization.VV), "EPSG:32632", "EPSG:32632"),
-        (1, ProcessingParams(polarization=Polarization.VH), None, "EPSG:32632"),
+        (0, ProcessingParams(polarization=Polarization.VV), "EPSG:32632", "EPSG:32632", False),
+        (1, ProcessingParams(polarization=Polarization.VH), None, "EPSG:32632", True),
         (2, ProcessingParams(polarization=Polarization.MULTIBAND, format=OutputFormat.JPEG),
-         "EPSG:32632", "epsg:32632"),
+         "EPSG:32632", "epsg:32632", False),
         (3, ProcessingParams(polarization=Polarization.VV, operation=PolarizationOperation.RATIO),
-         "EPSG:32631", "EPSG:32632"),
-        (4, ProcessingParams(polarization=None, format=OutputFormat.JPEG), "EPSG:32632", None),
-        (5, ProcessingParams(polarization=Polarization.HH), "EPSG:32633", None),
+         "EPSG:32631", "EPSG:32632", False),
+        (4, ProcessingParams(polarization=None, format=OutputFormat.JPEG), "EPSG:32632", None, False),
+        (5, ProcessingParams(polarization=Polarization.HH), "EPSG:32633", None, True),
+        (6, ProcessingParams(polarization=Polarization.VV), None, "EPSG:32632", False),
     ]
     rows = []
-    for cid, params, cur, tgt in cases:
+    for cid, params, cur, tgt, gcps in cases:
         route, band = pipeline_route(params)
-        rows.append((cid, route, band, needs_warp(cur, tgt)))
-    return spark.createDataFrame(rows, "case_id int, route string, band string, needs_warp boolean")
+        rows.append((cid, route, band, needs_warp(cur, tgt), warp_route(cur, tgt, gcps)))
+    return spark.createDataFrame(
+        rows,
+        "case_id int, route string, band string, needs_warp boolean, warp_route string",
+    )
 
 
 # --- W5/W7/W8: sidecar + embed-plan content ----------------------------------

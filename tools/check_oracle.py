@@ -89,6 +89,12 @@ def main() -> int:
             res = con.execute(spec.sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            # The driver hashes TYPED values: DuckDB HUGEINT (int128, what SUM
+            # over any integer type returns) hash-mismatches Spark's BIGINT
+            # even when the values are equal. Flag it here so the local gate
+            # fails exactly where the driver's would.
+            dt = con.execute(f"DESCRIBE {spec.sql}").fetchall()
+            huge = [r[0] for r in dt if "HUGEINT" in str(r[1]).upper()]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"oracle SQL error: {e}"))
             print(f"✗ {name}: oracle SQL error: {e}")
@@ -96,6 +102,10 @@ def main() -> int:
         t_duck = time.time() - t0
 
         problems = []
+        if huge:
+            problems.append(
+                f"oracle emits HUGEINT cols {huge} (driver hash-fails vs BIGINT; CAST them)"
+            )
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema: spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
