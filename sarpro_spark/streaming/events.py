@@ -19,10 +19,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (with timezone).
+
+    Depending on how the events parquet was produced, ``ts`` arrives as one
+    of: bigint nanos (raw TIMESTAMP(NANOS) under the nanosAsLong conf),
+    TIMESTAMP_NTZ (round-tripped parquet written by Spark), or TIMESTAMP.
+    ``withWatermark`` only accepts TIMESTAMP
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise), so every streaming
+    entry point funnels through this. The UTC session timezone pins value
+    equality between the NTZ and TZ readings.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        # integer DIV: a double divide would lose precision above 2^53
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if dtype is not None and dtype != "timestamp":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Tumbling event-time windows with a watermark (state eviction bound —
     without it, streaming state grows forever at 100 TB/day rates)."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = ensure_event_time(events).withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
@@ -47,7 +67,7 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
 def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "15 minutes",
                    watermark: str = "2 hours") -> DataFrame:
     """Sliding windows — each event lands in window/slide buckets."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = ensure_event_time(events).withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", window, slide).alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -70,7 +90,7 @@ def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 h
     starts a NEW session — oracles must use ``gap >= threshold`` (not ``>``)
     for the new-session flag. ``session_value`` sums on DECIMAL(18,2) so the
     result is order-independent and bit-identical across engines."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = ensure_event_time(events).withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
         .agg(
@@ -89,9 +109,11 @@ def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 h
 
 def stream_events_from_parquet(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """File-source readStream over the events parquet (one-file micro-batch).
-    ``path`` is the parquet file/glob. NOTE: the raw file carries
-    TIMESTAMP(NANOS); the nanosAsLong conf + DIV conversion mirrors
-    frames.load_table."""
+    ``path`` is the parquet file/glob. The driver's raw file carries
+    TIMESTAMP(NANOS) (read as bigint under the nanosAsLong conf); parquet
+    written back by Spark carries TIMESTAMP_NTZ or TIMESTAMP instead —
+    :func:`ensure_event_time` handles all three (mirrors frames.load_table's
+    dtype guard)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
         schema = spark.read.parquet(path).schema
@@ -100,7 +122,7 @@ def stream_events_from_parquet(spark: SparkSession, path: str, schema=None) -> D
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ensure_event_time(stream, "ts")
 
 
 def run_stream_to_memory(stream_df: DataFrame, query_name: str, timeout_sec: int = 60):

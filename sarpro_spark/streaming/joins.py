@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sarpro_spark.streaming.events import ensure_event_time
+
 
 def attribution_join(
     events: DataFrame,
@@ -31,6 +33,9 @@ def attribution_join(
     self-join needs two independent readStream sources — pass the second."""
     if click_events is None:
         click_events = events
+    # withWatermark requires TIMESTAMP event time; inputs may carry NTZ/bigint
+    events = ensure_event_time(events, "ts")
+    click_events = ensure_event_time(click_events, "ts")
     clicks = click_events.where(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user_id"),
         F.col("ts").alias("click_ts"),
@@ -69,7 +74,7 @@ def dedupe_events_stream(
     the watermark (`dropDuplicatesWithinWatermark`). Batch mode reduces to
     dropDuplicates on the id — the convergence target of the stream."""
     if events.isStreaming:
-        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-            [id_col]
-        )
+        return ensure_event_time(events, "ts").withWatermark(
+            "ts", watermark
+        ).dropDuplicatesWithinWatermark([id_col])
     return events.dropDuplicates([id_col])

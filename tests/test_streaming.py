@@ -225,3 +225,41 @@ def test_streaming_dedup_first_wins(spark, tmp_path):
 
     batch_ids = {r["event_id"] for r in dedupe_events_stream(df).collect()}
     assert batch_ids == {r["event_id"] for r in got}
+
+
+def test_stream_source_accepts_all_ts_encodings(spark, sf_dir, tmp_path):
+    """Regression guard (round-3 breakage): the events stream source must
+    accept every ts encoding the environment produces — raw bigint nanos
+    (driver parquet under nanosAsLong), TIMESTAMP_NTZ (Spark-written
+    parquet), and plain TIMESTAMP — and normalize all three to TIMESTAMP so
+    withWatermark resolves. A Spark behavior shift here should fail loudly
+    in this one test, not in four downstream equivalence tests."""
+    import shutil
+
+    batch = frames.load_table(spark, sf_dir, "events").limit(50)
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", raw / "events.parquet")
+
+    ntz = tmp_path / "ntz"
+    batch.withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(str(ntz))
+
+    tz = tmp_path / "tz"
+    batch.write.parquet(str(tz))
+
+    for path in (raw, ntz, tz):
+        stream = se.stream_events_from_parquet(spark, str(path))
+        assert dict(stream.dtypes)["ts"] == "timestamp", str(path)
+        # withWatermark must analyze (the round-3 failure was at analysis)
+        stream.withWatermark("ts", "2 hours").groupBy(
+            F.window("ts", "1 hour")
+        ).count().explain()
+
+    # batch-side normalization: bigint nanos and NTZ agree after ensure_event_time
+    ntz_df = se.ensure_event_time(spark.read.parquet(str(ntz)), "ts")
+    tz_df = spark.read.parquet(str(tz))
+    assert dict(ntz_df.dtypes)["ts"] == "timestamp"
+    a = sorted(r["ts"] for r in ntz_df.select("ts").collect())
+    b = sorted(r["ts"] for r in tz_df.select("ts").collect())
+    assert a == b
