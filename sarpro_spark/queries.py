@@ -29,9 +29,18 @@ from pyspark.sql.types import DoubleType, FloatType
 class QuerySpec:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None
+    #: oracle SQL; a zero-arg callable defers construction to first use (packs
+    #: derive their SQL from DuckDB DESCRIBE over the testdata schema, which
+    #: must not run at import time — a missing schema source would otherwise
+    #: break the ENTIRE registry, not just the packs)
+    sql: str | None | Callable[[], str]
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+
+    def resolve_sql(self) -> str | None:
+        if callable(self.sql):
+            self.sql = self.sql()
+        return self.sql
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -85,23 +94,25 @@ def round_floats(df: DataFrame, digits: int = 6, exclude: tuple[str, ...] = ()) 
 # ``autoscale_advanced_u16`` union certificate, and (c) rows-only sketches.
 # Under a time-budgeted driver all entries still run; under a 50-entry cap
 # the head alone certifies every component.
+# Round-4 layout: the 9 union-certificate packs (queries_packs.py) occupy one
+# head slot each and certify every member's every value, freeing slots for the
+# round-2/3 operators that previously sat uncertified in the tail (warp, GCP
+# warp, k-means, attribution join, tiled kernel, box resize, LSH candidates,
+# approx sketch). Members subsumed by a pack move to the tail.
 HEAD_ORDER: tuple[str, ...] = (
-    # the 10 queries the round-1 driver never reached (VERDICT item 2)
+    # LLM dedup/similarity chain (not pack-subsumed: distinct oracles)
     "dedup_minhash_verified",
     "dedup_corpus_summary",
     "dedup_embedding_cosine",
     "dedup_cluster_components",
-    "text_lang_id",
-    "text_quality",
-    "text_token_stats",
-    "text_fingerprint",
     "multimodal_metadata",
     "multimodal_decode_features",
-    # round-1's only red cell, re-certified
+    # streaming/session surfaces
     "events_sessionize",
+    "events_attribution_join",
     # merged A3 certificate (all four strategies, one row)
     "autoscale_advanced_u16",
-    # relational / §2.8 surfaces
+    # relational / §2.8 surfaces with dedicated oracles
     "pricing_summary",
     "nation_revenue_join",
     "top_revenue_parts",
@@ -110,7 +121,6 @@ HEAD_ORDER: tuple[str, ...] = (
     "set_operations",
     "semi_anti_join",
     "scalar_function_pack",
-    "events_tumbling_hourly",
     "events_asof_signup",
     "events_range_join",
     "user_running_totals",
@@ -118,37 +128,41 @@ HEAD_ORDER: tuple[str, ...] = (
     "band_math_ops",
     "db_conversion_mask",
     "histogram_stats",
+    "histogram_stats_approx",
     "tamed_synrgb_u8_copol",
     "pipeline_kernel_standard_u8",
     "pipeline_kernel_clahe_u16",
+    "pipeline_kernel_tiled_u8",
     "local_median_3x3",
     "pad_to_square",
-    # covers S5+S7 with the same oracle SQL as box_resize_2x (which moves to
-    # the tail): build -> partitioned write -> pruned level read
+    # covers S5+S7 with the same oracle SQL as box_resize_2x: build ->
+    # partitioned write -> pruned level read
     "pyramid_downsample_read",
+    "box_resize_2x",
     "geotransform_update",
     "pipeline_kernel_synrgb_default",
     "pipeline_kernel_synrgb_suppressed",
-    # sinks
-    "metadata_polarization_label",
-    "batch_report",
-    "worldfile_sidecar",
+    # G5 warp family (round-2/3 flagships, first driver certification)
+    "affine_warp_bilinear",
+    "warp_gcp_grid",
+    # IVF centroid trainer
+    "embedding_kmeans",
+    # banded-LSH candidate generation certified directly
+    "dedup_minhash_lsh",
+    # roundtrip codecs (real TIFF/JPEG encode+decode)
     "tiff_roundtrip",
     "jpeg_roundtrip",
-    "sidecar_outputs",
-    # sources (fixture-certified)
-    "safe_discovery",
-    "safe_annotations",
-    # LLM-pipeline components
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    # P1/P4/C3 dispatch certificate (dedup_minhash_signatures and
-    # dedup_minhash_lsh move to the tail: the verified chain computes the
-    # same signatures and banded LSH candidates upstream)
-    "pipeline_plan_flags",
-    "dedup_simhash",
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
+    # union-certificate packs — one row certifies every member query
+    # (members registered in the tail for targeted debugging)
+    "llm_dedup_pack",
+    "llm_text_pack",
+    "llm_hygiene_pack",
+    "llm_sampling_pack",
+    "similarity_topk_pack",
+    "events_windows_pack",
+    "sink_sidecar_pack",
+    "sources_pack",
+    "relational_pack",
 )
 
 
@@ -168,9 +182,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_queries() -> dict[str, str]:
     _load_all_modules()
     return {
-        name: REGISTRY[name].sql
+        name: sql
         for name in _ordered_names()
-        if REGISTRY[name].sql is not None
+        if (sql := REGISTRY[name].resolve_sql()) is not None
     }
 
 

@@ -164,7 +164,10 @@ def pack_fn(members: tuple[Member, ...]):
 
 
 def register_pack(pack_name: str, members: tuple[Member, ...], doc: str, tags: tuple[str, ...]):
-    query(pack_name, sql=pack_sql(members), doc=doc, tags=tags)(pack_fn(members))
+    # sql is a thunk: DESCRIBE-based construction runs on first resolve_sql(),
+    # NOT at import — a missing testdata path or absent duckdb then fails only
+    # the pack queries, never the registry import (bench/driver keep working).
+    query(pack_name, sql=lambda m=members: pack_sql(m), doc=doc, tags=tags)(pack_fn(members))
 
 
 # --- the packs ---------------------------------------------------------------
@@ -263,6 +266,26 @@ register_pack(
     "content, W5/W7/W8 sidecar + embed plans, A9 batch report, P1/P4/C3 "
     "dispatch decision table.",
     tags=("sink", "plan", "pack"),
+)
+
+register_pack(
+    "relational_pack",
+    (
+        Member("rollup_sales", ("l_returnflag", "l_linestatus")),
+        Member("cube_orders", ("o_orderpriority", "o_orderstatus")),
+        Member("orders_above_cust_avg", ("o_custkey",)),
+        Member("events_asof_cogrouped", ("event_id",)),
+        Member("events_props_json", ("event_type",)),
+        Member("pivot_order_priority", ("order_year",)),
+        Member("lineitem_percentiles", ("l_returnflag",)),
+        Member("skewed_agg_salted", ("event_type",)),
+        Member("events_stream_dedup", ("event_id",)),
+    ),
+    doc="Union certificate: rollup/cube hierarchies, correlated-subquery "
+    "decorrelation, as-of via cogrouped applyInPandas, JSON property "
+    "aggregation, pivot, exact percentiles, salted skew aggregation, and "
+    "the streaming-dedup batch twin.",
+    tags=("relational", "pack"),
 )
 
 register_pack(

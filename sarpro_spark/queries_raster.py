@@ -145,15 +145,72 @@ def q_hist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(out)
 
 
-@query("histogram_stats_approx", sql=None, tags=("raster", "agg", "sketch"))
+_APPROX_ACC = 10000
+
+_APPROX_SQL = f"""
+WITH {_SRC_CTE}
+SELECT product_id, band,
+  COUNT(*) AS valid_count,
+  {sql_fround('MIN(db)')} AS vmin,
+  {sql_fround('MAX(db)')} AS vmax,
+  {sql_fround('AVG(db)')} AS vmean,
+  {sql_fround('STDDEV_POP(db)')} AS vstd,
+  {", ".join(f"TRUE AS {name}_in_bounds" for name, _ in st.PERCENTILES)}
+FROM src WHERE valid
+GROUP BY product_id, band
+""".strip()
+
+
+@query("histogram_stats_approx", sql=_APPROX_SQL, tags=("raster", "agg", "sketch"))
 def q_hist_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch fast path: percentile_approx (GK) — one shuffle, mergeable
-    state; rows-only check (approx values differ across engines by design);
-    rank-error bound vs the exact histogram asserted in tests."""
+    state. Tolerance-checked oracle: the exact moments hash directly, and
+    each approx percentile is reduced to a boolean asserting the GK rank
+    guarantee itself — the returned value's occupied rank interval
+    [#(db<v)+1, #(db<=v)] must intersect [(p-eps)n, (p+eps)n] (rank-based, so
+    ties don't produce false alarms). The oracle emits TRUE literals; any
+    sketch drift past its published bound flips a hashed value. Plan shape:
+    sketch agg -> broadcast the 64-row sketch back onto the scan -> one
+    rank-counting agg (map-side combined); scale-safe at any n."""
     long = frames.band_long(spark, sf_dir)
     df = ew.with_db_mask(long)
-    out = st.approx_stats(df, ["product_id", "band"])
-    return round_floats(out)
+    src = df.filter(F.col("valid"))
+    keys = ["product_id", "band"]
+    pcts = st.PERCENTILES
+    ap = F.array(*[F.lit(p) for _, p in pcts])
+    sketch = src.groupBy(*keys).agg(
+        F.percentile_approx("db", ap, F.lit(_APPROX_ACC)).alias("_ap")
+    )
+    j = src.join(F.broadcast(sketch), keys)
+    rank_aggs = []
+    for i in range(len(pcts)):
+        v = F.element_at("_ap", i + 1)
+        rank_aggs.append(F.sum((F.col("db") < v).cast("long")).alias(f"_lt{i}"))
+        rank_aggs.append(F.sum((F.col("db") <= v).cast("long")).alias(f"_le{i}"))
+    agg = j.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("valid_count"),
+        fround(F.min("db")).alias("vmin"),
+        fround(F.max("db")).alias("vmax"),
+        fround(F.avg("db")).alias("vmean"),
+        fround(F.coalesce(F.stddev_pop("db"), F.lit(0.0))).alias("vstd"),
+        *rank_aggs,
+    )
+    eps = 1.0 / _APPROX_ACC
+    n = F.col("valid_count").cast("double")
+    checks = []
+    for i, (name, p) in enumerate(pcts):
+        # +/-1 rank of slack absorbs the floor/ceil convention at the ends
+        lo_rank = (F.lit(p) - F.lit(eps)) * n - F.lit(1.0)
+        hi_rank = (F.lit(p) + F.lit(eps)) * n + F.lit(1.0)
+        checks.append(
+            (
+                (F.col(f"_le{i}").cast("double") >= lo_rank)
+                & (F.col(f"_lt{i}").cast("double") + F.lit(1.0) <= hi_rank)
+            ).alias(f"{name}_in_bounds")
+        )
+    return agg.select(
+        "product_id", "band", "valid_count", "vmin", "vmax", "vmean", "vstd", *checks
+    )
 
 
 # --- full OP route: E3 ratio -> W9 pipeline (composition evidence) -----------

@@ -79,21 +79,22 @@ def main() -> int:
         srows = sdf.collect()
         scols = sdf.columns
         t_spark = time.time() - t0
-        if spec.sql is None:
+        oracle_sql = spec.resolve_sql()
+        if oracle_sql is None:
             print(f"  {name}: rows-only ({len(srows)} rows, {t_spark:.1f}s spark) — no oracle")
             if len(srows) == 0:
                 failures.append((name, "zero rows (rows-only check)"))
             continue
         t0 = time.time()
         try:
-            res = con.execute(spec.sql)
+            res = con.execute(oracle_sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
             # The driver hashes TYPED values: DuckDB HUGEINT (int128, what SUM
             # over any integer type returns) hash-mismatches Spark's BIGINT
             # even when the values are equal. Flag it here so the local gate
             # fails exactly where the driver's would.
-            dt = con.execute(f"DESCRIBE {spec.sql}").fetchall()
+            dt = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
             huge = [r[0] for r in dt if "HUGEINT" in str(r[1]).upper()]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"oracle SQL error: {e}"))
