@@ -105,7 +105,6 @@ HEAD_ORDER: tuple[str, ...] = (
     "dedup_corpus_summary",
     "dedup_embedding_cosine",
     "dedup_cluster_components",
-    "multimodal_metadata",
     "multimodal_decode_features",
     # streaming/session surfaces
     "events_sessionize",
@@ -163,6 +162,7 @@ HEAD_ORDER: tuple[str, ...] = (
     "sink_sidecar_pack",
     "sources_pack",
     "relational_pack",
+    "multimodal_pack",
 )
 
 

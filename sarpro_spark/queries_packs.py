@@ -269,6 +269,18 @@ register_pack(
 )
 
 register_pack(
+    "multimodal_pack",
+    (
+        Member("multimodal_metadata", ("doc_id",)),
+        Member("multimodal_byte_features", ("doc_id",)),
+        Member("multimodal_frame_sample", ("doc_id", "frame_idx")),
+    ),
+    doc="Union certificate: typed media metadata struct, format-agnostic "
+    "byte features, and MJPEG frame sampling with real JPEG decode.",
+    tags=("llm", "multimodal", "pack"),
+)
+
+register_pack(
     "relational_pack",
     (
         Member("rollup_sales", ("l_returnflag", "l_linestatus")),

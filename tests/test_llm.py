@@ -154,11 +154,41 @@ def test_multimodal_features(spark, docs):
     assert b.select("media_meta.mime").distinct().count() == 3
 
 
-def test_multimodal_decode_stub_raises():
+def test_multimodal_decode_real_codecs():
+    import numpy as np
+
+    from sarpro_spark.sinks.jpeg import encode_jpeg
+    from sarpro_spark.sinks.png import encode_png
+
+    # PNG leg is lossless: decode == source, gray and RGB
+    for channels in (1, 3):
+        img = mm.formula_image(7, 20, 12, channels)
+        dec = mm.decode_image(encode_png(img))
+        assert dec.shape == img.shape and (dec == img).all()
+    # JPEG leg: exact dims, bounded error
+    img = mm.formula_image(9, 24, 16, 3)
+    dec = mm.decode_image(encode_jpeg(img, 90))
+    assert dec.shape == img.shape
+    assert float(np.abs(dec.astype(int) - img.astype(int)).mean()) < 12
+    # header-only dims parse, both formats
+    assert mm.image_dims(encode_png(img)) == (24, 16)
+    assert mm.image_dims(encode_jpeg(img, 90)) == (24, 16)
+    # unsupported magic still raises (declared capability boundary)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+        mm.decode_image(b"\x00\x00\x00\x00")
+
+
+def test_multimodal_frame_sampling():
+    from sarpro_spark.sinks.jpeg import encode_jpeg
+
+    frames = [mm.formula_image(3, 16, 8, 1, frame=f) for f in range(5)]
+    payload = b"".join(encode_jpeg(f, 90) for f in frames)
+    assert len(mm.split_mjpeg(payload)) == 5
+    sampled = mm.sample_frames(payload, every_n=2)
+    assert [i for i, _ in sampled] == [0, 2, 4]
+    assert all(a.shape == (8, 16) for _, a in sampled)
     with pytest.raises(NotImplementedError):
-        mm.sample_frames(b"\x00\x00")
+        mm.sample_frames(b"\x00\x00")  # not a JPEG stream
 
 
 def test_ivf_topk_contains_self(spark, emb):
