@@ -183,9 +183,12 @@ def _tiff_rt_sql() -> str:
 @query("tiff_roundtrip", sql=_tiff_rt_sql(), tags=("sink", "tiff", "kernel"))
 def q_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W2/S4 end-to-end (tiff.rs:6-78, sentinel1.rs:885-911): per-product
-    U8 pipeline -> 2-band uncompressed GeoTIFF written executor-side (W7
-    geotransform embed) -> decoded back -> pixel frame. Write and read are
-    stages of ONE lazy plan (read tasks consume the write manifest)."""
+    U8 pipeline -> 2-band GeoTIFF written executor-side (W7 geotransform
+    embed) -> decoded back -> pixel frame. Even products write uncompressed,
+    odd products zlib-DEFLATE (Compression=8) — one hash row certifies both
+    codec paths (reference parity: GDAL reads any compression,
+    gdal.rs:107-141). Write and read are stages of ONE lazy plan (read tasks
+    consume the write manifest)."""
     import tempfile
 
     import sarpro_spark.operators.kernel as krn
@@ -205,11 +208,15 @@ def q_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("product_id").cast("double") * -64.0).alias("gt3"),
         F.lit(0.0).alias("gt4"),
         F.lit(-10.25).alias("gt5"),
+        F.when(F.col("product_id") % 2 == 0, "none")
+        .otherwise("deflate")
+        .alias("comp"),
     )
     out_dir = tempfile.mkdtemp(prefix="sarpro_tiff_rt_")
     manifest = w.write_geotiffs(
         two, out_dir, ["product_id"], ["q", "q_inv"], bits=8,
         gt_cols=("gt0", "gt1", "gt2", "gt3", "gt4", "gt5"),
+        compression_col="comp",
     )
     back = w.read_tiffs_px(manifest, ["q", "q_inv"], ["product_id"])
     # the synthetic px grid is ragged (per-product counts vary, partial last

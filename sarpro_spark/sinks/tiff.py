@@ -6,8 +6,12 @@ metadata.rs:297-341); real Sentinel-1 GRD measurement TIFFs are uncompressed
 strip u16 — exactly the subset a ~200-line struct-packing codec covers, so
 the container's lack of GDAL/PIL doesn't force a stub (VERDICT r01 item 5).
 
-Supported: little-endian classic TIFF, uncompressed (Compression=1), chunky
-planar (PlanarConfiguration=1), 1-3 samples/pixel, uint8/uint16, multi-strip.
+Supported: little-endian classic TIFF, chunky planar
+(PlanarConfiguration=1), 1-3 samples/pixel, uint8/uint16, multi-strip;
+compression none (1) on read+write, deflate (8 / legacy 32946, stdlib zlib)
+on read+write, and horizontal-predictor (tag 317 = 2) undo on read — the
+subset GDAL emits for DEFLATE-compressed GRD derivatives
+(/root/reference/src/io/gdal.rs:107-141 reads any compression via GDAL).
 Georeferencing: ModelPixelScaleTag + ModelTiepointTag (north-up geotransform,
 the reference's GRD case) + ImageDescription carrying the metadata JSON
 (W6/W7). JPEG (W3) lives in the sibling codec, sinks/jpeg.py.
@@ -21,6 +25,7 @@ storage.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -42,6 +47,7 @@ TAG_SAMPLES_PER_PIXEL = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_BYTE_COUNTS = 279
 TAG_PLANAR = 284
+TAG_PREDICTOR = 317
 TAG_EXTRA_SAMPLES = 338
 TAG_SAMPLE_FORMAT = 339
 TAG_MODEL_PIXEL_SCALE = 33550
@@ -60,12 +66,17 @@ def write_tiff(
     geotransform: tuple | list | None = None,
     description: str | None = None,
     rows_per_strip: int | None = None,
+    compression: str = "none",
 ) -> int:
-    """Write (rows, cols) or (rows, cols, samples) uint8/uint16 array as an
-    uncompressed striped TIFF. ``geotransform`` (6-element GDAL order) embeds
-    as ModelPixelScale+ModelTiepoint when north-up (gt2 == gt4 == 0 — the
-    reference's embed guard); ``description`` lands in ImageDescription.
+    """Write (rows, cols) or (rows, cols, samples) uint8/uint16 array as a
+    striped TIFF, uncompressed or zlib-deflate per strip
+    (``compression='deflate'``). ``geotransform`` (6-element GDAL order)
+    embeds as ModelPixelScale+ModelTiepoint when north-up (gt2 == gt4 == 0 —
+    the reference's embed guard); ``description`` lands in ImageDescription.
     Returns bytes written."""
+    comp_code = {"none": 1, "deflate": 8}.get(compression)
+    if comp_code is None:
+        raise ValueError(f"unsupported compression {compression!r}")
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] > 3:
@@ -84,13 +95,14 @@ def write_tiff(
     strips = []
     for s in range(n_strips):
         seg = arr[s * rows_per_strip:(s + 1) * rows_per_strip]
-        strips.append(seg.astype(arr.dtype.newbyteorder("<")).tobytes())
+        raw = seg.astype(arr.dtype.newbyteorder("<")).tobytes()
+        strips.append(zlib.compress(raw, 6) if comp_code == 8 else raw)
 
     entries: list[tuple[int, int, list | bytes]] = [
         (TAG_WIDTH, _LONG, [cols]),
         (TAG_LENGTH, _LONG, [rows]),
         (TAG_BITS, _SHORT, [bits] * samples),
-        (TAG_COMPRESSION, _SHORT, [1]),
+        (TAG_COMPRESSION, _SHORT, [comp_code]),
         (TAG_PHOTOMETRIC, _SHORT, [2 if samples == 3 else 1]),
         (TAG_SAMPLES_PER_PIXEL, _SHORT, [samples]),
         (TAG_ROWS_PER_STRIP, _LONG, [rows_per_strip]),
@@ -177,18 +189,34 @@ def read_tiff(path: str) -> tuple[np.ndarray, dict]:
     def one(tag, default=None):
         return tags.get(tag, [default])[0]
 
-    if one(TAG_COMPRESSION, 1) != 1:
-        raise NotImplementedError("compressed TIFF not supported (uncompressed strips only)")
+    comp = one(TAG_COMPRESSION, 1)
+    if comp not in (1, 8, 32946):  # none, deflate, legacy deflate
+        raise NotImplementedError(f"compression {comp} not supported (none/deflate only)")
     if one(TAG_PLANAR, 1) != 1:
         raise NotImplementedError("planar TIFF not supported")
+    predictor = one(TAG_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"predictor {predictor} not supported")
     cols, rows = one(TAG_WIDTH), one(TAG_LENGTH)
     samples = one(TAG_SAMPLES_PER_PIXEL, 1)
     bits = tags.get(TAG_BITS, [8])[0]
     dtype = np.dtype(e + ("u1" if bits == 8 else "u2"))
+    rows_per_strip = one(TAG_ROWS_PER_STRIP, rows) or rows
     offs, counts = tags[TAG_STRIP_OFFSETS], tags[TAG_STRIP_BYTE_COUNTS]
-    data = b"".join(buf[o:o + c] for o, c in zip(offs, counts))
-    arr = np.frombuffer(data, dtype=dtype, count=rows * cols * samples)
-    arr = arr.reshape(rows, cols, samples).astype(dtype.newbyteorder("="))
+    pieces = []
+    for si, (o, c) in enumerate(zip(offs, counts)):
+        raw = buf[o:o + c]
+        if comp != 1:
+            raw = zlib.decompress(raw)
+        srows = min(rows_per_strip, rows - si * rows_per_strip)
+        a = np.frombuffer(raw, dtype=dtype, count=srows * cols * samples)
+        a = a.reshape(srows, cols, samples)
+        if predictor == 2:
+            # horizontal differencing: undo by cumulative sum along the row,
+            # wrapping in the sample dtype (per the TIFF 6.0 spec)
+            a = np.cumsum(a, axis=1, dtype=dtype)
+        pieces.append(a)
+    arr = np.concatenate(pieces, axis=0).astype(dtype.newbyteorder("="))
     meta: dict = {}
     if TAG_DESCRIPTION in tags:
         meta["description"] = tags[TAG_DESCRIPTION][0]

@@ -226,6 +226,8 @@ def write_geotiffs(
     gt_cols: tuple[str, ...] | None = None,
     projection_col: str | None = None,
     description_col: str | None = None,
+    compression: str = "none",
+    compression_col: str | None = None,
 ) -> DataFrame:
     """W1 (1-band) / W2 (2-band) GeoTIFF write (tiff.rs:6-78): one TIFF per
     product via applyInPandas — pixels are assembled and encoded inside the
@@ -276,8 +278,9 @@ def write_geotiffs(
         stem = "_".join(str(pdf[g].iloc[0]) for g in group_cols).replace("/", "_")
         path = os.path.join(out_dir, f"{stem}.tif")
         os.makedirs(out_dir, exist_ok=True)
+        comp = str(pdf[compression_col].iloc[0]) if compression_col else compression
         n = write_tiff(path, arr[:, :, 0] if len(value_cols) == 1 else arr,
-                       geotransform=gt, description=desc)
+                       geotransform=gt, description=desc, compression=comp)
         if gt is not None and projection_col is not None:  # W7 projection rule
             write_prj(path, str(pdf[projection_col].iloc[0]))
         out = pd.DataFrame(

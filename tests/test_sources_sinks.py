@@ -424,3 +424,43 @@ def test_write_jpegs_sink_with_sidecars(spark, tmp_path):
             df, out, ["product_id"], ["r", "g", "b"]).schema), ["r", "g", "b"], ["product_id"]
     ).collect()
     assert len(back) == 2 * 16 * 24
+
+
+def test_tiff_deflate_roundtrip_and_predictor(tmp_path):
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sarpro_spark.sinks import tiff as t
+
+    rng = np.random.default_rng(17)
+    # deflate write+read, multi-strip, u8 and u16
+    for dtype in (np.uint8, np.uint16):
+        arr = rng.integers(0, np.iinfo(dtype).max + 1, size=(90, 31), dtype=dtype)
+        p = str(tmp_path / "d.tif")
+        n = t.write_tiff(p, arr, rows_per_strip=32, compression="deflate")
+        back, _ = t.read_tiff(p)
+        assert np.array_equal(back, arr)
+        assert n > 0
+
+    # horizontal-predictor (tag 317=2) deflate fixture, the common GDAL shape:
+    # hand-built so the reader is certified against foreign producers too
+    arr = rng.integers(0, 65536, size=(11, 13), dtype=np.uint16)
+    diff = arr.astype(np.int64).copy()
+    diff[:, 1:] = (arr[:, 1:].astype(np.int64) - arr[:, :-1].astype(np.int64)) % 65536
+    comp = zlib.compress(diff.astype("<u2").tobytes())
+    tags = [(256, 4, [13]), (257, 4, [11]), (258, 3, [16]), (259, 3, [8]),
+            (262, 3, [1]), (273, 4, [8]), (277, 3, [1]), (278, 4, [11]),
+            (279, 4, [len(comp)]), (284, 3, [1]), (317, 3, [2]), (339, 3, [1])]
+    body = struct.pack("<H", len(tags))
+    for tg, typ, vals in tags:
+        fmt = {3: "H", 4: "I"}[typ]
+        raw = struct.pack("<" + fmt * len(vals), *vals)
+        body += struct.pack("<HHI", tg, typ, len(vals)) + raw.ljust(4, b"\x00")
+    body += struct.pack("<I", 0)
+    p = str(tmp_path / "pred.tif")
+    with open(p, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", 8 + len(comp)) + comp + body)
+    back, _ = t.read_tiff(p)
+    assert np.array_equal(back, arr)
