@@ -524,7 +524,11 @@ def warp_gcp_grid(
         F.floor(F.col("x") / bucket).cast("long").alias("bx"),
         F.floor(F.col("y") / bucket).cast("long").alias("by"),
     )
-    cand = cells.join(tiles_b, [*group_cols, "bx", "by"])
+    # tiles are a k^2-fold reduction of the raster — broadcastable at any
+    # product size; pin it so the plan never degrades to a shuffle join on
+    # the full cell grid (AQE would usually pick this, but the intent is
+    # structural, not a runtime accident)
+    cand = cells.join(F.broadcast(tiles_b), [*group_cols, "bx", "by"])
     det = F.col("b") * F.col("f_") - F.col("c") * F.col("e")
     cs = ((F.col("x") - F.col("a")) * F.col("f_") - (F.col("y") - F.col("d")) * F.col("c")) / det
     rs = ((F.col("y") - F.col("d")) * F.col("b") - (F.col("x") - F.col("a")) * F.col("e")) / det

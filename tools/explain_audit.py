@@ -175,6 +175,99 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
         "schema_excludes": ["o_totalprice", "o_comment"],
     },
+    "warp_gcp_grid": {
+        # GCP piecewise warp: tile relation (k^2-fold reduction) joins the
+        # cell grid via a PINNED broadcast on the ground-bucket keys; the
+        # canvas/corner explodes are Generates; never cell-x-tile cartesian
+        "require": ["BroadcastHashJoin", "Generate"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "histogram_stats_approx": {
+        # GK sketch agg -> tiny sketch broadcast back onto the scan -> one
+        # rank-counting agg with map-side combine
+        "require": ["BroadcastHashJoin", "HashAggregate"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "box_resize_2x": {
+        # scan-partitioned coarse-cell agg: map-side combine, no Python
+        "require": ["HashAggregate"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "lineitem_percentiles": {
+        # exact percentiles: single sort-based aggregate, no self-joins
+        "require": [],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["l_shipdate", "l_orderkey"],
+    },
+    "similarity_topk_ivf": {
+        # centroid assignment broadcast-crossed (tiny centroid relation),
+        # then inverted-list equi-join — never corpus x queries
+        "require": [],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "skewed_agg_salted": {
+        # two-level salted aggregation: partial on (key, salt), final on key
+        "require": ["HashAggregate"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "events_stream_dedup": {
+        # batch twin of streaming dedup: first-wins dropDuplicates = one
+        # keyed aggregate
+        "require": [],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["props"],
+    },
+    "rollup_sales": {
+        # hierarchy via Expand (one scan replicated per grouping set), one agg
+        "require": ["Expand", "HashAggregate"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "cube_orders": {
+        "require": ["Expand", "HashAggregate"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "orders_above_cust_avg": {
+        # correlated subquery decorrelated to agg + join, not re-executed
+        # per row
+        "require": ["HashAggregate"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "events_props_json": {
+        # JSON property extraction stays JVM-side (get_json_object), one agg
+        "require": ["HashAggregate"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "multimodal_frame_sample": {
+        # two chained Arrow kernels: payload build + demux/decode
+        "require": ["MapInPandas"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "sample_topk_per_stratum": {
+        # exact-k per stratum: rank window inside the stratum partition,
+        # no global sort
+        "require": ["Window"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    # pack plans: a pack is the UNION of its members' plans — the member
+    # shapes are audited above/individually; here assert the union executes
+    # each member once with no cross-member recombination and that no member
+    # smuggles in a cartesian or row-Python stage
+    "llm_dedup_pack": {
+        "require": ["Union"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "similarity_topk_pack": {
+        "require": ["Union"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "relational_pack": {
+        "require": ["Union", "Expand"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "multimodal_pack": {
+        "require": ["Union", "MapInPandas"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
 }
 
 
