@@ -411,48 +411,83 @@ def bilinear_gather(
 # --- G5b: piecewise-affine warp from a GCP grid (the reference's TPS path) ---
 
 
+#: seam tolerance in tile-fraction units (u, v): candidates within TOL of a
+#: tile edge are accepted by BOTH neighbors and a deterministic arbitration
+#: picks one — a strictly half-open test would let float noise drop seam
+#: cells entirely (claimed by 0 tiles) on curvilinear grids.
+GCP_SEAM_TOL = 1e-9
+
+
 def fit_gcp_tiles(gcps: DataFrame, group_cols: list[str], k: int) -> DataFrame:
-    """Least-squares affine fit per GCP grid cell.
+    """Per-tile corner extraction for the exact BILINEAR pixel->ground map.
 
     ``gcps``: (group, gi, gj, gx, gy) — ground coordinates observed at source
     pixel (row=k*gi, col=k*gj), pixel-index (center) convention. Returns one
-    row per tile (gi, gj) with the pixel->ground affine
-        x = a + b*scol + c*srow,  y = d + e*scol + f_*srow
-    fit through the tile's 4 corner GCPs (for 4 corners of a k x k cell the
-    LS solution is the closed form below; when the 4 corners are exactly
-    affine-consistent the fit interpolates them), plus the tile's ground
-    bounding box for candidate pruning.
+    row per tile (ti, tj) carrying its 4 corner GCPs (x00..y11) plus the
+    ground bounding box for candidate pruning (the bilinear patch's edges are
+    straight lines between corners, so the corner bbox bounds the patch).
+
+    The per-tile map is the exact bilinear interpolant of the 4 corners:
+        (x, y)(u, v) = (1-u)(1-v)*P00 + u(1-v)*P01 + (1-u)v*P10 + uv*P11
+    with (u, v) = in-tile fractions of (scol, srow). Unlike an affine fit it
+    interpolates the corners for ANY grid, and along a shared edge it depends
+    only on that edge's 2 corners — the piecewise map is continuous across
+    seams (no dropped or double-owned boundary strips up to float noise,
+    which GCP_SEAM_TOL + arbitration absorbs).
 
     Mirrors the reference's no-projection fallback ``gdalwarp -tps`` from the
     product's GCP grid (/root/reference/src/io/sentinel1.rs:1017-1032): TPS is
-    approximated piecewise — exact at every GCP, affine between them — which
-    is the standard tile-wise approximation of a smooth warp grid.
-    """
-    g00 = gcps.select(*group_cols, "gi", "gj", F.col("gx").alias("x00"), F.col("gy").alias("y00"))
-    g01 = gcps.select(*group_cols, "gi", (F.col("gj") - 1).alias("gj"), F.col("gx").alias("x01"), F.col("gy").alias("y01"))
-    g10 = gcps.select(*group_cols, (F.col("gi") - 1).alias("gi"), "gj", F.col("gx").alias("x10"), F.col("gy").alias("y10"))
-    g11 = gcps.select(*group_cols, (F.col("gi") - 1).alias("gi"), (F.col("gj") - 1).alias("gj"), F.col("gx").alias("x11"), F.col("gy").alias("y11"))
-    keys = [*group_cols, "gi", "gj"]
-    t = g00.join(g01, keys).join(g10, keys).join(g11, keys)
-    kf = float(k)
-    b = ((F.col("x01") - F.col("x00")) + (F.col("x11") - F.col("x10"))) / (2.0 * kf)
-    c = ((F.col("x10") - F.col("x00")) + (F.col("x11") - F.col("x01"))) / (2.0 * kf)
-    e = ((F.col("y01") - F.col("y00")) + (F.col("y11") - F.col("y10"))) / (2.0 * kf)
-    f_ = ((F.col("y10") - F.col("y00")) + (F.col("y11") - F.col("y01"))) / (2.0 * kf)
-    mean_col = (F.col("gj").cast("double") * kf) + kf / 2.0
-    mean_row = (F.col("gi").cast("double") * kf) + kf / 2.0
-    mean_x = (F.col("x00") + F.col("x01") + F.col("x10") + F.col("x11")) / 4.0
-    mean_y = (F.col("y00") + F.col("y01") + F.col("y10") + F.col("y11")) / 4.0
+    approximated piecewise — exact at every GCP, bilinear between them."""
+    # One pass, no self-joins: each GCP explodes to the <=4 tiles it corners
+    # and a pivot-style aggregate reassembles per-tile corners — a 4-way
+    # self-join here would re-execute the whole upstream GCP derivation once
+    # per leg (measured 2x the operator runtime at sf0.01). Mirrors the
+    # DuckDB twin's gcorners CTE exactly.
+    offsets = F.array(
+        *[
+            F.struct(F.lit(oi).alias("oi"), F.lit(oj).alias("oj"))
+            for oi, oj in [(0, 0), (0, 1), (1, 0), (1, 1)]
+        ]
+    )
+    s = gcps.select(
+        *group_cols, "gi", "gj", "gx", "gy", F.explode(offsets).alias("o")
+    ).select(
+        *group_cols,
+        (F.col("gi") - F.col("o.oi")).alias("ti"),
+        (F.col("gj") - F.col("o.oj")).alias("tj"),
+        F.col("o.oi").alias("oi"),
+        F.col("o.oj").alias("oj"),
+        "gx",
+        "gy",
+    )
+
+    def corner(coord: str, oi: int, oj: int) -> F.Column:
+        return F.max(
+            F.when((F.col("oi") == oi) & (F.col("oj") == oj), F.col(coord))
+        )
+
+    t = (
+        s.groupBy(*group_cols, "ti", "tj")
+        .agg(
+            corner("gx", 0, 0).alias("x00"),
+            corner("gx", 0, 1).alias("x01"),
+            corner("gx", 1, 0).alias("x10"),
+            corner("gx", 1, 1).alias("x11"),
+            corner("gy", 0, 0).alias("y00"),
+            corner("gy", 0, 1).alias("y01"),
+            corner("gy", 1, 0).alias("y10"),
+            corner("gy", 1, 1).alias("y11"),
+            F.count(F.lit(1)).alias("_nc"),
+        )
+        .where(F.col("_nc") == 4)
+        .drop("_nc")
+    )
     return t.select(
         *group_cols,
-        F.col("gi").alias("ti"),
-        F.col("gj").alias("tj"),
-        (mean_x - b * mean_col - c * mean_row).alias("a"),
-        b.alias("b"),
-        c.alias("c"),
-        (mean_y - e * mean_col - f_ * mean_row).alias("d"),
-        e.alias("e"),
-        f_.alias("f_"),
+        "ti",
+        "tj",
+        "x00", "x01", "x10", "x11",
+        "y00", "y01", "y10", "y11",
         F.least("x00", "x01", "x10", "x11").alias("xmin"),
         F.greatest("x00", "x01", "x10", "x11").alias("xmax"),
         F.least("y00", "y01", "y10", "y11").alias("ymin"),
@@ -469,16 +504,19 @@ def warp_gcp_grid(
     bucket: float = 256.0,
     value: str = "v",
 ) -> DataFrame:
-    """G5 curvilinear path in-engine: piecewise-affine warp over a GCP grid.
+    """G5 curvilinear path in-engine: piecewise-BILINEAR warp over a GCP grid.
 
-      1. fit per-tile affines from the GCP grid (tiny relation: a k^2-fold
-         reduction of the raster — broadcastable at any product size),
+      1. extract per-tile corner GCPs (tiny relation: a k^2-fold reduction of
+         the raster — broadcastable at any product size),
       2. target canvas at ROW grain (same scale shape as affine_warp),
       3. candidate tile lookup via a GROUND-space bucket equi-join (each tile
          emits keys covering its bbox; each cell one key) — never cell x tile,
-      4. exact membership by inverse affine: the cell belongs to the tile
-         whose pixel rectangle contains its source coordinate (half-open;
-         outer boundary owned by the last tile row/col),
+      4. exact membership by INVERSE BILINEAR: solve the tile's bilinear map
+         for the cell's in-tile fractions (u, v) (quadratic closed form,
+         linear branch for affine-consistent tiles); accept within
+         GCP_SEAM_TOL of [0,1]^2 and arbitrate seam double-claims to the
+         lowest (ti, tj) — the map is continuous across seams, so either
+         neighbor yields the same source coordinate,
       5. shared bilinear gather against the source pixels.
 
     ``geo`` carries per product: dg0..dg5 + dst_rows/dst_cols (target grid).
@@ -487,10 +525,6 @@ def warp_gcp_grid(
     """
     gcols = [F.col(c) for c in group_cols]
     tiles = fit_gcp_tiles(gcps, group_cols, k)
-    nmax = tiles.groupBy(*group_cols).agg(
-        F.max("ti").alias("_ti_max"), F.max("tj").alias("_tj_max")
-    )
-    tiles = tiles.join(F.broadcast(nmax), group_cols)
     # bucket cover of each tile's ground bbox (bbox spans are O(k * pixel
     # scale); the explode fanout is bounded by ceil(span/bucket)^2)
     tiles_b = tiles.select(
@@ -529,21 +563,88 @@ def warp_gcp_grid(
     # the full cell grid (AQE would usually pick this, but the intent is
     # structural, not a runtime accident)
     cand = cells.join(F.broadcast(tiles_b), [*group_cols, "bx", "by"])
-    det = F.col("b") * F.col("f_") - F.col("c") * F.col("e")
-    cs = ((F.col("x") - F.col("a")) * F.col("f_") - (F.col("y") - F.col("d")) * F.col("c")) / det
-    rs = ((F.col("y") - F.col("d")) * F.col("b") - (F.col("x") - F.col("a")) * F.col("e")) / det
-    kf = float(k)
-    lo_c, hi_c = F.col("tj") * kf, (F.col("tj") + 1) * kf
-    lo_r, hi_r = F.col("ti") * kf, (F.col("ti") + 1) * kf
-    inside = (
-        (cs >= lo_c)
-        & ((cs < hi_c) | ((F.col("tj") == F.col("_tj_max")) & (cs <= hi_c)))
-        & (rs >= lo_r)
-        & ((rs < hi_r) | ((F.col("ti") == F.col("_ti_max")) & (rs <= hi_r)))
+    # inverse bilinear: with e = P01-P00, f = P10-P00, g = P00-P01-P10+P11,
+    # h = P-P00, solve h = u*e + v*f + u*v*g. Eliminating u gives
+    # qa*v^2 + qb*v + qc = 0 with the 2-D crosses below; the affine-
+    # consistent case (g = 0 -> qa = 0) reduces to the linear branch.
+    # Expression order is kept IDENTICAL to sql_warp_gcp_grid so both
+    # engines produce bit-equal doubles.
+    c1 = cand.select(
+        *gcols, "row", "col", "ti", "tj",
+        (F.col("x01") - F.col("x00")).alias("e_x"),
+        (F.col("y01") - F.col("y00")).alias("e_y"),
+        (F.col("x10") - F.col("x00")).alias("f_x"),
+        (F.col("y10") - F.col("y00")).alias("f_y"),
+        (F.col("x00") - F.col("x01") - F.col("x10") + F.col("x11")).alias("g_x"),
+        (F.col("y00") - F.col("y01") - F.col("y10") + F.col("y11")).alias("g_y"),
+        (F.col("x") - F.col("x00")).alias("h_x"),
+        (F.col("y") - F.col("y00")).alias("h_y"),
     )
-    coords = cand.select(
-        *gcols, "row", "col", cs.alias("cs"), rs.alias("rs"), inside.alias("_in")
-    ).where(F.col("_in")).drop("_in")
+    c2 = c1.select(
+        *gcols, "row", "col", "ti", "tj",
+        "e_x", "e_y", "f_x", "f_y", "g_x", "g_y", "h_x", "h_y",
+        (F.col("g_x") * F.col("f_y") - F.col("g_y") * F.col("f_x")).alias("qa"),
+        (
+            (F.col("e_x") * F.col("f_y") - F.col("e_y") * F.col("f_x"))
+            + (F.col("h_x") * F.col("g_y") - F.col("h_y") * F.col("g_x"))
+        ).alias("qb"),
+        (F.col("h_x") * F.col("e_y") - F.col("h_y") * F.col("e_x")).alias("qc"),
+    )
+    c3 = c2.select(
+        "*",
+        F.sqrt(
+            F.greatest(F.col("qb") * F.col("qb") - 4.0 * F.col("qa") * F.col("qc"), F.lit(0.0))
+        ).alias("sq"),
+    )
+    tol = GCP_SEAM_TOL
+    va = (-F.col("qb") + F.col("sq")) / (2.0 * F.col("qa"))
+    vb = (-F.col("qb") - F.col("sq")) / (2.0 * F.col("qa"))
+    v = (
+        F.when(F.abs(F.col("qa")) < 1e-9, -F.col("qc") / F.col("qb"))
+        .when((va >= -tol) & (va <= 1.0 + tol), va)
+        .otherwise(vb)
+    )
+    c4 = c3.select(
+        *gcols, "row", "col", "ti", "tj",
+        "e_x", "e_y", "f_x", "f_y", "g_x", "g_y", "h_x", "h_y",
+        v.alias("v"),
+    )
+    den_x = F.col("e_x") + F.col("v") * F.col("g_x")
+    den_y = F.col("e_y") + F.col("v") * F.col("g_y")
+    u = F.when(
+        F.abs(den_x) >= F.abs(den_y), (F.col("h_x") - F.col("v") * F.col("f_x")) / den_x
+    ).otherwise((F.col("h_y") - F.col("v") * F.col("f_y")) / den_y)
+    c5 = c4.select(*gcols, "row", "col", "ti", "tj", "v", u.alias("u"))
+    # Validity folds into the arbitration struct instead of a WHERE clause:
+    # a pushable filter over (u, v) would be pushed through and re-inline the
+    # full quadratic trees into the join projection during optimization
+    # (measured ~25s of DRIVER planning time at sf0.01 — the cluster sat
+    # idle while Catalyst churned). As a struct field it references the u/v
+    # columns once, stays above the projection, and the post-agg filter on
+    # the winner's flag cannot push below the aggregate.
+    bad = (
+        (F.col("u") < -tol) | (F.col("u") > 1.0 + tol)
+        | (F.col("v") < -tol) | (F.col("v") > 1.0 + tol)
+    ).cast("int")
+    # seam arbitration: valid claimants sort before invalid, then the
+    # lowest-index tile owns the cell. min over the struct = one hash
+    # aggregate with map-side combine — no sort window; (ti, tj) is unique
+    # per (cell, tile) so the winner is deterministic, and DuckDB's
+    # ROW_NUMBER twin sorts the same keys. Continuity of the piecewise-
+    # bilinear map makes the values agree anyway.
+    c6 = (
+        c5.groupBy(*group_cols, "row", "col")
+        .agg(F.min(F.struct(bad.alias("bad"), "ti", "tj", "u", "v")).alias("_w"))
+        .where(F.col("_w.bad") == 0)
+    )
+    kf = float(k)
+    u_cl = F.least(F.greatest(F.col("_w.u"), F.lit(0.0)), F.lit(1.0))
+    v_cl = F.least(F.greatest(F.col("_w.v"), F.lit(0.0)), F.lit(1.0))
+    coords = c6.select(
+        *gcols, "row", "col",
+        ((F.col("_w.tj").cast("double") + u_cl) * kf).alias("cs"),
+        ((F.col("_w.ti").cast("double") + v_cl) * kf).alias("rs"),
+    )
     return bilinear_gather(coords, px, group_cols, value)
 
 
@@ -586,24 +687,14 @@ gcorners AS (
 ),
 tilesw AS (
   SELECT {g}, ti, tj,
-         ((x00+x01+x10+x11)/4.0
-            - (((x01-x00)+(x11-x10))/{2.0 * kf!r}) * (tj*{kf!r} + {kf / 2.0!r})
-            - (((x10-x00)+(x11-x01))/{2.0 * kf!r}) * (ti*{kf!r} + {kf / 2.0!r})) AS a,
-         ((x01-x00)+(x11-x10))/{2.0 * kf!r} AS b,
-         ((x10-x00)+(x11-x01))/{2.0 * kf!r} AS c,
-         ((y00+y01+y10+y11)/4.0
-            - (((y01-y00)+(y11-y10))/{2.0 * kf!r}) * (tj*{kf!r} + {kf / 2.0!r})
-            - (((y10-y00)+(y11-y01))/{2.0 * kf!r}) * (ti*{kf!r} + {kf / 2.0!r})) AS d,
-         ((y01-y00)+(y11-y10))/{2.0 * kf!r} AS e,
-         ((y10-y00)+(y11-y01))/{2.0 * kf!r} AS f_,
+         x00, x01, x10, x11, y00, y01, y10, y11,
          LEAST(x00,x01,x10,x11) AS xmin, GREATEST(x00,x01,x10,x11) AS xmax,
          LEAST(y00,y01,y10,y11) AS ymin, GREATEST(y00,y01,y10,y11) AS ymax
   FROM gcorners
 ),
-tmax AS (SELECT {g}, MAX(ti) AS _ti_max, MAX(tj) AS _tj_max FROM tilesw GROUP BY {g}),
 tilesb AS (
-  SELECT t.*, m._ti_max, m._tj_max, bx.i AS bx, by.i AS by
-  FROM tilesw t JOIN tmax m USING ({g}),
+  SELECT t.*, bx.i AS bx, by.i AS by
+  FROM tilesw t,
        LATERAL (SELECT UNNEST(RANGE(CAST(FLOOR(t.xmin/{bucket!r}) AS BIGINT),
                                     CAST(FLOOR(t.xmax/{bucket!r}) AS BIGINT) + 1)) AS i) bx,
        LATERAL (SELECT UNNEST(RANGE(CAST(FLOOR(t.ymin/{bucket!r}) AS BIGINT),
@@ -617,21 +708,58 @@ gcellsw AS (
        LATERAL (SELECT UNNEST(RANGE(0, g.dst_rows)) AS i) r,
        LATERAL (SELECT UNNEST(RANGE(0, g.dst_cols)) AS i) c
 ),
-gcand AS (
-  SELECT {gt}, t.ti, t.tj, t._ti_max, t._tj_max, cl.row, cl.col,
-         ((cl.x - t.a) * t.f_ - (cl.y - t.d) * t.c) / (t.b * t.f_ - t.c * t.e) AS cs,
-         ((cl.y - t.d) * t.b - (cl.x - t.a) * t.e) / (t.b * t.f_ - t.c * t.e) AS rs
+-- inverse bilinear, expression order in lock-step with warp_gcp_grid
+gcand1 AS (
+  SELECT {gt}, t.ti, t.tj, cl.row, cl.col,
+         t.x01 - t.x00 AS e_x, t.y01 - t.y00 AS e_y,
+         t.x10 - t.x00 AS f_x, t.y10 - t.y00 AS f_y,
+         t.x00 - t.x01 - t.x10 + t.x11 AS g_x,
+         t.y00 - t.y01 - t.y10 + t.y11 AS g_y,
+         cl.x - t.x00 AS h_x, cl.y - t.y00 AS h_y
   FROM gcellsw cl
   JOIN tilesb t
     ON {' AND '.join(f't.{c} = cl.{c}' for c in group_cols)}
    AND t.bx = CAST(FLOOR(cl.x/{bucket!r}) AS BIGINT)
    AND t.by = CAST(FLOOR(cl.y/{bucket!r}) AS BIGINT)
 ),
+gcand2 AS (
+  SELECT *,
+         g_x * f_y - g_y * f_x AS qa,
+         (e_x * f_y - e_y * f_x) + (h_x * g_y - h_y * g_x) AS qb,
+         h_x * e_y - h_y * e_x AS qc
+  FROM gcand1
+),
+gcand3 AS (
+  SELECT *, SQRT(GREATEST(qb * qb - 4.0 * qa * qc, 0.0)) AS sq FROM gcand2
+),
+gcand4 AS (
+  SELECT *,
+         CASE WHEN ABS(qa) < 1e-9 THEN -qc / qb
+              WHEN (-qb + sq) / (2.0 * qa) >= {-GCP_SEAM_TOL!r}
+               AND (-qb + sq) / (2.0 * qa) <= {1.0 + GCP_SEAM_TOL!r}
+              THEN (-qb + sq) / (2.0 * qa)
+              ELSE (-qb - sq) / (2.0 * qa) END AS v
+  FROM gcand3
+),
+gcand5 AS (
+  SELECT *,
+         CASE WHEN ABS(e_x + v * g_x) >= ABS(e_y + v * g_y)
+              THEN (h_x - v * f_x) / (e_x + v * g_x)
+              ELSE (h_y - v * f_y) / (e_y + v * g_y) END AS u
+  FROM gcand4
+),
+gcand6 AS (
+  SELECT {g}, row, col, ti, tj, u, v,
+         ROW_NUMBER() OVER (PARTITION BY {g}, row, col ORDER BY ti, tj) AS _rn
+  FROM gcand5
+  WHERE u >= {-GCP_SEAM_TOL!r} AND u <= {1.0 + GCP_SEAM_TOL!r}
+    AND v >= {-GCP_SEAM_TOL!r} AND v <= {1.0 + GCP_SEAM_TOL!r}
+),
 gcoords AS (
-  SELECT {g}, row, col, cs, rs
-  FROM gcand
-  WHERE cs >= tj * {kf!r} AND (cs < (tj + 1) * {kf!r} OR (tj = _tj_max AND cs <= (tj + 1) * {kf!r}))
-    AND rs >= ti * {kf!r} AND (rs < (ti + 1) * {kf!r} OR (ti = _ti_max AND rs <= (ti + 1) * {kf!r}))
+  SELECT {g}, row, col,
+         (CAST(tj AS DOUBLE) + LEAST(GREATEST(u, 0.0), 1.0)) * {kf!r} AS cs,
+         (CAST(ti AS DOUBLE) + LEAST(GREATEST(v, 0.0), 1.0)) * {kf!r} AS rs
+  FROM gcand6 WHERE _rn = 1
 ),
 gcornerw AS (
   SELECT {g}, row, col,

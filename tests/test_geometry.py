@@ -177,3 +177,106 @@ def test_affine_warp_matches_numpy_bilinear(spark):
     assert set(out) == set(expect)
     for k, v in expect.items():
         assert abs(out[k] - v) < 1e-9, (k, out[k], v)
+
+
+def test_gcp_warp_curved_grid_matches_numpy(spark):
+    """Non-affine-consistent GCP grid (cross terms make x11-x10-x01+x00 != 0
+    in every tile): the exact per-tile bilinear map must (a) claim every
+    covered target cell exactly once — no seam drops or double-owns — and
+    (b) agree with an independent numpy implementation of inverse-bilinear +
+    gather. This is the fixture the dyadic oracle (tile-affine by
+    construction) cannot exercise."""
+    import numpy as np
+
+    from sarpro_spark.operators.geometry import GCP_SEAM_TOL, warp_gcp_grid
+
+    k, n_g = 4, 4  # 4x4 tiles over a 16x16 source raster
+    size = k * n_g
+
+    def gx(gi, gj):
+        return 20.0 * gj + 1.5 * gi * gj + 3.0 * gi
+
+    def gy(gi, gj):
+        return -15.0 * gi + 0.8 * gi * gj
+
+    src = np.arange(size * size, dtype=np.float64).reshape(size, size)
+    px = spark.createDataFrame(
+        [(1, r, c, float(src[r, c])) for r in range(size) for c in range(size)],
+        "product_id int, row int, col int, v double",
+    )
+    gcps = spark.createDataFrame(
+        [(1, gi, gj, gx(gi, gj), gy(gi, gj)) for gi in range(n_g + 1) for gj in range(n_g + 1)],
+        "product_id int, gi int, gj int, gx double, gy double",
+    )
+    dg = (0.0, 2.0, 0.0, 0.0, 0.0, -2.0)
+    dst_rows, dst_cols = 31, 59
+    geo = spark.createDataFrame(
+        [(1, *dg, dst_rows, dst_cols)],
+        "product_id int, dg0 double, dg1 double, dg2 double, dg3 double, "
+        "dg4 double, dg5 double, dst_rows long, dst_cols long",
+    )
+    got = {
+        (r["row"], r["col"]): r["v"]
+        for r in warp_gcp_grid(px, gcps, geo, ["product_id"], k=k, bucket=64.0).collect()
+    }
+
+    # independent numpy reference: same math, different implementation
+    tol = GCP_SEAM_TOL
+    expected = {}
+    for row in range(dst_rows):
+        for col in range(dst_cols):
+            x = dg[0] + (col + 0.5) * dg[1] + (row + 0.5) * dg[2]
+            y = dg[3] + (col + 0.5) * dg[4] + (row + 0.5) * dg[5]
+            claims = []
+            for ti in range(n_g):
+                for tj in range(n_g):
+                    c00 = (gx(ti, tj), gy(ti, tj))
+                    c01 = (gx(ti, tj + 1), gy(ti, tj + 1))
+                    c10 = (gx(ti + 1, tj), gy(ti + 1, tj))
+                    c11 = (gx(ti + 1, tj + 1), gy(ti + 1, tj + 1))
+                    ex, ey = c01[0] - c00[0], c01[1] - c00[1]
+                    fx, fy = c10[0] - c00[0], c10[1] - c00[1]
+                    gx_, gy_ = c00[0] - c01[0] - c10[0] + c11[0], c00[1] - c01[1] - c10[1] + c11[1]
+                    hx, hy = x - c00[0], y - c00[1]
+                    qa = gx_ * fy - gy_ * fx
+                    qb = (ex * fy - ey * fx) + (hx * gy_ - hy * gx_)
+                    qc = hx * ey - hy * ex
+                    if abs(qa) < 1e-9:
+                        v = -qc / qb
+                    else:
+                        sq = np.sqrt(max(qb * qb - 4.0 * qa * qc, 0.0))
+                        va = (-qb + sq) / (2.0 * qa)
+                        v = va if -tol <= va <= 1.0 + tol else (-qb - sq) / (2.0 * qa)
+                    den_x, den_y = ex + v * gx_, ey + v * gy_
+                    if abs(den_x) >= abs(den_y):
+                        u = (hx - v * fx) / den_x
+                    else:
+                        u = (hy - v * fy) / den_y
+                    if -tol <= u <= 1.0 + tol and -tol <= v <= 1.0 + tol:
+                        claims.append((ti, tj, u, v))
+            if not claims:
+                continue
+            ti, tj, u, v = min(claims)
+            cs = (tj + min(max(u, 0.0), 1.0)) * k
+            rs = (ti + min(max(v, 0.0), 1.0)) * k
+            c0, r0 = int(np.floor(cs)), int(np.floor(rs))
+            wc, wr = cs - c0, rs - r0
+            wv = w = 0.0
+            for dr in (0, 1):
+                for dc in (0, 1):
+                    sr, sc = r0 + dr, c0 + dc
+                    if 0 <= sr < size and 0 <= sc < size:
+                        ww = (wr if dr else 1 - wr) * (wc if dc else 1 - wc)
+                        wv += ww * src[sr, sc]
+                        w += ww
+            if w > 0.0:
+                expected[(row, col)] = wv / w
+
+    assert set(got) == set(expected)  # exact coverage: no drops, no extras
+    for cell, val in expected.items():
+        assert got[cell] == pytest.approx(val, abs=1e-9), cell
+    # sanity: the grid really is non-affine-consistent in every tile
+    assert all(
+        abs(gx(ti, tj) - gx(ti, tj + 1) - gx(ti + 1, tj) + gx(ti + 1, tj + 1)) > 0.5
+        for ti in range(n_g) for tj in range(1, n_g)
+    )
