@@ -828,10 +828,7 @@ def q_warp_gcp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = st.histogram_stats(px, ["product_id"])
     params = asc.params_standard(stats, ["product_id"])
     q16 = asc.apply_params(px, params, ["product_id"], BitDepth.U8, out="_q16")
-    # the quantized product feeds TWO consumers (GCP-grid derivation and the
-    # pixel gather); cache = the local analog of the staging write the
-    # reference does between quantize and warp (it writes the TIFF first)
-    u8 = asc.scale_u16_to_u8(q16, ["product_id"], value="_q16", out="q").drop("_q16").cache()
+    u8 = asc.scale_u16_to_u8(q16, ["product_id"], value="_q16", out="q").drop("_q16")
     dims = product_dims(u8, ["product_id"])
     kf = float(_GCP_K)
     pid = F.col("product_id")
@@ -869,11 +866,6 @@ def q_warp_gcp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pid.cast("double") * 4096.0 + F.col("sxc") + 2.0 * (kf * F.col("gi"))).alias("gx"),
         (pid.cast("double") * -4096.0 - F.col("syc")).alias("gy"),
     )
-    # cache the GCP grid: a k^2-fold reduction of the raster (tiny at any
-    # scale — the materialized-staging analog), consumed by THREE subtrees
-    # (tiles, geo, cells); uncached, each re-executes the full u8 autoscale +
-    # window derivation above it
-    gcps = gcps.cache()
     geo = gcps.groupBy("product_id").agg(
         F.min("gx").alias("dg0"),
         F.lit(4.0).alias("dg1"),
