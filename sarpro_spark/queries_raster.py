@@ -829,7 +829,9 @@ def q_warp_gcp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = asc.params_standard(stats, ["product_id"])
     q16 = asc.apply_params(px, params, ["product_id"], BitDepth.U8, out="_q16")
     u8 = asc.scale_u16_to_u8(q16, ["product_id"], value="_q16", out="q").drop("_q16")
-    dims = product_dims(u8, ["product_id"])
+    # dims are invariant under quantization: derive from the raw band frame
+    # so the GCP-grid subtree never re-executes the autoscale pipeline
+    dims = product_dims(px, ["product_id"])
     kf = float(_GCP_K)
     pid = F.col("product_id")
     gj = dims.select(
@@ -894,6 +896,9 @@ def q_affine_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
     q16 = asc.apply_params(px, params, ["product_id"], BitDepth.U8, out="_q16")
     u8 = asc.scale_u16_to_u8(q16, ["product_id"], value="_q16", out="q").drop("_q16")
     pid = F.col("product_id").cast("double")
+    # NOTE: dims deliberately derive from u8, not px — the shared u8 subtree
+    # dedups via ReusedExchange (computed once for dims AND the gather),
+    # which measures faster and steadier than a separate px-dims scan
     geo = product_dims(u8, ["product_id"]).select(
         "product_id",
         (pid * 128.0).alias("sg0"), F.lit(8.0).alias("sg1"), F.lit(0.0).alias("sg2"),
