@@ -421,6 +421,31 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.fingerprint_expr(F.col("text")).alias("fingerprint"))
 
 
+# --- BPE tokenizer-vocabulary training ---------------------------------------
+
+_BPE_MERGES = 12
+
+
+def _bpe_sql() -> str:
+    from sarpro_spark.llm.bpe import sql_bpe_train
+
+    return sql_bpe_train("documents", n_merges=_BPE_MERGES)
+
+
+@query("bpe_vocab_train", sql=_bpe_sql(), tags=("llm", "text", "tokenizer", "iterative"))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training: one corpus shuffle builds the
+    Zipf-small distinct-word frequency table, then each merge is one small
+    aggregation job whose winning pair (a 1-row model-state collect, the
+    k-means-probe exception) rewrites the word table via replace expressions
+    with Python-str.replace semantics shared by both engines. Oracle = the
+    identical iteration unrolled as a CTE chain."""
+    from sarpro_spark.llm.bpe import bpe_train
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return bpe_train(d, n_merges=_BPE_MERGES)
+
+
 # --- multimodal --------------------------------------------------------------
 
 _MM_META_SQL = """

@@ -198,9 +198,11 @@ register_pack(
         Member("text_quality", ("doc_id",)),
         Member("text_fingerprint", ("doc_id",)),
         Member("text_winnowing", ("doc_id",)),
+        Member("bpe_vocab_train", ("step",)),
     ),
     doc="Union certificate: language ID, token stats, quality features, "
-    "whole-doc fingerprint, winnowing fingerprints.",
+    "whole-doc fingerprint, winnowing fingerprints, BPE vocabulary "
+    "training merges.",
     tags=("llm", "text", "pack"),
 )
 

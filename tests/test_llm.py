@@ -422,3 +422,56 @@ def test_kmeans_iteration_plan_shape(spark, sf_dir):
     )
     plan2 = upd._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan2
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Golden: the distributed trainer must reproduce a from-scratch Python
+    BPE (identical word split, symbol init, pair count, tie-breaks, and
+    str.replace merge semantics) on a controlled corpus."""
+    import re
+    from collections import Counter
+
+    from sarpro_spark.llm.bpe import MAX_WORD_LEN, MERGE_PASSES, bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a banana and a bandana",
+        "low lower lowest low low",
+        "newer newest new news",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    # pure-Python reference
+    wc = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if 0 < len(w) <= MAX_WORD_LEN:
+                wc[w] += 1
+    words = {" " + " ".join(w) + " </w> ": f for w, f in wc.items()}
+    expected = []
+    for step in range(1, 9):
+        pairs = Counter()
+        for syms, f in words.items():
+            toks = [s for s in syms.split(" ") if s]
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (lhs, rhs), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, lhs, rhs, lhs + rhs, freq))
+        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
+        new_words = Counter()
+        for syms, f in words.items():
+            for _ in range(MERGE_PASSES):
+                syms = syms.replace(pat, rep)
+            new_words[syms] += f
+        words = dict(new_words)
+
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_freq"])
+        for r in bpe_train(docs, n_merges=8).orderBy("step").collect()
+    ]
+    assert got == expected
+    # sanity: merges actually build multi-char subwords
+    assert any(len(m[3].replace("</w>", "")) >= 2 for m in got)
