@@ -130,12 +130,44 @@ def bpe_train(
     )
 
 
-def sql_bpe_train(docs_rel: str, n_merges: int = 24, top_words: int = 2000) -> str:
-    """DuckDB twin: the identical iteration unrolled as a CTE chain (the
-    k-means oracle pattern); every per-step CTE is MATERIALIZED — each is
-    referenced twice (next pair count + next word table) and DuckDB's
-    default inlining would re-evaluate the chain exponentially.
-    ``docs_rel`` must yield a ``text`` column."""
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained merge list: per-doc (n_words, n_tokens, n_chars).
+
+    The tokenization runs once per DISTINCT word (the same Zipf leverage as
+    training) and joins back to the per-doc word list — the corpus is never
+    tokenized row-by-row. The merge list is model state (collected tiny,
+    applied as literal replace expressions in training order)."""
+    merges = [(r["lhs"], r["rhs"]) for r in merges_df.orderBy("step").collect()]
+    words_per_doc = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), _WORD_SPLIT)).alias("word"),
+    ).where(F.length("word") > 0)
+    syms = _initial_syms(F.col("word"))
+    for lhs, rhs in merges:
+        syms = _apply_merge(syms, F.lit(lhs), F.lit(rhs))
+    tokenized = words_per_doc.select("word").distinct().select(
+        "word",
+        F.size(F.filter(F.split(syms, " "), lambda s: s != "")).alias("word_tokens"),
+        F.length("word").alias("word_chars"),
+    )
+    return (
+        words_per_doc.join(tokenized, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").alias("n_tokens"),
+            F.sum("word_chars").alias("n_chars"),
+        )
+    )
+
+
+def _sql_bpe_chain(docs_rel: str, n_merges: int, top_words: int) -> tuple[list[str], list[str]]:
+    """(ctes, per-step merge selects) for the unrolled training chain."""
     ctes = [
         f"""wc AS (
   SELECT word, COUNT(*) AS freq FROM (
@@ -184,4 +216,57 @@ def sql_bpe_train(docs_rel: str, n_merges: int = 24, top_words: int = 2000) -> s
             f"SELECT CAST({step} AS INTEGER) AS step, lhs_ AS lhs, rhs_ AS rhs, "
             f"lhs_ || rhs_ AS merged, pair_freq FROM t{step}"
         )
+    return ctes, sels
+
+
+def sql_bpe_train(docs_rel: str, n_merges: int = 24, top_words: int = 2000) -> str:
+    """DuckDB twin: the identical iteration unrolled as a CTE chain (the
+    k-means oracle pattern); every per-step CTE is MATERIALIZED — each is
+    referenced twice (next pair count + next word table) and DuckDB's
+    default inlining would re-evaluate the chain exponentially.
+    ``docs_rel`` must yield a ``text`` column."""
+    ctes, sels = _sql_bpe_chain(docs_rel, n_merges, top_words)
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+def sql_bpe_encode(docs_rel: str, n_merges: int = 24, top_words: int = 2000) -> str:
+    """DuckDB twin of :func:`bpe_encode_stats`: re-derives the merge list via
+    the training chain, then tokenizes each DISTINCT word by applying the
+    merges in order (scalar subqueries against the materialized t{i} CTEs)
+    and aggregates per document."""
+    ctes, _ = _sql_bpe_chain(docs_rel, n_merges, top_words)
+    rep = (
+        " ' ' || array_to_string(list_transform(range(1, LENGTH(word) + 1), "
+        "i -> SUBSTR(word, i, 1)), ' ') || ' </w> ' "
+    )
+    for step in range(1, n_merges + 1):
+        pat = f"(SELECT ' ' || lhs_ || ' ' || rhs_ || ' ' FROM t{step})"
+        sub = f"(SELECT ' ' || lhs_ || rhs_ || ' ' FROM t{step})"
+        for _ in range(MERGE_PASSES):
+            rep = f"replace({rep}, {pat}, {sub})"
+    ctes.append(
+        f"""wpd AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '{_WORD_SPLIT}')) AS word
+    FROM {docs_rel}
+  ) t WHERE LENGTH(word) > 0
+)""",
+    )
+    ctes.append(
+        f"""tok AS MATERIALIZED (
+  SELECT word,
+         LEN(list_filter(string_split({rep}, ' '), x -> x <> '')) AS word_tokens,
+         LENGTH(word) AS word_chars
+  FROM (SELECT DISTINCT word FROM wpd) dw
+)""",
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT wpd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(tok.word_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(tok.word_chars) AS BIGINT) AS n_chars
+FROM wpd JOIN tok USING (word)
+GROUP BY wpd.doc_id"""
+    )

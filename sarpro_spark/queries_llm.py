@@ -446,6 +446,25 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(d, n_merges=_BPE_MERGES)
 
 
+def _bpe_encode_sql() -> str:
+    from sarpro_spark.llm.bpe import sql_bpe_encode
+
+    return sql_bpe_encode("documents", n_merges=_BPE_MERGES)
+
+
+@query("bpe_encode_corpus", sql=_bpe_encode_sql(), tags=("llm", "text", "tokenizer"))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply: tokenize the corpus with the trained merges. Tokenization
+    runs once per DISTINCT word (the training-side Zipf leverage) and joins
+    back to the per-doc word list; output is per-doc token statistics — the
+    compression signal a data pipeline budgets with."""
+    from sarpro_spark.llm.bpe import bpe_encode_stats, bpe_train
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=_BPE_MERGES)
+    return bpe_encode_stats(d, merges)
+
+
 # --- multimodal --------------------------------------------------------------
 
 _MM_META_SQL = """

@@ -199,10 +199,11 @@ register_pack(
         Member("text_fingerprint", ("doc_id",)),
         Member("text_winnowing", ("doc_id",)),
         Member("bpe_vocab_train", ("step",)),
+        Member("bpe_encode_corpus", ("doc_id",)),
     ),
     doc="Union certificate: language ID, token stats, quality features, "
     "whole-doc fingerprint, winnowing fingerprints, BPE vocabulary "
-    "training merges.",
+    "training merges + corpus tokenization stats.",
     tags=("llm", "text", "pack"),
 )
 

@@ -475,3 +475,25 @@ def test_bpe_train_matches_python_reference(spark):
     assert got == expected
     # sanity: merges actually build multi-char subwords
     assert any(len(m[3].replace("</w>", "")) >= 2 for m in got)
+
+
+def test_bpe_encode_stats(spark):
+    from sarpro_spark.llm.bpe import bpe_encode_stats, bpe_train
+
+    texts = ["the cat sat", "the cats sat on mats", "lower lowest low"]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=6)
+    out = {r["doc_id"]: r for r in bpe_encode_stats(docs, merges).collect()}
+    assert set(out) == {0, 1, 2}
+    for i, t in enumerate(texts):
+        words = t.split()
+        r = out[i]
+        assert r["n_words"] == len(words)
+        assert r["n_chars"] == sum(len(w) for w in words)
+        # each word is at least 1 token (incl. </w>) and at most chars+1
+        assert r["n_words"] <= r["n_tokens"] <= r["n_chars"] + r["n_words"]
+    # merges must compress: tokens strictly below the no-merge count somewhere
+    no_merge = {r["doc_id"]: r for r in bpe_encode_stats(docs, merges.limit(0)).collect()}
+    assert sum(r["n_tokens"] for r in out.values()) < sum(
+        r["n_chars"] + r["n_words"] for r in no_merge.values()
+    )
