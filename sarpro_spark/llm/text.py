@@ -227,3 +227,81 @@ def sql_lang_id(text: str) -> str:
         best_score = f"CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END"
     total = " + ".join(f"({e})" for e in score_exprs.values())
     return f"CASE WHEN ({total}) = 0 THEN 'und' ELSE {best} END"
+
+
+# --- unigram-LM log-probability scoring (the CCNet-style quality filter) -----
+
+#: vocabulary cap for the unigram model (deterministic top-V by freq, word)
+UNIGRAM_VOCAB = 5000
+
+
+def unigram_logprob_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", vocab: int = UNIGRAM_VOCAB
+) -> DataFrame:
+    """Per-doc mean negative log-probability under an add-one-smoothed
+    unigram LM fit on the corpus itself — the CCNet-style perplexity filter
+    shape (production swaps the in-corpus frequency table for a trusted
+    reference LM; the plan is identical). High scores = improbable token
+    streams (boilerplate, mojibake, keyword stuffing).
+
+    Scale shape: token frequencies are ONE map-side-combined shuffle; the
+    capped vocabulary broadcasts back onto the token stream; the per-doc
+    score is one aggregation. p(w) = (freq + 1) / (N + V + 1) in-vocab,
+    1 / (N + V + 1) for OOV."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    freqs = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("tok").asc())
+        .limit(vocab)
+    )
+    totals = toks.agg(F.count(F.lit(1)).alias("n_total")).crossJoin(
+        freqs.agg(F.count(F.lit(1)).alias("v_size"))
+    )
+    scored = (
+        toks.join(F.broadcast(freqs), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_total") + F.col("v_size") + F.lit(1.0))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("nll").alias("mean_nll"),
+    )
+
+
+def sql_unigram_logprob(docs_rel: str, vocab: int = UNIGRAM_VOCAB) -> str:
+    """DuckDB twin of :func:`unigram_logprob_scores` (same smoothing, same
+    deterministic vocab cap); wrap mean_nll in fround at the call site."""
+    return f"""
+WITH utoks AS MATERIALIZED (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '[^a-z0-9]+')) AS tok
+    FROM {docs_rel}
+  ) t WHERE LENGTH(tok) > 0
+),
+ufreqs AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM utoks GROUP BY tok
+  ORDER BY tf DESC, tok ASC LIMIT {vocab}
+),
+utotals AS (
+  SELECT (SELECT COUNT(*) FROM utoks) AS n_total,
+         (SELECT COUNT(*) FROM ufreqs) AS v_size
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       AVG(-LN((COALESCE(f.tf, 0) + 1.0) / (u.n_total + u.v_size + 1.0))) AS mean_nll
+FROM utoks t LEFT JOIN ufreqs f USING (tok), utotals u
+GROUP BY doc_id
+""".strip()

@@ -886,6 +886,31 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fl.repetition_scores(d)
 
 
+def _unigram_sql() -> str:
+    from sarpro_spark.llm.text import sql_unigram_logprob
+    from sarpro_spark.queries import sql_fround
+
+    inner = sql_unigram_logprob("documents")
+    return (
+        f"SELECT doc_id, n_tokens, {sql_fround('mean_nll')} AS mean_nll "
+        f"FROM (\n{inner}\n) u"
+    )
+
+
+@query("text_unigram_logprob", sql=_unigram_sql(), tags=("llm", "text", "hygiene"))
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality filter: per-doc mean negative log-probability
+    under an add-one-smoothed unigram LM fit on the corpus (production
+    swaps in a trusted reference LM — the plan is identical): one
+    map-side-combined token-frequency shuffle, a broadcast vocabulary join,
+    one per-doc aggregation."""
+    from sarpro_spark.llm.text import unigram_logprob_scores
+    from sarpro_spark.queries import round_floats
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return round_floats(unigram_logprob_scores(d))
+
+
 # --- deterministic sampling ---------------------------------------------------
 
 _STRAT_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125}

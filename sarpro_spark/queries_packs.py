@@ -213,9 +213,11 @@ register_pack(
         Member("text_pii_redaction", ("doc_id",)),
         Member("text_contamination", ("doc_id",)),
         Member("text_repetition", ("doc_id",)),
+        Member("text_unigram_logprob", ("doc_id",)),
     ),
     doc="Union certificate: PII redaction (typed counts + full redacted "
-    "text), train/eval contamination scores, C4/Gopher repetition filters.",
+    "text), train/eval contamination scores, C4/Gopher repetition filters, "
+    "CCNet-style unigram-LM log-probability scores.",
     tags=("llm", "text", "hygiene", "pack"),
 )
 

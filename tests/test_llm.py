@@ -497,3 +497,17 @@ def test_bpe_encode_stats(spark):
     assert sum(r["n_tokens"] for r in out.values()) < sum(
         r["n_chars"] + r["n_words"] for r in no_merge.values()
     )
+
+
+def test_unigram_logprob_ordering(spark):
+    """Common text scores lower mean NLL than rare-token text; OOV-heavy
+    gibberish scores highest."""
+    rows = [
+        (0, "the cat and the dog and the cat and the dog"),
+        (1, "the cat zyx the dog qwv the cat"),
+        (2, "zzqj xvwk pffr glmb zzqj xvwk"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.unigram_logprob_scores(docs).collect()}
+    assert out[0]["mean_nll"] < out[1]["mean_nll"] < out[2]["mean_nll"]
+    assert out[0]["n_tokens"] == 11
