@@ -163,10 +163,15 @@ def pack_fn(members: tuple[Member, ...]):
     return fn
 
 
+#: pack name -> member query names (certification-completeness accounting)
+PACK_MEMBERS: dict[str, tuple[str, ...]] = {}
+
+
 def register_pack(pack_name: str, members: tuple[Member, ...], doc: str, tags: tuple[str, ...]):
     # sql is a thunk: DESCRIBE-based construction runs on first resolve_sql(),
     # NOT at import — a missing testdata path or absent duckdb then fails only
     # the pack queries, never the registry import (bench/driver keep working).
+    PACK_MEMBERS[pack_name] = tuple(m.name for m in members)
     query(pack_name, sql=lambda m=members: pack_sql(m), doc=doc, tags=tags)(pack_fn(members))
 
 
@@ -266,10 +271,12 @@ register_pack(
         Member("sidecar_outputs", ("product_id", "kind")),
         Member("batch_report", ("outcome",)),
         Member("pipeline_plan_flags", ("case_id",)),
+        Member("pipeline_op_ratio_u8", ("product_id", "row", "col")),
     ),
     doc="Union certificate: W6 operation-aware labels, W4 world-file "
     "content, W5/W7/W8 sidecar + embed plans, A9 batch report, P1/P4/C3 "
-    "dispatch decision table.",
+    "dispatch decision table, and the full OP route (band zip -> E3 ratio "
+    "-> dB -> A2 -> U8) composition.",
     tags=("sink", "plan", "pack"),
 )
 
@@ -297,11 +304,12 @@ register_pack(
         Member("lineitem_percentiles", ("l_returnflag",)),
         Member("skewed_agg_salted", ("event_type",)),
         Member("events_stream_dedup", ("event_id",)),
+        Member("band_zip_ndiff", ("product_id", "row", "col")),
     ),
     doc="Union certificate: rollup/cube hierarchies, correlated-subquery "
     "decorrelation, as-of via cogrouped applyInPandas, JSON property "
-    "aggregation, pivot, exact percentiles, salted skew aggregation, and "
-    "the streaming-dedup batch twin.",
+    "aggregation, pivot, exact percentiles, salted skew aggregation, the "
+    "streaming-dedup batch twin, and the band-zip equi-join path.",
     tags=("relational", "pack"),
 )
 

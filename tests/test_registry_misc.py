@@ -57,3 +57,53 @@ def test_tiff_embed_rules():
     # no gt at all -> no projection either
     p = tiff_embed_plan(None, "EPSG:32632", fields)
     assert p["set_geotransform"] is None and p["set_projection"] is None
+
+
+def test_every_query_is_driver_certified():
+    """Certification-completeness invariant: every registered query must be
+    (a) in HEAD_ORDER, (b) a member of a head pack, (c) an oracle-SQL twin
+    of a certified query (bit-equality separately asserted in tests), or
+    (d) on the documented subsumption list below. Guards future drift: a
+    new query registered without a certification path fails here, not in
+    the next round's verdict."""
+    from sarpro_spark.queries import HEAD_ORDER, REGISTRY, spark_queries
+    from sarpro_spark.queries_packs import PACK_MEMBERS
+
+    # name -> (covering certified query, why no dedicated driver row needed)
+    SUBSUMED = {
+        "autoscale_standard_u16": (
+            "autoscale_advanced_u16",
+            "A2 u16 leg; u8 leg shares the kernel oracle, branches golden-tested",
+        ),
+        "autoscale_robust_u16": ("autoscale_advanced_u16", "member of the A3 union certificate"),
+        "autoscale_adaptive_u16": ("autoscale_advanced_u16", "member of the A3 union certificate"),
+        "autoscale_equalized_u16": ("autoscale_advanced_u16", "member of the A3 union certificate"),
+        "autoscale_tamed_u16": ("autoscale_advanced_u16", "member of the A3 union certificate"),
+        "dedup_minhash_signatures": (
+            "dedup_minhash_verified",
+            "first stage of the verified chain (same signatures upstream)",
+        ),
+    }
+
+    spark_queries()  # load all modules
+    head = set(HEAD_ORDER)
+    assert len(HEAD_ORDER) == 50, "driver checks exactly the first 50"
+    certified = set(head)
+    for p in head:
+        certified |= set(PACK_MEMBERS.get(p, ()))
+
+    def sql_of(n):
+        s = REGISTRY[n].sql
+        return s if isinstance(s, str) else None
+
+    cert_sqls = {sql_of(n) for n in certified if sql_of(n)}
+    uncovered = []
+    for name in REGISTRY:
+        if name in certified or sql_of(name) in cert_sqls:
+            continue
+        if name in SUBSUMED:
+            cover, _why = SUBSUMED[name]
+            assert cover in certified, f"{name} subsumed by uncertified {cover}"
+            continue
+        uncovered.append(name)
+    assert not uncovered, f"queries with no certification path: {uncovered}"
