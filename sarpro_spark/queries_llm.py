@@ -886,6 +886,52 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fl.repetition_scores(d)
 
 
+# --- URL/domain extraction + per-domain rollup -------------------------------
+
+# The synthetic corpus carries no URLs, so (like the PII query) deterministic
+# doc_id-derived URLs are planted first; at production scale the same exprs
+# run on raw text and the rollup feeds domain-level curation decisions
+# (blocklists, per-domain caps — the FineWeb/Dolma grouping step).
+
+_URL_AUG = (
+    "text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example.com/page and http://cdn' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '.example.net/asset'"
+)
+
+_URL_RE = r"https?://([a-z0-9.-]+)"
+
+_DOMAINS_SQL = f"""
+WITH a AS (SELECT doc_id, {_URL_AUG} AS aug FROM documents),
+u AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(aug, '{_URL_RE}', 1)) AS domain FROM a
+)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM u GROUP BY domain
+""".strip()
+
+
+@query("text_url_domains", sql=_DOMAINS_SQL, tags=("llm", "text", "hygiene"))
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level corpus rollup: extract URL hosts (regexp_extract_all,
+    JVM-side), one per-domain aggregation — the grouping that drives
+    blocklist filtering and per-domain sampling caps."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    pid = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"), (pid % 7).cast("string"),
+        F.lit(".example.com/page and http://cdn"), (pid % 3).cast("string"),
+        F.lit(".example.net/asset"),
+    )
+    u = d.select("doc_id", F.explode(F.regexp_extract_all(aug, F.lit(_URL_RE), 1)).alias("domain"))
+    return u.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 def _unigram_sql() -> str:
     from sarpro_spark.llm.text import sql_unigram_logprob
     from sarpro_spark.queries import sql_fround

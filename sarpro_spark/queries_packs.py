@@ -219,6 +219,7 @@ register_pack(
         Member("text_contamination", ("doc_id",)),
         Member("text_repetition", ("doc_id",)),
         Member("text_unigram_logprob", ("doc_id",)),
+        Member("text_url_domains", ("domain",)),
     ),
     doc="Union certificate: PII redaction (typed counts + full redacted "
     "text), train/eval contamination scores, C4/Gopher repetition filters, "
