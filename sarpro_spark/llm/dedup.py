@@ -348,12 +348,14 @@ def minhash_jaccard_pairs(
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"sig_{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    sig = (
-        hashed.groupBy(id_col)
-        .agg(*aggs, F.sort_array(F.collect_set("h")).alias("hset"))
-        .withColumn("sz", F.size("hset"))
-        .localCheckpoint(eager=True)
-    )
+    from sarpro_spark.llm.cluster import _checkpointer
+
+    sig = hashed.groupBy(id_col).agg(
+        *aggs, F.sort_array(F.collect_set("h")).alias("hset")
+    ).withColumn("sz", F.size("hset"))
+    # reliable checkpoint on a cluster (executor-loss-safe), local otherwise —
+    # same policy as every other iteration/multi-consumer materialization
+    sig = _checkpointer(sig)(sig)
     band_frames = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
