@@ -1079,3 +1079,60 @@ def q_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scan is 1/4 the bytes of f32 and the hot loop is integer SIMD."""
     e = frames.load_table(spark, sf_dir, "embeddings")
     return sim.cosine_topk_int8(e, _spark_queries_frame(spark, sf_dir), k=10)
+
+
+# --- training-sequence packing + mixture planning -----------------------------
+
+
+def _pack_assign_sql() -> str:
+    from sarpro_spark.llm.packing import sql_pack_assignments
+
+    return sql_pack_assignments()
+
+
+@query("corpus_pack_assignments", sql=_pack_assign_sql(), tags=("llm", "packing"))
+def q_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing, per-document leg: deterministic md5 shard +
+    per-shard prefix-sum offsets -> which fixed-length training sequences
+    each doc's tokens occupy. The window partitions by bucket, so the prefix
+    sum parallelizes across shards (no global order, no single-task window)."""
+    from sarpro_spark.llm import packing as pk
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return pk.pack_assignments(d)
+
+
+def _pack_seq_sql() -> str:
+    from sarpro_spark.llm.packing import sql_pack_sequences
+
+    return sql_pack_sequences()
+
+
+@query("corpus_pack_sequences", sql=_pack_seq_sql(), tags=("llm", "packing"))
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing, per-sequence leg: docs explode onto the
+    sequences they span (bounded factor), one hash aggregate per (shard,
+    seq) -> fill stats. Every sequence is exactly seq_len tokens except each
+    shard's ragged tail."""
+    from sarpro_spark.llm import packing as pk
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return pk.pack_sequences(d)
+
+
+def _mixture_sql() -> str:
+    from sarpro_spark.llm.packing import sql_mixture_plan
+
+    return sql_mixture_plan()
+
+
+@query("corpus_mixture_plan", sql=_mixture_sql(), tags=("llm", "packing", "sampling"))
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture planner: per-source token inventory vs target weights
+    at a token budget -> Bernoulli sample rate (downsample) or repeat factor
+    (upsample epochs). Two aggregates; the global total rides a 1-row
+    broadcast."""
+    from sarpro_spark.llm import packing as pk
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return pk.mixture_plan(d)

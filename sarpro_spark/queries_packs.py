@@ -232,10 +232,14 @@ register_pack(
     (
         Member("sample_stratified", ("lang",)),
         Member("sample_topk_per_stratum", ("doc_id",)),
+        Member("corpus_pack_assignments", ("doc_id",)),
+        Member("corpus_pack_sequences", ("bucket", "seq")),
+        Member("corpus_mixture_plan", ("source",)),
     ),
-    doc="Union certificate: deterministic stratified Bernoulli sampling + "
-    "exact-k-per-stratum seeded reservoir.",
-    tags=("llm", "sampling", "pack"),
+    doc="Union certificate: deterministic stratified Bernoulli sampling, "
+    "exact-k-per-stratum seeded reservoir, concat-and-chunk sequence "
+    "packing (per-doc + per-sequence legs), and the domain mixture plan.",
+    tags=("llm", "sampling", "packing", "pack"),
 )
 
 register_pack(

@@ -511,3 +511,63 @@ def test_unigram_logprob_ordering(spark):
     out = {r["doc_id"]: r for r in tx.unigram_logprob_scores(docs).collect()}
     assert out[0]["mean_nll"] < out[1]["mean_nll"] < out[2]["mean_nll"]
     assert out[0]["n_tokens"] == 11
+
+
+def test_sequence_packing_invariants(spark):
+    """Concat-and-chunk conservation laws on a controlled corpus: every
+    bucket's packed sequences hold exactly its documents' tokens, every
+    non-tail sequence is exactly full, and the per-doc and per-seq legs
+    agree on the sequence index range."""
+    from sarpro_spark.llm import packing as pk
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(5 + (i * 7) % 40))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    L, B = 16, 4
+    a = pk.pack_assignments(docs, seq_len=L, n_buckets=B).collect()
+    s = pk.pack_sequences(docs, seq_len=L, n_buckets=B).collect()
+
+    # conservation: per bucket, sum of doc tokens == sum of sequence fills
+    doc_tok = {}
+    for r in a:
+        doc_tok[r["bucket"]] = doc_tok.get(r["bucket"], 0) + r["n_tok"]
+    seq_tok = {}
+    for r in s:
+        seq_tok[r["bucket"]] = seq_tok.get(r["bucket"], 0) + r["n_tokens"]
+    assert doc_tok == seq_tok
+
+    # every sequence except each bucket's last is exactly full
+    last_seq = {}
+    for r in s:
+        last_seq[r["bucket"]] = max(last_seq.get(r["bucket"], -1), r["seq"])
+    for r in s:
+        if r["seq"] < last_seq[r["bucket"]]:
+            assert r["is_full"] and r["n_tokens"] == L
+        assert 0 < r["n_tokens"] <= L
+        assert r["n_docs"] >= 1 and r["first_doc"] <= r["last_doc"]
+
+    # sequence indices are contiguous from 0 per bucket, and the per-doc
+    # spans cover exactly the same index set
+    for b in last_seq:
+        seqs = sorted(r["seq"] for r in s if r["bucket"] == b)
+        assert seqs == list(range(last_seq[b] + 1))
+        from_docs = set()
+        for r in a:
+            if r["bucket"] == b:
+                from_docs |= set(range(r["first_seq"], r["last_seq"] + 1))
+        assert from_docs == set(seqs)
+
+
+def test_mixture_plan_budget(spark):
+    """The planned desired_tokens sum to the budget fraction of the corpus,
+    and rates/repeats are consistent with the inventory."""
+    from sarpro_spark.llm import packing as pk
+
+    rows = [(i, "tok " * (10 + i % 5), f"s{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = pk.mixture_plan(docs, budget_frac=0.5).collect()
+    total = sum(r["avail_tokens"] for r in out)
+    assert abs(sum(r["desired_tokens"] for r in out) - 0.5 * total) < 1e-3
+    for r in out:
+        assert 0.0 < r["sample_rate"] <= 1.0
+        assert r["upsampled"] == (r["repeat_factor"] > 1.0)
+        assert abs(r["repeat_factor"] - r["desired_tokens"] / r["avail_tokens"]) < 1e-5
