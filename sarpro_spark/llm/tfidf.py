@@ -1,0 +1,183 @@
+"""TF-IDF document vectors and sparse cosine similarity.
+
+The classic lexical complement to embedding ANN: term-frequency x inverse-
+document-frequency vectors (sklearn's smooth-idf formula), L2-normalized,
+compared via an inverted-index self-join on the term — the sparse dot
+product only ever materializes pairs that SHARE a term, never doc x doc.
+
+Scale shape: one explode to (doc, term), two hash aggregates (tf, df), and
+the pair join keyed by term. Stop terms (df above a corpus-fraction cap)
+are dropped before the join — the same hot-key doctrine as the shingle
+dedup: a term in df docs generates df^2 pair fragments, so the cap bounds
+the hottest keys, and what remains is the discriminative vocabulary the
+similarity actually lives in. The corpus
+size for idf rides a 1-row broadcast (no driver action).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sarpro_spark.llm.text import tokens_expr
+
+#: drop terms occurring in more than this fraction of docs (stop-term cap).
+#: Relative, not absolute: the synthetic corpus has a ~30-word vocabulary
+#: where every term is common, and a real Zipf vocabulary has hot stop terms
+#: at any scale — a fraction adapts to both. A term kept by the cap appears
+#: in <= frac*N docs, so its pair fan-out is bounded relative to corpus
+#: size; combine with bucketed shuffle for the rest.
+DEFAULT_MAX_DF_FRAC = 0.9
+
+_SQL_TOKS = "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def tfidf_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = DEFAULT_MAX_DF_FRAC,
+) -> DataFrame:
+    """L2-normalized tf-idf weights: (id, term, u). idf = ln((1+N)/(1+df))+1
+    (smooth); terms with df > max_df_frac*N dropped before weighting."""
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .where(F.col("df") <= F.col("n_docs") * max_df_frac)
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.col("tf")
+                * (
+                    F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df")))
+                    + F.lit(1.0)
+                )
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return w.join(nrm, id_col).select(
+        F.col(id_col), "term", (F.col("w") / F.col("nrm")).alias("u")
+    )
+
+
+def tfidf_topk_similar(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = DEFAULT_MAX_DF_FRAC,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k lexically most similar docs per doc: inverted-index join on the
+    term, one pair aggregate, rank window. Similarity rounded before ranking
+    + id tiebreak -> deterministic cutoffs (same doctrine as cosine_topk)."""
+    from sarpro_spark.queries import fround
+
+    u = tfidf_vectors(df, id_col, text_col, max_df_frac)
+    a = u.select(F.col(id_col).alias("doc_id"), "term", F.col("u").alias("ua"))
+    b = u.select(F.col(id_col).alias("nbr_id"), "term", F.col("u").alias("ub"))
+    pairs = (
+        a.join(b, "term")
+        .where(F.col("doc_id") != F.col("nbr_id"))
+        .groupBy("doc_id", "nbr_id")
+        .agg(fround(F.sum(F.col("ua") * F.col("ub")), round_digits).alias("sim"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("sim").desc(), F.col("nbr_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "nbr_id", "sim", "rnk")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = DEFAULT_MAX_DF_FRAC,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Each doc's k highest-weighted terms (the doc's lexical signature) —
+    certifies the vector stage itself."""
+    from sarpro_spark.queries import fround
+
+    u = tfidf_vectors(df, id_col, text_col, max_df_frac)
+    scored = u.select(id_col, "term", fround(F.col("u"), round_digits).alias("u"))
+    w = Window.partitionBy(id_col).orderBy(F.col("u").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "term", "u", "rnk")
+    )
+
+
+def _sql_vectors(src_rel: str, id_col: str, max_df_frac: float) -> str:
+    return f"""
+toks AS (
+  SELECT {id_col}, UNNEST({_SQL_TOKS}) AS term FROM {src_rel}
+),
+tf AS (SELECT {id_col}, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM {src_rel}),
+wts AS (
+  SELECT tf.{id_col}, tf.term,
+         tf.tf * (LN((1.0 + n_docs) / (1.0 + df)) + 1.0) AS w
+  FROM tf JOIN dfreq USING (term), n
+  WHERE df <= n_docs * {max_df_frac!r}
+),
+nrm AS (SELECT {id_col}, SQRT(SUM(w * w)) AS nrm FROM wts GROUP BY 1),
+u AS (SELECT wts.{id_col}, term, w / nrm AS u FROM wts JOIN nrm USING ({id_col}))
+""".strip()
+
+
+def sql_tfidf_topk_similar(
+    src_rel: str = "documents",
+    k: int = 5,
+    id_col: str = "doc_id",
+    max_df_frac: float = DEFAULT_MAX_DF_FRAC,
+) -> str:
+    """DuckDB twin of :func:`tfidf_topk_similar`."""
+    from sarpro_spark.queries import sql_fround
+
+    return f"""
+WITH {_sql_vectors(src_rel, id_col, max_df_frac)},
+pairs AS (
+  SELECT a.{id_col} AS doc_id, b.{id_col} AS nbr_id,
+         {sql_fround('SUM(a.u * b.u)')} AS sim
+  FROM u a JOIN u b USING (term)
+  WHERE a.{id_col} <> b.{id_col}
+  GROUP BY 1, 2
+)
+SELECT doc_id, nbr_id, sim, rnk FROM (
+  SELECT doc_id, nbr_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sim DESC, nbr_id) AS rnk
+  FROM pairs
+) t WHERE rnk <= {k}
+""".strip()
+
+
+def sql_tfidf_top_terms(
+    src_rel: str = "documents",
+    k: int = 3,
+    id_col: str = "doc_id",
+    max_df_frac: float = DEFAULT_MAX_DF_FRAC,
+) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms`."""
+    from sarpro_spark.queries import sql_fround
+
+    return f"""
+WITH {_sql_vectors(src_rel, id_col, max_df_frac)}
+SELECT {id_col}, term, u, rnk FROM (
+  SELECT {id_col}, term, {sql_fround('u')} AS u,
+         ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY {sql_fround('u')} DESC, term) AS rnk
+  FROM u
+) t WHERE rnk <= {k}
+""".strip()

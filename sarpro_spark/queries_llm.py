@@ -1136,3 +1136,39 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = frames.load_table(spark, sf_dir, "documents")
     return pk.mixture_plan(d)
+
+
+# --- TF-IDF lexical similarity -----------------------------------------------
+
+
+def _tfidf_topk_sql() -> str:
+    from sarpro_spark.llm.tfidf import sql_tfidf_topk_similar
+
+    return sql_tfidf_topk_similar()
+
+
+@query("tfidf_topk_similar", sql=_tfidf_topk_sql(), tags=("llm", "similarity", "text"))
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-k neighbors per doc via L2-normalized tf-idf and an
+    inverted-index self-join on the term (pairs only where content is
+    shared, stop terms df-capped — never doc x doc)."""
+    from sarpro_spark.llm import tfidf as ti
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return ti.tfidf_topk_similar(d)
+
+
+def _tfidf_terms_sql() -> str:
+    from sarpro_spark.llm.tfidf import sql_tfidf_top_terms
+
+    return sql_tfidf_top_terms()
+
+
+@query("tfidf_top_terms", sql=_tfidf_terms_sql(), tags=("llm", "text"))
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each doc's highest-weighted tf-idf terms — certifies the weighting +
+    normalization stage of the lexical similarity chain."""
+    from sarpro_spark.llm import tfidf as ti
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return ti.tfidf_top_terms(d)

@@ -250,10 +250,12 @@ register_pack(
         Member("similarity_topk_ivf", ("query_id", "vec_id")),
         Member("similarity_topk_int8", ("query_id", "vec_id")),
         Member("embedding_quantize_int8", ("vec_id", "pos")),
+        Member("tfidf_topk_similar", ("doc_id", "nbr_id")),
+        Member("tfidf_top_terms", ("doc_id", "term")),
     ),
     doc="Union certificate: ANN top-k via brute force, banded-hyperplane "
-    "LSH, IVF inverted lists, int8-quantized scan, plus the int8 "
-    "quantization codes themselves.",
+    "LSH, IVF inverted lists, int8-quantized scan, the int8 quantization "
+    "codes themselves, and lexical tf-idf top-k + top-terms.",
     tags=("llm", "similarity", "pack"),
 )
 

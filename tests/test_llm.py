@@ -571,3 +571,27 @@ def test_mixture_plan_budget(spark):
         assert 0.0 < r["sample_rate"] <= 1.0
         assert r["upsampled"] == (r["repeat_factor"] > 1.0)
         assert abs(r["repeat_factor"] - r["desired_tokens"] / r["avail_tokens"]) < 1e-5
+
+
+def test_tfidf_similarity_semantics(spark):
+    """Identical docs are each other's top lexical neighbor with sim 1.0;
+    disjoint-vocabulary docs never pair; top terms prefer rare words."""
+    from sarpro_spark.llm import tfidf as ti
+
+    rows = [
+        (0, "alpha beta gamma delta shared words here"),
+        (1, "alpha beta gamma delta shared words here"),
+        (2, "alpha beta epsilon unrelated tail content"),
+        (3, "zeta eta theta iota totally disjoint vocabulary"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = {(r["doc_id"], r["rnk"]): r for r in ti.tfidf_topk_similar(docs, k=3).collect()}
+    assert top[(0, 1)]["nbr_id"] == 1 and abs(top[(0, 1)]["sim"] - 1.0) < 1e-6
+    assert top[(1, 1)]["nbr_id"] == 0 and abs(top[(1, 1)]["sim"] - 1.0) < 1e-6
+    pairs = {(r["doc_id"], r["nbr_id"]) for r in ti.tfidf_topk_similar(docs, k=3).collect()}
+    assert not any(a == 3 or b == 3 for a, b in pairs)  # no shared terms
+
+    terms = ti.tfidf_top_terms(docs, k=2).collect()
+    t0 = [r["term"] for r in terms if r["doc_id"] == 2]
+    # doc 2's signature is its unique words, not the corpus-common 'alpha'
+    assert "alpha" not in t0 and "beta" not in t0
