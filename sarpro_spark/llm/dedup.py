@@ -638,3 +638,221 @@ def sql_simhash16(
     src_rel: str, id_col: str = "doc_id", text_col: str = "text", n: int = DEFAULT_SHINGLE
 ) -> str:
     return sql_simhash_bits(src_rel, id_col, text_col, n, bits=16)
+
+
+# --- incremental dedup (new batch vs existing index) --------------------------
+
+
+def incremental_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    split_seed: str = "inc",
+    batch_mod: int = 10,
+    batch_min: int = 7,
+) -> DataFrame:
+    """Incremental corpus ingestion: dedup a NEW batch against an EXISTING
+    index without ever comparing index docs to each other (the realistic
+    shape — the index is 100 TB, the batch is a day's crawl).
+
+    The deterministic md5 split (bucket % batch_mod >= batch_min => batch)
+    stands in for the batch/index boundary so the op is oracle-checkable on
+    one table. Per batch doc:
+
+      exact_dup_of   min index doc with the same normalized fingerprint
+      near_dup_of    best-jaccard index doc among LSH band candidates
+                     (>= threshold; rounded-jaccard then id tiebreak)
+      is_new         neither an exact nor a near duplicate
+
+    Scale shape: exact leg is one fingerprint aggregate over the index +
+    a batch-side left join. Near leg: signatures for both sides, band
+    buckets joined batch x index ONLY (candidates bounded by bucket
+    collisions, never batch x index), exact-jaccard verification on
+    candidates. Index signatures/fingerprints would be precomputed and
+    stored in a real deployment; recomputing here keeps the op one-table."""
+    from sarpro_spark.llm.sampling import hash_bucket
+    from sarpro_spark.llm.text import fingerprint_expr
+    from sarpro_spark.queries import fround
+    from pyspark.sql.window import Window as W
+
+    is_batch = (hash_bucket(F.col(id_col), split_seed) % batch_mod) >= batch_min
+
+    fp = df.select(
+        F.col(id_col), is_batch.alias("is_batch"), fingerprint_expr(F.col(text_col)).alias("fp")
+    )
+    idx_fp = (
+        fp.where(~F.col("is_batch"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("exact_dup_of"))
+    )
+    batch_ids = fp.where("is_batch").select(id_col, "fp")
+    exact = batch_ids.join(idx_fp, "fp", "left").select(id_col, "exact_dup_of")
+
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = sig.withColumn(
+        "is_batch", (hash_bucket(F.col(id_col), split_seed) % batch_mod) >= batch_min
+    )
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_frames.append(
+            sig.select(
+                F.col(id_col),
+                "is_batch",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    banded = band_frames[0]
+    for bf in band_frames[1:]:
+        banded = banded.unionByName(bf)
+    cand = (
+        banded.where("is_batch")
+        .select(F.col(id_col).alias("doc_b"), "band", "bucket")
+        .join(
+            banded.where(~F.col("is_batch")).select(
+                F.col(id_col).alias("doc_i"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("doc_b", "doc_i")
+        .distinct()
+    )
+
+    hdist = (
+        char_shingles(df, id_col, text_col, n, distinct=False)
+        .select(
+            F.col(id_col),
+            (
+                F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+                % MINHASH_PRIME
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = hdist.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(hdist.select(F.col(id_col).alias("doc_b"), "h"), "doc_b")
+        .join(hdist.select(F.col(id_col).alias("doc_i"), "h"), ["doc_i", "h"])
+        .groupBy("doc_b", "doc_i")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jacc = (
+        inter.join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .join(sizes.select(F.col(id_col).alias("doc_i"), F.col("sz").alias("sz_i")), "doc_i")
+        .select(
+            "doc_b",
+            "doc_i",
+            fround(
+                F.col("inter").cast("double")
+                / (F.col("sz_b") + F.col("sz_i") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    w = W.partitionBy("doc_b").orderBy(F.col("jaccard").desc(), F.col("doc_i").asc())
+    best = (
+        jacc.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("doc_b").alias(id_col),
+            F.col("doc_i").alias("near_dup_of"),
+            F.col("jaccard").alias("near_jaccard"),
+        )
+    )
+    return (
+        exact.join(best, id_col, "left")
+        .select(
+            id_col,
+            "exact_dup_of",
+            "near_dup_of",
+            "near_jaccard",
+            (F.col("exact_dup_of").isNull() & F.col("near_dup_of").isNull()).alias("is_new"),
+        )
+    )
+
+
+def sql_incremental_dedup(
+    src_rel: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    split_seed: str = "inc",
+    batch_mod: int = 10,
+    batch_min: int = 7,
+) -> str:
+    """DuckDB twin of :func:`incremental_dedup`."""
+    from sarpro_spark.llm.sampling import sql_hash_bucket
+    from sarpro_spark.queries import sql_fround
+
+    rows_per_band = num_hashes // bands
+    ctes = sql_minhash_ctes(src_rel, id_col, text_col, n, num_hashes)
+    band_selects = []
+    for b in range(bands):
+        sig_concat = " || '|' || ".join(
+            f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT {id_col}, {b} AS band, MD5({sig_concat}) AS bucket FROM sigs"
+        )
+    banded = "\n  UNION ALL\n  ".join(band_selects)
+    is_batch = f"(({sql_hash_bucket(id_col, split_seed)}) % {batch_mod} >= {batch_min})"
+    fp_expr = (
+        "SUBSTR(MD5(REGEXP_REPLACE(TRIM(LOWER(" + text_col + ")), '\\s+', ' ', 'g')), 1, 16)"
+    )
+    jacc_expr = "CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE)"
+    return f"""
+WITH {ctes},
+split AS (SELECT {id_col}, {is_batch} AS is_batch FROM {src_rel}),
+fp AS (SELECT d.{id_col}, s.is_batch, {fp_expr} AS fp
+       FROM {src_rel} d JOIN split s USING ({id_col})),
+idx_fp AS (SELECT fp, MIN({id_col}) AS exact_dup_of FROM fp WHERE NOT is_batch GROUP BY fp),
+exact AS (
+  SELECT b.{id_col}, i.exact_dup_of
+  FROM fp b LEFT JOIN idx_fp i USING (fp) WHERE b.is_batch
+),
+banded AS (
+  {banded}
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS doc_b, b.{id_col} AS doc_i
+  FROM banded a JOIN split sa ON sa.{id_col} = a.{id_col} AND sa.is_batch
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  JOIN split sb ON sb.{id_col} = b.{id_col} AND NOT sb.is_batch
+),
+hdist AS (SELECT DISTINCT {id_col}, h FROM hashed),
+sizes AS (SELECT {id_col}, COUNT(*) AS sz FROM hdist GROUP BY {id_col}),
+inter AS (
+  SELECT c.doc_b, c.doc_i, COUNT(*) AS inter
+  FROM cand c
+  JOIN hdist sa ON sa.{id_col} = c.doc_b
+  JOIN hdist sb ON sb.{id_col} = c.doc_i AND sb.h = sa.h
+  GROUP BY c.doc_b, c.doc_i
+),
+jacc AS (
+  SELECT i.doc_b, i.doc_i, {sql_fround(jacc_expr)} AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.{id_col} = i.doc_b
+  JOIN sizes zb ON zb.{id_col} = i.doc_i
+  WHERE {sql_fround(jacc_expr)} >= {threshold!r}
+),
+best AS (
+  SELECT doc_b AS {id_col}, doc_i AS near_dup_of, jaccard AS near_jaccard
+  FROM (
+    SELECT doc_b, doc_i, jaccard,
+           ROW_NUMBER() OVER (PARTITION BY doc_b ORDER BY jaccard DESC, doc_i ASC) AS rn
+    FROM jacc
+  ) t WHERE rn = 1
+)
+SELECT e.{id_col}, e.exact_dup_of, b.near_dup_of, b.near_jaccard,
+       (e.exact_dup_of IS NULL AND b.near_dup_of IS NULL) AS is_new
+FROM exact e LEFT JOIN best b USING ({id_col})
+""".strip()

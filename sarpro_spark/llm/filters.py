@@ -232,3 +232,125 @@ SELECT t.{id_col}, t.n_tokens,
        {sql_fround('CASE WHEN r.n_tri IS NOT NULL AND r.n_tri > 0 THEN 1.0 - CAST(r.n_tri_distinct AS DOUBLE) / r.n_tri ELSE 0.0 END')} AS dup_trigram_frac
 FROM tok_stats t LEFT JOIN tri_stats r USING ({id_col})
 """.strip()
+
+
+# --- duplicated passages ------------------------------------------------------
+
+#: words per passage shingle (a duplicated run of r shingles ~= a shared
+#: passage of r + w - 1 words)
+DUP_PASSAGE_W = 3
+
+
+def duplicated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = DUP_PASSAGE_W,
+) -> DataFrame:
+    """Within-corpus duplicated-passage scoring (the substring-level dedup
+    signal of Lee et al.'s 'Deduplicating Training Data' — here at word-
+    shingle grain): for each doc, the fraction of its word-``w``-shingles
+    that occur in >= 2 distinct docs, and the longest CONSECUTIVE duplicated
+    run (the length of the largest shared passage).
+
+    Scale shape: one explode to (doc, pos, shingle), one shingle-keyed
+    aggregate for corpus doc-frequency, one join back — never doc x doc.
+    Runs via the pos - row_number() gaps-and-islands trick (per-doc window,
+    parallel across docs)."""
+    from sarpro_spark.llm.text import tokens_expr
+    from sarpro_spark.queries import fround
+    from pyspark.sql.window import Window as W
+
+    toks = tokens_expr(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.size("_toks") - (w - 1), F.lit(0)))
+    )
+    sh = base.select(F.col(id_col), pos.alias("pos"), F.col("_toks")).select(
+        F.col(id_col),
+        "pos",
+        F.concat_ws(" ", F.slice("_toks", F.col("pos"), F.lit(w))).alias("shingle"),
+    )
+    sdf = (
+        sh.select(id_col, "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    m = sh.join(sdf, "shingle").select(
+        F.col(id_col), "pos", (F.col("_df") >= 2).alias("is_dup")
+    )
+    per = m.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup"),
+    )
+    grp = F.col("pos") - F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.col("pos"))
+    )
+    runs = (
+        m.where("is_dup")
+        .select(F.col(id_col), grp.alias("_grp"))
+        .groupBy(id_col, "_grp")
+        .agg(F.count(F.lit(1)).alias("_run"))
+        .groupBy(id_col)
+        .agg(F.max("_run").alias("max_dup_run"))
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .join(runs, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            fround(
+                F.coalesce("n_dup", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)).cast("double")
+            ).alias("dup_frac"),
+            F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run"),
+        )
+    )
+
+
+def sql_duplicated_passages(
+    src_rel: str = "documents",
+    id_col: str = "doc_id",
+    w: int = DUP_PASSAGE_W,
+) -> str:
+    """DuckDB twin of :func:`duplicated_passages`."""
+    from sarpro_spark.queries import sql_fround
+
+    toks = "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> '')"
+    return f"""
+WITH t AS (SELECT {id_col}, {toks} AS toks FROM {src_rel}),
+sh AS (
+  SELECT {id_col}, pos,
+         ARRAY_TO_STRING(LIST_SLICE(toks, pos, pos + {w - 1}), ' ') AS shingle
+  FROM (SELECT {id_col}, toks,
+               UNNEST(generate_series(1, GREATEST(LEN(toks) - {w - 1}, 0))) AS pos
+        FROM t) z
+),
+sdf AS (SELECT shingle, COUNT(DISTINCT {id_col}) AS df FROM sh GROUP BY 1),
+m AS (SELECT sh.{id_col}, sh.pos, (df >= 2) AS is_dup FROM sh JOIN sdf USING (shingle)),
+per AS (
+  SELECT {id_col}, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM m GROUP BY 1
+),
+runs AS (
+  SELECT {id_col}, pos - ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY pos) AS grp
+  FROM m WHERE is_dup
+),
+runlen AS (
+  SELECT {id_col}, CAST(MAX(c) AS BIGINT) AS max_dup_run
+  FROM (SELECT {id_col}, grp, COUNT(*) AS c FROM runs GROUP BY 1, 2) r GROUP BY 1
+)
+SELECT d.{id_col},
+  COALESCE(n_shingles, 0) AS n_shingles,
+  COALESCE(n_dup, 0) AS n_dup,
+  {sql_fround(f'CAST(COALESCE(n_dup, 0) AS DOUBLE) / GREATEST(COALESCE(n_shingles, 0), 1)')} AS dup_frac,
+  COALESCE(max_dup_run, 0) AS max_dup_run
+FROM {src_rel} d
+LEFT JOIN per USING ({id_col})
+LEFT JOIN runlen USING ({id_col})
+""".strip()

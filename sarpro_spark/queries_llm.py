@@ -1172,3 +1172,39 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = frames.load_table(spark, sf_dir, "documents")
     return ti.tfidf_top_terms(d)
+
+
+def _dup_passages_sql() -> str:
+    from sarpro_spark.llm.filters import sql_duplicated_passages
+
+    return sql_duplicated_passages()
+
+
+@query("text_dup_passages", sql=_dup_passages_sql(), tags=("llm", "text", "hygiene", "dedup"))
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication signal: per doc, the fraction of word
+    shingles occurring in >= 2 docs and the longest consecutive duplicated
+    run (largest shared passage). Shingle-keyed aggregate + join back —
+    never doc x doc."""
+    from sarpro_spark.llm import filters as fl
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return fl.duplicated_passages(d)
+
+
+def _inc_dedup_sql() -> str:
+    from sarpro_spark.llm.dedup import sql_incremental_dedup
+
+    return sql_incremental_dedup()
+
+
+@query("dedup_incremental", sql=_inc_dedup_sql(), tags=("llm", "dedup"))
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a deterministic 30% batch checked against
+    the 70% index — exact fingerprint left-join + MinHash-LSH band
+    candidates (batch x index buckets only) with exact-jaccard verification.
+    The index never self-joins."""
+    from sarpro_spark.llm import dedup as dd2
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return dd2.incremental_dedup(d)

@@ -188,10 +188,12 @@ register_pack(
         Member("dedup_ngram_jaccard", ("doc_a", "doc_b")),
         Member("dedup_simhash", ("doc_id",)),
         Member("dedup_simhash_pairs", ("doc_a", "doc_b")),
+        Member("dedup_incremental", ("doc_id",)),
     ),
     doc="Union certificate: exact dedup (+normalized), n-gram Jaccard pairs, "
-    "SimHash fingerprints + banded near-dup pairs — every value of each "
-    "member in one driver hash row.",
+    "SimHash fingerprints + banded near-dup pairs, and incremental "
+    "batch-vs-index dedup — every value of each member in one driver "
+    "hash row.",
     tags=("llm", "dedup", "pack"),
 )
 
@@ -220,10 +222,12 @@ register_pack(
         Member("text_repetition", ("doc_id",)),
         Member("text_unigram_logprob", ("doc_id",)),
         Member("text_url_domains", ("domain",)),
+        Member("text_dup_passages", ("doc_id",)),
     ),
     doc="Union certificate: PII redaction (typed counts + full redacted "
     "text), train/eval contamination scores, C4/Gopher repetition filters, "
-    "CCNet-style unigram-LM log-probability scores.",
+    "CCNet-style unigram-LM log-probability scores, and duplicated-passage "
+    "fractions with longest shared-run lengths.",
     tags=("llm", "text", "hygiene", "pack"),
 )
 

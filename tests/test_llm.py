@@ -595,3 +595,64 @@ def test_tfidf_similarity_semantics(spark):
     t0 = [r["term"] for r in terms if r["doc_id"] == 2]
     # doc 2's signature is its unique words, not the corpus-common 'alpha'
     assert "alpha" not in t0 and "beta" not in t0
+
+
+def test_duplicated_passages(spark):
+    """Docs sharing a passage get matching dup runs; unique docs score 0."""
+    from sarpro_spark.llm import filters as fl
+
+    shared = "one two three four five"
+    rows = [
+        (0, f"intro words {shared} closing remark alpha"),
+        (1, f"other opening {shared} different ending beta"),
+        (2, "totally unique content nothing shared here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fl.duplicated_passages(docs, w=3).collect()}
+    # the shared 5-word passage yields 3 consecutive duplicated 3-shingles
+    assert out[0]["max_dup_run"] == 3 and out[1]["max_dup_run"] == 3
+    assert out[0]["n_dup"] == 3 and out[1]["n_dup"] == 3
+    assert out[2]["n_dup"] == 0 and out[2]["dup_frac"] == 0.0
+    assert out[2]["max_dup_run"] == 0
+    for did, r in out.items():
+        n_tok = len(rows[did][1].split())
+        assert r["n_shingles"] == n_tok - 3 + 1
+
+
+def test_incremental_dedup_semantics(spark):
+    """A batch copy of an index doc is an exact dup; a near-copy is a near
+    dup; novel content is new. Split is forced via a controlled id set."""
+    from sarpro_spark.llm import dedup as dd2
+    from sarpro_spark.llm.sampling import hash_bucket
+    from pyspark.sql import functions as F
+
+    # find ids on each side of the deterministic split
+    probe = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    flags = {
+        r["doc_id"]: r["b"]
+        for r in probe.select(
+            "doc_id", ((hash_bucket(F.col("doc_id"), "inc") % 10) >= 7).alias("b")
+        ).collect()
+    }
+    idx_ids = [i for i, b in flags.items() if not b]
+    bat_ids = [i for i, b in flags.items() if b]
+    assert len(idx_ids) >= 2 and len(bat_ids) >= 3
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("dog", "cat")
+    rows = [
+        (idx_ids[0], base),
+        (idx_ids[1], "some other indexed document body with plenty of words"),
+        (bat_ids[0], base),          # exact dup of idx_ids[0]
+        (bat_ids[1], near),          # near dup of idx_ids[0]
+        (bat_ids[2], "entirely novel text never seen in the index corpus"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dd2.incremental_dedup(docs).collect()}
+    assert set(out) == {bat_ids[0], bat_ids[1], bat_ids[2]}
+    assert out[bat_ids[0]]["exact_dup_of"] == idx_ids[0]
+    assert not out[bat_ids[0]]["is_new"]
+    assert out[bat_ids[1]]["exact_dup_of"] is None
+    assert out[bat_ids[1]]["near_dup_of"] == idx_ids[0]
+    assert out[bat_ids[1]]["near_jaccard"] > 0.5
+    assert out[bat_ids[2]]["is_new"]
