@@ -248,6 +248,38 @@ AUDITS: dict[str, dict] = {
         "require": ["Window"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "tfidf_topk_similar": {
+        # df table + corpus size ride broadcasts (hash / nested-loop for the
+        # 1-row total); the pair join is term-keyed, never doc x doc
+        "require": ["BroadcastHashJoin", "BroadcastNestedLoopJoin", "HashAggregate", "Window"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "corpus_pack_assignments": {
+        # per-shard prefix sum: window partitioned by bucket (parallel),
+        # never a global-order single-partition window
+        "require": ["Window"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "corpus_pack_sequences": {
+        # bounded span explode + one hash aggregate keyed (bucket, seq)
+        "require": ["Generate", "HashAggregate", "Window"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "corpus_mixture_plan": {
+        # the 1-row global totals ride a broadcast nested-loop join
+        "require": ["BroadcastNestedLoopJoin", "HashAggregate"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "text_dup_passages": {
+        # shingle-keyed df aggregate + join back; runs via per-doc window
+        "require": ["Generate", "HashAggregate", "Window"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "dedup_incremental": {
+        # all relational: fingerprint agg, band-bucket join, jaccard verify
+        "require": ["HashAggregate", "Window"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
     # pack plans: a pack is the UNION of its members' plans — the member
     # shapes are audited above/individually; here assert the union executes
     # each member once with no cross-member recombination and that no member
