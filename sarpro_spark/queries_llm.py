@@ -1208,3 +1208,42 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = frames.load_table(spark, sf_dir, "documents")
     return dd2.incremental_dedup(d)
+
+
+# --- trainable quality classifier --------------------------------------------
+
+
+def _clf_train_sql() -> str:
+    from sarpro_spark.llm.classifier import sql_train_quality_classifier
+
+    return sql_train_quality_classifier()
+
+
+@query("quality_classifier_train", sql=_clf_train_sql(), tags=("llm", "text", "classifier", "iterative"))
+def q_clf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression quality classifier training log: full-batch GD,
+    one gradient aggregate + one 1-row model-state collect per step
+    (the k-means/BPE exception); 9-digit state rounding locks the
+    cross-engine trajectory."""
+    from sarpro_spark.llm import classifier as cf
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    _, log = cf.train_quality_classifier(d)
+    return log
+
+
+def _clf_score_sql() -> str:
+    from sarpro_spark.llm.classifier import sql_score_quality_classifier
+
+    return sql_score_quality_classifier()
+
+
+@query("quality_classifier_scores", sql=_clf_score_sql(), tags=("llm", "text", "classifier"))
+def q_clf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc scored by the trained quality model (curated-source proxy
+    labels): score + predicted flag — the corpus-filtering surface."""
+    from sarpro_spark.llm import classifier as cf
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    w, _ = cf.train_quality_classifier(d)
+    return cf.score_quality_classifier(d, w)

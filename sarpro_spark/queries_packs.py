@@ -207,10 +207,13 @@ register_pack(
         Member("text_winnowing", ("doc_id",)),
         Member("bpe_vocab_train", ("step",)),
         Member("bpe_encode_corpus", ("doc_id",)),
+        Member("quality_classifier_train", ("step",)),
+        Member("quality_classifier_scores", ("doc_id",)),
     ),
     doc="Union certificate: language ID, token stats, quality features, "
     "whole-doc fingerprint, winnowing fingerprints, BPE vocabulary "
-    "training merges + corpus tokenization stats.",
+    "training merges + corpus tokenization stats, and the trained "
+    "logistic-regression quality classifier (training log + scores).",
     tags=("llm", "text", "pack"),
 )
 

@@ -656,3 +656,38 @@ def test_incremental_dedup_semantics(spark):
     assert out[bat_ids[1]]["near_dup_of"] == idx_ids[0]
     assert out[bat_ids[1]]["near_jaccard"] > 0.5
     assert out[bat_ids[2]]["is_new"]
+
+
+def test_quality_classifier_learns(spark):
+    """On a separable corpus (curated sources = clean prose, others = punct
+    noise) the GD trajectory reduces log-loss and the trained model
+    separates the classes."""
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.llm import classifier as cf
+    from sarpro_spark.llm.sampling import hash_bucket
+
+    # find source names on each side of the deterministic label split
+    probe = spark.createDataFrame([(f"s{i}",) for i in range(20)], "source string")
+    flags = {
+        r["source"]: r["pos"]
+        for r in probe.select(
+            "source", ((hash_bucket(F.col("source"), "cur") % 3) == 0).alias("pos")
+        ).collect()
+    }
+    pos = [s for s, b in flags.items() if b]
+    neg = [s for s, b in flags.items() if not b]
+    assert pos and neg
+
+    clean = "the quick brown fox and the lazy dog walk to the old mill for a rest"
+    noisy = "@@!! #$% ^& buy now!!! $$$ ??? ***"
+    rows = [(i, clean + f" v{i}", pos[i % len(pos)]) for i in range(30)]
+    rows += [(100 + i, noisy + f" z{i}", neg[i % len(neg)]) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    w, log = cf.train_quality_classifier(docs, n_steps=10)
+    losses = [r["loss"] for r in log.orderBy("step").collect()]
+    assert losses[-1] < losses[0]  # learning happened
+    scored = cf.score_quality_classifier(docs, w).collect()
+    acc = sum(1 for r in scored if (r["score"] >= 0.5) == (r["y"] == 1.0)) / len(scored)
+    assert acc >= 0.9
