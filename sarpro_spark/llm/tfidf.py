@@ -67,6 +67,10 @@ def tfidf_vectors(
     )
 
 
+#: vocabulary size at or below which the dense strategy wins (see below)
+DENSE_VOCAB_MAX = 512
+
+
 def tfidf_topk_similar(
     df: DataFrame,
     k: int = 5,
@@ -75,25 +79,142 @@ def tfidf_topk_similar(
     max_df_frac: float = DEFAULT_MAX_DF_FRAC,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Top-k lexically most similar docs per doc: inverted-index join on the
-    term, one pair aggregate, rank window. Similarity rounded before ranking
-    + id tiebreak -> deterministic cutoffs (same doctrine as cosine_topk)."""
+    """Top-k lexically most similar docs per doc. Similarity rounded before
+    ranking + id tiebreak -> deterministic cutoffs (cosine_topk doctrine).
+
+    Cost-based strategy pick (same output either way — the oracle doesn't
+    care which plan produced it):
+
+    - SPARSE (Zipf vocabulary, the real-corpus case): inverted-index join
+      on the term — pairs only materialize where content is shared, and the
+      df cap bounds the hottest term keys.
+    - DENSE (tiny surviving vocabulary): the inverted join degenerates —
+      every term is in most docs, so each term key joins df x df fragments
+      (quadratic volume AND per-key skew: one shuffle task per hot term).
+      Instead assemble fixed-length vocab-ordered vectors, broadcast one
+      side, and scan doc x doc with a codegen'd zip_with dot product: the
+      pair stream is n^2 rows ONCE, not n^2 x vocab fragments, and no
+      shuffle key is hot. A 512-term vector table of any doc count stays
+      broadcastable in blocks at production scale.
+
+    The dispatch probe is one count on the already-aggregated term table —
+    metadata grain, the documented k-means-probe exception."""
     from sarpro_spark.queries import fround
 
     u = tfidf_vectors(df, id_col, text_col, max_df_frac)
-    a = u.select(F.col(id_col).alias("doc_id"), "term", F.col("u").alias("ua"))
-    b = u.select(F.col(id_col).alias("nbr_id"), "term", F.col("u").alias("ub"))
-    pairs = (
-        a.join(b, "term")
-        .where(F.col("doc_id") != F.col("nbr_id"))
-        .groupBy("doc_id", "nbr_id")
-        .agg(fround(F.sum(F.col("ua") * F.col("ub")), round_digits).alias("sim"))
-    )
+    vocab = u.select("term").distinct()
+    v_count = vocab.count()
+    if v_count <= DENSE_VOCAB_MAX:
+        pairs = _dense_block_pairs(u, v_count, k, id_col, round_digits)
+    else:
+        a = u.select(F.col(id_col).alias("doc_id"), "term", F.col("u").alias("ua"))
+        b = u.select(F.col(id_col).alias("nbr_id"), "term", F.col("u").alias("ub"))
+        pairs = (
+            a.join(b, "term")
+            .where(F.col("doc_id") != F.col("nbr_id"))
+            .groupBy("doc_id", "nbr_id")
+            .agg(fround(F.sum(F.col("ua") * F.col("ub")), round_digits).alias("sim"))
+        )
     w = Window.partitionBy("doc_id").orderBy(F.col("sim").desc(), F.col("nbr_id"))
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("doc_id", "nbr_id", "sim", "rnk")
+    )
+
+
+#: doc blocks per side of the dense block-pair scan (tasks = G^2)
+DENSE_BLOCKS = 8
+
+
+def _dense_block_pairs(
+    u: DataFrame, v_count: int, k: int, id_col: str, round_digits: int
+) -> DataFrame:
+    """Exact all-pairs top-k for the dense regime as a BLOCK-MATRIX scan:
+    docs split into G blocks; every (query-block, corpus-block) pair is one
+    cogrouped applyInPandas task running a NumPy matmul + per-block local
+    top-k. The pair stream never materializes — each task emits k rows per
+    query doc, so the shuffle after the scan is n x G x k rows, not n^2.
+    At production scale G grows with the corpus so each block side stays
+    task-sized; the G^2 tasks are the inherent cost of EXACT all-pairs
+    (the approximate path is the LSH/IVF family)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = u.sparkSession
+    G = DENSE_BLOCKS
+    scale = float(10**round_digits)
+
+    # tiny table: a single-partition rank over <= DENSE_VOCAB_MAX terms
+    vocab_idx = u.select("term").distinct().select(
+        "term", (F.row_number().over(Window.orderBy("term")) - 1).alias("tid")
+    )
+    uv = u.join(F.broadcast(vocab_idx), "term")
+    vecs = uv.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("tid", "u"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(v_count - 1)),
+        lambda i: F.coalesce(F.element_at("m", i), F.lit(0.0)),
+    )
+    vg = vecs.select(F.col(id_col).alias("_id"), dense.alias("v"),
+                     F.pmod(F.col(id_col), F.lit(G)).cast("int").alias("_g"))
+    reps = spark.range(G).select(F.col("id").cast("int").alias("_r"))
+    # query side: own block qg, replicated across opposing blocks og;
+    # corpus side: own block og, replicated across query blocks qg.
+    # (aliases: both sides derive from vg — disambiguate the self-cogroup)
+    q_side = vg.alias("qv").crossJoin(F.broadcast(reps.alias("qr"))).select(
+        F.col("qv._g").alias("qg"), F.col("qr._r").alias("og"),
+        F.col("qv._id").alias("_id"), F.col("qv.v").alias("v"),
+    )
+    c_side = vg.alias("cv").crossJoin(F.broadcast(reps.alias("cr"))).select(
+        F.col("cr._r").alias("qg"), F.col("cv._g").alias("og"),
+        F.col("cv._id").alias("_id"), F.col("cv.v").alias("v"),
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("nbr_id", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"doc_id": [], "nbr_id": [], "sim": []}).astype(
+                {"doc_id": "int64", "nbr_id": "int64", "sim": "float64"}
+            )
+        Q = np.stack(left["v"].to_numpy()).astype(np.float64)
+        M = np.stack(right["v"].to_numpy()).astype(np.float64)
+        qids = left["_id"].to_numpy()
+        mids = right["_id"].to_numpy()
+        raw = Q @ M.T
+        sims = np.floor(raw * scale + 0.5) / scale
+        # mask self AND zero-overlap pairs: the sparse formulation only ever
+        # materializes pairs sharing a term (raw > 0 for nonneg weights)
+        sims[(qids[:, None] == mids[None, :]) | (raw <= 0.0)] = -np.inf
+        kk = min(k, sims.shape[1])
+        out_doc, out_nbr, out_sim = [], [], []
+        for i in range(sims.shape[0]):
+            # deterministic local top-k: sim desc, nbr id asc
+            order = np.lexsort((mids, -sims[i]))[:kk]
+            keep = sims[i][order] > -np.inf
+            out_doc.append(np.full(keep.sum(), qids[i]))
+            out_nbr.append(mids[order][keep])
+            out_sim.append(sims[i][order][keep])
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(out_doc),
+                "nbr_id": np.concatenate(out_nbr),
+                "sim": np.concatenate(out_sim),
+            }
+        )
+
+    return (
+        q_side.groupby("qg", "og")
+        .cogroup(c_side.groupby("qg", "og"))
+        .applyInPandas(fn, schema=schema)
     )
 
 

@@ -249,9 +249,11 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
     "tfidf_topk_similar": {
-        # df table + corpus size ride broadcasts (hash / nested-loop for the
-        # 1-row total); the pair join is term-keyed, never doc x doc
-        "require": ["BroadcastHashJoin", "BroadcastNestedLoopJoin", "HashAggregate", "Window"],
+        # dense regime at audit SF: vector assembly (broadcast vocab join +
+        # hash agg) feeding the Arrow block-pair scan; the n^2 pair stream
+        # lives inside the cogrouped tasks, never as a shuffle. No row-wise
+        # Python (BatchEvalPython) — the UDF is the Arrow cogroup kind.
+        "require": ["BroadcastHashJoin", "HashAggregate", "FlatMapCoGroupsInPandas", "Window"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
     "corpus_pack_assignments": {
