@@ -54,6 +54,11 @@ HEADLINE = [
     "text_repetition",
     "events_attribution_join",
     "similarity_topk_int8",
+    # round-4 additions: training-data pipeline surfaces
+    "corpus_pack_sequences",
+    "text_dup_passages",
+    "dedup_incremental",
+    "quality_classifier_scores",
 ]
 
 

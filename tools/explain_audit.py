@@ -282,6 +282,12 @@ AUDITS: dict[str, dict] = {
         "require": ["HashAggregate", "Window"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "quality_classifier_scores": {
+        # scoring is pure column expressions over the feature projection
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["n_chars", "lang"],
+    },
     # pack plans: a pack is the UNION of its members' plans — the member
     # shapes are audited above/individually; here assert the union executes
     # each member once with no cross-member recombination and that no member
