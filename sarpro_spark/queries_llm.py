@@ -1247,3 +1247,41 @@ def q_clf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = frames.load_table(spark, sf_dir, "documents")
     w, _ = cf.train_quality_classifier(d)
     return cf.score_quality_classifier(d, w)
+
+
+# --- PCA embedding compression ------------------------------------------------
+
+
+def _pca_comp_sql() -> str:
+    from sarpro_spark.llm.pca import sql_pca_components
+
+    return sql_pca_components()
+
+
+@query("embedding_pca", sql=_pca_comp_sql(), tags=("llm", "similarity", "iterative"))
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit over the embedding corpus: Arrow-partial raw moments (one
+    corpus pass, d+d^2 combine rows), driver-side rounded power iteration
+    with deflation on the 32 KB covariance (model state). Top-2 components
+    + eigenvalues + the mean vector."""
+    from sarpro_spark.llm import pca
+
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return pca.pca_components(e)
+
+
+def _pca_proj_sql() -> str:
+    from sarpro_spark.llm.pca import sql_pca_project
+
+    return sql_pca_project()
+
+
+@query("embedding_pca_project", sql=_pca_proj_sql(), tags=("llm", "similarity"))
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every embedding projected onto the fitted principal components — the
+    dimensionality-reduction surface (components ride as literals, so the
+    projection is one codegen'd pass)."""
+    from sarpro_spark.llm import pca
+
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return pca.pca_project(e)

@@ -259,10 +259,13 @@ register_pack(
         Member("embedding_quantize_int8", ("vec_id", "pos")),
         Member("tfidf_topk_similar", ("doc_id", "nbr_id")),
         Member("tfidf_top_terms", ("doc_id", "term")),
+        Member("embedding_pca", ("component", "pos")),
+        Member("embedding_pca_project", ("vec_id",)),
     ),
     doc="Union certificate: ANN top-k via brute force, banded-hyperplane "
     "LSH, IVF inverted lists, int8-quantized scan, the int8 quantization "
-    "codes themselves, and lexical tf-idf top-k + top-terms.",
+    "codes themselves, lexical tf-idf top-k + top-terms, and the PCA fit "
+    "+ projection.",
     tags=("llm", "similarity", "pack"),
 )
 

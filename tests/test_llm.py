@@ -691,3 +691,43 @@ def test_quality_classifier_learns(spark):
     scored = cf.score_quality_classifier(docs, w).collect()
     acc = sum(1 for r in scored if (r["score"] >= 0.5) == (r["y"] == 1.0)) / len(scored)
     assert acc >= 0.9
+
+
+def test_pca_matches_numpy(spark):
+    """The rounded power iteration recovers numpy's top eigenvectors on a
+    controlled anisotropic cloud (up to sign; 1e-5 tolerance for the 9-digit
+    state rounding), components are orthonormal, and projections reproduce
+    the centered dot products."""
+    from sarpro_spark.llm import pca
+
+    rs = np.random.RandomState(11)
+    d, n = 12, 300
+    base = rs.normal(0, 1, (n, d))
+    base[:, 0] *= 6.0   # dominant direction
+    base[:, 1] *= 3.0   # second direction
+    X = (base + rs.normal(0, 0.1, (n, d))).astype(np.float32)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    comps = {r["component"]: None for r in pca.pca_components(emb, dim=d).collect()}
+    got = pca.pca_components(emb, dim=d).collect()
+    V = {c: np.zeros(d) for c in comps}
+    lam = {}
+    for r in got:
+        V[r["component"]][r["pos"]] = r["value"]
+        lam[r["component"]] = r["eigenvalue"]
+
+    Xc = X.astype(np.float64) - X.astype(np.float64).mean(axis=0)
+    C = Xc.T @ Xc / n
+    evals, evecs = np.linalg.eigh(C)
+    for c, k in ((0, -1), (1, -2)):
+        ref = evecs[:, k]
+        assert min(np.abs(V[c] - ref).max(), np.abs(V[c] + ref).max()) < 1e-5
+        assert abs(lam[c] - evals[k]) / evals[k] < 1e-6
+    assert lam[0] > lam[1]
+    assert abs(np.dot(V[0], V[1])) < 1e-6
+    assert abs(np.linalg.norm(V[0]) - 1.0) < 1e-6
+
+    proj = {r["vec_id"]: (r["pc0"], r["pc1"]) for r in pca.pca_project(emb, dim=d).collect()}
+    ref0 = Xc @ V[0]
+    assert max(abs(proj[i][0] - ref0[i]) for i in range(n)) < 1e-4

@@ -288,6 +288,15 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
         "schema_excludes": ["n_chars", "lang"],
     },
+    "embedding_pca_project": {
+        # iterative: the moments pass (MapInPandas partials + (pos, sum)
+        # combine) and the eigen fit already executed during construction
+        # (kmeans-style); the RETURNED plan is the literal-weight projection
+        # — one codegen'd scan pass, no joins, no Python
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "Exchange"],
+        "schema_excludes": ["label"],
+    },
     # pack plans: a pack is the UNION of its members' plans — the member
     # shapes are audited above/individually; here assert the union executes
     # each member once with no cross-member recombination and that no member
