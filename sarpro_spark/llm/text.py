@@ -305,3 +305,138 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
 FROM utoks t LEFT JOIN ufreqs f USING (tok), utotals u
 GROUP BY doc_id
 """.strip()
+
+
+# --- interpolated bigram-LM scoring ------------------------------------------
+
+#: bigram table cap (deterministic top-B by count, pair) — the model stays
+#: broadcast-sized at any corpus scale; pruned bigrams back off to unigram
+BIGRAM_CAP = 20000
+#: interpolation weight on the bigram term
+BIGRAM_LAMBDA = 0.7
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: int = UNIGRAM_VOCAB,
+    bigram_cap: int = BIGRAM_CAP,
+    lam: float = BIGRAM_LAMBDA,
+) -> DataFrame:
+    """Per-doc mean negative log-probability under an INTERPOLATED bigram LM
+    (Jelinek-Mercer: lam * c(prev,w)/c(prev) + (1-lam) * p_add1_unigram(w))
+    fit on the corpus — the next rung above the unigram CCNet filter;
+    catches shuffled-word salads the unigram model scores as fluent.
+
+    Scale shape: one pair explode, three map-side-combined aggregates
+    (bigram counts capped top-B, predecessor counts, unigram vocab), all
+    broadcast back onto the pair stream; one per-doc aggregate. Bigrams
+    pruned by the cap contribute only their unigram term (c2 -> 0), so the
+    model is bounded regardless of corpus size."""
+    from pyspark.sql import functions as F
+
+    arr = tokens_expr(F.col(text_col))
+    base = docs.select(F.col(id_col), arr.alias("_t")).where(F.size("_t") >= 2)
+    pair = F.explode(
+        F.zip_with(
+            F.slice("_t", 1, F.size("_t") - 1),
+            F.slice("_t", 2, F.size("_t") - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("tok")),
+        )
+    )
+    pairs = base.select(F.col(id_col), pair.alias("p")).select(
+        id_col, F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok")
+    )
+    big = (
+        pairs.groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .orderBy(F.col("c2").desc(), F.col("prev").asc(), F.col("tok").asc())
+        .limit(bigram_cap)
+    )
+    cprev = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    # unigram leg over ALL tokens (same model as unigram_logprob_scores)
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    freqs = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("tok").asc())
+        .limit(vocab)
+    )
+    totals = toks.agg(F.count(F.lit(1)).alias("n_total")).crossJoin(
+        freqs.agg(F.count(F.lit(1)).alias("v_size"))
+    )
+    p_uni = (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("n_total") + F.col("v_size") + F.lit(1.0)
+    )
+    p = (
+        F.lit(lam)
+        * F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+        / F.col("c1").cast("double")
+        + F.lit(1.0 - lam) * p_uni
+    )
+    scored = (
+        pairs.join(F.broadcast(big), ["prev", "tok"], "left")
+        .join(F.broadcast(cprev), "prev")
+        .join(F.broadcast(freqs), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, (-F.log(p)).alias("nll"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("nll").alias("mean_nll2"),
+    )
+
+
+def sql_bigram_logprob(
+    docs_rel: str,
+    vocab: int = UNIGRAM_VOCAB,
+    bigram_cap: int = BIGRAM_CAP,
+    lam: float = BIGRAM_LAMBDA,
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob_scores`; wrap mean_nll2 in
+    fround at the call site."""
+    toks = "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> '')"
+    return f"""
+WITH bt AS MATERIALIZED (
+  SELECT doc_id, {toks} AS t FROM {docs_rel}
+),
+bpairs AS MATERIALIZED (
+  SELECT doc_id, t[i] AS prev, t[i + 1] AS tok
+  FROM (SELECT doc_id, t, UNNEST(generate_series(1, GREATEST(LEN(t) - 1, 0))) AS i
+        FROM bt WHERE LEN(t) >= 2) z
+),
+big AS MATERIALIZED (
+  SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS c2 FROM bpairs GROUP BY 1, 2
+  ORDER BY c2 DESC, prev ASC, tok ASC LIMIT {bigram_cap}
+),
+cprev AS MATERIALIZED (SELECT prev, CAST(COUNT(*) AS BIGINT) AS c1 FROM bpairs GROUP BY 1),
+utoks AS MATERIALIZED (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '[^a-z0-9]+')) AS tok
+    FROM {docs_rel}
+  ) t WHERE LENGTH(tok) > 0
+),
+ufreqs AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM utoks GROUP BY tok
+  ORDER BY tf DESC, tok ASC LIMIT {vocab}
+),
+utotals AS (
+  SELECT (SELECT COUNT(*) FROM utoks) AS n_total,
+         (SELECT COUNT(*) FROM ufreqs) AS v_size
+)
+SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  AVG(-LN(
+    {lam!r} * CAST(COALESCE(b.c2, 0) AS DOUBLE) / CAST(cp.c1 AS DOUBLE)
+    + {1.0 - lam!r} * ((COALESCE(f.tf, 0) + 1.0) / (u.n_total + u.v_size + 1.0))
+  )) AS mean_nll2
+FROM bpairs p
+LEFT JOIN big b ON b.prev = p.prev AND b.tok = p.tok
+JOIN cprev cp ON cp.prev = p.prev
+LEFT JOIN ufreqs f ON f.tok = p.tok
+CROSS JOIN utotals u
+GROUP BY p.doc_id
+""".strip()

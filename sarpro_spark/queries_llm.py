@@ -1285,3 +1285,27 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = frames.load_table(spark, sf_dir, "embeddings")
     return pca.pca_project(e)
+
+
+def _bigram_sql() -> str:
+    from sarpro_spark.llm.text import sql_bigram_logprob
+    from sarpro_spark.queries import sql_fround
+
+    inner = sql_bigram_logprob("documents")
+    return (
+        f"SELECT doc_id, n_bigrams, {sql_fround('mean_nll2')} AS mean_nll2 "
+        f"FROM (\n{inner}\n) b"
+    )
+
+
+@query("text_bigram_logprob", sql=_bigram_sql(), tags=("llm", "text", "hygiene"))
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM (Jelinek-Mercer over the capped bigram table
+    with add-one unigram backoff) — the next rung above the unigram CCNet
+    filter; catches shuffled-word salads unigram fluency misses. Three
+    broadcast-joined count tables over one pair explode."""
+    from sarpro_spark.llm.text import bigram_logprob_scores
+    from sarpro_spark.queries import round_floats
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return round_floats(bigram_logprob_scores(d))

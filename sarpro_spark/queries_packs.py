@@ -226,11 +226,12 @@ register_pack(
         Member("text_unigram_logprob", ("doc_id",)),
         Member("text_url_domains", ("domain",)),
         Member("text_dup_passages", ("doc_id",)),
+        Member("text_bigram_logprob", ("doc_id",)),
     ),
     doc="Union certificate: PII redaction (typed counts + full redacted "
     "text), train/eval contamination scores, C4/Gopher repetition filters, "
-    "CCNet-style unigram-LM log-probability scores, and duplicated-passage "
-    "fractions with longest shared-run lengths.",
+    "CCNet-style unigram + interpolated-bigram LM log-probability scores, "
+    "and duplicated-passage fractions with longest shared-run lengths.",
     tags=("llm", "text", "hygiene", "pack"),
 )
 

@@ -731,3 +731,17 @@ def test_pca_matches_numpy(spark):
     proj = {r["vec_id"]: (r["pc0"], r["pc1"]) for r in pca.pca_project(emb, dim=d).collect()}
     ref0 = Xc @ V[0]
     assert max(abs(proj[i][0] - ref0[i]) for i in range(n)) < 1e-4
+
+
+def test_bigram_logprob_catches_word_salad(spark):
+    """A shuffled-token doc scores worse (higher NLL) under the bigram model
+    than a doc whose bigrams are corpus-frequent, even when both share the
+    unigram distribution."""
+    from sarpro_spark.llm.text import bigram_logprob_scores
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(10)]
+    rows.append((100, "mat the on sat cat the"))  # same unigrams, alien bigrams
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["mean_nll2"] for r in bigram_logprob_scores(docs).collect()}
+    assert out[100] > out[0]
