@@ -184,11 +184,11 @@ def _tiff_rt_sql() -> str:
 def q_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W2/S4 end-to-end (tiff.rs:6-78, sentinel1.rs:885-911): per-product
     U8 pipeline -> 2-band GeoTIFF written executor-side (W7 geotransform
-    embed) -> decoded back -> pixel frame. Even products write uncompressed,
-    odd products zlib-DEFLATE (Compression=8) — one hash row certifies both
-    codec paths (reference parity: GDAL reads any compression,
-    gdal.rs:107-141). Write and read are stages of ONE lazy plan (read tasks
-    consume the write manifest)."""
+    embed) -> decoded back -> pixel frame. Products cycle through the four
+    codec paths (none / DEFLATE / LZW / PackBits by product_id % 4) — one
+    hash row certifies every compression the codec supports (reference
+    parity: GDAL reads any compression, gdal.rs:107-141). Write and read
+    are stages of ONE lazy plan (read tasks consume the write manifest)."""
     import tempfile
 
     import sarpro_spark.operators.kernel as krn
@@ -208,8 +208,10 @@ def q_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("product_id").cast("double") * -64.0).alias("gt3"),
         F.lit(0.0).alias("gt4"),
         F.lit(-10.25).alias("gt5"),
-        F.when(F.col("product_id") % 2 == 0, "none")
-        .otherwise("deflate")
+        F.when(F.col("product_id") % 4 == 0, "none")
+        .when(F.col("product_id") % 4 == 1, "deflate")
+        .when(F.col("product_id") % 4 == 2, "lzw")
+        .otherwise("packbits")
         .alias("comp"),
     )
     out_dir = tempfile.mkdtemp(prefix="sarpro_tiff_rt_")

@@ -8,7 +8,8 @@ the container's lack of GDAL/PIL doesn't force a stub (VERDICT r01 item 5).
 
 Supported: little-endian classic TIFF, chunky planar
 (PlanarConfiguration=1), 1-3 samples/pixel, uint8/uint16, multi-strip;
-compression none (1) on read+write, deflate (8 / legacy 32946, stdlib zlib)
+compression none(1)/LZW(5)/deflate(8, legacy 32946)/PackBits(32773), all
+pure-stdlib, on read+write
 on read+write, and horizontal-predictor (tag 317 = 2) undo on read — the
 subset GDAL emits for DEFLATE-compressed GRD derivatives
 (/root/reference/src/io/gdal.rs:107-141 reads any compression via GDAL).
@@ -60,6 +61,151 @@ def _pack_values(typ: int, values) -> bytes:
     return struct.pack("<" + _TYPE_FMT[typ] * len(values), *values)
 
 
+# --- PackBits (TIFF 6.0 section 9) and LZW (section 13) strip codecs ---------
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits RLE: runs of >= 2 equal bytes become (257-n, byte);
+    literals become (n-1, bytes). Pure byte RLE, no bit packing."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j > i:  # run of j-i+1 equal bytes
+            out.append(257 - (j - i + 1) & 0xFF)
+            out.append(data[i])
+            i = j + 1
+            continue
+        j = i
+        while (
+            j + 1 < n
+            and not (j + 2 < n and data[j + 1] == data[j + 2] == data[j])
+            and j - i < 127
+        ):
+            j += 1
+        # literal i..j (at least 1 byte); stop a literal before a 3-run
+        while j + 1 < n and j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+            j -= 1
+        out.append(j - i)
+        out += data[i : j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op per spec
+    return bytes(out)
+
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, 9->12 bits, EARLY width change:
+    the width bumps one code before the table fills — TIFF 6.0 section 13's
+    documented off-by-one that GDAL/libtiff implement)."""
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+
+    def emit(code: int, nbits: int) -> None:
+        nonlocal acc, acc_bits
+        acc = (acc << nbits) | code
+        acc_bits += nbits
+        while acc_bits >= 8:
+            acc_bits -= 8
+            out.append((acc >> acc_bits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    nbits = 9
+    emit(_LZW_CLEAR, nbits)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], nbits)
+        table[wc] = next_code
+        next_code += 1
+        # early change: the ENCODER bumps width when the next emitted code
+        # could be next_code-1 == (1<<nbits)-1
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+        if next_code == 4094:  # table nearly full: reset (spec-mandated)
+            emit(_LZW_CLEAR, nbits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], nbits)
+    emit(_LZW_EOI, nbits)
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    nbits = 9
+    bitpos = 0
+    total_bits = len(data) * 8
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, nbits
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        nbits = 9
+
+    reset()
+    while bitpos + nbits <= total_bits:
+        byte = bitpos >> 3
+        chunk = int.from_bytes(data[byte : byte + 3].ljust(3, b"\x00"), "big")
+        code = (chunk >> (24 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == _LZW_CLEAR:
+            reset()
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        # mirror of the encoder's early change
+        if len(table) == (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+        if len(table) == 4093:
+            # encoder resets at this fill level; next code MUST be CLEAR
+            pass
+    return bytes(out)
+
+
 def write_tiff(
     path: str,
     arr: np.ndarray,
@@ -74,7 +220,7 @@ def write_tiff(
     embeds as ModelPixelScale+ModelTiepoint when north-up (gt2 == gt4 == 0 —
     the reference's embed guard); ``description`` lands in ImageDescription.
     Returns bytes written."""
-    comp_code = {"none": 1, "deflate": 8}.get(compression)
+    comp_code = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}.get(compression)
     if comp_code is None:
         raise ValueError(f"unsupported compression {compression!r}")
     if arr.ndim == 2:
@@ -96,7 +242,13 @@ def write_tiff(
     for s in range(n_strips):
         seg = arr[s * rows_per_strip:(s + 1) * rows_per_strip]
         raw = seg.astype(arr.dtype.newbyteorder("<")).tobytes()
-        strips.append(zlib.compress(raw, 6) if comp_code == 8 else raw)
+        if comp_code == 8:
+            raw = zlib.compress(raw, 6)
+        elif comp_code == 5:
+            raw = lzw_encode(raw)
+        elif comp_code == 32773:
+            raw = packbits_encode(raw)
+        strips.append(raw)
 
     entries: list[tuple[int, int, list | bytes]] = [
         (TAG_WIDTH, _LONG, [cols]),
@@ -190,8 +342,8 @@ def read_tiff(path: str) -> tuple[np.ndarray, dict]:
         return tags.get(tag, [default])[0]
 
     comp = one(TAG_COMPRESSION, 1)
-    if comp not in (1, 8, 32946):  # none, deflate, legacy deflate
-        raise NotImplementedError(f"compression {comp} not supported (none/deflate only)")
+    if comp not in (1, 5, 8, 32773, 32946):  # none, lzw, deflate(+legacy), packbits
+        raise NotImplementedError(f"compression {comp} not supported")
     if one(TAG_PLANAR, 1) != 1:
         raise NotImplementedError("planar TIFF not supported")
     predictor = one(TAG_PREDICTOR, 1)
@@ -206,8 +358,12 @@ def read_tiff(path: str) -> tuple[np.ndarray, dict]:
     pieces = []
     for si, (o, c) in enumerate(zip(offs, counts)):
         raw = buf[o:o + c]
-        if comp != 1:
+        if comp in (8, 32946):
             raw = zlib.decompress(raw)
+        elif comp == 5:
+            raw = lzw_decode(raw)
+        elif comp == 32773:
+            raw = packbits_decode(raw)
         srows = min(rows_per_strip, rows - si * rows_per_strip)
         a = np.frombuffer(raw, dtype=dtype, count=srows * cols * samples)
         a = a.reshape(srows, cols, samples)
