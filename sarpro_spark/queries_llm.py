@@ -1309,3 +1309,49 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = frames.load_table(spark, sf_dir, "documents")
     return round_floats(bigram_logprob_scores(d))
+
+
+# --- cardinality sketches -----------------------------------------------------
+
+#: HLL++ relative-error budget: rsd 0.05 requested; the assertion allows 3x
+#: headroom (the published bound is a standard deviation, not a maximum)
+_HLL_RSD = 0.05
+_HLL_TOL = 3 * _HLL_RSD
+
+_CARDINALITY_SQL = """
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(COUNT(DISTINCT SUBSTR(MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')), 1, 16)) AS BIGINT) AS distinct_fp,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS distinct_lang,
+  TRUE AS fp_approx_ok
+FROM documents
+GROUP BY source
+""".strip()
+
+
+@query("corpus_cardinality_sketch", sql=_CARDINALITY_SQL, tags=("llm", "sketch", "agg"))
+def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality sketching: per-source distinct-content counts. The exact
+    legs hash directly; the HLL++ approx_count_distinct leg is reduced to a
+    boolean asserting its own error bound (|approx - exact| <= tol * exact)
+    — the histogram_stats_approx pattern, so sketch drift past the bound
+    flips a hashed value. At 100 TB the exact distinct is the expensive
+    path (full shuffle on the fingerprint) and the sketch is the production
+    one: fixed-size mergeable state, map-side combined, no shuffle growth."""
+    from sarpro_spark.llm.text import fingerprint_expr
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    fp = fingerprint_expr(F.col("text"))
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("distinct_fp"),
+        F.countDistinct("lang").alias("distinct_lang"),
+        F.approx_count_distinct(fp, _HLL_RSD).alias("_approx_fp"),
+    )
+    ok = (
+        F.abs(F.col("_approx_fp") - F.col("distinct_fp"))
+        <= F.lit(_HLL_TOL) * F.col("distinct_fp")
+    )
+    return agg.select(
+        "source", "n_docs", "distinct_fp", "distinct_lang", ok.alias("fp_approx_ok")
+    )

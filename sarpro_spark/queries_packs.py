@@ -243,10 +243,12 @@ register_pack(
         Member("corpus_pack_assignments", ("doc_id",)),
         Member("corpus_pack_sequences", ("bucket", "seq")),
         Member("corpus_mixture_plan", ("source",)),
+        Member("corpus_cardinality_sketch", ("source",)),
     ),
     doc="Union certificate: deterministic stratified Bernoulli sampling, "
     "exact-k-per-stratum seeded reservoir, concat-and-chunk sequence "
-    "packing (per-doc + per-sequence legs), and the domain mixture plan.",
+    "packing (per-doc + per-sequence legs), the domain mixture plan, and "
+    "per-source cardinality sketches (exact + HLL-bounded).",
     tags=("llm", "sampling", "packing", "pack"),
 )
 
