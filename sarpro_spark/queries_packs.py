@@ -325,11 +325,15 @@ register_pack(
         Member("skewed_agg_salted", ("event_type",)),
         Member("events_stream_dedup", ("event_id",)),
         Member("band_zip_ndiff", ("product_id", "row", "col")),
+        Member("shipping_priority", ("o_orderkey",)),
+        Member("nations_trade_volume", ("supp_nation", "cust_nation", "l_year")),
+        Member("returned_items_report", ("c_custkey",)),
     ),
     doc="Union certificate: rollup/cube hierarchies, correlated-subquery "
     "decorrelation, as-of via cogrouped applyInPandas, JSON property "
     "aggregation, pivot, exact percentiles, salted skew aggregation, the "
-    "streaming-dedup batch twin, and the band-zip equi-join path.",
+    "streaming-dedup batch twin, the band-zip equi-join path, and the "
+    "TPC-H-style Q3/Q7/Q10 multi-join analytics.",
     tags=("relational", "pack"),
 )
 

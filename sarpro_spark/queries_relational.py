@@ -770,3 +770,158 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("k_min"),
         F.max(k).alias("k_max"),
     )
+
+
+# --- TPC-H-style multi-join analytics ----------------------------------------
+
+_SHIP_PRIORITY_SQL = f"""
+SELECT o_orderkey, revenue, order_year, rnk FROM (
+  SELECT o_orderkey,
+    {sql_fround("SUM(l_extendedprice * (1 - l_discount))")} AS revenue,
+    CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+    ROW_NUMBER() OVER (ORDER BY {sql_fround("SUM(l_extendedprice * (1 - l_discount))")} DESC, o_orderkey ASC) AS rnk
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY o_orderkey, o_orderdate
+) t WHERE rnk <= 10
+""".strip()
+
+
+@query("shipping_priority", sql=_SHIP_PRIORITY_SQL, tags=("relational", "join", "topk"))
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: 3-way join (customer filter
+    broadcast into orders, lineitem shuffle-joined on the fact key) ->
+    per-order revenue -> deterministic top-10 (rounded revenue, key
+    tiebreak)."""
+    from pyspark.sql.window import Window as W
+
+    c = frames.load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = frames.load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = frames.load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    per_order = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        per_order.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "rnk",
+        )
+    )
+
+
+_TRADE_VOLUME_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+  {sql_fround("SUM(volume)")} AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_nationkey <> n2.n_nationkey
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""".strip()
+
+
+@query("nations_trade_volume", sql=_TRADE_VOLUME_SQL, tags=("relational", "join", "agg"))
+def q_nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style trade volume between nation pairs by ship year: a
+    5-way join where both nation dimensions broadcast and the fact chain
+    (lineitem -> orders -> customer) shuffles on its keys."""
+    s = frames.load_table(spark, sf_dir, "supplier")
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    o = frames.load_table(spark, sf_dir, "orders")
+    c = frames.load_table(spark, sf_dir, "customer")
+    n = frames.load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("cn_key") == F.col("c_nationkey"))
+        .where(F.col("sn_key") != F.col("cn_key"))
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            fround(F.sum("volume")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_RETURNED_ITEMS_SQL = f"""
+SELECT c_custkey, c_name, n_name, revenue, n_items, rnk FROM (
+  SELECT c_custkey, c_name, n_name,
+    {sql_fround("SUM(l_extendedprice * (1 - l_discount))")} AS revenue,
+    CAST(COUNT(*) AS BIGINT) AS n_items,
+    ROW_NUMBER() OVER (ORDER BY {sql_fround("SUM(l_extendedprice * (1 - l_discount))")} DESC, c_custkey ASC) AS rnk
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, n_name
+) t WHERE rnk <= 20
+""".strip()
+
+
+@query("returned_items_report", sql=_RETURNED_ITEMS_SQL, tags=("relational", "join", "topk"))
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting: who returned the most
+    revenue — fact chain shuffled on keys, nation broadcast, deterministic
+    top-20."""
+    from pyspark.sql.window import Window as W
+
+    c = frames.load_table(spark, sf_dir, "customer")
+    o = frames.load_table(spark, sf_dir, "orders")
+    li = frames.load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = frames.load_table(spark, sf_dir, "nation")
+    per_cust = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        per_cust.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_items", "rnk")
+    )
