@@ -1,0 +1,210 @@
+"""Domain-graph operators: co-citation edges + weighted PageRank.
+
+The Common-Crawl-style curation signal: rank hosts by the link structure
+of the corpus and use the rank as a quality/crawl-priority prior. Edges
+here are host co-citations (two hosts referenced by the same document);
+PageRank is the classic damped iteration with dangling-mass
+redistribution.
+
+Scale shape: the edge list is corpus-derived (one self-join keyed by
+doc — bounded by the per-doc host count, never doc x doc), the rank
+vector is node-count-sized and STAYS DISTRIBUTED (nodes = millions of
+hosts at crawl scale; only the 1-row dangling-mass aggregate and the node
+count are scalars). Each iteration is one broadcast-sized state join +
+one aggregate, with periodic checkpoints bounding lineage (the connected-
+components doctrine). Every per-iteration value is rounded to 9 digits —
+the trajectory-locking doctrine — so the unrolled relational oracle is
+bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sarpro_spark.llm.cluster import _checkpointer
+
+DEFAULT_DAMPING = 0.85
+DEFAULT_PR_ITERS = 10
+STATE_DIGITS = 9
+
+
+def _r9(col: F.Column) -> F.Column:
+    from sarpro_spark.queries import fround
+
+    return fround(col, STATE_DIGITS)
+
+
+def cocitation_edges(
+    mentions: DataFrame, id_col: str = "doc_id", domain_col: str = "domain"
+) -> DataFrame:
+    """(src, dst, w): ordered pairs of DISTINCT hosts cited by the same doc,
+    weighted by co-citing doc count. One doc-keyed self-join — fan-out is
+    (hosts per doc)^2, never corpus-quadratic."""
+    m = mentions.select(F.col(id_col).alias("_d"), F.col(domain_col).alias("_h")).distinct()
+    a = m.select(F.col("_d"), F.col("_h").alias("src"))
+    b = m.select(F.col("_d"), F.col("_h").alias("dst"))
+    return (
+        a.join(b, "_d")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = DEFAULT_DAMPING,
+    iters: int = DEFAULT_PR_ITERS,
+) -> DataFrame:
+    """Weighted PageRank over (src, dst, w): returns (domain, rank, n_out,
+    n_in). Dangling nodes' mass is redistributed uniformly each step."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    checkpoint = _checkpointer(nodes)
+    edges = checkpoint(edges)
+    nodes = checkpoint(nodes)
+    n = nodes.count()  # node count: model-state scalar (k-means exception)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("_W"))
+    trans = edges.join(outw, "src").select(
+        "src", "dst", _r9(F.col("w").cast("double") / F.col("_W")).alias("p")
+    )
+    trans = checkpoint(trans)
+    base = (1.0 - damping) / n
+    # Off-grid init (the PCA lesson): a uniform 1/N start plus rationally-
+    # gridded transition weights lands iteration-1 sums EXACTLY on half-grid
+    # rounding boundaries, where engine sum-order noise decides the floor.
+    # A per-node md5-derived perturbation keeps every downstream product off
+    # the grid — and needs no global window (scale-safe at crawl-size node
+    # counts). Fixed-iteration PageRank from a deterministic seed is the
+    # operator's defined semantics; the oracle mirrors it exactly.
+    from sarpro_spark.llm.sampling import hash_bucket
+
+    seed_off = hash_bucket(F.col("node"), "pr") % 97
+    r = nodes.select(
+        "node",
+        _r9(F.lit(1.0) / F.sqrt(F.lit(float(n * n)) + seed_off.cast("double"))).alias("r"),
+    )
+    for t in range(iters):
+        contrib = (
+            trans.join(r.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(_r9(F.sum(F.col("r") * F.col("p"))).alias("_cin"))
+        )
+        dm = (
+            r.join(outw, r["node"] == outw["src"], "left_anti")
+            .agg(_r9(F.coalesce(F.sum("r"), F.lit(0.0))).alias("_dm"))
+        )
+        r = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "node",
+                _r9(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_cin"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
+                ).alias("r"),
+            )
+        )
+        if (t + 1) % 4 == 0:
+            r = checkpoint(r)
+    n_out = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("n_out"))
+    n_in = edges.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("n_in"))
+    from sarpro_spark.queries import fround
+
+    return (
+        r.join(n_out, "node", "left")
+        .join(n_in, "node", "left")
+        .select(
+            F.col("node").alias("domain"),
+            fround(F.col("r")).alias("rank"),
+            F.coalesce("n_out", F.lit(0)).alias("n_out"),
+            F.coalesce("n_in", F.lit(0)).alias("n_in"),
+        )
+    )
+
+
+def _py_r9(x: float) -> float:
+    import math
+
+    scale = float(10**STATE_DIGITS)
+    return math.floor(x * scale + 0.5) / scale
+
+
+# --- DuckDB twin --------------------------------------------------------------
+
+
+def sql_pagerank(
+    mentions_sel: str,
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    damping: float = DEFAULT_DAMPING,
+    iters: int = DEFAULT_PR_ITERS,
+) -> str:
+    """Unrolled twin: ``mentions_sel`` is a relation with (id, domain)."""
+    from sarpro_spark.queries import sql_fround
+
+    def r9(e: str) -> str:
+        return sql_fround(e, STATE_DIGITS)
+
+    from sarpro_spark.llm.sampling import sql_hash_bucket
+
+    _sql_bucket = sql_hash_bucket("node", "pr")
+
+    ctes = [
+        f"gm AS MATERIALIZED (SELECT DISTINCT {id_col} AS d, {domain_col} AS h FROM ({mentions_sel}) z)",
+        """gedges AS MATERIALIZED (
+  SELECT a.h AS src, b.h AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM gm a JOIN gm b ON a.d = b.d AND a.h <> b.h
+  GROUP BY a.h, b.h
+)""",
+        "gnodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM gedges UNION ALL SELECT dst FROM gedges) u)",
+        "gn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM gnodes)",
+        "goutw AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS ww FROM gedges GROUP BY src)",
+        f"gtrans AS MATERIALIZED (SELECT e.src, e.dst, {r9('CAST(e.w AS DOUBLE) / o.ww')} AS p FROM gedges e JOIN goutw o ON o.src = e.src)",
+        f"gr0 AS MATERIALIZED (SELECT node, "
+        f"{r9(f'1.0 / SQRT((SELECT n * n FROM gn) + CAST(({_sql_bucket}) % 97 AS DOUBLE))')}"
+        " AS r FROM gnodes)",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"gr{t - 1}"
+        ctes.append(
+            f"""gc{t} AS MATERIALIZED (
+  SELECT tr.dst, {r9('SUM(p.r * tr.p)')} AS cin
+  FROM gtrans tr JOIN {prev} p ON p.node = tr.src
+  GROUP BY tr.dst
+)"""
+        )
+        ctes.append(
+            f"""gd{t} AS (
+  SELECT {r9('COALESCE(SUM(r), 0.0)')} AS dm
+  FROM {prev} p WHERE NOT EXISTS (SELECT 1 FROM goutw o WHERE o.src = p.node)
+)"""
+        )
+        base = f"((1.0 - {damping!r}) / (SELECT n FROM gn))"
+        ctes.append(
+            f"""gr{t} AS MATERIALIZED (
+  SELECT n.node,
+    {r9(f'{base} + {damping!r} * (COALESCE(c.cin, 0.0) + d.dm / (SELECT n FROM gn))')} AS r
+  FROM gnodes n LEFT JOIN gc{t} c ON c.dst = n.node, gd{t} d
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n.node AS domain, {sql_fround('r.r')} AS rank,
+  CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_out,
+  CAST(COALESCE(i.cnt, 0) AS BIGINT) AS n_in
+FROM gnodes n
+JOIN gr{iters} r ON r.node = n.node
+LEFT JOIN (SELECT src, COUNT(*) AS cnt FROM gedges GROUP BY src) o ON o.src = n.node
+LEFT JOIN (SELECT dst, COUNT(*) AS cnt FROM gedges GROUP BY dst) i ON i.dst = n.node"""
+    )

@@ -1355,3 +1355,36 @@ def q_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "source", "n_docs", "distinct_fp", "distinct_lang", ok.alias("fp_approx_ok")
     )
+
+
+def _pagerank_sql() -> str:
+    from sarpro_spark.llm.graph import sql_pagerank
+
+    mentions = (
+        f"SELECT doc_id, UNNEST(regexp_extract_all({_URL_AUG}, '{_URL_RE}', 1)) AS domain "
+        "FROM documents"
+    )
+    return sql_pagerank(mentions)
+
+
+@query("domain_pagerank", sql=_pagerank_sql(), tags=("llm", "graph", "iterative"))
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the host co-citation graph (the Common-Crawl
+    curation prior): doc-keyed co-citation edges, damped iteration with
+    dangling-mass redistribution, rank vector kept distributed; 9-digit
+    state rounding + off-grid seeding lock the trajectory across engines."""
+    from sarpro_spark.llm import graph as gr
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    pid = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"), (pid % 7).cast("string"),
+        F.lit(".example.com/page and http://cdn"), (pid % 3).cast("string"),
+        F.lit(".example.net/asset"),
+    )
+    mentions = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(aug, F.lit(_URL_RE), 1)).alias("domain"),
+    )
+    return gr.pagerank(gr.cocitation_edges(mentions))

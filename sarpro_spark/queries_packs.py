@@ -227,11 +227,13 @@ register_pack(
         Member("text_url_domains", ("domain",)),
         Member("text_dup_passages", ("doc_id",)),
         Member("text_bigram_logprob", ("doc_id",)),
+        Member("domain_pagerank", ("domain",)),
     ),
     doc="Union certificate: PII redaction (typed counts + full redacted "
     "text), train/eval contamination scores, C4/Gopher repetition filters, "
     "CCNet-style unigram + interpolated-bigram LM log-probability scores, "
-    "and duplicated-passage fractions with longest shared-run lengths.",
+    "duplicated-passage fractions with longest shared-run lengths, and "
+    "host co-citation PageRank.",
     tags=("llm", "text", "hygiene", "pack"),
 )
 

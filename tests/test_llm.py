@@ -745,3 +745,21 @@ def test_bigram_logprob_catches_word_salad(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["mean_nll2"] for r in bigram_logprob_scores(docs).collect()}
     assert out[100] > out[0]
+
+
+def test_pagerank_properties(spark):
+    """On a hub-and-spoke graph the hub outranks every spoke; total rank
+    mass is conserved (~1 after convergence from the perturbed seed)."""
+    from sarpro_spark.llm import graph as gr
+
+    # spokes 1..6 all cite the hub alongside their own page
+    rows = []
+    for d in range(1, 7):
+        rows += [(d, "hub.example"), (d, f"spoke{d}.example")]
+    mentions = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = {r["domain"]: r for r in gr.pagerank(gr.cocitation_edges(mentions), iters=20).collect()}
+    hub = out["hub.example"]
+    assert all(hub["rank"] > r["rank"] for d, r in out.items() if d != "hub.example")
+    assert hub["n_in"] == 6 and hub["n_out"] == 6
+    total = sum(r["rank"] for r in out.values())
+    assert abs(total - 1.0) < 0.05
