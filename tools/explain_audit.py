@@ -297,6 +297,39 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython", "Exchange"],
         "schema_excludes": ["label"],
     },
+    "shipping_priority": {
+        # Q3 shape: customer dim broadcast, fact join on keys, global top-10
+        "require": ["BroadcastHashJoin", "HashAggregate", "Window"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["c_name", "c_acctbal", "o_totalprice"],
+    },
+    "nations_trade_volume": {
+        # Q7 shape: both nation dims + supplier broadcast; fact chain shuffles
+        "require": ["BroadcastHashJoin", "HashAggregate"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["c_name", "p_name"],
+    },
+    "returned_items_report": {
+        "require": ["BroadcastHashJoin", "HashAggregate", "Window"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["o_totalprice", "c_mktsegment"],
+    },
+    "text_bigram_logprob": {
+        # three broadcast count tables over one pair explode; no row Python
+        "require": ["BroadcastHashJoin", "Generate"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "corpus_cardinality_sketch": {
+        # exact distinct + HLL in ONE aggregate pass
+        "require": ["HashAggregate"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "domain_pagerank": {
+        # iterative: rank vector stays distributed; final plan joins the
+        # checkpointed state with degree aggregates
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
     # pack plans: a pack is the UNION of its members' plans — the member
     # shapes are audited above/individually; here assert the union executes
     # each member once with no cross-member recombination and that no member
