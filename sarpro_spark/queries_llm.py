@@ -1388,3 +1388,95 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.regexp_extract_all(aug, F.lit(_URL_RE), 1)).alias("domain"),
     )
     return gr.pagerank(gr.cocitation_edges(mentions))
+
+
+# --- count-min-sketch heavy hitters -------------------------------------------
+
+#: CMS geometry: d hash rows x w columns (deterministic md5-derived hashes,
+#: identical in the oracle — the sketch itself is exact-reproducible)
+_CMS_D = 4
+_CMS_W = 512
+_CMS_TOPK = 20
+
+
+def _cms_cell(term: F.Column, row: int) -> F.Column:
+    h = F.md5(F.concat(F.lit(f"cms{row}"), F.lit("|"), term))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _CMS_W
+
+
+def _sql_cms_cell(term: str, row: int) -> str:
+    return (
+        f"CAST(('0x' || SUBSTR(MD5('cms{row}' || '|' || {term}), 1, 15)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+def _cms_sql() -> str:
+    toks = (
+        "SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> '')) AS term "
+        "FROM documents"
+    )
+    cells = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, {_sql_cms_cell('term', r)} AS c FROM toks"
+        for r in range(_CMS_D)
+    )
+    est = "LEAST(" + ", ".join(
+        f"(SELECT cnt FROM cms WHERE r = {r} AND c = {_sql_cms_cell('t.term', r)})"
+        for r in range(_CMS_D)
+    ) + ")"
+    return f"""
+WITH toks AS MATERIALIZED ({toks}),
+cms AS MATERIALIZED (
+  SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM ({cells}) z GROUP BY r, c
+),
+exact AS MATERIALIZED (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count FROM toks GROUP BY term
+  ORDER BY exact_count DESC, term ASC LIMIT {_CMS_TOPK}
+)
+SELECT t.term, t.exact_count, {est} AS cms_estimate,
+       ({est} >= t.exact_count) AS never_underestimates
+FROM exact t
+""".strip()
+
+
+@query("terms_heavy_hitters_cms", sql=_cms_sql(), tags=("llm", "sketch", "agg"))
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: the d x w counter matrix is built in
+    one aggregate over d exploded hash cells (fixed-size mergeable state —
+    the sketch survives any corpus size), the top-k terms' estimates are
+    read back via d broadcast lookups, and the CMS guarantee (estimate >=
+    exact, overshoot bounded by collisions) is emitted as data. Unlike the
+    HLL leg this sketch is deterministically reproducible, so the oracle
+    matches it value-for-value, not just within bounds."""
+    from sarpro_spark.llm.text import tokens_expr
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_expr(F.col("text"))).alias("term"))
+    cell_frames = [
+        toks.select(F.lit(r).alias("r"), _cms_cell(F.col("term"), r).alias("c"))
+        for r in range(_CMS_D)
+    ]
+    cells = cell_frames[0]
+    for cf in cell_frames[1:]:
+        cells = cells.unionByName(cf)
+    cms = cells.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("term").asc())
+        .limit(_CMS_TOPK)
+    )
+    j = exact
+    for r in range(_CMS_D):
+        cr = cms.where(F.col("r") == r).select(
+            F.col("c").alias(f"_c{r}"), F.col("cnt").alias(f"_cnt{r}")
+        )
+        j = j.join(
+            F.broadcast(cr), _cms_cell(F.col("term"), r) == F.col(f"_c{r}"), "left"
+        )
+    est = F.least(*[F.col(f"_cnt{r}") for r in range(_CMS_D)])
+    return j.select(
+        "term",
+        "exact_count",
+        est.alias("cms_estimate"),
+        (est >= F.col("exact_count")).alias("never_underestimates"),
+    )

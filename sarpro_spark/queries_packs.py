@@ -246,11 +246,13 @@ register_pack(
         Member("corpus_pack_sequences", ("bucket", "seq")),
         Member("corpus_mixture_plan", ("source",)),
         Member("corpus_cardinality_sketch", ("source",)),
+        Member("terms_heavy_hitters_cms", ("term",)),
     ),
     doc="Union certificate: deterministic stratified Bernoulli sampling, "
     "exact-k-per-stratum seeded reservoir, concat-and-chunk sequence "
     "packing (per-doc + per-sequence legs), the domain mixture plan, and "
-    "per-source cardinality sketches (exact + HLL-bounded).",
+    "per-source cardinality sketches (exact + HLL-bounded), and count-min "
+    "heavy hitters.",
     tags=("llm", "sampling", "packing", "pack"),
 )
 
