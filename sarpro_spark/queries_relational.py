@@ -925,3 +925,82 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 20)
         .select("c_custkey", "c_name", "n_name", "revenue", "n_items", "rnk")
     )
+
+
+# --- incremental rollup maintenance -------------------------------------------
+
+_INC_ROLLUP_SQL = f"""
+WITH split AS (
+  SELECT *,
+    (CAST(('0x' || SUBSTR(MD5('mv' || '|' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 >= 800000) AS is_delta
+  FROM events
+),
+base AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+    CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS sv
+  FROM split WHERE NOT is_delta GROUP BY 1, 2
+),
+delta AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+    CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS sv
+  FROM split WHERE is_delta GROUP BY 1, 2
+),
+merged AS (
+  SELECT event_type, hod, CAST(SUM(n) AS BIGINT) AS n_events, SUM(sv) AS sv
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta) u
+  GROUP BY 1, 2
+),
+full_recompute AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+    CAST(COUNT(*) AS BIGINT) AS n_events, SUM(value) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT m.event_type, m.hod, m.n_events,
+  {sql_fround('m.sv')} AS sum_value,
+  (m.n_events = f.n_events AND {sql_fround('m.sv')} = {sql_fround('f.sv')}) AS matches_full
+FROM merged m JOIN full_recompute f ON f.event_type = m.event_type AND f.hod = m.hod
+""".strip()
+
+
+@query("events_incremental_rollup", sql=_INC_ROLLUP_SQL, tags=("relational", "incremental", "agg"))
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance: a deterministic 20% delta batch is
+    aggregated alone and MERGED into the base rollup by re-aggregating the
+    two partial states (count/sum are the mergeable-state aggregates) —
+    never rescanning the base facts. The full recompute rides along only
+    to certify merged == full as data; in production the base state is the
+    stored view and this query's delta leg is the whole incremental cost."""
+    from sarpro_spark.llm.sampling import hash_bucket
+
+    e = frames.load_table(spark, sf_dir, "events")
+    is_delta = hash_bucket(F.col("event_id"), "mv") >= 800000
+    split = e.withColumn("is_delta", is_delta)
+    hod = F.hour(F.col("ts").cast("timestamp")).cast("int").alias("hod")
+
+    def rollup(df):
+        return df.groupBy("event_type", hod).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+        )
+
+    base = rollup(split.where(~F.col("is_delta")))
+    delta = rollup(split.where("is_delta"))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "hod")
+        .agg(F.sum("n").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    full = (
+        e.groupBy("event_type", F.hour(F.col("ts").cast("timestamp")).cast("int").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("f_n"), F.sum("value").alias("f_sv"))
+    )
+    j = merged.join(full, ["event_type", "hod"])
+    return j.select(
+        "event_type",
+        "hod",
+        "n_events",
+        fround(F.col("sv")).alias("sum_value"),
+        (
+            (F.col("n_events") == F.col("f_n"))
+            & (fround(F.col("sv")) == fround(F.col("f_sv")))
+        ).alias("matches_full"),
+    )
