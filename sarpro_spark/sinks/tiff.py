@@ -116,7 +116,11 @@ _LZW_CLEAR, _LZW_EOI = 256, 257
 def lzw_encode(data: bytes) -> bytes:
     """TIFF-variant LZW (MSB-first codes, 9->12 bits, EARLY width change:
     the width bumps one code before the table fills — TIFF 6.0 section 13's
-    documented off-by-one that GDAL/libtiff implement)."""
+    documented off-by-one that GDAL/libtiff implement).
+
+    The string table is keyed (current_code << 8) | next_byte — O(1) per
+    input byte (the naive bytes-concatenation formulation is quadratic on
+    runs, which raster strips are full of)."""
     out = bytearray()
     acc = 0
     acc_bits = 0
@@ -128,32 +132,34 @@ def lzw_encode(data: bytes) -> bytes:
         while acc_bits >= 8:
             acc_bits -= 8
             out.append((acc >> acc_bits) & 0xFF)
+        acc &= (1 << acc_bits) - 1  # drop emitted bits: unbounded acc is O(n^2)
 
-    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    table: dict[int, int] = {}
     next_code = 258
     nbits = 9
     emit(_LZW_CLEAR, nbits)
-    w = b""
-    for b in data:
-        wc = w + bytes([b])
-        if wc in table:
-            w = wc
-            continue
-        emit(table[w], nbits)
-        table[wc] = next_code
-        next_code += 1
-        # early change: the ENCODER bumps width when the next emitted code
-        # could be next_code-1 == (1<<nbits)-1
-        if next_code == (1 << nbits) - 1 and nbits < 12:
-            nbits += 1
-        if next_code == 4094:  # table nearly full: reset (spec-mandated)
-            emit(_LZW_CLEAR, nbits)
-            table = {bytes([i]): i for i in range(256)}
-            next_code = 258
-            nbits = 9
-        w = bytes([b])
-    if w:
-        emit(table[w], nbits)
+    if data:
+        cur = data[0]
+        for b in data[1:]:
+            key = (cur << 8) | b
+            nxt = table.get(key)
+            if nxt is not None:
+                cur = nxt
+                continue
+            emit(cur, nbits)
+            table[key] = next_code
+            next_code += 1
+            # early change: the ENCODER bumps width when the next emitted
+            # code could be next_code-1 == (1<<nbits)-1
+            if next_code == (1 << nbits) - 1 and nbits < 12:
+                nbits += 1
+            if next_code == 4094:  # table nearly full: reset (spec-mandated)
+                emit(cur if False else _LZW_CLEAR, nbits)
+                table = {}
+                next_code = 258
+                nbits = 9
+            cur = b
+        emit(cur, nbits)
     emit(_LZW_EOI, nbits)
     if acc_bits:
         out.append((acc << (8 - acc_bits)) & 0xFF)
