@@ -1480,3 +1480,103 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("cms_estimate"),
         (est >= F.col("exact_count")).alias("never_underestimates"),
     )
+
+
+# --- end-to-end curation funnel ----------------------------------------------
+
+_FUNNEL_QSCORE = 0.45
+_FUNNEL_SAMPLE = 0.5
+
+
+def _funnel_sql() -> str:
+    from sarpro_spark.llm.sampling import BUCKETS, sql_hash_bucket
+    from sarpro_spark.llm.text import sql_lang_id
+
+    ntok = "LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> ''))"
+    norm_md5 = "MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g'))"
+    lt = "LOWER(text)"
+    # build q_score from the same fragments _QUALITY_SQL uses
+    from sarpro_spark.llm.text import LANG_STOPWORDS, sql_count_word
+
+    padded = "(' ' || LOWER(text) || ' ')"
+    stops = " + ".join(sql_count_word(padded, w) for w in LANG_STOPWORDS["en"])
+    mean_tok = (
+        f"CASE WHEN {ntok} > 0 THEN CAST(LENGTH(REGEXP_REPLACE({lt}, '[^a-z0-9]', '', 'g')) AS DOUBLE)"
+        f" / {ntok} ELSE 0.0 END"
+    )
+    punct = f"CAST(LENGTH(REGEXP_REPLACE({lt}, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)"
+    stopr = f"CAST({stops} AS DOUBLE) / GREATEST({ntok}, 1)"
+    qscore = (
+        f"(LEAST(CAST({ntok} AS DOUBLE) / 50.0, 1.0) * 0.4"
+        f" + (1.0 - LEAST(({punct}) * 5.0, 1.0)) * 0.2"
+        f" + LEAST(({stopr}) * 4.0, 1.0) * 0.2"
+        f" + (CASE WHEN ({mean_tok}) >= 3.0 AND ({mean_tok}) <= 8.0 THEN 1.0 ELSE 0.0 END) * 0.2)"
+    )
+    cut = int(_FUNNEL_SAMPLE * BUCKETS)
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT doc_id, text, CAST({ntok} AS BIGINT) AS n_tok FROM documents
+),
+s1 AS MATERIALIZED (
+  SELECT r.* FROM raw r
+  JOIN (SELECT MIN(doc_id) AS keep FROM documents GROUP BY {norm_md5}) d
+    ON d.keep = r.doc_id
+),
+s2 AS MATERIALIZED (SELECT * FROM s1 WHERE {qscore} >= {_FUNNEL_QSCORE!r}),
+s3 AS MATERIALIZED (SELECT * FROM s2 WHERE {sql_lang_id('text')} <> 'und'),
+s4 AS MATERIALIZED (
+  SELECT * FROM s3 WHERE {sql_hash_bucket('doc_id', 'funnel')} < {cut}
+)
+SELECT 0 AS stage, 'raw' AS stage_name, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM raw
+UNION ALL SELECT 1, 'dedup_exact_normalized', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tok) AS BIGINT) FROM s1
+UNION ALL SELECT 2, 'quality_floor', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tok) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'lang_identified', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tok) AS BIGINT) FROM s3
+UNION ALL SELECT 4, 'sampled', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tok) AS BIGINT) FROM s4
+""".strip()
+
+
+@query("corpus_curation_funnel", sql=_funnel_sql(), tags=("llm", "pipeline", "e2e"))
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline composed end-to-end, certified as one
+    plan: normalized exact dedup (keep-canonical anti-join) -> quality
+    floor -> language-identified only -> deterministic Bernoulli sample,
+    with a per-stage (docs, tokens) funnel as the output. Every stage is a
+    filter/semi-join over the previous — Catalyst collapses the chain into
+    scan + filters + one dedup aggregate; nothing rescans the corpus per
+    stage."""
+    from sarpro_spark.llm import dedup as dd2
+    from sarpro_spark.llm import text as tx2
+    from sarpro_spark.llm.sampling import BUCKETS, hash_bucket
+    from sarpro_spark.llm.text import token_count
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "text", token_count(F.col("text")).cast("long").alias("n_tok"))
+    keep = (
+        d.select(F.md5(dd2.normalize_text_expr(F.col("text"))).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep"))
+        .select("keep")
+    )
+    s1 = raw.join(keep, raw["doc_id"] == keep["keep"], "left_semi")
+    q = tx2.quality_features(s1)
+    s2 = q.where(F.col("q_score") >= _FUNNEL_QSCORE).select("doc_id", "text", "n_tok")
+    s3 = s2.where(tx2.lang_id_expr(F.col("text")) != "und")
+    s4 = s3.where(hash_bucket(F.col("doc_id"), "funnel") < int(_FUNNEL_SAMPLE * BUCKETS))
+
+    def leg(df, stage, name):
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).alias("n_tokens"),
+        ).select("stage", "stage_name", "n_docs", "n_tokens")
+
+    out = leg(raw, 0, "raw")
+    for df, st, nm in (
+        (s1, 1, "dedup_exact_normalized"),
+        (s2, 2, "quality_floor"),
+        (s3, 3, "lang_identified"),
+        (s4, 4, "sampled"),
+    ):
+        out = out.unionByName(leg(df, st, nm))
+    return out

@@ -228,12 +228,13 @@ register_pack(
         Member("text_dup_passages", ("doc_id",)),
         Member("text_bigram_logprob", ("doc_id",)),
         Member("domain_pagerank", ("domain",)),
+        Member("corpus_curation_funnel", ("stage",)),
     ),
     doc="Union certificate: PII redaction (typed counts + full redacted "
     "text), train/eval contamination scores, C4/Gopher repetition filters, "
     "CCNet-style unigram + interpolated-bigram LM log-probability scores, "
     "duplicated-passage fractions with longest shared-run lengths, and "
-    "host co-citation PageRank.",
+    "host co-citation PageRank, and the end-to-end curation funnel.",
     tags=("llm", "text", "hygiene", "pack"),
 )
 
