@@ -332,6 +332,66 @@ def cosine_topk_ivf(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The deterministic sampled centroid table (centroid_id, cvec) used by
+    the certified IVF queries; swap for kmeans_train output in production."""
+    return emb.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+
+
+def cosine_topk_ivf_from_index(
+    centroids: DataFrame,
+    lists: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Serve ANN from a PERSISTED IVF index: ``centroids`` (centroid_id,
+    cvec) + ``lists`` (vec_id, embedding, centroid_id — e.g. a parquet
+    table partitioned by centroid_id, so probing reads only the probed
+    lists' files via partition pruning). Identical results to building the
+    index inline (:func:`cosine_topk_ivf`)."""
+    from sarpro_spark.queries import fround
+
+    centroids = centroids.select("centroid_id", "cvec")
+    qsim = queries.join(F.broadcast(centroids)).select(
+        F.col(qid_col),
+        F.col("centroid_id"),
+        fround(cosine_expr(F.col(qvec_col), F.col("cvec")), round_digits).alias("sim"),
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    probed = (
+        qsim.withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= nprobe)
+        .select(qid_col, "centroid_id")
+    )
+    cand = (
+        probed.join(lists.select("centroid_id", id_col, vec_col), "centroid_id")
+        .select(qid_col, id_col, vec_col)
+        .distinct()
+    )
+    j = cand.join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col)
+    sim = cosine_expr(F.col(vec_col), F.col(qvec_col))
+    scored = j.select(F.col(qid_col), F.col(id_col), fround(sim, round_digits).alias("sim"))
+    w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(qid_col, id_col, "sim", "rnk")
+    )
+
+
 def cosine_topk_pandas(
     emb: DataFrame,
     query_mat: np.ndarray,

@@ -1580,3 +1580,29 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(leg(df, st, nm))
     return out
+
+
+@query("similarity_topk_ivf_persisted", sql=_TOPK_IVF_SQL, tags=("llm", "similarity", "index"))
+def q_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index LIFECYCLE certificate: the IVF index (centroid table + per-
+    vector list assignments) is materialized to parquet executor-side,
+    reloaded as the serving copy, and queried — results must be identical
+    to the fresh-built index (same oracle as similarity_topk_ivf). At
+    production scale this is the offline-build / online-serve split: the
+    assignment table is written partitioned by list id so a probe reads
+    only its lists' files."""
+    import tempfile
+
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(e, _IVF_K)
+    assign = sim.ivf_assign(e, cents)
+    root = tempfile.mkdtemp(prefix="sarpro_ivf_idx_")
+    cents.write.mode("overwrite").parquet(f"{root}/centroids")
+    assign.join(e, "vec_id").write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{root}/lists"
+    )
+    cents_l = spark.read.parquet(f"{root}/centroids")
+    lists_l = spark.read.parquet(f"{root}/lists")
+    return sim.cosine_topk_ivf_from_index(
+        cents_l, lists_l, _spark_queries_frame(spark, sf_dir), k=5, nprobe=_IVF_NPROBE
+    )

@@ -156,14 +156,17 @@ _GENERIC_READER_SQL = """
 SELECT 'csv' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
 UNION ALL
 SELECT 'json' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
+UNION ALL
+SELECT 'orc' AS fmt, n_nationkey, n_name, n_regionkey FROM nation
 """.strip()
 
 
 @query("generic_reader_roundtrip", sql=_GENERIC_READER_SQL, tags=("source", "registry"))
 def q_generic_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 (gdal.rs:57-104 analog): the format registry round-trips the nation
-    table through csv (header + schema inference) and json — open_source
-    must reproduce the source rows exactly under both codecs."""
+    table through csv (header + schema inference), json, and ORC —
+    open_source must reproduce the source rows exactly under every
+    codec."""
     from sarpro_spark import frames
     from sarpro_spark.sources.registry import open_source
 
@@ -171,8 +174,13 @@ def q_generic_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="sarpro_reader_fx_")
     n.coalesce(1).write.mode("overwrite").option("header", "true").csv(f"{root}/n_csv")
     n.coalesce(1).write.mode("overwrite").json(f"{root}/n_json")
+    n.coalesce(1).write.mode("overwrite").orc(f"{root}/n_orc")
     parts = []
-    for fmt, path in (("csv", f"{root}/n_csv"), ("json", f"{root}/n_json")):
+    for fmt, path in (
+        ("csv", f"{root}/n_csv"),
+        ("json", f"{root}/n_json"),
+        ("orc", f"{root}/n_orc"),
+    ):
         df, info = open_source(spark, path, fmt)
         assert info.n_columns == 3
         parts.append(
@@ -183,7 +191,7 @@ def q_generic_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_regionkey").cast("int").alias("n_regionkey"),
             )
         )
-    return parts[0].unionByName(parts[1])
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
 
 
 # --- P1/P4/C3: pipeline dispatch + warp-skip guards --------------------------
