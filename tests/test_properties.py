@@ -129,3 +129,58 @@ def test_tiff_codec_roundtrip_property(rows, cols, samples, dtype, rps, rnd):
         back, _ = t.read_tiff(fh.name)
     assert back.shape == arr.shape and back.dtype == arr.dtype
     assert np.array_equal(back, arr)
+
+
+@given(st.binary(min_size=0, max_size=4000))
+@settings(max_examples=300, deadline=None)
+def test_lzw_packbits_roundtrip_any_bytes(data):
+    from sarpro_spark.sinks.tiff import (
+        lzw_decode,
+        lzw_encode,
+        packbits_decode,
+        packbits_encode,
+    )
+
+    assert lzw_decode(lzw_encode(data)) == data
+    assert packbits_decode(packbits_encode(data)) == data
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+    st.integers(min_value=4, max_value=64),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_sequence_packing_conservation_pure(tok_counts, seq_len, n_buckets):
+    """Pure-python replica of the packing math: conservation + fill laws for
+    ANY token distribution (the Spark leg is asserted in test_llm)."""
+    import hashlib
+
+    def bucket(i):
+        h = hashlib.md5(f"pack|{i}".encode()).hexdigest()
+        return (int(h[:15], 16) % 1_000_000) % n_buckets
+
+    per_bucket: dict[int, list[int]] = {}
+    for i, n in enumerate(tok_counts):
+        if n > 0:
+            per_bucket.setdefault(bucket(i), []).append(n)
+    for b, counts in per_bucket.items():
+        total = sum(counts)
+        n_seqs = -(-total // seq_len)  # ceil
+        # per-sequence fills: all seq_len except a ragged tail
+        fills = [seq_len] * (n_seqs - 1) + [total - seq_len * (n_seqs - 1)]
+        assert sum(fills) == total
+        assert all(0 < f <= seq_len for f in fills)
+
+
+@given(st.lists(st.floats(min_value=-1e3, max_value=1e3), min_size=2, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_pca_rounding_is_idempotent_and_monotone(vals):
+    from sarpro_spark.llm.pca import _r9
+
+    for v in vals:
+        r = _r9(v)
+        assert _r9(r) == r  # idempotent
+        assert abs(r - v) <= 5e-10 + 1e-12 * abs(v)
+    rs = [_r9(v) for v in sorted(vals)]
+    assert rs == sorted(rs)  # order-preserving
