@@ -1606,3 +1606,44 @@ def q_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_ivf_from_index(
         cents_l, lists_l, _spark_queries_frame(spark, sf_dir), k=5, nprobe=_IVF_NPROBE
     )
+
+
+def _export_sql() -> str:
+    from sarpro_spark.llm.sampling import BUCKETS, sql_hash_bucket
+
+    ntok = "LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> ''))"
+    cut = int(_FUNNEL_SAMPLE * BUCKETS)
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({ntok}) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents
+WHERE {sql_hash_bucket('doc_id', 'funnel')} < {cut}
+GROUP BY lang
+""".strip()
+
+
+@query("corpus_export_roundtrip", sql=_export_sql(), tags=("llm", "pipeline", "sink"))
+def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's OUTPUT side: the sampled corpus is exported as
+    lang-partitioned parquet (the layout a training run reads shard-wise),
+    then read back through ONE partition-pruned scan per language and
+    summarized — the returned stats come from the exported copy, so the
+    hash row certifies the write -> partitioned layout -> pruned read
+    lifecycle."""
+    import tempfile
+
+    from sarpro_spark.llm.sampling import BUCKETS, hash_bucket
+    from sarpro_spark.llm.text import token_count
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    sampled = d.where(hash_bucket(F.col("doc_id"), "funnel") < int(_FUNNEL_SAMPLE * BUCKETS))
+    root = tempfile.mkdtemp(prefix="sarpro_corpus_export_")
+    sampled.write.mode("overwrite").partitionBy("lang").parquet(root)
+    back = spark.read.parquet(root)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -229,12 +229,14 @@ register_pack(
         Member("text_bigram_logprob", ("doc_id",)),
         Member("domain_pagerank", ("domain",)),
         Member("corpus_curation_funnel", ("stage",)),
+        Member("corpus_export_roundtrip", ("lang",)),
     ),
     doc="Union certificate: PII redaction (typed counts + full redacted "
     "text), train/eval contamination scores, C4/Gopher repetition filters, "
     "CCNet-style unigram + interpolated-bigram LM log-probability scores, "
     "duplicated-passage fractions with longest shared-run lengths, and "
-    "host co-citation PageRank, and the end-to-end curation funnel.",
+    "host co-citation PageRank, the end-to-end curation funnel, and the "
+    "lang-partitioned export roundtrip.",
     tags=("llm", "text", "hygiene", "pack"),
 )
 
