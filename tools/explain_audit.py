@@ -330,6 +330,24 @@ AUDITS: dict[str, dict] = {
         "require": ["HashAggregate"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "corpus_curation_funnel": {
+        # the stage chain is filters + one dedup semi-join over one scan
+        # lineage; each funnel leg is a 1-row aggregate
+        "require": ["HashAggregate", "LeftSemi", "Union"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "corpus_export_roundtrip": {
+        # read-back of the partitioned export: scan partition column in
+        # schema, one aggregate; no Python
+        "require": ["HashAggregate"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "similarity_topk_ivf_persisted": {
+        # serving from the persisted index: centroid broadcast, probe
+        # window, list join; no cartesian
+        "require": ["BroadcastNestedLoopJoin", "Window"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
     # pack plans: a pack is the UNION of its members' plans — the member
     # shapes are audited above/individually; here assert the union executes
     # each member once with no cross-member recombination and that no member
