@@ -330,6 +330,7 @@ register_pack(
         Member("pivot_order_priority", ("order_year",)),
         Member("lineitem_percentiles", ("l_returnflag",)),
         Member("skewed_agg_salted", ("event_type",)),
+        Member("skewed_join_salted", ("event_type",)),
         Member("events_stream_dedup", ("event_id",)),
         Member("band_zip_ndiff", ("product_id", "row", "col")),
         Member("shipping_priority", ("o_orderkey",)),
@@ -339,7 +340,7 @@ register_pack(
     ),
     doc="Union certificate: rollup/cube hierarchies, correlated-subquery "
     "decorrelation, as-of via cogrouped applyInPandas, JSON property "
-    "aggregation, pivot, exact percentiles, salted skew aggregation, the "
+    "aggregation, pivot, exact percentiles, salted skew aggregation + join, the "
     "streaming-dedup batch twin, the band-zip equi-join path, and the "
     "TPC-H-style Q3/Q7/Q10 multi-join analytics, and incremental rollup "
     "maintenance (partial-state merge == full recompute).",

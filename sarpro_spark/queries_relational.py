@@ -1004,3 +1004,38 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (fround(F.col("sv")) == fround(F.col("f_sv")))
         ).alias("matches_full"),
     )
+
+
+# --- skew-resistant join (salted) ---------------------------------------------
+
+_SALTED_JOIN_SQL = f"""
+SELECT e.event_type, t.weight,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {sql_fround('SUM(e.value * t.weight)')} AS weighted_value
+FROM events e
+JOIN (SELECT event_type, CAST(weight AS DOUBLE) AS weight FROM (VALUES
+  ('click', 1.0), ('view', 0.25), ('purchase', 5.0), ('signup', 3.0)
+) v(event_type, weight)) t ON t.event_type = e.event_type
+GROUP BY e.event_type, t.weight
+""".strip()
+
+
+@query("skewed_join_salted", sql=_SALTED_JOIN_SQL, tags=("relational", "skew", "join"))
+def q_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-side skew surface: the hot-keyed fact stream joins a weight dim
+    through salted_join (dim replicated per salt bucket, facts salted by
+    residual columns) so no single (key) shuffle partition concentrates a
+    viral key's rows — values identical to the plain join, certified
+    against the unsalted oracle."""
+    from sarpro_spark.functions.skew import salted_join
+
+    e = frames.load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.25), ("purchase", 5.0), ("signup", 3.0)],
+        "event_type string, weight double",
+    )
+    j = salted_join(e, dim, "event_type", salt_buckets=8)
+    return j.groupBy("event_type", "weight").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        fround(F.sum(F.col("value") * F.col("weight"))).alias("weighted_value"),
+    )
