@@ -1647,3 +1647,83 @@ def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# --- leakage-safe train/val/test split ---------------------------------------
+
+#: split policy: md5 of the CLUSTER id -> 80/10/10
+_SPLIT_SEED = "split"
+
+
+def _leakage_split_sql() -> str:
+    from sarpro_spark.llm.sampling import sql_hash_bucket
+
+    bucket = sql_hash_bucket("cluster_id", _SPLIT_SEED)
+    split = (
+        f"CASE WHEN ({bucket}) < 800000 THEN 'train' "
+        f"WHEN ({bucket}) < 900000 THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+WITH clusters AS MATERIALIZED ({_CLUSTER_SQL}),
+assigned AS MATERIALIZED (
+  SELECT doc_id, cluster_id, {split} AS split FROM clusters
+),
+pairs AS ({_MINHASH_VERIFIED_SQL}),
+straddle AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs p
+  JOIN assigned sa ON sa.doc_id = p.doc_a
+  JOIN assigned sb ON sb.doc_id = p.doc_b
+  WHERE sa.split <> sb.split
+)
+SELECT a.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+  (SELECT n FROM straddle) AS straddling_pairs,
+  ((SELECT n FROM straddle) = 0) AS leakage_free
+FROM assigned a
+GROUP BY a.split
+""".strip()
+
+
+@query("corpus_leakage_safe_split", sql=_leakage_split_sql(), tags=("llm", "dedup", "pipeline"))
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment at NEAR-DUP-CLUSTER granularity: the split
+    hash keys on the connected-component id, so two near-duplicate
+    documents can never land in different splits (the eval-set leakage that
+    doc-level hashing silently causes). The zero-straddling-pairs invariant
+    is recomputed from the verified pair list and emitted as data."""
+    from sarpro_spark.llm.sampling import hash_bucket
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_jaccard_pairs(d, threshold=0.5)
+    pairs = cl._checkpointer(pairs)(pairs.select("doc_a", "doc_b"))
+    clusters = cl.dedup_clusters(d, pairs)
+    b = hash_bucket(F.col("cluster_id"), _SPLIT_SEED)
+    assigned = clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(b < 800000, "train").when(b < 900000, "val").otherwise("test").alias("split"),
+    )
+    sa = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa"))
+    sb = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb"))
+    straddle = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("_sa") != F.col("_sb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.col("n").alias("straddling_pairs"),
+            (F.col("n") == 0).alias("leakage_free"),
+        )
+    )

@@ -189,10 +189,12 @@ register_pack(
         Member("dedup_simhash", ("doc_id",)),
         Member("dedup_simhash_pairs", ("doc_a", "doc_b")),
         Member("dedup_incremental", ("doc_id",)),
+        Member("corpus_leakage_safe_split", ("split",)),
     ),
     doc="Union certificate: exact dedup (+normalized), n-gram Jaccard pairs, "
     "SimHash fingerprints + banded near-dup pairs, and incremental "
-    "batch-vs-index dedup — every value of each member in one driver "
+    "batch-vs-index dedup, and the cluster-granular leakage-safe "
+    "train/val/test split — every value of each member in one driver "
     "hash row.",
     tags=("llm", "dedup", "pack"),
 )
