@@ -1727,3 +1727,60 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") == 0).alias("leakage_free"),
         )
     )
+
+
+# --- feature hashing (the hashing trick) --------------------------------------
+
+_FH_DIM = 64
+
+
+def _fh_sql() -> str:
+    from sarpro_spark.queries import sql_fround
+
+    toks = (
+        "SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> '')) AS term "
+        "FROM documents"
+    )
+    h = "CAST(('0x' || SUBSTR(MD5('fh|' || term), 1, 15)) AS BIGINT)"
+    return f"""
+WITH toks AS ({toks}),
+cells AS (
+  SELECT doc_id, ({h}) % {_FH_DIM} AS dim,
+         CASE WHEN CAST(('0x' || SUBSTR(MD5('fh|' || term), 16, 1)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM toks
+),
+vec AS (
+  SELECT doc_id, dim, CAST(SUM(sgn) AS DOUBLE) AS v FROM cells GROUP BY doc_id, dim
+),
+nrm AS (SELECT doc_id, SQRT(SUM(v * v)) AS nrm FROM vec GROUP BY doc_id)
+SELECT vec.doc_id, CAST(dim AS INTEGER) AS dim, {sql_fround('v / nrm')} AS value
+FROM vec JOIN nrm USING (doc_id)
+WHERE v <> 0
+""".strip()
+
+
+@query("text_feature_hashing", sql=_fh_sql(), tags=("llm", "text", "similarity"))
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens land in a fixed 64-dim signed-hash vector
+    (sign bit debiases collisions, Weinberger et al.), L2-normalized — a
+    vocabulary-free doc representation that feeds the existing ANN/PCA
+    stack without a dictionary build. One explode + one aggregate;
+    dimension count is constant regardless of vocabulary size."""
+    from sarpro_spark.llm.text import tokens_expr
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("term"))
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("fh|"), F.col("term"))), 1, 15), 16, 10).cast("long")
+    cells = toks.select(
+        "doc_id",
+        (h % _FH_DIM).alias("dim"),
+        F.when(
+            F.conv(F.substring(F.md5(F.concat(F.lit("fh|"), F.col("term"))), 16, 1), 16, 10).cast("long") % 2 == 0,
+            1,
+        ).otherwise(-1).alias("sgn"),
+    )
+    vec = cells.groupBy("doc_id", "dim").agg(F.sum("sgn").cast("double").alias("v")).where(F.col("v") != 0)
+    nrm = vec.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    return vec.join(nrm, "doc_id").select(
+        "doc_id", F.col("dim").cast("int").alias("dim"), fround(F.col("v") / F.col("nrm")).alias("value")
+    )

@@ -206,6 +206,7 @@ register_pack(
         Member("text_token_stats", ("doc_id",)),
         Member("text_quality", ("doc_id",)),
         Member("text_fingerprint", ("doc_id",)),
+        Member("text_feature_hashing", ("doc_id", "dim")),
         Member("text_winnowing", ("doc_id",)),
         Member("bpe_vocab_train", ("step",)),
         Member("bpe_encode_corpus", ("doc_id",)),
@@ -213,6 +214,7 @@ register_pack(
         Member("quality_classifier_scores", ("doc_id",)),
     ),
     doc="Union certificate: language ID, token stats, quality features, "
+    "signed feature-hashing vectors, "
     "whole-doc fingerprint, winnowing fingerprints, BPE vocabulary "
     "training merges + corpus tokenization stats, and the trained "
     "logistic-regression quality classifier (training log + scores).",
