@@ -693,7 +693,26 @@ def incremental_dedup(
     exact = batch_ids.join(idx_fp, "fp", "left").select(id_col, "exact_dup_of")
 
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # ONE shingle explode + md5 pass yields min-hashes AND each doc's
+    # distinct hash set (the minhash_jaccard_pairs doctrine) — no second
+    # corpus pass for verification, no h-keyed verify join
+    from sarpro_spark.llm.cluster import _checkpointer
+
+    base_h = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+    hashed = char_shingles(df, id_col, text_col, n, distinct=False).select(
+        F.col(id_col), base_h.alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    sig = hashed.groupBy(id_col).agg(
+        *aggs, F.sort_array(F.collect_set("h")).alias("hset")
+    ).withColumn("sz", F.size("hset"))
+    sig = _checkpointer(sig)(sig)
     sig = sig.withColumn(
         "is_batch", (hash_bucket(F.col(id_col), split_seed) % batch_mod) >= batch_min
     )
@@ -723,28 +742,17 @@ def incremental_dedup(
         .select("doc_b", "doc_i")
         .distinct()
     )
-
-    hdist = (
-        char_shingles(df, id_col, text_col, n, distinct=False)
-        .select(
-            F.col(id_col),
-            (
-                F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
-                % MINHASH_PRIME
-            ).alias("h"),
-        )
-        .distinct()
-    )
-    sizes = hdist.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(hdist.select(F.col(id_col).alias("doc_b"), "h"), "doc_b")
-        .join(hdist.select(F.col(id_col).alias("doc_i"), "h"), ["doc_i", "h"])
-        .groupBy("doc_b", "doc_i")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    sets = sig.select(F.col(id_col), "hset", "sz")
     jacc = (
-        inter.join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
-        .join(sizes.select(F.col(id_col).alias("doc_i"), F.col("sz").alias("sz_i")), "doc_i")
+        cand.join(
+            sets.select(F.col(id_col).alias("doc_b"), F.col("hset").alias("set_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("doc_i"), F.col("hset").alias("set_i"), F.col("sz").alias("sz_i")),
+            "doc_i",
+        )
+        .withColumn("inter", F.size(F.array_intersect("set_b", "set_i")))
         .select(
             "doc_b",
             "doc_i",
