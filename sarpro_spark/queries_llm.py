@@ -1784,3 +1784,59 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vec.join(nrm, "doc_id").select(
         "doc_id", F.col("dim").cast("int").alias("dim"), fround(F.col("v") / F.col("nrm")).alias("value")
     )
+
+
+# --- retrieval chunking -------------------------------------------------------
+
+_CHUNK_W = 32   # tokens per chunk
+_CHUNK_S = 24   # stride (8-token overlap)
+
+
+def _chunk_sql() -> str:
+    toks = "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> '')"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+         UNNEST(generate_series(0, GREATEST(CAST(CEIL(CAST(GREATEST(LEN(toks) - {_CHUNK_W}, 0) AS DOUBLE) / {_CHUNK_S}) AS BIGINT), 0))) AS chunk_idx
+  FROM t WHERE LEN(toks) > 0
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+  CAST(chunk_idx * {_CHUNK_S} AS BIGINT) AS start_tok,
+  CAST(LEAST({_CHUNK_W}, LEN(toks) - chunk_idx * {_CHUNK_S}) AS BIGINT) AS n_tok,
+  MD5(ARRAY_TO_STRING(LIST_SLICE(toks, chunk_idx * {_CHUNK_S} + 1, chunk_idx * {_CHUNK_S} + {_CHUNK_W}), ' ')) AS chunk_fp
+FROM starts
+WHERE chunk_idx * {_CHUNK_S} < LEN(toks)
+""".strip()
+
+
+@query("corpus_chunk_windows", sql=_chunk_sql(), tags=("llm", "text", "packing"))
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-corpus chunking: overlapping token windows (32-token
+    chunks, 24-token stride) with per-chunk content fingerprints — the
+    RAG-side counterpart of training-sequence packing. One explode over
+    per-doc chunk starts; fan-out ~= n_tokens / stride, never quadratic."""
+    from sarpro_spark.llm.text import tokens_expr
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens_expr(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n_chunks_minus1 = F.ceil(
+        F.greatest(F.size("toks") - _CHUNK_W, F.lit(0)).cast("double") / _CHUNK_S
+    ).cast("long")
+    starts = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.greatest(n_chunks_minus1, F.lit(0).cast("long")))).alias("chunk_idx"),
+    ).where(F.col("chunk_idx") * _CHUNK_S < F.size("toks"))
+    start = F.col("chunk_idx") * _CHUNK_S
+    return starts.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        F.least(F.lit(_CHUNK_W), F.size("toks") - start).cast("long").alias("n_tok"),
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", (start + 1).cast("int"), F.lit(_CHUNK_W)))
+        ).alias("chunk_fp"),
+    )

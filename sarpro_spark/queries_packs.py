@@ -251,13 +251,15 @@ register_pack(
         Member("sample_topk_per_stratum", ("doc_id",)),
         Member("corpus_pack_assignments", ("doc_id",)),
         Member("corpus_pack_sequences", ("bucket", "seq")),
+        Member("corpus_chunk_windows", ("doc_id", "chunk_idx")),
         Member("corpus_mixture_plan", ("source",)),
         Member("corpus_cardinality_sketch", ("source",)),
         Member("terms_heavy_hitters_cms", ("term",)),
     ),
     doc="Union certificate: deterministic stratified Bernoulli sampling, "
     "exact-k-per-stratum seeded reservoir, concat-and-chunk sequence "
-    "packing (per-doc + per-sequence legs), the domain mixture plan, and "
+    "packing (per-doc + per-sequence legs), retrieval chunk windows, the "
+    "domain mixture plan, and "
     "per-source cardinality sketches (exact + HLL-bounded), and count-min "
     "heavy hitters.",
     tags=("llm", "sampling", "packing", "pack"),
