@@ -184,3 +184,27 @@ def test_pca_rounding_is_idempotent_and_monotone(vals):
         assert abs(r - v) <= 5e-10 + 1e-12 * abs(v)
     rs = [_r9(v) for v in sorted(vals)]
     assert rs == sorted(rs)  # order-preserving
+
+
+@given(st.integers(min_value=1, max_value=500))
+@settings(max_examples=200, deadline=None)
+def test_chunk_windows_cover_every_token(n_tok):
+    """Pure replica of the chunking math: chunks cover every token exactly
+    once per window they fall in, strides overlap by W-S, and the final
+    chunk is the only one allowed to be short."""
+    W, S = 32, 24
+    import math
+
+    n_chunks = max(math.ceil(max(n_tok - W, 0) / S), 0) + 1
+    starts = [i * S for i in range(n_chunks) if i * S < n_tok]
+    assert starts, n_tok
+    covered = set()
+    for i, st_ in enumerate(starts):
+        ln = min(W, n_tok - st_)
+        assert ln > 0
+        if i < len(starts) - 1:
+            assert ln == W  # only the tail may be ragged
+        covered |= set(range(st_, st_ + ln))
+    assert covered == set(range(n_tok))  # full coverage, no gaps
+    for a, b in zip(starts, starts[1:]):
+        assert b - a == S
