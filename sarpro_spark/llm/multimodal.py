@@ -251,3 +251,130 @@ def attach_mjpeg_payload(
             yield pd.DataFrame({id_col: ids, "n_frames": nf, "payload": blobs})
 
     return df.select(id_col).mapInPandas(fn, schema=schema)
+
+
+# --- real WAV-PCM audio ------------------------------------------------------
+
+WAV_SR = 8000
+
+
+def formula_audio(doc_id: int, n_samples: int) -> np.ndarray:
+    """Deterministic int16 PCM waveform from pure integer arithmetic (no
+    transcendentals — the SQL oracle regenerates it exactly)."""
+    i = np.arange(n_samples, dtype=np.int64)
+    s = (doc_id * 31 + i * i * 7) % 65536 - 32768
+    return s.astype(np.int16)
+
+
+def encode_wav(samples: np.ndarray, sr: int = WAV_SR) -> bytes:
+    """Minimal RIFF/WAVE PCM16LE mono encoder (stdlib struct only)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, int16 samples) from a PCM16 mono RIFF/WAVE payload;
+    walks the chunk list (a conforming file may carry LIST/fact chunks)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, sr, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt_tag, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt_tag != 1 or ch != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2").astype(np.int16)
+        pos += 8 + ln + (ln & 1)
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return sr, data
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, wav) — deterministic formula waveforms encoded executor-side."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    schema = StructType([StructField(id_col, LongType()), StructField("wav", BinaryType())])
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf[id_col]:
+                n = 400 + int(i) % 200
+                blobs.append(encode_wav(formula_audio(int(i), n)))
+                ids.append(i)
+            yield pd.DataFrame({id_col: ids, "wav": blobs})
+
+    return df.select(id_col).mapInPandas(fn, schema=schema)
+
+
+def wav_features(df: DataFrame, payload_col: str = "wav", id_col: str = "doc_id") -> DataFrame:
+    """Per-payload audio features from the DECODED samples: sample rate,
+    count, duration, integer sum/abs-peak, rms, zero crossings. Integer
+    moments first, float ops last (the decode_features doctrine) so the
+    oracle's formula-regenerated values match bit-for-bit."""
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("duration_ms", LongType()),
+            StructField("peak", IntegerType()),
+            StructField("rms", DoubleType()),
+            StructField("zero_crossings", LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("id", "sr", "n", "dur", "peak", "rms", "zc")}
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                sr, s = decode_wav(bytes(buf))
+                n = s.size
+                s64 = s.astype(np.int64)
+                out["id"].append(i)
+                out["sr"].append(sr)
+                out["n"].append(n)
+                out["dur"].append(n * 1000 // sr)
+                out["peak"].append(int(np.abs(s64).max()) if n else 0)
+                s2 = int((s64 * s64).sum())
+                out["rms"].append(math.sqrt(s2 / n) if n else 0.0)
+                nn = (s64 >= 0).astype(np.int8)
+                out["zc"].append(int((nn[1:] != nn[:-1]).sum()) if n > 1 else 0)
+            yield pd.DataFrame(
+                {
+                    id_col: out["id"],
+                    "sample_rate": out["sr"],
+                    "n_samples": out["n"],
+                    "duration_ms": out["dur"],
+                    "peak": out["peak"],
+                    "rms": out["rms"],
+                    "zero_crossings": out["zc"],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)

@@ -1840,3 +1840,45 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice("toks", (start + 1).cast("int"), F.lit(_CHUNK_W)))
         ).alias("chunk_fp"),
     )
+
+
+# --- real WAV audio decode ----------------------------------------------------
+
+_WAV_SQL = f"""
+WITH au AS (SELECT doc_id, 400 + doc_id % 200 AS n FROM documents),
+samp AS (
+  SELECT doc_id, n, i, ((doc_id * 31 + i * i * 7) % 65536) - 32768 AS s
+  FROM (SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS i FROM au) z
+),
+zc AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN cur >= 0 AND prv < 0 OR cur < 0 AND prv >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+  FROM (
+    SELECT doc_id, s AS cur, LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prv
+    FROM samp
+  ) t WHERE prv IS NOT NULL
+  GROUP BY doc_id
+)
+SELECT samp.doc_id,
+  {8000} AS sample_rate,
+  CAST(MAX(samp.n) AS INTEGER) AS n_samples,
+  CAST(MAX(samp.n) * 1000 // {8000} AS BIGINT) AS duration_ms,
+  CAST(MAX(ABS(s)) AS INTEGER) AS peak,
+  {sql_fround('SQRT(CAST(SUM(s * s) AS DOUBLE) / MAX(samp.n))')} AS rms,
+  MAX(zc.zero_crossings) AS zero_crossings
+FROM samp JOIN zc USING (doc_id)
+GROUP BY samp.doc_id
+""".strip()
+
+
+@query("multimodal_audio_features", sql=_WAV_SQL, tags=("llm", "multimodal", "audio"))
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: deterministic PCM16 waveforms are RIFF/WAVE-
+    encoded and decoded back executor-side (pure-stdlib codec, chunk-walking
+    parser), features (duration, peak, rms, zero crossings) computed from
+    the DECODED samples — the oracle regenerates the waveform from the
+    integer formula, so a codec bug anywhere flips hashed values."""
+    from sarpro_spark.queries import round_floats
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    wav = mm.attach_wav_payload(d)
+    return round_floats(mm.wav_features(wav))

