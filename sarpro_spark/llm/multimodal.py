@@ -378,3 +378,50 @@ def wav_features(df: DataFrame, payload_col: str = "wav", id_col: str = "doc_id"
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
+
+
+#: samples per analysis frame (50 ms at 8 kHz)
+WAV_FRAME = 400
+
+
+def wav_frame_features(
+    df: DataFrame, payload_col: str = "wav", id_col: str = "doc_id", frame: int = WAV_FRAME
+) -> DataFrame:
+    """Per-analysis-frame energy features from decoded samples: the
+    feature-extraction stage of an audio pipeline (VAD/segmentation run on
+    exactly this). One row per (payload, frame)."""
+    import math
+
+    from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("n", IntegerType()),
+            StructField("energy", LongType()),
+            StructField("rms", DoubleType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fidx, ns, en, rm = [], [], [], [], []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                _sr, s = decode_wav(bytes(buf))
+                s64 = s.astype(np.int64)
+                for f in range(-(-s.size // frame)):
+                    seg = s64[f * frame : (f + 1) * frame]
+                    e = int((seg * seg).sum())
+                    ids.append(i)
+                    fidx.append(f)
+                    ns.append(seg.size)
+                    en.append(e)
+                    rm.append(math.sqrt(e / seg.size) if seg.size else 0.0)
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": fidx, "n": ns, "energy": en, "rms": rm}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)

@@ -1882,3 +1882,29 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = frames.load_table(spark, sf_dir, "documents")
     wav = mm.attach_wav_payload(d)
     return round_floats(mm.wav_features(wav))
+
+
+_WAV_FRAMES_SQL = f"""
+WITH au AS (SELECT doc_id, 400 + doc_id % 200 AS n FROM documents),
+samp AS (
+  SELECT doc_id, i, i // 400 AS frame_idx, ((doc_id * 31 + i * i * 7) % 65536) - 32768 AS s
+  FROM (SELECT doc_id, n, UNNEST(generate_series(0, n - 1)) AS i FROM au) z
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+  CAST(COUNT(*) AS INTEGER) AS n,
+  CAST(SUM(s * s) AS BIGINT) AS energy,
+  {sql_fround('SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*))')} AS rms
+FROM samp GROUP BY doc_id, frame_idx
+""".strip()
+
+
+@query("multimodal_audio_frames", sql=_WAV_FRAMES_SQL, tags=("llm", "multimodal", "audio"))
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction: 50 ms analysis frames (energy + rms) from
+    the DECODED waveform — the segmentation/VAD input stage; oracle
+    regenerates frames from the integer formula."""
+    from sarpro_spark.queries import round_floats
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    wav = mm.attach_wav_payload(d)
+    return round_floats(mm.wav_frame_features(wav))

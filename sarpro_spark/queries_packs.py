@@ -320,6 +320,7 @@ register_pack(
         Member("multimodal_byte_features", ("doc_id",)),
         Member("multimodal_frame_sample", ("doc_id", "frame_idx")),
         Member("multimodal_audio_features", ("doc_id",)),
+        Member("multimodal_audio_frames", ("doc_id", "frame_idx")),
     ),
     doc="Union certificate: typed media metadata struct, format-agnostic "
     "byte features, and MJPEG frame sampling with real JPEG decode.",
