@@ -1908,3 +1908,78 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = frames.load_table(spark, sf_dir, "documents")
     wav = mm.attach_wav_payload(d)
     return round_floats(mm.wav_frame_features(wav))
+
+
+# --- multimodal thumbnails (decode -> pool) -----------------------------------
+
+_THUMB_SQL = f"""
+WITH png AS (
+  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h,
+         CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS ch
+  FROM documents WHERE doc_id % 2 = 0
+),
+rr AS (SELECT doc_id, w, h, ch, UNNEST(generate_series(0, h - 1)) AS r FROM png),
+cc AS (SELECT doc_id, w, h, ch, r, UNNEST(generate_series(0, w - 1)) AS c FROM rr),
+kk AS (SELECT doc_id, w, h, ch, r, c, UNNEST(generate_series(0, ch - 1)) AS k FROM cc)
+SELECT doc_id, CAST(r // 2 AS INTEGER) AS ty, CAST(c // 2 AS INTEGER) AS tx,
+  CAST(k AS INTEGER) AS chan,
+  {sql_fround('CAST(SUM((doc_id * 31 + r * 7 + c * 13 + k * 59) % 256) AS DOUBLE) / COUNT(*)')} AS val
+FROM kk
+GROUP BY doc_id, r // 2, c // 2, k
+""".strip()
+
+
+@query("multimodal_thumbnails", sql=_THUMB_SQL, tags=("llm", "multimodal"))
+def q_multimodal_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> resize composition: PNG payloads (the lossless leg) are
+    decoded executor-side and 2x2 mean-pooled (ragged edges exact); every
+    thumbnail PIXEL is hash-certified against the formula-regenerated
+    oracle — a decode or pooling bug anywhere flips values."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
+
+    from sarpro_spark.queries import fround as _fr
+
+    d = frames.load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    pay = mm.attach_image_payload(d)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ty", IntegerType()),
+            StructField("tx", IntegerType()),
+            StructField("chan", IntegerType()),
+            StructField("val", DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        scale = 10.0**6
+        for pdf in batches:
+            ids, tys, txs, chs, vals = [], [], [], [], []
+            for i, buf in zip(pdf["doc_id"], pdf["payload"]):
+                img = mm.decode_image(bytes(buf))
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                h, w, ch = img.shape
+                a = img.astype(np.int64)
+                for ty in range(-(-h // 2)):
+                    rs = a[2 * ty : 2 * ty + 2]
+                    for tx in range(-(-w // 2)):
+                        cell = rs[:, 2 * tx : 2 * tx + 2]
+                        cnt = cell.shape[0] * cell.shape[1]
+                        for k in range(ch):
+                            v = float(cell[:, :, k].sum()) / cnt
+                            ids.append(i)
+                            tys.append(ty)
+                            txs.append(tx)
+                            chs.append(k)
+                            vals.append(math.floor(v * scale + 0.5) / scale)
+            yield pd.DataFrame(
+                {"doc_id": ids, "ty": tys, "tx": txs, "chan": chs, "val": vals}
+            )
+
+    return pay.mapInPandas(fn, schema=schema)

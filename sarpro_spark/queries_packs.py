@@ -321,6 +321,7 @@ register_pack(
         Member("multimodal_frame_sample", ("doc_id", "frame_idx")),
         Member("multimodal_audio_features", ("doc_id",)),
         Member("multimodal_audio_frames", ("doc_id", "frame_idx")),
+        Member("multimodal_thumbnails", ("doc_id", "ty", "tx", "chan")),
     ),
     doc="Union certificate: typed media metadata struct, format-agnostic "
     "byte features, and MJPEG frame sampling with real JPEG decode.",
