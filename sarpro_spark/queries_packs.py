@@ -346,13 +346,15 @@ register_pack(
         Member("nations_trade_volume", ("supp_nation", "cust_nation", "l_year")),
         Member("returned_items_report", ("c_custkey",)),
         Member("events_incremental_rollup", ("event_type", "hod")),
+        Member("events_funnel_steps", ("reached",)),
     ),
     doc="Union certificate: rollup/cube hierarchies, correlated-subquery "
     "decorrelation, as-of via cogrouped applyInPandas, JSON property "
     "aggregation, pivot, exact percentiles, salted skew aggregation + join, the "
     "streaming-dedup batch twin, the band-zip equi-join path, and the "
     "TPC-H-style Q3/Q7/Q10 multi-join analytics, and incremental rollup "
-    "maintenance (partial-state merge == full recompute).",
+    "maintenance (partial-state merge == full recompute), and ordered "
+    "funnel-step analytics.",
     tags=("relational", "pack"),
 )
 

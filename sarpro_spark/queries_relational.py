@@ -1039,3 +1039,81 @@ def q_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         fround(F.sum(F.col("value") * F.col("weight"))).alias("weighted_value"),
     )
+
+
+# --- ordered funnel analysis --------------------------------------------------
+
+_FUNNEL_STEPS_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(CAST(EPOCH_US(ts) AS BIGINT)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(CAST(EPOCH_US(e.ts) AS BIGINT)) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND CAST(EPOCH_US(e.ts) AS BIGINT) > s1.t1
+    AND CAST(EPOCH_US(e.ts) AS BIGINT) <= s1.t1 + 86400000000
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(CAST(EPOCH_US(e.ts) AS BIGINT)) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND CAST(EPOCH_US(e.ts) AS BIGINT) > s2.t2
+    AND CAST(EPOCH_US(e.ts) AS BIGINT) <= s2.t2 + 86400000000
+  GROUP BY e.user_id
+),
+reach AS (
+  SELECT s1.user_id,
+    CASE WHEN s3.user_id IS NOT NULL THEN 3
+         WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS reached
+  FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+  LEFT JOIN s3 ON s3.user_id = s1.user_id
+)
+SELECT reached, CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(MIN(user_id) AS BIGINT) AS min_user, CAST(MAX(user_id) AS BIGINT) AS max_user
+FROM reach GROUP BY reached
+""".strip()
+
+
+@query("events_funnel_steps", sql=_FUNNEL_STEPS_SQL, tags=("relational", "events", "funnel"))
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE funnel analytics (the MATCH_RECOGNIZE family):
+    view -> click -> purchase must occur in temporal order per user, each
+    conversion within a 24-hour window of the previous stage's first
+    reach; each stage is one filtered aggregate joined to the previous
+    stage — three user-keyed aggregates, no window over raw events, no
+    per-user sort."""
+    e = frames.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch_us("ts").alias("t")
+    )
+    s1 = e.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("t").alias("t1"))
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((F.col("t") > F.col("t1")) & (F.col("t") <= F.col("t1") + 86400000000))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("t") > F.col("t2")) & (F.col("t") <= F.col("t2") + 86400000000))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    reach = (
+        s1.join(s2.select("user_id", F.lit(1).alias("_r2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(1).alias("_r3")), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("_r3").isNotNull(), 3)
+            .when(F.col("_r2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("reached"),
+        )
+    )
+    return reach.groupBy("reached").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
