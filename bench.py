@@ -59,6 +59,9 @@ HEADLINE = [
     "text_dup_passages",
     "dedup_incremental",
     "quality_classifier_scores",
+    "corpus_chunk_windows",
+    "multimodal_audio_features",
+    "events_funnel_steps",
 ]
 
 
