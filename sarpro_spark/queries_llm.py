@@ -1983,3 +1983,29 @@ def q_multimodal_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return pay.mapInPandas(fn, schema=schema)
+
+
+# --- language-ID evaluation matrix --------------------------------------------
+
+_LANG_CONFUSION_SQL = f"""
+SELECT lang AS labeled, {__import__('sarpro_spark.llm.text', fromlist=['sql_lang_id']).sql_lang_id('text')} AS predicted,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""".strip()
+
+
+@query("text_lang_confusion", sql=_LANG_CONFUSION_SQL, tags=("llm", "text", "evaluation"))
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation surface: the labeled-vs-predicted language
+    confusion matrix (one aggregate) — the reporting leg every model-backed
+    filter needs next to its scores."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("labeled"),
+            tx.lang_id_expr(F.col("text")).alias("predicted"),
+        )
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

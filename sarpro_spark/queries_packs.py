@@ -203,6 +203,7 @@ register_pack(
     "llm_text_pack",
     (
         Member("text_lang_id", ("doc_id",)),
+        Member("text_lang_confusion", ("labeled", "predicted")),
         Member("text_token_stats", ("doc_id",)),
         Member("text_quality", ("doc_id",)),
         Member("text_fingerprint", ("doc_id",)),
@@ -347,6 +348,7 @@ register_pack(
         Member("returned_items_report", ("c_custkey",)),
         Member("events_incremental_rollup", ("event_type", "hod")),
         Member("events_funnel_steps", ("reached",)),
+        Member("events_cohort_retention", ("cohort_day", "day_offset")),
     ),
     doc="Union certificate: rollup/cube hierarchies, correlated-subquery "
     "decorrelation, as-of via cogrouped applyInPandas, JSON property "

@@ -1117,3 +1117,45 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("user_id").alias("min_user"),
         F.max("user_id").alias("max_user"),
     )
+
+
+# --- cohort retention ---------------------------------------------------------
+
+_COHORT_SQL = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(EPOCH_US(ts) AS BIGINT) // 86400000000) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+    CAST(EPOCH_US(e.ts) AS BIGINT) // 86400000000 - f.cohort_day AS day_offset
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+  CAST(day_offset AS BIGINT) AS day_offset,
+  CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+""".strip()
+
+
+@query("events_cohort_retention", sql=_COHORT_SQL, tags=("relational", "events", "analytics"))
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity counted
+    per day offset (the engagement matrix every product-analytics engine
+    ships). Two user-keyed aggregates; the firsts table broadcasts back
+    onto the event stream."""
+    e = frames.load_table(spark, sf_dir, "events").select(
+        "user_id", (_epoch_us("ts") / F.lit(86400000000)).cast("long").alias("day")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .where(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
