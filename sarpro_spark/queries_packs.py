@@ -349,6 +349,7 @@ register_pack(
         Member("events_incremental_rollup", ("event_type", "hod")),
         Member("events_funnel_steps", ("reached",)),
         Member("events_cohort_retention", ("cohort_day", "day_offset")),
+        Member("events_ab_test", ()),
     ),
     doc="Union certificate: rollup/cube hierarchies, correlated-subquery "
     "decorrelation, as-of via cogrouped applyInPandas, JSON property "

@@ -1159,3 +1159,86 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("active_users")
     )
+
+
+# --- A/B experiment analysis --------------------------------------------------
+
+_AB_WELCH = (
+    "(sa1 / na - sb1 / nb) / SQRT("
+    "GREATEST((sa2 / na - (sa1 / na) * (sa1 / na)) / (na - 1), 1e-12)"
+    " + GREATEST((sb2 / nb - (sb1 / nb) * (sb1 / nb)) / (nb - 1), 1e-12))"
+)
+
+_AB_TEST_SQL = f"""
+WITH assigned AS (
+  SELECT CASE WHEN (CAST(('0x' || SUBSTR(MD5('ab' || '|' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) < 500000
+              THEN 'A' ELSE 'B' END AS variant,
+         value
+  FROM events WHERE event_type = 'purchase'
+),
+stats AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(value) AS s1, SUM(value * value) AS s2
+  FROM assigned GROUP BY variant
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN variant = 'A' THEN n END) AS na,
+    MAX(CASE WHEN variant = 'A' THEN s1 END) AS sa1,
+    MAX(CASE WHEN variant = 'A' THEN s2 END) AS sa2,
+    MAX(CASE WHEN variant = 'B' THEN n END) AS nb,
+    MAX(CASE WHEN variant = 'B' THEN s1 END) AS sb1,
+    MAX(CASE WHEN variant = 'B' THEN s2 END) AS sb2
+  FROM stats
+)
+SELECT na, nb,
+  {sql_fround('sa1 / na')} AS mean_a,
+  {sql_fround('sb1 / nb')} AS mean_b,
+  {sql_fround('(sa1 / na) - (sb1 / nb)')} AS lift,
+  {sql_fround(_AB_WELCH)} AS welch_t
+FROM wide
+""".strip()
+
+
+@query("events_ab_test", sql=_AB_TEST_SQL, tags=("relational", "events", "analytics"))
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation surface: deterministic md5 unit assignment (the same
+    bucket arithmetic as the sampling operators) and a Welch t statistic
+    from exact moment aggregates — one pass, map-side combined; the
+    variance terms come from the same (n, sum, sum-sq) partials a
+    streaming/incremental version would maintain."""
+    from sarpro_spark.llm.sampling import hash_bucket
+
+    e = frames.load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    assigned = e.select(
+        F.when(hash_bucket(F.col("user_id"), "ab") < 500000, "A").otherwise("B").alias("variant"),
+        "value",
+    )
+    stats = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    wide = stats.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("s1"))).alias("sa1"),
+        F.max(F.when(F.col("variant") == "A", F.col("s2"))).alias("sa2"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("s1"))).alias("sb1"),
+        F.max(F.when(F.col("variant") == "B", F.col("s2"))).alias("sb2"),
+    )
+    na, sa1, sa2 = F.col("na"), F.col("sa1"), F.col("sa2")
+    nb, sb1, sb2 = F.col("nb"), F.col("sb1"), F.col("sb2")
+    ma, mb = sa1 / na, sb1 / nb
+    va = F.greatest((sa2 / na - ma * ma) / (na - 1), F.lit(1e-12))
+    vb = F.greatest((sb2 / nb - mb * mb) / (nb - 1), F.lit(1e-12))
+    return wide.select(
+        na.cast("long").alias("na"),
+        nb.cast("long").alias("nb"),
+        fround(ma).alias("mean_a"),
+        fround(mb).alias("mean_b"),
+        fround(ma - mb).alias("lift"),
+        fround((ma - mb) / F.sqrt(va + vb)).alias("welch_t"),
+    )
