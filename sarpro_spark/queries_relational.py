@@ -1242,3 +1242,39 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(ma - mb).alias("lift"),
         fround((ma - mb) / F.sqrt(va + vb)).alias("welch_t"),
     )
+
+
+# --- path analysis: event-type transitions ------------------------------------
+
+_PATH_TRANSITIONS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (
+      PARTITION BY user_id ORDER BY CAST(EPOCH_US(ts) AS BIGINT), event_id
+    ) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM ordered WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""".strip()
+
+
+@query("events_path_transitions", sql=_PATH_TRANSITIONS_SQL, tags=("relational", "events", "analytics"))
+def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: per-user event-type transition counts (the Markov
+    matrix behind next-action prediction and journey mining). One lag
+    window partitioned by user (parallel across users; deterministic
+    event-id tie-break), one aggregate."""
+    from pyspark.sql.window import Window as W
+
+    e = frames.load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(_epoch_us("ts"), F.col("event_id"))
+    ordered = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        ordered.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
