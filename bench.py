@@ -62,6 +62,9 @@ HEADLINE = [
     "corpus_chunk_windows",
     "multimodal_audio_features",
     "events_funnel_steps",
+    "events_cohort_retention",
+    "events_path_transitions",
+    "events_ab_test",
 ]
 
 
