@@ -146,3 +146,47 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
     for u in expected:
         assert got[u][0] == expected[u][0]
         assert got[u][1] == pytest.approx(expected[u][1], rel=1e-9)
+
+
+def test_funnel_order_sensitivity(spark):
+    """The funnel requires TEMPORAL order: a user whose purchase precedes
+    the first view does not count as converted."""
+    from sarpro_spark.queries_relational import q_events_funnel
+    from sarpro_spark import frames as fr
+    import pyspark.sql.functions as F
+
+    rows = [
+        # user 1: view -> click -> purchase in order, within windows
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:10:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 10:20:00", 1, "purchase", 1.0, "{}"),
+        # user 2: purchase BEFORE view -> must stall at stage 1
+        (4, "2024-01-01 09:00:00", 2, "purchase", 1.0, "{}"),
+        (5, "2024-01-01 10:00:00", 2, "view", 1.0, "{}"),
+        # user 3: view then click a WEEK later -> outside the window, stage 1
+        (6, "2024-01-01 10:00:00", 3, "view", 1.0, "{}"),
+        (7, "2024-01-08 10:00:00", 3, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="funnel_fx_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["reached"]: r["n_users"] for r in q_events_funnel(spark, d).collect()}
+    assert out == {3: 1, 1: 2}
+
+
+def test_ab_assignment_deterministic(spark):
+    """Unit assignment is a pure function of user_id: the same user lands in
+    the same variant on every run/engine."""
+    from sarpro_spark.llm.sampling import hash_bucket
+    import pyspark.sql.functions as F
+
+    probe = spark.createDataFrame([(i,) for i in range(200)], "user_id long")
+    v1 = probe.select("user_id", (hash_bucket(F.col("user_id"), "ab") < 500000).alias("a")).collect()
+    v2 = probe.select("user_id", (hash_bucket(F.col("user_id"), "ab") < 500000).alias("a")).collect()
+    assert {r["user_id"]: r["a"] for r in v1} == {r["user_id"]: r["a"] for r in v2}
+    n_a = sum(1 for r in v1 if r["a"])
+    assert 60 <= n_a <= 140  # roughly balanced
