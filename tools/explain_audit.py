@@ -348,6 +348,30 @@ AUDITS: dict[str, dict] = {
         "require": ["BroadcastNestedLoopJoin", "Window"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "events_funnel_steps": {
+        # stage chain: three filtered user-keyed aggregates, no raw-event
+        # window, no cartesian
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "BatchEvalPython", "Window"],
+    },
+    "events_cohort_retention": {
+        # firsts broadcast back onto the stream; two aggregates
+        "require": ["HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["props", "value"],
+    },
+    "events_ab_test": {
+        # single-pass moment aggregate; assignment is pure row arithmetic
+        "require": ["HashAggregate"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["props", "event_id"],
+    },
+    "events_path_transitions": {
+        # one per-user lag window + one aggregate
+        "require": ["Window", "HashAggregate"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["props", "value"],
+    },
     # pack plans: a pack is the UNION of its members' plans — the member
     # shapes are audited above/individually; here assert the union executes
     # each member once with no cross-member recombination and that no member
