@@ -2009,3 +2009,69 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("labeled", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- quality threshold sweep --------------------------------------------------
+
+_SWEEP_STEPS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def _sweep_sql() -> str:
+    # reuse the exact q_score construction of the funnel oracle
+    from sarpro_spark.llm.text import LANG_STOPWORDS, sql_count_word
+
+    ntok = "LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> ''))"
+    lt = "LOWER(text)"
+    padded = "(' ' || LOWER(text) || ' ')"
+    stops = " + ".join(sql_count_word(padded, w) for w in LANG_STOPWORDS["en"])
+    mean_tok = (
+        f"CASE WHEN {ntok} > 0 THEN CAST(LENGTH(REGEXP_REPLACE({lt}, '[^a-z0-9]', '', 'g')) AS DOUBLE)"
+        f" / {ntok} ELSE 0.0 END"
+    )
+    punct = f"CAST(LENGTH(REGEXP_REPLACE({lt}, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)"
+    stopr = f"CAST({stops} AS DOUBLE) / GREATEST({ntok}, 1)"
+    qscore = (
+        f"(LEAST(CAST({ntok} AS DOUBLE) / 50.0, 1.0) * 0.4"
+        f" + (1.0 - LEAST(({punct}) * 5.0, 1.0)) * 0.2"
+        f" + LEAST(({stopr}) * 4.0, 1.0) * 0.2"
+        f" + (CASE WHEN ({mean_tok}) >= 3.0 AND ({mean_tok}) <= 8.0 THEN 1.0 ELSE 0.0 END) * 0.2)"
+    )
+    legs = "\nUNION ALL\n".join(
+        f"SELECT {t!r} AS threshold, CAST(SUM(CASE WHEN q >= {t!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_docs, "
+        f"CAST(SUM(CASE WHEN q >= {t!r} THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens FROM scored"
+        for t in _SWEEP_STEPS
+    )
+    return f"""
+WITH scored AS MATERIALIZED (
+  SELECT {qscore} AS q, CAST({ntok} AS BIGINT) AS n_tok FROM documents
+)
+{legs}
+""".strip()
+
+
+@query("quality_threshold_sweep", sql=_sweep_sql(), tags=("llm", "text", "evaluation"))
+def q_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-curve reporting: docs/tokens surviving each quality floor
+    in one corpus pass (9 conditional sums in a single aggregate) — the
+    yield/quality tradeoff table a pipeline operator reads before pinning
+    the production floor."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    scored = tx.quality_features(d).select(
+        F.col("q_score").alias("q"), F.col("q_tokens").cast("long").alias("n_tok")
+    )
+    aggs = []
+    for t in _SWEEP_STEPS:
+        aggs.append(F.sum(F.when(F.col("q") >= t, 1).otherwise(0)).alias(f"_n{int(t*10)}"))
+        aggs.append(
+            F.sum(F.when(F.col("q") >= t, F.col("n_tok")).otherwise(0)).alias(f"_t{int(t*10)}")
+        )
+    wide = scored.agg(*aggs)
+    legs = None
+    for t in _SWEEP_STEPS:
+        leg = wide.select(
+            F.lit(t).alias("threshold"),
+            F.col(f"_n{int(t*10)}").alias("n_docs"),
+            F.col(f"_t{int(t*10)}").alias("n_tokens"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return legs

@@ -204,6 +204,7 @@ register_pack(
     (
         Member("text_lang_id", ("doc_id",)),
         Member("text_lang_confusion", ("labeled", "predicted")),
+        Member("quality_threshold_sweep", ("threshold",)),
         Member("text_token_stats", ("doc_id",)),
         Member("text_quality", ("doc_id",)),
         Member("text_fingerprint", ("doc_id",)),
