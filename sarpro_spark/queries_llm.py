@@ -2075,3 +2075,42 @@ def q_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         legs = leg if legs is None else legs.unionByName(leg)
     return legs
+
+
+# --- encoding hygiene ---------------------------------------------------------
+
+_ASCII_CLASS = "[\\x20-\\x7e\\t\\n\\r]"
+_NON_ASCII_SQL = f"LENGTH(REGEXP_REPLACE(text, '{_ASCII_CLASS}', '', 'g'))"
+_REPL_SQL = "LENGTH(text) - LENGTH(REPLACE(text, CHR(65533), ''))"
+_RATIO_SQL = f"CAST({_NON_ASCII_SQL} AS DOUBLE) / GREATEST(LENGTH(text), 1)"
+
+_ENCODING_SQL = f"""
+SELECT doc_id,
+  LENGTH(text) AS n_chars,
+  CAST({_NON_ASCII_SQL} AS BIGINT) AS n_non_ascii,
+  CAST({_REPL_SQL} AS BIGINT) AS n_replacement,
+  {sql_fround(_RATIO_SQL)} AS non_ascii_ratio,
+  ({_REPL_SQL} > 0) AS has_mojibake
+FROM documents
+""".strip()
+
+
+@query("text_encoding_hygiene", sql=_ENCODING_SQL, tags=("llm", "text", "hygiene"))
+def q_encoding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-hygiene signals: non-ASCII density and U+FFFD replacement-
+    character counts (the mojibake detector every crawled-corpus filter
+    runs) — pure string expressions, scan-parallel."""
+    t = F.col("text")
+    non_ascii = F.length(F.regexp_replace(t, "[\\x20-\\x7e\\t\\n\\r]", ""))
+    repl = F.length(t) - F.length(F.replace(t, F.lit(chr(0xFFFD)), F.lit("")))
+    d = frames.load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        non_ascii.cast("long").alias("n_non_ascii"),
+        repl.cast("long").alias("n_replacement"),
+        fround(
+            non_ascii.cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double")
+        ).alias("non_ascii_ratio"),
+        (repl > 0).alias("has_mojibake"),
+    )
