@@ -262,10 +262,14 @@ def duplicated_passages(
     from pyspark.sql.window import Window as W
 
     toks = tokens_expr(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("_toks"))
-    pos = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.size("_toks") - (w - 1), F.lit(0)))
+    # Docs shorter than w tokens have zero shingles; drop them BEFORE the
+    # sequence/explode (sequence(1, 0) is DESCENDING in Spark, so a short
+    # doc would otherwise emit pos=0 and crash F.slice). They re-attach
+    # with zero counts via the final left joins.
+    base = df.select(F.col(id_col), toks.alias("_toks")).where(
+        F.size("_toks") >= w
     )
+    pos = F.explode(F.sequence(F.lit(1), F.size("_toks") - (w - 1)))
     sh = base.select(F.col(id_col), pos.alias("pos"), F.col("_toks")).select(
         F.col(id_col),
         "pos",

@@ -154,12 +154,19 @@ def lzw_encode(data: bytes) -> bytes:
             if next_code == (1 << nbits) - 1 and nbits < 12:
                 nbits += 1
             if next_code == 4094:  # table nearly full: reset (spec-mandated)
-                emit(cur if False else _LZW_CLEAR, nbits)
+                emit(_LZW_CLEAR, nbits)
                 table = {}
                 next_code = 258
                 nbits = 9
             cur = b
         emit(cur, nbits)
+        # The decoder grows its table on this final data code too (phantom
+        # entry the encoder never uses), which can cross an early-change
+        # width boundary; mirror the bump so EOI is written at the width the
+        # decoder will read it with (desyncs exactly when the final code is
+        # the 253rd/765th/1789th after a clear).
+        if next_code == (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
     emit(_LZW_EOI, nbits)
     if acc_bits:
         out.append((acc << (8 - acc_bits)) & 0xFF)

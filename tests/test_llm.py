@@ -619,6 +619,31 @@ def test_duplicated_passages(spark):
         assert r["n_shingles"] == n_tok - 3 + 1
 
 
+def test_duplicated_passages_short_docs(spark):
+    """Docs with fewer than w tokens (incl. empty) must yield zero shingles,
+    not crash: sequence(1, 0) is DESCENDING in Spark, so the old plan
+    emitted pos=0 and blew up F.slice (ADVICE r4 regression)."""
+    from sarpro_spark.llm import filters as fl
+
+    rows = [
+        (0, "two words"),
+        (1, ""),
+        (2, "one"),
+        (3, "exactly three tokens"),
+        (4, "a normal length document with plenty of words inside it"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fl.duplicated_passages(docs, w=3).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    for did in (0, 1, 2):
+        assert out[did]["n_shingles"] == 0
+        assert out[did]["n_dup"] == 0
+        assert out[did]["dup_frac"] == 0.0
+        assert out[did]["max_dup_run"] == 0
+    assert out[3]["n_shingles"] == 1
+    assert out[4]["n_shingles"] == 10 - 3 + 1
+
+
 def test_incremental_dedup_semantics(spark):
     """A batch copy of an index doc is an exact dup; a near-copy is a near
     dup; novel content is new. Split is forced via a controlled id set."""

@@ -509,3 +509,24 @@ def test_tiff_all_compressions_roundtrip(tmp_path):
     assert lzw_decode(lzw_encode(big)) == big
     zeros = b"\x00" * 150_000
     assert lzw_decode(lzw_encode(zeros)) == zeros
+
+    # Regression: the FINAL data code landing exactly on an early-change
+    # boundary (253rd/765th/1789th code after a clear) used to desync the
+    # encoder's EOI width from the decoder's phantom-entry bump.
+    # bytes(range(253)) has all-distinct adjacent pairs -> exactly 253 data
+    # codes, the last one at the 9->10 bit boundary.
+    boundary = bytes(range(253))
+    assert lzw_decode(lzw_encode(boundary)) == boundary
+    for trial in range(400):
+        rs2 = np.random.RandomState(1000 + trial)
+        n = int(rs2.choice([253, 254, 765, 766, 1789, 1790]))
+        d = bytes(rs2.randint(0, 256, n, dtype=np.uint8))
+        assert lzw_decode(lzw_encode(d)) == d, (trial, n)
+    # and through the full TIFF writer/reader (the ADVICE repro shape)
+    for trial in range(20):
+        rs3 = np.random.RandomState(2000 + trial)
+        img = rs3.randint(0, 256, (11, 23), dtype=np.uint8)  # 253-byte strips
+        p = str(tmp_path / f"lzw_boundary_{trial}.tiff")
+        write_tiff(p, img, rows_per_strip=11, compression="lzw")
+        back, _ = read_tiff(p)
+        assert (back == img).all(), trial
