@@ -161,9 +161,14 @@ def ngram_jaccard_pairs(
     sh = char_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_df is not None:
+        # No broadcast hint: the sub-cap shingle set is the unbounded Zipf
+        # long tail (billions of rows at corpus scale); a forced broadcast
+        # ignores size and OOMs the driver. The semi-join key matches
+        # dfreq's grouping key, so sort-merge reuses the partitioning, and
+        # AQE may still downgrade to broadcast at small SF.
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         rare = sh.join(
-            F.broadcast(dfreq.where(F.col("df_") <= max_shingle_df)), "shingle", "left_semi"
+            dfreq.where(F.col("df_") <= max_shingle_df), "shingle", "left_semi"
         )
     else:
         rare = sh
@@ -182,9 +187,12 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # sizes is one row PER DOC — unbounded at corpus scale, so no forced
+    # broadcast; the candidate-pair side is the small one after filtering
+    # and AQE picks the right strategy per actual sizes.
     out = (
-        inter.join(F.broadcast(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))), "doc_a")
-        .join(F.broadcast(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))), "doc_b")
+        inter.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")

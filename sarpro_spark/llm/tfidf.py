@@ -45,10 +45,17 @@ def tfidf_vectors(
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    # Apply the stop-term cap to dfreq BEFORE the tf join, and do NOT force
+    # a broadcast of it: the raw vocabulary is unbounded (typos/URLs/hashes
+    # make it billions of rows at corpus scale) and a broadcast hint ignores
+    # size. The capped dfreq is still Zipf-tail-sized, so the join strategy
+    # is AQE's call; its key (term) matches dfreq's grouping key, so the
+    # sort-merge path reuses the existing hash partitioning.
+    dfreq_capped = dfreq.crossJoin(F.broadcast(total)).where(
+        F.col("df") <= F.col("n_docs") * max_df_frac
+    )
     w = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(total))
-        .where(F.col("df") <= F.col("n_docs") * max_df_frac)
+        tf.join(dfreq_capped, "term")
         .select(
             F.col(id_col),
             "term",

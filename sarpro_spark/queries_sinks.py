@@ -185,10 +185,12 @@ def q_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W2/S4 end-to-end (tiff.rs:6-78, sentinel1.rs:885-911): per-product
     U8 pipeline -> 2-band GeoTIFF written executor-side (W7 geotransform
     embed) -> decoded back -> pixel frame. Products cycle through the four
-    codec paths (none / DEFLATE / LZW / PackBits by product_id % 4) — one
-    hash row certifies every compression the codec supports (reference
-    parity: GDAL reads any compression, gdal.rs:107-141). Write and read
-    are stages of ONE lazy plan (read tasks consume the write manifest)."""
+    codec paths (none / DEFLATE / LZW / PackBits by product_id % 4) AND
+    alternate strip/tiled organization (by product_id % 2) — one hash row
+    certifies every compression x layout the codec supports (reference
+    parity: GDAL reads any compression and tiled S1 measurement rasters
+    transparently, gdal.rs:107-141). Write and read are stages of ONE lazy
+    plan (read tasks consume the write manifest)."""
     import tempfile
 
     import sarpro_spark.operators.kernel as krn
@@ -213,12 +215,15 @@ def q_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("product_id") % 4 == 2, "lzw")
         .otherwise("packbits")
         .alias("comp"),
+        # layout alternates strip/tiled (TIFF 6.0 section 15) so the one
+        # hash row certifies every codec x organization combination
+        (F.col("product_id") % 2 == 1).alias("tiled"),
     )
     out_dir = tempfile.mkdtemp(prefix="sarpro_tiff_rt_")
     manifest = w.write_geotiffs(
         two, out_dir, ["product_id"], ["q", "q_inv"], bits=8,
         gt_cols=("gt0", "gt1", "gt2", "gt3", "gt4", "gt5"),
-        compression_col="comp",
+        compression_col="comp", tiled_col="tiled",
     )
     back = w.read_tiffs_px(manifest, ["q", "q_inv"], ["product_id"])
     # the synthetic px grid is ragged (per-product counts vary, partial last

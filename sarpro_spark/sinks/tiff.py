@@ -7,10 +7,11 @@ strip u16 — exactly the subset a ~200-line struct-packing codec covers, so
 the container's lack of GDAL/PIL doesn't force a stub (VERDICT r01 item 5).
 
 Supported: little-endian classic TIFF, chunky planar
-(PlanarConfiguration=1), 1-3 samples/pixel, uint8/uint16, multi-strip;
+(PlanarConfiguration=1), 1-3 samples/pixel, uint8/uint16, multi-strip AND
+tile-organized (TIFF 6.0 section 15 — the layout real S1 measurement
+GeoTIFFs usually ship) on read+write;
 compression none(1)/LZW(5)/deflate(8, legacy 32946)/PackBits(32773), all
-pure-stdlib, on read+write
-on read+write, and horizontal-predictor (tag 317 = 2) undo on read — the
+pure-stdlib, and horizontal-predictor (tag 317 = 2) undo on read — the
 subset GDAL emits for DEFLATE-compressed GRD derivatives
 (/root/reference/src/io/gdal.rs:107-141 reads any compression via GDAL).
 Georeferencing: ModelPixelScaleTag + ModelTiepointTag (north-up geotransform,
@@ -49,6 +50,10 @@ TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_BYTE_COUNTS = 279
 TAG_PLANAR = 284
 TAG_PREDICTOR = 317
+TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_BYTE_COUNTS = 325
 TAG_EXTRA_SAMPLES = 338
 TAG_SAMPLE_FORMAT = 339
 TAG_MODEL_PIXEL_SCALE = 33550
@@ -226,13 +231,18 @@ def write_tiff(
     description: str | None = None,
     rows_per_strip: int | None = None,
     compression: str = "none",
+    tile_size: tuple[int, int] | None = None,
 ) -> int:
     """Write (rows, cols) or (rows, cols, samples) uint8/uint16 array as a
     striped TIFF, uncompressed or zlib-deflate per strip
-    (``compression='deflate'``). ``geotransform`` (6-element GDAL order)
-    embeds as ModelPixelScale+ModelTiepoint when north-up (gt2 == gt4 == 0 —
-    the reference's embed guard); ``description`` lands in ImageDescription.
-    Returns bytes written."""
+    (``compression='deflate'``). ``tile_size=(tw, th)`` (multiples of 16,
+    TIFF 6.0 section 15) switches to tile organization — the layout real
+    Sentinel-1 measurement GeoTIFFs usually ship, which GDAL reads
+    transparently (/root/reference/src/io/gdal.rs:107-141); edge tiles are
+    zero-padded to full size per spec. ``geotransform`` (6-element GDAL
+    order) embeds as ModelPixelScale+ModelTiepoint when north-up
+    (gt2 == gt4 == 0 — the reference's embed guard); ``description`` lands
+    in ImageDescription. Returns bytes written."""
     comp_code = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}.get(compression)
     if comp_code is None:
         raise ValueError(f"unsupported compression {compression!r}")
@@ -245,23 +255,15 @@ def write_tiff(
     rows, cols, samples = arr.shape
     arr = np.ascontiguousarray(arr)
     bits = arr.dtype.itemsize * 8
-    row_bytes = cols * samples * arr.dtype.itemsize
-    if rows_per_strip is None:
-        # ~1 MiB strips: bounded strip buffers at any raster width
-        rows_per_strip = max(1, min(rows, (1 << 20) // max(row_bytes, 1)))
-    n_strips = (rows + rows_per_strip - 1) // rows_per_strip
 
-    strips = []
-    for s in range(n_strips):
-        seg = arr[s * rows_per_strip:(s + 1) * rows_per_strip]
-        raw = seg.astype(arr.dtype.newbyteorder("<")).tobytes()
+    def _compress(raw: bytes) -> bytes:
         if comp_code == 8:
-            raw = zlib.compress(raw, 6)
-        elif comp_code == 5:
-            raw = lzw_encode(raw)
-        elif comp_code == 32773:
-            raw = packbits_encode(raw)
-        strips.append(raw)
+            return zlib.compress(raw, 6)
+        if comp_code == 5:
+            return lzw_encode(raw)
+        if comp_code == 32773:
+            return packbits_encode(raw)
+        return raw
 
     entries: list[tuple[int, int, list | bytes]] = [
         (TAG_WIDTH, _LONG, [cols]),
@@ -270,10 +272,40 @@ def write_tiff(
         (TAG_COMPRESSION, _SHORT, [comp_code]),
         (TAG_PHOTOMETRIC, _SHORT, [2 if samples == 3 else 1]),
         (TAG_SAMPLES_PER_PIXEL, _SHORT, [samples]),
-        (TAG_ROWS_PER_STRIP, _LONG, [rows_per_strip]),
         (TAG_PLANAR, _SHORT, [1]),
         (TAG_SAMPLE_FORMAT, _SHORT, [1] * samples),
     ]
+
+    if tile_size is not None:
+        tw, th = tile_size
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError("tile dims must be positive multiples of 16")
+        strips = []
+        for ty in range(0, rows, th):
+            for tx in range(0, cols, tw):
+                tile = np.zeros((th, tw, samples), dtype=arr.dtype)
+                seg = arr[ty:ty + th, tx:tx + tw]
+                tile[: seg.shape[0], : seg.shape[1]] = seg
+                strips.append(_compress(tile.astype(arr.dtype.newbyteorder("<")).tobytes()))
+        entries.append((TAG_TILE_WIDTH, _LONG, [tw]))
+        entries.append((TAG_TILE_LENGTH, _LONG, [th]))
+        offsets_tag, counts_tag = TAG_TILE_OFFSETS, TAG_TILE_BYTE_COUNTS
+    else:
+        row_bytes = cols * samples * arr.dtype.itemsize
+        if rows_per_strip is None:
+            # ~1 MiB strips: bounded strip buffers at any raster width
+            rows_per_strip = max(1, min(rows, (1 << 20) // max(row_bytes, 1)))
+        n_strips = (rows + rows_per_strip - 1) // rows_per_strip
+        strips = [
+            _compress(
+                arr[s * rows_per_strip:(s + 1) * rows_per_strip]
+                .astype(arr.dtype.newbyteorder("<"))
+                .tobytes()
+            )
+            for s in range(n_strips)
+        ]
+        entries.append((TAG_ROWS_PER_STRIP, _LONG, [rows_per_strip]))
+        offsets_tag, counts_tag = TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS
     if samples == 2:  # 2-band grayscale: second sample is unspecified data
         entries.append((TAG_EXTRA_SAMPLES, _SHORT, [0]))
     if description is not None:
@@ -290,8 +322,8 @@ def write_tiff(
     for b in strips:
         strip_offsets.append(off)
         off += len(b)
-    entries.append((TAG_STRIP_OFFSETS, _LONG, strip_offsets))
-    entries.append((TAG_STRIP_BYTE_COUNTS, _LONG, [len(b) for b in strips]))
+    entries.append((offsets_tag, _LONG, strip_offsets))
+    entries.append((counts_tag, _LONG, [len(b) for b in strips]))
     entries.sort(key=lambda e: e[0])
 
     overflow_off = off
@@ -366,26 +398,52 @@ def read_tiff(path: str) -> tuple[np.ndarray, dict]:
     samples = one(TAG_SAMPLES_PER_PIXEL, 1)
     bits = tags.get(TAG_BITS, [8])[0]
     dtype = np.dtype(e + ("u1" if bits == 8 else "u2"))
-    rows_per_strip = one(TAG_ROWS_PER_STRIP, rows) or rows
-    offs, counts = tags[TAG_STRIP_OFFSETS], tags[TAG_STRIP_BYTE_COUNTS]
-    pieces = []
-    for si, (o, c) in enumerate(zip(offs, counts)):
-        raw = buf[o:o + c]
+
+    def _decomp(raw: bytes) -> bytes:
         if comp in (8, 32946):
-            raw = zlib.decompress(raw)
-        elif comp == 5:
-            raw = lzw_decode(raw)
-        elif comp == 32773:
-            raw = packbits_decode(raw)
-        srows = min(rows_per_strip, rows - si * rows_per_strip)
-        a = np.frombuffer(raw, dtype=dtype, count=srows * cols * samples)
-        a = a.reshape(srows, cols, samples)
-        if predictor == 2:
-            # horizontal differencing: undo by cumulative sum along the row,
-            # wrapping in the sample dtype (per the TIFF 6.0 spec)
-            a = np.cumsum(a, axis=1, dtype=dtype)
-        pieces.append(a)
-    arr = np.concatenate(pieces, axis=0).astype(dtype.newbyteorder("="))
+            return zlib.decompress(raw)
+        if comp == 5:
+            return lzw_decode(raw)
+        if comp == 32773:
+            return packbits_decode(raw)
+        return raw
+
+    if TAG_TILE_OFFSETS in tags:
+        # tile organization (TIFF 6.0 section 15): tiles ordered left-to-
+        # right, top-to-bottom; every tile is full (tw, th) with zero
+        # padding past the image edge, which we clip on paste
+        tw, th = one(TAG_TILE_WIDTH), one(TAG_TILE_LENGTH)
+        offs, counts = tags[TAG_TILE_OFFSETS], tags[TAG_TILE_BYTE_COUNTS]
+        tiles_across = (cols + tw - 1) // tw
+        tiles_down = (rows + th - 1) // th
+        if len(offs) != tiles_across * tiles_down:
+            raise ValueError("tile count does not match image dims")
+        arr = np.empty((rows, cols, samples), dtype=dtype)
+        for ti, (o, c) in enumerate(zip(offs, counts)):
+            raw = _decomp(buf[o:o + c])
+            a = np.frombuffer(raw, dtype=dtype, count=th * tw * samples)
+            a = a.reshape(th, tw, samples)
+            if predictor == 2:
+                a = np.cumsum(a, axis=1, dtype=dtype)
+            ty, tx = (ti // tiles_across) * th, (ti % tiles_across) * tw
+            h, w_ = min(th, rows - ty), min(tw, cols - tx)
+            arr[ty:ty + h, tx:tx + w_] = a[:h, :w_]
+        arr = arr.astype(dtype.newbyteorder("="))
+    else:
+        rows_per_strip = one(TAG_ROWS_PER_STRIP, rows) or rows
+        offs, counts = tags[TAG_STRIP_OFFSETS], tags[TAG_STRIP_BYTE_COUNTS]
+        pieces = []
+        for si, (o, c) in enumerate(zip(offs, counts)):
+            raw = _decomp(buf[o:o + c])
+            srows = min(rows_per_strip, rows - si * rows_per_strip)
+            a = np.frombuffer(raw, dtype=dtype, count=srows * cols * samples)
+            a = a.reshape(srows, cols, samples)
+            if predictor == 2:
+                # horizontal differencing: undo by cumulative sum along the
+                # row, wrapping in the sample dtype (per the TIFF 6.0 spec)
+                a = np.cumsum(a, axis=1, dtype=dtype)
+            pieces.append(a)
+        arr = np.concatenate(pieces, axis=0).astype(dtype.newbyteorder("="))
     meta: dict = {}
     if TAG_DESCRIPTION in tags:
         meta["description"] = tags[TAG_DESCRIPTION][0]

@@ -228,6 +228,7 @@ def write_geotiffs(
     description_col: str | None = None,
     compression: str = "none",
     compression_col: str | None = None,
+    tiled_col: str | None = None,
 ) -> DataFrame:
     """W1 (1-band) / W2 (2-band) GeoTIFF write (tiff.rs:6-78): one TIFF per
     product via applyInPandas — pixels are assembled and encoded inside the
@@ -279,8 +280,10 @@ def write_geotiffs(
         path = os.path.join(out_dir, f"{stem}.tif")
         os.makedirs(out_dir, exist_ok=True)
         comp = str(pdf[compression_col].iloc[0]) if compression_col else compression
+        tiled = bool(pdf[tiled_col].iloc[0]) if tiled_col else False
         n = write_tiff(path, arr[:, :, 0] if len(value_cols) == 1 else arr,
-                       geotransform=gt, description=desc, compression=comp)
+                       geotransform=gt, description=desc, compression=comp,
+                       tile_size=(16, 16) if tiled else None)
         if gt is not None and projection_col is not None:  # W7 projection rule
             write_prj(path, str(pdf[projection_col].iloc[0]))
         out = pd.DataFrame(

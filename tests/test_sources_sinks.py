@@ -530,3 +530,40 @@ def test_tiff_all_compressions_roundtrip(tmp_path):
         write_tiff(p, img, rows_per_strip=11, compression="lzw")
         back, _ = read_tiff(p)
         assert (back == img).all(), trial
+
+
+def test_tiled_tiff_roundtrip(tmp_path):
+    """Tile organization (TIFF 6.0 section 15): every codec roundtrips u8,
+    u16 and RGB through 16x16 tiles, including non-multiple-of-16 image
+    dims whose edge tiles carry zero padding that must be clipped, a
+    tile-exact image, and a single-tile image; geo metadata survives."""
+    import numpy as np
+
+    from sarpro_spark.sinks.tiff import read_tiff, write_tiff
+
+    rs = np.random.RandomState(11)
+    imgs = {
+        "edge_u8": rs.randint(0, 256, (53, 41), dtype=np.uint8),
+        "edge_u16": rs.randint(0, 65536, (40, 63), dtype=np.uint16),
+        "rgb": rs.randint(0, 256, (35, 50, 3), dtype=np.uint8),
+        "exact": rs.randint(0, 256, (32, 48), dtype=np.uint8),
+        "single": rs.randint(0, 256, (9, 13), dtype=np.uint8),
+    }
+    for comp in ("none", "deflate", "lzw", "packbits"):
+        for name, img in imgs.items():
+            p = str(tmp_path / f"tiled_{comp}_{name}.tiff")
+            write_tiff(
+                p, img, tile_size=(16, 16), compression=comp,
+                geotransform=(10.0, 0.5, 0.0, 20.0, 0.0, -0.5),
+                description="tiled",
+            )
+            back, meta = read_tiff(p)
+            assert back.shape == img.shape, (comp, name)
+            assert (back == img).all(), (comp, name)
+            assert meta["description"] == "tiled"
+            assert meta["geotransform"][:2] == (10.0, 0.5)
+    # spec: tile dims must be multiples of 16
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_tiff(str(tmp_path / "bad.tiff"), imgs["exact"], tile_size=(20, 16))

@@ -399,8 +399,92 @@ def scan_read_schemas(plan: str) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
 
 
+# --- forced-broadcast boundedness gate ---------------------------------------
+# Every F.broadcast(...) in the engine must name a relation whose cardinality
+# is BOUNDED (per-product params, k centroids, a capped vocabulary, a 1-row
+# total) — a broadcast hint ignores actual size, so hinting an
+# unbounded-cardinality relation (per-doc, per-term, per-shingle tables) is a
+# driver OOM at corpus scale. New sites fail this audit until the target is
+# reviewed bounded and added here with a reason. (The r4 verdict's TF-IDF
+# dfreq hazard — and the same shape in ngram_jaccard — is what this prevents
+# from recurring.)
+BROADCAST_ALLOW: dict[tuple[str, str], str] = {
+    ("operators/stats.py", "base"): "per-(product,band) stats rows — batch-product grain",
+    ("operators/stats.py", "pct_rows"): "fixed percentile list (constant rows)",
+    ("operators/autoscale.py", "params"): "per-(product,band) autoscale params",
+    ("operators/autoscale.py", "ext"): "per-(product,band) extrema",
+    ("operators/synrgb.py", "tot"): "per-(product,band) histogram totals",
+    ("operators/synrgb.py", "fl"): "per-(product,band) floor row",
+    ("operators/clahe.py", "win"): "per-(product,band) window row",
+    ("operators/clahe.py", "dims"): "per-(product,band) dims row",
+    ("operators/clahe.py", "tile_agg"): "per-tile CDF — tiles-per-product grain",
+    ("operators/clahe.py", "c"): "per-tile centers — tiles-per-product grain",
+    ("operators/geometry.py", "dims"): "per-(product,band) dims row",
+    ("operators/geometry.py", "tiles_b"): "pinned GCP tile grid — grid-cell grain",
+    ("operators/local_enhance.py", "dims"): "per-(product,band) dims row",
+    ("operators/kernel.py", "params"): "per-(product,band) kernel params",
+    ("llm/sampling.py", "rate_df"): "per-stratum rates — stratum grain",
+    ("llm/text.py", "freqs"): "vocabulary CAPPED to top-K before broadcast",
+    ("llm/text.py", "totals"): "1-row global totals",
+    ("llm/text.py", "big"): "bigram table over the capped vocab",
+    ("llm/text.py", "cprev"): "capped-vocab context counts",
+    ("llm/packing.py", "totals"): "1-row global totals",
+    ("llm/graph.py", "dm"): "1-row dangling-mass scalar",
+    ("llm/similarity.py", "queries"): "bounded query batch (serving side)",
+    ("llm/similarity.py", "qkeys"): "LSH keys of the bounded query batch",
+    ("llm/similarity.py", "centroids"): "k IVF/k-means centroids",
+    ("llm/similarity.py", "qc"): "query x probe-centroid rows — bounded batch",
+    ("llm/tfidf.py", "total"): "1-row corpus count",
+    ("llm/tfidf.py", "vocab_idx"): "dense path only: vocab <= DENSE_VOCAB_MAX",
+    ("llm/tfidf.py", "reps"): "G replication ids (constant rows)",
+    ("queries_llm.py", "cr"): "count-min row of W counters (constant)",
+    ("queries_llm.py", "straddle"): "1-row straddling-pair count",
+    ("queries_relational.py", "t"): "TPC-H nation/region/customer dims",
+    ("queries_relational.py", "c"): "filtered customer dim (Q10 shape)",
+    ("queries_relational.py", "s"): "supplier dim",
+    ("queries_relational.py", "n1"): "nation dim",
+    ("queries_relational.py", "n2"): "nation dim",
+    ("queries_relational.py", "n"): "nation dim",
+    ("queries_relational.py", "firsts"): "per-user first-touch — user-dim grain",
+    ("queries_raster.py", "sketch"): "GK sketch rows — per-(product,band)",
+    ("queries_raster.py", "pvv"): "per-product percentile row",
+    ("queries_raster.py", "pvh"): "per-product percentile row",
+}
+
+
+def audit_broadcast_sites() -> list[str]:
+    """Return problems for F.broadcast sites not in the reviewed allowlist."""
+    pkg = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sarpro_spark")
+    pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+    problems = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg)
+            with open(path) as fh:
+                for ln, line in enumerate(fh, 1):
+                    m = pat.search(line)
+                    if m and (rel, m.group(1)) not in BROADCAST_ALLOW:
+                        problems.append(
+                            f"sarpro_spark/{rel}:{ln} F.broadcast({m.group(1)}...) "
+                            "not in BROADCAST_ALLOW — review cardinality bound first"
+                        )
+    return problems
+
+
 def main() -> int:
     names = sys.argv[1:] or list(AUDITS)
+    bcast_problems = audit_broadcast_sites()
+    if bcast_problems:
+        for p in bcast_problems:
+            print(f"✗ broadcast-gate: {p}")
+        if not sys.argv[1:]:
+            print(f"\nPLAN AUDIT FAILED (broadcast gate: {len(bcast_problems)})")
+            return 1
+    elif not sys.argv[1:]:
+        print("✓ broadcast-gate: all F.broadcast sites reviewed bounded")
     # static planning: AQE hides codegen ids / finalizes lazily, and the
     # audit is about the designed plan shape, not runtime re-planning
     spark = build_session("explain_audit", extra_conf={"spark.sql.adaptive.enabled": "false"})
