@@ -21,6 +21,7 @@ subset implemented for real.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from struct import error as struct_error
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -115,6 +116,72 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise NotImplementedError(f"no codec for magic {buf[:4]!r}")
 
 
+def sniff_image(payload: bytes) -> str:
+    """Header-only format sniff: 'png', 'jpeg' (baseline), 'jpeg_progressive'
+    (SOF2 — entropy decode unsupported, header dims still parseable), or
+    'unknown'. O(header) per blob; never touches entropy data."""
+    import struct
+
+    from sarpro_spark.sinks import png as P
+
+    buf = bytes(payload)
+    if buf[:8] == P.SIGNATURE:
+        return "png"
+    if buf[:2] == b"\xFF\xD8":
+        pos = 2
+        while pos + 4 <= len(buf) and buf[pos] == 0xFF:
+            marker = buf[pos + 1]
+            if marker == 0xC2:
+                return "jpeg_progressive"
+            if marker in (0xC0, 0xC1, 0xC3):
+                return "jpeg"
+            if marker == 0xDA:  # SOS before any SOF: malformed, stop sniffing
+                break
+            pos += 2 + struct.unpack(">H", buf[pos + 2:pos + 4])[0]
+        return "jpeg"
+    return "unknown"
+
+
+def safe_decode_image(payload: bytes):
+    """Decode-or-degrade: (pixels, True) when an in-repo codec covers the
+    blob, (None, False) when it doesn't (progressive JPEG, exotic
+    subsampling, unknown magic). The 100 TB doctrine: ONE undecodable blob
+    must cost one False row, never a failed scan task — callers fall back
+    to :func:`image_dims` + byte features for the False rows."""
+    import zlib
+
+    try:
+        return decode_image(payload), True
+    except (
+        NotImplementedError,  # declared codec boundary (progressive, ...)
+        ValueError,           # malformed stream content
+        struct_error,         # truncated fixed-layout field
+        IndexError,           # truncated marker/segment chain
+        AssertionError,       # marker-structure invariant violated
+        KeyError,             # reference to an undefined table id
+        zlib.error,           # corrupt DEFLATE stream (PNG idat)
+    ):
+        return None, False
+
+
+def make_progressive(jpeg_bytes: bytes) -> bytes:
+    """Rewrite a baseline JPEG's SOF0 marker to SOF2 by walking the segment
+    chain (not a byte search — 0xFFC0 can occur inside table payloads).
+    Produces a structurally-valid progressive-marked stream: header parsers
+    (dims, sniff) read it; entropy decode correctly refuses. The
+    deterministic progressive fixture for the fallback certification."""
+    import struct
+
+    buf = bytearray(jpeg_bytes)
+    pos = 2
+    while pos + 4 <= len(buf) and buf[pos] == 0xFF:
+        if buf[pos + 1] == 0xC0:
+            buf[pos + 1] = 0xC2
+            return bytes(buf)
+        pos += 2 + struct.unpack(">H", bytes(buf[pos + 2:pos + 4]))[0]
+    raise ValueError("no SOF0 segment found")
+
+
 def image_dims(payload: bytes) -> tuple[int, int]:
     """(width, height) from the header only — JPEG SOF0 scan / PNG IHDR.
     The metadata fast path: no entropy decode, O(header) per blob."""
@@ -183,11 +250,16 @@ def formula_image(doc_id: int, w: int, h: int, channels: int, frame: int = 0) ->
     return out[:, :, 0] if channels == 1 else out
 
 
-def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_image_payload(
+    df: DataFrame, id_col: str = "doc_id", progressive_mod: int | None = None
+) -> DataFrame:
     """Real-format binary payloads: per doc a deterministic formula image,
     encoded PNG (doc_id%4 in {0,2} — lossless leg) or baseline JPEG
     (doc_id%4 in {1,3} — lossy leg), gray (%4 < 2) or RGB. Encoding happens
-    executor-side in Arrow batches; the driver never sees a payload."""
+    executor-side in Arrow batches; the driver never sees a payload.
+    ``progressive_mod=m``: JPEG docs with doc_id % m == 0 get their SOF0
+    rewritten to SOF2 (progressive-marked — the graceful-degradation
+    fixture for :func:`safe_decode_image`)."""
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
     schema = StructType(
@@ -207,7 +279,13 @@ def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h = 8 + i % 24, 8 + i % 16
                 mode = i % 4
                 img = formula_image(i, w, h, 3 if mode >= 2 else 1)
-                blobs.append(encode_png(img) if mode % 2 == 0 else encode_jpeg(img, 90))
+                if mode % 2 == 0:
+                    blob = encode_png(img)
+                else:
+                    blob = encode_jpeg(img, 90)
+                    if progressive_mod is not None and i % progressive_mod == 0:
+                        blob = make_progressive(blob)
+                blobs.append(blob)
                 ids.append(i)
             yield pd.DataFrame({id_col: ids, "payload": blobs})
 

@@ -719,6 +719,68 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_mm_decode.__doc__ = q_mm_decode.__doc__.format(tol=_JPEG_MAE_TOL)
 
+
+# --- progressive-JPEG graceful degradation -----------------------------------
+
+_MM_PROGRESSIVE_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'jpeg_progressive' ELSE 'jpeg' END AS fmt,
+  CAST(8 + doc_id % 24 AS INTEGER) AS width,
+  CAST(8 + doc_id % 16 AS INTEGER) AS height,
+  doc_id % 3 <> 0 AS decode_ok
+FROM documents WHERE doc_id % 2 = 1
+""".strip()
+
+
+@query("multimodal_progressive_fallback", sql=_MM_PROGRESSIVE_SQL, tags=("llm", "multimodal"))
+def q_mm_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graceful degradation for unsupported encodings: every third JPEG doc
+    is progressive-marked (SOF0 rewritten to SOF2 — entropy decode
+    unsupported by the baseline codec, jpeg.py's declared boundary). The
+    scan kernel must emit decode_ok = FALSE with header-sniffed dims for
+    those blobs instead of raising — at 100 TB one exotic blob costs one
+    False row, never a failed task. The oracle pins which docs degrade and
+    that the header-dims fallback equals the formula dims."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = frames.load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 1)
+    payloads = mm.attach_image_payload(d, progressive_mod=3)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("fmt", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("decode_ok", BooleanType()),
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(buf)
+                fmt = mm.sniff_image(buf)
+                arr, ok = mm.safe_decode_image(buf)
+                if ok:
+                    h, w = arr.shape[:2]
+                else:
+                    w, h = mm.image_dims(buf)  # header-only fallback
+                rows.append((int(i), fmt, w, h, ok))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return payloads.mapInPandas(fn, schema=schema)
+
+
 _MM_FRAMES_SQL = """
 WITH g AS (SELECT doc_id, 2 + doc_id % 3 AS n_frames FROM documents),
 f AS (

@@ -321,6 +321,7 @@ register_pack(
     (
         Member("multimodal_metadata", ("doc_id",)),
         Member("multimodal_byte_features", ("doc_id",)),
+        Member("multimodal_progressive_fallback", ("doc_id",)),
         Member("multimodal_frame_sample", ("doc_id", "frame_idx")),
         Member("multimodal_audio_features", ("doc_id",)),
         Member("multimodal_audio_frames", ("doc_id", "frame_idx")),

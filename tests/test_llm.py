@@ -644,6 +644,30 @@ def test_duplicated_passages_short_docs(spark):
     assert out[4]["n_shingles"] == 10 - 3 + 1
 
 
+def test_progressive_jpeg_graceful_degradation():
+    """A progressive-marked (SOF2) blob must sniff as such, refuse entropy
+    decode via (None, False) — never an exception — and still yield header
+    dims; baseline JPEG/PNG/unknown magic dispatch correctly."""
+    from sarpro_spark.llm import multimodal as mm
+    from sarpro_spark.sinks.jpeg import encode_jpeg
+    from sarpro_spark.sinks.png import encode_png
+
+    img = mm.formula_image(3, 11, 11, 1)
+    b = encode_jpeg(img, 90)
+    p = mm.make_progressive(b)
+    assert mm.sniff_image(b) == "jpeg"
+    assert mm.sniff_image(p) == "jpeg_progressive"
+    arr, ok = mm.safe_decode_image(b)
+    assert ok and arr.shape == (11, 11)
+    arr2, ok2 = mm.safe_decode_image(p)
+    assert not ok2 and arr2 is None
+    assert mm.image_dims(p) == (11, 11)
+    assert mm.sniff_image(encode_png(img)) == "png"
+    assert mm.safe_decode_image(b"\x00\x01\x02\x03") == (None, False)
+    # truncated garbage after a JPEG SOI must degrade, not raise
+    assert mm.safe_decode_image(b"\xFF\xD8\xFF") == (None, False)
+
+
 def test_incremental_dedup_semantics(spark):
     """A batch copy of an index doc is an exact dup; a near-copy is a near
     dup; novel content is new. Split is forced via a controlled id set."""
