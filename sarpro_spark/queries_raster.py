@@ -812,6 +812,193 @@ SELECT product_id, row, col, {sql_fround('q')} AS q FROM warped
 """.strip()
 
 
+# --- G5c: in-engine UTM (Transverse Mercator) from lon/lat GCPs --------------
+
+# Closes G5's last external delegation: the reference's geodetic reprojection
+# shells to gdalwarp (sentinel1.rs:914-1072); here lon/lat GCP grids are
+# projected to the EPSG:326xx/327xx target CRS by the 4th-order Kruger series
+# (operators/tmerc.py) as pure column arithmetic, then the existing
+# piecewise-bilinear GCP warp does the rest. Fixture: per-product geographic
+# patches spread across zones and hemispheres; GCPs every 2^-9 deg (dyadic,
+# so the lon/lat grid itself is bit-identical cross-engine). Projected
+# coordinates are snapped to a 0.25 m lattice before the warp: < 1/500 px
+# of distortion at 10 m pixels, and it makes every downstream warp quantity
+# (corner differences, cross products, the quadratic solve) EXACT lattice
+# arithmetic — correctly-rounded sqrt/div only — so both engines take
+# bit-identical seam/membership decisions; libm noise lives only in the
+# projection itself, absorbed by the snap.
+
+_UTM_DLL = 0.001953125  # 2^-9 deg GCP spacing
+
+
+def _utm_fixture_sql() -> str:
+    """Shared CTE chain ending in ``fw`` (projected GCP grid). Caller
+    supplies the WITH list start (needs a ``wdims(product_id, rows, cols)``
+    relation in scope)."""
+    from sarpro_spark.operators import tmerc as tmx
+
+    zone_sel = tmx.sql_steps_select("gg", tmx.utm_zone_steps("lon_c", "lat_c"))
+    fwd_sel = tmx.sql_steps_select("zz", tmx.tm_forward_steps())
+    return f"""
+ctr AS (
+  SELECT product_id, rows, cols,
+         -177.0 + CAST((product_id * 11) % 354 AS DOUBLE) AS lon_c,
+         -60.0 + CAST((product_id * 7) % 116 AS DOUBLE) AS lat_c
+  FROM wdims
+),
+gg AS (
+  SELECT product_id, lon_c, lat_c, i.i AS gi, j.j AS gj,
+         lon_c + j.j * {_UTM_DLL!r} AS lon,
+         lat_c - i.i * {_UTM_DLL!r} AS lat
+  FROM ctr,
+       LATERAL (SELECT UNNEST(RANGE(0, CAST(CEIL(rows/{_GCP_K}.0) AS BIGINT) + 1)) AS i) i,
+       LATERAL (SELECT UNNEST(RANGE(0, CAST(CEIL(cols/{_GCP_K}.0) AS BIGINT) + 1)) AS j) j
+),
+zz AS ({zone_sel}),
+fw AS ({fwd_sel})
+""".strip()
+
+
+def _utm_gcps_spark(spark: SparkSession, sf_dir: str):
+    """(u8, fw) — the quantized band and the projected GCP grid."""
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.operators.geometry import product_dims
+
+    px = _vv_px(spark, sf_dir)
+    stats = st.histogram_stats(px, ["product_id"])
+    params = asc.params_standard(stats, ["product_id"])
+    q16 = asc.apply_params(px, params, ["product_id"], BitDepth.U8, out="_q16")
+    u8 = asc.scale_u16_to_u8(q16, ["product_id"], value="_q16", out="q").drop("_q16")
+    dims = product_dims(px, ["product_id"])
+    kf = float(_GCP_K)
+    pid = F.col("product_id")
+    ctr = dims.select(
+        "product_id", "rows", "cols",
+        (F.lit(-177.0) + ((pid * 11) % 354).cast("double")).alias("lon_c"),
+        (F.lit(-60.0) + ((pid * 7) % 116).cast("double")).alias("lat_c"),
+    )
+    gg = (
+        ctr.select(
+            "product_id", "lon_c", "lat_c", "cols",
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.col("rows") / kf).cast("int"))
+            ).alias("gi"),
+        )
+        .select(
+            "product_id", "lon_c", "lat_c", "gi",
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.col("cols") / kf).cast("int"))
+            ).alias("gj"),
+        )
+        .select(
+            "product_id", "lon_c", "lat_c", "gi", "gj",
+            (F.col("lon_c") + F.col("gj") * _UTM_DLL).alias("lon"),
+            (F.col("lat_c") - F.col("gi") * _UTM_DLL).alias("lat"),
+        )
+    )
+    fw = tmx.apply_steps(
+        tmx.apply_steps(gg, tmx.utm_zone_steps("lon_c", "lat_c")),
+        tmx.tm_forward_steps(),
+    )
+    return u8, fw
+
+
+def _utm_forward_sql() -> str:
+    from sarpro_spark.queries import sql_fround
+
+    return f"""
+WITH {PX_CTE},
+wdims AS (
+  SELECT product_id, CAST(MAX(row)+1 AS INTEGER) AS rows, CAST(MAX(col)+1 AS INTEGER) AS cols
+  FROM px GROUP BY product_id
+),
+{_utm_fixture_sql()}
+SELECT product_id, gi, gj, zone, south,
+       {sql_fround('easting', 3)} AS easting,
+       {sql_fround('northing', 3)} AS northing
+FROM fw
+""".strip()
+
+
+@query("utm_forward_gcps", sql=_utm_forward_sql(), tags=("raster", "geometry", "crs"))
+def q_utm_forward_gcps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5c projection certificate at GCP grain: lon/lat grid -> UTM zone
+    pick (standard rule) -> Kruger forward, millimeter-rounded. The DuckDB
+    twin runs the IDENTICAL named step chain (operators/tmerc.py), so a
+    hash match certifies series coefficients, conformal-latitude chain and
+    false-easting/northing handling; the independent Snyder cross-check
+    lives in tests/test_geometry.py."""
+    from sarpro_spark.queries import fround
+
+    _u8, fw = _utm_gcps_spark(spark, sf_dir)
+    return fw.select(
+        "product_id", "gi", "gj", "zone", "south",
+        fround(F.col("easting"), 3).alias("easting"),
+        fround(F.col("northing"), 3).alias("northing"),
+    )
+
+
+def _warp_utm_sql() -> str:
+    from sarpro_spark.operators.geometry import sql_warp_gcp_grid
+    from sarpro_spark.queries import sql_fround
+
+    u8 = asc.oracle_autoscale_sql(_VV_SRC_CTE, ["product_id"], _KEYS, "standard-a2", BitDepth.U8)
+    warp = sql_warp_gcp_grid("u8", "gcpz", "wgeo", ["product_id"], _GCP_K, 256.0, "q")
+    return f"""
+WITH u8 AS ({u8}),
+wdims AS (
+  SELECT product_id, CAST(MAX(row)+1 AS INTEGER) AS rows, CAST(MAX(col)+1 AS INTEGER) AS cols
+  FROM u8 GROUP BY product_id
+),
+{_utm_fixture_sql()},
+gcpz AS (
+  SELECT product_id, gi, gj,
+         FLOOR(easting * 4.0 + 0.5) / 4.0 AS gx,
+         FLOOR(northing * 4.0 + 0.5) / 4.0 AS gy
+  FROM fw
+),
+wgeo AS (
+  SELECT product_id, MIN(gx) AS dg0, 8.0 AS dg1, 0.0 AS dg2,
+         MAX(gy) AS dg3, 0.0 AS dg4, -8.0 AS dg5,
+         CAST(CEIL((MAX(gy) - MIN(gy)) / 8.0) AS BIGINT) AS dst_rows,
+         CAST(CEIL((MAX(gx) - MIN(gx)) / 8.0) AS BIGINT) AS dst_cols
+  FROM gcpz GROUP BY product_id
+),
+{warp}
+SELECT product_id, row, col, {sql_fround('q')} AS q FROM warped
+""".strip()
+
+
+@query("warp_utm_from_lonlat", sql=_warp_utm_sql(), tags=("raster", "geometry", "warp", "crs"))
+def q_warp_utm_from_lonlat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 fully in-engine: lon/lat GCPs -> in-engine UTM forward (Kruger
+    series, JVM column math) -> 0.25 m lattice snap -> piecewise-bilinear
+    GCP warp to the projected target grid. The end-to-end path the
+    reference delegates to gdalwarp (sentinel1.rs:914-1072), now expressed
+    as one relational plan; products span UTM zones and both hemispheres."""
+    from sarpro_spark.operators.geometry import warp_gcp_grid
+    from sarpro_spark.queries import fround
+
+    u8, fw = _utm_gcps_spark(spark, sf_dir)
+    gcps = fw.select(
+        "product_id", "gi", "gj",
+        (F.floor(F.col("easting") * 4.0 + F.lit(0.5)) / 4.0).alias("gx"),
+        (F.floor(F.col("northing") * 4.0 + F.lit(0.5)) / 4.0).alias("gy"),
+    )
+    geo = gcps.groupBy("product_id").agg(
+        F.min("gx").alias("dg0"),
+        F.lit(8.0).alias("dg1"),
+        F.lit(0.0).alias("dg2"),
+        F.max("gy").alias("dg3"),
+        F.lit(0.0).alias("dg4"),
+        F.lit(-8.0).alias("dg5"),
+        F.ceil((F.max("gy") - F.min("gy")) / 8.0).cast("long").alias("dst_rows"),
+        F.ceil((F.max("gx") - F.min("gx")) / 8.0).cast("long").alias("dst_cols"),
+    )
+    out = warp_gcp_grid(u8, gcps, geo, ["product_id"], k=_GCP_K, bucket=256.0, value="q")
+    return out.select("product_id", "row", "col", fround(F.col("q")).alias("q"))
+
+
 @query("warp_gcp_grid", sql=_warp_gcp_sql(), tags=("raster", "geometry", "warp", "gcp"))
 def q_warp_gcp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 curvilinear path (reference: gdalwarp -tps from GCPs when the

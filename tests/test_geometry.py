@@ -280,3 +280,80 @@ def test_gcp_warp_curved_grid_matches_numpy(spark):
         abs(gx(ti, tj) - gx(ti, tj + 1) - gx(ti + 1, tj) + gx(ti + 1, tj + 1)) > 0.5
         for ti in range(n_g) for tj in range(1, n_g)
     )
+
+
+def test_tmerc_kruger_vs_snyder_and_roundtrip():
+    """Two independently-derived public TM expansions (Kruger-n series vs
+    Snyder/Redfearn USGS PP 1395) must agree sub-mm across zones and
+    hemispheres; forward->inverse roundtrips to ~1e-10 deg; central-meridian
+    and rectifying-radius invariants hold."""
+    import numpy as np
+
+    from sarpro_spark.operators import tmerc as tm
+
+    rng = np.random.RandomState(42)
+    n = 4000
+    zone = rng.randint(1, 61, n)
+    lon0 = zone * 6.0 - 183.0
+    lon = lon0 + rng.uniform(-3.0, 3.0, n)  # UTM's designed domain
+    lat = rng.uniform(-80.0, 84.0, n)
+    south = lat < 0
+
+    e1, n1 = tm.utm_forward_np(lon, lat, lon0, south)
+    e2, n2 = tm.utm_forward_snyder_np(lon, lat, lon0, south)
+    # Snyder's 6th-order truncation is the limiting factor, not Kruger
+    assert np.abs(e1 - e2).max() < 1e-3
+    assert np.abs(n1 - n2).max() < 2e-3
+
+    lon_i, lat_i = tm.utm_inverse_np(e1, n1, lon0, south)
+    assert np.abs(lon_i - lon).max() < 1e-9
+    assert np.abs(lat_i - lat).max() < 1e-9
+
+    # central meridian: E == false easting exactly, N monotone in |lat|
+    e3, n3 = tm.utm_forward_np(lon0, lat, lon0, south)
+    assert np.abs(e3 - 500000.0).max() == 0.0
+    # published WGS84 rectifying radius
+    assert abs(tm.A_RECT - 6367449.145823415) < 1e-6
+    # equator on the central meridian is the projection origin
+    e0, n0 = tm.utm_forward_np(3.0, 0.0, 3.0, False)
+    assert abs(float(e0) - 500000.0) == 0.0 and abs(float(n0)) < 1e-9
+
+
+def test_tmerc_spark_sql_steps_match_numpy(spark):
+    """The shared SQL step chain (the one both Spark and the DuckDB oracle
+    execute) must reproduce the numpy reference to float noise, zone rule
+    included."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.operators import tmerc as tm
+
+    rows = [
+        (0, -177.0, -60.0),
+        (1, 9.0, 48.0),       # zone 32 north, on the central meridian
+        (2, -58.4, -34.6),    # zone 21 south
+        (3, 151.2, -33.9),    # zone 56 south
+        (4, 139.7, 35.7),     # zone 54 north
+        (5, -0.1, 51.5),      # zone 30 north, near a zone edge
+    ]
+    df = spark.createDataFrame(rows, "pid long, lon double, lat double")
+    out = tm.apply_steps(
+        tm.apply_steps(df, tm.utm_zone_steps("lon", "lat")),
+        tm.tm_forward_steps(),
+    )
+    inv = tm.apply_steps(out, tm.tm_inverse_steps()).select(
+        "pid", "lon", "lat", "zone", "south", "easting", "northing",
+        "lon_inv", "lat_inv",
+    )
+    got = {r["pid"]: r for r in inv.collect()}
+    for pid, lon, lat in rows:
+        r = got[pid]
+        zone = int(min(max(np.floor((lon + 180.0) / 6.0) + 1, 1), 60))
+        assert r["zone"] == zone
+        assert r["south"] == (lat < 0.0)
+        e, n = tm.utm_forward_np(lon, lat, zone * 6.0 - 183.0, lat < 0.0)
+        assert abs(r["easting"] - float(e)) < 1e-6
+        assert abs(r["northing"] - float(n)) < 1e-6
+        assert abs(r["lon_inv"] - lon) < 1e-9
+        assert abs(r["lat_inv"] - lat) < 1e-9

@@ -256,6 +256,18 @@ AUDITS: dict[str, dict] = {
         "require": ["BroadcastHashJoin", "HashAggregate", "FlatMapCoGroupsInPandas", "Window"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "utm_forward_gcps": {
+        # the Kruger series is pure column arithmetic: one codegen span over
+        # the exploded GCP grid, no UDF, no join, no Python
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "warp_utm_from_lonlat": {
+        # projection feeds the GCP-tile warp: pinned tile broadcast, no
+        # cartesian, no Python anywhere (gather is relational)
+        "require": ["BroadcastHashJoin", "HashAggregate"],
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
     "corpus_pack_assignments": {
         # per-shard prefix sum: window partitioned by bucket (parallel),
         # never a global-order single-partition window
