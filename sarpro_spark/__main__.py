@@ -24,10 +24,10 @@ import time
 
 
 
-def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sarpro_spark", description=__doc__)
-    p.add_argument("-i", "--input", required=True, help="band-frame parquet path")
-    p.add_argument("-o", "--output", required=True, help="output directory (parquet)")
+    p.add_argument("-i", "--input", default=None, help="band-frame parquet path")
+    p.add_argument("-o", "--output", default=None, help="output directory (parquet)")
     p.add_argument("--polarization", default="vv",
                    choices=["vv", "vh", "hh", "hv", "multiband"])
     p.add_argument("--operation", default=None,
@@ -42,7 +42,67 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--resample", default="cubic", choices=["near", "bilinear", "cubic"])
     p.add_argument("--continue-on-error", action="store_true", default=True)
     p.add_argument("--master", default=None)
+    p.add_argument("--save-preset", default=None, metavar="FILE",
+                   help="write the resolved params as a JSON preset and exit "
+                        "(unless -i/-o are also given, in which case run too)")
+    p.add_argument("--load-preset", default=None, metavar="FILE",
+                   help="load a JSON preset as the defaults; explicit flags override")
+    return p
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    """Two-pass parse (reference: GUI preset save/load + generate_cli_command,
+    src/gui/models.rs:208-433): pass 1 finds --load-preset; the preset's
+    params become the parser DEFAULTS, so flags explicitly present on the
+    command line override the preset — the same precedence the reference GUI
+    applies when materializing a preset into a CLI invocation."""
+    p = _build_parser()
+    pre, _ = p.parse_known_args(argv)
+    if pre.load_preset:
+        from sarpro_spark.types import ProcessingParams
+
+        with open(pre.load_preset) as fh:
+            params = ProcessingParams.from_dict(json.load(fh))
+        p.set_defaults(**_params_to_argdefaults(params))
     return p.parse_args(argv)
+
+
+def _params_to_argdefaults(params) -> dict:
+    """ProcessingParams -> argparse default overrides (inverse of
+    build_params, flag vocabulary of the reference CLI)."""
+    return {
+        "polarization": params.polarization.value if params.polarization else "vv",
+        "operation": params.operation.value if params.operation else None,
+        "autoscale": params.autoscale.value,
+        "bit_depth": int(params.bit_depth.value),
+        "fmt": params.format.value,
+        "size": params.size,
+        "pad": params.pad,
+        "target_crs": params.target_crs if params.target_crs is not None else "none",
+        "resample": params.resample_alg.value,
+        "continue_on_error": params.continue_on_error,
+    }
+
+
+def params_to_cli(params, input_path: str = "<input>", output_path: str = "<out>") -> list[str]:
+    """generate_cli_command analog (src/gui/models.rs:343-433): the argv that
+    reproduces ``params`` exactly — parse_args(params_to_cli(p)) ->
+    build_params == p (asserted in tests/test_cli.py)."""
+    argv = ["-i", input_path, "-o", output_path]
+    if params.polarization is not None:
+        argv += ["--polarization", params.polarization.value]
+    if params.operation is not None:
+        argv += ["--operation", params.operation.value]
+    argv += ["--autoscale", params.autoscale.value]
+    argv += ["--bit-depth", str(int(params.bit_depth.value))]
+    argv += ["--format", params.format.value]
+    if params.size is not None:
+        argv += ["--size", str(params.size)]
+    if params.pad:
+        argv += ["--pad"]
+    argv += ["--target-crs", params.target_crs if params.target_crs is not None else "none"]
+    argv += ["--resample", params.resample_alg.value]
+    return argv
 
 
 def build_params(args: argparse.Namespace):
@@ -72,10 +132,18 @@ def build_params(args: argparse.Namespace):
 
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
+    params = build_params(args)
+    if args.save_preset:
+        with open(args.save_preset, "w") as fh:
+            json.dump(params.to_dict(), fh, indent=2)
+        if args.input is None or args.output is None:
+            print(json.dumps({"preset_saved": args.save_preset}))
+            return 0
+    if args.input is None or args.output is None:
+        raise SystemExit("error: -i/--input and -o/--output are required to run")
     from sarpro_spark.plans.pipeline import build_pipeline
     from sarpro_spark.session import build_session
 
-    params = build_params(args)
     spark = build_session("sarpro_spark_cli", master=args.master)
     t0 = time.time()
     band_long = spark.read.parquet(args.input)

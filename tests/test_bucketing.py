@@ -51,3 +51,52 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_widen_if_narrow_single_large_file(spark, tmp_path):
+    """One LARGE parquet file must be recognized as many scan splits (the
+    planner will split it at maxPartitionBytes), so widen_if_narrow must NOT
+    add a repartition shuffle; one SMALL file must widen; assume_wide skips
+    the heuristic entirely."""
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.functions.partitioning import (
+        _estimated_splits,
+        widen_if_narrow,
+    )
+
+    small = str(tmp_path / "small.parquet")
+    spark.range(100).withColumn("k", F.col("id") % 10).coalesce(1).write.parquet(small)
+    sdf = spark.read.parquet(small)
+    files = sdf.inputFiles()
+    assert len(files) == 1
+    assert _estimated_splits(sdf, files) == 1
+    widened = widen_if_narrow(sdf, "k")
+    assert "Exchange" in widened._jdf.queryExecution().toString()
+
+    # same single file, but with maxPartitionBytes shrunk below the file
+    # size it estimates as MANY splits -> no repartition added
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "100")
+        assert _estimated_splits(sdf, files) > spark.sparkContext.defaultParallelism
+        not_widened = widen_if_narrow(sdf, "k")
+        assert "Exchange" not in not_widened._jdf.queryExecution().toString()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    # explicit caller override: never shuffles, whatever the estimate says
+    assert "Exchange" not in widen_if_narrow(
+        sdf, "k", assume_wide=True
+    )._jdf.queryExecution().toString()
+
+    # unit grain: the size arithmetic honors k/m suffixes and per-file ceil
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    try:
+        import os
+
+        f = files[0]
+        sz = os.path.getsize(f.replace("file:", ""))
+        assert _estimated_splits(sdf, files) == max(1, -(-sz // (1 << 20)))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -75,3 +75,48 @@ def test_cli_end_to_end(spark, sf_dir, tmp_path):
     assert len(tifs) == report["tiff_files"]
     arr, _ = t.read_tiff(tifs[0])
     assert arr.dtype == np.uint16 and arr.ndim == 2 and arr.size > 0
+
+
+def test_preset_save_load_roundtrip(tmp_path):
+    """GUI preset analog (models.rs:208-433): --save-preset writes the
+    resolved params JSON; --load-preset restores them as defaults with
+    explicit flags overriding; params_to_cli regenerates an argv that
+    rebuilds the identical ProcessingParams (generate_cli_command)."""
+    from sarpro_spark.__main__ import build_params, params_to_cli, parse_args
+
+    preset = str(tmp_path / "p.json")
+    # save (no -i/-o: preset-only invocation must not require them)
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "sarpro_spark",
+            "--save-preset", preset,
+            "--polarization", "multiband", "--autoscale", "clahe",
+            "--bit-depth", "16", "--format", "jpeg", "--size", "512",
+            "--pad", "--target-crs", "EPSG:32633", "--resample", "bilinear",
+        ],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    saved = json.loads(open(preset).read())
+    assert saved["autoscale"] == "clahe" and saved["pad"] is True
+
+    # load: preset drives every pipeline-routing flag
+    args = parse_args(["--load-preset", preset])
+    p_loaded = build_params(args)
+    p_saved = ProcessingParams.from_dict(saved)
+    assert p_loaded == p_saved
+
+    # explicit flag overrides the preset (CLI precedence)
+    args2 = parse_args(["--load-preset", preset, "--autoscale", "robust"])
+    p2 = build_params(args2)
+    assert p2.autoscale == AutoscaleStrategy.ROBUST
+    assert p2.bit_depth == p_saved.bit_depth  # untouched fields persist
+
+    # generate_cli_command analog: argv -> params -> argv -> params fixpoint
+    argv = params_to_cli(p_saved, "in.parquet", "outdir")
+    p3 = build_params(parse_args(argv))
+    assert p3 == p_saved
+
+    # pipeline route flags equal under save->load (P4 warp-skip routing and
+    # friends derive purely from params, so equality IS route equality)
+    assert p_loaded.to_dict() == p_saved.to_dict()
