@@ -399,7 +399,12 @@ def bilinear_gather(
         *gcols, F.col("row").alias("srow"), F.col("col").alias("scol"),
         F.col(value).cast("double").alias("_v"),
     )
-    hit = corners.join(srcpx, [*group_cols, "srow", "scol"])
+    # Structural intent: cells x pixels is BIG x BIG and must never be
+    # planned as a broadcast. Without the hint, a CACHED px lineage reports
+    # optimistic in-memory stats, the 64 MB threshold bites, and the driver
+    # dies building a multi-GiB broadcast (reproduced in the r5 sf1 soak —
+    # the exact failure a mis-estimated relation causes at 100 TB).
+    hit = corners.join(srcpx.hint("shuffle_merge"), [*group_cols, "srow", "scol"])
     return (
         hit.groupBy(*group_cols, "row", "col")
         .agg(F.sum(F.col("w") * F.col("_v")).alias("_wv"), F.sum("w").alias("_w"))

@@ -241,3 +241,81 @@ def utm_forward_snyder_np(lon, lat, lon0, south):
         )
     )
     return FALSE_E + x, np.where(south, FALSE_N_SOUTH, 0.0) + y
+
+
+# --- UPS: Universal Polar Stereographic (EPSG:32661 / 32761) -----------------
+# lonlat_to_epsg emits these for |lat| >= 84 / <= -80; Polar Stereographic
+# variant A (EPSG Guidance Note 7-2 / Snyder 1987 eq. 21-33..21-35),
+# k0 = 0.994, FE = FN = 2,000,000, origin at the pole.
+
+UPS_K0 = 0.994
+UPS_FALSE = 2000000.0
+E_ECC = math.sqrt(WGS84_F * (2.0 - WGS84_F))  # first eccentricity
+#: rho = UPS_RHO_C * t  with  t the conformal colatitude tangent
+UPS_RHO_C = (
+    2.0 * WGS84_A * UPS_K0
+    / math.sqrt((1.0 + E_ECC) ** (1.0 + E_ECC) * (1.0 - E_ECC) ** (1.0 - E_ECC))
+)
+
+
+def ups_forward_steps(
+    lon: str = "lon", lat: str = "lat", south: str = "south"
+) -> list[tuple[str, str]]:
+    """Named expression steps lon/lat -> (ups_easting, ups_northing); the
+    ``south`` flag selects the EPSG:32761 (south pole) sheet. Valid Spark
+    SQL and DuckDB SQL (PI/TAN/POWER/SIN/COS/RADIANS exist in both)."""
+    return [
+        ("p_eff", f"RADIANS(CASE WHEN {south} THEN -({lat}) ELSE {lat} END)"),
+        ("es", f"{E_ECC!r} * SIN(p_eff)"),
+        (
+            "t_pol",
+            f"TAN(PI() / 4.0 - p_eff / 2.0) * POWER((1.0 + es) / (1.0 - es), {E_ECC / 2.0!r})",
+        ),
+        ("rho", f"{UPS_RHO_C!r} * t_pol"),
+        ("ups_easting", f"{UPS_FALSE!r} + rho * SIN(RADIANS({lon}))"),
+        (
+            "ups_northing",
+            f"CASE WHEN {south} THEN {UPS_FALSE!r} + rho * COS(RADIANS({lon})) "
+            f"ELSE {UPS_FALSE!r} - rho * COS(RADIANS({lon})) END",
+        ),
+    ]
+
+
+def ups_forward_np(lon, lat, south):
+    """Vectorized numpy twin of :func:`ups_forward_steps`."""
+    lon = np.radians(np.asarray(lon, dtype=np.float64))
+    lat = np.asarray(lat, dtype=np.float64)
+    south = np.asarray(south, dtype=bool)
+    p_eff = np.radians(np.where(south, -lat, lat))
+    es = E_ECC * np.sin(p_eff)
+    t = np.tan(np.pi / 4.0 - p_eff / 2.0) * ((1.0 + es) / (1.0 - es)) ** (E_ECC / 2.0)
+    rho = UPS_RHO_C * t
+    e = UPS_FALSE + rho * np.sin(lon)
+    n = np.where(south, UPS_FALSE + rho * np.cos(lon), UPS_FALSE - rho * np.cos(lon))
+    return e, n
+
+
+def ups_inverse_np(e, n, south):
+    """Numpy inverse (Snyder eq. 7-9 conformal-latitude series) — the
+    roundtrip partner for tests."""
+    e = np.asarray(e, dtype=np.float64) - UPS_FALSE
+    n = np.asarray(n, dtype=np.float64) - UPS_FALSE
+    south = np.asarray(south, dtype=bool)
+    n_eff = np.where(south, n, -n)
+    rho = np.hypot(e, n_eff)
+    t = rho / UPS_RHO_C
+    chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    e2 = E_ECC**2
+    phi = (
+        chi
+        + (e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0) * np.sin(2.0 * chi)
+        + (7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0) * np.sin(4.0 * chi)
+        + (7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0) * np.sin(6.0 * chi)
+        + (4279.0 * e2**4 / 161280.0) * np.sin(8.0 * chi)
+    )
+    lon = np.degrees(np.arctan2(e, n_eff))
+    lat = np.degrees(np.where(south, -phi, phi))
+    # the pole itself has undefined longitude; normalize to 0
+    lon = np.where(rho == 0.0, 0.0, lon)
+    lat = np.where(rho == 0.0, np.where(south, -90.0, 90.0), lat)
+    return lon, lat

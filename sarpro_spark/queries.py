@@ -134,16 +134,17 @@ HEAD_ORDER: tuple[str, ...] = (
     "pipeline_kernel_tiled_u8",
     "local_median_3x3",
     "pad_to_square",
-    # covers S5+S7 with the same oracle SQL as box_resize_2x: build ->
-    # partitioned write -> pruned level read
+    # covers S5+S7 with the same oracle SQL as box_resize_2x (which moved
+    # to the tail — identical oracle, so the head row certifies both):
+    # build -> partitioned write -> pruned level read
     "pyramid_downsample_read",
-    "box_resize_2x",
     "geotransform_update",
     "pipeline_kernel_synrgb_default",
     "pipeline_kernel_synrgb_suppressed",
-    # G5 warp family (round-2/3 flagships, first driver certification)
+    # G5 warp family (affine + GCP grid + in-engine UTM end-to-end)
     "affine_warp_bilinear",
     "warp_gcp_grid",
+    "warp_utm_from_lonlat",
     # IVF centroid trainer
     "embedding_kmeans",
     # banded-LSH candidate generation certified directly

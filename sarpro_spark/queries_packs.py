@@ -372,8 +372,12 @@ register_pack(
         Member("safe_discovery", ("product",)),
         Member("safe_annotations", ()),
         Member("generic_reader_roundtrip", ("fmt", "n_nationkey")),
+        Member("utm_forward_gcps", ("product_id", "gi", "gj")),
+        Member("ups_forward_points", ("product_id", "gi", "gj")),
     ),
     doc="Union certificate: S1-S3/S10/S11 SAFE discovery over the fixture "
-    "tree, S8/S9 manifest+annotation parse, S6 generic reader roundtrip.",
+    "tree, S8/S9 manifest+annotation parse, S6 generic reader roundtrip, "
+    "and the in-engine Krüger UTM forward projection at GCP grain (the CRS "
+    "math behind S10's zone pick, operators/tmerc.py).",
     tags=("source", "pack"),
 )

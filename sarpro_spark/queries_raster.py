@@ -938,6 +938,70 @@ def q_utm_forward_gcps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ups_sql() -> str:
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import sql_fround
+
+    fwd = tmx.sql_steps_select("pts", tmx.ups_forward_steps())
+    return f"""
+WITH prods AS (
+  SELECT DISTINCT CAST(l_orderkey % {frames.N_PRODUCTS} AS INTEGER) AS product_id FROM lineitem
+),
+pts AS (
+  SELECT product_id, i.i AS gi, j.j AS gj,
+         product_id % 2 = 1 AS south,
+         CASE WHEN product_id % 2 = 1 THEN -80.5 - i.i * 1.0 ELSE 84.5 + i.i * 1.0 END AS lat,
+         -180.0 + CAST((product_id * 23) % 360 AS DOUBLE) + j.j * 0.25 AS lon
+  FROM prods,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS i) i,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS j) j
+),
+fw AS ({fwd})
+SELECT product_id, gi, gj, south,
+       {sql_fround('ups_easting', 3)} AS ups_easting,
+       {sql_fround('ups_northing', 3)} AS ups_northing
+FROM fw
+""".strip()
+
+
+@query("ups_forward_points", sql=_ups_sql(), tags=("raster", "geometry", "crs"))
+def q_ups_forward_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/G5 polar leg: the EPSG:32661/32761 sheets lonlat_to_epsg emits at
+    |lat| >= 84 / <= -80, projected in-engine by Polar Stereographic
+    variant A (operators/tmerc.py:ups_forward_steps — reproduces the EPSG
+    Guidance Note 7-2 worked example to the cm). Per-product polar point
+    grids on both sheets, mm-rounded; the DuckDB twin runs the identical
+    step chain."""
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import fround
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    prods = li.select(
+        (F.col("l_orderkey") % frames.N_PRODUCTS).cast("int").alias("product_id")
+    ).distinct()
+    pid = F.col("product_id")
+    pts = (
+        prods.select(
+            "product_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gi")
+        )
+        .select("product_id", "gi", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gj"))
+        .select(
+            "product_id", "gi", "gj",
+            (pid % 2 == 1).alias("south"),
+            F.when(pid % 2 == 1, F.lit(-80.5) - F.col("gi") * 1.0)
+            .otherwise(F.lit(84.5) + F.col("gi") * 1.0)
+            .alias("lat"),
+            (F.lit(-180.0) + ((pid * 23) % 360).cast("double") + F.col("gj") * 0.25).alias("lon"),
+        )
+    )
+    fw = tmx.apply_steps(pts, tmx.ups_forward_steps())
+    return fw.select(
+        "product_id", "gi", "gj", "south",
+        fround(F.col("ups_easting"), 3).alias("ups_easting"),
+        fround(F.col("ups_northing"), 3).alias("ups_northing"),
+    )
+
+
 def _warp_utm_sql() -> str:
     from sarpro_spark.operators.geometry import sql_warp_gcp_grid
     from sarpro_spark.queries import sql_fround

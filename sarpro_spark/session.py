@@ -55,6 +55,13 @@ def build_session(
         # Timestamps: avoid JVM<->Arrow ambiguity in tests.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # A 64 MB-threshold broadcast can legitimately SERIALIZE to >1 GiB of
+        # task results (row-object overhead + AQE size estimates come from
+        # compressed shuffle stats), and Spark's 1 GiB maxResultSize default
+        # then kills the job mid-broadcast-build — hit for real during the
+        # r5 sf1 soak. Size it to the driver heap; cluster deploys override
+        # both together.
+        .config("spark.driver.maxResultSize", os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

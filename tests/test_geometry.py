@@ -357,3 +357,30 @@ def test_tmerc_spark_sql_steps_match_numpy(spark):
         assert abs(r["northing"] - float(n)) < 1e-6
         assert abs(r["lon_inv"] - lon) < 1e-9
         assert abs(r["lat_inv"] - lat) < 1e-9
+
+
+def test_ups_polar_stereographic():
+    """UPS (Polar Stereographic variant A): reproduces the EPSG Guidance
+    Note 7-2 worked example, roundtrips both sheets to ~1e-11 deg, and the
+    poles map to the false origin exactly."""
+    import numpy as np
+
+    from sarpro_spark.operators import tmerc as tm
+
+    # EPSG worked example: UPS North, 73N 44E -> E 3320416.75, N 632668.43
+    e, n = tm.ups_forward_np(44.0, 73.0, False)
+    assert abs(float(e) - 3320416.75) < 0.01
+    assert abs(float(n) - 632668.43) < 0.01
+
+    rng = np.random.RandomState(3)
+    lat = np.concatenate([rng.uniform(84, 90, 1500), rng.uniform(-90, -80, 1500)])
+    lon = rng.uniform(-180, 180, 3000)
+    south = lat < 0
+    E, N = tm.ups_forward_np(lon, lat, south)
+    lo, la = tm.ups_inverse_np(E, N, south)
+    assert np.abs(la - lat).max() < 1e-9
+    assert np.abs((lo - lon + 180.0) % 360.0 - 180.0).max() < 1e-9
+
+    for s in (False, True):
+        ep, np_ = tm.ups_forward_np(0.0, -90.0 if s else 90.0, s)
+        assert float(ep) == 2000000.0 and float(np_) == 2000000.0
