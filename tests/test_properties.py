@@ -208,3 +208,41 @@ def test_chunk_windows_cover_every_token(n_tok):
     assert covered == set(range(n_tok))  # full coverage, no gaps
     for a, b in zip(starts, starts[1:]):
         assert b - a == S
+
+
+@given(
+    st.integers(min_value=248, max_value=258),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_lzw_early_change_boundary_alignment(n, seed):
+    """Bias inputs to the 9->10 bit early-change boundary (253 codes after a
+    clear): random bytes mostly emit one code per byte, so lengths around
+    253 put the FINAL data code on the width boundary — the alignment the
+    r4 desync lived at and generic random sizes rarely hit."""
+    import numpy as np
+
+    from sarpro_spark.sinks.tiff import lzw_decode, lzw_encode
+
+    data = bytes(np.random.RandomState(seed).randint(0, 256, n, dtype=np.uint8))
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.floats(min_value=-3.0, max_value=3.0, allow_nan=False),
+    st.floats(min_value=-80.0, max_value=84.0, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_tmerc_roundtrip_property(zone, dlon, lat):
+    """Forward->inverse is the identity to ~1e-9 deg anywhere in a UTM
+    zone's designed domain, both hemispheres."""
+    from sarpro_spark.operators import tmerc as tm
+
+    lon0 = zone * 6.0 - 183.0
+    lon = lon0 + dlon
+    south = lat < 0
+    e, n = tm.utm_forward_np(lon, lat, lon0, south)
+    lo, la = tm.utm_inverse_np(e, n, lon0, south)
+    assert abs(float(lo) - lon) < 1e-9
+    assert abs(float(la) - lat) < 1e-9

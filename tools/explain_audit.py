@@ -124,8 +124,11 @@ AUDITS: dict[str, dict] = {
     },
     "affine_warp_bilinear": {
         # row-grain canvas + corner explode (Generate) + co-partitioned join;
-        # all expression work, no Python, no all-pairs
-        "require": ["Generate"], "codegen": True,
+        # all expression work, no Python, no all-pairs. The gather join is
+        # PINNED SortMergeJoin: cells x pixels is big x big, and a cached px
+        # lineage's optimistic stats once flipped it to a driver-fatal
+        # broadcast (r5 sf1 soak) — SortMergeJoin here is load-bearing.
+        "require": ["Generate", "SortMergeJoin"], "codegen": True,
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
     "jpeg_roundtrip": {
