@@ -99,3 +99,60 @@ SELECT * EXCLUDE (_rn) FROM (
   FROM ({src_sel}) s
 ) t WHERE _rn <= {k}
 """.strip()
+
+
+def weighted_topk_per_stratum(
+    df: DataFrame,
+    k: int,
+    stratum_col: str,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+    round_digits: int = 6,
+) -> DataFrame:
+    """EXACT-k WEIGHTED sampling without replacement per stratum
+    (Efraimidis-Spirakis A-ES, public algorithm): each row gets key
+    ln(u)/w with u uniform from the seeded hash and w its positive weight;
+    the k LARGEST keys per stratum are a weighted sample — inclusion
+    probability proportional to w, reproducible across runs and engines
+    (the key is rounded with the shared fround and ties break on id, so
+    libm ulp noise cannot flip membership). One stratum-keyed window, the
+    same scale shape as the unweighted reservoir."""
+    from pyspark.sql.window import Window as W
+
+    from sarpro_spark.queries import fround
+
+    u = (hash_bucket(F.col(id_col), seed).cast("double") + 0.5) / float(BUCKETS)
+    key = fround(F.log(u) / F.col(weight_col).cast("double"), round_digits)
+    w = W.partitionBy(stratum_col).orderBy(key.desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_wkey", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .withColumnRenamed("_wkey", "wkey")
+        .withColumnRenamed("_rn", "rnk")
+    )
+
+
+def sql_weighted_topk_per_stratum(
+    src_sel: str,
+    k: int,
+    stratum_col: str,
+    weight_expr: str,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> str:
+    """DuckDB twin of :func:`weighted_topk_per_stratum` (same key chain)."""
+    from sarpro_spark.queries import sql_fround
+
+    u = f"((({sql_hash_bucket(id_col, seed)}) + 0.5) / {float(BUCKETS)!r})"
+    key = sql_fround(f"LN({u}) / CAST({weight_expr} AS DOUBLE)")
+    return f"""
+SELECT * EXCLUDE (_rn), _rn AS rnk FROM (
+  SELECT s.*, {key} AS wkey, ROW_NUMBER() OVER (
+    PARTITION BY {stratum_col}
+    ORDER BY {key} DESC, {id_col} ASC
+  ) AS _rn
+  FROM ({src_sel}) s
+) t WHERE _rn <= {k}
+""".strip()

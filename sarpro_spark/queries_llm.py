@@ -1073,6 +1073,30 @@ def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.topk_per_stratum(d.select("doc_id", "lang"), 7, "lang")
 
 
+def _weighted_topk_sql() -> str:
+    from sarpro_spark.llm.sampling import sql_weighted_topk_per_stratum
+
+    inner = sql_weighted_topk_per_stratum(
+        "SELECT doc_id, lang, n_chars FROM documents", 7, "lang", "n_chars + 1"
+    )
+    return f"SELECT doc_id, lang, n_chars, wkey, rnk FROM ({inner}) s"
+
+
+@query("sample_weighted_topk", sql=_weighted_topk_sql(), tags=("llm", "sampling"))
+def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k weighted sampling without replacement per stratum
+    (Efraimidis-Spirakis): inclusion odds proportional to doc length, keys
+    from the seeded hash so the sample is reproducible — the
+    quality-weighted variant of the reservoir, one window per stratum."""
+    from sarpro_spark.llm import sampling as smp
+
+    d = frames.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).withColumn("_w", F.col("n_chars") + 1)
+    out = smp.weighted_topk_per_stratum(d, 7, "lang", "_w")
+    return out.select("doc_id", "lang", "n_chars", "wkey", "rnk")
+
+
 # --- distributed k-means (IVF centroid training) ------------------------------
 
 _KMEANS_K, _KMEANS_ITERS = 8, 2

@@ -252,6 +252,7 @@ register_pack(
     (
         Member("sample_stratified", ("lang",)),
         Member("sample_topk_per_stratum", ("doc_id",)),
+        Member("sample_weighted_topk", ("doc_id",)),
         Member("corpus_pack_assignments", ("doc_id",)),
         Member("corpus_pack_sequences", ("bucket", "seq")),
         Member("corpus_chunk_windows", ("doc_id", "chunk_idx")),

@@ -838,3 +838,28 @@ def test_wav_codec_roundtrip_and_features():
 
     with _pt.raises(NotImplementedError):
         mm2.decode_wav(b"\x00" * 32)
+
+
+def test_weighted_topk_sampling(spark):
+    """Efraimidis-Spirakis: heavier rows must be over-represented, k is
+    exact per stratum, and the sample is reproducible run-to-run."""
+    from sarpro_spark.llm import sampling as smp
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 1 if i < 400 else 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string, w int")
+    out = smp.weighted_topk_per_stratum(df, 25, "stratum", "w").collect()
+    assert len(out) == 50
+    per = {}
+    for r in out:
+        per.setdefault(r["stratum"], []).append(r)
+    for s, grp in per.items():
+        assert len(grp) == 25
+        assert sorted(r["rnk"] for r in grp) == list(range(1, 26))
+    # docs 400..499 carry weight 100 vs 1 — they are 20% of the population
+    # but must dominate the sample
+    heavy = sum(1 for r in out if r["doc_id"] >= 400)
+    assert heavy > 35, heavy
+    # reproducible: identical second run
+    again = smp.weighted_topk_per_stratum(df, 25, "stratum", "w").collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
