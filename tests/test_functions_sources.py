@@ -190,3 +190,43 @@ def test_ab_assignment_deterministic(spark):
     assert {r["user_id"]: r["a"] for r in v1} == {r["user_id"]: r["a"] for r in v2}
     n_a = sum(1 for r in v1 if r["a"])
     assert 60 <= n_a <= 140  # roughly balanced
+
+
+def test_compaction_small_files(spark, tmp_path):
+    """A fragmented dataset (many tiny files) compacts to few evenly-sized
+    range-laid-out files with identical rows; the plan stats see the
+    fragmentation; min/max spans stay prunable after the rewrite."""
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.sources.maintenance import compact, plan_compaction
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    df = spark.range(20000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    # fragment: 200 files of ~100 rows
+    df.repartition(200).write.parquet(frag)
+    plan = plan_compaction(spark, frag, target_file_bytes=256 * 1024)
+    assert plan["n_files"] == 200
+    assert plan["small_files"] == 200
+    assert plan["target_files"] < 30
+
+    src = spark.read.parquet(frag)
+    res = compact(src, out, "k", target_file_bytes=256 * 1024)
+    assert res["rows"] == 20000
+    assert 1 <= res["files_written"] < 40
+
+    back = spark.read.parquet(out)
+    assert back.count() == 20000
+    assert back.agg(F.sum("k")).collect()[0][0] == sum(range(20000))
+    # range layout: a narrow k-predicate scan must not read every file
+    narrow = back.where((F.col("k") >= 100) & (F.col("k") < 200))
+    assert narrow.count() == 100
+
+    # empty-input edge
+    empty_out = str(tmp_path / "empty_out")
+    res0 = compact(src.where(F.lit(False)), empty_out, "k")
+    assert res0 == {"files_written": 0, "rows": 0}
