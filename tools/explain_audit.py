@@ -468,10 +468,13 @@ BROADCAST_ALLOW: dict[tuple[str, str], str] = {
 
 
 def audit_broadcast_sites() -> list[str]:
-    """Return problems for F.broadcast sites not in the reviewed allowlist."""
+    """Return problems for F.broadcast sites not in the reviewed allowlist,
+    and for allowlist entries whose site no longer exists (drift: a stale
+    review would silently bless a future reintroduction)."""
     pkg = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sarpro_spark")
     pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     problems = []
+    seen: set[tuple[str, str]] = set()
     for root, _dirs, files in os.walk(pkg):
         for fn in files:
             if not fn.endswith(".py"):
@@ -480,12 +483,18 @@ def audit_broadcast_sites() -> list[str]:
             rel = os.path.relpath(path, pkg)
             with open(path) as fh:
                 for ln, line in enumerate(fh, 1):
-                    m = pat.search(line)
-                    if m and (rel, m.group(1)) not in BROADCAST_ALLOW:
-                        problems.append(
-                            f"sarpro_spark/{rel}:{ln} F.broadcast({m.group(1)}...) "
-                            "not in BROADCAST_ALLOW — review cardinality bound first"
-                        )
+                    for m in pat.finditer(line):
+                        seen.add((rel, m.group(1)))
+                        if (rel, m.group(1)) not in BROADCAST_ALLOW:
+                            problems.append(
+                                f"sarpro_spark/{rel}:{ln} F.broadcast({m.group(1)}...) "
+                                "not in BROADCAST_ALLOW — review cardinality bound first"
+                            )
+    for key in BROADCAST_ALLOW:
+        if key not in seen:
+            problems.append(
+                f"BROADCAST_ALLOW entry {key} matches no F.broadcast site — remove the stale review"
+            )
     return problems
 
 
