@@ -873,6 +873,32 @@ FROM a
 """.strip()
 
 
+def _k_anon_sql() -> str:
+    from sarpro_spark.llm.privacy import sql_k_anonymity_report
+
+    inner = sql_k_anonymity_report(
+        "(SELECT lang, source, CAST(n_chars % 50 AS INTEGER) AS len_bucket FROM documents) s",
+        ["lang", "source", "len_bucket"],
+        25,
+    )
+    return inner
+
+
+@query("privacy_k_anonymity", sql=_k_anon_sql(), tags=("llm", "hygiene", "privacy"))
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release guard (Sweeney 2002) at quasi-identifier grain
+    (lang, source, length bucket): group sizes, released flag (>= k=25),
+    and the suppressed row mass — the data-release audit artifact. One
+    hash aggregate; the companion row filter (llm/privacy.py:k_anonymize)
+    is a semi-join on the same key, semantics unit-tested."""
+    from sarpro_spark.llm.privacy import k_anonymity_report
+
+    d = frames.load_table(spark, sf_dir, "documents").select(
+        "lang", "source", (F.col("n_chars") % 50).cast("int").alias("len_bucket")
+    )
+    return k_anonymity_report(d, ["lang", "source", "len_bucket"], 25)
+
+
 @query("text_pii_redaction", sql=_pii_sql(), tags=("llm", "text", "hygiene"))
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: typed placeholder substitution + per-type counts, pure

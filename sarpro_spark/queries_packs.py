@@ -227,6 +227,7 @@ register_pack(
     "llm_hygiene_pack",
     (
         Member("text_pii_redaction", ("doc_id",)),
+        Member("privacy_k_anonymity", ("lang", "source", "len_bucket")),
         Member("text_contamination", ("doc_id",)),
         Member("text_repetition", ("doc_id",)),
         Member("text_unigram_logprob", ("doc_id",)),
@@ -349,6 +350,7 @@ register_pack(
         Member("band_zip_ndiff", ("product_id", "row", "col")),
         Member("shipping_priority", ("o_orderkey",)),
         Member("nations_trade_volume", ("supp_nation", "cust_nation", "l_year")),
+        Member("local_supplier_volume", ("n_name",)),
         Member("returned_items_report", ("c_custkey",)),
         Member("events_incremental_rollup", ("event_type", "hod")),
         Member("events_funnel_steps", ("reached",)),

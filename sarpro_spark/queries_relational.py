@@ -882,6 +882,57 @@ def q_nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOCAL_SUPPLIER_SQL = f"""
+SELECT n_name,
+  {sql_fround("SUM(l_extendedprice * (1 - l_discount))")} AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+""".strip()
+
+
+@query("local_supplier_volume", sql=_LOCAL_SUPPLIER_SQL, tags=("relational", "join", "agg"))
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier volume: the 6-way join where the
+    customer and the supplier must share a nation (the join condition that
+    prunes most of the fact rows), region/nation/supplier broadcast, the
+    customer-orders-lineitem chain shuffles on its keys."""
+    c = frames.load_table(spark, sf_dir, "customer")
+    o = frames.load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    s = frames.load_table(spark, sf_dir, "supplier")
+    n = frames.load_table(spark, sf_dir, "nation")
+    r = frames.load_table(spark, sf_dir, "region").where(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("n_name").agg(
+        fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 _RETURNED_ITEMS_SQL = f"""
 SELECT c_custkey, c_name, n_name, revenue, n_items, rnk FROM (
   SELECT c_custkey, c_name, n_name,

@@ -863,3 +863,23 @@ def test_weighted_topk_sampling(spark):
     # reproducible: identical second run
     again = smp.weighted_topk_per_stratum(df, 25, "stratum", "w").collect()
     assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+
+
+def test_k_anonymize_semantics(spark):
+    """Groups below k vanish entirely; groups at/above k keep every row;
+    the report's suppressed mass accounts exactly for the dropped rows."""
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.llm.privacy import k_anonymity_report, k_anonymize
+
+    rows = [(i, "a" if i < 30 else ("b" if i < 34 else "c")) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = k_anonymize(df, ["g"], 5)
+    kept = {r["g"] for r in out.select("g").distinct().collect()}
+    assert kept == {"a", "c"}  # b has 4 < 5 members
+    assert out.count() == 30 + 6
+
+    rep = {r["g"]: r for r in k_anonymity_report(df, ["g"], 5).collect()}
+    assert rep["a"]["released"] and rep["a"]["suppressed_rows"] == 0
+    assert not rep["b"]["released"] and rep["b"]["suppressed_rows"] == 4
+    assert df.count() - out.count() == sum(r["suppressed_rows"] for r in rep.values())
