@@ -155,9 +155,9 @@ def multiband_synrgb_pipeline(
 def needs_warp(current_epsg: str | None, target_crs: str | None) -> bool:
     """P4 warp-skip guard (sentinel1.rs:959-986): skip reprojection entirely
     when the dataset already carries the target CRS — plan-level no-op
-    elimination at DAG-build time. (G5 gdalwarp itself is an external stage:
-    the engine plumbs CRS resolution — sources.safe.centroid_epsg — and this
-    guard, and documents warping as out-of-engine, per SURVEY §2.5.)"""
+    elimination at DAG-build time. (The reference shells out to gdalwarp for
+    the warp itself; the rebuilt engine executes every route in-engine —
+    see :func:`warp_route`.)"""
     if target_crs is None:
         return False
     if current_epsg is None:
@@ -165,18 +165,40 @@ def needs_warp(current_epsg: str | None, target_crs: str | None) -> bool:
     return current_epsg.strip().upper() != target_crs.strip().upper()
 
 
+#: EPSG prefixes of the UTM/UPS codes lonlat_to_epsg emits — the CRSs the
+#: in-engine projections (operators/tmerc.py) cover
+_UTM_EPSG_PREFIXES = ("EPSG:326", "EPSG:327", "EPSG:32661", "EPSG:32761")
+
+
 def warp_route(
-    current_epsg: str | None, target_crs: str | None, has_gcps: bool = False
+    current_epsg: str | None,
+    target_crs: str | None,
+    has_gcps: bool = False,
+    gcp_crs: str | None = None,
 ) -> str:
     """G5 route selection mirroring the reference's warp dispatch
-    (sentinel1.rs:959-1032): 'none' when no warp is needed (P4 guard),
-    'affine' for the projected affine case (in-engine
-    geometry.affine_warp_bilinear), 'gcp' when the product carries no
-    projection but has a GCP grid — the reference shells to `gdalwarp -tps
-    -s_srs` there; the engine routes to geometry.warp_gcp_grid."""
+    (sentinel1.rs:959-1032), every route in-engine:
+
+    - 'none': no warp needed (P4 guard)
+    - 'affine': projected affine case — geometry.affine_warp_bilinear
+    - 'gcp_utm': no projection, GEOGRAPHIC GCP grid (EPSG:4326), projected
+      UTM/UPS target — GCPs are projected in-engine (operators/tmerc.py
+      Krüger/UPS series) and feed geometry.warp_gcp_grid (the reference's
+      `gdalwarp -tps -s_srs EPSG:4326` branch, fully relational here —
+      certified by the warp_utm_from_lonlat query)
+    - 'gcp': no projection, GCP grid already in target ground units —
+      geometry.warp_gcp_grid directly
+    """
     if not needs_warp(current_epsg, target_crs):
         return "none"
     if current_epsg is None and has_gcps:
+        if (
+            gcp_crs is not None
+            and gcp_crs.strip().upper() == "EPSG:4326"
+            and target_crs is not None
+            and target_crs.strip().upper().startswith(_UTM_EPSG_PREFIXES[:2])
+        ):
+            return "gcp_utm"
         return "gcp"
     return "affine"
 

@@ -204,7 +204,9 @@ SELECT * FROM (VALUES
   (3, 'operation', 'vv+vh', TRUE, 'affine'),
   (4, 'multiband', 'vv+vh', FALSE, 'none'),
   (5, 'single', 'hh', FALSE, 'none'),
-  (6, 'single', 'vv', TRUE, 'affine')
+  (6, 'single', 'vv', TRUE, 'affine'),
+  (7, 'single', 'vv', TRUE, 'gcp_utm'),
+  (8, 'single', 'vv', TRUE, 'gcp')
 ) t(case_id, route, band, needs_warp, warp_route)
 """.strip()
 
@@ -240,6 +242,14 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     for cid, params, cur, tgt, gcps in cases:
         route, band = pipeline_route(params)
         rows.append((cid, route, band, needs_warp(cur, tgt), warp_route(cur, tgt, gcps)))
+    # G5 in-engine CRS routes: geographic GCPs + UTM target -> project
+    # in-engine then GCP-warp; GCPs already in ground units -> GCP-warp
+    p7 = ProcessingParams(polarization=Polarization.VV)
+    route7, band7 = pipeline_route(p7)
+    rows.append((7, route7, band7, needs_warp(None, "EPSG:32755"),
+                 warp_route(None, "EPSG:32755", True, gcp_crs="epsg:4326")))
+    rows.append((8, route7, band7, needs_warp(None, "EPSG:3857"),
+                 warp_route(None, "EPSG:3857", True, gcp_crs=None)))
     return spark.createDataFrame(
         rows,
         "case_id int, route string, band string, needs_warp boolean, warp_route string",
