@@ -1,0 +1,67 @@
+"""Dump formatted physical plans for the flagship queries into PLANS_r05.md.
+
+The static companion to tools/explain_audit.py: the audit asserts plan
+shapes mechanically; this renders the actual `.explain("formatted")` output
+(static planning, AQE off — the designed plan, not a runtime re-plan) so a
+reviewer can read scan pushdowns, join strategies, and codegen spans
+without running anything.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "PLANS_r05.md")
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+#: the queries whose plans carry the scale argument
+FLAGSHIPS = [
+    ("pricing_summary", "Q1 aggregate: pushdown + partial agg + codegen"),
+    ("nation_revenue_join", "dim joins broadcast, fact shuffles on keys"),
+    ("local_supplier_volume", "Q5 6-way join, nation-equality pruning"),
+    ("pipeline_kernel_standard_u8", "per-product raster kernel, one grouped task"),
+    ("affine_warp_bilinear", "canvas explode + PINNED SortMergeJoin gather"),
+    ("warp_utm_from_lonlat", "in-engine CRS projection feeding the GCP warp"),
+    ("dedup_minhash_verified", "banded LSH self-join, never all-pairs"),
+    ("dedup_incremental", "batch x index asymmetric join"),
+    ("similarity_topk_lsh", "bucketed ANN: Arrow keys + equi-join candidates"),
+    ("tfidf_topk_similar", "cost-dispatched dense block-pair scan"),
+    ("corpus_pack_sequences", "per-bucket prefix-sum window, no global order"),
+    ("events_sessionize", "per-user gap sessionization, one window"),
+]
+
+
+def main() -> int:
+    from sarpro_spark.queries import spark_queries
+    from sarpro_spark.session import build_session
+
+    spark = build_session(
+        "plan_dump", extra_conf={"spark.sql.adaptive.enabled": "false"}
+    )
+    qs = spark_queries()
+    lines = [
+        "# Physical plans — round 5 flagships",
+        "",
+        f"`explain('formatted')`, static planning (AQE off), {SF}.",
+        "Shapes are mechanically asserted by `tools/explain_audit.py`;",
+        "this file is the human-readable record.",
+        "",
+    ]
+    for name, why in FLAGSHIPS:
+        df = qs[name](spark, SF)
+        qe = df._jdf.queryExecution()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
+        lines += [f"## {name}", "", f"_{why}_", "", "```", plan.rstrip(), "```", ""]
+        print(f"# dumped {name}", file=sys.stderr)
+    with open(OUT, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {OUT} ({len(FLAGSHIPS)} plans)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
