@@ -290,45 +290,81 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
-    def read(self, n: int) -> int:
+    def _fill(self, n: int) -> None:
+        data, pos = self.data, self.pos
         while self.nbits < n:
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # unstuff
-                else:
-                    b = 0  # marker hit: feed zeros (EOB padding)
-                    self.pos -= 1
+            if pos < len(data):
+                b = data[pos]
+                pos += 1
+                if b == 0xFF:
+                    nxt = data[pos] if pos < len(data) else 0xD9
+                    if nxt == 0x00:
+                        pos += 1  # unstuff
+                    else:
+                        b = 0  # marker hit: feed zeros (EOB padding)
+                        pos -= 1
+            else:
+                b = 0  # past end: zero padding
             self.acc = (self.acc << 8) | b
             self.nbits += 8
+        self.pos = pos
+
+    def read(self, n: int) -> int:
+        if self.nbits < n:
+            self._fill(n)
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
         self.acc &= (1 << self.nbits) - 1
         return v
 
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
 
-def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    dec: dict[tuple[int, int], int] = {}
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+
+_LOOKUP_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    """16-bit-lookahead Huffman tables (val16, len16): every 16-bit window
+    beginning with a code maps to its (value, code length), so one peek +
+    two list lookups replace the bit-at-a-time walk (~10x on the decode
+    hot path). Cached per (bits, vals) — the Annex K tables every stream
+    from our encoder carries — so table build cost is paid once, not per
+    image."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LOOKUP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    val16 = np.zeros(65536, np.int32)
+    len16 = np.zeros(65536, np.int32)
     code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            dec[(length, code)] = vals[k]
+            start = code << (16 - length)
+            span = 1 << (16 - length)
+            val16[start:start + span] = vals[k]
+            len16[start:start + span] = length
             code += 1
             k += 1
         code <<= 1
-    return dec
+    out = (val16.tolist(), len16.tolist())
+    _LOOKUP_CACHE[key] = out
+    return out
 
 
-def _read_huff(br: _BitReader, dec: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length < 17:
-        code = (code << 1) | br.read(1)
-        length += 1
-        if (length, code) in dec:
-            return dec[(length, code)]
-    raise ValueError("invalid Huffman code")
+def _read_huff(br: _BitReader, dec: tuple[list[int], list[int]]) -> int:
+    w = br.peek16()
+    length = dec[1][w]
+    if length == 0:
+        raise ValueError("invalid Huffman code")
+    br.skip(length)
+    return dec[0][w]
 
 
 def _extend(bits: int, size: int) -> int:
@@ -402,14 +438,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     br8 = (rows + 7) // 8
     bc8 = (cols + 7) // 8
     n_blocks = br8 * bc8
-    planes = [np.zeros((br8 * 8, bc8 * 8)) for _ in range(n_comp)]
+    # entropy decode into per-component zigzag coefficient matrices; the
+    # dequant + IDCT then runs ONCE per component as a batched matmul over
+    # all blocks (the per-block Python is only the inherently-serial
+    # Huffman walk)
+    zall = [np.zeros((n_blocks, 64)) for _ in range(n_comp)]
     preds = [0] * n_comp
     for bi in range(n_blocks):
-        by, bx = divmod(bi, bc8)
         for ci, comp in enumerate(scan_order):
             dc_dec = htabs[comp["dc"]]
             ac_dec = htabs[0x10 | comp["ac"]]
-            z = np.zeros(64)
+            z = zall[ci][bi]
             size = _read_huff(br, dc_dec)
             diff = _extend(br.read(size), size) if size else 0
             preds[ci] += diff
@@ -426,11 +465,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 k += run
                 z[k] = _extend(br.read(size), size)
                 k += 1
-            blk = np.zeros(64)
-            blk[ZIGZAG] = z
-            coef = blk.reshape(8, 8) * qtabs[comp["tq"]]
-            pix = _C.T @ coef @ _C + 128.0
-            planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
+
+    planes = []
+    for ci, comp in enumerate(scan_order):
+        blk = np.zeros((n_blocks, 64))
+        blk[:, ZIGZAG] = zall[ci]
+        coef = blk.reshape(n_blocks, 8, 8) * qtabs[comp["tq"]]
+        pix = _C.T @ coef @ _C + 128.0  # batched over the block axis
+        plane = (
+            pix.reshape(br8, bc8, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(br8 * 8, bc8 * 8)
+        )
+        planes.append(plane)
 
     planes = [p[:rows, :cols] for p in planes]
     if n_comp == 1:
