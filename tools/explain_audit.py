@@ -460,6 +460,7 @@ BROADCAST_ALLOW: dict[tuple[str, str], str] = {
     ("queries_relational.py", "n1"): "nation dim",
     ("queries_relational.py", "n2"): "nation dim",
     ("queries_relational.py", "n"): "nation dim",
+    ("queries_relational.py", "r"): "region dim (5 rows)",
     ("queries_relational.py", "firsts"): "per-user first-touch — user-dim grain",
     ("queries_raster.py", "sketch"): "GK sketch rows — per-(product,band)",
     ("queries_raster.py", "pvv"): "per-product percentile row",
