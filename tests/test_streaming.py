@@ -263,3 +263,51 @@ def test_stream_source_accepts_all_ts_encodings(spark, sf_dir, tmp_path):
     a = sorted(r["ts"] for r in ntz_df.select("ts").collect())
     b = sorted(r["ts"] for r in tz_df.select("ts").collect())
     assert a == b
+
+
+def test_exactly_once_sink(spark, sf_dir, tmp_path):
+    """Micro-batches land atomically, replays are no-ops, partial writes
+    are invisible to readers, and the drained output equals the source."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.streaming.events import stream_events_from_parquet
+    from sarpro_spark.streaming.sinks import (
+        exactly_once_batch_writer,
+        read_committed,
+        run_stream_exactly_once,
+    )
+
+    # file-stream sources need a DIRECTORY (batch reconstruction sets
+    # basePath to the source path); re-write the driver's single file
+    src_path = str(tmp_path / "events_src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(src_path)
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_events_from_parquet(spark, src_path)
+    q = run_stream_exactly_once(stream, out, ckpt)
+    assert q.lastProgress is not None
+
+    back = read_committed(spark, out)
+    n_src = spark.read.parquet(src_path).count()
+    assert back.count() == n_src
+    assert back.select("event_id").distinct().count() == n_src
+    assert "batch_id" in back.columns
+
+    # replay idempotence: re-delivering a committed batch must not duplicate
+    writer = exactly_once_batch_writer(out)
+    some_batch = back.select("batch_id").distinct().collect()[0][0]
+    replay_df = spark.read.parquet(src_path).limit(10)
+    writer(replay_df, some_batch)
+    assert read_committed(spark, out).count() == n_src
+
+    # crash-mid-write: an .inprogress dir is never read back
+    garbage = os.path.join(out, "batch_id=99999.inprogress")
+    os.makedirs(garbage, exist_ok=True)
+    replay_df.limit(1).write.mode("overwrite").parquet(garbage)
+    assert read_committed(spark, out).count() == n_src
+
+    # a NEW batch id does commit
+    writer(replay_df.withColumn("value", F.col("value")), 99998)
+    assert read_committed(spark, out).count() == n_src + 10
