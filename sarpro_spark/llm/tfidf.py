@@ -153,8 +153,12 @@ def _dense_block_pairs(
     G = DENSE_BLOCKS
     scale = float(10**round_digits)
 
-    # tiny table: a single-partition rank over <= DENSE_VOCAB_MAX terms
-    vocab_idx = u.select("term").distinct().select(
+    # tiny table: a single-partition rank over <= DENSE_VOCAB_MAX terms.
+    # The caller only routes here when distinct-term count <= v_count, so the
+    # limit is a no-op — but it puts a GlobalLimit in the plan, making the
+    # boundedness of the single-partition window PROVABLE to the plan audit
+    # (and to Spark: the exchange moves <= v_count rows by construction).
+    vocab_idx = u.select("term").distinct().limit(v_count).select(
         "term", (F.row_number().over(Window.orderBy("term")) - 1).alias("tid")
     )
     uv = u.join(F.broadcast(vocab_idx), "term")

@@ -90,14 +90,16 @@ GROUP BY n.n_name, r.r_name
 
 @query("nation_revenue_join", sql=_NATION_REVENUE_SQL, tags=("relational", "join"))
 def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-way join: the big fact shuffles once on orderkey; customer/nation/
-    region are explicit broadcasts so no shuffle on the dim side — the shape
-    that survives a 100x fact scale-up."""
+    """4-way join: the big fact shuffles once on orderkey; nation/region are
+    explicit broadcasts (25/5 rows, genuinely fixed). customer is NOT hinted:
+    it scales with SF (150k x SF rows — billions at the 100 TB design point),
+    so the plan must be free to shuffle-join it; AQE's dynamic join selection
+    still broadcasts it at small SF where it fits."""
     t = frames.load_all(spark, sf_dir)
     out = (
         t["lineitem"]
         .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name", "r_name")
@@ -793,10 +795,12 @@ SELECT o_orderkey, revenue, order_year, rnk FROM (
 
 @query("shipping_priority", sql=_SHIP_PRIORITY_SQL, tags=("relational", "join", "topk"))
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style shipping priority: 3-way join (customer filter
-    broadcast into orders, lineitem shuffle-joined on the fact key) ->
-    per-order revenue -> deterministic top-10 (rounded revenue, key
-    tiebreak)."""
+    """TPC-H Q3-style shipping priority: 3-way join (customer filtered but
+    NOT broadcast-hinted — it scales with SF; AQE broadcasts it when it
+    fits) -> per-order revenue -> deterministic top-10 via
+    TakeOrderedAndProject (orderBy+limit), with the rank attached by a
+    window over only the <=10 survivors — never a global single-partition
+    sort of every per-order aggregate."""
     from pyspark.sql.window import Window as W
 
     c = frames.load_table(spark, sf_dir, "customer").where(
@@ -810,14 +814,17 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_order = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
     )
+    # top-k first (per-partition heaps, k rows cross the wire), THEN rank the
+    # survivors — the single-partition window now sees <=10 rows, not every
+    # per-order aggregate
+    topk = per_order.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
     w = W.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
     return (
-        per_order.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 10)
+        topk.withColumn("rnk", F.row_number().over(w))
         .select(
             "o_orderkey",
             "revenue",
@@ -850,8 +857,10 @@ GROUP BY supp_nation, cust_nation, l_year
 @query("nations_trade_volume", sql=_TRADE_VOLUME_SQL, tags=("relational", "join", "agg"))
 def q_nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-style trade volume between nation pairs by ship year: a
-    5-way join where both nation dimensions broadcast and the fact chain
-    (lineitem -> orders -> customer) shuffles on its keys."""
+    5-way join where both nation dimensions broadcast (25 rows each,
+    genuinely fixed) and the fact chain (lineitem -> orders -> customer ->
+    supplier) shuffles on its keys. supplier is NOT hinted — it scales with
+    SF (10k x SF rows); AQE broadcasts it at small SF where it fits."""
     s = frames.load_table(spark, sf_dir, "supplier")
     li = frames.load_table(spark, sf_dir, "lineitem")
     o = frames.load_table(spark, sf_dir, "orders")
@@ -862,7 +871,7 @@ def q_nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("sn_key") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("cn_key") == F.col("c_nationkey"))
         .where(F.col("sn_key") != F.col("cn_key"))
@@ -903,8 +912,10 @@ GROUP BY n_name
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style local-supplier volume: the 6-way join where the
     customer and the supplier must share a nation (the join condition that
-    prunes most of the fact rows), region/nation/supplier broadcast, the
-    customer-orders-lineitem chain shuffles on its keys."""
+    prunes most of the fact rows). region/nation broadcast (5/25 rows,
+    fixed); supplier is NOT hinted — it scales with SF — so the
+    customer-orders-lineitem-supplier chain shuffles on its keys and AQE
+    may still broadcast supplier at small SF."""
     c = frames.load_table(spark, sf_dir, "customer")
     o = frames.load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -920,7 +931,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -953,7 +964,9 @@ SELECT c_custkey, c_name, n_name, revenue, n_items, rnk FROM (
 def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-style returned-item reporting: who returned the most
     revenue — fact chain shuffled on keys, nation broadcast, deterministic
-    top-20."""
+    top-20 via TakeOrderedAndProject (orderBy+limit) with the rank attached
+    over only the <=20 survivors — never a global single-partition sort of
+    every per-customer aggregate."""
     from pyspark.sql.window import Window as W
 
     c = frames.load_table(spark, sf_dir, "customer")
@@ -970,10 +983,10 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+    topk = per_cust.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
     w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
     return (
-        per_cust.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 20)
+        topk.withColumn("rnk", F.row_number().over(w))
         .select("c_custkey", "c_name", "n_name", "revenue", "n_items", "rnk")
     )
 
@@ -1195,14 +1208,15 @@ GROUP BY cohort_day, day_offset
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen day, activity counted
     per day offset (the engagement matrix every product-analytics engine
-    ships). Two user-keyed aggregates; the firsts table broadcasts back
-    onto the event stream."""
+    ships). Two user-keyed aggregates; the firsts table is one row PER USER
+    (unbounded — grows with the data), so it is shuffle-joined back onto the
+    event stream on user_id, never broadcast-hinted."""
     e = frames.load_table(spark, sf_dir, "events").select(
         "user_id", (_epoch_us("ts") / F.lit(86400000000)).cast("long").alias("day")
     )
     firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     activity = (
-        e.join(F.broadcast(firsts), "user_id")
+        e.join(firsts, "user_id")
         .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
         .where(F.col("day_offset") <= 7)
         .distinct()

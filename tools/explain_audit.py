@@ -414,66 +414,132 @@ def scan_read_schemas(plan: str) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
 
 
+def singlepart_window_problems(simple_plan: str) -> list[str]:
+    """Flag any Window fed by an Exchange SinglePartition — Spark's own
+    'Moving all data to a single partition' hazard: one task sorts every
+    input row. The ONLY blessed shape is a rank-attach over an already
+    top-k-limited input (TakeOrderedAndProject / GlobalLimit below the
+    window), where the single partition holds <=k rows by construction.
+
+    Parses the simple-mode plan tree by indentation: a node's subtree is the
+    following lines with greater depth."""
+    lines = simple_plan.splitlines()
+
+    def depth(line: str) -> int:
+        m = re.search(r"[+:]- ", line)
+        if m:
+            return m.start() + 3
+        m2 = re.match(r"^\s*", line)
+        return len(m2.group(0))
+
+    problems = []
+    for i, line in enumerate(lines):
+        if not re.search(r"\bWindow(Group)?(Limit)?\b|\bWindowExec\b", line):
+            continue
+        if "Window" not in line:
+            continue
+        d = depth(line)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if not nxt.strip():
+                break
+            if depth(nxt) <= d:
+                break
+            subtree.append(nxt)
+        sub = "\n".join(subtree)
+        if "Exchange SinglePartition" in sub and not (
+            "TakeOrderedAndProject" in sub or "GlobalLimit" in sub
+        ):
+            problems.append(
+                "Window fed by Exchange SinglePartition with no TakeOrdered/GlobalLimit "
+                "below it — one task sorts ALL rows; top-k first, then rank the survivors"
+            )
+    return problems
+
+
 # --- forced-broadcast boundedness gate ---------------------------------------
 # Every F.broadcast(...) in the engine must name a relation whose cardinality
 # is BOUNDED (per-product params, k centroids, a capped vocabulary, a 1-row
 # total) — a broadcast hint ignores actual size, so hinting an
-# unbounded-cardinality relation (per-doc, per-term, per-shingle tables) is a
-# driver OOM at corpus scale. New sites fail this audit until the target is
-# reviewed bounded and added here with a reason. (The r4 verdict's TF-IDF
-# dfreq hazard — and the same shape in ngram_jaccard — is what this prevents
-# from recurring.)
-BROADCAST_ALLOW: dict[tuple[str, str], str] = {
-    ("operators/stats.py", "base"): "per-(product,band) stats rows — batch-product grain",
-    ("operators/stats.py", "pct_rows"): "fixed percentile list (constant rows)",
-    ("operators/autoscale.py", "params"): "per-(product,band) autoscale params",
-    ("operators/autoscale.py", "ext"): "per-(product,band) extrema",
-    ("operators/synrgb.py", "tot"): "per-(product,band) histogram totals",
-    ("operators/synrgb.py", "fl"): "per-(product,band) floor row",
-    ("operators/clahe.py", "win"): "per-(product,band) window row",
-    ("operators/clahe.py", "dims"): "per-(product,band) dims row",
-    ("operators/clahe.py", "tile_agg"): "per-tile CDF — tiles-per-product grain",
-    ("operators/clahe.py", "c"): "per-tile centers — tiles-per-product grain",
-    ("operators/geometry.py", "dims"): "per-(product,band) dims row",
-    ("operators/geometry.py", "tiles_b"): "pinned GCP tile grid — grid-cell grain",
-    ("operators/local_enhance.py", "dims"): "per-(product,band) dims row",
-    ("operators/kernel.py", "params"): "per-(product,band) kernel params",
-    ("llm/sampling.py", "rate_df"): "per-stratum rates — stratum grain",
-    ("llm/text.py", "freqs"): "vocabulary CAPPED to top-K before broadcast",
-    ("llm/text.py", "totals"): "1-row global totals",
-    ("llm/text.py", "big"): "bigram table over the capped vocab",
-    ("llm/text.py", "cprev"): "capped-vocab context counts",
-    ("llm/packing.py", "totals"): "1-row global totals",
-    ("llm/graph.py", "dm"): "1-row dangling-mass scalar",
-    ("llm/similarity.py", "queries"): "bounded query batch (serving side)",
-    ("llm/similarity.py", "qkeys"): "LSH keys of the bounded query batch",
-    ("llm/similarity.py", "centroids"): "k IVF/k-means centroids",
-    ("llm/similarity.py", "qc"): "query x probe-centroid rows — bounded batch",
-    ("llm/tfidf.py", "total"): "1-row corpus count",
-    ("llm/tfidf.py", "vocab_idx"): "dense path only: vocab <= DENSE_VOCAB_MAX",
-    ("llm/tfidf.py", "reps"): "G replication ids (constant rows)",
-    ("queries_llm.py", "cr"): "count-min row of W counters (constant)",
-    ("queries_llm.py", "straddle"): "1-row straddling-pair count",
-    ("queries_relational.py", "t"): "TPC-H nation/region/customer dims",
-    ("queries_relational.py", "c"): "filtered customer dim (Q10 shape)",
-    ("queries_relational.py", "s"): "supplier dim",
-    ("queries_relational.py", "n1"): "nation dim",
-    ("queries_relational.py", "n2"): "nation dim",
-    ("queries_relational.py", "n"): "nation dim",
-    ("queries_relational.py", "r"): "region dim (5 rows)",
-    ("queries_relational.py", "firsts"): "per-user first-touch — user-dim grain",
-    ("queries_raster.py", "sketch"): "GK sketch rows — per-(product,band)",
-    ("queries_raster.py", "pvv"): "per-product percentile row",
-    ("queries_raster.py", "pvh"): "per-product percentile row",
+# unbounded-cardinality relation (per-doc, per-term, per-user tables, or any
+# TPC-H table whose row count is a function of SF) is a driver OOM at corpus
+# scale. New sites fail this audit until the target is reviewed bounded and
+# added here with a (grain, reason) entry. Grain classes:
+#   constant      — fixed row count independent of data volume (25 nations,
+#                   k centroids, a 1-row total, W counter registers)
+#   per-product   — one/few rows per product or (product, band); products per
+#                   batch are operator-bounded, never corpus-proportional
+#   bounded-batch — capped by an explicit limit before the broadcast (top-K
+#                   vocab, LIMITed query batch, vocab <= DENSE_VOCAB_MAX)
+# Anything whose cardinality grows with SF (customer, supplier, orders,
+# lineitem, part, events, documents, embeddings, per-user/per-doc derived
+# tables) is rejected BY CONSTRUCTION below — an allowlist entry cannot
+# bless it. (r5 verdict: five such sites were wrongly reviewed as "dims".)
+GRAIN_CLASSES = {"constant", "per-product", "bounded-batch"}
+# tables/derived grains whose row count is a function of the scale factor —
+# word-matched against both the broadcast expression and the review text
+SF_SCALING_NAMES = (
+    "customer", "supplier", "orders", "lineitem", "part",
+    "events", "documents", "embeddings", "per-user", "per-doc",
+)
+BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
+    ("operators/stats.py", "base"): ("per-product", "per-(product,band) stats rows"),
+    ("operators/stats.py", "pct_rows"): ("constant", "fixed percentile list"),
+    ("operators/autoscale.py", "params"): ("per-product", "per-(product,band) autoscale params"),
+    ("operators/autoscale.py", "ext"): ("per-product", "per-(product,band) extrema"),
+    ("operators/synrgb.py", "tot"): ("per-product", "per-(product,band) histogram totals"),
+    ("operators/synrgb.py", "fl"): ("per-product", "per-(product,band) floor row"),
+    ("operators/clahe.py", "win"): ("per-product", "per-(product,band) window row"),
+    ("operators/clahe.py", "dims"): ("per-product", "per-(product,band) dims row"),
+    ("operators/clahe.py", "tile_agg"): ("per-product", "per-tile CDF, tiles-per-product grain"),
+    ("operators/clahe.py", "c"): ("per-product", "per-tile centers, tiles-per-product grain"),
+    ("operators/geometry.py", "dims"): ("per-product", "per-(product,band) dims row"),
+    ("operators/geometry.py", "tiles_b"): ("per-product", "pinned GCP tile grid, grid-cell grain"),
+    ("operators/local_enhance.py", "dims"): ("per-product", "per-(product,band) dims row"),
+    ("operators/kernel.py", "params"): ("per-product", "per-(product,band) kernel params"),
+    ("llm/sampling.py", "rate_df"): ("constant", "per-stratum rates over enumerated strata"),
+    ("llm/text.py", "freqs"): ("bounded-batch", "vocabulary CAPPED to top-K before broadcast"),
+    ("llm/text.py", "totals"): ("constant", "1-row global totals"),
+    ("llm/text.py", "big"): ("bounded-batch", "bigram table over the capped vocab"),
+    ("llm/text.py", "cprev"): ("bounded-batch", "capped-vocab context counts"),
+    ("llm/packing.py", "totals"): ("constant", "1-row global totals"),
+    ("llm/graph.py", "dm"): ("constant", "1-row dangling-mass scalar"),
+    ("llm/similarity.py", "queries"): ("bounded-batch", "query batch bounded by serving contract"),
+    ("llm/similarity.py", "qkeys"): ("bounded-batch", "LSH keys of the bounded query batch"),
+    ("llm/similarity.py", "centroids"): ("constant", "k IVF/k-means centroids"),
+    ("llm/similarity.py", "qc"): ("bounded-batch", "query x probe-centroid rows, bounded batch"),
+    ("llm/tfidf.py", "total"): ("constant", "1-row corpus count"),
+    ("llm/tfidf.py", "vocab_idx"): ("bounded-batch", "dense path only: vocab <= DENSE_VOCAB_MAX"),
+    ("llm/tfidf.py", "reps"): ("constant", "G replication ids"),
+    ("queries_llm.py", "cr"): ("constant", "count-min row of W counters"),
+    ("queries_llm.py", "straddle"): ("constant", "1-row straddling-pair count"),
+    ("queries_relational.py", 't["nation"]'): ("constant", "25-row nation dim"),
+    ("queries_relational.py", 't["region"]'): ("constant", "5-row region dim"),
+    ("queries_relational.py", "n1"): ("constant", "25-row nation dim"),
+    ("queries_relational.py", "n2"): ("constant", "25-row nation dim"),
+    ("queries_relational.py", "n"): ("constant", "25-row nation dim"),
+    ("queries_relational.py", "r"): ("constant", "5-row region dim"),
+    ("queries_raster.py", "sketch"): ("per-product", "GK sketch rows per-(product,band)"),
+    ("queries_raster.py", "pvv"): ("per-product", "per-product percentile row"),
+    ("queries_raster.py", "pvh"): ("per-product", "per-product percentile row"),
 }
 
 
 def audit_broadcast_sites() -> list[str]:
     """Return problems for F.broadcast sites not in the reviewed allowlist,
-    and for allowlist entries whose site no longer exists (drift: a stale
-    review would silently bless a future reintroduction)."""
+    for allowlist entries whose site no longer exists (drift: a stale review
+    would silently bless a future reintroduction), and — rejected BY
+    CONSTRUCTION, allowlist or not — for any site or review that names an
+    SF-scaling relation (the r5 failure mode: customer/supplier/per-user
+    tables reviewed as 'dims')."""
     pkg = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sarpro_spark")
-    pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+    # capture the full first-arg expression incl. a subscript, so
+    # t["customer"] and t["nation"] are DISTINCT gate keys (r5 let the bad
+    # one ride in on the good one's bare-variable key)
+    pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\[[^\]]+\])?)")
+    scaling = re.compile(
+        "|".join(r"\b" + re.escape(nm).replace(r"\-", "-") + r"\b" for nm in SF_SCALING_NAMES)
+    )
     problems = []
     seen: set[tuple[str, str]] = set()
     for root, _dirs, files in os.walk(pkg):
@@ -485,13 +551,36 @@ def audit_broadcast_sites() -> list[str]:
             with open(path) as fh:
                 for ln, line in enumerate(fh, 1):
                     for m in pat.finditer(line):
-                        seen.add((rel, m.group(1)))
-                        if (rel, m.group(1)) not in BROADCAST_ALLOW:
+                        key = (rel, m.group(1))
+                        seen.add(key)
+                        hit = scaling.search(m.group(1))
+                        if hit:
+                            problems.append(
+                                f"sarpro_spark/{rel}:{ln} F.broadcast({m.group(1)}...) "
+                                f"names SF-scaling relation {hit.group(0)!r} — "
+                                "unbroadcastable by construction (driver OOM at scale); "
+                                "remove the hint and let AQE pick the join"
+                            )
+                        elif key not in BROADCAST_ALLOW:
                             problems.append(
                                 f"sarpro_spark/{rel}:{ln} F.broadcast({m.group(1)}...) "
                                 "not in BROADCAST_ALLOW — review cardinality bound first"
                             )
-    for key in BROADCAST_ALLOW:
+    for key, entry in BROADCAST_ALLOW.items():
+        if not (isinstance(entry, tuple) and len(entry) == 2):
+            problems.append(f"BROADCAST_ALLOW entry {key} must be a (grain, reason) tuple")
+            continue
+        grain, reason = entry
+        if grain not in GRAIN_CLASSES:
+            problems.append(
+                f"BROADCAST_ALLOW entry {key} grain {grain!r} not in {sorted(GRAIN_CLASSES)}"
+            )
+        hit = scaling.search(key[1]) or scaling.search(reason)
+        if hit:
+            problems.append(
+                f"BROADCAST_ALLOW entry {key} names SF-scaling relation "
+                f"{hit.group(0)!r} — such a review is invalid by construction"
+            )
         if key not in seen:
             problems.append(
                 f"BROADCAST_ALLOW entry {key} matches no F.broadcast site — remove the stale review"
@@ -523,7 +612,8 @@ def main() -> int:
         df = qs[name](spark, SF)
         qe = df._jdf.queryExecution()
         plan = df._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
-        problems = []
+        simple = df._sc._jvm.PythonSQLUtils.explainString(qe, "simple")
+        problems = singlepart_window_problems(simple)
         if spec.get("codegen"):
             # JVM fast path: fused codegen span, or a columnar cache scan for
             # cached-frame consumers (the real anti-goal — Python in the row
