@@ -49,7 +49,7 @@ HEADLINE = [
     "pipeline_kernel_tiled_u8",
     "tiff_roundtrip",
     "events_sliding_windows",
-    "affine_warp_bilinear",
+    "affine_warp_kernels",
     "text_contamination",
     "text_repetition",
     "events_attribution_join",

@@ -304,14 +304,15 @@ def geotransform_update(
     return d
 
 
-# --- G5: in-engine affine warp (bilinear) ------------------------------------
+# --- G5: in-engine affine warp (near / bilinear / cubic) ---------------------
 
 
-def affine_warp_bilinear(
+def affine_warp(
     px: DataFrame,
     geo: DataFrame,
     group_cols: list[str],
     value: str = "v",
+    alg: str = "bilinear",
 ) -> DataFrame:
     """G5 brought in-engine for the affine case: resample each product from
     its source grid onto a per-product TARGET grid with bilinear weights.
@@ -334,6 +335,12 @@ def affine_warp_bilinear(
     dyadic geotransforms and integer-quantized values every w*v product is
     exact in f64, so the 4-corner sum is order-independent — the oracle twin
     (sql_affine_warp) hash-matches bit-for-bit.
+
+    ``alg`` selects the reference's ``-r {near,bilinear,cubic}`` resampling
+    kernel family (src/io/sentinel1.rs:988-1032, CLI mapping
+    src/cli/runner.rs:61-67): nearest = 1 tap, bilinear = 4 taps, cubic =
+    16-tap Keys cubic convolution (a = -0.5, GDAL's cubic) — same canvas /
+    coords plan, only the gather stage differs.
     """
     gcols = [F.col(c) for c in group_cols]
     stubs = geo.select(
@@ -352,7 +359,36 @@ def affine_warp_bilinear(
     cs = ((x - F.col("sg0")) * F.col("sg5") - (y - F.col("sg3")) * F.col("sg2")) / det - 0.5
     rs = ((y - F.col("sg3")) * F.col("sg1") - (x - F.col("sg0")) * F.col("sg4")) / det - 0.5
     coords = cells.select(*gcols, "row", "col", cs.alias("cs"), rs.alias("rs"))
-    return bilinear_gather(coords, px, group_cols, value)
+    return resample_gather(coords, px, group_cols, value, alg=alg)
+
+
+def affine_warp_bilinear(
+    px: DataFrame,
+    geo: DataFrame,
+    group_cols: list[str],
+    value: str = "v",
+) -> DataFrame:
+    """Back-compat alias: :func:`affine_warp` with the bilinear kernel."""
+    return affine_warp(px, geo, group_cols, value, alg="bilinear")
+
+
+def resample_gather(
+    coords: DataFrame,
+    px: DataFrame,
+    group_cols: list[str],
+    value: str = "v",
+    alg: str = "bilinear",
+) -> DataFrame:
+    """Kernel dispatch for the gather stage shared by every warp route —
+    the execution-side consumer of ProcessingParams.resample_alg (the
+    reference's ``-r`` flag, src/cli/runner.rs:61-67)."""
+    if alg in ("bilinear",):
+        return bilinear_gather(coords, px, group_cols, value)
+    if alg in ("near", "nearest"):
+        return nearest_gather(coords, px, group_cols, value)
+    if alg == "cubic":
+        return cubic_gather(coords, px, group_cols, value)
+    raise ValueError(f"unsupported resample alg {alg!r} (near|bilinear|cubic)")
 
 
 def bilinear_gather(
@@ -409,6 +445,117 @@ def bilinear_gather(
         hit.groupBy(*group_cols, "row", "col")
         .agg(F.sum(F.col("w") * F.col("_v")).alias("_wv"), F.sum("w").alias("_w"))
         .where(F.col("_w") > 0.0)
+        .select(*gcols, "row", "col", (F.col("_wv") / F.col("_w")).alias(value))
+    )
+
+
+def nearest_gather(
+    coords: DataFrame,
+    px: DataFrame,
+    group_cols: list[str],
+    value: str = "v",
+) -> DataFrame:
+    """``-r near``: single-tap gather at the rounded source coordinate —
+    no corner explode, no weights, no aggregate; one co-partitioned join.
+    Bit-exact by construction (the value passes through untouched), so this
+    kernel certifies against the oracle with no rounding doctrine at all.
+    Out-of-footprint cells drop via the inner join, as in bilinear."""
+    gcols = [F.col(c) for c in group_cols]
+    taps = coords.select(
+        *gcols, "row", "col",
+        F.floor(F.col("rs") + F.lit(0.5)).cast("int").alias("srow"),
+        F.floor(F.col("cs") + F.lit(0.5)).cast("int").alias("scol"),
+    )
+    srcpx = px.select(
+        *gcols, F.col("row").alias("srow"), F.col("col").alias("scol"),
+        F.col(value).cast("double").alias("_v"),
+    )
+    # same BIG x BIG structural pin as bilinear_gather: a cached px lineage
+    # must never flip this to a broadcast (r5 soak reproduced the OOM)
+    hit = taps.join(srcpx.hint("shuffle_merge"), [*group_cols, "srow", "scol"])
+    return hit.select(*gcols, "row", "col", F.col("_v").alias(value))
+
+
+#: Keys cubic-convolution free parameter — a = -0.5 is the classic Keys
+#: (1981) choice and what GDAL's `-r cubic` uses; the reference's flagship
+#: path defaults to cubic (src/io/sentinel1.rs:988-1032, types.py:95).
+CUBIC_A = -0.5
+
+
+def _cubic_w(dist_from_tap):
+    """1-D Keys cubic weight for a tap at |x| = dist_from_tap in [0, 2).
+    Horner forms with a = -0.5 baked in, written with the IDENTICAL
+    operation order as the SQL twin so dyadic inputs stay bit-exact:
+      |x| <= 1:  (1.5*x - 2.5)*x*x + 1
+      1 < |x| < 2: ((-0.5*x + 2.5)*x - 4.0)*x + 2.0
+    """
+    x = dist_from_tap
+    return F.when(
+        x <= 1.0, (F.lit(1.5) * x - F.lit(2.5)) * x * x + F.lit(1.0)
+    ).otherwise(((F.lit(-0.5) * x + F.lit(2.5)) * x - F.lit(4.0)) * x + F.lit(2.0))
+
+
+def cubic_gather(
+    coords: DataFrame,
+    px: DataFrame,
+    group_cols: list[str],
+    value: str = "v",
+) -> DataFrame:
+    """``-r cubic``: 16-tap Keys cubic-convolution gather — the reference's
+    default warp kernel. Same plan shape as bilinear (tap explode -> one
+    co-partitioned join -> per-cell weighted agg), 4x the tap fan-out (a
+    bounded constant — shuffle stays linear in the canvas). Edge cells
+    renormalize by the present-tap weight mass like bilinear; cubic weights
+    can be negative, so the drop test is on |mass| (deterministic: with
+    dyadic fractions every weight is exact, and both engines compute the
+    identical sum)."""
+    gcols = [F.col(c) for c in group_cols]
+    cs, rs = F.col("cs"), F.col("rs")
+    src = coords.select(
+        *gcols, "row", "col",
+        F.floor(cs).cast("int").alias("c0"),
+        F.floor(rs).cast("int").alias("r0"),
+        (cs - F.floor(cs)).alias("fc"),
+        (rs - F.floor(rs)).alias("fr"),
+    )
+    taps = src.select(
+        *gcols, "row", "col", "c0", "r0", "fc", "fr",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+                    for dr in (-1, 0, 1, 2)
+                    for dc in (-1, 0, 1, 2)
+                ]
+            )
+        ).alias("k"),
+    )
+    # |x| per axis: d=-1 -> 1+f, d=0 -> f, d=1 -> 1-f, d=2 -> 2-f
+    def axis_dist(d, f):
+        return (
+            F.when(d == -1, F.lit(1.0) + f)
+            .when(d == 0, f)
+            .when(d == 1, F.lit(1.0) - f)
+            .otherwise(F.lit(2.0) - f)
+        )
+
+    wr = _cubic_w(axis_dist(F.col("k.dr"), F.col("fr")))
+    wc = _cubic_w(axis_dist(F.col("k.dc"), F.col("fc")))
+    tapped = taps.select(
+        *gcols, "row", "col",
+        (F.col("r0") + F.col("k.dr")).alias("srow"),
+        (F.col("c0") + F.col("k.dc")).alias("scol"),
+        (wr * wc).alias("w"),
+    )
+    srcpx = px.select(
+        *gcols, F.col("row").alias("srow"), F.col("col").alias("scol"),
+        F.col(value).cast("double").alias("_v"),
+    )
+    hit = tapped.join(srcpx.hint("shuffle_merge"), [*group_cols, "srow", "scol"])
+    return (
+        hit.groupBy(*group_cols, "row", "col")
+        .agg(F.sum(F.col("w") * F.col("_v")).alias("_wv"), F.sum("w").alias("_w"))
+        .where(F.abs(F.col("_w")) > 1e-9)
         .select(*gcols, "row", "col", (F.col("_wv") / F.col("_w")).alias(value))
     )
 
@@ -508,6 +655,7 @@ def warp_gcp_grid(
     k: int,
     bucket: float = 256.0,
     value: str = "v",
+    alg: str = "bilinear",
 ) -> DataFrame:
     """G5 curvilinear path in-engine: piecewise-BILINEAR warp over a GCP grid.
 
@@ -650,7 +798,98 @@ def warp_gcp_grid(
         ((F.col("_w.tj").cast("double") + u_cl) * kf).alias("cs"),
         ((F.col("_w.ti").cast("double") + v_cl) * kf).alias("rs"),
     )
-    return bilinear_gather(coords, px, group_cols, value)
+    return resample_gather(coords, px, group_cols, value, alg=alg)
+
+
+def sql_resample_gather(
+    coords_rel: str,
+    px_rel: str,
+    group_cols: list[str],
+    value: str = "v",
+    alg: str = "bilinear",
+    corners_name: str = "cornersw",
+) -> str:
+    """DuckDB twin of :func:`resample_gather`: the gather-stage CTEs shared
+    by every warp route, ending in ``warped``. ``coords_rel`` yields
+    (group, row, col, cs, rs). Weight expressions are written in the
+    IDENTICAL Horner operation order as the Spark columns so dyadic
+    fixtures stay bit-exact across engines."""
+    g = ", ".join(group_cols)
+    on = " AND ".join(f"p.{c} = c.{c}" for c in group_cols)
+    if alg in ("near", "nearest"):
+        gc = ", ".join(f"c.{c}" for c in group_cols)
+        return f"""warped AS (
+  SELECT {gc}, c.row, c.col, CAST(p.{value} AS DOUBLE) AS {value}
+  FROM (
+    SELECT {g}, row, col,
+           CAST(FLOOR(rs + 0.5) AS INTEGER) AS srow,
+           CAST(FLOOR(cs + 0.5) AS INTEGER) AS scol
+    FROM {coords_rel}
+  ) c
+  JOIN {px_rel} p ON {on} AND p.row = c.srow AND p.col = c.scol
+)"""
+    if alg == "bilinear":
+        return f"""{corners_name} AS (
+  SELECT {g}, row, col,
+         CAST(FLOOR(rs) AS INTEGER) + kk.dr AS srow,
+         CAST(FLOOR(cs) AS INTEGER) + kk.dc AS scol,
+         (CASE WHEN kk.dr = 1 THEN rs - FLOOR(rs) ELSE 1.0 - (rs - FLOOR(rs)) END)
+       * (CASE WHEN kk.dc = 1 THEN cs - FLOOR(cs) ELSE 1.0 - (cs - FLOOR(cs)) END) AS w
+  FROM {coords_rel},
+       LATERAL (SELECT UNNEST([0,0,1,1]) AS dr, UNNEST([0,1,0,1]) AS dc) kk
+),
+warped AS (
+  SELECT {g}, row, col, SUM(w * _v) / SUM(w) AS {value}
+  FROM (
+    SELECT c.*, CAST(p.{value} AS DOUBLE) AS _v
+    FROM {corners_name} c
+    JOIN {px_rel} p
+      ON {on}
+     AND p.row = c.srow AND p.col = c.scol
+  ) j
+  GROUP BY {g}, row, col
+  HAVING SUM(w) > 0.0
+)"""
+    if alg == "cubic":
+        # Keys a=-0.5; per-axis |x| by tap offset: -1 -> 1+f, 0 -> f,
+        # 1 -> 1-f, 2 -> 2-f. Inner (|x|<=1): (1.5*x - 2.5)*x*x + 1.0;
+        # outer: ((-0.5*x + 2.5)*x - 4.0)*x + 2.0 — Horner forms in
+        # lock-step with _cubic_w. (At the only overlap point |x|=1 both
+        # forms give exactly 0.0 in the dyadic fixture arithmetic.)
+        def axis(off_col: str, f: str) -> str:
+            inner = lambda x: f"((1.5 * {x} - 2.5) * {x} * {x} + 1.0)"
+            outer = lambda x: f"(((-0.5 * {x} + 2.5) * {x} - 4.0) * {x} + 2.0)"
+            return (f"(CASE {off_col} WHEN -1 THEN {outer(f'(1.0 + {f})')} "
+                    f"WHEN 0 THEN {inner(f)} "
+                    f"WHEN 1 THEN {inner(f'(1.0 - {f})')} "
+                    f"ELSE {outer(f'(2.0 - {f})')} END)")
+        taps = ",".join(str(d) for d in (-1, 0, 1, 2) for _ in range(4))
+        tapsc = ",".join(str(d) for _ in range(4) for d in (-1, 0, 1, 2))
+        wr = axis("kk.dr", "fr")
+        wc = axis("kk.dc", "fc")
+        return f"""{corners_name} AS (
+  SELECT {g}, row, col,
+         CAST(FLOOR(rs) AS INTEGER) + kk.dr AS srow,
+         CAST(FLOOR(cs) AS INTEGER) + kk.dc AS scol,
+         {wr}
+       * {wc} AS w
+  FROM (SELECT *, rs - FLOOR(rs) AS fr, cs - FLOOR(cs) AS fc FROM {coords_rel}),
+       LATERAL (SELECT UNNEST([{taps}]) AS dr, UNNEST([{tapsc}]) AS dc) kk
+),
+warped AS (
+  SELECT {g}, row, col, SUM(w * _v) / SUM(w) AS {value}
+  FROM (
+    SELECT c.*, CAST(p.{value} AS DOUBLE) AS _v
+    FROM {corners_name} c
+    JOIN {px_rel} p
+      ON {on}
+     AND p.row = c.srow AND p.col = c.scol
+  ) j
+  GROUP BY {g}, row, col
+  HAVING ABS(SUM(w)) > 1e-9
+)"""
+    raise ValueError(f"unsupported resample alg {alg!r} (near|bilinear|cubic)")
+
 
 
 def sql_warp_gcp_grid(
@@ -661,6 +900,7 @@ def sql_warp_gcp_grid(
     k: int,
     bucket: float = 256.0,
     value: str = "v",
+    alg: str = "bilinear",
 ) -> str:
     """DuckDB twin of :func:`warp_gcp_grid`. ``gcp_rel`` yields (group, gi,
     gj, gx, gy); ``geo_rel`` yields (group, dg0..dg5, dst_rows, dst_cols).
@@ -766,27 +1006,7 @@ gcoords AS (
          (CAST(ti AS DOUBLE) + LEAST(GREATEST(v, 0.0), 1.0)) * {kf!r} AS rs
   FROM gcand6 WHERE _rn = 1
 ),
-gcornerw AS (
-  SELECT {g}, row, col,
-         CAST(FLOOR(rs) AS INTEGER) + kk.dr AS srow,
-         CAST(FLOOR(cs) AS INTEGER) + kk.dc AS scol,
-         (CASE WHEN kk.dr = 1 THEN rs - FLOOR(rs) ELSE 1.0 - (rs - FLOOR(rs)) END)
-       * (CASE WHEN kk.dc = 1 THEN cs - FLOOR(cs) ELSE 1.0 - (cs - FLOOR(cs)) END) AS w
-  FROM gcoords,
-       LATERAL (SELECT UNNEST([0,0,1,1]) AS dr, UNNEST([0,1,0,1]) AS dc) kk
-),
-warped AS (
-  SELECT {g}, row, col, SUM(w * _v) / SUM(w) AS {value}
-  FROM (
-    SELECT c.*, CAST(p.{value} AS DOUBLE) AS _v
-    FROM gcornerw c
-    JOIN {px_rel} p
-      ON {' AND '.join(f'p.{c} = c.{c}' for c in group_cols)}
-     AND p.row = c.srow AND p.col = c.scol
-  ) j
-  GROUP BY {g}, row, col
-  HAVING SUM(w) > 0.0
-)""".strip()
+{sql_resample_gather(px_rel=px_rel, coords_rel="gcoords", group_cols=group_cols, value=value, alg=alg, corners_name="gcornerw")}""".strip()
 
 
 def sql_affine_warp(
@@ -794,13 +1014,14 @@ def sql_affine_warp(
     geo_rel: str,
     group_cols: list[str],
     value: str = "v",
+    alg: str = "bilinear",
 ) -> str:
-    """DuckDB twin of :func:`affine_warp_bilinear`. ``px_rel`` yields
+    """DuckDB twin of :func:`affine_warp`. ``px_rel`` yields
     (group, row, col, value); ``geo_rel`` yields (group, sg0..sg5, dg0..dg5,
-    dst_rows, dst_cols). Returns CTEs ending in ``warped``."""
+    dst_rows, dst_cols). ``alg`` in near|bilinear|cubic selects the gather
+    kernel (sql_resample_gather). Returns CTEs ending in ``warped``."""
     g = ", ".join(group_cols)
     gg = ", ".join(f"g.{c}" for c in group_cols)
-    gs = ", ".join(f"s.{c}" for c in group_cols)
     return f"""
 cellsw AS (
   SELECT {gg}, r.i AS row, c.i AS col,
@@ -817,24 +1038,4 @@ srccoord AS (
          ((y - sg3) * sg1 - (x - sg0) * sg4) / (sg1 * sg5 - sg2 * sg4) - 0.5 AS rs
   FROM cellsw
 ),
-cornersw AS (
-  SELECT {gs}, s.row, s.col,
-         CAST(FLOOR(s.rs) AS INTEGER) + k.dr AS srow,
-         CAST(FLOOR(s.cs) AS INTEGER) + k.dc AS scol,
-         (CASE WHEN k.dr = 1 THEN s.rs - FLOOR(s.rs) ELSE 1.0 - (s.rs - FLOOR(s.rs)) END)
-       * (CASE WHEN k.dc = 1 THEN s.cs - FLOOR(s.cs) ELSE 1.0 - (s.cs - FLOOR(s.cs)) END) AS w
-  FROM srccoord s,
-       LATERAL (SELECT UNNEST([0,0,1,1]) AS dr, UNNEST([0,1,0,1]) AS dc) k
-),
-warped AS (
-  SELECT {g}, row, col, SUM(w * _v) / SUM(w) AS {value}
-  FROM (
-    SELECT c.*, CAST(p.{value} AS DOUBLE) AS _v
-    FROM cornersw c
-    JOIN {px_rel} p
-      ON {' AND '.join(f'p.{c} = c.{c}' for c in group_cols)}
-     AND p.row = c.srow AND p.col = c.scol
-  ) j
-  GROUP BY {g}, row, col
-  HAVING SUM(w) > 0.0
-)""".strip()
+{sql_resample_gather("srccoord", px_rel, group_cols, value, alg, "cornersw")}""".strip()

@@ -20,6 +20,8 @@ sequentially; the JPEG path applies A7 per band then the synRGB compositor.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -165,9 +167,24 @@ def needs_warp(current_epsg: str | None, target_crs: str | None) -> bool:
     return current_epsg.strip().upper() != target_crs.strip().upper()
 
 
-#: EPSG prefixes of the UTM/UPS codes lonlat_to_epsg emits — the CRSs the
-#: in-engine projections (operators/tmerc.py) cover
-_UTM_EPSG_PREFIXES = ("EPSG:326", "EPSG:327", "EPSG:32661", "EPSG:32761")
+#: UTM zone codes: EPSG:326zz (north) / 327zz (south), zone zz in 01..60.
+#: A prefix test overmatched here before (EPSG:3266/3273 are real non-UTM
+#: CRSs) — match the exact code shape and validate the zone number.
+_UTM_EPSG_RE = re.compile(r"^EPSG:32[67](0[1-9]|[1-5]\d|60)$")
+#: UPS polar codes lonlat_to_epsg emits at |lat| >= 84 / <= -80
+_UPS_EPSG_CODES = frozenset({"EPSG:32661", "EPSG:32761"})
+
+
+def crs_projection_support(target_crs: str) -> str | None:
+    """Which in-engine projection family (operators/tmerc.py) covers a
+    target CRS: 'utm' (Krüger series), 'ups' (polar stereographic), or None
+    for CRSs the engine cannot project geographic coordinates into."""
+    code = target_crs.strip().upper()
+    if _UTM_EPSG_RE.match(code):
+        return "utm"
+    if code in _UPS_EPSG_CODES:
+        return "ups"
+    return None
 
 
 def warp_route(
@@ -180,27 +197,55 @@ def warp_route(
     (sentinel1.rs:959-1032), every route in-engine:
 
     - 'none': no warp needed (P4 guard)
-    - 'affine': projected affine case — geometry.affine_warp_bilinear
-    - 'gcp_utm': no projection, GEOGRAPHIC GCP grid (EPSG:4326), projected
-      UTM/UPS target — GCPs are projected in-engine (operators/tmerc.py
-      Krüger/UPS series) and feed geometry.warp_gcp_grid (the reference's
+    - 'affine': projected affine case — geometry.affine_warp
+    - 'gcp_utm': no projection, GEOGRAPHIC GCP grid (EPSG:4326), UTM
+      target — GCPs are projected in-engine (operators/tmerc.py Krüger
+      series) and feed geometry.warp_gcp_grid (the reference's
       `gdalwarp -tps -s_srs EPSG:4326` branch, fully relational here —
       certified by the warp_utm_from_lonlat query)
+    - 'gcp_ups': same with a UPS polar target (EPSG:32661/32761) — the
+      polar-stereographic forward steps project the GCPs
     - 'gcp': no projection, GCP grid already in target ground units —
       geometry.warp_gcp_grid directly
-    """
+
+    Geographic GCPs with a target OUTSIDE the in-engine projection families
+    raise ValueError: silently routing to 'gcp' would treat lon/lat degrees
+    as target ground units and produce a wrong-but-plausible raster (the
+    reference delegates arbitrary CRSs to gdalwarp; this engine's contract
+    is to fail loudly at plan time instead)."""
     if not needs_warp(current_epsg, target_crs):
         return "none"
     if current_epsg is None and has_gcps:
-        if (
-            gcp_crs is not None
-            and gcp_crs.strip().upper() == "EPSG:4326"
-            and target_crs is not None
-            and target_crs.strip().upper().startswith(_UTM_EPSG_PREFIXES[:2])
-        ):
-            return "gcp_utm"
+        if gcp_crs is not None and gcp_crs.strip().upper() == "EPSG:4326":
+            fam = crs_projection_support(target_crs) if target_crs else None
+            if fam == "utm":
+                return "gcp_utm"
+            if fam == "ups":
+                return "gcp_ups"
+            raise ValueError(
+                f"unsupported target CRS {target_crs!r} for geographic GCPs: "
+                "in-engine projection covers UTM (EPSG:326xx/327xx, zones "
+                "1-60) and UPS (EPSG:32661/32761); reproject externally or "
+                "supply GCPs in target ground units"
+            )
         return "gcp"
     return "affine"
+
+
+def resample_kernel(params) -> str:
+    """Execution-side consumer of ProcessingParams.resample_alg (the
+    reference's `-r` flag, src/cli/runner.rs:61-67; cubic is the flagship
+    default, types.py:95): maps the param to the geometry.resample_gather
+    kernel name every warp route passes through. Until round 6 this knob
+    was parsed and round-tripped but never consumed — `--resample cubic`
+    silently produced bilinear output."""
+    from sarpro_spark.types import ResampleAlg
+
+    return {
+        ResampleAlg.NEAREST: "near",
+        ResampleAlg.BILINEAR: "bilinear",
+        ResampleAlg.CUBIC: "cubic",
+    }[params.resample_alg]
 
 
 def batch_status(products: DataFrame, status_col: str = "status") -> DataFrame:

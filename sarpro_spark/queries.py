@@ -141,8 +141,11 @@ HEAD_ORDER: tuple[str, ...] = (
     "geotransform_update",
     "pipeline_kernel_synrgb_default",
     "pipeline_kernel_synrgb_suppressed",
-    # G5 warp family (affine + GCP grid + in-engine UTM end-to-end)
-    "affine_warp_bilinear",
+    # G5 warp family (affine + GCP grid + in-engine UTM end-to-end).
+    # affine_warp_kernels is the union certificate of all three -r kernels
+    # (near/bilinear/cubic) on the shared fixture; the single-kernel
+    # affine_warp_bilinear twin stays registered in the tail.
+    "affine_warp_kernels",
     "warp_gcp_grid",
     "warp_utm_from_lonlat",
     # IVF centroid trainer

@@ -1133,6 +1133,77 @@ def q_warp_gcp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("product_id", "row", "col", fround(F.col("q")).alias("q"))
 
 
+def _warp_kernels_sql() -> str:
+    from sarpro_spark.operators.geometry import sql_affine_warp
+    from sarpro_spark.queries import sql_fround
+
+    u8 = asc.oracle_autoscale_sql(_VV_SRC_CTE, ["product_id"], _KEYS, "standard-a2", BitDepth.U8)
+    legs = []
+    for alg in ("near", "bilinear", "cubic"):
+        warp = sql_affine_warp("u8", "kgeo", ["product_id"], "q", alg)
+        legs.append(
+            f"""SELECT product_id, '{alg}' AS alg, row, col, {sql_fround('q')} AS q FROM (
+  WITH {warp}
+  SELECT * FROM warped
+) t_{alg}"""
+        )
+    body = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH u8 AS ({u8}),
+kgeo AS (
+  SELECT product_id,
+         CAST(product_id AS DOUBLE) * 128.0 AS sg0, 8.0 AS sg1, 0.0 AS sg2,
+         CAST(product_id AS DOUBLE) * -64.0 AS sg3, 0.0 AS sg4, -8.0 AS sg5,
+         CAST(product_id AS DOUBLE) * 128.0 AS dg0, 8.0 AS dg1, 2.0 AS dg2,
+         CAST(product_id AS DOUBLE) * -64.0 AS dg3, 2.0 AS dg4, -8.0 AS dg5,
+         MAX(row) + 1 AS dst_rows, MAX(col) + 1 AS dst_cols
+  FROM u8 GROUP BY product_id
+)
+{body}
+""".strip()
+
+
+@query("affine_warp_kernels", sql=_warp_kernels_sql(), tags=("raster", "geometry", "warp", "kernels"))
+def q_affine_warp_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 resampling-kernel family certificate: the SAME affine warp fixture
+    resampled with all three of the reference's ``-r`` kernels (near /
+    bilinear / cubic — src/io/sentinel1.rs:988-1032; cubic is the flagship
+    default, types.py:95) in one union row. Target grid: same scale as the
+    source with a dyadic x- AND y-shear (dg2 = dg4 = 2), so both axes carry
+    fractional source coordinates (denominator 8) and every Keys weight is
+    exact IEEE — nearest certifies bit-exact with no rounding doctrine,
+    bilinear/cubic under the shared dyadic doctrine (fround guards only the
+    final weighted division)."""
+    from sarpro_spark.operators.geometry import affine_warp, product_dims
+    from sarpro_spark.queries import fround
+
+    px = _vv_px(spark, sf_dir)
+    stats = st.histogram_stats(px, ["product_id"])
+    params = asc.params_standard(stats, ["product_id"])
+    q16 = asc.apply_params(px, params, ["product_id"], BitDepth.U8, out="_q16")
+    # cached: dims + three gather legs read the autoscaled frame seven times
+    u8 = asc.scale_u16_to_u8(q16, ["product_id"], value="_q16", out="q").drop("_q16").cache()
+    pid = F.col("product_id").cast("double")
+    geo = product_dims(u8, ["product_id"]).select(
+        "product_id",
+        (pid * 128.0).alias("sg0"), F.lit(8.0).alias("sg1"), F.lit(0.0).alias("sg2"),
+        (pid * -64.0).alias("sg3"), F.lit(0.0).alias("sg4"), F.lit(-8.0).alias("sg5"),
+        (pid * 128.0).alias("dg0"), F.lit(8.0).alias("dg1"), F.lit(2.0).alias("dg2"),
+        (pid * -64.0).alias("dg3"), F.lit(2.0).alias("dg4"), F.lit(-8.0).alias("dg5"),
+        F.col("rows").alias("dst_rows"), F.col("cols").alias("dst_cols"),
+    )
+    legs = []
+    for alg in ("near", "bilinear", "cubic"):
+        out = affine_warp(u8, geo, ["product_id"], value="q", alg=alg)
+        legs.append(
+            out.select(
+                "product_id", F.lit(alg).alias("alg"), "row", "col",
+                fround(F.col("q")).alias("q"),
+            )
+        )
+    return legs[0].unionByName(legs[1]).unionByName(legs[2])
+
+
 @query("affine_warp_bilinear", sql=_warp_sql(), tags=("raster", "geometry", "warp"))
 def q_affine_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 affine warp in-engine: u8 product -> bilinear resample onto a 2x

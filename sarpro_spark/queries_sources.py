@@ -198,16 +198,18 @@ def q_generic_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PLAN_FLAGS_SQL = """
 SELECT * FROM (VALUES
-  (0, 'single', 'vv', FALSE, 'none'),
-  (1, 'single', 'vh', TRUE, 'gcp'),
-  (2, 'multiband', 'vv+vh', FALSE, 'none'),
-  (3, 'operation', 'vv+vh', TRUE, 'affine'),
-  (4, 'multiband', 'vv+vh', FALSE, 'none'),
-  (5, 'single', 'hh', FALSE, 'none'),
-  (6, 'single', 'vv', TRUE, 'affine'),
-  (7, 'single', 'vv', TRUE, 'gcp_utm'),
-  (8, 'single', 'vv', TRUE, 'gcp')
-) t(case_id, route, band, needs_warp, warp_route)
+  (0, 'single', 'vv', FALSE, 'none', 'cubic'),
+  (1, 'single', 'vh', TRUE, 'gcp', 'near'),
+  (2, 'multiband', 'vv+vh', FALSE, 'none', 'cubic'),
+  (3, 'operation', 'vv+vh', TRUE, 'affine', 'bilinear'),
+  (4, 'multiband', 'vv+vh', FALSE, 'none', 'cubic'),
+  (5, 'single', 'hh', FALSE, 'none', 'cubic'),
+  (6, 'single', 'vv', TRUE, 'affine', 'cubic'),
+  (7, 'single', 'vv', TRUE, 'gcp_utm', 'cubic'),
+  (8, 'single', 'vv', TRUE, 'gcp', 'cubic'),
+  (9, 'single', 'vv', TRUE, 'gcp_ups', 'cubic'),
+  (10, 'single', 'vv', TRUE, 'error:unsupported_crs', 'cubic')
+) t(case_id, route, band, needs_warp, warp_route, resample_kernel)
 """.strip()
 
 
@@ -219,20 +221,28 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid -> piecewise-affine GCP warp, the reference's -tps branch; no GCPs
     -> affine assuming source georef) — the real dispatch functions over a
     params matrix, oracle = the expected decision table."""
-    from sarpro_spark.plans.pipeline import needs_warp, pipeline_route, warp_route
+    from sarpro_spark.plans.pipeline import (
+        needs_warp,
+        pipeline_route,
+        resample_kernel,
+        warp_route,
+    )
     from sarpro_spark.types import (
         OutputFormat,
         Polarization,
         PolarizationOperation,
         ProcessingParams,
+        ResampleAlg,
     )
 
     cases = [
         (0, ProcessingParams(polarization=Polarization.VV), "EPSG:32632", "EPSG:32632", False),
-        (1, ProcessingParams(polarization=Polarization.VH), None, "EPSG:32632", True),
+        (1, ProcessingParams(polarization=Polarization.VH, resample_alg=ResampleAlg.NEAREST),
+         None, "EPSG:32632", True),
         (2, ProcessingParams(polarization=Polarization.MULTIBAND, format=OutputFormat.JPEG),
          "EPSG:32632", "epsg:32632", False),
-        (3, ProcessingParams(polarization=Polarization.VV, operation=PolarizationOperation.RATIO),
+        (3, ProcessingParams(polarization=Polarization.VV, operation=PolarizationOperation.RATIO,
+                             resample_alg=ResampleAlg.BILINEAR),
          "EPSG:32631", "EPSG:32632", False),
         (4, ProcessingParams(polarization=None, format=OutputFormat.JPEG), "EPSG:32632", None, False),
         (5, ProcessingParams(polarization=Polarization.HH), "EPSG:32633", None, True),
@@ -241,18 +251,31 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for cid, params, cur, tgt, gcps in cases:
         route, band = pipeline_route(params)
-        rows.append((cid, route, band, needs_warp(cur, tgt), warp_route(cur, tgt, gcps)))
+        rows.append((cid, route, band, needs_warp(cur, tgt), warp_route(cur, tgt, gcps),
+                     resample_kernel(params)))
     # G5 in-engine CRS routes: geographic GCPs + UTM target -> project
-    # in-engine then GCP-warp; GCPs already in ground units -> GCP-warp
+    # in-engine then GCP-warp; UPS polar target -> UPS forward steps; GCPs
+    # already in ground units -> GCP-warp; anything else fails LOUDLY at
+    # plan time (silently reading degrees as meters is the bug class the
+    # r5 verdict flagged)
     p7 = ProcessingParams(polarization=Polarization.VV)
     route7, band7 = pipeline_route(p7)
+    k7 = resample_kernel(p7)
     rows.append((7, route7, band7, needs_warp(None, "EPSG:32755"),
-                 warp_route(None, "EPSG:32755", True, gcp_crs="epsg:4326")))
+                 warp_route(None, "EPSG:32755", True, gcp_crs="epsg:4326"), k7))
     rows.append((8, route7, band7, needs_warp(None, "EPSG:3857"),
-                 warp_route(None, "EPSG:3857", True, gcp_crs=None)))
+                 warp_route(None, "EPSG:3857", True, gcp_crs=None), k7))
+    rows.append((9, route7, band7, needs_warp(None, "EPSG:32761"),
+                 warp_route(None, "EPSG:32761", True, gcp_crs="EPSG:4326"), k7))
+    try:
+        wr10 = warp_route(None, "EPSG:3035", True, gcp_crs="EPSG:4326")
+    except ValueError:
+        wr10 = "error:unsupported_crs"
+    rows.append((10, route7, band7, needs_warp(None, "EPSG:3035"), wr10, k7))
     return spark.createDataFrame(
         rows,
-        "case_id int, route string, band string, needs_warp boolean, warp_route string",
+        "case_id int, route string, band string, needs_warp boolean, "
+        "warp_route string, resample_kernel string",
     )
 
 

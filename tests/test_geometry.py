@@ -384,3 +384,92 @@ def test_ups_polar_stereographic():
     for s in (False, True):
         ep, np_ = tm.ups_forward_np(0.0, -90.0 if s else 90.0, s)
         assert float(ep) == 2000000.0 and float(np_) == 2000000.0
+
+
+# --- round-6: resampling-kernel family (near / cubic) ------------------------
+
+
+def _coords(spark, pts):
+    """(group, row, col, cs, rs) target-cell coordinate frame."""
+    return spark.createDataFrame(
+        [("p", r, c, float(cs), float(rs)) for (r, c, cs, rs) in pts],
+        "g string, row int, col int, cs double, rs double",
+    )
+
+
+def test_nearest_gather_picks_rounded_pixel(spark):
+    px = _px(spark, 4, 4)  # v = r*4 + c
+    coords = _coords(spark, [
+        (0, 0, 1.25, 2.75),   # -> (row 3, col 1) = 13
+        (0, 1, 2.5, 0.0),     # half rounds up -> col 3 -> 3
+        (0, 2, -0.4, 0.4),    # -> (0, 0) = 0
+        (0, 3, 5.0, 0.0),     # out of footprint -> dropped
+    ])
+    out = {(r["row"], r["col"]): r["v"] for r in
+           geom.nearest_gather(coords, px, ["g"]).collect()}
+    assert out == {(0, 0): 13.0, (0, 1): 3.0, (0, 2): 0.0}
+
+
+def test_cubic_gather_partition_of_unity_and_linearity(spark):
+    # constant field -> constant out (weights sum to 1); linear ramp ->
+    # exact linear interpolation in the interior (Keys a=-0.5 reproduces
+    # polynomials up to degree 2 exactly; dyadic fractions keep it IEEE-exact)
+    const = _px(spark, 8, 8, [[7.0] * 8 for _ in range(8)])
+    ramp = _px(spark, 8, 8, [[2.0 * c + 3.0 * r for c in range(8)] for r in range(8)])
+    pts = [(0, 0, 3.25, 4.5), (0, 1, 2.0, 2.0), (0, 2, 4.75, 1.25)]
+    coords = _coords(spark, pts)
+    out_c = {(r["row"], r["col"]): r["v"] for r in
+             geom.cubic_gather(coords, const, ["g"]).collect()}
+    assert out_c == {(0, 0): 7.0, (0, 1): 7.0, (0, 2): 7.0}
+    out_r = {(r["row"], r["col"]): r["v"] for r in
+             geom.cubic_gather(coords, ramp, ["g"]).collect()}
+    for (row, col, cs, rs) in pts:
+        assert out_r[(row, col)] == 2.0 * cs + 3.0 * rs
+
+
+def test_cubic_gather_edge_renormalizes(spark):
+    # a cell whose 16-tap footprint is clipped by the raster edge still
+    # produces the constant under renormalization
+    const = _px(spark, 4, 4, [[5.0] * 4 for _ in range(4)])
+    coords = _coords(spark, [(0, 0, 0.25, 0.25)])  # taps at -1 clipped
+    out = geom.cubic_gather(coords, const, ["g"]).collect()
+    assert len(out) == 1 and out[0]["v"] == pytest.approx(5.0)
+
+
+def test_resample_gather_dispatch(spark):
+    px = _px(spark, 2, 2)
+    coords = _coords(spark, [(0, 0, 0.5, 0.5)])
+    assert geom.resample_gather(coords, px, ["g"], alg="near").count() == 1
+    assert geom.resample_gather(coords, px, ["g"], alg="bilinear").count() == 1
+    assert geom.resample_gather(coords, px, ["g"], alg="cubic").count() == 1
+    with pytest.raises(ValueError, match="near|bilinear|cubic"):
+        geom.resample_gather(coords, px, ["g"], alg="lanczos")
+
+
+def test_warp_route_crs_matrix():
+    from sarpro_spark.plans.pipeline import crs_projection_support, warp_route
+
+    # UTM zones 1-60 only; the old prefix test wrongly matched EPSG:3266/3273
+    assert crs_projection_support("EPSG:32601") == "utm"
+    assert crs_projection_support("EPSG:32760") == "utm"
+    assert crs_projection_support("EPSG:32600") is None
+    assert crs_projection_support("EPSG:32661") == "ups"
+    assert crs_projection_support("EPSG:32761") == "ups"
+    assert crs_projection_support("EPSG:3266") is None
+    assert warp_route(None, "EPSG:32661", True, gcp_crs="EPSG:4326") == "gcp_ups"
+    # geographic GCPs + unsupported target must FAIL, not route 'gcp'
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported target CRS"):
+        warp_route(None, "EPSG:3035", True, gcp_crs="EPSG:4326")
+    # ground-unit GCPs still route 'gcp' for any target
+    assert warp_route(None, "EPSG:3035", True, gcp_crs=None) == "gcp"
+
+
+def test_resample_kernel_param_consumed():
+    from sarpro_spark.plans.pipeline import resample_kernel
+    from sarpro_spark.types import ProcessingParams, ResampleAlg
+
+    assert resample_kernel(ProcessingParams()) == "cubic"  # flagship default
+    assert resample_kernel(ProcessingParams(resample_alg=ResampleAlg.NEAREST)) == "near"
+    assert resample_kernel(ProcessingParams(resample_alg=ResampleAlg.BILINEAR)) == "bilinear"

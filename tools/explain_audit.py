@@ -131,6 +131,15 @@ AUDITS: dict[str, dict] = {
         "require": ["Generate", "SortMergeJoin"], "codegen": True,
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "affine_warp_kernels": {
+        # the three -r kernels share the bilinear plan doctrine: row-grain
+        # canvas (Generate), pinned SortMergeJoin gathers (cells x pixels is
+        # big x big even for the 1-tap nearest leg), three legs unioned.
+        # (The stats subtree's pct_rows BroadcastNestedLoopJoin is the
+        # allowlisted tiny-constant cross, as in affine_warp_bilinear.)
+        "require": ["Generate", "SortMergeJoin", "Union"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
     "jpeg_roundtrip": {
         # per-product grouped encode (applyInPandas) + manifest-driven
         # mapInPandas decode — same two-stage shape as tiff_roundtrip

@@ -24,7 +24,7 @@ FLAGSHIPS = [
     ("nation_revenue_join", "dim joins broadcast, fact shuffles on keys"),
     ("local_supplier_volume", "Q5 6-way join, nation-equality pruning"),
     ("pipeline_kernel_standard_u8", "per-product raster kernel, one grouped task"),
-    ("affine_warp_bilinear", "canvas explode + PINNED SortMergeJoin gather"),
+    ("affine_warp_kernels", "canvas explode + PINNED SortMergeJoin gathers, 3 -r kernels"),
     ("warp_utm_from_lonlat", "in-engine CRS projection feeding the GCP warp"),
     ("dedup_minhash_verified", "banded LSH self-join, never all-pairs"),
     ("dedup_incremental", "batch x index asymmetric join"),
