@@ -281,6 +281,49 @@ def ups_forward_steps(
     ]
 
 
+#: conformal -> geodetic latitude series coefficients (Snyder eq. 3-5 /
+#: 7-9, truncated at e^8): phi = chi + C2 sin 2chi + C4 sin 4chi + ...
+_E2 = E_ECC**2
+UPS_CHI_C2 = _E2 / 2.0 + 5.0 * _E2**2 / 24.0 + _E2**3 / 12.0 + 13.0 * _E2**4 / 360.0
+UPS_CHI_C4 = 7.0 * _E2**2 / 48.0 + 29.0 * _E2**3 / 240.0 + 811.0 * _E2**4 / 11520.0
+UPS_CHI_C6 = 7.0 * _E2**3 / 120.0 + 81.0 * _E2**4 / 1120.0
+UPS_CHI_C8 = 4279.0 * _E2**4 / 161280.0
+
+
+def ups_inverse_steps(
+    e: str = "ups_easting", n: str = "ups_northing", south: str = "south"
+) -> list[tuple[str, str]]:
+    """Named expression steps (easting, northing) -> (ups_lon, ups_lat):
+    the column-step inverse of :func:`ups_forward_steps` (until round 6 the
+    inverse existed only as the numpy validator ups_inverse_np). Same
+    portability contract — every function exists in Spark SQL and DuckDB
+    (SQRT/ATAN/ATAN2/SIN/DEGREES/PI), and the oracle runs the identical
+    chain so the round trip certifies by value hash. Series error
+    ~8e-10 deg; the pole itself gets lon = 0 by convention."""
+    return [
+        ("de", f"{e} - {UPS_FALSE!r}"),
+        ("dn", f"{n} - {UPS_FALSE!r}"),
+        ("n_eff", f"CASE WHEN {south} THEN dn ELSE -(dn) END"),
+        ("rho_i", "SQRT(de * de + n_eff * n_eff)"),
+        ("t_i", f"rho_i / {UPS_RHO_C!r}"),
+        ("chi", "PI() / 2.0 - 2.0 * ATAN(t_i)"),
+        (
+            "phi",
+            f"chi + {UPS_CHI_C2!r} * SIN(2.0 * chi) + {UPS_CHI_C4!r} * SIN(4.0 * chi)"
+            f" + {UPS_CHI_C6!r} * SIN(6.0 * chi) + {UPS_CHI_C8!r} * SIN(8.0 * chi)",
+        ),
+        (
+            "ups_lon",
+            "CASE WHEN rho_i = 0.0 THEN 0.0 ELSE DEGREES(ATAN2(de, n_eff)) END",
+        ),
+        (
+            "ups_lat",
+            f"CASE WHEN rho_i = 0.0 THEN (CASE WHEN {south} THEN -90.0 ELSE 90.0 END) "
+            f"WHEN {south} THEN -(DEGREES(phi)) ELSE DEGREES(phi) END",
+        ),
+    ]
+
+
 def ups_forward_np(lon, lat, south):
     """Vectorized numpy twin of :func:`ups_forward_steps`."""
     lon = np.radians(np.asarray(lon, dtype=np.float64))

@@ -232,6 +232,38 @@ def warp_route(
     return "affine"
 
 
+def project_gcps(gcps: DataFrame, target_crs: str, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Project a geographic (EPSG:4326) GCP grid into the ground units of a
+    supported target CRS — the execution half of the 'gcp_utm' / 'gcp_ups'
+    routes (warp_route). Emits ``gx``/``gy`` columns ready for
+    geometry.warp_gcp_grid. For an explicit UTM target the zone/hemisphere
+    come from the CODE (a user-supplied --target-crs pins them), unlike the
+    auto-CRS flow where utm_zone_steps derives them per GCP centroid.
+    Unsupported CRSs raise, mirroring warp_route."""
+    from sarpro_spark.operators import tmerc as tmx
+
+    fam = crs_projection_support(target_crs)
+    code = target_crs.strip().upper()
+    if fam == "utm":
+        zone = int(code[-2:])
+        south = code[:8] == "EPSG:327"
+        proj = gcps.withColumn("lon0", F.lit(zone * 6.0 - 183.0)).withColumn(
+            "south", F.lit(south)
+        )
+        proj = tmx.apply_steps(proj, tmx.tm_forward_steps(lon=lon, lat=lat))
+        return proj.withColumn("gx", F.col("easting")).withColumn("gy", F.col("northing"))
+    if fam == "ups":
+        proj = gcps.withColumn("south", F.lit(code == "EPSG:32761"))
+        proj = tmx.apply_steps(proj, tmx.ups_forward_steps(lon=lon, lat=lat))
+        return proj.withColumn("gx", F.col("ups_easting")).withColumn(
+            "gy", F.col("ups_northing")
+        )
+    raise ValueError(
+        f"unsupported target CRS {target_crs!r}: in-engine projection covers "
+        "UTM (EPSG:326xx/327xx, zones 1-60) and UPS (EPSG:32661/32761)"
+    )
+
+
 def resample_kernel(params) -> str:
     """Execution-side consumer of ProcessingParams.resample_alg (the
     reference's `-r` flag, src/cli/runner.rs:61-67; cubic is the flagship

@@ -377,10 +377,12 @@ register_pack(
         Member("generic_reader_roundtrip", ("fmt", "n_nationkey")),
         Member("utm_forward_gcps", ("product_id", "gi", "gj")),
         Member("ups_forward_points", ("product_id", "gi", "gj")),
+        Member("ups_roundtrip_points", ("product_id", "gi", "gj")),
     ),
     doc="Union certificate: S1-S3/S10/S11 SAFE discovery over the fixture "
     "tree, S8/S9 manifest+annotation parse, S6 generic reader roundtrip, "
     "and the in-engine Krüger UTM forward projection at GCP grain (the CRS "
-    "math behind S10's zone pick, operators/tmerc.py).",
+    "math behind S10's zone pick, operators/tmerc.py), plus the UPS "
+    "forward+inverse polar round-trip (<= 1e-9 deg on both sheets).",
     tags=("source", "pack"),
 )

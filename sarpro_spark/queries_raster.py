@@ -1002,6 +1002,76 @@ def q_ups_forward_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ups_roundtrip_sql() -> str:
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import sql_fround
+
+    fwd = tmx.sql_steps_select("pts", tmx.ups_forward_steps())
+    inv = tmx.sql_steps_select("fw", tmx.ups_inverse_steps())
+    return f"""
+WITH prods AS (
+  SELECT DISTINCT CAST(l_orderkey % {frames.N_PRODUCTS} AS INTEGER) AS product_id FROM lineitem
+),
+pts AS (
+  SELECT product_id, i.i AS gi, j.j AS gj,
+         product_id % 2 = 1 AS south,
+         CASE WHEN product_id % 2 = 1 THEN -80.5 - i.i * 1.0 ELSE 84.5 + i.i * 1.0 END AS lat,
+         -180.0 + CAST((product_id * 23) % 360 AS DOUBLE) + j.j * 0.25 AS lon
+  FROM prods,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS i) i,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS j) j
+),
+fw AS ({fwd}),
+iv AS ({inv})
+SELECT product_id, gi, gj, south,
+       {sql_fround('ups_lat', 9)} AS lat_rt,
+       {sql_fround('ups_lon', 9)} AS lon_rt,
+       ABS(ups_lat - lat) <= 1e-9 AND ABS(ups_lon - lon) <= 1e-9 AS rt_ok
+FROM iv
+""".strip()
+
+
+@query("ups_roundtrip_points", sql=_ups_roundtrip_sql(), tags=("raster", "geometry", "crs"))
+def q_ups_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/G5 polar round-trip certificate: lon/lat -> UPS forward ->
+    UPS inverse (operators/tmerc.py:ups_inverse_steps, new in r6 — the
+    inverse previously existed only as a numpy validator) recovers the
+    input to <= 1e-9 deg on both sheets (measured ~1.4e-11). The DuckDB
+    twin runs the identical step chain, so the recovered coordinates
+    value-hash bit-for-bit and the rt_ok flag is computed identically."""
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import fround
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    prods = li.select(
+        (F.col("l_orderkey") % frames.N_PRODUCTS).cast("int").alias("product_id")
+    ).distinct()
+    pid = F.col("product_id")
+    pts = (
+        prods.select(
+            "product_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gi")
+        )
+        .select("product_id", "gi", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gj"))
+        .select(
+            "product_id", "gi", "gj",
+            (pid % 2 == 1).alias("south"),
+            F.when(pid % 2 == 1, F.lit(-80.5) - F.col("gi") * 1.0)
+            .otherwise(F.lit(84.5) + F.col("gi") * 1.0)
+            .alias("lat"),
+            (F.lit(-180.0) + ((pid * 23) % 360).cast("double") + F.col("gj") * 0.25).alias("lon"),
+        )
+    )
+    fw = tmx.apply_steps(pts, tmx.ups_forward_steps())
+    iv = tmx.apply_steps(fw, tmx.ups_inverse_steps())
+    return iv.select(
+        "product_id", "gi", "gj", "south",
+        fround(F.col("ups_lat"), 9).alias("lat_rt"),
+        fround(F.col("ups_lon"), 9).alias("lon_rt"),
+        ((F.abs(F.col("ups_lat") - F.col("lat")) <= 1e-9)
+         & (F.abs(F.col("ups_lon") - F.col("lon")) <= 1e-9)).alias("rt_ok"),
+    )
+
+
 def _warp_utm_sql() -> str:
     from sarpro_spark.operators.geometry import sql_warp_gcp_grid
     from sarpro_spark.queries import sql_fround

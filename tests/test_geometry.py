@@ -473,3 +473,50 @@ def test_resample_kernel_param_consumed():
     assert resample_kernel(ProcessingParams()) == "cubic"  # flagship default
     assert resample_kernel(ProcessingParams(resample_alg=ResampleAlg.NEAREST)) == "near"
     assert resample_kernel(ProcessingParams(resample_alg=ResampleAlg.BILINEAR)) == "bilinear"
+
+
+def test_project_gcps_utm_and_ups(spark):
+    import numpy as np
+
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.plans.pipeline import project_gcps
+
+    gcps = spark.createDataFrame(
+        [("p", 0, 0, 3.0, 50.0), ("p", 0, 1, 3.5, 50.25)],
+        "g string, gi int, gj int, lon double, lat double",
+    )
+    out = {(r["gi"], r["gj"]): (r["gx"], r["gy"])
+           for r in project_gcps(gcps, "EPSG:32631").collect()}
+    e, n = tmx.utm_forward_np([3.0, 3.5], [50.0, 50.25], 3.0, False)
+    assert out[(0, 0)] == pytest.approx((e[0], n[0]), abs=1e-6)
+    assert out[(0, 1)] == pytest.approx((e[1], n[1]), abs=1e-6)
+
+    polar = spark.createDataFrame(
+        [("p", 0, 0, 45.0, -85.0)], "g string, gi int, gj int, lon double, lat double"
+    )
+    row = project_gcps(polar, "EPSG:32761").collect()[0]
+    pe, pn = tmx.ups_forward_np([45.0], [-85.0], [True])
+    assert (row["gx"], row["gy"]) == pytest.approx((pe[0], pn[0]), abs=1e-6)
+
+    with pytest.raises(ValueError, match="unsupported target CRS"):
+        project_gcps(gcps, "EPSG:3035")
+
+
+def test_ups_inverse_steps_roundtrip_vs_numpy(spark):
+    from sarpro_spark.operators import tmerc as tmx
+
+    pts = spark.createDataFrame(
+        [(84.5, 12.25, False), (89.999, -179.75, False), (90.0, 0.0, False),
+         (-80.5, 45.0, True), (-89.5, -90.0, True), (-90.0, 0.0, True)],
+        "lat double, lon double, south boolean",
+    )
+    fw = tmx.apply_steps(pts, tmx.ups_forward_steps())
+    iv = tmx.apply_steps(fw, tmx.ups_inverse_steps())
+    for r in iv.collect():
+        assert abs(r["ups_lat"] - r["lat"]) <= 1e-9
+        if abs(r["lat"]) != 90.0:
+            assert abs(r["ups_lon"] - r["lon"]) <= 1e-9
+        # column steps agree with the numpy validator
+        nlon, nlat = tmx.ups_inverse_np([r["ups_easting"]], [r["ups_northing"]], [r["south"]])
+        assert abs(nlat[0] - r["ups_lat"]) <= 1e-12
+        assert abs(nlon[0] - r["ups_lon"]) <= 1e-12
