@@ -289,6 +289,14 @@ class _BitReader:
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        #: set when the reader pads past the END of the byte stream with no
+        #: marker byte in sight — a well-formed scan always ends at a marker
+        #: (EOI), so this firing means the entropy data was truncated and
+        #: everything decoded from the padding is garbage. Checked after the
+        #: block loop (decode_baseline) so truncated blobs raise instead of
+        #: silently returning ok (r5 ADVICE: the zero-padding that made
+        #: marker-terminated streams decode cleanly also swallowed truncation).
+        self.exhausted = False
 
     def _fill(self, n: int) -> None:
         data, pos = self.data, self.pos
@@ -304,7 +312,8 @@ class _BitReader:
                         b = 0  # marker hit: feed zeros (EOB padding)
                         pos -= 1
             else:
-                b = 0  # past end: zero padding
+                b = 0  # past end with NO marker: truncated stream
+                self.exhausted = True
             self.acc = (self.acc << 8) | b
             self.nbits += 8
         self.pos = pos
@@ -380,7 +389,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[int, dict[tuple[int, int], int]] = {}
+    htabs: dict[int, tuple[list[int], list[int]]] = {}  # 16-bit lookup tables
     comps: list[dict] = []
     rows = cols = 0
     scan_order: list[dict] = []
@@ -465,6 +474,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 k += run
                 z[k] = _extend(br.read(size), size)
                 k += 1
+    if br.exhausted:
+        raise ValueError(
+            "truncated JPEG: entropy stream ended before the final block "
+            "with no terminating marker"
+        )
 
     planes = []
     for ci, comp in enumerate(scan_order):

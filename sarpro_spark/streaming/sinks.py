@@ -60,14 +60,23 @@ def run_stream_exactly_once(
     timeout_sec: int = 120,
 ):
     """Drain a bounded stream (availableNow) through the exactly-once sink.
-    Returns the query handle after termination."""
+    Returns the query handle after termination; if the stream has not
+    terminated within ``timeout_sec`` the query is STOPPED and TimeoutError
+    raised — returning a still-running handle would let callers read a
+    partially drained output believing the bounded stream finished
+    (r5 ADVICE)."""
     q = (
         stream_df.writeStream.foreachBatch(exactly_once_batch_writer(out_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"bounded stream did not terminate within {timeout_sec}s; "
+            "query stopped — output is partial, do not read it as final"
+        )
     return q
 
 

@@ -567,3 +567,27 @@ def test_tiled_tiff_roundtrip(tmp_path):
 
     with pytest.raises(ValueError):
         write_tiff(str(tmp_path / "bad.tiff"), imgs["exact"], tile_size=(20, 16))
+
+
+def test_truncated_jpeg_raises_not_garbage():
+    """r6 ADVICE fix: zero-padding past the end of the entropy data must not
+    silently decode a TRUNCATED stream to garbage with ok=True — only
+    marker-terminated streams may pad (EOB fill before EOI)."""
+    import numpy as np
+    import pytest
+
+    from sarpro_spark.sinks.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    blob = encode_jpeg(img, quality=85)
+    decode_jpeg(blob)  # intact stream decodes
+
+    truncated = blob[: len(blob) - 12]  # chop entropy tail incl. EOI
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        decode_jpeg(truncated)
+
+    from sarpro_spark.llm.multimodal import safe_decode_image
+
+    px, ok = safe_decode_image(truncated)
+    assert ok is False and px is None
