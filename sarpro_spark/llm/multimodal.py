@@ -100,15 +100,57 @@ def decode_features(df: DataFrame, payload_col: str = "payload", id_col: str = "
     return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
 
 
+def _native_decode(payload: bytes):
+    """Native-library fast path (PIL/libjpeg/zlib) when importable, else
+    None -> the pure-Python codecs run. Hash-safety doctrine:
+
+    - PNG is LOSSLESS: any spec-conforming inflate+unfilter yields the
+      identical pixel array, so the native path is always safe to take.
+    - JPEG decode is only spec-pinned to ~±1 LSB (IDCT freedom): libjpeg's
+      integer IDCT differs from the in-repo float IDCT in the last bit, so
+      the native JPEG leg is OPT-IN via SARPRO_NATIVE_JPEG=1 (throughput
+      mode) — by default the bit-exact in-repo decoder keeps every decoded
+      feature hash-reproducible across environments.
+
+    Returns an ndarray, or None to fall back (including on any native-side
+    error: the in-repo codec then classifies the blob for decode-or-degrade).
+    """
+    import os
+
+    try:
+        from PIL import Image  # absent in this container; real clusters have it
+    except ImportError:
+        return None
+    import io
+
+    buf = bytes(payload)
+    is_png = buf[:8] == b"\x89PNG\r\n\x1a\n"
+    is_jpeg = buf[:2] == b"\xFF\xD8"
+    if not (is_png or (is_jpeg and os.environ.get("SARPRO_NATIVE_JPEG") == "1")):
+        return None
+    try:
+        with Image.open(io.BytesIO(buf)) as im:
+            if im.mode not in ("L", "RGB", "RGBA"):
+                return None
+            return np.asarray(im, dtype=np.uint8)
+    except Exception:
+        return None
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real image decode: dispatch on magic bytes to the in-repo codecs.
-    JPEG (baseline JFIF) and PNG (8-bit gray/RGB/RGBA) are fully supported;
-    anything else raises NotImplementedError (a real pipeline registers more
-    codecs here — the dispatch/batch plumbing is format-agnostic)."""
+    """Real image decode: native fast path when available (see
+    :func:`_native_decode`), else dispatch on magic bytes to the in-repo
+    codecs. JPEG (baseline JFIF) and PNG (8-bit gray/RGB/RGBA) are fully
+    supported; anything else raises NotImplementedError (a real pipeline
+    registers more codecs here — the dispatch/batch plumbing is
+    format-agnostic)."""
     from sarpro_spark.sinks import jpeg as J
     from sarpro_spark.sinks import png as P
 
     buf = bytes(payload)
+    native = _native_decode(buf)
+    if native is not None:
+        return native
     if buf[:2] == b"\xFF\xD8":
         return J.decode_jpeg(buf)
     if buf[:8] == P.SIGNATURE:
@@ -250,6 +292,21 @@ def formula_image(doc_id: int, w: int, h: int, channels: int, frame: int = 0) ->
     return out[:, :, 0] if channels == 1 else out
 
 
+def _distributed_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Narrow id projection, repartitioned to the cluster's parallelism when
+    the scan yields fewer partitions. The payload attachers below are
+    CPU-bound pure-Python stages; a small-file scan (one parquet row-group)
+    would otherwise run every encode on ONE core while the rest idle — the
+    r5 bench's multimodal wall-clock was exactly this single-partition
+    pile-up, not codec speed. The shuffle moves 8 bytes/row (ids only); the
+    blobs are born distributed."""
+    ids = df.select(id_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < par:
+        ids = ids.repartition(par)
+    return ids
+
+
 def attach_image_payload(
     df: DataFrame, id_col: str = "doc_id", progressive_mod: int | None = None
 ) -> DataFrame:
@@ -289,7 +346,7 @@ def attach_image_payload(
                 ids.append(i)
             yield pd.DataFrame({id_col: ids, "payload": blobs})
 
-    return df.select(id_col).mapInPandas(fn, schema=schema)
+    return _distributed_ids(df, id_col).mapInPandas(fn, schema=schema)
 
 
 def attach_mjpeg_payload(
@@ -328,7 +385,7 @@ def attach_mjpeg_payload(
                 nf.append(n)
             yield pd.DataFrame({id_col: ids, "n_frames": nf, "payload": blobs})
 
-    return df.select(id_col).mapInPandas(fn, schema=schema)
+    return _distributed_ids(df, id_col).mapInPandas(fn, schema=schema)
 
 
 # --- real WAV-PCM audio ------------------------------------------------------
@@ -395,7 +452,7 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(i)
             yield pd.DataFrame({id_col: ids, "wav": blobs})
 
-    return df.select(id_col).mapInPandas(fn, schema=schema)
+    return _distributed_ids(df, id_col).mapInPandas(fn, schema=schema)
 
 
 def wav_features(df: DataFrame, payload_col: str = "wav", id_col: str = "doc_id") -> DataFrame:

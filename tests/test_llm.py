@@ -883,3 +883,31 @@ def test_k_anonymize_semantics(spark):
     assert rep["a"]["released"] and rep["a"]["suppressed_rows"] == 0
     assert not rep["b"]["released"] and rep["b"]["suppressed_rows"] == 4
     assert df.count() - out.count() == sum(r["suppressed_rows"] for r in rep.values())
+
+
+def test_native_decode_dispatch(monkeypatch):
+    """decode_image prefers the native hook when it yields pixels, falls
+    back to the in-repo codecs when it returns None, and the two paths
+    agree bit-for-bit on lossless PNG (the only always-on native leg)."""
+    import numpy as np
+
+    from sarpro_spark.llm import multimodal as mm
+    from sarpro_spark.sinks.png import encode_png
+
+    img = np.arange(8 * 6, dtype=np.uint8).reshape(6, 8)
+    blob = encode_png(img)
+    pure = mm.decode_image(blob)
+    assert np.array_equal(pure, img)
+
+    calls = {}
+
+    def fake_native(buf):
+        calls["hit"] = True
+        return img.copy()  # stands in for PIL: lossless PNG decode is spec-exact
+
+    monkeypatch.setattr(mm, "_native_decode", fake_native)
+    fast = mm.decode_image(blob)
+    assert calls.get("hit") and np.array_equal(fast, pure)
+
+    monkeypatch.setattr(mm, "_native_decode", lambda buf: None)
+    assert np.array_equal(mm.decode_image(blob), pure)  # fallback path
