@@ -357,12 +357,14 @@ register_pack(
         Member("events_cohort_retention", ("cohort_day", "day_offset")),
         Member("events_ab_test", ()),
         Member("events_path_transitions", ("prev_type", "next_type")),
+        Member("suppliers_sole_problem", ("s_name",)),
     ),
     doc="Union certificate: rollup/cube hierarchies, correlated-subquery "
     "decorrelation, as-of via cogrouped applyInPandas, JSON property "
     "aggregation, pivot, exact percentiles, salted skew aggregation + join, the "
     "streaming-dedup batch twin, the band-zip equi-join path, and the "
-    "TPC-H-style Q3/Q7/Q10 multi-join analytics, and incremental rollup "
+    "TPC-H-style Q3/Q7/Q10 multi-join analytics, the Q21-style EXISTS/"
+    "NOT-EXISTS sole-problem-supplier decorrelation, and incremental rollup "
     "maintenance (partial-state merge == full recompute), ordered "
     "funnel-step analytics, cohort retention, A/B Welch-t analysis, and "
     "path-transition mining.",

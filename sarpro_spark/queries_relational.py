@@ -991,6 +991,64 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q21-style multi-correlation (EXISTS + NOT EXISTS self-refs) --------
+
+_SOLE_PROBLEM_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND n_name IN ('NATION_7', 'NATION_19')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""".strip()
+
+
+@query("suppliers_sole_problem", sql=_SOLE_PROBLEM_SQL, tags=("relational", "join", "correlated"))
+def q_suppliers_sole_problem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style multi-correlation: suppliers in two nations who were
+    the SOLE returned-line supplier on a finalized multi-supplier order —
+    an EXISTS plus a NOT EXISTS, both self-referencing the fact table
+    (Q21 uses receipt>commit lateness; this data has no receipt dates, so
+    l_returnflag = 'R' plays the problem-line role with the identical
+    correlation shape). Decorrelation is explicit: left-SEMI for the
+    EXISTS, left-ANTI for the NOT EXISTS, each an equi-join on the order
+    key with the supplier inequality as residual condition — Catalyst
+    plans two SortMergeJoins on l_orderkey, no CartesianProduct, no
+    correlated re-execution. nation broadcasts (constant); supplier and
+    the fact legs shuffle on their keys. Deterministic top-100 via
+    orderBy+limit (TakeOrderedAndProject)."""
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    l1 = li.where(F.col("l_returnflag") == "R")
+    o = frames.load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = frames.load_table(spark, sf_dir, "supplier")
+    n = frames.load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_7", "NATION_19")
+    )
+    base = (
+        l1.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = l1.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    sole = base.join(
+        l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("s2") != F.col("l_suppkey")), "left_semi"
+    ).join(
+        l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("s3") != F.col("l_suppkey")), "left_anti"
+    )
+    out = sole.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+    return out.orderBy(F.col("numwait").desc(), F.col("s_name")).limit(100)
+
+
 # --- incremental rollup maintenance -------------------------------------------
 
 _INC_ROLLUP_SQL = f"""

@@ -412,6 +412,19 @@ AUDITS: dict[str, dict] = {
         "require": ["Union", "Expand"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "suppliers_sole_problem": {
+        # Q21 decorrelation shape: the EXISTS leg plans LeftSemi, the NOT
+        # EXISTS leg LeftAnti — equi-keyed on l_orderkey with the supplier
+        # inequality as residual; never a correlated re-exec or cartesian.
+        # Join STRATEGY is deliberately unpinned (no broadcast hint, no SMJ
+        # pin): at sf0.01 reliable file stats make the small legs broadcast,
+        # at 100 TB the same sizing flips them to SortMergeJoin — the r6
+        # de-hint doctrine. Top-100 via TakeOrderedAndProject.
+        "require": ["LeftSemi", "LeftAnti",
+                    "TakeOrderedAndProject", "BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["l_extendedprice", "l_quantity", "o_totalprice"],
+    },
     "multimodal_pack": {
         "require": ["Union", "MapInPandas"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
