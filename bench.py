@@ -68,6 +68,9 @@ HEADLINE = [
     # round-5 additions: in-engine UTM warp + multimodal degrade path
     "warp_utm_from_lonlat",
     "multimodal_progressive_fallback",
+    # round-6 additions: Q21-style decorrelation + UPS polar roundtrip
+    "suppliers_sole_problem",
+    "ups_roundtrip_points",
 ]
 
 
