@@ -71,6 +71,12 @@ def test_every_query_is_driver_certified():
 
     # name -> (covering certified query, why no dedicated driver row needed)
     SUBSUMED = {
+        "affine_warp_bilinear": (
+            "affine_warp_kernels",
+            "bilinear leg of the r6 three-kernel union certificate (same "
+            "gather operator and doctrine; this single-kernel twin keeps its "
+            "own oracle in the tail for targeted debugging)",
+        ),
         "autoscale_standard_u16": (
             "autoscale_advanced_u16",
             "A2 u16 leg; u8 leg shares the kernel oracle, branches golden-tested",

@@ -1,4 +1,4 @@
-"""Dump formatted physical plans for the flagship queries into PLANS_r05.md.
+"""Dump formatted physical plans for the flagship queries into PLANS_r06.md (override: PLANS_OUT).
 
 The static companion to tools/explain_audit.py: the audit asserts plan
 shapes mechanically; this renders the actual `.explain("formatted")` output
@@ -15,7 +15,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "PLANS_r05.md")
+OUT = os.path.join(REPO, os.environ.get("PLANS_OUT", "PLANS_r06.md"))
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 #: the queries whose plans carry the scale argument
@@ -32,6 +32,8 @@ FLAGSHIPS = [
     ("tfidf_topk_similar", "cost-dispatched dense block-pair scan"),
     ("corpus_pack_sequences", "per-bucket prefix-sum window, no global order"),
     ("events_sessionize", "per-user gap sessionization, one window"),
+    ("suppliers_sole_problem", "Q21 EXISTS/NOT-EXISTS as semi/anti, unpinned strategy"),
+    ("shipping_priority", "Q3 top-k: TakeOrderedAndProject, rank over <=10 rows"),
 ]
 
 
