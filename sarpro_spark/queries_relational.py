@@ -1049,6 +1049,82 @@ def q_suppliers_sole_problem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("numwait").desc(), F.col("s_name")).limit(100)
 
 
+# --- TPC-H Q8-style market share ----------------------------------------------
+
+_MKT_SHARE_SQL = f"""
+WITH all_nations AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+  {sql_fround("SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END) / SUM(volume)")} AS mkt_share,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM all_nations GROUP BY o_year ORDER BY o_year
+""".strip()
+
+
+@query("nation_market_share", sql=_MKT_SHARE_SQL, tags=("relational", "join", "agg"))
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: the widest join tree in the set — part
+    prunes lineitem, the customer side restricts to one region, the
+    supplier side labels each sale's nation, and the share is a conditional
+    aggregate over the surviving volume. Both nation legs and region
+    broadcast (constant dims); part/supplier/customer and the fact chain
+    are left to the optimizer per the r6 de-hint doctrine (they all scale
+    with SF). Catalyst's join reordering gets a real workout: 8 relations,
+    3 selective filters on different legs."""
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    p = frames.load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = frames.load_table(spark, sf_dir, "supplier")
+    o = frames.load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = frames.load_table(spark, sf_dir, "customer")
+    n = frames.load_table(spark, sf_dir, "nation")
+    r = frames.load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key"))
+    n2 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cr_key") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            fround(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("o_year")
+    )
+
+
 # --- incremental rollup maintenance -------------------------------------------
 
 _INC_ROLLUP_SQL = f"""

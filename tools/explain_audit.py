@@ -412,6 +412,14 @@ AUDITS: dict[str, dict] = {
         "require": ["Union", "Expand"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "nation_market_share": {
+        # Q8 8-relation tree: nation x2 + region broadcast; part/supplier/
+        # customer unpinned (SF-scaling). Filters must reach the scans.
+        "require": ["BroadcastHashJoin",
+                    "PushedFilters: [IsNotNull(p_type), EqualTo(p_type,PROMO)"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["p_name", "p_brand", "s_name", "c_name", "o_totalprice"],
+    },
     "suppliers_sole_problem": {
         # Q21 decorrelation shape: the EXISTS leg plans LeftSemi, the NOT
         # EXISTS leg LeftAnti — equi-keyed on l_orderkey with the supplier
