@@ -342,6 +342,15 @@ def affine_warp(
     16-tap Keys cubic convolution (a = -0.5, GDAL's cubic) — same canvas /
     coords plan, only the gather stage differs.
     """
+    coords = affine_coords(geo, group_cols)
+    return resample_gather(coords, px, group_cols, value, alg=alg)
+
+
+def affine_coords(geo: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Target canvas + inverse-affine source coordinates shared by every
+    kernel: one row per target cell (group, row, col, cs, rs). Row-grain
+    explode -> repartition -> in-task col explode (the pad_to_square scale
+    shape — never an O(rows*cols) single-task explode)."""
     gcols = [F.col(c) for c in group_cols]
     stubs = geo.select(
         *gcols, "sg0", "sg1", "sg2", "sg3", "sg4", "sg5",
@@ -358,8 +367,7 @@ def affine_warp(
     det = F.col("sg1") * F.col("sg5") - F.col("sg2") * F.col("sg4")
     cs = ((x - F.col("sg0")) * F.col("sg5") - (y - F.col("sg3")) * F.col("sg2")) / det - 0.5
     rs = ((y - F.col("sg3")) * F.col("sg1") - (x - F.col("sg0")) * F.col("sg4")) / det - 0.5
-    coords = cells.select(*gcols, "row", "col", cs.alias("cs"), rs.alias("rs"))
-    return resample_gather(coords, px, group_cols, value, alg=alg)
+    return cells.select(*gcols, "row", "col", cs.alias("cs"), rs.alias("rs"))
 
 
 def affine_warp_bilinear(
@@ -557,6 +565,90 @@ def cubic_gather(
         .agg(F.sum(F.col("w") * F.col("_v")).alias("_wv"), F.sum("w").alias("_w"))
         .where(F.abs(F.col("_w")) > 1e-9)
         .select(*gcols, "row", "col", (F.col("_wv") / F.col("_w")).alias(value))
+    )
+
+
+def all_kernels_gather(
+    coords: DataFrame,
+    px: DataFrame,
+    group_cols: list[str],
+    value: str = "v",
+) -> DataFrame:
+    """All three ``-r`` kernels from ONE gather: the nearest tap and the 4
+    bilinear corners are subsets of the cubic 4x4 patch, so a single 16-tap
+    explode + ONE co-partitioned join computes q_near / q_bilinear /
+    q_cubic simultaneously (one shuffle of the pixel frame instead of
+    three). Hash-equivalence with the single-kernel gathers is exact, not
+    approximate: under the dyadic fixture doctrine every weight is exact
+    IEEE, the bilinear weights are exactly 0.0 on the 12 outer taps, and
+    x + 0.0 = x — so each per-leg sum is bit-identical to the sum the
+    dedicated gather computes over its own tap subset, in any order.
+    Per-leg presence mirrors each gather's drop rule: nearest needs its
+    tap matched, bilinear positive corner mass, cubic |mass| > 1e-9."""
+    gcols = [F.col(c) for c in group_cols]
+    cs, rs = F.col("cs"), F.col("rs")
+    src = coords.select(
+        *gcols, "row", "col",
+        F.floor(cs).cast("int").alias("c0"),
+        F.floor(rs).cast("int").alias("r0"),
+        (cs - F.floor(cs)).alias("fc"),
+        (rs - F.floor(rs)).alias("fr"),
+        F.floor(cs + F.lit(0.5)).cast("int").alias("cn"),
+        F.floor(rs + F.lit(0.5)).cast("int").alias("rn"),
+    )
+    taps = src.select(
+        *gcols, "row", "col", "c0", "r0", "fc", "fr", "cn", "rn",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+                    for dr in (-1, 0, 1, 2)
+                    for dc in (-1, 0, 1, 2)
+                ]
+            )
+        ).alias("k"),
+    )
+
+    def axis_dist(d, f):
+        return (
+            F.when(d == -1, F.lit(1.0) + f)
+            .when(d == 0, f)
+            .when(d == 1, F.lit(1.0) - f)
+            .otherwise(F.lit(2.0) - f)
+        )
+
+    dr, dc = F.col("k.dr"), F.col("k.dc")
+    w_cub = _cubic_w(axis_dist(dr, F.col("fr"))) * _cubic_w(axis_dist(dc, F.col("fc")))
+    w_bil = F.when(
+        dr.isin(0, 1) & dc.isin(0, 1),
+        F.when(dr == 1, F.col("fr")).otherwise(1.0 - F.col("fr"))
+        * F.when(dc == 1, F.col("fc")).otherwise(1.0 - F.col("fc")),
+    ).otherwise(F.lit(0.0))
+    tapped = taps.select(
+        *gcols, "row", "col", "cn", "rn",
+        (F.col("r0") + dr).alias("srow"),
+        (F.col("c0") + dc).alias("scol"),
+        w_cub.alias("w_cub"),
+        w_bil.alias("w_bil"),
+    )
+    srcpx = px.select(
+        *gcols, F.col("row").alias("srow"), F.col("col").alias("scol"),
+        F.col(value).cast("double").alias("_v"),
+    )
+    hit = tapped.join(srcpx.hint("shuffle_merge"), [*group_cols, "srow", "scol"])
+    near_v = F.when((F.col("srow") == F.col("rn")) & (F.col("scol") == F.col("cn")), F.col("_v"))
+    agg = hit.groupBy(*group_cols, "row", "col").agg(
+        F.sum(F.col("w_cub") * F.col("_v")).alias("_wv_c"),
+        F.sum("w_cub").alias("_w_c"),
+        F.sum(F.col("w_bil") * F.col("_v")).alias("_wv_b"),
+        F.sum("w_bil").alias("_w_b"),
+        F.max(near_v).alias("_v_n"),
+    )
+    return agg.select(
+        *gcols, "row", "col",
+        F.col("_v_n").alias("q_near"),
+        F.when(F.col("_w_b") > 0.0, F.col("_wv_b") / F.col("_w_b")).alias("q_bilinear"),
+        F.when(F.abs(F.col("_w_c")) > 1e-9, F.col("_wv_c") / F.col("_w_c")).alias("q_cubic"),
     )
 
 

@@ -1244,15 +1244,17 @@ def q_affine_warp_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact IEEE — nearest certifies bit-exact with no rounding doctrine,
     bilinear/cubic under the shared dyadic doctrine (fround guards only the
     final weighted division)."""
-    from sarpro_spark.operators.geometry import affine_warp, product_dims
+    import sarpro_spark.operators.kernel as krn
+    from sarpro_spark.operators import geometry as geom
+    from sarpro_spark.operators.geometry import product_dims
     from sarpro_spark.queries import fround
 
-    px = _vv_px(spark, sf_dir)
-    stats = st.histogram_stats(px, ["product_id"])
-    params = asc.params_standard(stats, ["product_id"])
-    q16 = asc.apply_params(px, params, ["product_id"], BitDepth.U8, out="_q16")
-    # cached: dims + three gather legs read the autoscaled frame seven times
-    u8 = asc.scale_u16_to_u8(q16, ["product_id"], value="_q16", out="q").drop("_q16").cache()
+    # u8 via the per-product grouped kernel — bit-identical to the
+    # relational autoscale chain (asserted in tests, same DuckDB oracle)
+    # and ~10x cheaper to materialize into the cache the dims scan and the
+    # fused gather share
+    px = frames.single_band(spark, sf_dir, "vv")
+    u8 = krn.single_band_kernel(px, ["product_id"], "standard-a2", BitDepth.U8).cache()
     pid = F.col("product_id").cast("double")
     geo = product_dims(u8, ["product_id"]).select(
         "product_id",
@@ -1262,16 +1264,30 @@ def q_affine_warp_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pid * -64.0).alias("dg3"), F.lit(2.0).alias("dg4"), F.lit(-8.0).alias("dg5"),
         F.col("rows").alias("dst_rows"), F.col("cols").alias("dst_cols"),
     )
-    legs = []
-    for alg in ("near", "bilinear", "cubic"):
-        out = affine_warp(u8, geo, ["product_id"], value="q", alg=alg)
-        legs.append(
-            out.select(
-                "product_id", F.lit(alg).alias("alg"), "row", "col",
-                fround(F.col("q")).alias("q"),
-            )
+    # ONE 16-tap gather computes all three kernels (the nearest tap and the
+    # bilinear corners are subsets of the cubic patch): one pixel shuffle
+    # instead of three, bit-identical per leg under the dyadic doctrine.
+    # The unpivot is a single-pass explode (3 rows per cell, nulls dropped
+    # after), NOT a 3-branch union — a union would re-execute the join+agg
+    # subtree once per kernel leg.
+    fused = geom.all_kernels_gather(
+        geom.affine_coords(geo, ["product_id"]), u8, ["product_id"], value="q"
+    )
+    e = F.explode(
+        F.array(
+            F.struct(F.lit("near").alias("alg"), F.col("q_near").alias("qv")),
+            F.struct(F.lit("bilinear").alias("alg"), F.col("q_bilinear").alias("qv")),
+            F.struct(F.lit("cubic").alias("alg"), F.col("q_cubic").alias("qv")),
         )
-    return legs[0].unionByName(legs[1]).unionByName(legs[2])
+    )
+    return (
+        fused.select("product_id", "row", "col", e.alias("e"))
+        .where(F.col("e.qv").isNotNull())
+        .select(
+            "product_id", F.col("e.alg").alias("alg"), "row", "col",
+            fround(F.col("e.qv")).alias("q"),
+        )
+    )
 
 
 @query("affine_warp_bilinear", sql=_warp_sql(), tags=("raster", "geometry", "warp"))

@@ -520,3 +520,24 @@ def test_ups_inverse_steps_roundtrip_vs_numpy(spark):
         nlon, nlat = tmx.ups_inverse_np([r["ups_easting"]], [r["ups_northing"]], [r["south"]])
         assert abs(nlat[0] - r["ups_lat"]) <= 1e-12
         assert abs(nlon[0] - r["ups_lon"]) <= 1e-12
+
+
+def test_all_kernels_gather_matches_dedicated_gathers(spark):
+    """The fused 16-tap gather must be BIT-identical per leg to the three
+    dedicated gathers (the zero-weight outer taps add exact +0.0 terms,
+    which cannot change an exact-dyadic sum)."""
+    px = _px(spark, 10, 12, [[float((3 * r + 5 * c) % 97) for c in range(12)]
+                             for r in range(10)])
+    pts = [(0, i, 0.25 * i + 0.125, 9.0 - 0.75 * i) for i in range(14)]
+    coords = _coords(spark, pts)
+    fused = {(r["row"], r["col"]): r for r in
+             geom.all_kernels_gather(coords, px, ["g"]).collect()}
+    for alg, qcol, fn in (
+        ("near", "q_near", geom.nearest_gather),
+        ("bilinear", "q_bilinear", geom.bilinear_gather),
+        ("cubic", "q_cubic", geom.cubic_gather),
+    ):
+        solo = {(r["row"], r["col"]): r["v"] for r in
+                fn(coords, px, ["g"]).collect()}
+        fused_leg = {k: r[qcol] for k, r in fused.items() if r[qcol] is not None}
+        assert fused_leg == solo, alg

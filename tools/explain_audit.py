@@ -132,13 +132,15 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
     "affine_warp_kernels": {
-        # the three -r kernels share the bilinear plan doctrine: row-grain
-        # canvas (Generate), pinned SortMergeJoin gathers (cells x pixels is
-        # big x big even for the 1-tap nearest leg), three legs unioned.
-        # (The stats subtree's pct_rows BroadcastNestedLoopJoin is the
-        # allowlisted tiny-constant cross, as in affine_warp_bilinear.)
-        "require": ["Generate", "SortMergeJoin", "Union"], "codegen": True,
-        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        # r6 fused certificate: ONE 16-tap gather (the near tap and the
+        # bilinear corners are subsets of the cubic patch) with a pinned
+        # SortMergeJoin (cells x pixels is big x big), u8 via the grouped
+        # kernel (FlatMapGroupsInPandas), single-pass explode unpivot
+        # (Generate) — a Union here would mean the join is re-executed per
+        # kernel leg, which is exactly what the fusion removes.
+        "require": ["Generate", "SortMergeJoin", "FlatMapGroupsInPandas"],
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "Union"],
     },
     "jpeg_roundtrip": {
         # per-product grouped encode (applyInPandas) + manifest-driven
