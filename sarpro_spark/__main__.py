@@ -4,7 +4,7 @@
         --polarization vv|vh|hh|hv|multiband --operation sum|diff|ratio|n-diff|log-ratio \\
         --autoscale standard|robust|adaptive|equalized|clahe|tamed|default \\
         --bit-depth 8|16 --format tiff|jpeg --size N --pad \\
-        --target-crs auto|EPSG:XXXX|none --resample near|bilinear|cubic \\
+        --target-crs auto|EPSG:XXXX|none --resample nearest|bilinear|cubic|lanczos \\
         --batch --continue-on-error
 
 Input is a band frame parquet (product_id, band, row, col, v) — the rebuilt
@@ -39,7 +39,8 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--size", type=int, default=None, help="target long side")
     p.add_argument("--pad", action="store_true", help="pad to square")
     p.add_argument("--target-crs", default="auto")
-    p.add_argument("--resample", default="cubic", choices=["near", "bilinear", "cubic"])
+    p.add_argument("--resample", default="cubic",
+                   choices=["nearest", "bilinear", "cubic", "lanczos", "near"])
     p.add_argument("--continue-on-error", action="store_true", default=True)
     p.add_argument("--master", default=None)
     p.add_argument("--save-preset", default=None, metavar="FILE",

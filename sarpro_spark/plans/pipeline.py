@@ -277,6 +277,9 @@ def resample_kernel(params) -> str:
         ResampleAlg.NEAREST: "near",
         ResampleAlg.BILINEAR: "bilinear",
         ResampleAlg.CUBIC: "cubic",
+        # the reference's warp maps Lanczos to bilinear
+        # (sentinel1.rs:937-941); Lanczos proper is the resize kernel
+        ResampleAlg.LANCZOS: "bilinear",
     }[params.resample_alg]
 
 

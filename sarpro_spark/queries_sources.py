@@ -208,7 +208,8 @@ SELECT * FROM (VALUES
   (7, 'single', 'vv', TRUE, 'gcp_utm', 'cubic'),
   (8, 'single', 'vv', TRUE, 'gcp', 'cubic'),
   (9, 'single', 'vv', TRUE, 'gcp_ups', 'cubic'),
-  (10, 'single', 'vv', TRUE, 'error:unsupported_crs', 'cubic')
+  (10, 'single', 'vv', TRUE, 'error:unsupported_crs', 'cubic'),
+  (11, 'single', 'vv', TRUE, 'affine', 'bilinear')
 ) t(case_id, route, band, needs_warp, warp_route, resample_kernel)
 """.strip()
 
@@ -272,6 +273,12 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     except ValueError:
         wr10 = "error:unsupported_crs"
     rows.append((10, route7, band7, needs_warp(None, "EPSG:3035"), wr10, k7))
+    # lanczos: accepted by the CLI, warps as bilinear (the reference's own
+    # fallback, sentinel1.rs:937-941 — Lanczos proper is the resize kernel)
+    p11 = ProcessingParams(polarization=Polarization.VV, resample_alg=ResampleAlg.LANCZOS)
+    route11, band11 = pipeline_route(p11)
+    rows.append((11, route11, band11, needs_warp("EPSG:32631", "EPSG:32632"),
+                 warp_route("EPSG:32631", "EPSG:32632"), resample_kernel(p11)))
     return spark.createDataFrame(
         rows,
         "case_id int, route string, band string, needs_warp boolean, "

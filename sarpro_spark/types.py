@@ -62,10 +62,22 @@ class SyntheticRgbMode(str, Enum):
 
 
 class ResampleAlg(str, Enum):
-    # reference: src/cli/runner.rs:61-67
-    NEAREST = "near"
+    # reference CLI strings: src/cli/runner.rs:61-67 accepts
+    # nearest|bilinear|cubic|lanczos. For the WARP the reference maps
+    # Lanczos to bilinear (sentinel1.rs:937-941 `_ => "bilinear"`) —
+    # Lanczos proper is the RESIZE kernel (resize.rs) — and this engine
+    # mirrors that fallback in plans.pipeline.resample_kernel.
+    NEAREST = "nearest"
     BILINEAR = "bilinear"
     CUBIC = "cubic"
+    LANCZOS = "lanczos"
+
+    @classmethod
+    def _missing_(cls, value):
+        # accept the gdalwarp-style short form used in earlier presets
+        if value == "near":
+            return cls.NEAREST
+        return None
 
 
 # Numeric constants of the reference dataflow (single source of truth for both
