@@ -36,7 +36,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    choices=["standard", "robust", "adaptive", "equalized", "clahe", "tamed", "default"])
     p.add_argument("--bit-depth", type=int, default=8, choices=[8, 16])
     p.add_argument("--format", dest="fmt", default="tiff", choices=["tiff", "jpeg"])
-    p.add_argument("--size", type=int, default=None, help="target long side")
+    # reference parity (runner.rs:44-55): --size original -> no resize;
+    # --size 0 is an explicit error, not a silent no-op
+    p.add_argument("--size", default="original",
+                   help="target long side (integer) or 'original'")
     p.add_argument("--pad", action="store_true", help="pad to square")
     p.add_argument("--target-crs", default="auto")
     p.add_argument("--resample", default="cubic",
@@ -123,12 +126,26 @@ def build_params(args: argparse.Namespace):
         polarization=Polarization(args.polarization),
         operation=PolarizationOperation(args.operation) if args.operation else None,
         autoscale=AutoscaleStrategy(args.autoscale),
-        size=args.size,
+        size=_parse_size(args.size),
         pad=args.pad,
         target_crs=None if args.target_crs in ("none", "") else args.target_crs,
         resample_alg=ResampleAlg(args.resample),
         continue_on_error=args.continue_on_error,
     )
+
+
+def _parse_size(size: str) -> int | None:
+    """Reference CLI size semantics (runner.rs:44-55): 'original' -> None,
+    a positive integer -> target long side, zero -> explicit error."""
+    if size is None or size == "original":
+        return None
+    try:
+        n = int(size)
+    except ValueError:
+        raise SystemExit(f"invalid size: {size!r} (integer or 'original')")
+    if n == 0:
+        raise SystemExit("size must be > 0 (ZeroSize)")
+    return n
 
 
 def main(argv: list[str] | None = None) -> int:
