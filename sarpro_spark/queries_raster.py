@@ -801,10 +801,14 @@ gcp AS (
   FROM gic gi_ JOIN gjc gj_ USING (product_id)
 ),
 wgeo AS (
-  SELECT product_id, MIN(gx) AS dg0, 4.0 AS dg1, 0.0 AS dg2,
-         MAX(gy) AS dg3, 0.0 AS dg4, -4.0 AS dg5,
-         CAST(CEIL((MAX(gy) - MIN(gy)) / 4.0) AS BIGINT) AS dst_rows,
-         CAST(CEIL((MAX(gx) - MIN(gx)) / 4.0) AS BIGINT) AS dst_cols
+  -- 8 ground units/px target: the curvilinear grid spans 64-256 units per
+  -- 16 source px, so this still oversamples the sparse tiles and
+  -- undersamples the dense ones (fractional gather on both sides) at 1/4
+  -- the canvas cells of the earlier 4-unit grid
+  SELECT product_id, MIN(gx) AS dg0, 8.0 AS dg1, 0.0 AS dg2,
+         MAX(gy) AS dg3, 0.0 AS dg4, -8.0 AS dg5,
+         CAST(CEIL((MAX(gy) - MIN(gy)) / 8.0) AS BIGINT) AS dst_rows,
+         CAST(CEIL((MAX(gx) - MIN(gx)) / 8.0) AS BIGINT) AS dst_cols
   FROM gcp GROUP BY product_id
 ),
 {warp}
@@ -1193,13 +1197,13 @@ def q_warp_gcp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     geo = gcps.groupBy("product_id").agg(
         F.min("gx").alias("dg0"),
-        F.lit(4.0).alias("dg1"),
+        F.lit(8.0).alias("dg1"),
         F.lit(0.0).alias("dg2"),
         F.max("gy").alias("dg3"),
         F.lit(0.0).alias("dg4"),
-        F.lit(-4.0).alias("dg5"),
-        F.ceil((F.max("gy") - F.min("gy")) / 4.0).cast("long").alias("dst_rows"),
-        F.ceil((F.max("gx") - F.min("gx")) / 4.0).cast("long").alias("dst_cols"),
+        F.lit(-8.0).alias("dg5"),
+        F.ceil((F.max("gy") - F.min("gy")) / 8.0).cast("long").alias("dst_rows"),
+        F.ceil((F.max("gx") - F.min("gx")) / 8.0).cast("long").alias("dst_cols"),
     )
     out = warp_gcp_grid(u8, gcps, geo, ["product_id"], k=_GCP_K, bucket=256.0, value="q")
     return out.select("product_id", "row", "col", fround(F.col("q")).alias("q"))
