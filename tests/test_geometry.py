@@ -541,3 +541,44 @@ def test_all_kernels_gather_matches_dedicated_gathers(spark):
                 fn(coords, px, ["g"]).collect()}
         fused_leg = {k: r[qcol] for k, r in fused.items() if r[qcol] is not None}
         assert fused_leg == solo, alg
+
+
+def _keys_w_np(x):
+    import numpy as np
+
+    x = np.abs(np.asarray(x, dtype=np.float64))
+    a = -0.5
+    inner = (a + 2.0) * x**3 - (a + 3.0) * x**2 + 1.0
+    outer = a * x**3 - 5.0 * a * x**2 + 8.0 * a * x - 4.0 * a
+    return np.where(x <= 1.0, inner, np.where(x < 2.0, outer, 0.0))
+
+
+def test_cubic_gather_matches_numpy_reference(spark):
+    """Golden test: interior cells of a random field resampled at random
+    dyadic fractions (k/64) agree with an independent numpy Keys a=-0.5
+    convolution to <= 1e-12 (the engine's Horner form vs the naive
+    polynomial — algebraically equal, float-wise within rounding)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    field = rng.integers(0, 256, size=(12, 14)).astype(np.float64)
+    px = _px(spark, 12, 14, field)
+    pts = []
+    for i in range(20):
+        rs = 3.0 + (int(rng.integers(0, 64)) / 64.0) + int(rng.integers(0, 6))
+        cs = 3.0 + (int(rng.integers(0, 64)) / 64.0) + int(rng.integers(0, 7))
+        pts.append((0, i, cs, rs))
+    coords = _coords(spark, pts)
+    got = {(r["row"], r["col"]): r["v"] for r in
+           geom.cubic_gather(coords, px, ["g"]).collect()}
+    for (row, col, cs, rs) in pts:
+        r0, c0 = int(np.floor(rs)), int(np.floor(cs))
+        fr, fc = rs - r0, cs - c0
+        acc = 0.0
+        for dr in (-1, 0, 1, 2):
+            for dc in (-1, 0, 1, 2):
+                rr, cc = r0 + dr, c0 + dc
+                if 0 <= rr < 12 and 0 <= cc < 14:
+                    w = float(_keys_w_np(dr - fr) * _keys_w_np(dc - fc))
+                    acc += w * field[rr, cc]
+        assert abs(got[(row, col)] - acc) <= 1e-9 * max(1.0, abs(acc)), (rs, cs)
