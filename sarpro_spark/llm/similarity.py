@@ -691,6 +691,105 @@ def quantize_int8(
     return emb.select(F.col(id_col), scale, codes.alias("codes"))
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.35,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, public): k-means
+    cluster the corpus, then inside each cluster drop every vector that has
+    a near-duplicate (fround'd cosine >= tau) with a SMALLER id — the
+    deterministic analog of SemDeDup's keep-one-per-duplicate-group, using
+    the same lowest-id-wins rule as the MinHash/SimHash dedup family.
+
+    Scale contract: the within-cluster pair join is quadratic in cluster
+    size BY DESIGN (that is SemDeDup's semantics); k is chosen so n/k stays
+    task-sized — the same contract as the IVF probe lists (at 100 TB, k
+    grows with the corpus; the join keys on centroid_id so no pair ever
+    crosses clusters and nothing is all-pairs globally). One kmeans train
+    (k-row state), one broadcast-centroid assignment pass, one cluster-keyed
+    self-join, one anti-join.
+
+    Returns (id, centroid_id, kept) for every input vector.
+    """
+    from sarpro_spark.queries import fround
+
+    cent = kmeans_train(emb, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col)
+    assign = ivf_assign(emb, cent.select("centroid_id", "cvec"), id_col, vec_col)
+    m = emb.select(id_col, vec_col).join(assign, id_col)
+    a = m.select(
+        "centroid_id", F.col(id_col).alias("ida"), F.col(vec_col).alias("va")
+    )
+    b = m.select(
+        "centroid_id", F.col(id_col).alias("idb"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, "centroid_id").where(F.col("ida") < F.col("idb"))
+    sim = fround(cosine_expr(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")))
+    dropped = (
+        pairs.where(sim >= F.lit(tau)).select(F.col("idb").alias(id_col)).distinct()
+    )
+    return (
+        m.select(id_col, "centroid_id")
+        .join(dropped.withColumn("_drop", F.lit(1)), id_col, "left")
+        .select(id_col, "centroid_id", F.col("_drop").isNull().alias("kept"))
+    )
+
+
+def sql_semantic_dedup(
+    emb_rel: str,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` — kmeans CTEs (unrolled), one
+    final assignment round, the within-cluster pair scan with the SAME
+    fround'd cosine, lowest-id-wins drop. Ends in CTE ``semkept``."""
+    km = sql_kmeans(emb_rel, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    assign = sql_cosine_ctes(
+        emb_rel,
+        "SELECT centroid_id AS query_id, cvec AS qvec FROM kfinal",
+        id_col=id_col,
+        vec_col=vec_col,
+        prefix="fa_",
+    )
+    return f"""{km},
+{assign},
+fa_assign AS (
+  SELECT {id_col}, query_id AS centroid_id FROM (
+    SELECT {id_col}, query_id,
+           ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY sim DESC, query_id) AS rnk
+    FROM fa_scored
+  ) r WHERE rnk = 1
+),
+semmm AS (
+  SELECT e.{id_col}, CAST(e.{vec_col} AS DOUBLE[]) AS v, a.centroid_id
+  FROM {emb_rel} e JOIN fa_assign a USING ({id_col})
+),
+semdrop AS (
+  SELECT DISTINCT idb AS {id_col} FROM (
+    SELECT x.{id_col} AS ida, y.{id_col} AS idb,
+           (FLOOR((SUM(CAST(ax.x AS DOUBLE) * CAST(bx.x AS DOUBLE))
+             / (SQRT(SUM(CAST(ax.x AS DOUBLE) * CAST(ax.x AS DOUBLE)))
+              * SQRT(SUM(CAST(bx.x AS DOUBLE) * CAST(bx.x AS DOUBLE))))) * 1000000.0 + 0.5) / 1000000.0) AS sim
+    FROM semmm x JOIN semmm y ON x.centroid_id = y.centroid_id AND x.{id_col} < y.{id_col},
+         LATERAL (SELECT UNNEST(x.v) AS x, GENERATE_SUBSCRIPTS(x.v, 1) AS i) ax,
+         LATERAL (SELECT UNNEST(y.v) AS x, GENERATE_SUBSCRIPTS(y.v, 1) AS i) bx
+    WHERE ax.i = bx.i
+    GROUP BY x.{id_col}, y.{id_col}
+  ) p WHERE sim >= {tau!r}
+),
+semkept AS (
+  SELECT m.{id_col}, m.centroid_id, d.{id_col} IS NULL AS kept
+  FROM semmm m LEFT JOIN semdrop d USING ({id_col})
+)"""
+
+
 def sql_quantize_int8(
     emb_rel: str, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> str:

@@ -1154,6 +1154,35 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("centroid_id", "pos", "val", "n_members")
 
 
+_SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_sql() -> str:
+    ctes = sim.sql_semantic_dedup(
+        "embeddings", k=_KMEANS_K, iters=_KMEANS_ITERS, tau=_SEMDEDUP_TAU
+    )
+    return f"""
+WITH {ctes}
+SELECT vec_id, centroid_id, kept FROM semkept
+""".strip()
+
+
+@query("dedup_semantic_prune", sql=_semdedup_sql(), tags=("llm", "dedup", "similarity"))
+def q_dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): k-means cluster
+    the embedding corpus, then inside each cluster drop every vector with a
+    near-duplicate (fround'd cosine >= 0.35, the corpus's near-dup grain)
+    of smaller id — keep-one-per-duplicate-group with the family's
+    lowest-id-wins rule. The pair join keys on centroid_id (never global
+    all-pairs; cluster size is bounded by choosing k ~ n/task_size, the
+    IVF contract). Oracle = the identical kmeans + assignment + pair scan
+    in SQL."""
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(
+        e, k=_KMEANS_K, iters=_KMEANS_ITERS, tau=_SEMDEDUP_TAU, dim=64
+    )
+
+
 # --- int8 scalar quantization -------------------------------------------------
 
 

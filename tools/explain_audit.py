@@ -414,6 +414,14 @@ AUDITS: dict[str, dict] = {
         "require": ["Union", "Expand"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "dedup_semantic_prune": {
+        # SemDeDup composition: broadcast-centroid assignment (k rows), then
+        # the within-cluster pair join MUST key on centroid_id — a global
+        # all-pairs CartesianProduct here is the scale failure the cluster
+        # contract exists to prevent
+        "require": ["BroadcastHashJoin", "SortMergeJoin"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
     "nation_market_share": {
         # Q8 8-relation tree: nation x2 + region broadcast; part/supplier/
         # customer unpinned (SF-scaling). Filters must reach the scans.
