@@ -361,6 +361,7 @@ register_pack(
         Member("events_path_transitions", ("prev_type", "next_type")),
         Member("suppliers_sole_problem", ("s_name",)),
         Member("nation_market_share", ("o_year",)),
+        Member("dormant_rich_customers", ("c_nationkey",)),
     ),
     doc="Union certificate: rollup/cube hierarchies, correlated-subquery "
     "decorrelation, as-of via cogrouped applyInPandas, JSON property "
@@ -368,7 +369,8 @@ register_pack(
     "streaming-dedup batch twin, the band-zip equi-join path, and the "
     "TPC-H-style Q3/Q7/Q10 multi-join analytics, the Q21-style EXISTS/"
     "NOT-EXISTS sole-problem-supplier decorrelation, the Q8-style 8-relation "
-    "market share, and incremental rollup "
+    "market share, the Q22-style scalar-subquery + anti-join shape, "
+    "and incremental rollup "
     "maintenance (partial-state merge == full recompute), ordered "
     "funnel-step analytics, cohort retention, A/B Welch-t analysis, and "
     "path-transition mining.",

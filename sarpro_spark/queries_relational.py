@@ -1049,6 +1049,48 @@ def q_suppliers_sole_problem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("numwait").desc(), F.col("s_name")).limit(100)
 
 
+# --- TPC-H Q22-style: scalar subquery + anti-join decorrelation ---------------
+
+_DORMANT_CUST_SQL = f"""
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+  CAST(COUNT(*) AS BIGINT) AS numcust,
+  {sql_fround("SUM(c_acctbal)")} AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+""".strip()
+
+
+@query("dormant_rich_customers", sql=_DORMANT_CUST_SQL, tags=("relational", "join", "correlated"))
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: customers with above-average balance and NO urgent
+    orders, counted per nation (Q22 uses country codes and no-orders; this
+    data's customers all have orders, so the urgent-priority leg plays the
+    anti role with the identical decorrelation shape). Two decorrelations
+    in one plan: the AVG scalar subquery becomes a 1-row broadcast cross
+    (constant grain), the NOT EXISTS a left-anti join on the customer key —
+    no correlated re-execution, no cartesian of anything non-constant."""
+    c = frames.load_table(spark, sf_dir, "customer")
+    o = frames.load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    qualified = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+    )
+    return qualified.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        fround(F.sum("c_acctbal")).alias("totacctbal"),
+    )
+
+
 # --- TPC-H Q8-style market share ----------------------------------------------
 
 _MKT_SHARE_SQL = f"""

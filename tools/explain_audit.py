@@ -414,6 +414,16 @@ AUDITS: dict[str, dict] = {
         "require": ["Union", "Expand"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "dormant_rich_customers": {
+        # Q22 decorrelation: AVG scalar subquery -> 1-row broadcast cross
+        # (must plan BroadcastNestedLoopJoin, never a shuffled cartesian);
+        # NOT EXISTS -> LeftAnti on the customer key. Priority filter must
+        # reach the orders scan.
+        "require": ["BroadcastNestedLoopJoin", "LeftAnti",
+                    "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["c_name", "c_mktsegment", "o_orderdate", "o_totalprice"],
+    },
     "dedup_semantic_prune": {
         # SemDeDup composition: broadcast-centroid assignment (k rows), then
         # the within-cluster pair join MUST key on centroid_id — a global
@@ -553,6 +563,7 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ("llm/tfidf.py", "reps"): ("constant", "G replication ids"),
     ("queries_llm.py", "cr"): ("constant", "count-min row of W counters"),
     ("queries_llm.py", "straddle"): ("constant", "1-row straddling-pair count"),
+    ("queries_relational.py", "avg_bal"): ("constant", "1-row scalar-subquery aggregate"),
     ("queries_relational.py", 't["nation"]'): ("constant", "25-row nation dim"),
     ("queries_relational.py", 't["region"]'): ("constant", "5-row region dim"),
     ("queries_relational.py", "n1"): ("constant", "25-row nation dim"),
