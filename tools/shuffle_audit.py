@@ -146,7 +146,11 @@ def main() -> int:
         "note": "per-query deltas of completed-stage totals from the Spark "
         "REST status API; cache re-warm excluded from the diff only for "
         "timing, included in stage counts when stages complete inside the "
-        "window — treat small values as approximate",
+        "window — treat small values as approximate. shuffle_per_input is "
+        "INPUT-relative: queries reading cached/grouped-kernel lineages "
+        "under-report input, inflating the ratio (dedup_embedding_cosine, "
+        "affine_warp_kernels, warp_utm) — judge absolute shuffle_write_mb "
+        "for those; the tap-explode constants (4x/16x) bound them",
         "peak_task_mem_bound_mb": PEAK_TASK_MEM_BOUND_MB,
         "peak_mem_violations": over,
         "queries": out,
