@@ -42,7 +42,9 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="target long side (integer) or 'original'")
     p.add_argument("--pad", action="store_true", help="pad to square")
     p.add_argument("--target-crs", default="auto")
-    p.add_argument("--resample", default="cubic",
+    # reference default: lanczos (core/params.rs:38); the warp maps it to
+    # bilinear (sentinel1.rs:937-941)
+    p.add_argument("--resample", default="lanczos",
                    choices=["nearest", "bilinear", "cubic", "lanczos", "near"])
     p.add_argument("--continue-on-error", action="store_true", default=True)
     p.add_argument("--master", default=None)
@@ -135,14 +137,19 @@ def build_params(args: argparse.Namespace):
 
 
 def _parse_size(size: str) -> int | None:
-    """Reference CLI size semantics (runner.rs:44-55): 'original' -> None,
-    a positive integer -> target long side, zero -> explicit error."""
+    """Reference CLI size semantics (runner.rs:43-55): 'original' -> None,
+    a positive integer -> target long side. The reference parses usize, so
+    a negative fails the parse itself (InvalidSize, runner.rs:46-49) and
+    zero is a distinct explicit error (ZeroSize, runner.rs:50-52) — mirror
+    both so `--size -5` can't flow into the resize as a nonsense target."""
     if size is None or size == "original":
         return None
     try:
         n = int(size)
     except ValueError:
         raise SystemExit(f"invalid size: {size!r} (integer or 'original')")
+    if n < 0:
+        raise SystemExit(f"invalid size: {size!r} (InvalidSize: must be a non-negative integer)")
     if n == 0:
         raise SystemExit("size must be > 0 (ZeroSize)")
     return n

@@ -88,7 +88,7 @@ def pad_to_square(
         *group_cols,
         "max_dim",
         F.explode(F.sequence(F.lit(0), F.col("max_dim") - 1)).alias("row"),
-    ).repartition(*group_cols, "row")
+    ).repartition(_canvas_partitions(dims), *group_cols, "row")
     shifted = px.join(
         F.broadcast(dims.select(*group_cols, "pad_cols", "pad_rows")), group_cols
     ).select(
@@ -346,17 +346,34 @@ def affine_warp(
     return resample_gather(coords, px, group_cols, value, alg=alg)
 
 
+def _canvas_partitions(df: DataFrame) -> int:
+    """Explicit partition count for the canvas row-stub repartition.
+
+    The stub exchange carries one tiny row per TARGET ROW while everything
+    downstream (col explode, tap explode, candidate join, the gather's
+    pre-shuffle work) fans out by dst_cols or more — the classic
+    explode-after-exchange trap: AQE coalesces the exchange by its own
+    (tiny) byte size and the whole canvas lands in one task (measured in r6:
+    warp_utm_from_lonlat peaked at 704 MB task memory with its canvas stage
+    coalesced to ONE task at sf0.1). A user-specified count plans as
+    REPARTITION_BY_NUM, which AQE must not coalesce, so per-task work stays
+    (total canvas)/N — bounded by the same shuffle.partitions contract that
+    sizes every other exchange for the data scale."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
 def affine_coords(geo: DataFrame, group_cols: list[str]) -> DataFrame:
     """Target canvas + inverse-affine source coordinates shared by every
     kernel: one row per target cell (group, row, col, cs, rs). Row-grain
-    explode -> repartition -> in-task col explode (the pad_to_square scale
-    shape — never an O(rows*cols) single-task explode)."""
+    explode -> repartition (explicit count — see _canvas_partitions) ->
+    in-task col explode (the pad_to_square scale shape — never an
+    O(rows*cols) single-task explode)."""
     gcols = [F.col(c) for c in group_cols]
     stubs = geo.select(
         *gcols, "sg0", "sg1", "sg2", "sg3", "sg4", "sg5",
         "dg0", "dg1", "dg2", "dg3", "dg4", "dg5", "dst_cols",
         F.explode(F.sequence(F.lit(0), F.col("dst_rows") - 1)).alias("row"),
-    ).repartition(*group_cols, "row")
+    ).repartition(_canvas_partitions(geo), *group_cols, "row")
     cells = stubs.select(
         *gcols, "sg0", "sg1", "sg2", "sg3", "sg4", "sg5",
         "dg0", "dg1", "dg2", "dg3", "dg4", "dg5", "row",
@@ -389,14 +406,18 @@ def resample_gather(
 ) -> DataFrame:
     """Kernel dispatch for the gather stage shared by every warp route —
     the execution-side consumer of ProcessingParams.resample_alg (the
-    reference's ``-r`` flag, src/cli/runner.rs:61-67)."""
-    if alg in ("bilinear",):
+    reference's ``-r`` flag, src/cli/runner.rs:61-67). ``lanczos`` is
+    accepted here with the same documented bilinear fallback the reference
+    warp applies (sentinel1.rs:937-941 ``_ => "bilinear"``), so a caller
+    passing ``params.resample_alg.value`` straight through — bypassing
+    plans.pipeline.resample_kernel — gets reference behavior, not a crash."""
+    if alg in ("bilinear", "lanczos"):
         return bilinear_gather(coords, px, group_cols, value)
     if alg in ("near", "nearest"):
         return nearest_gather(coords, px, group_cols, value)
     if alg == "cubic":
         return cubic_gather(coords, px, group_cols, value)
-    raise ValueError(f"unsupported resample alg {alg!r} (near|bilinear|cubic)")
+    raise ValueError(f"unsupported resample alg {alg!r} (near|bilinear|cubic|lanczos)")
 
 
 def bilinear_gather(
@@ -485,8 +506,9 @@ def nearest_gather(
 
 
 #: Keys cubic-convolution free parameter — a = -0.5 is the classic Keys
-#: (1981) choice and what GDAL's `-r cubic` uses; the reference's flagship
-#: path defaults to cubic (src/io/sentinel1.rs:988-1032, types.py:95).
+#: (1981) choice and what GDAL's `-r cubic` uses; the reference exposes it
+#: via `-r cubic` (src/io/sentinel1.rs:933-936; the reference DEFAULT is
+#: lanczos→bilinear, core/params.rs:38 + sentinel1.rs:937-941).
 CUBIC_A = -0.5
 
 
@@ -792,7 +814,7 @@ def warp_gcp_grid(
     stubs = geo.select(
         *gcols, "dg0", "dg1", "dg2", "dg3", "dg4", "dg5", "dst_cols",
         F.explode(F.sequence(F.lit(0), F.col("dst_rows") - 1)).alias("row"),
-    ).repartition(*group_cols, "row")
+    ).repartition(_canvas_partitions(geo), *group_cols, "row")
     cells = stubs.select(
         *gcols, "row",
         F.explode(F.sequence(F.lit(0), F.col("dst_cols") - 1)).alias("col"),

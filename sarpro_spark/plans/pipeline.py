@@ -266,11 +266,12 @@ def project_gcps(gcps: DataFrame, target_crs: str, lon: str = "lon", lat: str = 
 
 def resample_kernel(params) -> str:
     """Execution-side consumer of ProcessingParams.resample_alg (the
-    reference's `-r` flag, src/cli/runner.rs:61-67; cubic is the flagship
-    default, types.py:95): maps the param to the geometry.resample_gather
-    kernel name every warp route passes through. Until round 6 this knob
-    was parsed and round-tripped but never consumed — `--resample cubic`
-    silently produced bilinear output."""
+    reference's `-r` flag, src/cli/runner.rs:61-67; the reference DEFAULT is
+    lanczos — core/params.rs:38, api/mod.rs:498 — which the warp maps to
+    bilinear, sentinel1.rs:937-941): maps the param to the
+    geometry.resample_gather kernel name every warp route passes through.
+    Until round 6 this knob was parsed and round-tripped but never
+    consumed — `--resample cubic` silently produced bilinear output."""
     from sarpro_spark.types import ResampleAlg
 
     return {

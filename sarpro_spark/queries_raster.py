@@ -1243,8 +1243,8 @@ kgeo AS (
 def q_affine_warp_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 resampling-kernel family certificate: the SAME affine warp fixture
     resampled with all three of the reference's ``-r`` kernels (near /
-    bilinear / cubic — src/io/sentinel1.rs:988-1032; cubic is the flagship
-    default, types.py:95) in one union row. Target grid: same scale as the
+    bilinear / cubic — src/io/sentinel1.rs:933-942; the reference DEFAULT is
+    lanczos→bilinear, core/params.rs:38) in one union row. Target grid: same scale as the
     source with a dyadic x- AND y-shear (dg2 = dg4 = 2), so both axes carry
     fractional source coordinates (denominator 8) and every Keys weight is
     exact IEEE — nearest certifies bit-exact with no rounding doctrine,

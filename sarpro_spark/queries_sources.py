@@ -198,18 +198,19 @@ def q_generic_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PLAN_FLAGS_SQL = """
 SELECT * FROM (VALUES
-  (0, 'single', 'vv', FALSE, 'none', 'cubic'),
+  (0, 'single', 'vv', FALSE, 'none', 'bilinear'),
   (1, 'single', 'vh', TRUE, 'gcp', 'near'),
-  (2, 'multiband', 'vv+vh', FALSE, 'none', 'cubic'),
+  (2, 'multiband', 'vv+vh', FALSE, 'none', 'bilinear'),
   (3, 'operation', 'vv+vh', TRUE, 'affine', 'bilinear'),
-  (4, 'multiband', 'vv+vh', FALSE, 'none', 'cubic'),
-  (5, 'single', 'hh', FALSE, 'none', 'cubic'),
-  (6, 'single', 'vv', TRUE, 'affine', 'cubic'),
-  (7, 'single', 'vv', TRUE, 'gcp_utm', 'cubic'),
-  (8, 'single', 'vv', TRUE, 'gcp', 'cubic'),
-  (9, 'single', 'vv', TRUE, 'gcp_ups', 'cubic'),
-  (10, 'single', 'vv', TRUE, 'error:unsupported_crs', 'cubic'),
-  (11, 'single', 'vv', TRUE, 'affine', 'bilinear')
+  (4, 'multiband', 'vv+vh', FALSE, 'none', 'bilinear'),
+  (5, 'single', 'hh', FALSE, 'none', 'bilinear'),
+  (6, 'single', 'vv', TRUE, 'affine', 'bilinear'),
+  (7, 'single', 'vv', TRUE, 'gcp_utm', 'bilinear'),
+  (8, 'single', 'vv', TRUE, 'gcp', 'bilinear'),
+  (9, 'single', 'vv', TRUE, 'gcp_ups', 'bilinear'),
+  (10, 'single', 'vv', TRUE, 'error:unsupported_crs', 'bilinear'),
+  (11, 'single', 'vv', TRUE, 'affine', 'bilinear'),
+  (12, 'single', 'vv', TRUE, 'affine', 'cubic')
 ) t(case_id, route, band, needs_warp, warp_route, resample_kernel)
 """.strip()
 
@@ -279,6 +280,12 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     route11, band11 = pipeline_route(p11)
     rows.append((11, route11, band11, needs_warp("EPSG:32631", "EPSG:32632"),
                  warp_route("EPSG:32631", "EPSG:32632"), resample_kernel(p11)))
+    # explicit cubic survives the default change (reference `-r cubic`,
+    # sentinel1.rs:933-936; default is lanczos->bilinear, core/params.rs:38)
+    p12 = ProcessingParams(polarization=Polarization.VV, resample_alg=ResampleAlg.CUBIC)
+    route12, band12 = pipeline_route(p12)
+    rows.append((12, route12, band12, needs_warp("EPSG:32631", "EPSG:32632"),
+                 warp_route("EPSG:32631", "EPSG:32632"), resample_kernel(p12)))
     return spark.createDataFrame(
         rows,
         "case_id int, route string, band string, needs_warp boolean, "

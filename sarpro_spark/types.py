@@ -104,7 +104,11 @@ class ProcessingParams:
     size: int | None = None  # target long side
     pad: bool = False
     target_crs: str | None = None
-    resample_alg: ResampleAlg = ResampleAlg.CUBIC
+    # Reference default is LANCZOS (core/params.rs:38, api/mod.rs:498); the
+    # warp maps it to bilinear (sentinel1.rs:937-941), so a default-invocation
+    # warp runs bilinear on both engines. Cubic stays available via
+    # `--resample cubic`.
+    resample_alg: ResampleAlg = ResampleAlg.LANCZOS
     continue_on_error: bool = True
     extra: dict = field(default_factory=dict)
 
@@ -137,7 +141,7 @@ class ProcessingParams:
             "size": d.get("size"),
             "pad": bool(d.get("pad", False)),
             "target_crs": d.get("target_crs"),
-            "resample_alg": ResampleAlg(d.get("resample_alg", "cubic")),
+            "resample_alg": ResampleAlg(d.get("resample_alg", "lanczos")),
             "continue_on_error": bool(d.get("continue_on_error", True)),
         }
         extra = {k: v for k, v in d.items() if k not in known}

@@ -442,8 +442,10 @@ def test_resample_gather_dispatch(spark):
     assert geom.resample_gather(coords, px, ["g"], alg="near").count() == 1
     assert geom.resample_gather(coords, px, ["g"], alg="bilinear").count() == 1
     assert geom.resample_gather(coords, px, ["g"], alg="cubic").count() == 1
-    with pytest.raises(ValueError, match="near|bilinear|cubic"):
-        geom.resample_gather(coords, px, ["g"], alg="lanczos")
+    # lanczos is accepted with the reference's bilinear fallback
+    # (sentinel1.rs:937-941) — covered by test_resample_gather_accepts_lanczos
+    with pytest.raises(ValueError, match="unsupported resample alg"):
+        geom.resample_gather(coords, px, ["g"], alg="sinc")
 
 
 def test_warp_route_crs_matrix():
@@ -470,9 +472,32 @@ def test_resample_kernel_param_consumed():
     from sarpro_spark.plans.pipeline import resample_kernel
     from sarpro_spark.types import ProcessingParams, ResampleAlg
 
-    assert resample_kernel(ProcessingParams()) == "cubic"  # flagship default
+    # reference default is lanczos (core/params.rs:38, api/mod.rs:498),
+    # which the warp maps to bilinear (sentinel1.rs:937-941)
+    assert ProcessingParams().resample_alg == ResampleAlg.LANCZOS
+    assert resample_kernel(ProcessingParams()) == "bilinear"
+    assert resample_kernel(ProcessingParams(resample_alg=ResampleAlg.CUBIC)) == "cubic"
     assert resample_kernel(ProcessingParams(resample_alg=ResampleAlg.NEAREST)) == "near"
     assert resample_kernel(ProcessingParams(resample_alg=ResampleAlg.BILINEAR)) == "bilinear"
+
+
+def test_resample_gather_accepts_lanczos(spark):
+    # a caller passing params.resample_alg.value straight through (bypassing
+    # resample_kernel) must get the reference's bilinear fallback, not a crash
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.operators.geometry import bilinear_gather, resample_gather
+
+    coords = spark.createDataFrame(
+        [("p", 0, 0, 0.5, 0.5)], "g string, row int, col int, cs double, rs double"
+    )
+    px = spark.createDataFrame(
+        [("p", r, c, float(r * 2 + c)) for r in (0, 1) for c in (0, 1)],
+        "g string, row int, col int, v double",
+    )
+    got = resample_gather(coords, px, ["g"], alg="lanczos").collect()
+    want = bilinear_gather(coords, px, ["g"]).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
 
 
 def test_project_gcps_utm_and_ups(spark):

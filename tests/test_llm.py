@@ -911,3 +911,47 @@ def test_native_decode_dispatch(monkeypatch):
 
     monkeypatch.setattr(mm, "_native_decode", lambda buf: None)
     assert np.array_equal(mm.decode_image(blob), pure)  # fallback path
+
+
+def test_semantic_dedup_hot_cluster_cap(spark):
+    """Collapsed k-means (all vectors near-identical -> one cluster) must NOT
+    go all-pairs: with max_cluster = 8 the 64-vector cluster splits into
+    ceil(64/8) = 8 md5 sub-buckets, pairs stay within a sub-bucket, and each
+    sub-bucket keeps >= 1 survivor — so kept-count >= number of sub-buckets,
+    where uncapped SemDeDup would keep exactly 1. The pair join must carry
+    the _salt key (plan-visible)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    rows = [
+        (i, [float(x) for x in (base + rng.normal(scale=1e-6, size=8))])
+        for i in range(64)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.semantic_dedup(emb, k=2, iters=1, tau=0.9, dim=8, max_cluster=8)
+    rows_out = out.collect()
+    assert len(rows_out) == 64
+    kept = [r for r in rows_out if r["kept"]]
+    # every (cluster, salt) sub-bucket keeps its own lowest id: with a
+    # collapsed cluster of 64 and cap 8 there are 8 sub-buckets per cluster
+    assert len(kept) >= 8
+    # and the cap is doing real work: nothing like the 63-drop all-pairs run
+    dropped = 64 - len(kept)
+    assert dropped <= 64 - 8
+    # plan carries the salt in the pair join (bounded-work shape is
+    # structural, not a data accident)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan
+
+
+def test_semantic_dedup_salt_inert_when_clusters_fit(spark):
+    """When every cluster fits max_cluster the salt is constantly 0 and the
+    result is EXACTLY the uncapped SemDeDup semantics (the oracle fixture
+    path): compare against a run with a huge cap."""
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    small = sim.semantic_dedup(emb, k=4, iters=1, tau=0.35, dim=8, max_cluster=4096)
+    huge = sim.semantic_dedup(emb, k=4, iters=1, tau=0.35, dim=8, max_cluster=10**9)
+    a = sorted((r["vec_id"], r["centroid_id"], r["kept"]) for r in small.collect())
+    b = sorted((r["vec_id"], r["centroid_id"], r["kept"]) for r in huge.collect())
+    assert a == b

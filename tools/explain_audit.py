@@ -66,7 +66,7 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
     "pad_to_square": {
-        "require": [], "codegen": True,
+        "require": ["REPARTITION_BY_NUM"], "codegen": True,
         "forbid": ["CartesianProduct", "BatchEvalPython"],
         # the max_dim^2 cell explode must be the LAST operator — cells are
         # materialized inside tasks and never shuffled (the r01 plan exploded
@@ -128,7 +128,8 @@ AUDITS: dict[str, dict] = {
         # PINNED SortMergeJoin: cells x pixels is big x big, and a cached px
         # lineage's optimistic stats once flipped it to a driver-fatal
         # broadcast (r5 sf1 soak) — SortMergeJoin here is load-bearing.
-        "require": ["Generate", "SortMergeJoin"], "codegen": True,
+        "require": ["Generate", "SortMergeJoin", "REPARTITION_BY_NUM"],
+        "codegen": True,
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
     "affine_warp_kernels": {
@@ -138,7 +139,10 @@ AUDITS: dict[str, dict] = {
         # kernel (FlatMapGroupsInPandas), single-pass explode unpivot
         # (Generate) — a Union here would mean the join is re-executed per
         # kernel leg, which is exactly what the fusion removes.
-        "require": ["Generate", "SortMergeJoin", "FlatMapGroupsInPandas"],
+        # REPARTITION_BY_NUM: canvas stub exchange carries an explicit
+        # count so AQE can't coalesce the whole canvas into one task
+        "require": ["Generate", "SortMergeJoin", "FlatMapGroupsInPandas",
+                    "REPARTITION_BY_NUM"],
         "codegen": True,
         "forbid": ["CartesianProduct", "BatchEvalPython", "Union"],
     },
@@ -193,7 +197,7 @@ AUDITS: dict[str, dict] = {
         # GCP piecewise warp: tile relation (k^2-fold reduction) joins the
         # cell grid via a PINNED broadcast on the ground-bucket keys; the
         # canvas/corner explodes are Generates; never cell-x-tile cartesian
-        "require": ["BroadcastHashJoin", "Generate"],
+        "require": ["BroadcastHashJoin", "Generate", "REPARTITION_BY_NUM"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
     "histogram_stats_approx": {
@@ -278,8 +282,13 @@ AUDITS: dict[str, dict] = {
     },
     "warp_utm_from_lonlat": {
         # projection feeds the GCP-tile warp: pinned tile broadcast, no
-        # cartesian, no Python anywhere (gather is relational)
-        "require": ["BroadcastHashJoin", "HashAggregate"],
+        # cartesian, no Python anywhere (gather is relational).
+        # REPARTITION_BY_NUM is the canvas row-stub exchange with an
+        # EXPLICIT partition count — AQE must not coalesce it (the stub
+        # bytes are tiny while the downstream col/tap explode is the whole
+        # canvas; r6 measured the coalesced version at 704 MB peak task
+        # memory in ONE task — the explode-after-exchange trap)
+        "require": ["BroadcastHashJoin", "HashAggregate", "REPARTITION_BY_NUM"],
         "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     },
     "corpus_pack_assignments": {

@@ -13,7 +13,7 @@ Usage:
     python tools/scale_soak.py            # build replica if missing, run, write SOAK json
     python tools/scale_soak.py --rebuild  # force replica rebuild
 
-Output: SOAK_r06.json (override: SOAK_OUT) at the repo root — per-query sf0.1 and sf1 seconds,
+Output: SOAK_r07.json (override: SOAK_OUT) at the repo root — per-query sf0.1 and sf1 seconds,
 the sf1/sf0.1 ratio, and a scaling verdict (ratio / 10 <= ~1.5 == at most
 ~1.5x-linear). bench.py embeds the summary into its JSON line so the
 driver-recorded BENCH carries the soak evidence.
@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC_SF = "/root/testdata/sf0.1"
 SOAK_DIR = os.path.join(REPO, ".soak", "sf1")
-OUT_JSON = os.path.join(REPO, os.environ.get("SOAK_OUT", "SOAK_r06.json"))
+OUT_JSON = os.path.join(REPO, os.environ.get("SOAK_OUT", "SOAK_r07.json"))
 FACTOR = 10
 
 #: id columns to shift, per table (column -> base-key family)

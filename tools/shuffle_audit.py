@@ -4,7 +4,7 @@
 Runs each (headline, by default) query once with the Spark UI's REST API
 enabled, diffs the application's stage metrics before/after, and records
 input bytes, shuffle write bytes, shuffle read bytes and task count per
-query into SHUFFLE_r05.json. A query whose shuffle volume is a large
+query into SHUFFLE_r07.json (override: SHUFFLE_OUT). A query whose shuffle volume is a large
 multiple of its input is the one to re-plan; the recorded ratios are the
 honest evidence for the plan-shape claims in tools/explain_audit.py.
 
@@ -24,7 +24,7 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT_JSON = os.path.join(REPO, os.environ.get("SHUFFLE_OUT", "SHUFFLE_r06.json"))
+OUT_JSON = os.path.join(REPO, os.environ.get("SHUFFLE_OUT", "SHUFFLE_r07.json"))
 UI_PORT = 4049
 
 
