@@ -915,6 +915,155 @@ def warp_gcp_grid(
     return resample_gather(coords, px, group_cols, value, alg=alg)
 
 
+# --- G5c: true thin-plate-spline GCP warp (the reference's -tps interpolant) -
+
+
+def tps_solve_np(ground_xy, px_rc):
+    """Solve the classic TPS interpolation system (Duchon 1977 / Bookstein
+    1989, the interpolant ``gdalwarp -tps`` fits): find f(x, y) = a0 + a1*x +
+    a2*y + sum_i w_i * U(|P - P_i|), U(r) = r^2 * ln(r^2), that EXACTLY
+    interpolates px_rc at the GCP ground positions, with the standard side
+    conditions sum w = sum w*x = sum w*y = 0.
+
+    ``ground_xy``: (n, 2) GCP ground coordinates; ``px_rc``: (n, 2) values
+    to interpolate (source pixel cs, rs). Returns (weights (n, 2),
+    affine (3, 2)). n is a GCP-grid count (tens to hundreds per product) —
+    the (n+3)^2 solve is driver-side by design, mirroring the reference
+    where gdalwarp's TPS solve is likewise a single-process step
+    (/root/reference/src/io/sentinel1.rs:1016-1029)."""
+    ground_xy = np.asarray(ground_xy, dtype=np.float64)
+    px_rc = np.asarray(px_rc, dtype=np.float64)
+    n = len(ground_xy)
+    d = ground_xy[:, None, :] - ground_xy[None, :, :]
+    r2 = (d * d).sum(-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kmat = np.where(r2 > 0.0, r2 * np.log(np.where(r2 > 0.0, r2, 1.0)), 0.0)
+    p = np.hstack([np.ones((n, 1)), ground_xy])
+    a = np.zeros((n + 3, n + 3))
+    a[:n, :n] = kmat
+    a[:n, n:] = p
+    a[n:, :n] = p.T
+    b = np.zeros((n + 3, 2))
+    b[:n] = px_rc
+    sol = np.linalg.solve(a, b)
+    return sol[:n], sol[n:]
+
+
+def tps_eval_np(ground_xy, weights, affine, pts):
+    """Numpy evaluator twin of the distributed apply (tests / validation)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    d = pts[:, None, :] - np.asarray(ground_xy, dtype=np.float64)[None, :, :]
+    r2 = (d * d).sum(-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.where(r2 > 0.0, r2 * np.log(np.where(r2 > 0.0, r2, 1.0)), 0.0)
+    return (
+        affine[0][None, :]
+        + pts[:, 0:1] * affine[1][None, :]
+        + pts[:, 1:2] * affine[2][None, :]
+        + u @ np.asarray(weights)
+    )
+
+
+def warp_gcp_tps(
+    px: DataFrame,
+    gcps: DataFrame,
+    geo: DataFrame,
+    group_cols: list[str],
+    value: str = "v",
+    alg: str = "bilinear",
+    snap: float | None = None,
+) -> DataFrame:
+    """G5 TRUE thin-plate-spline GCP warp — the same interpolant as the
+    reference's no-projection fallback ``gdalwarp -tps``
+    (sentinel1.rs:1016-1029), complementing the piecewise-bilinear
+    :func:`warp_gcp_grid` (exact at GCPs, bilinear between; TPS is exact at
+    GCPs and C^1-smooth everywhere, so there are no tile seams at all):
+
+      1. collect the per-product GCP grid to the driver (GCP grids are
+         small per product — the documented driver-state exception, same
+         class as the k-means/BPE 1-row state collects) and solve the TPS
+         system with numpy (:func:`tps_solve_np`),
+      2. broadcast ONE coefficient row per product (arrays over the GCPs),
+      3. target canvas at ROW grain (identical stub pattern as
+         warp_gcp_grid, explicit-count repartition),
+      4. per-cell source coordinates as a single column expression:
+         affine part + F.aggregate fold over the zipped coefficient arrays
+         (fold order = array order, so an oracle twin can reproduce the
+         sum bit-for-bit as a left-associated unrolled chain),
+      5. optional dyadic lattice snap of (cs, rs) — the cross-engine
+         doctrine knob for oracle fixtures (U(r) involves LN, so unsnapped
+         coordinates carry ulp-grain libm noise),
+      6. shared resample gather.
+
+    ``gcps``: (group..., gx, gy, scol, srow) — ground position and the
+    source PIXEL coordinate it interpolates to. ``geo``: target grid
+    (dg0..dg5, dst_rows, dst_cols) as in warp_gcp_grid."""
+    gcols = [F.col(c) for c in group_cols]
+    spark = px.sparkSession
+    rows = gcps.select(*group_cols, "gx", "gy", "scol", "srow").collect()
+    by_key: dict[tuple, list] = {}
+    for r in rows:
+        by_key.setdefault(tuple(r[c] for c in group_cols), []).append(r)
+    coef_rows = []
+    for key, grp in sorted(by_key.items()):
+        grp = sorted(grp, key=lambda r: (r["gy"], r["gx"]))
+        gxy = [(r["gx"], r["gy"]) for r in grp]
+        target = [(r["scol"], r["srow"]) for r in grp]
+        w, aff = tps_solve_np(gxy, target)
+        coef_rows.append(
+            (
+                *key,
+                [float(x) for x, _ in gxy],
+                [float(y) for _, y in gxy],
+                [float(v) for v in w[:, 0]],
+                [float(v) for v in w[:, 1]],
+                float(aff[0, 0]), float(aff[1, 0]), float(aff[2, 0]),
+                float(aff[0, 1]), float(aff[1, 1]), float(aff[2, 1]),
+            )
+        )
+    key_schema = ", ".join(f"{c} {px.schema[c].dataType.simpleString()}" for c in group_cols)
+    coef = spark.createDataFrame(
+        coef_rows,
+        f"{key_schema}, xs array<double>, ys array<double>, "
+        "wc array<double>, wr array<double>, "
+        "a0c double, a1c double, a2c double, a0r double, a1r double, a2r double",
+    )
+    stubs = geo.select(
+        *gcols, "dg0", "dg1", "dg2", "dg3", "dg4", "dg5", "dst_cols",
+        F.explode(F.sequence(F.lit(0), F.col("dst_rows") - 1)).alias("row"),
+    ).repartition(_canvas_partitions(geo), *group_cols, "row")
+    cells = stubs.select(
+        *gcols, "row",
+        F.explode(F.sequence(F.lit(0), F.col("dst_cols") - 1)).alias("col"),
+        (F.col("dg0") + (F.col("col") + 0.5) * F.col("dg1") + (F.col("row") + 0.5) * F.col("dg2")).alias("x"),
+        (F.col("dg3") + (F.col("col") + 0.5) * F.col("dg4") + (F.col("row") + 0.5) * F.col("dg5")).alias("y"),
+    )
+    # one coefficient row per product — GCP-grid-sized arrays, broadcastable
+    # at any product size (the tiles_b class of relation)
+    j = cells.join(F.broadcast(coef), group_cols)
+
+    def bend(wcol: str) -> F.Column:
+        # fold order = array order; each term references x/y once. U(0) = 0
+        # handles the cell-exactly-on-a-GCP case without LN(0).
+        def term(acc, t):
+            r2 = (F.col("x") - t["xs"]) * (F.col("x") - t["xs"]) + (
+                F.col("y") - t["ys"]
+            ) * (F.col("y") - t["ys"])
+            return acc + t[wcol] * F.when(r2 > 0.0, r2 * F.log(r2)).otherwise(0.0)
+
+        return F.aggregate(
+            F.arrays_zip("xs", "ys", F.col(wcol).alias(wcol)), F.lit(0.0), term
+        )
+
+    cs = F.col("a0c") + F.col("a1c") * F.col("x") + F.col("a2c") * F.col("y") + bend("wc")
+    rs = F.col("a0r") + F.col("a1r") * F.col("x") + F.col("a2r") * F.col("y") + bend("wr")
+    if snap is not None:
+        cs = F.floor(cs * snap + F.lit(0.5)) / snap
+        rs = F.floor(rs * snap + F.lit(0.5)) / snap
+    coords = j.select(*gcols, "row", "col", cs.alias("cs"), rs.alias("rs"))
+    return resample_gather(coords, px, group_cols, value, alg=alg)
+
+
 def sql_resample_gather(
     coords_rel: str,
     px_rel: str,

@@ -362,3 +362,217 @@ def ups_inverse_np(e, n, south):
     lon = np.where(rho == 0.0, 0.0, lon)
     lat = np.where(rho == 0.0, np.where(south, -90.0, 90.0), lat)
     return lon, lat
+
+
+# --- LAEA: Lambert Azimuthal Equal-Area (EPSG:3035, ETRS89-extended) ---------
+# The reference passes ANY user `-t_srs` to gdalwarp verbatim
+# (/root/reference/src/io/sentinel1.rs:1030-1041); in-engine projection
+# previously covered only the UTM/UPS codes lonlat_to_epsg emits, hard-raising
+# otherwise. EPSG:3035 is the most-requested European grid; formulas are the
+# public ellipsoidal oblique LAEA (Snyder 1987 eq. 3-11/3-12/24-2..24-4,
+# EPSG Guidance Note 7-2). EPSG:3035 is defined on GRS80; its inverse
+# flattening differs from WGS84 in the 9th decimal — both are public datum
+# constants, no datum shift is applied (as with the UTM family).
+
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+LAEA_E2 = GRS80_F * (2.0 - GRS80_F)
+LAEA_E = math.sqrt(LAEA_E2)
+LAEA_LAT0 = 52.0
+LAEA_LON0 = 10.0
+LAEA_FE = 4321000.0
+LAEA_FN = 3210000.0
+
+
+def _q_authalic(sphi: float) -> float:
+    """Snyder eq. 3-12: q for a given sin(latitude) (driver-side constant)."""
+    return (1.0 - LAEA_E2) * (
+        sphi / (1.0 - LAEA_E2 * sphi * sphi)
+        - (1.0 / (2.0 * LAEA_E)) * math.log((1.0 - LAEA_E * sphi) / (1.0 + LAEA_E * sphi))
+    )
+
+
+LAEA_QP = _q_authalic(1.0)
+_q0 = _q_authalic(math.sin(math.radians(LAEA_LAT0)))
+LAEA_BETA0 = math.asin(_q0 / LAEA_QP)
+LAEA_RQ = GRS80_A * math.sqrt(LAEA_QP / 2.0)
+_m0 = math.cos(math.radians(LAEA_LAT0)) / math.sqrt(
+    1.0 - LAEA_E2 * math.sin(math.radians(LAEA_LAT0)) ** 2
+)
+LAEA_D = GRS80_A * _m0 / (LAEA_RQ * math.cos(LAEA_BETA0))
+LAEA_SB0 = math.sin(LAEA_BETA0)
+LAEA_CB0 = math.cos(LAEA_BETA0)
+
+#: authalic -> geodetic latitude series (Snyder eq. 3-18, truncated at e^6)
+LAEA_PHI_C2 = LAEA_E2 / 3.0 + 31.0 * LAEA_E2**2 / 180.0 + 517.0 * LAEA_E2**3 / 5040.0
+LAEA_PHI_C4 = 23.0 * LAEA_E2**2 / 360.0 + 251.0 * LAEA_E2**3 / 3780.0
+LAEA_PHI_C6 = 761.0 * LAEA_E2**3 / 45360.0
+
+
+def laea_forward_steps(lon: str = "lon", lat: str = "lat") -> list[tuple[str, str]]:
+    """Named expression steps lon/lat -> (laea_easting, laea_northing) for the
+    EPSG:3035 grid. Same portability contract as the UTM/UPS chains: every
+    function (SIN/COS/ASIN/ATAN2/LN/SQRT/RADIANS) exists with identical
+    semantics in Spark SQL and DuckDB; constants as repr() literals."""
+    return [
+        ("lm_sphi", f"SIN(RADIANS({lat}))"),
+        (
+            "lm_q",
+            f"{1.0 - LAEA_E2!r} * (lm_sphi / (1.0 - {LAEA_E2!r} * lm_sphi * lm_sphi)"
+            f" - {1.0 / (2.0 * LAEA_E)!r}"
+            f" * LN((1.0 - {LAEA_E!r} * lm_sphi) / (1.0 + {LAEA_E!r} * lm_sphi)))",
+        ),
+        ("lm_beta", f"ASIN(lm_q / {LAEA_QP!r})"),
+        ("lm_dlam", f"RADIANS({lon} - {LAEA_LON0!r})"),
+        (
+            "lm_b",
+            f"{LAEA_RQ!r} * SQRT(2.0 / (1.0 + {LAEA_SB0!r} * SIN(lm_beta)"
+            f" + {LAEA_CB0!r} * COS(lm_beta) * COS(lm_dlam)))",
+        ),
+        (
+            "laea_easting",
+            f"{LAEA_FE!r} + (lm_b * {LAEA_D!r}) * COS(lm_beta) * SIN(lm_dlam)",
+        ),
+        (
+            "laea_northing",
+            f"{LAEA_FN!r} + (lm_b / {LAEA_D!r}) * ({LAEA_CB0!r} * SIN(lm_beta)"
+            f" - {LAEA_SB0!r} * COS(lm_beta) * COS(lm_dlam))",
+        ),
+    ]
+
+
+def laea_inverse_steps(
+    e: str = "laea_easting", n: str = "laea_northing"
+) -> list[tuple[str, str]]:
+    """Named expression steps (easting, northing) -> (laea_lon, laea_lat) —
+    EPSG Guidance Note 7-2 inverse with the authalic-latitude series; the
+    projection origin itself (rho = 0) maps back to (LON0, LAT0) by
+    convention."""
+    return [
+        ("li_x", f"({e} - {LAEA_FE!r}) / {LAEA_D!r}"),
+        ("li_y", f"({n} - {LAEA_FN!r}) * {LAEA_D!r}"),
+        ("li_rho", "SQRT(li_x * li_x + li_y * li_y)"),
+        ("li_ce", f"2.0 * ASIN(li_rho / {2.0 * LAEA_RQ!r})"),
+        (
+            "li_beta",
+            f"CASE WHEN li_rho = 0.0 THEN {LAEA_BETA0!r} ELSE "
+            f"ASIN(COS(li_ce) * {LAEA_SB0!r}"
+            f" + li_y * SIN(li_ce) * {LAEA_CB0!r} / li_rho) END",
+        ),
+        (
+            "laea_lon",
+            f"CASE WHEN li_rho = 0.0 THEN {LAEA_LON0!r} ELSE "
+            f"{LAEA_LON0!r} + DEGREES(ATAN2(li_x * SIN(li_ce), "
+            f"li_rho * {LAEA_CB0!r} * COS(li_ce)"
+            f" - li_y * {LAEA_SB0!r} * SIN(li_ce))) END",
+        ),
+        (
+            "laea_lat",
+            f"DEGREES(li_beta + {LAEA_PHI_C2!r} * SIN(2.0 * li_beta)"
+            f" + {LAEA_PHI_C4!r} * SIN(4.0 * li_beta)"
+            f" + {LAEA_PHI_C6!r} * SIN(6.0 * li_beta))",
+        ),
+    ]
+
+
+def laea_forward_np(lon, lat):
+    """Vectorized numpy twin of :func:`laea_forward_steps`."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    sphi = np.sin(np.radians(lat))
+    q = (1.0 - LAEA_E2) * (
+        sphi / (1.0 - LAEA_E2 * sphi * sphi)
+        - (1.0 / (2.0 * LAEA_E)) * np.log((1.0 - LAEA_E * sphi) / (1.0 + LAEA_E * sphi))
+    )
+    beta = np.arcsin(q / LAEA_QP)
+    dlam = np.radians(lon - LAEA_LON0)
+    b = LAEA_RQ * np.sqrt(
+        2.0 / (1.0 + LAEA_SB0 * np.sin(beta) + LAEA_CB0 * np.cos(beta) * np.cos(dlam))
+    )
+    e = LAEA_FE + (b * LAEA_D) * np.cos(beta) * np.sin(dlam)
+    n = LAEA_FN + (b / LAEA_D) * (
+        LAEA_CB0 * np.sin(beta) - LAEA_SB0 * np.cos(beta) * np.cos(dlam)
+    )
+    return e, n
+
+
+def laea_inverse_np(e, n):
+    """Numpy inverse — roundtrip partner of :func:`laea_forward_np`."""
+    x = (np.asarray(e, dtype=np.float64) - LAEA_FE) / LAEA_D
+    y = (np.asarray(n, dtype=np.float64) - LAEA_FN) * LAEA_D
+    rho = np.hypot(x, y)
+    ce = 2.0 * np.arcsin(rho / (2.0 * LAEA_RQ))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        beta = np.where(
+            rho == 0.0,
+            LAEA_BETA0,
+            np.arcsin(np.cos(ce) * LAEA_SB0 + y * np.sin(ce) * LAEA_CB0 / np.where(rho == 0.0, 1.0, rho)),
+        )
+        lon = np.where(
+            rho == 0.0,
+            LAEA_LON0,
+            LAEA_LON0
+            + np.degrees(
+                np.arctan2(
+                    x * np.sin(ce),
+                    rho * LAEA_CB0 * np.cos(ce) - y * LAEA_SB0 * np.sin(ce),
+                )
+            ),
+        )
+    lat = np.degrees(
+        beta
+        + LAEA_PHI_C2 * np.sin(2.0 * beta)
+        + LAEA_PHI_C4 * np.sin(4.0 * beta)
+        + LAEA_PHI_C6 * np.sin(6.0 * beta)
+    )
+    return lon, lat
+
+
+# --- Web Mercator (EPSG:3857) ------------------------------------------------
+# Spherical Mercator on the WGS84 semi-major axis (the public EPSG:3857
+# definition: "Popular Visualisation Pseudo-Mercator" — spherical formulas on
+# a = 6378137, no eccentricity). Valid |lat| < ~85.051; the WGS84 bounds in
+# the EPSG registry clip at 85.06.
+
+
+def webmerc_forward_steps(lon: str = "lon", lat: str = "lat") -> list[tuple[str, str]]:
+    """lon/lat -> (wm_easting, wm_northing): x = a*lam, y = a*ln(tan(pi/4 +
+    phi/2)) — two expressions, both engines run the same ops."""
+    return [
+        ("wm_easting", f"{WGS84_A!r} * RADIANS({lon})"),
+        (
+            "wm_northing",
+            f"{WGS84_A!r} * LN(TAN(PI() / 4.0 + RADIANS({lat}) / 2.0))",
+        ),
+    ]
+
+
+def webmerc_inverse_steps(
+    e: str = "wm_easting", n: str = "wm_northing"
+) -> list[tuple[str, str]]:
+    """(easting, northing) -> (wm_lon, wm_lat): exact closed-form inverse."""
+    return [
+        ("wm_lon", f"DEGREES({e} / {WGS84_A!r})"),
+        (
+            "wm_lat",
+            f"DEGREES(2.0 * ATAN(EXP({n} / {WGS84_A!r})) - PI() / 2.0)",
+        ),
+    ]
+
+
+def webmerc_forward_np(lon, lat):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    return (
+        WGS84_A * np.radians(lon),
+        WGS84_A * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0)),
+    )
+
+
+def webmerc_inverse_np(e, n):
+    e = np.asarray(e, dtype=np.float64)
+    n = np.asarray(n, dtype=np.float64)
+    return (
+        np.degrees(e / WGS84_A),
+        np.degrees(2.0 * np.arctan(np.exp(n / WGS84_A)) - np.pi / 2.0),
+    )

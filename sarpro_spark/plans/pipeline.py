@@ -177,13 +177,22 @@ _UPS_EPSG_CODES = frozenset({"EPSG:32661", "EPSG:32761"})
 
 def crs_projection_support(target_crs: str) -> str | None:
     """Which in-engine projection family (operators/tmerc.py) covers a
-    target CRS: 'utm' (Krüger series), 'ups' (polar stereographic), or None
-    for CRSs the engine cannot project geographic coordinates into."""
+    target CRS: 'utm' (Krüger series), 'ups' (polar stereographic), 'laea'
+    (EPSG:3035 Lambert Azimuthal Equal-Area, the European grid), 'webmerc'
+    (EPSG:3857 spherical pseudo-Mercator), or None for CRSs the engine
+    cannot project geographic coordinates into. The reference delegates any
+    user ``-t_srs`` to gdalwarp (sentinel1.rs:1030-1041); these four
+    families cover the codes lonlat_to_epsg emits plus the two most-used
+    explicit targets."""
     code = target_crs.strip().upper()
     if _UTM_EPSG_RE.match(code):
         return "utm"
     if code in _UPS_EPSG_CODES:
         return "ups"
+    if code == "EPSG:3035":
+        return "laea"
+    if code == "EPSG:3857":
+        return "webmerc"
     return None
 
 
@@ -205,6 +214,8 @@ def warp_route(
       certified by the warp_utm_from_lonlat query)
     - 'gcp_ups': same with a UPS polar target (EPSG:32661/32761) — the
       polar-stereographic forward steps project the GCPs
+    - 'gcp_laea': same with the EPSG:3035 European equal-area grid (r7)
+    - 'gcp_webmerc': same with EPSG:3857 pseudo-Mercator (r7)
     - 'gcp': no projection, GCP grid already in target ground units —
       geometry.warp_gcp_grid directly
 
@@ -218,15 +229,14 @@ def warp_route(
     if current_epsg is None and has_gcps:
         if gcp_crs is not None and gcp_crs.strip().upper() == "EPSG:4326":
             fam = crs_projection_support(target_crs) if target_crs else None
-            if fam == "utm":
-                return "gcp_utm"
-            if fam == "ups":
-                return "gcp_ups"
+            if fam is not None:
+                return f"gcp_{fam}"
             raise ValueError(
                 f"unsupported target CRS {target_crs!r} for geographic GCPs: "
                 "in-engine projection covers UTM (EPSG:326xx/327xx, zones "
-                "1-60) and UPS (EPSG:32661/32761); reproject externally or "
-                "supply GCPs in target ground units"
+                "1-60), UPS (EPSG:32661/32761), LAEA Europe (EPSG:3035) and "
+                "Web Mercator (EPSG:3857); reproject externally or supply "
+                "GCPs in target ground units"
             )
         return "gcp"
     return "affine"
@@ -258,9 +268,20 @@ def project_gcps(gcps: DataFrame, target_crs: str, lon: str = "lon", lat: str = 
         return proj.withColumn("gx", F.col("ups_easting")).withColumn(
             "gy", F.col("ups_northing")
         )
+    if fam == "laea":
+        proj = tmx.apply_steps(gcps, tmx.laea_forward_steps(lon=lon, lat=lat))
+        return proj.withColumn("gx", F.col("laea_easting")).withColumn(
+            "gy", F.col("laea_northing")
+        )
+    if fam == "webmerc":
+        proj = tmx.apply_steps(gcps, tmx.webmerc_forward_steps(lon=lon, lat=lat))
+        return proj.withColumn("gx", F.col("wm_easting")).withColumn(
+            "gy", F.col("wm_northing")
+        )
     raise ValueError(
         f"unsupported target CRS {target_crs!r}: in-engine projection covers "
-        "UTM (EPSG:326xx/327xx, zones 1-60) and UPS (EPSG:32661/32761)"
+        "UTM (EPSG:326xx/327xx, zones 1-60), UPS (EPSG:32661/32761), "
+        "LAEA Europe (EPSG:3035) and Web Mercator (EPSG:3857)"
     )
 
 

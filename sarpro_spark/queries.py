@@ -145,8 +145,11 @@ HEAD_ORDER: tuple[str, ...] = (
     # affine_warp_kernels is the union certificate of all three -r kernels
     # (near/bilinear/cubic) on the shared fixture; the single-kernel
     # affine_warp_bilinear twin stays registered in the tail.
+    # warp_gcp_pack is the union certificate of BOTH GCP interpolants
+    # (piecewise-bilinear grid + true TPS, r7); the single-member queries
+    # stay registered in the tail.
     "affine_warp_kernels",
-    "warp_gcp_grid",
+    "warp_gcp_pack",
     "warp_utm_from_lonlat",
     # IVF centroid trainer
     "embedding_kmeans",

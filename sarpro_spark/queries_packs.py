@@ -378,6 +378,22 @@ register_pack(
 )
 
 register_pack(
+    "warp_gcp_pack",
+    (
+        Member("warp_gcp_grid", ("product_id", "row", "col")),
+        Member("warp_gcp_tps", ("product_id", "row", "col")),
+    ),
+    doc="Union certificate: both G5 GCP-warp interpolants — the exact "
+    "piecewise-bilinear GCP grid (warp_gcp_grid) and the true thin-plate-"
+    "spline warp (warp_gcp_tps, r7 — the interpolant of the reference's "
+    "gdalwarp -tps fallback, sentinel1.rs:1016-1029): driver-side (n+3)^2 "
+    "solve per product, ONE broadcast coefficient row, column-expression "
+    "bend fold, shared bilinear gather. Every warped cell of both rasters "
+    "in one driver hash row.",
+    tags=("raster", "warp", "pack"),
+)
+
+register_pack(
     "sources_pack",
     (
         Member("safe_discovery", ("product",)),
@@ -386,11 +402,15 @@ register_pack(
         Member("utm_forward_gcps", ("product_id", "gi", "gj")),
         Member("ups_forward_points", ("product_id", "gi", "gj")),
         Member("ups_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("laea_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("webmerc_roundtrip_points", ("product_id", "gi", "gj")),
     ),
     doc="Union certificate: S1-S3/S10/S11 SAFE discovery over the fixture "
     "tree, S8/S9 manifest+annotation parse, S6 generic reader roundtrip, "
     "and the in-engine Krüger UTM forward projection at GCP grain (the CRS "
     "math behind S10's zone pick, operators/tmerc.py), plus the UPS "
-    "forward+inverse polar round-trip (<= 1e-9 deg on both sheets).",
+    "forward+inverse polar round-trip (<= 1e-9 deg on both sheets), the "
+    "EPSG:3035 LAEA round-trip (r7, <= 1e-7 deg) and the EPSG:3857 "
+    "pseudo-Mercator round-trip (r7, exact inverse).",
     tags=("source", "pack"),
 )

@@ -1078,6 +1078,143 @@ def q_ups_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _laea_roundtrip_sql() -> str:
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import sql_fround
+
+    fwd = tmx.sql_steps_select("pts", tmx.laea_forward_steps())
+    inv = tmx.sql_steps_select("fw", tmx.laea_inverse_steps())
+    return f"""
+WITH prods AS (
+  SELECT DISTINCT CAST(l_orderkey % {frames.N_PRODUCTS} AS INTEGER) AS product_id FROM lineitem
+),
+pts AS (
+  SELECT product_id, i.i AS gi, j.j AS gj,
+         35.0 + CAST((product_id * 5) % 30 AS DOUBLE) + i.i * 0.5 AS lat,
+         -10.0 + CAST((product_id * 3) % 38 AS DOUBLE) + j.j * 0.5 AS lon
+  FROM prods,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS i) i,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS j) j
+),
+fw AS ({fwd}),
+iv AS ({inv})
+SELECT product_id, gi, gj,
+       {sql_fround('laea_lat', 9)} AS lat_rt,
+       {sql_fround('laea_lon', 9)} AS lon_rt,
+       ABS(laea_lat - lat) <= 1e-7 AND ABS(laea_lon - lon) <= 1e-9 AS rt_ok
+FROM iv
+""".strip()
+
+
+@query("laea_roundtrip_points", sql=_laea_roundtrip_sql(), tags=("raster", "geometry", "crs"))
+def q_laea_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/G5 European-grid leg (r7): lon/lat -> EPSG:3035 LAEA forward ->
+    inverse (operators/tmerc.py laea_forward_steps / laea_inverse_steps —
+    ellipsoidal oblique Lambert Azimuthal Equal-Area, Snyder 1987 / EPSG
+    GN7-2; the forward reproduces the EPSG worked example 50N 5E ->
+    3962799.45 E, 2999718.85 N to the cm) recovers the input to <= 1e-7 deg
+    (authalic-latitude series truncation; measured ~9e-9). Closes the r6
+    verdict's 'one non-UTM projection family' gap: the reference warps to
+    any ``-t_srs`` via gdalwarp (sentinel1.rs:1030-1041); EPSG:3035 now has
+    a fully in-engine route (warp_route 'gcp_laea'). Pure column
+    arithmetic, codegen, no UDF; the DuckDB twin runs the identical step
+    chain so the recovered coordinates value-hash bit-for-bit."""
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import fround
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    prods = li.select(
+        (F.col("l_orderkey") % frames.N_PRODUCTS).cast("int").alias("product_id")
+    ).distinct()
+    pid = F.col("product_id")
+    pts = (
+        prods.select(
+            "product_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gi")
+        )
+        .select("product_id", "gi", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gj"))
+        .select(
+            "product_id", "gi", "gj",
+            (F.lit(35.0) + ((pid * 5) % 30).cast("double") + F.col("gi") * 0.5).alias("lat"),
+            (F.lit(-10.0) + ((pid * 3) % 38).cast("double") + F.col("gj") * 0.5).alias("lon"),
+        )
+    )
+    fw = tmx.apply_steps(pts, tmx.laea_forward_steps())
+    iv = tmx.apply_steps(fw, tmx.laea_inverse_steps())
+    return iv.select(
+        "product_id", "gi", "gj",
+        fround(F.col("laea_lat"), 9).alias("lat_rt"),
+        fround(F.col("laea_lon"), 9).alias("lon_rt"),
+        ((F.abs(F.col("laea_lat") - F.col("lat")) <= 1e-7)
+         & (F.abs(F.col("laea_lon") - F.col("lon")) <= 1e-9)).alias("rt_ok"),
+    )
+
+
+def _webmerc_roundtrip_sql() -> str:
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import sql_fround
+
+    fwd = tmx.sql_steps_select("pts", tmx.webmerc_forward_steps())
+    inv = tmx.sql_steps_select("fw", tmx.webmerc_inverse_steps())
+    return f"""
+WITH prods AS (
+  SELECT DISTINCT CAST(l_orderkey % {frames.N_PRODUCTS} AS INTEGER) AS product_id FROM lineitem
+),
+pts AS (
+  SELECT product_id, i.i AS gi, j.j AS gj,
+         -80.0 + CAST((product_id * 7) % 160 AS DOUBLE) + i.i * 0.25 AS lat,
+         -180.0 + CAST((product_id * 23) % 360 AS DOUBLE) + j.j * 0.25 AS lon
+  FROM prods,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS i) i,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS j) j
+),
+fw AS ({fwd}),
+iv AS ({inv})
+SELECT product_id, gi, gj,
+       {sql_fround('wm_lat', 9)} AS lat_rt,
+       {sql_fround('wm_lon', 9)} AS lon_rt,
+       ABS(wm_lat - lat) <= 1e-9 AND ABS(wm_lon - lon) <= 1e-9 AS rt_ok
+FROM iv
+""".strip()
+
+
+@query("webmerc_roundtrip_points", sql=_webmerc_roundtrip_sql(), tags=("raster", "geometry", "crs"))
+def q_webmerc_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/G5 pseudo-Mercator leg (r7): lon/lat -> EPSG:3857 forward ->
+    exact closed-form inverse recovers the input to <= 1e-9 deg across the
+    full valid domain (|lat| < 85). Spherical Popular-Visualisation
+    Mercator on a = 6378137 (the public EPSG:3857 definition — NOT
+    ellipsoidal Mercator); two expressions each way, codegen, identical
+    step chain in the DuckDB twin."""
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import fround
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    prods = li.select(
+        (F.col("l_orderkey") % frames.N_PRODUCTS).cast("int").alias("product_id")
+    ).distinct()
+    pid = F.col("product_id")
+    pts = (
+        prods.select(
+            "product_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gi")
+        )
+        .select("product_id", "gi", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gj"))
+        .select(
+            "product_id", "gi", "gj",
+            (F.lit(-80.0) + ((pid * 7) % 160).cast("double") + F.col("gi") * 0.25).alias("lat"),
+            (F.lit(-180.0) + ((pid * 23) % 360).cast("double") + F.col("gj") * 0.25).alias("lon"),
+        )
+    )
+    fw = tmx.apply_steps(pts, tmx.webmerc_forward_steps())
+    iv = tmx.apply_steps(fw, tmx.webmerc_inverse_steps())
+    return iv.select(
+        "product_id", "gi", "gj",
+        fround(F.col("wm_lat"), 9).alias("lat_rt"),
+        fround(F.col("wm_lon"), 9).alias("lon_rt"),
+        ((F.abs(F.col("wm_lat") - F.col("lat")) <= 1e-9)
+         & (F.abs(F.col("wm_lon") - F.col("lon")) <= 1e-9)).alias("rt_ok"),
+    )
+
+
 def _warp_utm_sql() -> str:
     from sarpro_spark.operators.geometry import sql_warp_gcp_grid
     from sarpro_spark.queries import sql_fround
@@ -1206,6 +1343,169 @@ def q_warp_gcp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil((F.max("gx") - F.min("gx")) / 8.0).cast("long").alias("dst_cols"),
     )
     out = warp_gcp_grid(u8, gcps, geo, ["product_id"], k=_GCP_K, bucket=256.0, value="q")
+    return out.select("product_id", "row", "col", fround(F.col("q")).alias("q"))
+
+
+# --- G5c: true TPS GCP warp fixture ------------------------------------------
+# Data-INDEPENDENT GCP grid (functions of product_id only) so the TPS solve
+# runs once at import with numpy and the DuckDB twin embeds the identical
+# coefficient doubles as literals — the driver-side-solve analog of the PCA
+# oracle's unrolled power iteration. The curvature terms (gi^2, gj^2, gi*gj)
+# make the grid genuinely non-affine, so the spline bending weights are
+# exercised, not just the affine part.
+
+_TPS_NG = 4        # 4x4 GCP grid per product
+_TPS_SP = 8.0      # source-pixel spacing of the grid (span 0..24 px)
+_TPS_SCALE = 4.0   # target ground units per pixel
+_TPS_SNAP = 4.0    # dyadic source-coordinate lattice (0.25 px)
+
+
+def _tps_fixture() -> list[dict]:
+    """One dict per product: GCPs (sorted by (gy, gx) — the operator's
+    deterministic order), solved TPS coefficients, and the target grid."""
+    import math as _math
+
+    from sarpro_spark.operators.geometry import tps_solve_np
+
+    out = []
+    for pid in range(frames.N_PRODUCTS):
+        pts = []
+        for gi in range(_TPS_NG):
+            for gj in range(_TPS_NG):
+                gx = float(pid * 2048 + 32 * gj + 3 * gi * gi + gi * gj)
+                gy = float(-pid * 2048 - 32 * gi - 2 * gj * gj)
+                pts.append((gx, gy, _TPS_SP * gj, _TPS_SP * gi))  # (gx, gy, scol, srow)
+        pts.sort(key=lambda p: (p[1], p[0]))
+        w, aff = tps_solve_np([(p[0], p[1]) for p in pts], [(p[2], p[3]) for p in pts])
+        xmin = min(p[0] for p in pts)
+        xmax = max(p[0] for p in pts)
+        ymin = min(p[1] for p in pts)
+        ymax = max(p[1] for p in pts)
+        out.append(
+            {
+                "pid": pid,
+                "pts": pts,
+                "wc": [float(v) for v in w[:, 0]],
+                "wr": [float(v) for v in w[:, 1]],
+                "aff_c": (float(aff[0, 0]), float(aff[1, 0]), float(aff[2, 0])),
+                "aff_r": (float(aff[0, 1]), float(aff[1, 1]), float(aff[2, 1])),
+                "dg0": xmin,
+                "dg3": ymax,
+                "dst_rows": int(_math.ceil((ymax - ymin) / _TPS_SCALE)),
+                "dst_cols": int(_math.ceil((xmax - xmin) / _TPS_SCALE)),
+            }
+        )
+    return out
+
+
+def _warp_tps_sql() -> str:
+    from sarpro_spark.queries import sql_fround
+    from sarpro_spark.operators.geometry import sql_resample_gather
+
+    u8 = asc.oracle_autoscale_sql(_VV_SRC_CTE, ["product_id"], _KEYS, "standard-a2", BitDepth.U8)
+    fix = _tps_fixture()
+    n = _TPS_NG * _TPS_NG
+    coef_rows = []
+    for f in fix:
+        vals = [str(f["pid"]), repr(f["dg0"]), repr(f["dg3"]),
+                str(f["dst_rows"]), str(f["dst_cols"]),
+                *(repr(v) for v in f["aff_c"]), *(repr(v) for v in f["aff_r"])]
+        for i in range(n):
+            gx, gy, _, _ = f["pts"][i]
+            vals += [repr(gx), repr(gy), repr(f["wc"][i]), repr(f["wr"][i])]
+        coef_rows.append("(" + ", ".join(vals) + ")")
+    cols = ["product_id", "dg0", "dg3", "dst_rows", "dst_cols",
+            "a0c", "a1c", "a2c", "a0r", "a1r", "a2r"]
+    for i in range(n):
+        cols += [f"gx{i}", f"gy{i}", f"wc{i}", f"wr{i}"]
+    # lateral aliases: r2_i once per GCP, then u_i, then the left-associated
+    # bend chains — the EXACT op order of the operator's F.aggregate fold
+    # (acc starts at 0.0; 0.0 + t == t), so both engines produce identical
+    # doubles before the shared 0.25-px lattice snap.
+    r2u = []
+    for i in range(n):
+        r2u.append(f"(x - gx{i}) * (x - gx{i}) + (y - gy{i}) * (y - gy{i}) AS r2_{i}")
+        r2u.append(f"CASE WHEN r2_{i} > 0.0 THEN r2_{i} * LN(r2_{i}) ELSE 0.0 END AS u_{i}")
+    bend_c = " + ".join(f"wc{i} * u_{i}" for i in range(n))
+    bend_r = " + ".join(f"wr{i} * u_{i}" for i in range(n))
+    gather = sql_resample_gather("tpscoords", "u8", ["product_id"], "q", alg="bilinear")
+    coef_body = ",\n    ".join(coef_rows)
+    r2u_body = ",\n         ".join(r2u)
+    return f"""
+WITH u8 AS ({u8}),
+tpscoef AS (
+  SELECT * FROM (VALUES
+    {coef_body}
+  ) t({", ".join(cols)})
+),
+tpscells AS (
+  SELECT g.product_id, r.i AS row, c.i AS col,
+         g.dg0 + (c.i + 0.5) * {_TPS_SCALE!r} AS x,
+         g.dg3 + (r.i + 0.5) * {-_TPS_SCALE!r} AS y
+  FROM tpscoef g,
+       LATERAL (SELECT UNNEST(RANGE(0, g.dst_rows)) AS i) r,
+       LATERAL (SELECT UNNEST(RANGE(0, g.dst_cols)) AS i) c
+),
+tpsraw AS (
+  SELECT t.product_id, t.row, t.col,
+         {r2u_body},
+         (a0c + a1c * x + a2c * y) + ({bend_c}) AS cs_raw,
+         (a0r + a1r * x + a2r * y) + ({bend_r}) AS rs_raw
+  FROM (SELECT c.*, f.* EXCLUDE (product_id) FROM tpscells c JOIN tpscoef f USING (product_id)) t
+),
+tpscoords AS (
+  SELECT product_id, row, col,
+         FLOOR(cs_raw * {_TPS_SNAP!r} + 0.5) / {_TPS_SNAP!r} AS cs,
+         FLOOR(rs_raw * {_TPS_SNAP!r} + 0.5) / {_TPS_SNAP!r} AS rs
+  FROM tpsraw
+),
+{gather}
+SELECT product_id, row, col, {sql_fround('q')} AS q FROM warped
+""".strip()
+
+
+@query("warp_gcp_tps", sql=_warp_tps_sql(), tags=("raster", "geometry", "warp", "gcp", "tps"))
+def q_warp_gcp_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 TRUE thin-plate-spline GCP warp (r7): the reference's
+    no-projection fallback is ``gdalwarp -tps`` (sentinel1.rs:1016-1029) —
+    a global C^1 spline exact at every GCP — where warp_gcp_grid is the
+    piecewise-bilinear approximation of the same grid. Here the spline is
+    solved per product on the driver (operators/geometry.py:tps_solve_np —
+    GCP counts are small per product, the documented driver-state
+    exception), broadcast as ONE coefficient row per product, and applied
+    as a single column expression (affine part + F.aggregate fold over the
+    GCP arrays). The fixture grid is curved (quadratic terms), so the
+    bending weights are non-zero and exercised; source coordinates snap to
+    a 0.25-px lattice (U(r) = r^2 ln r^2 carries libm ulp noise — the
+    Krüger-snap doctrine) before the shared bilinear gather. The DuckDB
+    twin embeds the identical solved coefficients as literals and unrolls
+    the fold in the same left-associated order, so the warped raster
+    value-hashes bit-for-bit."""
+    from sarpro_spark.operators.geometry import warp_gcp_tps
+    from sarpro_spark.queries import fround
+
+    import sarpro_spark.operators.kernel as krn
+
+    px = frames.single_band(spark, sf_dir, "vv")
+    u8 = krn.single_band_kernel(px, ["product_id"], "standard-a2", BitDepth.U8)
+    fix = _tps_fixture()
+    gcp_rows = [
+        (f["pid"], gx, gy, sc, sr) for f in fix for (gx, gy, sc, sr) in f["pts"]
+    ]
+    gcps = spark.createDataFrame(
+        gcp_rows, "product_id int, gx double, gy double, scol double, srow double"
+    )
+    geo_rows = [
+        (f["pid"], f["dg0"], _TPS_SCALE, 0.0, f["dg3"], 0.0, -_TPS_SCALE,
+         f["dst_rows"], f["dst_cols"])
+        for f in fix
+    ]
+    geo = spark.createDataFrame(
+        geo_rows,
+        "product_id int, dg0 double, dg1 double, dg2 double, dg3 double, "
+        "dg4 double, dg5 double, dst_rows long, dst_cols long",
+    )
+    out = warp_gcp_tps(u8, gcps, geo, ["product_id"], value="q", snap=_TPS_SNAP)
     return out.select("product_id", "row", "col", fround(F.col("q")).alias("q"))
 
 

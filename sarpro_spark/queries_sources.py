@@ -208,9 +208,11 @@ SELECT * FROM (VALUES
   (7, 'single', 'vv', TRUE, 'gcp_utm', 'bilinear'),
   (8, 'single', 'vv', TRUE, 'gcp', 'bilinear'),
   (9, 'single', 'vv', TRUE, 'gcp_ups', 'bilinear'),
-  (10, 'single', 'vv', TRUE, 'error:unsupported_crs', 'bilinear'),
+  (10, 'single', 'vv', TRUE, 'gcp_laea', 'bilinear'),
   (11, 'single', 'vv', TRUE, 'affine', 'bilinear'),
-  (12, 'single', 'vv', TRUE, 'affine', 'cubic')
+  (12, 'single', 'vv', TRUE, 'affine', 'cubic'),
+  (13, 'single', 'vv', TRUE, 'gcp_webmerc', 'bilinear'),
+  (14, 'single', 'vv', TRUE, 'error:unsupported_crs', 'bilinear')
 ) t(case_id, route, band, needs_warp, warp_route, resample_kernel)
 """.strip()
 
@@ -269,11 +271,10 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                  warp_route(None, "EPSG:3857", True, gcp_crs=None), k7))
     rows.append((9, route7, band7, needs_warp(None, "EPSG:32761"),
                  warp_route(None, "EPSG:32761", True, gcp_crs="EPSG:4326"), k7))
-    try:
-        wr10 = warp_route(None, "EPSG:3035", True, gcp_crs="EPSG:4326")
-    except ValueError:
-        wr10 = "error:unsupported_crs"
-    rows.append((10, route7, band7, needs_warp(None, "EPSG:3035"), wr10, k7))
+    # r7: EPSG:3035 (LAEA Europe) is now an in-engine family — geographic
+    # GCPs route 'gcp_laea' instead of raising
+    rows.append((10, route7, band7, needs_warp(None, "EPSG:3035"),
+                 warp_route(None, "EPSG:3035", True, gcp_crs="EPSG:4326"), k7))
     # lanczos: accepted by the CLI, warps as bilinear (the reference's own
     # fallback, sentinel1.rs:937-941 — Lanczos proper is the resize kernel)
     p11 = ProcessingParams(polarization=Polarization.VV, resample_alg=ResampleAlg.LANCZOS)
@@ -286,6 +287,15 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     route12, band12 = pipeline_route(p12)
     rows.append((12, route12, band12, needs_warp("EPSG:32631", "EPSG:32632"),
                  warp_route("EPSG:32631", "EPSG:32632"), resample_kernel(p12)))
+    # r7: EPSG:3857 pseudo-Mercator joins the in-engine families; a real
+    # projected CRS outside them (EPSG:2154 Lambert-93) still fails loudly
+    rows.append((13, route7, band7, needs_warp(None, "EPSG:3857"),
+                 warp_route(None, "EPSG:3857", True, gcp_crs="EPSG:4326"), k7))
+    try:
+        wr14 = warp_route(None, "EPSG:2154", True, gcp_crs="EPSG:4326")
+    except ValueError:
+        wr14 = "error:unsupported_crs"
+    rows.append((14, route7, band7, needs_warp(None, "EPSG:2154"), wr14, k7))
     return spark.createDataFrame(
         rows,
         "case_id int, route string, band string, needs_warp boolean, "

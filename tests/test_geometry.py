@@ -459,13 +459,18 @@ def test_warp_route_crs_matrix():
     assert crs_projection_support("EPSG:32761") == "ups"
     assert crs_projection_support("EPSG:3266") is None
     assert warp_route(None, "EPSG:32661", True, gcp_crs="EPSG:4326") == "gcp_ups"
+    # r7 in-engine families: LAEA Europe and Web Mercator route like UTM/UPS
+    assert crs_projection_support("EPSG:3035") == "laea"
+    assert crs_projection_support("EPSG:3857") == "webmerc"
+    assert warp_route(None, "EPSG:3035", True, gcp_crs="EPSG:4326") == "gcp_laea"
+    assert warp_route(None, "EPSG:3857", True, gcp_crs="EPSG:4326") == "gcp_webmerc"
     # geographic GCPs + unsupported target must FAIL, not route 'gcp'
     import pytest as _pt
 
     with _pt.raises(ValueError, match="unsupported target CRS"):
-        warp_route(None, "EPSG:3035", True, gcp_crs="EPSG:4326")
+        warp_route(None, "EPSG:2154", True, gcp_crs="EPSG:4326")
     # ground-unit GCPs still route 'gcp' for any target
-    assert warp_route(None, "EPSG:3035", True, gcp_crs=None) == "gcp"
+    assert warp_route(None, "EPSG:2154", True, gcp_crs=None) == "gcp"
 
 
 def test_resample_kernel_param_consumed():
@@ -523,8 +528,59 @@ def test_project_gcps_utm_and_ups(spark):
     pe, pn = tmx.ups_forward_np([45.0], [-85.0], [True])
     assert (row["gx"], row["gy"]) == pytest.approx((pe[0], pn[0]), abs=1e-6)
 
+    # r7: EPSG:3035 / EPSG:3857 project in-engine now; EPSG:2154 still raises
+    laea_row = project_gcps(
+        spark.createDataFrame(
+            [("p", 0, 0, 5.0, 50.0)], "g string, gi int, gj int, lon double, lat double"
+        ),
+        "EPSG:3035",
+    ).collect()[0]
+    le, ln_ = tmx.laea_forward_np(5.0, 50.0)
+    assert (laea_row["gx"], laea_row["gy"]) == pytest.approx((float(le), float(ln_)), abs=1e-6)
+    wm_row = project_gcps(
+        spark.createDataFrame(
+            [("p", 0, 0, 5.0, 50.0)], "g string, gi int, gj int, lon double, lat double"
+        ),
+        "EPSG:3857",
+    ).collect()[0]
+    we, wn = tmx.webmerc_forward_np(5.0, 50.0)
+    assert (wm_row["gx"], wm_row["gy"]) == pytest.approx((float(we), float(wn)), abs=1e-6)
+
     with pytest.raises(ValueError, match="unsupported target CRS"):
-        project_gcps(gcps, "EPSG:3035")
+        project_gcps(gcps, "EPSG:2154")
+
+
+def test_laea_epsg_worked_example():
+    # EPSG Guidance Note 7-2 ETRS89-LAEA example: 50N 5E ->
+    # E 3962799.45, N 2999718.85 (to the cm)
+    from sarpro_spark.operators import tmerc as tmx
+
+    e, n = tmx.laea_forward_np(5.0, 50.0)
+    assert float(e) == pytest.approx(3962799.45, abs=0.01)
+    assert float(n) == pytest.approx(2999718.85, abs=0.01)
+    # origin lands exactly on the false easting/northing
+    e0, n0 = tmx.laea_forward_np(tmx.LAEA_LON0, tmx.LAEA_LAT0)
+    assert (float(e0), float(n0)) == (tmx.LAEA_FE, tmx.LAEA_FN)
+    # inverse recovers the input below the series truncation (~1e-8 deg)
+    import numpy as np
+
+    lons = np.linspace(-10.0, 30.0, 9)
+    lats = np.linspace(35.0, 70.0, 9)
+    LO, LA = np.meshgrid(lons, lats)
+    lo2, la2 = tmx.laea_inverse_np(*tmx.laea_forward_np(LO, LA))
+    assert float(np.abs(lo2 - LO).max()) < 1e-9
+    assert float(np.abs(la2 - LA).max()) < 1e-7
+
+
+def test_webmerc_known_points():
+    from sarpro_spark.operators import tmerc as tmx
+
+    # the canonical corner: lon 180 -> 20037508.342789244 m
+    e, _ = tmx.webmerc_forward_np(180.0, 0.0)
+    assert float(e) == pytest.approx(20037508.342789244, abs=1e-6)
+    # equator northing is exactly 0
+    _, n = tmx.webmerc_forward_np(45.0, 0.0)
+    assert float(n) == pytest.approx(0.0, abs=1e-9)
 
 
 def test_ups_inverse_steps_roundtrip_vs_numpy(spark):

@@ -200,6 +200,26 @@ AUDITS: dict[str, dict] = {
         "require": ["BroadcastHashJoin", "Generate", "REPARTITION_BY_NUM"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "warp_gcp_tps": {
+        # true TPS warp (r7): ONE coefficient row per product joins the
+        # canvas via a pinned broadcast; the bend term is an aggregate fold
+        # over the coefficient arrays — pure column expr, no Python, no
+        # cell-x-GCP join (the GCPs ride along as arrays in the single
+        # broadcast row); REPARTITION_BY_NUM pins the canvas row-stub
+        # exchange before the col explode (same trap as warp_utm)
+        "require": ["BroadcastHashJoin", "Generate", "REPARTITION_BY_NUM"],
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "laea_roundtrip_points": {
+        # ellipsoidal LAEA forward+inverse is pure column arithmetic: one
+        # codegen span over the exploded point grid, no UDF, no join
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "webmerc_roundtrip_points": {
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
     "histogram_stats_approx": {
         # GK sketch agg -> tiny sketch broadcast back onto the scan -> one
         # rank-counting agg with map-side combine
@@ -542,6 +562,11 @@ SF_SCALING_NAMES = (
     "events", "documents", "embeddings", "per-user", "per-doc",
 )
 BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
+    ("operators/geometry.py", "coef"): (
+        "per-product",
+        "one TPS coefficient row per product (GCP-grid-sized arrays; the "
+        "tiles_b class of k^2-fold-reduced relation)",
+    ),
     ("operators/stats.py", "base"): ("per-product", "per-(product,band) stats rows"),
     ("operators/stats.py", "pct_rows"): ("constant", "fixed percentile list"),
     ("operators/autoscale.py", "params"): ("per-product", "per-(product,band) autoscale params"),
