@@ -71,6 +71,19 @@ HEADLINE = [
     # round-6 additions: Q21-style decorrelation + UPS polar roundtrip
     "suppliers_sole_problem",
     "ups_roundtrip_points",
+    # round-7 additions: the top-k / TPC-H lines tracked individually
+    # (previously only certified, not benched), the completed TPC-H suite's
+    # heaviest shapes, the true TPS GCP warp, and the new projections
+    "top_revenue_parts",
+    "shipping_priority",
+    "returned_items_report",
+    "tpch_forecast_revenue",
+    "tpch_min_cost_supplier",
+    "tpch_product_profit",
+    "tpch_large_orders",
+    "warp_gcp_tps",
+    "laea_roundtrip_points",
+    "webmerc_roundtrip_points",
 ]
 
 

@@ -118,7 +118,9 @@ HEAD_ORDER: tuple[str, ...] = (
     "window_rank_orders",
     "grouping_sets_sales",
     "set_operations",
-    "semi_anti_join",
+    # semi_anti_join moved into relational_pack (r7); its slot certifies the
+    # fourteen remaining TPC-H shapes as one union row
+    "tpch_shapes_pack",
     "scalar_function_pack",
     "events_asof_signup",
     "events_range_join",
@@ -204,6 +206,7 @@ def _load_all_modules() -> None:
     if _LOADED:
         return
     from sarpro_spark import queries_relational  # noqa: F401
+    from sarpro_spark import queries_tpch  # noqa: F401
     from sarpro_spark import queries_raster  # noqa: F401
     from sarpro_spark import queries_sinks  # noqa: F401
     from sarpro_spark import queries_sources  # noqa: F401

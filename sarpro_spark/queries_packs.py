@@ -362,6 +362,7 @@ register_pack(
         Member("suppliers_sole_problem", ("s_name",)),
         Member("nation_market_share", ("o_year",)),
         Member("dormant_rich_customers", ("c_nationkey",)),
+        Member("semi_anti_join", ("kind",)),
     ),
     doc="Union certificate: rollup/cube hierarchies, correlated-subquery "
     "decorrelation, as-of via cogrouped applyInPandas, JSON property "
@@ -375,6 +376,35 @@ register_pack(
     "funnel-step analytics, cohort retention, A/B Welch-t analysis, and "
     "path-transition mining.",
     tags=("relational", "pack"),
+)
+
+register_pack(
+    "tpch_shapes_pack",
+    (
+        Member("tpch_min_cost_supplier", ("s_name", "p_partkey")),
+        Member("tpch_order_priority_exists", ("o_orderpriority",)),
+        Member("tpch_forecast_revenue", ()),
+        Member("tpch_product_profit", ("nation", "o_year")),
+        Member("tpch_important_stock", ("l_partkey",)),
+        Member("tpch_priority_shipclass", ("ship_class",)),
+        Member("tpch_customer_distribution", ("c_count",)),
+        Member("tpch_promo_revenue", ()),
+        Member("tpch_top_supplier", ("s_suppkey",)),
+        Member("tpch_supplier_cnt_distribution", ("p_brand", "p_type", "p_size")),
+        Member("tpch_small_qty_revenue", ()),
+        Member("tpch_large_orders", ("o_orderkey",)),
+        Member("tpch_disjunctive_filter", ()),
+        Member("tpch_excess_supply", ("s_name",)),
+    ),
+    doc="Union certificate: the fourteen TPC-H shapes not already covered "
+    "by queries_relational.py (r7 — Q2 Q4 Q6 Q9 Q11 Q12 Q13 Q14 Q15 Q16 "
+    "Q17 Q18 Q19 Q20, adapted to the reduced star schema; with rounds 1-6's "
+    "Q1/Q3/Q5/Q7/Q8/Q10/Q21/Q22 this completes the full 22-query suite of "
+    "shapes): correlated-MIN and correlated-AVG decorrelation, EXISTS with "
+    "non-equi residual, scalar-subquery thresholds, disjunctive pushdown, "
+    "outer-join distribution, NOT-IN anti-join, nested-IN chains, and "
+    "HAVING-fed top-k.",
+    tags=("relational", "tpch", "pack"),
 )
 
 register_pack(

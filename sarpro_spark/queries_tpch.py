@@ -1,0 +1,605 @@
+"""The remaining TPC-H query shapes (SURVEY §2.8 relational completeness).
+
+Rounds 1-6 covered Q1/Q3/Q5/Q7/Q8/Q10/Q21/Q22 in queries_relational.py; this
+module closes the suite with the other fourteen shapes — Q2 Q4 Q6 Q9 Q11 Q12
+Q13 Q14 Q15 Q16 Q17 Q18 Q19 Q20 — adapted to the driver's reduced star
+schema (no partsupp table: the supply relation is derived from lineitem's
+(l_partkey, l_suppkey) pairs; no l_shipmode/l_commitdate/p_container: the
+nearest available column stands in, keeping the SHAPE — the join topology,
+subquery class, and aggregation pattern — identical to the canonical query).
+
+The reference engine has no SQL surface (it is a raster pipeline); these
+queries exist to prove the rebuilt engine's relational completeness per
+SURVEY §2.8, exactly like queries_relational.py. Every query is
+Catalyst-native with the scale doctrine applied:
+
+- nation/region are the only F.broadcast dims (25/5 rows, genuinely fixed);
+  customer/supplier/part/orders/lineitem all scale with SF and are never
+  hinted — AQE may still broadcast them at small SF where they fit.
+- scalar thresholds (Q11's value share, Q15's max revenue) are 1-row
+  aggregates cross-joined back as bounded broadcasts — the scalar-subquery
+  decorrelation Catalyst itself performs for correlated scalars.
+- IN / NOT IN subqueries run as left_semi / left_anti joins (never
+  materializing the probe payload); EXISTS with a non-equi residual (Q4's
+  late-shipment window) is a left_semi with a compound condition.
+- top-k with full tiebreaks plans TakeOrderedAndProject (per-partition
+  heaps, only k rows cross the wire).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sarpro_spark import frames
+from sarpro_spark.queries import fround, query, sql_fround
+
+
+# --- Q2: min-cost supplier per part (correlated-MIN subquery) ----------------
+
+_MIN_COST_SQL = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         (FLOOR(MIN(l_extendedprice / l_quantity) * 1000000.0 + 0.5) / 1000000.0) AS unit_cost
+  FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'EUROPE'
+), minc AS (
+  SELECT sp.l_partkey, MIN(sp.unit_cost) AS min_cost
+  FROM supply sp JOIN eu ON sp.l_suppkey = eu.s_suppkey GROUP BY sp.l_partkey
+)
+SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, p.p_type, sp.unit_cost
+FROM part p
+JOIN minc ON p.p_partkey = minc.l_partkey
+JOIN supply sp ON sp.l_partkey = p.p_partkey AND sp.unit_cost = minc.min_cost
+JOIN eu ON sp.l_suppkey = eu.s_suppkey
+WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p.p_partkey LIMIT 100
+""".strip()
+
+
+@query("tpch_min_cost_supplier", sql=_MIN_COST_SQL, tags=("relational", "tpch", "correlated"))
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    achieving the minimum unit cost — the canonical correlated-MIN scalar
+    subquery, decorrelated as aggregate + join-back (min per part, then
+    equality join to recover the achieving rows, ties kept like the real
+    Q2). The supply relation is lineitem's (partkey, suppkey) min unit
+    price (no partsupp table in this schema). nation/region broadcast;
+    supplier and the supply aggregate shuffle on their keys."""
+    t = frames.load_all(spark, sf_dir)
+    nat, reg = t["nation"], t["region"]
+    supply = (
+        t["lineitem"]
+        .where(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(fround(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("unit_cost"))
+    )
+    eu = (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_supply = supply.join(eu, supply.l_suppkey == eu.s_suppkey)
+    minc = eu_supply.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    p = t["part"].where((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+    out = (
+        p.join(minc, p.p_partkey == minc.l_partkey)
+        .join(
+            eu_supply.select(
+                F.col("l_partkey").alias("sp_partkey"), "s_name", "s_acctbal",
+                "n_name", "unit_cost",
+            ),
+            (F.col("sp_partkey") == F.col("p_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+    return out
+
+
+# --- Q4: order-priority checking (EXISTS with non-equi residual) -------------
+
+_PRIORITY_EXISTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""".strip()
+
+
+@query("tpch_order_priority_exists", sql=_PRIORITY_EXISTS_SQL, tags=("relational", "tpch", "semi"))
+def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: count orders per priority that had at least one late
+    shipment — an EXISTS whose residual predicate references BOTH sides
+    (l_shipdate > o_orderdate + 90 days; the schema has no commitdate/
+    receiptdate, so 'late' is ship-lag beyond 90 days). Plans as a
+    left_semi with an equi key plus non-equi residual: the probe payload
+    never materializes, only the filtered orders reach the 5-group agg."""
+    t = frames.load_all(spark, sf_dir)
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = t["lineitem"]
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --- Q6: forecasting revenue change (pure filter + agg) ----------------------
+
+_FORECAST_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""".strip()
+
+
+@query("tpch_forecast_revenue", sql=_FORECAST_SQL, tags=("relational", "tpch", "agg"))
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pushdown benchmark — every predicate must reach
+    the parquet scan (PushedFilters shows shipdate/discount/quantity), the
+    scan reads exactly 4 columns, and the single-row aggregate is a
+    map-side partial + 1-row final."""
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    out = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    return out
+
+
+# --- Q9: product-type profit by nation and year ------------------------------
+
+_PROFIT_SQL = """
+SELECT n.n_name AS nation, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount) - 0.1 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY nation, o_year
+""".strip()
+
+
+@query("tpch_product_profit", sql=_PROFIT_SQL, tags=("relational", "tpch", "join"))
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: 5-way join with a substring part filter, profit per
+    (nation, order year). Cost term uses p_retailprice (no ps_supplycost in
+    this schema) — the join topology is the point: the part filter prunes
+    the fact via the partkey join BEFORE the wide orders join, and only
+    nation is broadcast; part/supplier/orders shuffle on their keys."""
+    t = frames.load_all(spark, sf_dir)
+    nat = t["nation"]
+    p = t["part"].where(F.col("p_name").like("%red%")).select("p_partkey", "p_retailprice")
+    out = (
+        t["lineitem"]
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+    return out
+
+
+# --- Q11: important stock (group agg vs global scalar threshold) -------------
+
+_IMPORTANT_STOCK_SQL = """
+WITH val AS (
+  SELECT l.l_partkey, ROUND(SUM(l.l_extendedprice * l.l_quantity), 2) AS part_value
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7' GROUP BY l.l_partkey
+)
+SELECT l_partkey, part_value FROM val
+WHERE part_value > (SELECT 0.0008 * SUM(part_value) FROM val)
+""".strip()
+
+
+@query("tpch_important_stock", sql=_IMPORTANT_STOCK_SQL, tags=("relational", "tpch", "scalar-subquery"))
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part supply value within one nation, kept only
+    above a fraction of the GLOBAL total — the uncorrelated scalar
+    subquery. The threshold is a 1-row aggregate cross-joined back as a
+    bounded broadcast (the decorrelation Catalyst performs for scalar
+    subqueries); the val relation computes ONCE into both branches."""
+    t = frames.load_all(spark, sf_dir)
+    nat = t["nation"].where(F.col("n_name") == "NATION_7")
+    val = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("part_value"))
+    )
+    thr = val.agg((0.0008 * F.sum("part_value")).alias("threshold"))
+    return (
+        val.join(F.broadcast(thr))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+# --- Q12: shipping classes vs order priority (conditional agg) ---------------
+
+_SHIPCLASS_SQL = """
+SELECT l_returnflag AS ship_class,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag
+""".strip()
+
+
+@query("tpch_priority_shipclass", sql=_SHIPCLASS_SQL, tags=("relational", "tpch", "agg"))
+def q_priority_shipclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high/low-priority line counts per shipping class
+    (l_returnflag stands in for the absent l_shipmode) with a cross-table
+    date residual (shipped > 30 days after order) — the conditional-
+    aggregation pattern: one join, one pass, CASE inside SUM."""
+    t = frames.load_all(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    out = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+    return out
+
+
+# --- Q13: customer order-count distribution (outer join + double agg) --------
+
+_CUST_DIST_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY c_count
+""".strip()
+
+
+@query("tpch_customer_distribution", sql=_CUST_DIST_SQL, tags=("relational", "tpch", "outer-join"))
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many orders — LEFT
+    OUTER join with the filter INSIDE the join condition (customers with
+    zero qualifying orders must survive with count 0; a WHERE would drop
+    them), then the two-level aggregation (count per customer, then
+    customer count per order count). COUNT(o_orderkey) counts non-nulls,
+    so the no-match row contributes 0, both engines alike."""
+    t = frames.load_all(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    per_cust = (
+        c.join(
+            o.where(F.col("o_orderpriority") != "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- Q14: promotion effect (conditional ratio) -------------------------------
+
+_PROMO_SQL = f"""
+SELECT {sql_fround("100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / SUM(l_extendedprice * (1 - l_discount))", 6)} AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""".strip()
+
+
+@query("tpch_promo_revenue", sql=_PROMO_SQL, tags=("relational", "tpch", "agg"))
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — conditional
+    numerator over unconditional denominator in a single aggregation pass
+    (no second scan, no self-join)."""
+    t = frames.load_all(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            fround(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+    return out
+
+
+# --- Q15: top supplier (derived view vs global MAX) --------------------------
+
+_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""".strip()
+
+
+@query("tpch_top_supplier", sql=_TOP_SUPPLIER_SQL, tags=("relational", "tpch", "scalar-subquery"))
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the quarter's top-revenue supplier(s) — the derived
+    revenue view compared against its own MAX (ties kept, like the real
+    Q15's view formulation). The MAX is a 1-row aggregate broadcast back;
+    revenue rounds to cents BEFORE the comparison so the equality is on
+    identical doubles in both engines."""
+    t = frames.load_all(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    maxrev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        t["supplier"]
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(maxrev))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- Q16: supplier-count distribution with NOT IN exclusion ------------------
+
+_SUPPLIER_CNT_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""".strip()
+
+
+@query("tpch_supplier_cnt_distribution", sql=_SUPPLIER_CNT_SQL, tags=("relational", "tpch", "anti"))
+def q_supplier_cnt_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    bucket, excluding flagged suppliers (negative balance stands in for the
+    absent comment filter) — NOT IN as a left_anti against the flagged
+    subset, then COUNT(DISTINCT) over the surviving pairs."""
+    t = frames.load_all(spark, sf_dir)
+    p = t["part"].where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    flagged = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    out = (
+        t["lineitem"]
+        .join(flagged, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+    return out
+
+
+# --- Q17: small-quantity-order revenue (correlated AVG) ----------------------
+
+_SMALL_QTY_SQL = """
+WITH pavg AS (SELECT l_partkey, AVG(l_quantity) AS aq FROM lineitem GROUP BY l_partkey)
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+JOIN pavg a ON l.l_partkey = a.l_partkey
+WHERE p.p_brand = 'Brand#3' AND p.p_size <= 10 AND l.l_quantity < 0.5 * a.aq
+""".strip()
+
+
+@query("tpch_small_qty_revenue", sql=_SMALL_QTY_SQL, tags=("relational", "tpch", "correlated"))
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost if small-quantity orders stopped — the
+    correlated AVG subquery (per-part average quantity) decorrelated as an
+    aggregate + join-back, with the fact compared against its own group's
+    average (p_size stands in for the absent p_container filter)."""
+    t = frames.load_all(spark, sf_dir)
+    li = t["lineitem"]
+    pavg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(F.avg("l_quantity").alias("aq"))
+    p = t["part"].where((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10)).select("p_partkey")
+    out = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(pavg, F.col("l_partkey") == F.col("a_partkey"))
+        .where(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+    return out
+
+
+# --- Q18: large-volume orders (HAVING + IN + top-k) --------------------------
+
+_LARGE_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 140
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(EPOCH_US(o.o_orderdate) AS BIGINT) AS o_odate_us,
+       o.o_totalprice, ROUND(SUM(l.l_quantity), 2) AS total_qty
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o_odate_us, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+""".strip()
+
+
+@query("tpch_large_orders", sql=_LARGE_ORDERS_SQL, tags=("relational", "tpch", "topk"))
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: top customers by large-volume orders — GROUP BY +
+    HAVING feeding an IN (left_semi on the aggregated keys), re-joined to
+    re-aggregate with customer context, TakeOrderedAndProject top 100 with
+    a deterministic orderkey tiebreak. Order dates emit as epoch micros
+    (cross-engine timestamp-text formatting differs)."""
+    t = frames.load_all(spark, sf_dir)
+    li = t["lineitem"]
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sq")).where(F.col("sq") > 140)
+    o = t["orders"].join(
+        big.select(F.col("l_orderkey").alias("b_orderkey")),
+        F.col("o_orderkey") == F.col("b_orderkey"),
+        "left_semi",
+    )
+    out = (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_odate_us"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+    return out
+
+
+# --- Q19: disjunctive pushdown (OR of conjunctive predicate blocks) ----------
+
+_DISJUNCTIVE_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, COUNT(*) AS n_matched
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)
+""".strip()
+
+
+@query("tpch_disjunctive_filter", sql=_DISJUNCTIVE_SQL, tags=("relational", "tpch", "filter"))
+def q_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of three conjunctive blocks mixing both
+    sides' columns — the disjunctive-predicate benchmark: Catalyst must
+    split the part-only conjuncts of the OR (brand/size) into a pushable
+    pre-join filter on part and keep the mixed residual on the join."""
+    t = frames.load_all(spark, sf_dir)
+    j = t["lineitem"].join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity")
+
+    def block(brand: str, smax: int, qlo: int, qhi: int) -> F.Column:
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, smax)
+            & q.between(qlo, qhi)
+        )
+
+    out = j.where(
+        block("Brand#1", 15, 1, 21) | block("Brand#12", 25, 10, 30) | block("Brand#23", 35, 20, 40)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+    return out
+
+
+# --- Q20: potential promotion suppliers (nested IN chain) --------------------
+
+_EXCESS_SUPPLY_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_name, n.n_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT sh.l_suppkey FROM shipped sh
+  WHERE sh.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND sh.qty > 50
+)
+""".strip()
+
+
+@query("tpch_excess_supply", sql=_EXCESS_SUPPLY_SQL, tags=("relational", "tpch", "semi"))
+def q_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped a large volume of a targeted
+    part family in one year — the nested-IN chain (part-name IN inside
+    supplier IN) as two stacked left_semi joins over the aggregated supply
+    relation; only nation broadcasts."""
+    t = frames.load_all(spark, sf_dir)
+    nat = t["nation"]
+    red = t["part"].where(F.col("p_name").like("red%")).select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    qualifying = (
+        shipped.join(red, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    out = (
+        t["supplier"]
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+    return out

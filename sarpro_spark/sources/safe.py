@@ -250,17 +250,48 @@ def resolve_auto_target_crs_from_centroid(lon: float, lat: float) -> str:
     return lonlat_to_epsg(lon, lat)
 
 
-def centroid_epsg(gcps: DataFrame, group_cols: list[str]) -> DataFrame:
-    """Distributed S10: per-product GCP centroid -> EPSG, as an aggregation +
-    UDF-free when-chain is impractical for the zone arithmetic, so a tiny UDF
-    runs on the per-product centroid rows (metadata grain, not pixel grain)."""
-    from pyspark.sql.types import StringType
+def epsg_column(lon: F.Column, lat: F.Column) -> F.Column:
+    """Column-expression twin of :func:`lonlat_to_epsg` — the same UTM/UPS
+    zone rules (polar sheets, Norway, Svalbard) as a pure ``F.when`` chain,
+    so the CRS pick stays inside whole-stage codegen (and is directly
+    twinnable in SQL) instead of a row-at-a-time Python UDF. The double-mod
+    longitude normalization ``((x+180) % 360 + 360) % 360 - 180`` yields
+    identical values under Python's and Spark's remainder semantics by
+    construction."""
+    lon_norm = F.when(
+        (lon < -180.0) | (lon >= 180.0),
+        ((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0,
+    ).otherwise(lon)
+    zone_std = F.least(
+        F.greatest((F.floor((lon_norm + 180.0) / 6.0) + 1).cast("int"), F.lit(1)),
+        F.lit(60),
+    )
+    norway = (lat >= 56.0) & (lat < 64.0) & (lon_norm >= 3.0) & (lon_norm < 12.0)
+    svalbard = (lat >= 72.0) & (lat < 84.0)
+    zone = (
+        F.when(norway, 32)
+        .when(svalbard & (lon_norm >= 0.0) & (lon_norm < 9.0), 31)
+        .when(svalbard & (lon_norm >= 9.0) & (lon_norm < 21.0), 33)
+        .when(svalbard & (lon_norm >= 21.0) & (lon_norm < 33.0), 35)
+        .when(svalbard & (lon_norm >= 33.0) & (lon_norm < 42.0), 37)
+        .otherwise(zone_std)
+    )
+    hemi = F.when(lat >= 0.0, F.lit("EPSG:326")).otherwise(F.lit("EPSG:327"))
+    return (
+        F.when(lat >= 84.0, F.lit("EPSG:32661"))
+        .when(lat <= -80.0, F.lit("EPSG:32761"))
+        .otherwise(F.concat(hemi, F.lpad(zone.cast("string"), 2, "0")))
+    )
 
-    epsg_udf = F.udf(lonlat_to_epsg, StringType())
+
+def centroid_epsg(gcps: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Distributed S10: per-product GCP centroid -> EPSG. The zone pick is
+    :func:`epsg_column` — pure column arithmetic on the per-product centroid
+    rows (metadata grain), codegen end-to-end, no Python UDF."""
     cent = gcps.groupBy(*group_cols).agg(
         F.avg("lon").alias("lon"), F.avg("lat").alias("lat")
     )
-    return cent.withColumn("target_crs", epsg_udf(F.col("lon"), F.col("lat")))
+    return cent.withColumn("target_crs", epsg_column(F.col("lon"), F.col("lat")))
 
 
 # --- S1/S2: product open with per-product status ------------------------------

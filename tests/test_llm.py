@@ -178,6 +178,73 @@ def test_multimodal_decode_real_codecs():
         mm.decode_image(b"\x00\x00\x00\x00")
 
 
+def test_multimodal_native_decode_hook(monkeypatch):
+    """The dormant PIL fast path (_native_decode): PNG always eligible,
+    JPEG only behind SARPRO_NATIVE_JPEG=1, any native failure falls back to
+    the in-repo codecs. PIL is absent in this container, so the hook is
+    exercised with an injected fake whose calls we can observe — the point
+    is the DISPATCH contract, which is what a real cluster (with PIL
+    installed) relies on for hash-safety."""
+    import io
+    import sys
+    import types
+
+    import numpy as np
+
+    from sarpro_spark.sinks.jpeg import encode_jpeg
+    from sarpro_spark.sinks.png import encode_png
+
+    img = mm.formula_image(3, 20, 12, 3)
+    png_buf, jpg_buf = encode_png(img), encode_jpeg(img, 90)
+    sentinel = np.full((5, 5), 77, dtype=np.uint8)
+    calls = []
+
+    class _FakeIm:
+        mode = "L"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def __array__(self, dtype=None, copy=None):
+            return sentinel
+
+    def fake_open(fobj):
+        calls.append(fobj.read(2))
+        fobj.seek(0)
+        return _FakeIm()
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(open=fake_open)
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
+
+    # PNG: native path always taken when PIL imports
+    monkeypatch.delenv("SARPRO_NATIVE_JPEG", raising=False)
+    assert (mm.decode_image(png_buf) == sentinel).all()
+    assert calls and calls[-1] == b"\x89P"
+    # JPEG without the opt-in: native NOT consulted, in-repo decoder runs
+    n_before = len(calls)
+    dec = mm.decode_image(jpg_buf)
+    assert len(calls) == n_before and dec.shape == img.shape
+    # JPEG with SARPRO_NATIVE_JPEG=1: native path taken
+    monkeypatch.setenv("SARPRO_NATIVE_JPEG", "1")
+    assert (mm.decode_image(jpg_buf) == sentinel).all()
+    assert calls[-1] == b"\xFF\xD8"
+    # unsupported native mode -> fall back to the bit-exact in-repo codec
+    _FakeIm.mode = "CMYK"
+    dec = mm.decode_image(png_buf)
+    assert dec.shape == img.shape and (dec == img).all()
+    # native raising -> same fallback
+    fake_pil.Image = types.SimpleNamespace(
+        open=lambda f: (_ for _ in ()).throw(OSError("corrupt"))
+    )
+    dec = mm.decode_image(png_buf)
+    assert dec.shape == img.shape and (dec == img).all()
+
+
 def test_multimodal_frame_sampling():
     from sarpro_spark.sinks.jpeg import encode_jpeg
 

@@ -152,6 +152,28 @@ def test_centroid_epsg(spark):
     assert out["p2"] == "EPSG:32632"  # Norway exception at (5, 60)
 
 
+def test_epsg_column_matches_python_everywhere(spark):
+    """epsg_column (the codegen when-chain) must agree with lonlat_to_epsg
+    (the driver-side scalar) across every branch: both UPS sheets, Norway,
+    all four Svalbard bands + the Svalbard else-branch, hemisphere split,
+    zone clamping, and out-of-range longitude normalization."""
+    from pyspark.sql import functions as F
+
+    lons = [-185.0, -180.0, -175.0, -12.0, 0.0, 3.0, 5.0, 8.9, 9.0, 11.9, 12.0,
+            20.9, 21.0, 32.9, 33.0, 41.9, 42.0, 60.0, 179.9, 180.0, 185.0]
+    lats = [-85.0, -80.0, -79.9, -30.0, 0.0, 47.0, 55.9, 56.0, 63.9, 64.0,
+            71.9, 72.0, 78.0, 83.9, 84.0, 89.0]
+    pts = [(lo, la) for lo in lons for la in lats]
+    df = spark.createDataFrame(pts, "lon double, lat double").withColumn(
+        "got", safe.epsg_column(F.col("lon"), F.col("lat"))
+    )
+    for r in df.collect():
+        want = safe.lonlat_to_epsg(r["lon"], r["lat"])
+        assert r["got"] == want, (r["lon"], r["lat"], r["got"], want)
+    # and the plan is UDF-free
+    assert "BatchEvalPython" not in df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_polarization_label():
     assert w.polarization_label(["VV", "VH"], "sum") == "SUM(VV, VH)"
     assert w.polarization_label(["HH", "HV"], "ratio") == "RATIO(HH, HV)"

@@ -200,6 +200,49 @@ AUDITS: dict[str, dict] = {
         "require": ["BroadcastHashJoin", "Generate", "REPARTITION_BY_NUM"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
+    "tpch_forecast_revenue": {
+        # the pushdown benchmark: every predicate must reach the scan and
+        # the scan must read exactly the 4 referenced columns
+        "require": ["PushedFilters: [IsNotNull(l_shipdate)"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["l_orderkey", "l_partkey", "l_returnflag", "l_tax"],
+    },
+    "tpch_min_cost_supplier": {
+        # correlated-MIN decorrelation: supply agg + join-back, nation/region
+        # broadcast, deterministic top-100 via TakeOrderedAndProject
+        "require": ["BroadcastHashJoin", "TakeOrderedAndProject", "HashAggregate"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "tpch_order_priority_exists": {
+        # EXISTS with non-equi residual: must plan a LeftSemi, never inflate
+        # the probe side
+        "require": ["LeftSemi"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "tpch_important_stock": {
+        # scalar-subquery threshold: 1-row aggregate broadcast back; the val
+        # relation must not be scanned twice from parquet for the threshold
+        "require": ["BroadcastNestedLoopJoin"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "tpch_large_orders": {
+        # HAVING-fed semi join + top-k: TakeOrderedAndProject, LeftSemi
+        "require": ["TakeOrderedAndProject", "LeftSemi"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "tpch_disjunctive_filter": {
+        # Catalyst splits the OR into per-side pushable disjunctions: BOTH
+        # scans must show an Or(Or(And(...))) pushed filter (part gets the
+        # brand/size disjunction, lineitem the quantity-range disjunction)
+        "require": ["Or(Or(And(EqualTo(p_brand,Brand#1)",
+                    "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"],
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
+    "tpch_excess_supply": {
+        "require": ["LeftSemi"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+    },
     "warp_gcp_tps": {
         # true TPS warp (r7): ONE coefficient row per product joins the
         # canvas via a pinned broadcast; the bend term is an aggregate fold
@@ -604,6 +647,10 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ("queries_relational.py", "n2"): ("constant", "25-row nation dim"),
     ("queries_relational.py", "n"): ("constant", "25-row nation dim"),
     ("queries_relational.py", "r"): ("constant", "5-row region dim"),
+    ("queries_tpch.py", "nat"): ("constant", "25-row nation dim (filtered or whole)"),
+    ("queries_tpch.py", "reg"): ("constant", "5-row region dim"),
+    ("queries_tpch.py", "thr"): ("constant", "1-row scalar-subquery threshold aggregate"),
+    ("queries_tpch.py", "maxrev"): ("constant", "1-row MAX-revenue scalar aggregate"),
     ("queries_raster.py", "sketch"): ("per-product", "GK sketch rows per-(product,band)"),
     ("queries_raster.py", "pvv"): ("per-product", "per-product percentile row"),
     ("queries_raster.py", "pvh"): ("per-product", "per-product percentile row"),
