@@ -67,8 +67,16 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery, decorrelated as aggregate + join-back (min per part, then
     equality join to recover the achieving rows, ties kept like the real
     Q2). The supply relation is lineitem's (partkey, suppkey) min unit
-    price (no partsupp table in this schema). nation/region broadcast;
-    supplier and the supply aggregate shuffle on their keys."""
+    price (no partsupp table in this schema). nation/region broadcast.
+
+    The correlated MIN runs as a window MIN over partitionBy(l_partkey) —
+    NOT the aggregate + join-back the SQL twin spells (same result, ties
+    kept): join-back recomputes the whole supply lineage into both join
+    sides (shuffle_audit measured 81x shuffle-per-input), while the window
+    keeps one pass and one partition-shuffle. No ordering in the window
+    spec, so no sort and no single-partition hazard."""
+    from pyspark.sql import Window
+
     t = frames.load_all(spark, sf_dir)
     nat, reg = t["nation"], t["region"]
     supply = (
@@ -85,18 +93,12 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     eu_supply = supply.join(eu, supply.l_suppkey == eu.s_suppkey)
-    minc = eu_supply.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    cheapest = eu_supply.withColumn(
+        "min_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    ).where(F.col("unit_cost") == F.col("min_cost"))
     p = t["part"].where((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
     out = (
-        p.join(minc, p.p_partkey == minc.l_partkey)
-        .join(
-            eu_supply.select(
-                F.col("l_partkey").alias("sp_partkey"), "s_name", "s_acctbal",
-                "n_name", "unit_cost",
-            ),
-            (F.col("sp_partkey") == F.col("p_partkey"))
-            & (F.col("unit_cost") == F.col("min_cost")),
-        )
+        p.join(cheapest, p.p_partkey == cheapest.l_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -488,28 +490,34 @@ ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
 @query("tpch_large_orders", sql=_LARGE_ORDERS_SQL, tags=("relational", "tpch", "topk"))
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: top customers by large-volume orders — GROUP BY +
-    HAVING feeding an IN (left_semi on the aggregated keys), re-joined to
-    re-aggregate with customer context, TakeOrderedAndProject top 100 with
-    a deterministic orderkey tiebreak. Order dates emit as epoch micros
-    (cross-engine timestamp-text formatting differs)."""
+    HAVING feeding the order filter, TakeOrderedAndProject top 100 with a
+    deterministic orderkey tiebreak. Order dates emit as epoch micros
+    (cross-engine timestamp-text formatting differs).
+
+    The Spark plan carries the HAVING aggregate forward as the join payload
+    instead of semi-joining and then re-joining lineitem to re-sum (the
+    shape the SQL twin spells; same doubles — the same rows feed the same
+    partial aggregates): the re-join version shuffled 55x the input, this
+    one passes lineitem once."""
     t = frames.load_all(spark, sf_dir)
-    li = t["lineitem"]
-    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sq")).where(F.col("sq") > 140)
-    o = t["orders"].join(
-        big.select(F.col("l_orderkey").alias("b_orderkey")),
-        F.col("o_orderkey") == F.col("b_orderkey"),
-        "left_semi",
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 140)
     )
     out = (
-        t["customer"]
-        .join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy(
+        # big first: the HAVING survivors prune orders BEFORE the customer
+        # join (joining customer x orders first would run at full size)
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
             "c_name", "c_custkey", "o_orderkey",
             F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_odate_us"),
             "o_totalprice",
+            F.round(F.col("sq"), 2).alias("total_qty"),
         )
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )

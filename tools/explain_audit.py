@@ -226,8 +226,9 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
     "tpch_large_orders": {
-        # HAVING-fed semi join + top-k: TakeOrderedAndProject, LeftSemi
-        "require": ["TakeOrderedAndProject", "LeftSemi"],
+        # HAVING aggregate joins forward as payload (single lineitem pass);
+        # top-k via TakeOrderedAndProject
+        "require": ["TakeOrderedAndProject", "HashAggregate"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
     "tpch_disjunctive_filter": {
