@@ -267,6 +267,77 @@ def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANN recall@k certificate: the approximate indexes measured against the
+# exact ground truth, as data. The oracle nests the three certified top-k
+# statements verbatim as subqueries (each keeps its own WITH scope — no CTE
+# prefix collisions), so the recall numbers are derived from the SAME
+# machinery the individual certificates pin.
+_RECALL_SQL = f"""
+WITH truth AS (SELECT query_id, vec_id FROM ({_TOPK_SQL}) b WHERE rnk <= 5),
+ivf AS (SELECT query_id, vec_id FROM ({_TOPK_IVF_SQL}) v),
+lsh AS (SELECT query_id, vec_id FROM ({_TOPK_LSH_SQL}) l)
+SELECT t.query_id,
+       CAST(COUNT(iv.vec_id) AS BIGINT) AS ivf_hits,
+       (COUNT(iv.vec_id) / 5.0) AS ivf_recall_at_5,
+       CAST(COUNT(ls.vec_id) AS BIGINT) AS lsh_hits,
+       (COUNT(ls.vec_id) / 5.0) AS lsh_recall_at_5
+FROM truth t
+LEFT JOIN ivf iv ON t.query_id = iv.query_id AND t.vec_id = iv.vec_id
+LEFT JOIN lsh ls ON t.query_id = ls.query_id AND t.vec_id = ls.vec_id
+GROUP BY t.query_id
+""".strip()
+
+
+@query("ann_recall_at_k", sql=_RECALL_SQL, tags=("llm", "similarity", "quality"))
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality certificate: per-query recall@5 of the IVF and LSH
+    indexes against the exact brute-force top-5 — the accuracy/cost
+    trade-off of the approximate paths measured as data, not asserted in
+    prose. All three branches run with the same pinned parameters as their
+    individual certificates; the recall division by the literal 5.0 is the
+    identical IEEE op in both engines, so the numbers value-hash.
+
+    Expected values on THIS fixture: IVF 0.8-1.0, LSH 0.2-0.4. The testdata
+    embeddings are random vectors — true top-5 cosines sit at ~0.3-0.5,
+    barely above random pairs, so angular-LSH buckets are close to
+    uncorrelated with rank order (the regime where hyperplane LSH is known
+    to degrade), while IVF still wins because probing nprobe/n_centroids of
+    the corpus uses the same cosine measure as the truth. On a real
+    embedding corpus (tight near-dup clusters) the LSH numbers rise with
+    cluster tightness, and the bands/band_bits/probe knobs trade recall
+    against candidate volume; this certificate is the instrument that
+    makes that tuning measurable."""
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    q = _spark_queries_frame(spark, sf_dir)
+    truth = sim.cosine_topk(e, q, k=5).select("query_id", "vec_id")
+    ivf = sim.cosine_topk_ivf(
+        e, q, k=5, n_centroids=_IVF_K, nprobe=_IVF_NPROBE
+    ).select(F.col("query_id").alias("iv_qid"), F.col("vec_id").alias("iv_vec_id"))
+    lsh = sim.cosine_topk_lsh(
+        e, q, k=5, bands=_TOPK_BANDS, band_bits=_TOPK_BITS, dim=_EMB_DIM,
+        probe=1, bucket_cap=_BUCKET_CAP,
+    ).select(F.col("query_id").alias("ls_qid"), F.col("vec_id").alias("ls_vec_id"))
+    return (
+        truth.join(
+            ivf,
+            (F.col("query_id") == F.col("iv_qid")) & (F.col("vec_id") == F.col("iv_vec_id")),
+            "left",
+        )
+        .join(
+            lsh,
+            (F.col("query_id") == F.col("ls_qid")) & (F.col("vec_id") == F.col("ls_vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("iv_vec_id").alias("ivf_hits"),
+            (F.count("iv_vec_id") / 5.0).alias("ivf_recall_at_5"),
+            F.count("ls_vec_id").alias("lsh_hits"),
+            (F.count("ls_vec_id") / 5.0).alias("lsh_recall_at_5"),
+        )
+    )
+
+
 _NEARDUP_EMB_SQL = f"""
 WITH {sim.sql_band_key_ctes('embeddings', 'vec_id', 'embedding', _ND_BANDS, _ND_BITS,
                             _EMB_DIM, prefix='n_', bucket_cap=_BUCKET_CAP)},

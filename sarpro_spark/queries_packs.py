@@ -284,11 +284,13 @@ register_pack(
         Member("tfidf_top_terms", ("doc_id", "term")),
         Member("embedding_pca", ("component", "pos")),
         Member("embedding_pca_project", ("vec_id",)),
+        Member("ann_recall_at_k", ("query_id",)),
     ),
     doc="Union certificate: ANN top-k via brute force, banded-hyperplane "
     "LSH, IVF inverted lists, int8-quantized scan, the int8 quantization "
-    "codes themselves, lexical tf-idf top-k + top-terms, and the PCA fit "
-    "+ projection.",
+    "codes themselves, lexical tf-idf top-k + top-terms, the PCA fit "
+    "+ projection, and the per-query recall@5 of IVF/LSH against the "
+    "exact ground truth (r7 — index quality as data).",
     tags=("llm", "similarity", "pack"),
 )
 
