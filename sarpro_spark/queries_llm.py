@@ -1422,6 +1422,72 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd2.incremental_dedup(d)
 
 
+# --- streaming incremental near-dup (batch-twin certificate) -----------------
+
+
+def _streaming_neardup_sql() -> str:
+    from sarpro_spark.llm.dedup import sql_minhash_ctes
+    from sarpro_spark.streaming import dedup as sdd
+
+    nh, bands = sdd.DEFAULT_NUM_HASHES, sdd.DEFAULT_BANDS
+    rpb = nh // bands
+    ctes = sql_minhash_ctes("documents", num_hashes=nh)
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, MD5("
+        + " || '|' || ".join(f"sig_{b * rpb + r}" for r in range(rpb))
+        + ") AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)" for i in range(nh)
+    )
+    return f"""
+WITH {ctes},
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS matched_id, b.doc_id AS doc_id
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_id, c.matched_id, ({agree}) / {float(nh)!r} AS est
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.matched_id
+  JOIN sigs sb ON sb.doc_id = c.doc_id
+),
+hits AS (
+  SELECT doc_id, MIN(matched_id) AS first_match, COUNT(*) AS n_earlier_matches
+  FROM agree WHERE est >= {sdd.DEFAULT_THRESHOLD!r} GROUP BY doc_id
+)
+SELECT d.doc_id, h.first_match IS NOT NULL AS is_dup, h.first_match,
+       COALESCE(h.n_earlier_matches, 0) AS n_earlier_matches
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""".strip()
+
+
+@query("dedup_streaming_neardup", sql=_streaming_neardup_sql(), tags=("llm", "dedup", "streaming"))
+def q_dedup_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental near-dup, certified through its batch twin
+    (streaming/dedup.py): a document STREAM dedups against the accumulated
+    corpus via stateless column-expression MinHash signatures + ONE
+    applyInPandasWithState stage keyed by (band, bucket); the drained
+    stream's match rows equal the pairwise batch rule 'doc b matches every
+    earlier a sharing a band bucket with signature agreement >= 0.75'
+    (asserted stream-vs-batch in tests/test_streaming.py). This query
+    hashes the per-doc verdicts (is_dup, first earlier match, match count)
+    over every document. At the pinned 16-hash/0.75 setting, the estimate
+    recovers exactly the pairs the exact-jaccard pipeline verifies at 0.5
+    on this corpus (25/25). State scale contract: signatures only (16
+    longs/doc) per bucket, hot buckets capped."""
+    from sarpro_spark.streaming import dedup as sdd
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    matches = sdd.streaming_neardup_batch(d)
+    return sdd.neardup_verdicts_from_matches(matches, d.select("doc_id"))
+
+
 # --- trainable quality classifier --------------------------------------------
 
 

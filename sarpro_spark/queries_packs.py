@@ -189,13 +189,15 @@ register_pack(
         Member("dedup_simhash", ("doc_id",)),
         Member("dedup_simhash_pairs", ("doc_a", "doc_b")),
         Member("dedup_incremental", ("doc_id",)),
+        Member("dedup_streaming_neardup", ("doc_id",)),
         Member("dedup_semantic_prune", ("vec_id",)),
         Member("corpus_leakage_safe_split", ("split",)),
     ),
     doc="Union certificate: exact dedup (+normalized), n-gram Jaccard pairs, "
     "SimHash fingerprints + banded near-dup pairs, SemDeDup-style "
-    "semantic cluster pruning, and incremental "
-    "batch-vs-index dedup, and the cluster-granular leakage-safe "
+    "semantic cluster pruning, incremental "
+    "batch-vs-index dedup, the streaming incremental near-dup batch twin "
+    "(r7), and the cluster-granular leakage-safe "
     "train/val/test split — every value of each member in one driver "
     "hash row.",
     tags=("llm", "dedup", "pack"),

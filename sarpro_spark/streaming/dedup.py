@@ -1,0 +1,268 @@
+"""Streaming incremental near-dup detection: MinHash-LSH dedup of a document
+STREAM against the accumulated corpus state — the streaming twin of
+llm/dedup.py's batch `incremental_dedup` (batch vs static index), completing
+the dedup family's third temporal mode: batch-vs-batch, batch-vs-index, and
+now continuous arrival.
+
+Shape:
+
+1. **Stateless signature stage** (`doc_sig_bands`): per-doc MinHash
+   signature + LSH band bucket keys as PURE column expressions — no
+   aggregation (streaming queries allow at most one stateful operator, so
+   the batch path's explode+groupBy signature builder is re-expressed as
+   ``array_min(transform(...))`` over the shingle array; same base hash,
+   same permutation coefficients, bit-identical signatures).
+2. **One stateful stage** (`streaming_neardup`): groupBy(band, bucket) →
+   ``applyInPandasWithState``. State per bucket = the (doc_id, signature)
+   list of every doc that has arrived in that bucket. Each arriving doc is
+   compared against the state (and earlier docs of the same micro-batch, in
+   doc_id order); pairs whose signature agreement >= threshold emit as
+   match rows. Every doc then joins the bucket state (arrival order is the
+   only order that exists in a stream — dup docs stay in state so later
+   arrivals match their nearest predecessor, exactly the batch-twin rule).
+
+Scale contract: state is partitioned by (band, bucket) in Spark's state
+store (RocksDB on a cluster) — memory is bounded by (active buckets x
+bucket occupancy), and `bucket_cap` drops further arrivals in a
+pathologically hot bucket (same cap doctrine as every LSH path; capped
+buckets under-report matches, never explode).
+
+Determinism: the verdict for doc b is "matches every earlier a sharing a
+band bucket with agreement >= tau" — a PAIRWISE rule over (arrival order =
+doc_id order), so the drained stream equals the batch twin
+(`streaming_neardup_batch`) row-for-row, which is what the registered
+`dedup_streaming_neardup` certificate hashes against DuckDB.
+
+Reference parity note: the reference engine (bogwi/sarpro) has no streaming
+surface; this operator exists for SURVEY §2.8's streaming coverage and the
+training-data-pipeline extension set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sarpro_spark.llm.dedup import (
+    DEFAULT_SHINGLE,
+    MINHASH_PRIME,
+    minhash_coeffs,
+)
+
+#: 16 hashes / 4 bands / agreement >= 0.75: measured on the documents
+#: fixture, est>=0.75 recovers exactly the same 25 pairs the exact-jaccard
+#: verified pipeline finds at jaccard>=0.5, while 8 hashes at est>=0.5 was
+#: 150x over-triggered (signature-estimate noise) — state is signatures,
+#: not shingle sets, so the estimate IS the verifier in streaming.
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4
+DEFAULT_THRESHOLD = 0.75
+DEFAULT_BUCKET_CAP = 4096
+
+
+def doc_sig_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(id, band, bucket, sig array<long>) per doc — streaming-safe (no
+    aggregation): shingles as an array via transform over positions, base
+    hash + k permutations element-wise, array_min per permutation. Docs
+    shorter than the shingle width drop (no shingles — matching the batch
+    builder, where they produce no group)."""
+    lowered = F.lower(F.col(text_col))
+    npos = F.length(lowered) - (n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(1), npos), lambda i: F.substring(lowered, i, n)
+    )
+    base = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME,
+    )
+    sig_exprs = [
+        F.array_min(
+            F.transform(F.col("_h"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
+        ).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    sigs = (
+        docs.where(F.length(F.col(text_col)) >= n)
+        .select(F.col(id_col), base.alias("_h"))
+        .select(F.col(id_col), *sig_exprs)
+    )
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)]).alias("sig"),
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "sig")
+
+
+MATCH_SCHEMA = StructType(
+    [
+        StructField("band", IntegerType()),
+        StructField("bucket", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("matched_id", LongType()),
+        StructField("est_sim", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("sigs", ArrayType(LongType())),  # flattened, num_hashes per doc
+        StructField("capped", BooleanType()),
+    ]
+)
+
+
+def _make_update(num_hashes: int, threshold: float, bucket_cap: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - eviction policy hook
+            state.remove()
+            return
+        ids, flat, capped = state.get if state.exists else ([], [], False)
+        ids, flat = list(ids), list(flat)
+        out_doc, out_match, out_sim = [], [], []
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        for _, row in batch.iterrows():
+            sig = [int(v) for v in row["sig"]]
+            did = int(row["doc_id"])
+            for j, prev_id in enumerate(ids):
+                prev = flat[j * num_hashes : (j + 1) * num_hashes]
+                agree = sum(1 for x, y in zip(sig, prev) if x == y)
+                est = agree / float(num_hashes)
+                if est >= threshold:
+                    out_doc.append(did)
+                    out_match.append(prev_id)
+                    out_sim.append(est)
+            if len(ids) < bucket_cap:
+                ids.append(did)
+                flat.extend(sig)
+            else:
+                capped = True
+        state.update((ids, flat, capped))
+        yield pd.DataFrame(
+            {
+                "band": pd.array([key[0]] * len(out_doc), dtype="int32"),
+                "bucket": [key[1]] * len(out_doc),
+                "doc_id": pd.array(out_doc, dtype="int64"),
+                "matched_id": pd.array(out_match, dtype="int64"),
+                "est_sim": pd.array(out_sim, dtype="float64"),
+            }
+        )
+
+    return update
+
+
+def streaming_neardup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = DEFAULT_THRESHOLD,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Streaming (or batch — the plan works in both) incremental near-dup:
+    emits one match row per (band, earlier-doc) hit. Per-doc verdicts are a
+    downstream grouping of the match rows (see
+    :func:`neardup_verdicts_from_matches`)."""
+    sb = doc_sig_bands(docs, id_col, text_col, n, num_hashes, bands)
+    if id_col != "doc_id":
+        sb = sb.withColumnRenamed(id_col, "doc_id")
+    return sb.groupBy("band", "bucket").applyInPandasWithState(
+        _make_update(num_hashes, threshold, bucket_cap),
+        outputStructType=MATCH_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_neardup_batch(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Batch twin: the exact rows a drained uncapped stream emits — pairs
+    (band, bucket, doc_id, matched_id, est_sim) with matched_id < doc_id
+    sharing the band bucket and signature agreement >= threshold. Pure
+    DataFrame ops (self-join on the band keys), trivially SQL-twinnable."""
+    sb = doc_sig_bands(docs, id_col, text_col, n, num_hashes, bands)
+    a = sb.select(
+        "band", "bucket", F.col(id_col).alias("matched_id"), F.col("sig").alias("sig_a")
+    )
+    b = sb.select(
+        "band", "bucket", F.col(id_col).alias("doc_id"), F.col("sig").alias("sig_b")
+    )
+    agree = None
+    for i in range(num_hashes):
+        term = F.when(
+            F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1), 1
+        ).otherwise(0)
+        agree = term if agree is None else agree + term
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("matched_id") < F.col("doc_id"))
+        .select("band", "bucket", "doc_id", "matched_id", est.alias("est_sim"))
+        .where(F.col("est_sim") >= threshold)
+    )
+
+
+def neardup_verdicts_from_matches(matches: DataFrame, all_ids: DataFrame) -> DataFrame:
+    """Per-doc verdict from match rows: (doc_id, is_dup, first_match,
+    n_earlier_matches). ``all_ids`` supplies the clean docs (no match rows);
+    first_match = the smallest earlier partner, dedup'd across bands."""
+    pairs = matches.select("doc_id", "matched_id").distinct()
+    agg = pairs.groupBy("doc_id").agg(
+        F.min("matched_id").alias("first_match"),
+        F.count(F.lit(1)).alias("n_earlier_matches"),
+    )
+    return (
+        all_ids.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("first_match").isNotNull().alias("is_dup"),
+            "first_match",
+            F.coalesce("n_earlier_matches", F.lit(0)).alias("n_earlier_matches"),
+        )
+    )

