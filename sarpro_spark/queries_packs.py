@@ -367,6 +367,7 @@ register_pack(
         Member("nation_market_share", ("o_year",)),
         Member("dormant_rich_customers", ("c_nationkey",)),
         Member("semi_anti_join", ("kind",)),
+        Member("window_analytics_orders", ("o_custkey", "o_orderkey")),
     ),
     doc="Union certificate: rollup/cube hierarchies, correlated-subquery "
     "decorrelation, as-of via cogrouped applyInPandas, JSON property "

@@ -171,6 +171,62 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINDOW_ANALYTICS_SQL = """
+SELECT o_custkey, o_orderkey,
+       LEAD(o_orderkey, 1) OVER w_date AS next_order,
+       NTILE(4) OVER w_price AS price_quartile,
+       (FLOOR(PERCENT_RANK() OVER w_price * 1000000.0 + 0.5) / 1000000.0) AS price_pct_rank,
+       (FLOOR(CUME_DIST() OVER w_price * 1000000.0 + 0.5) / 1000000.0) AS price_cume_dist,
+       FIRST_VALUE(o_orderkey) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
+       LAST_VALUE(o_orderkey) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_order,
+       (FLOOR(AVG(o_totalprice) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0) AS moving_avg_3
+FROM orders
+WINDOW w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""".strip()
+
+
+@query("window_analytics_orders", sql=_WINDOW_ANALYTICS_SQL, tags=("relational", "window"))
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining window-function families beyond window_rank_orders:
+    lead, ntile, percent_rank, cume_dist, first/last value with EXPLICIT
+    row frames (the default frames differ per function across engines —
+    pinning ROWS BETWEEN makes both engines compute the same peer sets),
+    and a bounded 3-row moving average. Every ordering carries the
+    o_orderkey tiebreak so ntile/percent_rank/cume_dist are deterministic
+    under ties; one shuffle per distinct partitioning (two here)."""
+    from pyspark.sql.window import Window as W
+
+    from sarpro_spark.queries import fround
+
+    o = frames.load_table(spark, sf_dir, "orders")
+    w_date = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey", 1).over(w_date).alias("next_order"),
+        F.ntile(4).over(w_price).alias("price_quartile"),
+        fround(F.percent_rank().over(w_price), 6).alias("price_pct_rank"),
+        fround(F.cume_dist().over(w_price), 6).alias("price_cume_dist"),
+        F.first("o_orderkey").over(
+            w_date.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("first_order"),
+        F.last("o_orderkey").over(
+            w_date.rowsBetween(W.currentRow, W.unboundedFollowing)
+        ).alias("last_order"),
+        fround(
+            F.avg("o_totalprice").over(w_date.rowsBetween(-2, W.currentRow)), 2
+        ).alias("moving_avg_3"),
+    )
+
+
 # --- rollup / cube -----------------------------------------------------------
 
 _ROLLUP_SQL = """
