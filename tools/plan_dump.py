@@ -37,6 +37,12 @@ FLAGSHIPS = [
     ("events_sessionize", "per-user gap sessionization, one window"),
     ("suppliers_sole_problem", "Q21 EXISTS/NOT-EXISTS as semi/anti, unpinned strategy"),
     ("shipping_priority", "Q3 top-k: TakeOrderedAndProject, rank over <=10 rows"),
+    # round-7 flagships
+    ("warp_gcp_tps", "TPS warp: 1-row-per-product coef broadcast + fold bend"),
+    ("tpch_forecast_revenue", "Q6: every predicate pushed, 4-column scan"),
+    ("tpch_min_cost_supplier", "Q2 correlated-MIN as window over partition"),
+    ("tpch_disjunctive_filter", "Q19 OR split into per-side pushed disjunctions"),
+    ("dedup_streaming_neardup", "streaming near-dup batch twin: banded self-join"),
 ]
 
 
