@@ -576,3 +576,144 @@ def webmerc_inverse_np(e, n):
         np.degrees(e / WGS84_A),
         np.degrees(2.0 * np.arctan(np.exp(n / WGS84_A)) - np.pi / 2.0),
     )
+
+
+# --- LCC: Lambert Conformal Conic 2SP (EPSG:2154 RGF93 / Lambert-93) ---------
+# Third non-UTM family (r7; after LAEA and Web Mercator): the conformal conic
+# used by most national grids (France, Belgium, US state planes...). Public
+# formulas: EPSG Guidance Note 7-2 §3.1.1 / Snyder 1987 eq. 15-1..15-11,
+# with the iterative inverse latitude replaced by the closed conformal->
+# geodetic series (Snyder eq. 3-5, truncated at e^8: residual ~8e-10 deg on
+# GRS80 — below the roundtrip certificate's 1e-8 bound). Parametrized so one
+# implementation serves any 2SP instance; the EPSG GN7-2 worked example
+# (NAD27 Texas South Central, Clarke 1866) anchors the algebra in tests and
+# LAMBERT93 instantiates the shipped EPSG:2154 route.
+
+
+def lcc2sp_constants(
+    a: float, f: float, lat0: float, lon0: float,
+    sp1: float, sp2: float, fe: float, fn: float,
+) -> dict:
+    """Driver-side derived constants for one LCC-2SP instance (all floats —
+    embedded as repr() literals in the portable step chains)."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+
+    def m_of(phi: float) -> float:
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+
+    def t_of(phi: float) -> float:
+        s = math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2.0)
+
+    p0, p1, p2 = (math.radians(v) for v in (lat0, sp1, sp2))
+    m1, m2 = m_of(p1), m_of(p2)
+    t0, t1, t2 = t_of(p0), t_of(p1), t_of(p2)
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    big_f = m1 / (n * t1**n)
+    rho0 = a * big_f * t0**n
+    e4, e6, e8 = e2 * e2, e2 * e2 * e2, e2 * e2 * e2 * e2
+    return {
+        "a": a, "e": e, "e2": e2, "lon0": lon0, "fe": fe, "fn": fn,
+        "n": n, "aF": a * big_f, "rho0": rho0,
+        # conformal -> geodetic latitude series (Snyder eq. 3-5)
+        "c2": e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0,
+        "c4": 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0,
+        "c6": 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0,
+        "c8": 4279.0 * e8 / 161280.0,
+    }
+
+
+#: EPSG:2154 — RGF93 v1 / Lambert-93 (GRS80; the national grid of France).
+#: As with the UTM/LAEA families, no datum shift is applied (RGF93 ~ WGS84
+#: at the sub-decimeter level by definition).
+LAMBERT93 = lcc2sp_constants(
+    GRS80_A, GRS80_F, lat0=46.5, lon0=3.0, sp1=44.0, sp2=49.0,
+    fe=700000.0, fn=6600000.0,
+)
+
+
+def lcc_forward_steps(
+    c: dict | None = None, lon: str = "lon", lat: str = "lat"
+) -> list[tuple[str, str]]:
+    """Named expression steps lon/lat -> (lcc_easting, lcc_northing). Every
+    function (SIN/COS/TAN/POWER/SQRT/RADIANS) has identical semantics in
+    Spark SQL and DuckDB; constants embed as repr() literals."""
+    c = LAMBERT93 if c is None else c
+    return [
+        ("lc_phi", f"RADIANS({lat})"),
+        ("lc_es", f"{c['e']!r} * SIN(lc_phi)"),
+        (
+            "lc_t",
+            "TAN(0.7853981633974483 - lc_phi / 2.0)"
+            f" / POWER((1.0 - lc_es) / (1.0 + lc_es), {c['e'] / 2.0!r})",
+        ),
+        ("lc_rho", f"{c['aF']!r} * POWER(lc_t, {c['n']!r})"),
+        ("lc_theta", f"{c['n']!r} * RADIANS({lon} - {c['lon0']!r})"),
+        ("lcc_easting", f"{c['fe']!r} + lc_rho * SIN(lc_theta)"),
+        ("lcc_northing", f"{c['fn']!r} + {c['rho0']!r} - lc_rho * COS(lc_theta)"),
+    ]
+
+
+def lcc_inverse_steps(
+    c: dict | None = None, e: str = "lcc_easting", n: str = "lcc_northing"
+) -> list[tuple[str, str]]:
+    """(easting, northing) -> (lcc_lon, lcc_lat): radial distance -> t' ->
+    conformal latitude -> geodetic via the e^8 series (no iteration — the
+    fixed-point inverse the EPSG note spells converges linearly at rate
+    ~e^2/2; the series is its closed form and keeps the chain one pass)."""
+    c = LAMBERT93 if c is None else c
+    sgn = 1.0 if c["n"] >= 0 else -1.0
+    return [
+        ("li_dx", f"({e} - {c['fe']!r})"),
+        ("li_dy", f"({c['rho0']!r} - ({n} - {c['fn']!r}))"),
+        ("li_rho", f"{sgn!r} * SQRT(li_dx * li_dx + li_dy * li_dy)"),
+        ("li_t", f"POWER(li_rho / {c['aF']!r}, {1.0 / c['n']!r})"),
+        ("li_chi", "1.5707963267948966 - 2.0 * ATAN(li_t)"),
+        (
+            "lcc_lat",
+            f"DEGREES(li_chi + {c['c2']!r} * SIN(2.0 * li_chi)"
+            f" + {c['c4']!r} * SIN(4.0 * li_chi)"
+            f" + {c['c6']!r} * SIN(6.0 * li_chi)"
+            f" + {c['c8']!r} * SIN(8.0 * li_chi))",
+        ),
+        (
+            "lcc_lon",
+            f"{c['lon0']!r} + DEGREES(ATAN2(li_dx, li_dy) / {c['n']!r})",
+        ),
+    ]
+
+
+def lcc_forward_np(lon, lat, c: dict | None = None):
+    """Numpy twin of :func:`lcc_forward_steps` (tests / validation)."""
+    c = LAMBERT93 if c is None else c
+    lon = np.asarray(lon, dtype=np.float64)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    es = c["e"] * np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - es) / (1.0 + es)) ** (c["e"] / 2.0)
+    rho = c["aF"] * t ** c["n"]
+    theta = c["n"] * np.radians(lon - c["lon0"])
+    return c["fe"] + rho * np.sin(theta), c["fn"] + c["rho0"] - rho * np.cos(theta)
+
+
+def lcc_inverse_np(e, n, c: dict | None = None):
+    """Numpy twin of :func:`lcc_inverse_steps`."""
+    c = LAMBERT93 if c is None else c
+    dx = np.asarray(e, dtype=np.float64) - c["fe"]
+    dy = c["rho0"] - (np.asarray(n, dtype=np.float64) - c["fn"])
+    sgn = 1.0 if c["n"] >= 0 else -1.0
+    rho = sgn * np.sqrt(dx * dx + dy * dy)
+    t = (rho / c["aF"]) ** (1.0 / c["n"])
+    chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    lat = np.degrees(
+        chi
+        + c["c2"] * np.sin(2.0 * chi)
+        + c["c4"] * np.sin(4.0 * chi)
+        + c["c6"] * np.sin(6.0 * chi)
+        + c["c8"] * np.sin(8.0 * chi)
+    )
+    lon = c["lon0"] + np.degrees(np.arctan2(dx, dy) / c["n"])
+    return lon, lat

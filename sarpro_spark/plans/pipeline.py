@@ -193,6 +193,8 @@ def crs_projection_support(target_crs: str) -> str | None:
         return "laea"
     if code == "EPSG:3857":
         return "webmerc"
+    if code == "EPSG:2154":
+        return "lcc"
     return None
 
 
@@ -234,9 +236,9 @@ def warp_route(
             raise ValueError(
                 f"unsupported target CRS {target_crs!r} for geographic GCPs: "
                 "in-engine projection covers UTM (EPSG:326xx/327xx, zones "
-                "1-60), UPS (EPSG:32661/32761), LAEA Europe (EPSG:3035) and "
-                "Web Mercator (EPSG:3857); reproject externally or supply "
-                "GCPs in target ground units"
+                "1-60), UPS (EPSG:32661/32761), LAEA Europe (EPSG:3035), "
+                "Web Mercator (EPSG:3857) and Lambert-93 (EPSG:2154); "
+                "reproject externally or supply GCPs in target ground units"
             )
         return "gcp"
     return "affine"
@@ -278,10 +280,16 @@ def project_gcps(gcps: DataFrame, target_crs: str, lon: str = "lon", lat: str = 
         return proj.withColumn("gx", F.col("wm_easting")).withColumn(
             "gy", F.col("wm_northing")
         )
+    if fam == "lcc":
+        proj = tmx.apply_steps(gcps, tmx.lcc_forward_steps(lon=lon, lat=lat))
+        return proj.withColumn("gx", F.col("lcc_easting")).withColumn(
+            "gy", F.col("lcc_northing")
+        )
     raise ValueError(
         f"unsupported target CRS {target_crs!r}: in-engine projection covers "
         "UTM (EPSG:326xx/327xx, zones 1-60), UPS (EPSG:32661/32761), "
-        "LAEA Europe (EPSG:3035) and Web Mercator (EPSG:3857)"
+        "LAEA Europe (EPSG:3035), Web Mercator (EPSG:3857) and "
+        "Lambert-93 (EPSG:2154)"
     )
 
 

@@ -439,6 +439,7 @@ register_pack(
         Member("ups_roundtrip_points", ("product_id", "gi", "gj")),
         Member("laea_roundtrip_points", ("product_id", "gi", "gj")),
         Member("webmerc_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("lcc_roundtrip_points", ("product_id", "gi", "gj")),
     ),
     doc="Union certificate: S1-S3/S10/S11 SAFE discovery over the fixture "
     "tree, S8/S9 manifest+annotation parse, S6 generic reader roundtrip, "

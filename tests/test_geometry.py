@@ -464,13 +464,15 @@ def test_warp_route_crs_matrix():
     assert crs_projection_support("EPSG:3857") == "webmerc"
     assert warp_route(None, "EPSG:3035", True, gcp_crs="EPSG:4326") == "gcp_laea"
     assert warp_route(None, "EPSG:3857", True, gcp_crs="EPSG:4326") == "gcp_webmerc"
+    assert crs_projection_support("EPSG:2154") == "lcc"
+    assert warp_route(None, "EPSG:2154", True, gcp_crs="EPSG:4326") == "gcp_lcc"
     # geographic GCPs + unsupported target must FAIL, not route 'gcp'
     import pytest as _pt
 
     with _pt.raises(ValueError, match="unsupported target CRS"):
-        warp_route(None, "EPSG:2154", True, gcp_crs="EPSG:4326")
+        warp_route(None, "EPSG:27700", True, gcp_crs="EPSG:4326")
     # ground-unit GCPs still route 'gcp' for any target
-    assert warp_route(None, "EPSG:2154", True, gcp_crs=None) == "gcp"
+    assert warp_route(None, "EPSG:27700", True, gcp_crs=None) == "gcp"
 
 
 def test_resample_kernel_param_consumed():
@@ -546,8 +548,17 @@ def test_project_gcps_utm_and_ups(spark):
     we, wn = tmx.webmerc_forward_np(5.0, 50.0)
     assert (wm_row["gx"], wm_row["gy"]) == pytest.approx((float(we), float(wn)), abs=1e-6)
 
+    lcc_row = project_gcps(
+        spark.createDataFrame(
+            [("p", 0, 0, 5.0, 47.0)], "g string, gi int, gj int, lon double, lat double"
+        ),
+        "EPSG:2154",
+    ).collect()[0]
+    ce, cn = tmx.lcc_forward_np(5.0, 47.0)
+    assert (lcc_row["gx"], lcc_row["gy"]) == pytest.approx((float(ce), float(cn)), abs=1e-6)
+
     with pytest.raises(ValueError, match="unsupported target CRS"):
-        project_gcps(gcps, "EPSG:2154")
+        project_gcps(gcps, "EPSG:27700")
 
 
 def test_laea_epsg_worked_example():
@@ -663,3 +674,35 @@ def test_cubic_gather_matches_numpy_reference(spark):
                     w = float(_keys_w_np(dr - fr) * _keys_w_np(dc - fc))
                     acc += w * field[rr, cc]
         assert abs(got[(row, col)] - acc) <= 1e-9 * max(1.0, abs(acc)), (rs, cs)
+
+
+def test_lcc_epsg_worked_example():
+    """EPSG GN7-2 LCC-2SP worked example (NAD27 / Texas South Central on
+    Clarke 1866, US survey feet): 28d30'N 96dW -> E 2963503.91, N 254759.80
+    — anchors the generic lcc2sp_constants algebra against the published
+    numbers; Lambert-93 then instantiates the same code on GRS80."""
+    import numpy as np
+
+    from sarpro_spark.operators import tmerc as tmx
+
+    c = tmx.lcc2sp_constants(
+        20925832.16, 1 / 294.97870,
+        lat0=27 + 50 / 60, lon0=-99.0,
+        sp1=28 + 23 / 60, sp2=30 + 17 / 60,
+        fe=2000000.0, fn=0.0,
+    )
+    e, n = tmx.lcc_forward_np(-96.0, 28.5, c)
+    assert float(e) == pytest.approx(2963503.91, abs=0.02)
+    assert float(n) == pytest.approx(254759.80, abs=0.02)
+    lo, la = tmx.lcc_inverse_np(2963503.91, 254759.80, c)
+    assert float(lo) == pytest.approx(-96.0, abs=1e-7)
+    assert float(la) == pytest.approx(28.5, abs=1e-7)
+    # Lambert-93: the projection origin lands on the false origin
+    e0, n0 = tmx.lcc_forward_np(tmx.LAMBERT93["lon0"], 46.5)
+    assert float(e0) == pytest.approx(700000.0, abs=1e-6)
+    assert float(n0) == pytest.approx(6600000.0, abs=1e-6)
+    # roundtrip over the France window: series truncation ~e^10
+    LO, LA = np.meshgrid(np.linspace(-5.0, 10.0, 9), np.linspace(41.0, 51.0, 9))
+    lo2, la2 = tmx.lcc_inverse_np(*tmx.lcc_forward_np(LO, LA))
+    assert float(np.abs(lo2 - LO).max()) < 1e-9
+    assert float(np.abs(la2 - LA).max()) < 1e-8

@@ -264,6 +264,10 @@ AUDITS: dict[str, dict] = {
         "require": [], "codegen": True,
         "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     },
+    "lcc_roundtrip_points": {
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
     "histogram_stats_approx": {
         # GK sketch agg -> tiny sketch broadcast back onto the scan -> one
         # rank-counting agg with map-side combine
