@@ -78,3 +78,19 @@ def dedupe_events_stream(
             "ts", watermark
         ).dropDuplicatesWithinWatermark([id_col])
     return events.dropDuplicates([id_col])
+
+
+def enrich_events_stream(
+    events: DataFrame, dim: DataFrame, on: str = "user_id", how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join — the standard slowly-changing-dimension
+    pattern: the unbounded event stream joins a bounded dimension. Spark
+    plans this WITHOUT state (each micro-batch joins the current dim
+    snapshot; a file-backed dim is re-resolved per batch, so dimension
+    updates flow in without restarting the query), and the dim side is
+    broadcast when it fits — the zero-shuffle enrichment path at scale.
+    Left join so unmatched events survive with null attributes (the
+    fail-open choice for telemetry). Identical code path in batch mode:
+    the batch run of the same expression is the stream's convergence
+    target, which is what the tests assert."""
+    return events.join(dim, on=on, how=how)

@@ -375,3 +375,57 @@ def test_streaming_neardup_equals_batch_twin(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM neardup_stream").collect()
     }
     assert got == expected
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp_path):
+    """enrich_events_stream: the event stream joined to a static user
+    dimension produces exactly the batch join, and unmatched events
+    survive with null attributes (left join)."""
+    import shutil
+
+    from sarpro_spark.streaming.events import stream_events_from_parquet
+    from sarpro_spark.streaming.joins import enrich_events_stream
+
+    events = frames.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # dim over part of the user space so the left join exercises both sides
+    dim = (
+        frames.load_table(spark, sf_dir, "customer")
+        .select(
+            (F.col("c_custkey") % 50).alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .where(F.col("user_id") < 8)
+        .dropDuplicates(["user_id"])
+    )
+    expected = {
+        (r["event_id"], r["segment"])
+        for r in enrich_events_stream(events, dim).select("event_id", "segment").collect()
+    }
+    assert any(seg is None for _, seg in expected), "left join must keep unmatched"
+    assert any(seg is not None for _, seg in expected)
+
+    stage = tmp_path / "events_enrich"
+    stage.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    schema = spark.read.parquet(str(stage)).schema
+    stream = spark.readStream.schema(schema).parquet(str(stage)).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = enrich_events_stream(stream, dim)
+    q = (
+        out.select("event_id", "segment")
+        .writeStream.format("memory")
+        .queryName("enrich_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["segment"])
+        for r in spark.sql("SELECT * FROM enrich_stream").collect()
+    }
+    assert got == expected
