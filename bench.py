@@ -84,6 +84,12 @@ HEADLINE = [
     "warp_gcp_tps",
     "laea_roundtrip_points",
     "webmerc_roundtrip_points",
+    # late round-7: LCC projection, streaming near-dup batch twin, ANN
+    # recall certificate, window-function breadth
+    "lcc_roundtrip_points",
+    "dedup_streaming_neardup",
+    "ann_recall_at_k",
+    "window_analytics_orders",
 ]
 
 

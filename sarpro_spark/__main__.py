@@ -46,6 +46,10 @@ def _build_parser() -> argparse.ArgumentParser:
     # bilinear (sentinel1.rs:937-941)
     p.add_argument("--resample", default="lanczos",
                    choices=["nearest", "bilinear", "cubic", "lanczos", "near"])
+    p.add_argument("--gcp-interpolant", default="grid", choices=["grid", "tps"],
+                   help="GCP-warp interpolant: exact piecewise-bilinear grid "
+                        "(default) or true thin-plate spline (the reference's "
+                        "gdalwarp -tps interpolant)")
     p.add_argument("--continue-on-error", action="store_true", default=True)
     p.add_argument("--master", default=None)
     p.add_argument("--save-preset", default=None, metavar="FILE",
@@ -108,6 +112,8 @@ def params_to_cli(params, input_path: str = "<input>", output_path: str = "<out>
         argv += ["--pad"]
     argv += ["--target-crs", params.target_crs if params.target_crs is not None else "none"]
     argv += ["--resample", params.resample_alg.value]
+    if params.gcp_interpolant != "grid":
+        argv += ["--gcp-interpolant", params.gcp_interpolant]
     return argv
 
 
@@ -132,6 +138,7 @@ def build_params(args: argparse.Namespace):
         pad=args.pad,
         target_crs=None if args.target_crs in ("none", "") else args.target_crs,
         resample_alg=ResampleAlg(args.resample),
+        gcp_interpolant=args.gcp_interpolant,
         continue_on_error=args.continue_on_error,
     )
 

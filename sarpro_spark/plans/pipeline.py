@@ -313,6 +313,52 @@ def resample_kernel(params) -> str:
     }[params.resample_alg]
 
 
+def gcp_warp(
+    px: DataFrame,
+    gcps: DataFrame,
+    geo: DataFrame,
+    group_cols: list[str],
+    params: ProcessingParams,
+    k: int | None = None,
+    value: str = "v",
+    snap: float | None = None,
+):
+    """Execution-side consumer of ProcessingParams.gcp_interpolant for every
+    gcp_* warp route: dispatches the exact piecewise-bilinear GCP grid
+    (default) or the true thin-plate spline (the reference's ``gdalwarp
+    -tps`` interpolant) over ONE GCP relation — the regular geolocation
+    grid ``(group, gi, gj, gx, gy)`` with the source-pixel convention
+    srow = k*gi, scol = k*gj (exactly what an S1 annotation provides; ``k``
+    is the grid spacing in pixels). The TPS branch derives its free-form
+    (gx, gy, scol, srow) control points from the same rows, so switching
+    interpolants is a params flip, not a re-plumb. Both branches feed the
+    shared resample gather with the params' ``-r`` kernel. For projected
+    routes (gcp_utm/ups/laea/webmerc/lcc), project the GCPs with
+    :func:`project_gcps` first (gx/gy from the projected easting/northing);
+    the interpolant choice is orthogonal to the target CRS."""
+    from sarpro_spark.operators import geometry as geom
+
+    if k is None:
+        raise ValueError("gcp_warp needs the GCP grid spacing k (pixels per cell)")
+    kernel = resample_kernel(params)
+    if params.gcp_interpolant == "tps":
+        ctrl = gcps.select(
+            *group_cols, "gx", "gy",
+            (F.col("gj") * float(k)).alias("scol"),
+            (F.col("gi") * float(k)).alias("srow"),
+        )
+        return geom.warp_gcp_tps(
+            px, ctrl, geo, group_cols, value=value, alg=kernel, snap=snap
+        )
+    if params.gcp_interpolant == "grid":
+        return geom.warp_gcp_grid(
+            px, gcps, geo, group_cols, k, value=value, alg=kernel
+        )
+    raise ValueError(
+        f"unknown gcp_interpolant {params.gcp_interpolant!r} (grid|tps)"
+    )
+
+
 def batch_status(products: DataFrame, status_col: str = "status") -> DataFrame:
     """A9 (api/mod.rs:452-536): per-product outcome -> BatchReport counters.
     processed/skipped/errors as a single groupBy — the distributed analog of

@@ -109,6 +109,10 @@ class ProcessingParams:
     # warp runs bilinear on both engines. Cubic stays available via
     # `--resample cubic`.
     resample_alg: ResampleAlg = ResampleAlg.LANCZOS
+    # GCP-warp interpolant: 'grid' (exact piecewise-bilinear GCP grid — the
+    # certified default) or 'tps' (true thin-plate spline, the interpolant
+    # the reference's gdalwarp -tps fallback fits; sentinel1.rs:1016-1029).
+    gcp_interpolant: str = "grid"
     continue_on_error: bool = True
     extra: dict = field(default_factory=dict)
 
@@ -124,6 +128,7 @@ class ProcessingParams:
             "pad": self.pad,
             "target_crs": self.target_crs,
             "resample_alg": self.resample_alg.value,
+            "gcp_interpolant": self.gcp_interpolant,
             "continue_on_error": self.continue_on_error,
         }
         d.update(self.extra)
@@ -142,6 +147,7 @@ class ProcessingParams:
             "pad": bool(d.get("pad", False)),
             "target_crs": d.get("target_crs"),
             "resample_alg": ResampleAlg(d.get("resample_alg", "lanczos")),
+            "gcp_interpolant": d.get("gcp_interpolant", "grid"),
             "continue_on_error": bool(d.get("continue_on_error", True)),
         }
         extra = {k: v for k, v in d.items() if k not in known}

@@ -706,3 +706,66 @@ def test_lcc_epsg_worked_example():
     lo2, la2 = tmx.lcc_inverse_np(*tmx.lcc_forward_np(LO, LA))
     assert float(np.abs(lo2 - LO).max()) < 1e-9
     assert float(np.abs(la2 - LA).max()) < 1e-8
+
+
+def test_gcp_warp_dispatch_interpolants_agree_on_affine(spark):
+    """plans.pipeline.gcp_warp consumes ProcessingParams.gcp_interpolant:
+    'grid' -> warp_gcp_grid, 'tps' -> warp_gcp_tps, from ONE regular
+    geolocation-grid relation (the TPS control points derive srow=k*gi,
+    scol=k*gj internally). On an exactly-AFFINE GCP grid both interpolants
+    are the same map (TPS bending weights vanish; every bilinear tile is
+    affine), so the warped rasters must agree cell-for-cell — the cheap
+    full-pipeline equivalence check; the curved-grid behaviors are covered
+    by their own certificates."""
+    import numpy as np
+
+    from sarpro_spark.plans.pipeline import gcp_warp
+    from sarpro_spark.types import ProcessingParams, ResampleAlg
+
+    k, n_g = 4, 3
+    size = k * n_g
+
+    def gx(gi, gj):
+        return 8.0 * gj + 2.0 * gi + 5.0
+
+    def gy(gi, gj):
+        return -6.0 * gi + 1.0 * gj
+
+    src = np.arange(size * size, dtype=np.float64).reshape(size, size)
+    px = spark.createDataFrame(
+        [(1, r, c, float(src[r, c])) for r in range(size) for c in range(size)],
+        "product_id int, row int, col int, v double",
+    )
+    gcps = spark.createDataFrame(
+        [(1, gi, gj, gx(gi, gj), gy(gi, gj)) for gi in range(n_g + 1) for gj in range(n_g + 1)],
+        "product_id int, gi int, gj int, gx double, gy double",
+    )
+    geo = spark.createDataFrame(
+        [(1, 5.0, 1.0, 0.0, 0.0, 0.0, -1.0, 17, 29)],
+        "product_id int, dg0 double, dg1 double, dg2 double, dg3 double, "
+        "dg4 double, dg5 double, dst_rows long, dst_cols long",
+    )
+    p_grid = ProcessingParams(resample_alg=ResampleAlg.BILINEAR, gcp_interpolant="grid")
+    p_tps = ProcessingParams(resample_alg=ResampleAlg.BILINEAR, gcp_interpolant="tps")
+    got_grid = {
+        (r["row"], r["col"]): r["v"]
+        for r in gcp_warp(px, gcps, geo, ["product_id"], p_grid, k=k).collect()
+    }
+    got_tps = {
+        (r["row"], r["col"]): r["v"]
+        for r in gcp_warp(px, gcps, geo, ["product_id"], p_tps, k=k).collect()
+    }
+    # TPS is a GLOBAL map (like gdalwarp -tps it extrapolates beyond the
+    # GCP footprint), the tile grid claims only in-footprint cells — so the
+    # grid's cells are a subset, and on that common set the two affine maps
+    # must agree cell-for-cell.
+    assert got_grid and set(got_grid) <= set(got_tps)
+    for key in got_grid:
+        assert abs(got_grid[key] - got_tps[key]) < 1e-8, (key, got_grid[key], got_tps[key])
+    # params round-trip carries the interpolant (preset + CLI re-generation)
+    import pytest as _pt
+
+    assert ProcessingParams.from_dict(p_tps.to_dict()).gcp_interpolant == "tps"
+    with _pt.raises(ValueError, match="grid|tps"):
+        gcp_warp(px, gcps, geo, ["product_id"],
+                 ProcessingParams(gcp_interpolant="bogus"), k=k)
