@@ -769,3 +769,38 @@ def test_gcp_warp_dispatch_interpolants_agree_on_affine(spark):
     with _pt.raises(ValueError, match="grid|tps"):
         gcp_warp(px, gcps, geo, ["product_id"],
                  ProcessingParams(gcp_interpolant="bogus"), k=k)
+
+
+def test_tps_solver_properties():
+    """The TPS solve itself (operators/geometry.py:tps_solve_np): (a) exact
+    interpolation — f(P_i) == target_i at every GCP (the defining property
+    of the gdalwarp -tps interpolant); (b) the standard side conditions
+    sum(w) = sum(w*x) = sum(w*y) = 0 (bounded behavior at infinity); (c)
+    affine reproduction — an affine target field yields (numerically) zero
+    bending weights and the exact affine part."""
+    import numpy as np
+
+    from sarpro_spark.operators.geometry import tps_eval_np, tps_solve_np
+
+    rng_pts = [(float(3 * i + j * j), float(7 * j - 2 * i * j)) for i in range(5) for j in range(5)]
+    target = [(float(i), float(j)) for i in range(5) for j in range(5)]
+    w, aff = tps_solve_np(rng_pts, target)
+    # (a) exact at the GCPs
+    got = tps_eval_np(rng_pts, w, aff, rng_pts)
+    assert float(np.abs(got - np.asarray(target)).max()) < 1e-7
+    # (b) side conditions
+    g = np.asarray(rng_pts)
+    assert float(np.abs(w.sum(axis=0)).max()) < 1e-8
+    assert float(np.abs((w * g[:, 0:1]).sum(axis=0)).max()) < 1e-5
+    assert float(np.abs((w * g[:, 1:2]).sum(axis=0)).max()) < 1e-5
+    # (c) affine reproduction: target = A @ (x, y) + b -> zero bending
+    aff_target = [(1.5 + 0.25 * x - 0.1 * y, -2.0 + 0.05 * x + 0.4 * y) for x, y in rng_pts]
+    w2, aff2 = tps_solve_np(rng_pts, aff_target)
+    assert float(np.abs(w2).max()) < 1e-9
+    assert np.allclose([aff2[0, 0], aff2[1, 0], aff2[2, 0]], [1.5, 0.25, -0.1], atol=1e-8)
+    assert np.allclose([aff2[0, 1], aff2[1, 1], aff2[2, 1]], [-2.0, 0.05, 0.4], atol=1e-8)
+    # and off-GCP evaluation of the affine field is the affine map too
+    probe = [(10.3, -4.7), (0.0, 0.0), (33.3, 12.1)]
+    got2 = tps_eval_np(rng_pts, w2, aff2, probe)
+    want2 = [(1.5 + 0.25 * x - 0.1 * y, -2.0 + 0.05 * x + 0.4 * y) for x, y in probe]
+    assert float(np.abs(got2 - np.asarray(want2)).max()) < 1e-7
