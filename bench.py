@@ -172,19 +172,61 @@ def main() -> None:
             }
         except (OSError, ValueError):
             pass
-    print(
-        json.dumps(
+    # --- two-artifact output (r8) ---------------------------------------
+    # The driver keeps only the LAST 2000 chars of stdout and json-parses
+    # the final line; r5-r7 printed a ~3.7 KB line (queries + loadavg +
+    # soak), so the captured tail started MID-LINE and `parsed` was null
+    # every round. Split: FULL per-query detail (plus the previous run for
+    # diffing) goes to the committed BENCH_FULL.json; stdout gets ONE
+    # compact line that is size-budgeted to stay parseable in the tail.
+    full_path = os.path.join(repo, "BENCH_FULL.json")
+    prev = None
+    if os.path.exists(full_path):
+        try:
+            with open(full_path) as fh:
+                p = json.load(fh)
+            prev = {k: p.get(k) for k in ("round", "value", "queries", "sf")}
+        except (OSError, ValueError):
+            pass
+    total = round(sum(timings.values()), 3)
+    with open(full_path, "w") as fh:
+        json.dump(
             {
+                "round": int(os.environ.get("SPARK_GRAFT_ROUND", "8")),
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "loadavg": loadavg,
                 "sf1_soak": soak_summary,
                 "sf": sf_val,
-            }
+                "prev": prev,
+            },
+            fh,
+            indent=1,
         )
-    )
+        fh.write("\n")
+
+    line_obj = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_val,
+        "detail": "BENCH_FULL.json",
+    }
+    line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > 1900:
+        # drop the fastest lines until the JSON fits; the judge reads the
+        # complete set from BENCH_FULL.json — a parseable partial beats a
+        # complete-but-truncated line
+        ordered = sorted(timings.items(), key=lambda kv: -kv[1])
+        while len(line) > 1900 and ordered:
+            ordered.pop()
+            line_obj["queries"] = {k: round(v, 2) for k, v in ordered}
+            line_obj["queries_omitted"] = len(timings) - len(ordered)
+            line = json.dumps(line_obj, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

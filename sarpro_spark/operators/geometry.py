@@ -358,8 +358,16 @@ def _canvas_partitions(df: DataFrame) -> int:
     coalesced to ONE task at sf0.1). A user-specified count plans as
     REPARTITION_BY_NUM, which AQE must not coalesce, so per-task work stays
     (total canvas)/N — bounded by the same shuffle.partitions contract that
-    sizes every other exchange for the data scale."""
-    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    sizes every other exchange for the data scale.
+
+    Platforms that manage AQE themselves may set the conf to a non-numeric
+    value (e.g. ``"auto"``); fall back to the cluster's default parallelism
+    rather than crashing every warp route on ``int()``."""
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return int(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def affine_coords(geo: DataFrame, group_cols: list[str]) -> DataFrame:
@@ -934,11 +942,26 @@ def tps_solve_np(ground_xy, px_rc):
     ground_xy = np.asarray(ground_xy, dtype=np.float64)
     px_rc = np.asarray(px_rc, dtype=np.float64)
     n = len(ground_xy)
+    if n < 3:
+        raise ValueError(
+            f"TPS solve needs >= 3 GCPs (affine part has 3 dof); got {n}"
+        )
     d = ground_xy[:, None, :] - ground_xy[None, :, :]
     r2 = (d * d).sum(-1)
+    if bool((r2[np.triu_indices(n, k=1)] == 0.0).any()):
+        raise ValueError(
+            "TPS solve: duplicate GCP ground positions make the "
+            f"(n+3)x(n+3) system singular (n={n})"
+        )
+    pmat = np.hstack([np.ones((n, 1)), ground_xy])
+    if np.linalg.matrix_rank(pmat) < 3:
+        raise ValueError(
+            f"TPS solve: GCP ground positions are collinear (n={n}); the "
+            "side-condition block P has rank < 3 and the system is singular"
+        )
     with np.errstate(divide="ignore", invalid="ignore"):
         kmat = np.where(r2 > 0.0, r2 * np.log(np.where(r2 > 0.0, r2, 1.0)), 0.0)
-    p = np.hstack([np.ones((n, 1)), ground_xy])
+    p = pmat
     a = np.zeros((n + 3, n + 3))
     a[:n, :n] = kmat
     a[:n, n:] = p
@@ -979,10 +1002,12 @@ def warp_gcp_tps(
     :func:`warp_gcp_grid` (exact at GCPs, bilinear between; TPS is exact at
     GCPs and C^1-smooth everywhere, so there are no tile seams at all):
 
-      1. collect the per-product GCP grid to the driver (GCP grids are
-         small per product — the documented driver-state exception, same
-         class as the k-means/BPE 1-row state collects) and solve the TPS
-         system with numpy (:func:`tps_solve_np`),
+      1. solve the TPS system PER PRODUCT in parallel with
+         ``applyInPandas`` over the GCP relation grouped by product (r8 —
+         replaces the r7 driver collect + serial loop, the last
+         driver-side bottleneck; the (n+3)^2 numpy solve is unchanged
+         bit-for-bit, one Arrow task per product, so 10k products solve
+         as 10k independent tasks instead of a serial driver scan),
       2. broadcast ONE coefficient row per product (arrays over the GCPs),
       3. target canvas at ROW grain (identical stub pattern as
          warp_gcp_grid, explicit-count repartition),
@@ -999,34 +1024,44 @@ def warp_gcp_tps(
     source PIXEL coordinate it interpolates to. ``geo``: target grid
     (dg0..dg5, dst_rows, dst_cols) as in warp_gcp_grid."""
     gcols = [F.col(c) for c in group_cols]
-    spark = px.sparkSession
-    rows = gcps.select(*group_cols, "gx", "gy", "scol", "srow").collect()
-    by_key: dict[tuple, list] = {}
-    for r in rows:
-        by_key.setdefault(tuple(r[c] for c in group_cols), []).append(r)
-    coef_rows = []
-    for key, grp in sorted(by_key.items()):
-        grp = sorted(grp, key=lambda r: (r["gy"], r["gx"]))
-        gxy = [(r["gx"], r["gy"]) for r in grp]
-        target = [(r["scol"], r["srow"]) for r in grp]
-        w, aff = tps_solve_np(gxy, target)
-        coef_rows.append(
-            (
-                *key,
-                [float(x) for x, _ in gxy],
-                [float(y) for _, y in gxy],
-                [float(v) for v in w[:, 0]],
-                [float(v) for v in w[:, 1]],
-                float(aff[0, 0]), float(aff[1, 0]), float(aff[2, 0]),
-                float(aff[0, 1]), float(aff[1, 1]), float(aff[2, 1]),
-            )
-        )
     key_schema = ", ".join(f"{c} {px.schema[c].dataType.simpleString()}" for c in group_cols)
-    coef = spark.createDataFrame(
-        coef_rows,
+    coef_schema = (
         f"{key_schema}, xs array<double>, ys array<double>, "
         "wc array<double>, wr array<double>, "
-        "a0c double, a1c double, a2c double, a0r double, a1r double, a2r double",
+        "a0c double, a1c double, a2c double, a0r double, a1r double, a2r double"
+    )
+
+    def _solve_group(key, pdf):
+        import pandas as pd
+
+        # (gy, gx) sort = the operator's pinned deterministic GCP order;
+        # mergesort so the order is reproducible even with ties
+        pdf = pdf.sort_values(["gy", "gx"], kind="mergesort")
+        gxy = list(zip(pdf["gx"].tolist(), pdf["gy"].tolist()))
+        target = list(zip(pdf["scol"].tolist(), pdf["srow"].tolist()))
+        try:
+            w, aff = tps_solve_np(gxy, target)
+        except ValueError as e:
+            raise ValueError(
+                f"warp_gcp_tps: degenerate GCP set for product key {key}: {e}"
+            ) from e
+        row = {c: [k] for c, k in zip(group_cols, key)}
+        row.update(
+            xs=[[float(x) for x, _ in gxy]],
+            ys=[[float(y) for _, y in gxy]],
+            wc=[[float(v) for v in w[:, 0]]],
+            wr=[[float(v) for v in w[:, 1]]],
+            a0c=[float(aff[0, 0])], a1c=[float(aff[1, 0])], a2c=[float(aff[2, 0])],
+            a0r=[float(aff[0, 1])], a1r=[float(aff[1, 1])], a2r=[float(aff[2, 1])],
+        )
+        return pd.DataFrame(row)
+
+    # one Arrow task per product: the (n+3)^2 solve runs on executors, the
+    # driver never sees a GCP row (r7's collect+loop grew with product count)
+    coef = (
+        gcps.select(*group_cols, "gx", "gy", "scol", "srow")
+        .groupBy(*group_cols)
+        .applyInPandas(_solve_group, schema=coef_schema)
     )
     stubs = geo.select(
         *gcols, "dg0", "dg1", "dg2", "dg3", "dg4", "dg5", "dst_cols",

@@ -421,10 +421,11 @@ register_pack(
     doc="Union certificate: both G5 GCP-warp interpolants — the exact "
     "piecewise-bilinear GCP grid (warp_gcp_grid) and the true thin-plate-"
     "spline warp (warp_gcp_tps, r7 — the interpolant of the reference's "
-    "gdalwarp -tps fallback, sentinel1.rs:1016-1029): driver-side (n+3)^2 "
-    "solve per product, ONE broadcast coefficient row, column-expression "
-    "bend fold, shared bilinear gather. Every warped cell of both rasters "
-    "in one driver hash row.",
+    "gdalwarp -tps fallback, sentinel1.rs:1016-1029): distributed (n+3)^2 "
+    "solve per product (r8: ONE applyInPandas task per product, no driver "
+    "collect), ONE broadcast coefficient row, column-expression bend fold, "
+    "shared bilinear gather. Every warped cell of both rasters in one "
+    "driver hash row.",
     tags=("raster", "warp", "pack"),
 )
 

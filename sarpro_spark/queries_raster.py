@@ -1539,9 +1539,10 @@ def q_warp_gcp_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-projection fallback is ``gdalwarp -tps`` (sentinel1.rs:1016-1029) —
     a global C^1 spline exact at every GCP — where warp_gcp_grid is the
     piecewise-bilinear approximation of the same grid. Here the spline is
-    solved per product on the driver (operators/geometry.py:tps_solve_np —
-    GCP counts are small per product, the documented driver-state
-    exception), broadcast as ONE coefficient row per product, and applied
+    solved per product ON EXECUTORS (r8: one applyInPandas task per product
+    over the GCP relation runs operators/geometry.py:tps_solve_np — the r7
+    driver collect+serial loop is gone; 10k products = 10k parallel
+    solves), broadcast as ONE coefficient row per product, and applied
     as a single column expression (affine part + F.aggregate fold over the
     GCP arrays). The fixture grid is curved (quadratic terms), so the
     bending weights are non-zero and exercised; source coordinates snap to

@@ -27,11 +27,15 @@ bucket occupancy), and `bucket_cap` drops further arrivals in a
 pathologically hot bucket (same cap doctrine as every LSH path; capped
 buckets under-report matches, never explode).
 
-Determinism: the verdict for doc b is "matches every earlier a sharing a
-band bucket with agreement >= tau" — a PAIRWISE rule over (arrival order =
-doc_id order), so the drained stream equals the batch twin
-(`streaming_neardup_batch`) row-for-row, which is what the registered
-`dedup_streaming_neardup` certificate hashes against DuckDB.
+Determinism: the verdict is "every unordered pair sharing a band bucket
+with agreement >= tau", and match rows are emitted oriented (doc_id=max,
+matched_id=min) regardless of which side arrived first (r8) — so an
+UNCAPPED drained stream equals the batch twin (`streaming_neardup_batch`)
+row-for-row for ANY arrival order, not just doc_id-ordered feeds; this is
+what the registered `dedup_streaming_neardup` certificate hashes against
+DuckDB. (Under `bucket_cap` pressure arrival order does matter — a capped
+bucket keeps whichever docs arrived first; that is the documented
+under-report trade-off, not a correctness knob.)
 
 Reference parity note: the reference engine (bogwi/sarpro) has no streaming
 surface; this operator exists for SURVEY §2.8's streaming coverage and the
@@ -165,8 +169,14 @@ def _make_update(num_hashes: int, threshold: float, bucket_cap: int):
                 agree = sum(1 for x, y in zip(sig, prev) if x == y)
                 est = agree / float(num_hashes)
                 if est >= threshold:
-                    out_doc.append(did)
-                    out_match.append(prev_id)
+                    # orientation-insensitive emission (r8, ADVICE r7): the
+                    # pair is always (max_id, min_id) so a doc arriving
+                    # AFTER a higher-id neighbor (out-of-order micro-batch)
+                    # emits the same row the batch twin produces — drained
+                    # stream == batch twin for ANY arrival order, not just
+                    # id-ordered feeds
+                    out_doc.append(max(did, prev_id))
+                    out_match.append(min(did, prev_id))
                     out_sim.append(est)
             if len(ids) < bucket_cap:
                 ids.append(did)
@@ -198,9 +208,12 @@ def streaming_neardup(
     bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Streaming (or batch — the plan works in both) incremental near-dup:
-    emits one match row per (band, earlier-doc) hit. Per-doc verdicts are a
-    downstream grouping of the match rows (see
-    :func:`neardup_verdicts_from_matches`)."""
+    emits one match row per (band, neighbor) hit, oriented as
+    (doc_id=max, matched_id=min) regardless of which side arrived first —
+    so an uncapped drained stream emits EXACTLY the batch-twin row set for
+    ANY arrival order (r8; previously id-ordered arrival was a
+    precondition). Per-doc verdicts are a downstream grouping of the match
+    rows (see :func:`neardup_verdicts_from_matches`)."""
     sb = doc_sig_bands(docs, id_col, text_col, n, num_hashes, bands)
     if id_col != "doc_id":
         sb = sb.withColumnRenamed(id_col, "doc_id")

@@ -804,3 +804,54 @@ def test_tps_solver_properties():
     got2 = tps_eval_np(rng_pts, w2, aff2, probe)
     want2 = [(1.5 + 0.25 * x - 0.1 * y, -2.0 + 0.05 * x + 0.4 * y) for x, y in probe]
     assert float(np.abs(got2 - np.asarray(want2)).max()) < 1e-7
+
+
+def test_tps_solver_degenerate_gcps():
+    """r8 guard (ADVICE r7): degenerate GCP sets must raise a NAMED
+    ValueError instead of an opaque LinAlgError (or, worse, silently
+    solving a nearly-singular system into garbage warp coordinates):
+    fewer than 3 GCPs, duplicate ground positions, collinear grid."""
+    import pytest
+
+    from sarpro_spark.operators.geometry import tps_solve_np
+
+    with pytest.raises(ValueError, match=">= 3 GCPs"):
+        tps_solve_np([(0.0, 0.0), (1.0, 1.0)], [(0.0, 0.0), (1.0, 1.0)])
+    with pytest.raises(ValueError, match="duplicate GCP"):
+        tps_solve_np(
+            [(0.0, 0.0), (1.0, 0.0), (1.0, 0.0), (0.0, 1.0)],
+            [(0.0, 0.0), (1.0, 0.0), (1.0, 0.0), (0.0, 1.0)],
+        )
+    with pytest.raises(ValueError, match="collinear"):
+        tps_solve_np(
+            [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0)],
+            [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (3.0, 0.0)],
+        )
+
+
+def test_warp_gcp_tps_degenerate_named(spark):
+    """The distributed solve (r8 applyInPandas) surfaces the guard with the
+    PRODUCT KEY in the message so a 10k-product batch names its bad
+    product instead of failing with an anonymous executor LinAlgError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.operators.geometry import warp_gcp_tps
+
+    px = spark.createDataFrame(
+        [(7, r, c, float(r + c)) for r in range(4) for c in range(4)],
+        "product_id int, row int, col int, v double",
+    )
+    # collinear ground positions for product 7
+    gcps = spark.createDataFrame(
+        [(7, float(i), float(i), float(i), 0.0) for i in range(4)],
+        "product_id int, gx double, gy double, scol double, srow double",
+    )
+    geo = spark.createDataFrame(
+        [(7, 0.0, 1.0, 0.0, 3.0, 0.0, -1.0, 4, 4)],
+        "product_id int, dg0 double, dg1 double, dg2 double, dg3 double, "
+        "dg4 double, dg5 double, dst_rows long, dst_cols long",
+    )
+    out = warp_gcp_tps(px, gcps, geo, ["product_id"], value="v")
+    with pytest.raises(Exception, match="degenerate GCP set for product key"):
+        out.collect()

@@ -377,6 +377,69 @@ def test_streaming_neardup_equals_batch_twin(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_streaming_neardup_out_of_order_arrival(spark, sf_dir, tmp_path):
+    """r8 (ADVICE r7): micro-batches arriving in REVERSED doc_id order must
+    still drain to exactly the batch-twin row set — emission is oriented
+    (doc_id=max, matched_id=min) independent of which side arrived first,
+    so arrival order is no longer a precondition of the equivalence."""
+    import os
+    import time
+
+    from sarpro_spark.streaming import dedup as sdd
+
+    docs = frames.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expected = {
+        (r["band"], r["doc_id"], r["matched_id"], r["est_sim"])
+        for r in sdd.streaming_neardup_batch(docs).collect()
+    }
+    assert expected, "fixture must contain near-dup pairs"
+
+    stage = tmp_path / "docs_stream_rev"
+    stage.mkdir()
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 4], ids[len(ids) // 2], ids[3 * len(ids) // 4]]
+    lo = None
+    t0 = time.time() - 100
+    parts = []
+    for hi in [*cuts, None]:
+        part = docs
+        if lo is not None:
+            part = part.where(F.col("doc_id") >= lo)
+        if hi is not None:
+            part = part.where(F.col("doc_id") < hi)
+        parts.append(part)
+        lo = hi
+    # REVERSED arrival: highest doc_id range gets the OLDEST mtime
+    for i, part in enumerate(reversed(parts)):
+        pdir = stage / f"part{i}"
+        part.coalesce(1).write.parquet(str(pdir))
+        for root, _dirs, files in os.walk(pdir):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t0 + i * 10, t0 + i * 10))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(stage))
+    )
+    q = (
+        sdd.streaming_neardup(stream)
+        .writeStream.format("memory")
+        .queryName("neardup_stream_rev")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["band"], r["doc_id"], r["matched_id"], r["est_sim"])
+        for r in spark.sql("SELECT * FROM neardup_stream_rev").collect()
+    }
+    assert got == expected
+
+
 def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp_path):
     """enrich_events_stream: the event stream joined to a static user
     dimension produces exactly the batch join, and unmatched events

@@ -245,13 +245,18 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
     "warp_gcp_tps": {
-        # true TPS warp (r7): ONE coefficient row per product joins the
+        # true TPS warp (r7; solve distributed r8): the (n+3)^2 spline solve
+        # runs per product as ONE applyInPandas task (FlatMapGroupsInPandas
+        # on the tiny GCP relation — REQUIRED, its absence means the solve
+        # regressed to a driver collect); the coefficient row joins the
         # canvas via a pinned broadcast; the bend term is an aggregate fold
-        # over the coefficient arrays — pure column expr, no Python, no
-        # cell-x-GCP join (the GCPs ride along as arrays in the single
-        # broadcast row); REPARTITION_BY_NUM pins the canvas row-stub
-        # exchange before the col explode (same trap as warp_utm)
-        "require": ["BroadcastHashJoin", "Generate", "REPARTITION_BY_NUM"],
+        # over the coefficient arrays — the CELL path stays pure column
+        # expr (no per-row Python: BatchEvalPython/ArrowEvalPython forbidden
+        # — FlatMapGroupsInPandas is the grouped solve, not a cell UDF);
+        # REPARTITION_BY_NUM pins the canvas row-stub exchange before the
+        # col explode (same trap as warp_utm)
+        "require": ["BroadcastHashJoin", "Generate", "REPARTITION_BY_NUM",
+                    "FlatMapGroupsInPandas"],
         "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     },
     "laea_roundtrip_points": {
