@@ -717,3 +717,366 @@ def lcc_inverse_np(e, n, c: dict | None = None):
     )
     lon = c["lon0"] + np.degrees(np.arctan2(dx, dy) / c["n"])
     return lon, lat
+
+
+# --- r8: 7-parameter Helmert datum shift + OSGB36 / British National Grid ----
+# The reference handles datum-shifted CRSs (EPSG:27700 was the standing
+# loud-failure example) by delegating to gdalwarp/PROJ
+# (/root/reference/src/io/sentinel1.rs:988-1032). In-engine: the EPSG
+# method 9606 position-vector transformation as a pure column-expression
+# step chain between the geodetic and projection stages — geodetic(WGS84)
+# -> geocentric XYZ -> Helmert -> geodetic(Airy 1830) -> Transverse
+# Mercator (National Grid parameters). All constants are public: OS "A
+# guide to coordinate systems in Great Britain" (datum + projection
+# parameters, worked examples) and EPSG Guidance Note 7-2 (method
+# formulas). Everything stays JVM-codegen per row — the datum shift is
+# nine multiply-adds, embarrassingly parallel, exactly what survives
+# 100 TB.
+
+#: Airy 1830 ellipsoid (OSGB36), OS guide Annex A
+AIRY_A = 6377563.396
+AIRY_F = 1.0 / 299.3249646
+
+
+def helmert_constants(
+    tx: float, ty: float, tz: float,
+    rx_as: float, ry_as: float, rz_as: float, s_ppm: float,
+) -> dict:
+    """Derived constants for one 7-parameter position-vector transformation
+    (EPSG method 9606): X' = T + (1+s) * (I + R) * X with the small-angle
+    rotation matrix R = [[0,-rz,ry],[rz,0,-rx],[-ry,rx,0]] (rotations in
+    arcseconds, scale in ppm — the publication units).
+
+    The REVERSE direction embeds the exact numerical inverse of the
+    constant 3x3 matrix (computed once here), not the usual
+    negated-parameter approximation — the approximation's s^2/r^2
+    cross-terms are ~3 mm over an Earth radius and would eat most of a
+    1e-7 deg roundtrip budget; the exact inverse leaves only libm noise."""
+    rx, ry, rz = (math.radians(v / 3600.0) for v in (rx_as, ry_as, rz_as))
+    s = 1.0 + s_ppm * 1e-6
+    m = np.array(
+        [
+            [s, -s * rz, s * ry],
+            [s * rz, s, -s * rx],
+            [-s * ry, s * rx, s],
+        ]
+    )
+    mi = np.linalg.inv(m)
+    return {
+        "t": (float(tx), float(ty), float(tz)),
+        "m": [[float(v) for v in row] for row in m],
+        "mi": [[float(v) for v in row] for row in mi],
+    }
+
+
+#: WGS84 -> OSGB36 single national Helmert (OS guide §6.6; ~3.5 m datum
+#: accuracy — the published parameter set; the reference's PROJ route uses
+#: the same parameters absent a grid-shift file)
+HELMERT_WGS84_TO_OSGB36 = helmert_constants(
+    -446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421, 20.4894
+)
+
+
+def geodetic_to_geocentric_steps(
+    a: float, f: float, lon: str = "lon", lat: str = "lat", p: str = "gc"
+) -> list[tuple[str, str]]:
+    """Geodetic (h=0) -> geocentric XYZ on the given ellipsoid (EPSG GN7-2
+    §4.1.1): nu = a/sqrt(1-e2 sin^2 phi); X=(nu)cos phi cos lam, etc."""
+    e2 = f * (2.0 - f)
+    return [
+        (f"{p}_phi", f"RADIANS({lat})"),
+        (f"{p}_lam", f"RADIANS({lon})"),
+        (f"{p}_s", f"SIN({p}_phi)"),
+        (f"{p}_nu", f"{a!r} / SQRT(1.0 - {e2!r} * {p}_s * {p}_s)"),
+        (f"{p}_x", f"{p}_nu * COS({p}_phi) * COS({p}_lam)"),
+        (f"{p}_y", f"{p}_nu * COS({p}_phi) * SIN({p}_lam)"),
+        (f"{p}_z", f"(1.0 - {e2!r}) * {p}_nu * {p}_s"),
+    ]
+
+
+def helmert_steps(
+    c: dict, x: str, y: str, z: str, p: str = "hm", inverse: bool = False
+) -> list[tuple[str, str]]:
+    """Apply the constant Helmert matrix: forward X' = T + M*X; reverse
+    X = M^-1 * (X' - T) with the embedded exact inverse matrix."""
+    if not inverse:
+        m, t = c["m"], c["t"]
+        return [
+            (f"{p}_x", f"{t[0]!r} + {m[0][0]!r} * {x} + {m[0][1]!r} * {y} + {m[0][2]!r} * {z}"),
+            (f"{p}_y", f"{t[1]!r} + {m[1][0]!r} * {x} + {m[1][1]!r} * {y} + {m[1][2]!r} * {z}"),
+            (f"{p}_z", f"{t[2]!r} + {m[2][0]!r} * {x} + {m[2][1]!r} * {y} + {m[2][2]!r} * {z}"),
+        ]
+    mi, t = c["mi"], c["t"]
+    return [
+        (f"{p}_dx", f"{x} - {t[0]!r}"),
+        (f"{p}_dy", f"{y} - {t[1]!r}"),
+        (f"{p}_dz", f"{z} - {t[2]!r}"),
+        (f"{p}_x", f"{mi[0][0]!r} * {p}_dx + {mi[0][1]!r} * {p}_dy + {mi[0][2]!r} * {p}_dz"),
+        (f"{p}_y", f"{mi[1][0]!r} * {p}_dx + {mi[1][1]!r} * {p}_dy + {mi[1][2]!r} * {p}_dz"),
+        (f"{p}_z", f"{mi[2][0]!r} * {p}_dx + {mi[2][1]!r} * {p}_dy + {mi[2][2]!r} * {p}_dz"),
+    ]
+
+
+def geocentric_to_geodetic_steps(
+    a: float, f: float, x: str, y: str, z: str, p: str = "gd", iters: int = 5
+) -> list[tuple[str, str]]:
+    """Geocentric XYZ -> geodetic via the classic fixed-point iteration
+    (EPSG GN7-2 §4.1.1 reverse), UNROLLED to `iters` named steps so Spark
+    and DuckDB run the identical op chain. Each pass multiplies the error
+    by ~e^2 (~0.0067 for Airy/WGS84); 5 passes from the spherical seed is
+    < 1e-12 deg for near-surface points — far below the certificate grain."""
+    e2 = f * (2.0 - f)
+    steps = [
+        (f"{p}_p", f"SQRT({x} * {x} + {y} * {y})"),
+        (f"{p}_lon", f"DEGREES(ATAN2({y}, {x}))"),
+        (f"{p}_f0", f"ATAN2({z}, {p}_p * (1.0 - {e2!r}))"),
+    ]
+    prev = f"{p}_f0"
+    for i in range(1, iters + 1):
+        nu = f"{p}_n{i}"
+        steps.append(
+            (nu, f"{a!r} / SQRT(1.0 - {e2!r} * SIN({prev}) * SIN({prev}))")
+        )
+        cur = f"{p}_f{i}"
+        steps.append(
+            (cur, f"ATAN2({z} + {e2!r} * {nu} * SIN({prev}), {p}_p)")
+        )
+        prev = cur
+    steps.append((f"{p}_lat", f"DEGREES({prev})"))
+    return steps
+
+
+def tm_constants(
+    a: float, f: float, lat0: float, lon0: float, k0: float, fe: float, fn: float
+) -> dict:
+    """Driver-side derived constants for one generic Transverse Mercator
+    instance (Krüger series on an arbitrary ellipsoid with a latitude of
+    natural origin — the UTM module constants generalized the way
+    :func:`lcc2sp_constants` generalizes the conics). The meridian-arc
+    offset m0 = k0 * A(n) * mu(lat0) folds the origin latitude into a
+    constant northing shift (rectifying latitude mu at the central
+    meridian: eta=0, xi = chi + sum alpha_j sin 2j chi)."""
+    n = f / (2.0 - f)
+    a_rect = a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0 + n**6 / 256.0)
+    c1 = 2.0 * math.sqrt(n) / (1.0 + n)
+    alpha = (
+        n / 2.0 - 2.0 * n**2 / 3.0 + 5.0 * n**3 / 16.0 + 41.0 * n**4 / 180.0,
+        13.0 * n**2 / 48.0 - 3.0 * n**3 / 5.0 + 557.0 * n**4 / 1440.0,
+        61.0 * n**3 / 240.0 - 103.0 * n**4 / 140.0,
+        49561.0 * n**4 / 161280.0,
+    )
+    beta = (
+        n / 2.0 - 2.0 * n**2 / 3.0 + 37.0 * n**3 / 96.0 - n**4 / 360.0,
+        n**2 / 48.0 + n**3 / 15.0 - 437.0 * n**4 / 1440.0,
+        17.0 * n**3 / 480.0 - 37.0 * n**4 / 840.0,
+        4397.0 * n**4 / 161280.0,
+    )
+    delta = (
+        2.0 * n - 2.0 * n**2 / 3.0 - 2.0 * n**3 + 116.0 * n**4 / 45.0,
+        7.0 * n**2 / 3.0 - 8.0 * n**3 / 5.0 - 227.0 * n**4 / 45.0,
+        56.0 * n**3 / 15.0 - 136.0 * n**4 / 35.0,
+        4279.0 * n**4 / 630.0,
+    )
+    sphi = math.sin(math.radians(lat0))
+    uu = math.atanh(sphi) - c1 * math.atanh(c1 * sphi)
+    chi = math.atan(math.sinh(uu))
+    xi0 = chi + sum(
+        aj * math.sin(2.0 * (j + 1) * chi) for j, aj in enumerate(alpha)
+    )
+    return {
+        "a": a, "f": f, "lon0": lon0, "k0": k0, "fe": fe, "fn": fn,
+        "k0A": k0 * a_rect, "c1": c1,
+        "alpha": alpha, "beta": beta, "delta": delta,
+        "m0": k0 * a_rect * xi0,
+    }
+
+
+#: EPSG:27700 — OSGB36 / British National Grid (OS guide Annex A: Airy
+#: 1830, phi0=49N, lam0=2W, F0=0.9996012717, E0=400000, N0=-100000)
+OSGB_TM = tm_constants(
+    AIRY_A, AIRY_F, lat0=49.0, lon0=-2.0, k0=0.9996012717,
+    fe=400000.0, fn=-100000.0,
+)
+
+
+def tm_forward_steps_c(
+    c: dict, lon: str = "lon", lat: str = "lat", p: str = "gt",
+    easting: str = "tm_easting", northing: str = "tm_northing",
+) -> list[tuple[str, str]]:
+    """Generic-instance twin of :func:`tm_forward_steps`: same Krüger
+    chain, constants from `c`, step names prefixed so several chains can
+    stack on one frame (the OSGB route runs FOUR chains end-to-end)."""
+    xi_terms = " + ".join(
+        f"{a!r} * SIN({2 * (j + 1)}.0 * {p}_xip) * (EXP({2 * (j + 1)}.0 * {p}_etap) + EXP(-{2 * (j + 1)}.0 * {p}_etap)) / 2.0"
+        for j, a in enumerate(c["alpha"])
+    )
+    eta_terms = " + ".join(
+        f"{a!r} * COS({2 * (j + 1)}.0 * {p}_xip) * (EXP({2 * (j + 1)}.0 * {p}_etap) - EXP(-{2 * (j + 1)}.0 * {p}_etap)) / 2.0"
+        for j, a in enumerate(c["alpha"])
+    )
+    c1 = c["c1"]
+    return [
+        (f"{p}_dl", f"RADIANS({lon} - {c['lon0']!r})"),
+        (f"{p}_sp", f"SIN(RADIANS({lat}))"),
+        (f"{p}_a1", f"0.5 * LN((1.0 + {p}_sp) / (1.0 - {p}_sp))"),
+        (f"{p}_cy", f"{c1!r} * {p}_sp"),
+        (f"{p}_a2", f"0.5 * LN((1.0 + {p}_cy) / (1.0 - {p}_cy))"),
+        (f"{p}_uu", f"{p}_a1 - {c1!r} * {p}_a2"),
+        (f"{p}_tt", f"(EXP({p}_uu) - EXP(-{p}_uu)) / 2.0"),
+        (f"{p}_xip", f"ATAN2({p}_tt, COS({p}_dl))"),
+        (f"{p}_ww", f"SIN({p}_dl) / SQRT(1.0 + {p}_tt * {p}_tt)"),
+        (f"{p}_etap", f"0.5 * LN((1.0 + {p}_ww) / (1.0 - {p}_ww))"),
+        (f"{p}_xi", f"{p}_xip + {xi_terms}"),
+        (f"{p}_eta", f"{p}_etap + {eta_terms}"),
+        (easting, f"{c['fe']!r} + {c['k0A']!r} * {p}_eta"),
+        (northing, f"{c['fn']!r} - {c['m0']!r} + {c['k0A']!r} * {p}_xi"),
+    ]
+
+
+def tm_inverse_steps_c(
+    c: dict, e: str = "tm_easting", n: str = "tm_northing", p: str = "gti",
+    lon_out: str = "tm_lon", lat_out: str = "tm_lat",
+) -> list[tuple[str, str]]:
+    """Generic-instance twin of :func:`tm_inverse_steps`."""
+    xip_terms = " + ".join(
+        f"{b!r} * SIN({2 * (j + 1)}.0 * {p}_xi) * (EXP({2 * (j + 1)}.0 * {p}_eta) + EXP(-{2 * (j + 1)}.0 * {p}_eta)) / 2.0"
+        for j, b in enumerate(c["beta"])
+    )
+    etap_terms = " + ".join(
+        f"{b!r} * COS({2 * (j + 1)}.0 * {p}_xi) * (EXP({2 * (j + 1)}.0 * {p}_eta) - EXP(-{2 * (j + 1)}.0 * {p}_eta)) / 2.0"
+        for j, b in enumerate(c["beta"])
+    )
+    phi_terms = " + ".join(
+        f"{d!r} * SIN({2 * (j + 1)}.0 * {p}_chi)" for j, d in enumerate(c["delta"])
+    )
+    return [
+        (f"{p}_xi", f"({n} - {c['fn']!r} + {c['m0']!r}) / {c['k0A']!r}"),
+        (f"{p}_eta", f"({e} - {c['fe']!r}) / {c['k0A']!r}"),
+        (f"{p}_xp", f"{p}_xi - ({xip_terms})"),
+        (f"{p}_ep", f"{p}_eta - ({etap_terms})"),
+        (f"{p}_chi", f"ASIN(SIN({p}_xp) / ((EXP({p}_ep) + EXP(-{p}_ep)) / 2.0))"),
+        (lat_out, f"DEGREES({p}_chi + {phi_terms})"),
+        (
+            lon_out,
+            f"{c['lon0']!r} + DEGREES(ATAN2((EXP({p}_ep) - EXP(-{p}_ep)) / 2.0, COS({p}_xp)))",
+        ),
+    ]
+
+
+def osgb_forward_steps(lon: str = "lon", lat: str = "lat") -> list[tuple[str, str]]:
+    """WGS84 lon/lat -> EPSG:27700 easting/northing: geodetic->geocentric
+    (WGS84) -> Helmert 9606 -> geocentric->geodetic (Airy) -> National
+    Grid TM. One flat step chain, portable to both engines."""
+    return (
+        geodetic_to_geocentric_steps(WGS84_A, WGS84_F, lon=lon, lat=lat, p="ogc")
+        + helmert_steps(HELMERT_WGS84_TO_OSGB36, "ogc_x", "ogc_y", "ogc_z", p="ohm")
+        + geocentric_to_geodetic_steps(AIRY_A, AIRY_F, "ohm_x", "ohm_y", "ohm_z", p="ogd")
+        + tm_forward_steps_c(
+            OSGB_TM, lon="ogd_lon", lat="ogd_lat", p="otm",
+            easting="osgb_easting", northing="osgb_northing",
+        )
+    )
+
+
+def osgb_inverse_steps(
+    e: str = "osgb_easting", n: str = "osgb_northing"
+) -> list[tuple[str, str]]:
+    """EPSG:27700 easting/northing -> WGS84 lon/lat (exact-matrix reverse
+    Helmert)."""
+    return (
+        tm_inverse_steps_c(OSGB_TM, e=e, n=n, p="itm", lon_out="iosgb_lon", lat_out="iosgb_lat")
+        + geodetic_to_geocentric_steps(AIRY_A, AIRY_F, lon="iosgb_lon", lat="iosgb_lat", p="igc")
+        + helmert_steps(
+            HELMERT_WGS84_TO_OSGB36, "igc_x", "igc_y", "igc_z", p="ihm", inverse=True
+        )
+        + geocentric_to_geodetic_steps(WGS84_A, WGS84_F, "ihm_x", "ihm_y", "ihm_z", p="igd")
+        + [("osgb_lon", "igd_lon"), ("osgb_lat", "igd_lat")]
+    )
+
+
+# --- numpy twins (fixture tests / worked-example anchors) --------------------
+
+
+def _geodetic_to_geocentric_np(a, f, lon, lat):
+    e2 = f * (2.0 - f)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    s = np.sin(phi)
+    nu = a / np.sqrt(1.0 - e2 * s * s)
+    return nu * np.cos(phi) * np.cos(lam), nu * np.cos(phi) * np.sin(lam), (1.0 - e2) * nu * s
+
+
+def _geocentric_to_geodetic_np(a, f, x, y, z, iters=5):
+    e2 = f * (2.0 - f)
+    p = np.sqrt(x * x + y * y)
+    lon = np.degrees(np.arctan2(y, x))
+    phi = np.arctan2(z, p * (1.0 - e2))
+    for _ in range(iters):
+        nu = a / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+        phi = np.arctan2(z + e2 * nu * np.sin(phi), p)
+    return lon, np.degrees(phi)
+
+
+def _helmert_np(c, x, y, z, inverse=False):
+    t = np.asarray(c["t"])
+    m = np.asarray(c["mi"] if inverse else c["m"])
+    v = np.stack([np.asarray(x), np.asarray(y), np.asarray(z)])
+    if inverse:
+        out = m @ (v - t[:, None])
+    else:
+        out = t[:, None] + m @ v
+    return out[0], out[1], out[2]
+
+
+def tm_forward_c_np(c, lon, lat):
+    """Numpy twin of :func:`tm_forward_steps_c`."""
+    dl = np.radians(np.asarray(lon, dtype=np.float64) - c["lon0"])
+    sp = np.sin(np.radians(np.asarray(lat, dtype=np.float64)))
+    uu = np.arctanh(sp) - c["c1"] * np.arctanh(c["c1"] * sp)
+    tt = np.sinh(uu)
+    xip = np.arctan2(tt, np.cos(dl))
+    ww = np.sin(dl) / np.sqrt(1.0 + tt * tt)
+    etap = np.arctanh(ww)
+    xi = xip + sum(
+        a * np.sin(2.0 * (j + 1) * xip) * np.cosh(2.0 * (j + 1) * etap)
+        for j, a in enumerate(c["alpha"])
+    )
+    eta = etap + sum(
+        a * np.cos(2.0 * (j + 1) * xip) * np.sinh(2.0 * (j + 1) * etap)
+        for j, a in enumerate(c["alpha"])
+    )
+    return c["fe"] + c["k0A"] * eta, c["fn"] - c["m0"] + c["k0A"] * xi
+
+
+def tm_inverse_c_np(c, e, n):
+    """Numpy twin of :func:`tm_inverse_steps_c`."""
+    xi = (np.asarray(n, dtype=np.float64) - c["fn"] + c["m0"]) / c["k0A"]
+    eta = (np.asarray(e, dtype=np.float64) - c["fe"]) / c["k0A"]
+    xp = xi - sum(
+        b * np.sin(2.0 * (j + 1) * xi) * np.cosh(2.0 * (j + 1) * eta)
+        for j, b in enumerate(c["beta"])
+    )
+    ep = eta - sum(
+        b * np.cos(2.0 * (j + 1) * xi) * np.sinh(2.0 * (j + 1) * eta)
+        for j, b in enumerate(c["beta"])
+    )
+    chi = np.arcsin(np.sin(xp) / np.cosh(ep))
+    lat = np.degrees(chi + sum(d * np.sin(2.0 * (j + 1) * chi) for j, d in enumerate(c["delta"])))
+    lon = c["lon0"] + np.degrees(np.arctan2(np.sinh(ep), np.cos(xp)))
+    return lon, lat
+
+
+def osgb_forward_np(lon, lat):
+    """Numpy twin of the full WGS84 -> EPSG:27700 chain."""
+    x, y, z = _geodetic_to_geocentric_np(WGS84_A, WGS84_F, lon, lat)
+    x, y, z = _helmert_np(HELMERT_WGS84_TO_OSGB36, x, y, z)
+    alon, alat = _geocentric_to_geodetic_np(AIRY_A, AIRY_F, x, y, z)
+    return tm_forward_c_np(OSGB_TM, alon, alat)
+
+
+def osgb_inverse_np(e, n):
+    """Numpy twin of the full EPSG:27700 -> WGS84 chain."""
+    alon, alat = tm_inverse_c_np(OSGB_TM, e, n)
+    x, y, z = _geodetic_to_geocentric_np(AIRY_A, AIRY_F, alon, alat)
+    x, y, z = _helmert_np(HELMERT_WGS84_TO_OSGB36, x, y, z, inverse=True)
+    return _geocentric_to_geodetic_np(WGS84_A, WGS84_F, x, y, z)

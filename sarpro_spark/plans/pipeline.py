@@ -195,6 +195,11 @@ def crs_projection_support(target_crs: str) -> str | None:
         return "webmerc"
     if code == "EPSG:2154":
         return "lcc"
+    if code == "EPSG:27700":
+        # r8: the first DATUM-SHIFTED family — WGS84 GCPs pass through the
+        # 7-parameter Helmert (EPSG 9606) to OSGB36 before the National
+        # Grid Transverse Mercator (operators/tmerc.py osgb_forward_steps)
+        return "osgb"
     return None
 
 
@@ -218,6 +223,9 @@ def warp_route(
       polar-stereographic forward steps project the GCPs
     - 'gcp_laea': same with the EPSG:3035 European equal-area grid (r7)
     - 'gcp_webmerc': same with EPSG:3857 pseudo-Mercator (r7)
+    - 'gcp_osgb': same with EPSG:27700 British National Grid (r8) — the
+      first DATUM-SHIFTED route: the 7-parameter Helmert (EPSG 9606)
+      carries WGS84 GCPs onto OSGB36 before the Airy-ellipsoid TM
     - 'gcp': no projection, GCP grid already in target ground units —
       geometry.warp_gcp_grid directly
 
@@ -237,8 +245,10 @@ def warp_route(
                 f"unsupported target CRS {target_crs!r} for geographic GCPs: "
                 "in-engine projection covers UTM (EPSG:326xx/327xx, zones "
                 "1-60), UPS (EPSG:32661/32761), LAEA Europe (EPSG:3035), "
-                "Web Mercator (EPSG:3857) and Lambert-93 (EPSG:2154); "
-                "reproject externally or supply GCPs in target ground units"
+                "Web Mercator (EPSG:3857), Lambert-93 (EPSG:2154) and "
+                "British National Grid (EPSG:27700, via the 7-param "
+                "Helmert datum shift); reproject externally or supply GCPs "
+                "in target ground units"
             )
         return "gcp"
     return "affine"
@@ -285,11 +295,18 @@ def project_gcps(gcps: DataFrame, target_crs: str, lon: str = "lon", lat: str = 
         return proj.withColumn("gx", F.col("lcc_easting")).withColumn(
             "gy", F.col("lcc_northing")
         )
+    if fam == "osgb":
+        # r8: datum shift + projection in ONE flat step chain (WGS84
+        # geocentric -> Helmert 9606 -> Airy geodetic -> National Grid TM)
+        proj = tmx.apply_steps(gcps, tmx.osgb_forward_steps(lon=lon, lat=lat))
+        return proj.withColumn("gx", F.col("osgb_easting")).withColumn(
+            "gy", F.col("osgb_northing")
+        )
     raise ValueError(
         f"unsupported target CRS {target_crs!r}: in-engine projection covers "
         "UTM (EPSG:326xx/327xx, zones 1-60), UPS (EPSG:32661/32761), "
-        "LAEA Europe (EPSG:3035), Web Mercator (EPSG:3857) and "
-        "Lambert-93 (EPSG:2154)"
+        "LAEA Europe (EPSG:3035), Web Mercator (EPSG:3857), "
+        "Lambert-93 (EPSG:2154) and British National Grid (EPSG:27700)"
     )
 
 

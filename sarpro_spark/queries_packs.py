@@ -441,13 +441,15 @@ register_pack(
         Member("laea_roundtrip_points", ("product_id", "gi", "gj")),
         Member("webmerc_roundtrip_points", ("product_id", "gi", "gj")),
         Member("lcc_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("osgb_roundtrip_points", ("product_id", "gi", "gj")),
     ),
     doc="Union certificate: S1-S3/S10/S11 SAFE discovery over the fixture "
     "tree, S8/S9 manifest+annotation parse, S6 generic reader roundtrip, "
     "and the in-engine Krüger UTM forward projection at GCP grain (the CRS "
     "math behind S10's zone pick, operators/tmerc.py), plus the UPS "
     "forward+inverse polar round-trip (<= 1e-9 deg on both sheets), the "
-    "EPSG:3035 LAEA round-trip (r7, <= 1e-7 deg) and the EPSG:3857 "
-    "pseudo-Mercator round-trip (r7, exact inverse).",
+    "EPSG:3035 LAEA round-trip (r7, <= 1e-7 deg), the EPSG:3857 "
+    "pseudo-Mercator round-trip (r7, exact inverse), and the EPSG:27700 "
+    "datum-shift round-trip (r8: 7-param Helmert + Airy TM, <= 1e-7 deg).",
     tags=("source", "pack"),
 )

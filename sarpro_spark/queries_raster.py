@@ -1218,6 +1218,101 @@ def q_lcc_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _osgb_roundtrip_sql() -> str:
+    # STAGE CTEs, one per chain segment: lateral column aliases inline
+    # their upstream expression textually at bind time, so the flat
+    # ~70-step chain expands multiplicatively (the TM series references
+    # the iterated latitude hundreds of times, each copy re-expanding the
+    # whole Helmert+geocentric prefix — measured: minutes of bind CPU).
+    # A CTE boundary per stage bottoms the expansion out at real columns.
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import sql_fround
+
+    hm = tmx.HELMERT_WGS84_TO_OSGB36
+    stages = [
+        ("fw1", "pts", tmx.geodetic_to_geocentric_steps(tmx.WGS84_A, tmx.WGS84_F, p="ogc")),
+        ("fw2", "fw1", tmx.helmert_steps(hm, "ogc_x", "ogc_y", "ogc_z", p="ohm")),
+        ("fw3", "fw2", tmx.geocentric_to_geodetic_steps(tmx.AIRY_A, tmx.AIRY_F, "ohm_x", "ohm_y", "ohm_z", p="ogd")),
+        ("fw4", "fw3", tmx.tm_forward_steps_c(tmx.OSGB_TM, lon="ogd_lon", lat="ogd_lat", p="otm", easting="osgb_easting", northing="osgb_northing")),
+        ("iv1", "fw4", tmx.tm_inverse_steps_c(tmx.OSGB_TM, e="osgb_easting", n="osgb_northing", p="itm", lon_out="iosgb_lon", lat_out="iosgb_lat")),
+        ("iv2", "iv1", tmx.geodetic_to_geocentric_steps(tmx.AIRY_A, tmx.AIRY_F, lon="iosgb_lon", lat="iosgb_lat", p="igc")),
+        ("iv3", "iv2", tmx.helmert_steps(hm, "igc_x", "igc_y", "igc_z", p="ihm", inverse=True)),
+        ("iv4", "iv3", tmx.geocentric_to_geodetic_steps(tmx.WGS84_A, tmx.WGS84_F, "ihm_x", "ihm_y", "ihm_z", p="igd")),
+    ]
+    ctes = ",\n".join(
+        f"{name} AS ({tmx.sql_steps_select(src, steps)})" for name, src, steps in stages
+    )
+    return f"""
+WITH prods AS (
+  SELECT DISTINCT CAST(l_orderkey % {frames.N_PRODUCTS} AS INTEGER) AS product_id FROM lineitem
+),
+pts AS (
+  SELECT product_id, i.i AS gi, j.j AS gj,
+         50.2 + CAST((product_id * 3) % 9 AS DOUBLE) + i.i * 0.3 AS lat,
+         -7.2 + CAST((product_id * 5) % 8 AS DOUBLE) + j.j * 0.3 AS lon
+  FROM prods,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS i) i,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS j) j
+),
+{ctes}
+SELECT product_id, gi, gj,
+       {sql_fround('igd_lat', 7)} AS lat_rt,
+       {sql_fround('igd_lon', 7)} AS lon_rt,
+       ABS(igd_lat - lat) <= 1e-7 AND ABS(igd_lon - lon) <= 1e-7 AS rt_ok
+FROM iv4
+""".strip()
+
+
+@query("osgb_roundtrip_points", sql=_osgb_roundtrip_sql(), tags=("raster", "geometry", "crs", "datum"))
+def q_osgb_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/G5 datum-shift leg (r8): WGS84 lon/lat -> EPSG:27700 British
+    National Grid -> back, entirely in-engine — the first family that
+    crosses a DATUM boundary. Chain (operators/tmerc.py): geodetic ->
+    geocentric XYZ on WGS84, 7-parameter Helmert position-vector
+    transformation (EPSG method 9606, the published OS national parameter
+    set), geocentric -> geodetic on Airy 1830 (5 unrolled fixed-point
+    iterations), then the National Grid Transverse Mercator (generic
+    Krüger instance via tm_constants — reproduces the OS guide Annex C
+    worked example to 0.4 mm, tested). The reverse leg embeds the EXACT
+    inverse of the constant Helmert matrix (not the negated-parameter
+    approximation, whose ~3 mm s^2 cross-terms would eat the roundtrip
+    budget); measured roundtrip error <= 2e-8 deg over the GB window
+    against the 1e-7 certificate bound. Closes the last capability gap vs
+    the reference, which delegates datum-shifted CRSs to gdalwarp/PROJ
+    (sentinel1.rs:988-1032); warp_route now emits 'gcp_osgb' instead of
+    raising. Pure column arithmetic, codegen, no UDF; the DuckDB twin runs
+    the identical step chain (roundtripped coordinates hashed at the 1e-7
+    grain the datum chain certifies)."""
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import fround
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    prods = li.select(
+        (F.col("l_orderkey") % frames.N_PRODUCTS).cast("int").alias("product_id")
+    ).distinct()
+    pid = F.col("product_id")
+    pts = (
+        prods.select(
+            "product_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gi")
+        )
+        .select("product_id", "gi", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gj"))
+        .select(
+            "product_id", "gi", "gj",
+            (F.lit(50.2) + ((pid * 3) % 9).cast("double") + F.col("gi") * 0.3).alias("lat"),
+            (F.lit(-7.2) + ((pid * 5) % 8).cast("double") + F.col("gj") * 0.3).alias("lon"),
+        )
+    )
+    fw = tmx.apply_steps(pts, tmx.osgb_forward_steps())
+    iv = tmx.apply_steps(fw, tmx.osgb_inverse_steps())
+    return iv.select(
+        "product_id", "gi", "gj",
+        fround(F.col("osgb_lat"), 7).alias("lat_rt"),
+        fround(F.col("osgb_lon"), 7).alias("lon_rt"),
+        ((F.abs(F.col("osgb_lat") - F.col("lat")) <= 1e-7)
+         & (F.abs(F.col("osgb_lon") - F.col("lon")) <= 1e-7)).alias("rt_ok"),
+    )
+
+
 def _webmerc_roundtrip_sql() -> str:
     from sarpro_spark.operators import tmerc as tmx
     from sarpro_spark.queries import sql_fround

@@ -213,7 +213,8 @@ SELECT * FROM (VALUES
   (12, 'single', 'vv', TRUE, 'affine', 'cubic'),
   (13, 'single', 'vv', TRUE, 'gcp_webmerc', 'bilinear'),
   (14, 'single', 'vv', TRUE, 'gcp_lcc', 'bilinear'),
-  (15, 'single', 'vv', TRUE, 'error:unsupported_crs', 'bilinear')
+  (15, 'single', 'vv', TRUE, 'gcp_osgb', 'bilinear'),
+  (16, 'single', 'vv', TRUE, 'error:unsupported_crs', 'bilinear')
 ) t(case_id, route, band, needs_warp, warp_route, resample_kernel)
 """.strip()
 
@@ -289,17 +290,23 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append((12, route12, band12, needs_warp("EPSG:32631", "EPSG:32632"),
                  warp_route("EPSG:32631", "EPSG:32632"), resample_kernel(p12)))
     # r7: EPSG:3857 pseudo-Mercator and EPSG:2154 Lambert-93 join the
-    # in-engine families; a projected CRS outside them (EPSG:27700 OSGB,
-    # which needs a real datum shift) still fails loudly
+    # in-engine families
     rows.append((13, route7, band7, needs_warp(None, "EPSG:3857"),
                  warp_route(None, "EPSG:3857", True, gcp_crs="EPSG:4326"), k7))
     rows.append((14, route7, band7, needs_warp(None, "EPSG:2154"),
                  warp_route(None, "EPSG:2154", True, gcp_crs="EPSG:4326"), k7))
+    # r8: EPSG:27700 unlocked by the 7-param Helmert datum-shift chain —
+    # routes 'gcp_osgb' instead of raising (closing the last capability
+    # gap vs the reference's gdalwarp delegation)
+    rows.append((15, route7, band7, needs_warp(None, "EPSG:27700"),
+                 warp_route(None, "EPSG:27700", True, gcp_crs="EPSG:4326"), k7))
+    # the loud-failure doctrine keeps a standing example: EPSG:31370
+    # (Belgian Lambert 72) needs the BD72 datum shift, not implemented
     try:
-        wr15 = warp_route(None, "EPSG:27700", True, gcp_crs="EPSG:4326")
+        wr16 = warp_route(None, "EPSG:31370", True, gcp_crs="EPSG:4326")
     except ValueError:
-        wr15 = "error:unsupported_crs"
-    rows.append((15, route7, band7, needs_warp(None, "EPSG:27700"), wr15, k7))
+        wr16 = "error:unsupported_crs"
+    rows.append((16, route7, band7, needs_warp(None, "EPSG:31370"), wr16, k7))
     return spark.createDataFrame(
         rows,
         "case_id int, route string, band string, needs_warp boolean, "

@@ -708,6 +708,91 @@ def test_lcc_epsg_worked_example():
     assert float(np.abs(la2 - LA).max()) < 1e-8
 
 
+def test_osgb_worked_example_and_datum_chain():
+    """r8 EPSG:27700 anchors (all public, OS 'A guide to coordinate systems
+    in Great Britain'):
+    (a) projection leg — the Annex C worked example (OSGB36 geodetic
+        52d39'27.2531\"N 1d43'4.5177\"E -> E 651409.903 N 313177.270) through
+        the generic Krüger instance tm_constants(Airy, National Grid);
+    (b) Helmert leg — the exact-matrix inverse really is exact (roundtrip
+        through forward+reverse at machine precision, where the
+        negated-parameter approximation would be ~mm);
+    (c) full WGS84 -> grid -> WGS84 roundtrip <= 1e-7 deg over GB."""
+    import numpy as np
+
+    from sarpro_spark.operators import tmerc as tmx
+
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    e, n = tmx.tm_forward_c_np(tmx.OSGB_TM, lon, lat)
+    # published values computed with the Redfearn series; Krüger-4 agrees
+    # to ~0.3 mm (measured -0.09 mm E, +0.32 mm N)
+    assert float(e) == pytest.approx(651409.903, abs=0.002)
+    assert float(n) == pytest.approx(313177.270, abs=0.002)
+    lo, la = tmx.tm_inverse_c_np(tmx.OSGB_TM, float(e), float(n))
+    assert float(lo) == pytest.approx(lon, abs=1e-9)
+    assert float(la) == pytest.approx(lat, abs=1e-9)
+
+    c = tmx.HELMERT_WGS84_TO_OSGB36
+    x, y, z = tmx._geodetic_to_geocentric_np(tmx.WGS84_A, tmx.WGS84_F, [1.5], [55.0])
+    x2, y2, z2 = tmx._helmert_np(c, x, y, z)
+    # the shift is a real datum shift: order 100 m, not a no-op
+    d = float(np.sqrt((x2 - x) ** 2 + (y2 - y) ** 2 + (z2 - z) ** 2))
+    assert 50.0 < d < 1000.0
+    x3, y3, z3 = tmx._helmert_np(c, x2, y2, z2, inverse=True)
+    assert float(abs(x3 - x)[0]) < 1e-6
+    assert float(abs(y3 - y)[0]) < 1e-6
+    assert float(abs(z3 - z)[0]) < 1e-6
+
+    LO, LA = np.meshgrid(np.linspace(-7.5, 1.8, 13), np.linspace(50.0, 60.5, 13))
+    E, N = tmx.osgb_forward_np(LO.ravel(), LA.ravel())
+    lo2, la2 = tmx.osgb_inverse_np(E, N)
+    assert float(np.abs(lo2 - LO.ravel()).max()) < 1e-7
+    assert float(np.abs(la2 - LA.ravel()).max()) < 1e-7
+    # sanity anchor: central London lands in the right 100 m square
+    eL, nL = tmx.osgb_forward_np([-0.1276], [51.5074])
+    assert float(eL[0]) == pytest.approx(530047.0, abs=100.0)
+    assert float(nL[0]) == pytest.approx(180422.0, abs=100.0)
+
+
+def test_osgb_steps_match_numpy_twin(spark):
+    """The portable SQL step chain (osgb_forward_steps/osgb_inverse_steps
+    through apply_steps) reproduces the numpy twin to float noise — the
+    same lock-step doctrine every projection family certifies."""
+    import numpy as np
+
+    from sarpro_spark.operators import tmerc as tmx
+
+    pts = [(float(lo), float(la)) for lo in (-6.0, -2.0, 1.5) for la in (50.5, 55.0, 60.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fw = tmx.apply_steps(df, tmx.osgb_forward_steps())
+    iv = tmx.apply_steps(fw, tmx.osgb_inverse_steps())
+    rows = iv.select("lon", "lat", "osgb_easting", "osgb_northing", "osgb_lon", "osgb_lat").collect()
+    for r in rows:
+        e_np, n_np = tmx.osgb_forward_np([r["lon"]], [r["lat"]])
+        assert abs(r["osgb_easting"] - float(e_np[0])) < 1e-6
+        assert abs(r["osgb_northing"] - float(n_np[0])) < 1e-6
+        assert abs(r["osgb_lon"] - r["lon"]) < 1e-7
+        assert abs(r["osgb_lat"] - r["lat"]) < 1e-7
+
+
+def test_project_gcps_osgb(spark):
+    """warp_route('EPSG:27700') -> 'gcp_osgb' and project_gcps projects
+    geographic GCPs through the datum chain (gx/gy = National Grid)."""
+    from sarpro_spark.plans.pipeline import project_gcps, warp_route
+
+    assert warp_route(None, "EPSG:27700", True, gcp_crs="EPSG:4326") == "gcp_osgb"
+    gcps = spark.createDataFrame(
+        [(0, -0.1276, 51.5074), (0, -3.2, 55.95)], "product_id int, lon double, lat double"
+    )
+    rows = {r["lat"]: r for r in project_gcps(gcps, "EPSG:27700").collect()}
+    assert abs(rows[51.5074]["gx"] - 530047.0) < 100.0
+    assert abs(rows[51.5074]["gy"] - 180422.0) < 100.0
+    # Edinburgh-ish point lands in the right region too
+    assert abs(rows[55.95]["gx"] - 325000.0) < 2000.0
+    assert abs(rows[55.95]["gy"] - 673000.0) < 2000.0
+
+
 def test_gcp_warp_dispatch_interpolants_agree_on_affine(spark):
     """plans.pipeline.gcp_warp consumes ProcessingParams.gcp_interpolant:
     'grid' -> warp_gcp_grid, 'tps' -> warp_gcp_tps, from ONE regular
