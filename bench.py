@@ -189,10 +189,29 @@ def main() -> None:
         except (OSError, ValueError):
             pass
     total = round(sum(timings.values()), 3)
+
+    def _infer_round() -> int | None:
+        # ADVICE r8: a hardcoded default silently stamps a stale round and
+        # corrupts the prev-round diffing chain. Env var wins; otherwise
+        # the round is 1 + the newest driver artifact (the driver writes
+        # BENCH_r{N}/CORRECTNESS_r{N} at the END of round N, so when bench
+        # runs during round N+1 the max is N); null if neither exists.
+        env = os.environ.get("SPARK_GRAFT_ROUND")
+        if env:
+            return int(env)
+        import re as _re
+
+        ns = [
+            int(m.group(1))
+            for fn in os.listdir(repo)
+            if (m := _re.match(r"(?:BENCH|CORRECTNESS)_r(\d+)\.json$", fn))
+        ]
+        return max(ns) + 1 if ns else None
+
     with open(full_path, "w") as fh:
         json.dump(
             {
-                "round": int(os.environ.get("SPARK_GRAFT_ROUND", "8")),
+                "round": _infer_round(),
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",

@@ -968,6 +968,36 @@ def tps_solve_np(ground_xy, px_rc):
     a[n:, :n] = p.T
     b = np.zeros((n + 3, 2))
     b[:n] = px_rc
+    # near-coincident (but not bit-identical) GCPs pass the exact-duplicate
+    # guard yet make the system numerically singular — LU is backward-stable
+    # so the solve residual stays small even when the solution is garbage;
+    # a condition number is the honest detector. The RAW system's cond is
+    # dominated by coordinate units (a UTM-meter grid measures ~1e24 yet
+    # solves to full warp accuracy), so the diagnostic conditions the
+    # UNIT-NORMALIZED twin system (center + scale ground coords to a unit
+    # box): its cond reflects only intrinsic geometry — well-separated
+    # grids measure ~1e2-1e4, (near-)coincident or (near-)collinear sets
+    # blow past 1e12. The actual solve below is unchanged (bit-stability
+    # contract of the distributed per-product solve).
+    span = ground_xy.max(axis=0) - ground_xy.min(axis=0)
+    scale = float(max(span.max(), 1e-300))
+    nxy = (ground_xy - ground_xy.min(axis=0)) / scale
+    nd = nxy[:, None, :] - nxy[None, :, :]
+    nr2 = (nd * nd).sum(-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        nk = np.where(nr2 > 0.0, nr2 * np.log(np.where(nr2 > 0.0, nr2, 1.0)), 0.0)
+    na = np.zeros((n + 3, n + 3))
+    na[:n, :n] = nk
+    na[:n, n:] = np.hstack([np.ones((n, 1)), nxy])
+    na[n:, :n] = na[:n, n:].T
+    cond = float(np.linalg.cond(na))
+    if not np.isfinite(cond) or cond > 1e12:
+        raise ValueError(
+            f"TPS solve: ill-conditioned system (normalized cond="
+            f"{cond:.3e} > 1e12, n={n}) — GCP ground positions are "
+            "(near-)coincident or (near-)collinear; thin the GCP grid or "
+            "fix the geolocation"
+        )
     sol = np.linalg.solve(a, b)
     return sol[:n], sol[n:]
 
@@ -1024,7 +1054,38 @@ def warp_gcp_tps(
     source PIXEL coordinate it interpolates to. ``geo``: target grid
     (dg0..dg5, dst_rows, dst_cols) as in warp_gcp_grid."""
     gcols = [F.col(c) for c in group_cols]
-    key_schema = ", ".join(f"{c} {px.schema[c].dataType.simpleString()}" for c in group_cols)
+    coef = tps_coefficients(gcps, group_cols)
+    stubs = geo.select(
+        *gcols, "dg0", "dg1", "dg2", "dg3", "dg4", "dg5", "dst_cols",
+        F.explode(F.sequence(F.lit(0), F.col("dst_rows") - 1)).alias("row"),
+    ).repartition(_canvas_partitions(geo), *group_cols, "row")
+    cells = stubs.select(
+        *gcols, "row",
+        F.explode(F.sequence(F.lit(0), F.col("dst_cols") - 1)).alias("col"),
+        (F.col("dg0") + (F.col("col") + 0.5) * F.col("dg1") + (F.col("row") + 0.5) * F.col("dg2")).alias("x"),
+        (F.col("dg3") + (F.col("col") + 0.5) * F.col("dg4") + (F.col("row") + 0.5) * F.col("dg5")).alias("y"),
+    )
+    # one coefficient row per product — GCP-grid-sized arrays, broadcastable
+    # at any product size (the tiles_b class of relation)
+    j = cells.join(F.broadcast(coef), group_cols)
+    cs, rs = tps_spline_cols(snap=snap)
+    coords = j.select(*gcols, "row", "col", cs.alias("cs"), rs.alias("rs"))
+    return resample_gather(coords, px, group_cols, value, alg=alg)
+
+
+def tps_coefficients(gcps: DataFrame, group_cols: list[str]) -> DataFrame:
+    """The distributed TPS solve shared by :func:`warp_gcp_tps` and
+    :func:`tps_gcp_residuals` (r9 factor-out — ONE applyInPandas task per
+    product, the driver never sees a GCP row): solves the (n+3)^2 system
+    per group over GCPs pinned to the deterministic (gy, gx) mergesort
+    order and returns ONE coefficient row per group
+    (xs/ys/wc/wr arrays + the six affine terms)."""
+    # key types must come from the relation actually grouped (gcps) — if a
+    # group column is e.g. int in px but bigint in gcps, a px-derived
+    # schema would narrow the Arrow key conversion
+    key_schema = ", ".join(
+        f"{c} {gcps.schema[c].dataType.simpleString()}" for c in group_cols
+    )
     coef_schema = (
         f"{key_schema}, xs array<double>, ys array<double>, "
         "wc array<double>, wr array<double>, "
@@ -1058,45 +1119,69 @@ def warp_gcp_tps(
 
     # one Arrow task per product: the (n+3)^2 solve runs on executors, the
     # driver never sees a GCP row (r7's collect+loop grew with product count)
-    coef = (
+    return (
         gcps.select(*group_cols, "gx", "gy", "scol", "srow")
         .groupBy(*group_cols)
         .applyInPandas(_solve_group, schema=coef_schema)
     )
-    stubs = geo.select(
-        *gcols, "dg0", "dg1", "dg2", "dg3", "dg4", "dg5", "dst_cols",
-        F.explode(F.sequence(F.lit(0), F.col("dst_rows") - 1)).alias("row"),
-    ).repartition(_canvas_partitions(geo), *group_cols, "row")
-    cells = stubs.select(
-        *gcols, "row",
-        F.explode(F.sequence(F.lit(0), F.col("dst_cols") - 1)).alias("col"),
-        (F.col("dg0") + (F.col("col") + 0.5) * F.col("dg1") + (F.col("row") + 0.5) * F.col("dg2")).alias("x"),
-        (F.col("dg3") + (F.col("col") + 0.5) * F.col("dg4") + (F.col("row") + 0.5) * F.col("dg5")).alias("y"),
-    )
-    # one coefficient row per product — GCP-grid-sized arrays, broadcastable
-    # at any product size (the tiles_b class of relation)
-    j = cells.join(F.broadcast(coef), group_cols)
+
+
+def tps_spline_cols(
+    snap: float | None = None, x: str = "x", y: str = "y"
+) -> tuple[F.Column, F.Column]:
+    """(cs, rs) spline-evaluation column pair over a frame that joins the
+    :func:`tps_coefficients` row onto per-point ``x``/``y`` columns —
+    affine part + F.aggregate fold over the zipped coefficient arrays
+    (fold order = array order, so an oracle twin can reproduce the sum
+    bit-for-bit as a left-associated unrolled chain)."""
 
     def bend(wcol: str) -> F.Column:
         # fold order = array order; each term references x/y once. U(0) = 0
         # handles the cell-exactly-on-a-GCP case without LN(0).
         def term(acc, t):
-            r2 = (F.col("x") - t["xs"]) * (F.col("x") - t["xs"]) + (
-                F.col("y") - t["ys"]
-            ) * (F.col("y") - t["ys"])
+            r2 = (F.col(x) - t["xs"]) * (F.col(x) - t["xs"]) + (
+                F.col(y) - t["ys"]
+            ) * (F.col(y) - t["ys"])
             return acc + t[wcol] * F.when(r2 > 0.0, r2 * F.log(r2)).otherwise(0.0)
 
         return F.aggregate(
             F.arrays_zip("xs", "ys", F.col(wcol).alias(wcol)), F.lit(0.0), term
         )
 
-    cs = F.col("a0c") + F.col("a1c") * F.col("x") + F.col("a2c") * F.col("y") + bend("wc")
-    rs = F.col("a0r") + F.col("a1r") * F.col("x") + F.col("a2r") * F.col("y") + bend("wr")
+    cs = F.col("a0c") + F.col("a1c") * F.col(x) + F.col("a2c") * F.col(y) + bend("wc")
+    rs = F.col("a0r") + F.col("a1r") * F.col(x) + F.col("a2r") * F.col(y) + bend("wr")
     if snap is not None:
         cs = F.floor(cs * snap + F.lit(0.5)) / snap
         rs = F.floor(rs * snap + F.lit(0.5)) / snap
-    coords = j.select(*gcols, "row", "col", cs.alias("cs"), rs.alias("rs"))
-    return resample_gather(coords, px, group_cols, value, alg=alg)
+    return cs, rs
+
+
+def tps_gcp_residuals(gcps: DataFrame, group_cols: list[str]) -> DataFrame:
+    """r9 TPS determinism certificate: evaluate the PRODUCTION spline
+    (distributed :func:`tps_coefficients` solve + the same
+    :func:`tps_spline_cols` fold the warp applies per cell) back at the
+    GCPs themselves and emit per-GCP residuals against the interpolation
+    targets. TPS interpolates exactly, so both residual columns are ~1e-9
+    (solver round-off) — a certificate run hashes them at the 1e-6 grain
+    as hard zeros, pinning (a) the (gy, gx)-mergesort solve order, (b) the
+    coefficient broadcast, and (c) the fold evaluation order forever: any
+    nondeterminism or refactor drift in the distributed solve shows up as
+    a nonzero residual before it can corrupt a warp.
+
+    Input ``gcps``: (group..., gx, gy, scol, srow) exactly as
+    :func:`warp_gcp_tps` takes. Output: every input column plus
+    ``pred_c``/``pred_r`` (unsnapped spline evaluation) and
+    ``res_c``/``res_r`` (pred - target)."""
+    coef = tps_coefficients(gcps, group_cols)
+    j = gcps.join(F.broadcast(coef), group_cols)
+    cs, rs = tps_spline_cols(snap=None, x="gx", y="gy")
+    return j.select(
+        *[F.col(c) for c in gcps.columns],
+        cs.alias("pred_c"),
+        rs.alias("pred_r"),
+        (cs - F.col("scol")).alias("res_c"),
+        (rs - F.col("srow")).alias("res_r"),
+    )
 
 
 def sql_resample_gather(

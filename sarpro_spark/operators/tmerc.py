@@ -1020,7 +1020,11 @@ def _geocentric_to_geodetic_np(a, f, x, y, z, iters=5):
 def _helmert_np(c, x, y, z, inverse=False):
     t = np.asarray(c["t"])
     m = np.asarray(c["mi"] if inverse else c["m"])
-    v = np.stack([np.asarray(x), np.asarray(y), np.asarray(z)])
+    # atleast_1d: scalar inputs would make v 1-D and t[:, None] + m @ v
+    # broadcast to a wrong (3, 3) instead of a (3,) point
+    v = np.stack(
+        [np.atleast_1d(np.asarray(a, dtype=np.float64)) for a in (x, y, z)]
+    )
     if inverse:
         out = m @ (v - t[:, None])
     else:

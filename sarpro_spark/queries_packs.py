@@ -417,6 +417,8 @@ register_pack(
     (
         Member("warp_gcp_grid", ("product_id", "row", "col")),
         Member("warp_gcp_tps", ("product_id", "row", "col")),
+        Member("warp_params_tps", ("product_id", "row", "col")),
+        Member("tps_gcp_residuals", ("product_id", "scol_i", "srow_i")),
     ),
     doc="Union certificate: both G5 GCP-warp interpolants — the exact "
     "piecewise-bilinear GCP grid (warp_gcp_grid) and the true thin-plate-"
@@ -425,7 +427,12 @@ register_pack(
     "solve per product (r8: ONE applyInPandas task per product, no driver "
     "collect), ONE broadcast coefficient row, column-expression bend fold, "
     "shared bilinear gather. Every warped cell of both rasters in one "
-    "driver hash row.",
+    "driver hash row. r9 adds the params-routed chain "
+    "(warp_params_tps: from_dict -> warp_route -> gcp_warp dispatch must "
+    "hash bit-identically to the direct operator) and the per-GCP residual "
+    "certificate (tps_gcp_residuals: the fitted spline is exactly 0 at its "
+    "GCPs through the production solve+fold — the distributed solve's "
+    "standing determinism guard).",
     tags=("raster", "warp", "pack"),
 )
 

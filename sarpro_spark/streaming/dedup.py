@@ -138,6 +138,12 @@ MATCH_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("matched_id", LongType()),
         StructField("est_sim", DoubleType()),
+        # r9 (ADVICE r8): the batch-twin equivalence certificate only holds
+        # for UNCAPPED buckets (a capped bucket keeps whichever docs arrived
+        # first — order-dependent by construction). Surfacing the bucket's
+        # capped status on every emitted row lets certificate runs assert
+        # no bucket was capped instead of assuming it.
+        StructField("capped", BooleanType()),
     ]
 )
 
@@ -159,7 +165,7 @@ def _make_update(num_hashes: int, threshold: float, bucket_cap: int):
             return
         ids, flat, capped = state.get if state.exists else ([], [], False)
         ids, flat = list(ids), list(flat)
-        out_doc, out_match, out_sim = [], [], []
+        out_doc, out_match, out_sim, out_capped = [], [], [], []
         batch = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
         for _, row in batch.iterrows():
             sig = [int(v) for v in row["sig"]]
@@ -178,6 +184,10 @@ def _make_update(num_hashes: int, threshold: float, bucket_cap: int):
                     out_doc.append(max(did, prev_id))
                     out_match.append(min(did, prev_id))
                     out_sim.append(est)
+                    # bucket's capped status AS OF this emission (r9): a
+                    # True here taints the batch-twin equivalence for this
+                    # bucket, a run with all-False rows certifies it
+                    out_capped.append(capped)
             if len(ids) < bucket_cap:
                 ids.append(did)
                 flat.extend(sig)
@@ -191,6 +201,7 @@ def _make_update(num_hashes: int, threshold: float, bucket_cap: int):
                 "doc_id": pd.array(out_doc, dtype="int64"),
                 "matched_id": pd.array(out_match, dtype="int64"),
                 "est_sim": pd.array(out_sim, dtype="float64"),
+                "capped": pd.array(out_capped, dtype="boolean"),
             }
         )
 
@@ -256,7 +267,12 @@ def streaming_neardup_batch(
     return (
         a.join(b, ["band", "bucket"])
         .where(F.col("matched_id") < F.col("doc_id"))
-        .select("band", "bucket", "doc_id", "matched_id", est.alias("est_sim"))
+        .select(
+            "band", "bucket", "doc_id", "matched_id", est.alias("est_sim"),
+            # the twin is uncapped by definition; the stream emits the same
+            # False on every row when no bucket hits bucket_cap (r9)
+            F.lit(False).alias("capped"),
+        )
         .where(F.col("est_sim") >= threshold)
     )
 

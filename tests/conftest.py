@@ -23,3 +23,13 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+@pytest.fixture()
+def nanos_conf_reset(spark):
+    """r9 (ADVICE r8): tests that flip spark.sql.legacy.parquet.nanosAsLong
+    mid-test (streaming file sources need 'false'; frames.load_table sets
+    'true' for the events table's TIMESTAMP(NANOS)) must not leak the flip
+    into later tests — unset back to the Spark default at teardown."""
+    yield
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

@@ -466,13 +466,19 @@ def test_warp_route_crs_matrix():
     assert warp_route(None, "EPSG:3857", True, gcp_crs="EPSG:4326") == "gcp_webmerc"
     assert crs_projection_support("EPSG:2154") == "lcc"
     assert warp_route(None, "EPSG:2154", True, gcp_crs="EPSG:4326") == "gcp_lcc"
-    # geographic GCPs + unsupported target must FAIL, not route 'gcp'
+    # r8: EPSG:27700 routes through the Helmert datum shift, not a failure
+    assert crs_projection_support("EPSG:27700") == "osgb"
+    assert warp_route(None, "EPSG:27700", True, gcp_crs="EPSG:4326") == "gcp_osgb"
+    # geographic GCPs + unsupported target must FAIL, not route 'gcp'.
+    # EPSG:28355 (AGD66 / AMG zone 55) is the standing loud-failure
+    # example: its datum shift needs a distortion GRID (no single national
+    # Helmert), so the in-engine families cannot cover it.
     import pytest as _pt
 
     with _pt.raises(ValueError, match="unsupported target CRS"):
-        warp_route(None, "EPSG:27700", True, gcp_crs="EPSG:4326")
+        warp_route(None, "EPSG:28355", True, gcp_crs="EPSG:4326")
     # ground-unit GCPs still route 'gcp' for any target
-    assert warp_route(None, "EPSG:27700", True, gcp_crs=None) == "gcp"
+    assert warp_route(None, "EPSG:28355", True, gcp_crs=None) == "gcp"
 
 
 def test_resample_kernel_param_consumed():
@@ -557,8 +563,19 @@ def test_project_gcps_utm_and_ups(spark):
     ce, cn = tmx.lcc_forward_np(5.0, 47.0)
     assert (lcc_row["gx"], lcc_row["gy"]) == pytest.approx((float(ce), float(cn)), abs=1e-6)
 
+    # r8: EPSG:27700 projects through the Helmert chain; the loud-failure
+    # example is now EPSG:28355 (AGD66 needs a grid shift, not a Helmert)
+    osgb_row = project_gcps(
+        spark.createDataFrame(
+            [("p", 0, 0, -1.0, 52.0)], "g string, gi int, gj int, lon double, lat double"
+        ),
+        "EPSG:27700",
+    ).collect()[0]
+    oe, on = tmx.osgb_forward_np([-1.0], [52.0])
+    assert (osgb_row["gx"], osgb_row["gy"]) == pytest.approx((float(oe[0]), float(on[0])), abs=1e-6)
+
     with pytest.raises(ValueError, match="unsupported target CRS"):
-        project_gcps(gcps, "EPSG:27700")
+        project_gcps(gcps, "EPSG:28355")
 
 
 def test_laea_epsg_worked_example():
@@ -912,6 +929,19 @@ def test_tps_solver_degenerate_gcps():
             [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0)],
             [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (3.0, 0.0)],
         )
+    # r9 (ADVICE r8): NEAR-coincident ground positions pass the exact-zero
+    # duplicate test but condition the normalized system past 1e12 — must
+    # raise, not silently solve into garbage warp coordinates
+    with pytest.raises(ValueError, match="ill-conditioned"):
+        tps_solve_np(
+            [(0.0, 0.0), (1e-12, 0.0), (1.0, 0.0), (0.0, 1.0)],
+            [(0.0, 0.0), (5.0, 5.0), (1.0, 0.0), (0.0, 1.0)],
+        )
+    # ...while unit-dominated raw conditioning (UTM-meter grid, raw cond
+    # ~1e24) still solves: the guard reads intrinsic geometry, not units
+    g = [(500000.0 + x * 20000.0, 5500000.0 + y * 20000.0) for x in range(5) for y in range(5)]
+    w, aff = tps_solve_np(g, [(float(i % 7), float(i % 5)) for i in range(len(g))])
+    assert len(w) == len(g)
 
 
 def test_warp_gcp_tps_degenerate_named(spark):

@@ -153,7 +153,7 @@ def test_sessionize_batch_equals_streaming(spark, sf_dir, tmp_path):
     assert len(got) > 0
 
 
-def test_attribution_join_stream_equals_batch(spark, sf_dir, tmp_path):
+def test_attribution_join_stream_equals_batch(spark, sf_dir, tmp_path, nanos_conf_reset):
     """Watermarked stream-stream interval join drained over the bounded file
     source must equal the batch range join."""
     from sarpro_spark.streaming.events import stream_events_from_parquet
@@ -186,7 +186,7 @@ def test_attribution_join_stream_equals_batch(spark, sf_dir, tmp_path):
     assert len(got) > 0
 
 
-def test_streaming_dedup_first_wins(spark, tmp_path):
+def test_streaming_dedup_first_wins(spark, tmp_path, nanos_conf_reset):
     """dropDuplicatesWithinWatermark: duplicated event ids collapse to one
     row per id; batch twin agrees on the surviving id set."""
     import datetime as dt
@@ -313,7 +313,7 @@ def test_exactly_once_sink(spark, sf_dir, tmp_path):
     assert read_committed(spark, out).count() == n_src + 10
 
 
-def test_streaming_neardup_equals_batch_twin(spark, sf_dir, tmp_path):
+def test_streaming_neardup_equals_batch_twin(spark, sf_dir, tmp_path, nanos_conf_reset):
     """The r7 streaming incremental near-dup: documents streamed in four
     doc_id-ordered micro-batches through the stateful (band, bucket)
     operator emit EXACTLY the match rows of the pairwise batch twin — the
@@ -327,7 +327,7 @@ def test_streaming_neardup_equals_batch_twin(spark, sf_dir, tmp_path):
 
     docs = frames.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     expected = {
-        (r["band"], r["doc_id"], r["matched_id"], r["est_sim"])
+        (r["band"], r["doc_id"], r["matched_id"], r["est_sim"], r["capped"])
         for r in sdd.streaming_neardup_batch(docs).collect()
     }
     assert expected, "fixture must contain near-dup pairs"
@@ -371,13 +371,13 @@ def test_streaming_neardup_equals_batch_twin(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(300)
     got = {
-        (r["band"], r["doc_id"], r["matched_id"], r["est_sim"])
+        (r["band"], r["doc_id"], r["matched_id"], r["est_sim"], r["capped"])
         for r in spark.sql("SELECT * FROM neardup_stream").collect()
     }
     assert got == expected
 
 
-def test_streaming_neardup_out_of_order_arrival(spark, sf_dir, tmp_path):
+def test_streaming_neardup_out_of_order_arrival(spark, sf_dir, tmp_path, nanos_conf_reset):
     """r8 (ADVICE r7): micro-batches arriving in REVERSED doc_id order must
     still drain to exactly the batch-twin row set — emission is oriented
     (doc_id=max, matched_id=min) independent of which side arrived first,
@@ -389,7 +389,7 @@ def test_streaming_neardup_out_of_order_arrival(spark, sf_dir, tmp_path):
 
     docs = frames.load_table(spark, sf_dir, "documents").select("doc_id", "text")
     expected = {
-        (r["band"], r["doc_id"], r["matched_id"], r["est_sim"])
+        (r["band"], r["doc_id"], r["matched_id"], r["est_sim"], r["capped"])
         for r in sdd.streaming_neardup_batch(docs).collect()
     }
     assert expected, "fixture must contain near-dup pairs"
@@ -434,13 +434,49 @@ def test_streaming_neardup_out_of_order_arrival(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(300)
     got = {
-        (r["band"], r["doc_id"], r["matched_id"], r["est_sim"])
+        (r["band"], r["doc_id"], r["matched_id"], r["est_sim"], r["capped"])
         for r in spark.sql("SELECT * FROM neardup_stream_rev").collect()
     }
     assert got == expected
 
 
-def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp_path):
+def test_streaming_neardup_capped_flag(spark, tmp_path, nanos_conf_reset):
+    """r9 (ADVICE r8): once a bucket hits bucket_cap, its later emissions
+    carry capped=True — so a certificate run can ASSERT no bucket was
+    capped (all rows False, as the two equivalence tests above now do)
+    instead of assuming it. Four identical docs, cap 2: doc 4's matches
+    (against the two retained signatures) are stamped True; matches
+    emitted before the cap was hit stay False."""
+    from sarpro_spark.streaming import dedup as sdd
+
+    text = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(
+        [(i, text) for i in (1, 2, 3, 4)], "doc_id long, text string"
+    )
+    p = str(tmp_path / "capped_docs")
+    docs.coalesce(1).write.parquet(p)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    stream = spark.readStream.schema(docs.schema).parquet(p)
+    q = (
+        sdd.streaming_neardup(stream, bucket_cap=2)
+        .writeStream.format("memory")
+        .queryName("neardup_capped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM neardup_capped").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["capped"])
+    # docs 2 and 3 matched while the bucket was still filling; doc 3's
+    # append is what capped it, so doc 4's emissions are flagged
+    assert by_doc[2] == {False} and by_doc[3] == {False}
+    assert by_doc[4] == {True}
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp_path, nanos_conf_reset):
     """enrich_events_stream: the event stream joined to a static user
     dimension produces exactly the batch join, and unmatched events
     survive with null attributes (left join)."""

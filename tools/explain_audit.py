@@ -259,6 +259,23 @@ AUDITS: dict[str, dict] = {
                     "FlatMapGroupsInPandas"],
         "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     },
+    "warp_params_tps": {
+        # r9: the params-routed chain (from_dict -> warp_route -> gcp_warp)
+        # must land in the IDENTICAL plan shape as the direct operator —
+        # same distributed solve, same broadcast, same pinned canvas
+        # exchange; a missing FlatMapGroupsInPandas means the dispatch
+        # layer re-grew a driver-side solve
+        "require": ["BroadcastHashJoin", "Generate", "REPARTITION_BY_NUM",
+                    "FlatMapGroupsInPandas"],
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "tps_gcp_residuals": {
+        # the residual certificate runs the production solve (grouped
+        # applyInPandas REQUIRED) + broadcast + fold at GCP grain; no
+        # canvas, so no Generate/repartition requirement
+        "require": ["BroadcastHashJoin", "FlatMapGroupsInPandas"],
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
     "laea_roundtrip_points": {
         # ellipsoidal LAEA forward+inverse is pure column arithmetic: one
         # codegen span over the exploded point grid, no UDF, no join
@@ -270,6 +287,15 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     },
     "lcc_roundtrip_points": {
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "osgb_roundtrip_points": {
+        # r9: the four-chain datum route (WGS84 geocentric -> Helmert ->
+        # Airy geodetic -> National Grid TM, forward+inverse) must stay
+        # pure codegen column arithmetic like the other projection
+        # families — a UDF or join sneaking in means the datum shift
+        # regressed off the JVM hot path
         "require": [], "codegen": True,
         "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     },
