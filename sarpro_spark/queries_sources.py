@@ -214,7 +214,9 @@ SELECT * FROM (VALUES
   (13, 'single', 'vv', TRUE, 'gcp_webmerc', 'bilinear'),
   (14, 'single', 'vv', TRUE, 'gcp_lcc', 'bilinear'),
   (15, 'single', 'vv', TRUE, 'gcp_osgb', 'bilinear'),
-  (16, 'single', 'vv', TRUE, 'error:unsupported_crs', 'bilinear')
+  (16, 'single', 'vv', TRUE, 'error:unsupported_crs', 'bilinear'),
+  (17, 'single', 'vv', TRUE, 'gcp_bd72', 'bilinear'),
+  (18, 'single', 'vv', TRUE, 'gcp_albers', 'bilinear')
 ) t(case_id, route, band, needs_warp, warp_route, resample_kernel)
 """.strip()
 
@@ -300,13 +302,22 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap vs the reference's gdalwarp delegation)
     rows.append((15, route7, band7, needs_warp(None, "EPSG:27700"),
                  warp_route(None, "EPSG:27700", True, gcp_crs="EPSG:4326"), k7))
-    # the loud-failure doctrine keeps a standing example: EPSG:31370
-    # (Belgian Lambert 72) needs the BD72 datum shift, not implemented
+    # the loud-failure doctrine keeps a standing example: EPSG:28355
+    # (AGD66 / AMG zone 55) needs a distortion-GRID datum shift, which a
+    # single national Helmert cannot express (r9 — EPSG:31370 graduated to
+    # the in-engine 'gcp_bd72' route, see case 17)
     try:
-        wr16 = warp_route(None, "EPSG:31370", True, gcp_crs="EPSG:4326")
+        wr16 = warp_route(None, "EPSG:28355", True, gcp_crs="EPSG:4326")
     except ValueError:
         wr16 = "error:unsupported_crs"
-    rows.append((16, route7, band7, needs_warp(None, "EPSG:31370"), wr16, k7))
+    rows.append((16, route7, band7, needs_warp(None, "EPSG:28355"), wr16, k7))
+    # r9: EPSG:31370 Belgian Lambert 72 (second Helmert family — exact
+    # inverse of the published BD72->WGS84 set + LCC-2SP) and EPSG:5070
+    # Conus Albers (equal-area conic) join the in-engine families
+    rows.append((17, route7, band7, needs_warp(None, "EPSG:31370"),
+                 warp_route(None, "EPSG:31370", True, gcp_crs="EPSG:4326"), k7))
+    rows.append((18, route7, band7, needs_warp(None, "EPSG:5070"),
+                 warp_route(None, "EPSG:5070", True, gcp_crs="EPSG:4326"), k7))
     return spark.createDataFrame(
         rows,
         "case_id int, route string, band string, needs_warp boolean, "

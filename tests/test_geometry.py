@@ -469,6 +469,11 @@ def test_warp_route_crs_matrix():
     # r8: EPSG:27700 routes through the Helmert datum shift, not a failure
     assert crs_projection_support("EPSG:27700") == "osgb"
     assert warp_route(None, "EPSG:27700", True, gcp_crs="EPSG:4326") == "gcp_osgb"
+    # r9: EPSG:31370 (second Helmert family) and EPSG:5070 (Albers) route
+    assert crs_projection_support("EPSG:31370") == "bd72"
+    assert warp_route(None, "EPSG:31370", True, gcp_crs="EPSG:4326") == "gcp_bd72"
+    assert crs_projection_support("EPSG:5070") == "albers"
+    assert warp_route(None, "EPSG:5070", True, gcp_crs="EPSG:4326") == "gcp_albers"
     # geographic GCPs + unsupported target must FAIL, not route 'gcp'.
     # EPSG:28355 (AGD66 / AMG zone 55) is the standing loud-failure
     # example: its datum shift needs a distortion GRID (no single national
@@ -573,6 +578,25 @@ def test_project_gcps_utm_and_ups(spark):
     ).collect()[0]
     oe, on = tmx.osgb_forward_np([-1.0], [52.0])
     assert (osgb_row["gx"], osgb_row["gy"]) == pytest.approx((float(oe[0]), float(on[0])), abs=1e-6)
+
+    # r9: BD72 and Conus Albers project in-engine
+    bd_row = project_gcps(
+        spark.createDataFrame(
+            [("p", 0, 0, 4.5, 50.7)], "g string, gi int, gj int, lon double, lat double"
+        ),
+        "EPSG:31370",
+    ).collect()[0]
+    be, bn = tmx.bd72_forward_np([4.5], [50.7])
+    assert (bd_row["gx"], bd_row["gy"]) == pytest.approx((float(be[0]), float(bn[0])), abs=1e-6)
+
+    al_row = project_gcps(
+        spark.createDataFrame(
+            [("p", 0, 0, -96.0, 38.0)], "g string, gi int, gj int, lon double, lat double"
+        ),
+        "EPSG:5070",
+    ).collect()[0]
+    ae, an = tmx.albers_forward_np([-96.0], [38.0])
+    assert (al_row["gx"], al_row["gy"]) == pytest.approx((float(ae[0]), float(an[0])), abs=1e-6)
 
     with pytest.raises(ValueError, match="unsupported target CRS"):
         project_gcps(gcps, "EPSG:28355")
@@ -808,6 +832,101 @@ def test_project_gcps_osgb(spark):
     # Edinburgh-ish point lands in the right region too
     assert abs(rows[55.95]["gx"] - 325000.0) < 2000.0
     assert abs(rows[55.95]["gy"] - 673000.0) < 2000.0
+
+
+def test_bd72_constants_chain_and_steps(spark):
+    """r9 BD72 (EPSG:31370) anchors: (a) the instance constants are the
+    published EPSG/NGI values (the canonical proj4 registry entry —
+    asserted literally so a typo cannot hide behind self-consistency),
+    (b) the LCC leg's false origin is the POLE: rho0 == 0 exactly and the
+    pole projects onto (FE, FN), (c) the Helmert leg shifts a Brussels
+    point by the documented ~110 m (sign errors flip or double this),
+    (d) numpy-twin roundtrip <= 1e-7 deg over Belgium, (e) the portable
+    SQL step chain matches the numpy twin in lock-step."""
+    import numpy as np
+
+    from sarpro_spark.operators import tmerc as tmx
+
+    # (a) published parameter literals
+    assert tmx.INTL_A == 6378388.0 and tmx.INTL_F == 1.0 / 297.0
+    c = tmx.BELGIAN72
+    assert c["fe"] == 150000.013 and c["fn"] == 5400088.438
+    assert abs(c["lon0"] - 4.367486666666666) < 1e-12
+    # (b) pole-origin branch: rho0 exactly 0, pole -> (FE, FN)
+    assert c["rho0"] == 0.0
+    pe, pn = tmx.lcc_forward_np([c["lon0"]], [90.0], c)
+    assert (float(pe[0]), float(pn[0])) == pytest.approx((c["fe"], c["fn"]), abs=1e-6)
+    # (c) datum-shift magnitude at Brussels: ~108 m horizontal
+    x, y, z = tmx._geodetic_to_geocentric_np(tmx.WGS84_A, tmx.WGS84_F, [4.3525], [50.8467])
+    x2, y2, z2 = tmx._helmert_np(tmx.HELMERT_BD72_TO_WGS84, x, y, z, inverse=True)
+    blon, blat = tmx._geocentric_to_geodetic_np(tmx.INTL_A, tmx.INTL_F, x2, y2, z2)
+    import math
+
+    dm = math.hypot(
+        (blon[0] - 4.3525) * 3600 * 30.9 * math.cos(math.radians(50.8467)),
+        (blat[0] - 50.8467) * 3600 * 30.9,
+    )
+    assert 80.0 < dm < 150.0, dm
+    # ...and central Brussels lands in the right Lambert-72 box
+    be, bn = tmx.bd72_forward_np([4.3525], [50.8467])
+    assert 140000.0 < be[0] < 160000.0 and 160000.0 < bn[0] < 180000.0
+    # (d) roundtrip over the Belgium window
+    lons = np.linspace(2.5, 6.4, 9)
+    lats = np.linspace(49.5, 51.5, 9)
+    E, N = tmx.bd72_forward_np(np.repeat(lons, 9), np.tile(lats, 9))
+    lo, la = tmx.bd72_inverse_np(E, N)
+    assert float(np.abs(lo - np.repeat(lons, 9)).max()) <= 1e-7
+    assert float(np.abs(la - np.tile(lats, 9)).max()) <= 1e-7
+    # (e) SQL step chain == numpy twin
+    pts = [(float(lo_), float(la_)) for lo_ in (2.8, 4.4, 6.0) for la_ in (49.6, 50.8, 51.4)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fw = tmx.apply_steps(df, tmx.bd72_forward_steps())
+    iv = tmx.apply_steps(fw, tmx.bd72_inverse_steps())
+    for r in iv.select("lon", "lat", "bd72_easting", "bd72_northing", "bd72_lon", "bd72_lat").collect():
+        e_np, n_np = tmx.bd72_forward_np([r["lon"]], [r["lat"]])
+        assert abs(r["bd72_easting"] - float(e_np[0])) < 1e-6
+        assert abs(r["bd72_northing"] - float(n_np[0])) < 1e-6
+        assert abs(r["bd72_lon"] - r["lon"]) < 1e-7
+        assert abs(r["bd72_lat"] - r["lat"]) < 1e-7
+
+
+def test_albers_snyder_worked_example_and_steps(spark):
+    """r9 Albers anchors: the generic constants builder reproduces
+    Snyder's PUBLISHED ellipsoid worked example (Clarke 1866, standard
+    parallels 29.5/45.5, origin 23N 96W: 35N 75W -> 1885472.7 E,
+    1535925.0 N) to 0.1 m, the EPSG:5070 instance roundtrips CONUS to
+    <= 1e-7 deg, and the portable SQL step chain matches the numpy twin."""
+    import numpy as np
+
+    from sarpro_spark.operators import tmerc as tmx
+
+    clarke = tmx.albers_constants(
+        6378206.4, 1.0 - np.sqrt(1.0 - 0.00676866), 23.0, -96.0, 29.5, 45.5, 0.0, 0.0
+    )
+    x, y = tmx.albers_forward_np([-75.0], [35.0], clarke)
+    assert float(x[0]) == pytest.approx(1885472.7, abs=0.1)
+    assert float(y[0]) == pytest.approx(1535925.0, abs=0.1)
+    # inverse of the worked example recovers the input
+    lo, la = tmx.albers_inverse_np(x, y, clarke)
+    assert (float(lo[0]), float(la[0])) == pytest.approx((-75.0, 35.0), abs=1e-7)
+    # EPSG:5070 CONUS roundtrip
+    lons = np.linspace(-124.0, -74.0, 9)
+    lats = np.linspace(25.0, 49.0, 9)
+    E, N = tmx.albers_forward_np(np.repeat(lons, 9), np.tile(lats, 9))
+    lo, la = tmx.albers_inverse_np(E, N)
+    assert float(np.abs(lo - np.repeat(lons, 9)).max()) <= 1e-7
+    assert float(np.abs(la - np.tile(lats, 9)).max()) <= 1e-7
+    # SQL step chain == numpy twin
+    pts = [(float(lo_), float(la_)) for lo_ in (-120.0, -96.0, -76.0) for la_ in (26.0, 38.0, 48.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fw = tmx.apply_steps(df, tmx.albers_forward_steps())
+    iv = tmx.apply_steps(fw, tmx.albers_inverse_steps())
+    for r in iv.select("lon", "lat", "alb_easting", "alb_northing", "alb_lon", "alb_lat").collect():
+        e_np, n_np = tmx.albers_forward_np([r["lon"]], [r["lat"]])
+        assert abs(r["alb_easting"] - float(e_np[0])) < 1e-6
+        assert abs(r["alb_northing"] - float(n_np[0])) < 1e-6
+        assert abs(r["alb_lon"] - r["lon"]) < 1e-7
+        assert abs(r["alb_lat"] - r["lat"]) < 1e-7
 
 
 def test_gcp_warp_dispatch_interpolants_agree_on_affine(spark):

@@ -299,6 +299,16 @@ AUDITS: dict[str, dict] = {
         "require": [], "codegen": True,
         "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     },
+    "bd72_roundtrip_points": {
+        # r9: second Helmert family — same codegen-only contract as osgb
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "albers_roundtrip_points": {
+        # r9: equal-area conic — pure column arithmetic like laea/lcc
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
     "histogram_stats_approx": {
         # GK sketch agg -> tiny sketch broadcast back onto the scan -> one
         # rank-counting agg with map-side combine
