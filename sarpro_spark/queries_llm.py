@@ -1226,11 +1226,16 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_TAU = 0.35
+#: small enough that several of the fixture's k=8 clusters (avg ~62 members
+#: at 500 vectors) exceed it — the r9 recursive re-cluster path is EXERCISED
+#: by the certificate, not just reachable
+_SEMDEDUP_MAXC = 40
 
 
 def _semdedup_sql() -> str:
     ctes = sim.sql_semantic_dedup(
-        "embeddings", k=_KMEANS_K, iters=_KMEANS_ITERS, tau=_SEMDEDUP_TAU
+        "embeddings", k=_KMEANS_K, iters=_KMEANS_ITERS, tau=_SEMDEDUP_TAU,
+        max_cluster=_SEMDEDUP_MAXC,
     )
     return f"""
 WITH {ctes}
@@ -1244,13 +1249,20 @@ def q_dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding corpus, then inside each cluster drop every vector with a
     near-duplicate (fround'd cosine >= 0.35, the corpus's near-dup grain)
     of smaller id — keep-one-per-duplicate-group with the family's
-    lowest-id-wins rule. The pair join keys on centroid_id (never global
-    all-pairs; cluster size is bounded by choosing k ~ n/task_size, the
-    IVF contract). Oracle = the identical kmeans + assignment + pair scan
-    in SQL."""
+    lowest-id-wins rule. The pair join keys on (centroid_id, sub_id, salt)
+    — never global all-pairs: clusters above max_cluster are re-clustered
+    by ONE bounded level of grouped k-means (r9, llm/similarity.py
+    semantic_dedup — semantically-near vectors stay together when a hot
+    cluster splits, where the old md5 salt scattered duplicate groups and
+    lost their pairs), with a residual md5 salt hard-bounding anything the
+    re-cluster could not shrink. max_cluster is set BELOW the fixture's
+    mean cluster size so this certificate runs the sub-kmeans for real.
+    Oracle = the identical kmeans + assignment + unrolled sub-kmeans +
+    pair scan in SQL."""
     e = frames.load_table(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(
-        e, k=_KMEANS_K, iters=_KMEANS_ITERS, tau=_SEMDEDUP_TAU, dim=64
+        e, k=_KMEANS_K, iters=_KMEANS_ITERS, tau=_SEMDEDUP_TAU, dim=64,
+        max_cluster=_SEMDEDUP_MAXC,
     )
 
 
