@@ -1500,6 +1500,73 @@ def q_dedup_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdd.neardup_verdicts_from_matches(matches, d.select("doc_id"))
 
 
+# --- r9: stream-stream near-dup (two live streams) ---------------------------
+
+
+def _stream_stream_neardup_sql() -> str:
+    from sarpro_spark.llm.dedup import sql_minhash_ctes
+    from sarpro_spark.streaming import dedup as sdd
+
+    nh, bands = sdd.DEFAULT_NUM_HASHES, sdd.DEFAULT_BANDS
+    rpb = nh // bands
+    ctes = sql_minhash_ctes("documents", num_hashes=nh)
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, MD5("
+        + " || '|' || ".join(f"sig_{b * rpb + r}" for r in range(rpb))
+        + ") AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)" for i in range(nh)
+    )
+    return f"""
+WITH {ctes},
+banded AS (
+  {band_selects}
+),
+xpairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_bands
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY a.doc_id, b.doc_id
+),
+xagree AS (
+  SELECT p.a_id, p.b_id, p.n_bands, ({agree}) / {float(nh)!r} AS est
+  FROM xpairs p
+  JOIN sigs sa ON sa.doc_id = p.a_id
+  JOIN sigs sb ON sb.doc_id = p.b_id
+)
+SELECT a_id, b_id, n_bands, est FROM xagree WHERE est >= {sdd.DEFAULT_THRESHOLD!r}
+""".strip()
+
+
+@query("dedup_stream_stream_neardup", sql=_stream_stream_neardup_sql(), tags=("llm", "dedup", "streaming"))
+def q_dedup_stream_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 stream-STREAM near-dup, certified through its batch twin
+    (streaming/dedup.py stream_stream_neardup): near-duplicates ACROSS two
+    live document streams (e.g. a crawl stream vs an ingest stream) — the
+    last cell of the dedup temporal matrix after batch-vs-batch,
+    batch-vs-index and stream-vs-corpus. The streaming plan unions the two
+    tagged streams through the stateless signature stage into ONE
+    applyInPandasWithState keyed (band, bucket) whose state holds BOTH
+    sides' signatures; each arrival matches only the opposite side, so
+    every cross pair emits exactly once, oriented (a_id, b_id), for ANY
+    interleaving (drained == twin asserted in tests/test_streaming.py,
+    including reversed arrival). This query hashes the twin's distinct
+    cross pairs (band hit count + signature agreement) with the fixture
+    corpus split by doc_id parity into the two 'streams'."""
+    from sarpro_spark.streaming import dedup as sdd
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") % 2 == 0)
+    b = d.where(F.col("doc_id") % 2 == 1)
+    m = sdd.stream_stream_neardup_batch(a, b)
+    return m.groupBy("a_id", "b_id").agg(
+        F.count(F.lit(1)).alias("n_bands"),
+        F.max("est_sim").alias("est"),
+    )
+
+
 # --- trainable quality classifier --------------------------------------------
 
 

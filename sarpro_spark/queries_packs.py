@@ -190,14 +190,17 @@ register_pack(
         Member("dedup_simhash_pairs", ("doc_a", "doc_b")),
         Member("dedup_incremental", ("doc_id",)),
         Member("dedup_streaming_neardup", ("doc_id",)),
+        Member("dedup_stream_stream_neardup", ("a_id", "b_id")),
         Member("dedup_semantic_prune", ("vec_id",)),
         Member("corpus_leakage_safe_split", ("split",)),
     ),
     doc="Union certificate: exact dedup (+normalized), n-gram Jaccard pairs, "
     "SimHash fingerprints + banded near-dup pairs, SemDeDup-style "
-    "semantic cluster pruning, incremental "
+    "semantic cluster pruning (r9: bounded recursive re-cluster of "
+    "oversized clusters), incremental "
     "batch-vs-index dedup, the streaming incremental near-dup batch twin "
-    "(r7), and the cluster-granular leakage-safe "
+    "(r7), the stream-STREAM cross near-dup twin (r9 — the dedup temporal "
+    "matrix's last cell), and the cluster-granular leakage-safe "
     "train/val/test split — every value of each member in one driver "
     "hash row.",
     tags=("llm", "dedup", "pack"),

@@ -295,3 +295,158 @@ def neardup_verdicts_from_matches(matches: DataFrame, all_ids: DataFrame) -> Dat
             F.coalesce("n_earlier_matches", F.lit(0)).alias("n_earlier_matches"),
         )
     )
+
+
+# --- r9: stream-stream near-dup (two live streams) ---------------------------
+# Completes the dedup temporal matrix's last cell: batch-vs-batch,
+# batch-vs-index, stream-vs-corpus (above), and now STREAM-vs-STREAM —
+# e.g. a crawl stream deduped against a live ingest stream. Spark allows
+# one stateful operator per query, so the two streams are UNIONED with a
+# side tag and ONE applyInPandasWithState keyed (band, bucket) holds BOTH
+# sides' signature lists; each arriving doc matches only the OPPOSITE
+# side's accumulated state (plus opposite-side rows earlier in the same
+# micro-batch), so every cross pair emits exactly once — when its later
+# member arrives — oriented (a_id, b_id) independent of arrival order.
+
+STREAM2_MATCH_SCHEMA = StructType(
+    [
+        StructField("band", IntegerType()),
+        StructField("bucket", StringType()),
+        StructField("a_id", LongType()),
+        StructField("b_id", LongType()),
+        StructField("est_sim", DoubleType()),
+        StructField("capped", BooleanType()),
+    ]
+)
+
+_STATE2_SCHEMA = StructType(
+    [
+        StructField("a_ids", ArrayType(LongType())),
+        StructField("a_sigs", ArrayType(LongType())),  # flattened
+        StructField("b_ids", ArrayType(LongType())),
+        StructField("b_sigs", ArrayType(LongType())),
+        StructField("capped", BooleanType()),
+    ]
+)
+
+
+def _make_update2(num_hashes: int, threshold: float, bucket_cap: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - eviction policy hook
+            state.remove()
+            return
+        a_ids, a_flat, b_ids, b_flat, capped = (
+            state.get if state.exists else ([], [], [], [], False)
+        )
+        a_ids, a_flat = list(a_ids), list(a_flat)
+        b_ids, b_flat = list(b_ids), list(b_flat)
+        sides = {"a": (a_ids, a_flat), "b": (b_ids, b_flat)}
+        out_a, out_b, out_sim, out_capped = [], [], [], []
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        for _, row in batch.iterrows():
+            sig = [int(v) for v in row["sig"]]
+            did = int(row["doc_id"])
+            side = str(row["side"])
+            other_ids, other_flat = sides["b" if side == "a" else "a"]
+            for j, prev_id in enumerate(other_ids):
+                prev = other_flat[j * num_hashes : (j + 1) * num_hashes]
+                agree = sum(1 for x, y in zip(sig, prev) if x == y)
+                est = agree / float(num_hashes)
+                if est >= threshold:
+                    # fixed (a_id, b_id) orientation: the pair's identity,
+                    # not its arrival order (same doctrine as the r8
+                    # single-stream max/min orientation)
+                    out_a.append(did if side == "a" else prev_id)
+                    out_b.append(prev_id if side == "a" else did)
+                    out_sim.append(est)
+                    out_capped.append(capped)
+            own_ids, own_flat = sides[side]
+            if len(own_ids) < bucket_cap:
+                own_ids.append(did)
+                own_flat.extend(sig)
+            else:
+                capped = True
+        state.update((a_ids, a_flat, b_ids, b_flat, capped))
+        yield pd.DataFrame(
+            {
+                "band": pd.array([key[0]] * len(out_a), dtype="int32"),
+                "bucket": [key[1]] * len(out_a),
+                "a_id": pd.array(out_a, dtype="int64"),
+                "b_id": pd.array(out_b, dtype="int64"),
+                "est_sim": pd.array(out_sim, dtype="float64"),
+                "capped": pd.array(out_capped, dtype="boolean"),
+            }
+        )
+
+    return update
+
+
+def stream_stream_neardup(
+    a_docs: DataFrame,
+    b_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = DEFAULT_THRESHOLD,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup matches ACROSS two document streams: one row per
+    (band, cross-pair) hit, oriented (a_id, b_id) for any arrival order —
+    an uncapped drained run emits exactly
+    :func:`stream_stream_neardup_batch`'s row set. Both inputs may be
+    streaming (the union carries a side tag through the stateless
+    signature stage into the single stateful operator)."""
+    tagged = None
+    for side, docs in (("a", a_docs), ("b", b_docs)):
+        sb = doc_sig_bands(docs, id_col, text_col, n, num_hashes, bands)
+        if id_col != "doc_id":
+            sb = sb.withColumnRenamed(id_col, "doc_id")
+        part = sb.select("band", "bucket", "doc_id", "sig", F.lit(side).alias("side"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    return tagged.groupBy("band", "bucket").applyInPandasWithState(
+        _make_update2(num_hashes, threshold, bucket_cap),
+        outputStructType=STREAM2_MATCH_SCHEMA,
+        stateStructType=_STATE2_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_stream_neardup_batch(
+    a_docs: DataFrame,
+    b_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Batch twin: every cross pair (a_id, b_id) sharing a band bucket with
+    signature agreement >= threshold — the rows an uncapped drained
+    two-stream run emits for ANY interleaving of the two arrivals."""
+    a = doc_sig_bands(a_docs, id_col, text_col, n, num_hashes, bands).select(
+        "band", "bucket", F.col(id_col).alias("a_id"), F.col("sig").alias("sig_a")
+    )
+    b = doc_sig_bands(b_docs, id_col, text_col, n, num_hashes, bands).select(
+        "band", "bucket", F.col(id_col).alias("b_id"), F.col("sig").alias("sig_b")
+    )
+    agree = None
+    for i in range(num_hashes):
+        term = F.when(
+            F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1), 1
+        ).otherwise(0)
+        agree = term if agree is None else agree + term
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        a.join(b, ["band", "bucket"])
+        .select(
+            "band", "bucket", "a_id", "b_id", est.alias("est_sim"),
+            F.lit(False).alias("capped"),
+        )
+        .where(F.col("est_sim") >= threshold)
+    )

@@ -476,6 +476,82 @@ def test_streaming_neardup_capped_flag(spark, tmp_path, nanos_conf_reset):
     assert by_doc[4] == {True}
 
 
+def test_stream_stream_neardup_equals_batch_twin(spark, sf_dir, tmp_path, nanos_conf_reset):
+    """r9 stream-STREAM near-dup: two live file-source streams (corpus
+    split by doc_id parity), arrivals deliberately CROSSED — the a-side
+    files carry older mtimes in ascending id order while the b-side files
+    arrive in REVERSED id order — must drain to exactly the batch twin's
+    cross-pair row set with every capped flag False. Pairs are oriented
+    (a_id, b_id) and emitted once, when the later member arrives,
+    whichever side that is."""
+    import os
+    import time
+
+    from sarpro_spark.streaming import dedup as sdd
+
+    docs = frames.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    expected = {
+        (r["band"], r["a_id"], r["b_id"], r["est_sim"], r["capped"])
+        for r in sdd.stream_stream_neardup_batch(a, b).collect()
+    }
+    assert expected, "fixture must contain cross-side near-dup pairs"
+
+    t0 = time.time() - 200
+
+    def stage_side(df, name, reverse):
+        ids = sorted(r["doc_id"] for r in df.select("doc_id").collect())
+        cuts = [ids[len(ids) // 2]]
+        stage = tmp_path / name
+        stage.mkdir()
+        parts = []
+        lo = None
+        for hi in [*cuts, None]:
+            part = df
+            if lo is not None:
+                part = part.where(F.col("doc_id") >= lo)
+            if hi is not None:
+                part = part.where(F.col("doc_id") < hi)
+            parts.append(part)
+            lo = hi
+        seq = list(reversed(parts)) if reverse else parts
+        for i, part in enumerate(seq):
+            pdir = stage / f"part{i}"
+            part.coalesce(1).write.parquet(str(pdir))
+            for root, _dirs, files in os.walk(pdir):
+                for fn in files:
+                    os.utime(os.path.join(root, fn), (t0 + i * 20, t0 + i * 20))
+        return stage
+
+    a_dir = stage_side(a, "ss_a", reverse=False)
+    b_dir = stage_side(b, "ss_b", reverse=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+
+    def mk(dirpath):
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(dirpath))
+        )
+
+    q = (
+        sdd.stream_stream_neardup(mk(a_dir), mk(b_dir))
+        .writeStream.format("memory")
+        .queryName("ss_neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["band"], r["a_id"], r["b_id"], r["est_sim"], r["capped"])
+        for r in spark.sql("SELECT * FROM ss_neardup").collect()
+    }
+    assert got == expected
+
+
 def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp_path, nanos_conf_reset):
     """enrich_events_stream: the event stream joined to a static user
     dimension produces exactly the batch join, and unmatched events

@@ -542,6 +542,14 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
         "schema_excludes": ["c_name", "c_mktsegment", "o_orderdate", "o_totalprice"],
     },
+    "dedup_stream_stream_neardup": {
+        # r9 cross-stream twin: the cross-pair join must key on the LSH
+        # (band, bucket) — a CartesianProduct here is the all-pairs scan
+        # the banding exists to prevent; signatures are pure column
+        # expressions, no Python in the plan
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
     "dedup_semantic_prune": {
         # SemDeDup composition: broadcast-centroid assignment (k rows), then
         # the within-cluster pair join MUST key on centroid_id — a global
