@@ -117,7 +117,10 @@ def band_keys_udf(bands: int, band_bits: int, dim: int, seed: int = DEFAULT_SEED
     Key layout: (band_index << band_bits) | r-bit signature, so a single
     exploded column joins across all bands without collisions. ``probe=1``
     additionally emits every Hamming-1 flip of each band key (query-side
-    multi-probe: bands * (1 + band_bits) keys per vector).
+    multi-probe: bands * (1 + band_bits) keys per vector); ``probe=2``
+    (r9) extends to the full Hamming-2 ball (+ bands * C(band_bits, 2)
+    pair flips — candidate recall rises with the ball radius, work stays
+    query-side only).
     """
     H = hyperplanes(bands * band_bits, dim, seed)  # (planes, dim) int64
     weights = (np.arange(band_bits, dtype=np.int64)[None, :])  # bit positions
@@ -131,9 +134,16 @@ def band_keys_udf(bands: int, band_bits: int, dim: int, seed: int = DEFAULT_SEED
         for b in range(bands):
             seg = bits[:, b * band_bits:(b + 1) * band_bits]
             out[:, b] = (seg << weights).sum(axis=1) | (b << band_bits)
-        if probe:
-            flips = [out ^ (1 << j) for j in range(band_bits)]
-            out = np.concatenate([out, *flips], axis=1)
+        cols = [out]
+        if probe >= 1:
+            cols += [out ^ (1 << j) for j in range(band_bits)]
+        if probe >= 2:
+            cols += [
+                out ^ ((1 << i) | (1 << j))
+                for i in range(band_bits)
+                for j in range(i + 1, band_bits)
+            ]
+        out = np.concatenate(cols, axis=1) if len(cols) > 1 else out
         return pd.Series(list(out))
 
     return keys
@@ -503,12 +513,21 @@ def sql_band_key_ctes(
         )
         src = f"{p}keysc"
     if probe:
+        h2 = ""
+        if probe >= 2:
+            h2 = f"""
+  UNION ALL
+  SELECT {id_col}, xor(bkey, (CAST(1 AS BIGINT) << i.i) | (CAST(1 AS BIGINT) << j.j)) AS bkey
+  FROM {src},
+       LATERAL (SELECT UNNEST(RANGE(0, {band_bits})) AS i) i,
+       LATERAL (SELECT UNNEST(RANGE(0, {band_bits})) AS j) j
+  WHERE i.i < j.j"""
         parts.append(
             f"""{p}keys AS (
   SELECT {id_col}, bkey FROM {src}
   UNION ALL
   SELECT {id_col}, xor(bkey, CAST(1 AS BIGINT) << j.j) AS bkey
-  FROM {src}, LATERAL (SELECT UNNEST(RANGE(0, {band_bits})) AS j) j
+  FROM {src}, LATERAL (SELECT UNNEST(RANGE(0, {band_bits})) AS j) j{h2}
 )"""
         )
     else:

@@ -290,12 +290,16 @@ register_pack(
         Member("embedding_pca", ("component", "pos")),
         Member("embedding_pca_project", ("vec_id",)),
         Member("ann_recall_at_k", ("query_id",)),
+        Member("ann_recall_multiprobe", ("query_id",)),
     ),
     doc="Union certificate: ANN top-k via brute force, banded-hyperplane "
     "LSH, IVF inverted lists, int8-quantized scan, the int8 quantization "
     "codes themselves, lexical tf-idf top-k + top-terms, the PCA fit "
-    "+ projection, and the per-query recall@5 of IVF/LSH against the "
-    "exact ground truth (r7 — index quality as data).",
+    "+ projection, the per-query recall@5 of IVF/LSH against the "
+    "exact ground truth (r7 — index quality as data), and the r9 recall "
+    "SWEEP (LSH probe 0 vs Hamming-1, IVF nprobe 1/2/4 — hit counts "
+    "provably non-decreasing in both knobs, the accuracy/cost frontier "
+    "hashed per query).",
     tags=("llm", "similarity", "pack"),
 )
 

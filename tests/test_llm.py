@@ -1024,6 +1024,25 @@ def test_semantic_dedup_salt_inert_when_clusters_fit(spark):
     assert a == b
 
 
+def test_ann_recall_sweep_monotone_and_multiprobe_lifts(spark, sf_dir):
+    """r9 sweep invariants: (a) per-query hit counts are non-decreasing in
+    the probe radius / nprobe (candidate supersets — recall@5 cannot drop
+    when candidates are only added), (b) multi-probe LIFTS total LSH
+    recall strictly on the fixture (the r7-documented 0.2-0.4 random-data
+    floor), (c) the Hamming-2 ball lifts it further."""
+    from sarpro_spark.queries_llm import q_ann_recall_multiprobe
+
+    rows = q_ann_recall_multiprobe(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["lsh_hits_p0"] <= r["lsh_hits_p1"] <= r["lsh_hits_p2"]
+        assert r["ivf_hits_np1"] <= r["ivf_hits_np2"] <= r["ivf_hits_np4"]
+    tot = {c: sum(r[c] for r in rows) for c in rows[0].asDict() if c != "query_id"}
+    assert tot["lsh_hits_p1"] > tot["lsh_hits_p0"]
+    assert tot["lsh_hits_p2"] > tot["lsh_hits_p1"]
+    assert tot["ivf_hits_np4"] > tot["ivf_hits_np1"]
+
+
 def test_semantic_dedup_recluster_matches_direct_scan(spark):
     """r9 (r8 verdict item 6): an OVERSIZED cluster is split by one bounded
     level of grouped k-means instead of an md5 salt — semantically-near
