@@ -43,6 +43,15 @@ FLAGSHIPS = [
     ("tpch_min_cost_supplier", "Q2 correlated-MIN as window over partition"),
     ("tpch_disjunctive_filter", "Q19 OR split into per-side pushed disjunctions"),
     ("dedup_streaming_neardup", "streaming near-dup batch twin: banded self-join"),
+    # round-8/9 flagships
+    ("warp_params_tps", "params-routed TPS: distributed grouped solve (FlatMapGroupsInPandas), same shape as the direct operator"),
+    ("tps_gcp_residuals", "residual certificate: grouped solve + coef broadcast at GCP grain, no canvas"),
+    ("osgb_roundtrip_points", "EPSG:27700 datum chain: 4 stages of pure codegen column arithmetic"),
+    ("bd72_roundtrip_points", "EPSG:31370 second Helmert family, pole-origin LCC, pure codegen"),
+    ("albers_roundtrip_points", "EPSG:5070 equal-area conic, pure codegen"),
+    ("dedup_semantic_prune", "SemDeDup with recursive re-cluster: broadcast assignment + (cluster,sub,salt)-keyed pair join"),
+    ("dedup_stream_stream_neardup", "cross-stream near-dup twin: banded cross-side join, never all-pairs"),
+    ("ann_recall_multiprobe", "recall sweep: 6 candidate variants joined to one truth relation"),
 ]
 
 
