@@ -774,11 +774,16 @@ def semantic_dedup(
         .join(assign, id_col)
         .join(splits, "centroid_id")
     )
-    # m is NOT checkpointed: each extra pass over the oversized clusters
-    # re-executes one corpus scan + the broadcast-centroid assignment —
-    # the same per-pass cost class as kmeans_train's iterations — and the
-    # assignment's broadcast join stays plan-visible for the audit; only
-    # the tiny per-iteration sub-centroid relations are checkpointed
+    # ONE materialization of (id, vec, centroid, nsplit): the sub-kmeans
+    # makes sub_iters+2 passes over the oversized clusters plus the final
+    # pair/verdict joins — an uncheckpointed m re-executed the corpus scan
+    # + broadcast assignment + count window for EVERY consumer (6+ passes;
+    # at 100 TB each is a full corpus scan, so materializing once is the
+    # scale-right trade: checkpoint size = input size). The audit asserts
+    # the pair join's (cluster, sub, salt) keying on the post-checkpoint
+    # plan; the assignment broadcast is certified by the kmeans/IVF
+    # queries whose plans it remains visible in.
+    m = checkpoint(m)
     # --- depth-1 recursive re-cluster of oversized clusters (r9) ------------
     over = m.where(F.col("nsplit") > 1).select(id_col, "centroid_id", vec_col)
     small = m.where(F.col("nsplit") <= 1).select(
@@ -798,7 +803,10 @@ def semantic_dedup(
 
     def _sub_assign(cent_df: DataFrame) -> DataFrame:
         # sub-centroid relation is ceil(size/max_cluster) rows per oversized
-        # cluster — tiny; AQE broadcasts the join
+        # cluster — bounded per CLUSTER but O(n/max_cluster) globally, so it
+        # is NOT pinned broadcast (AQE broadcasts while it is small; at
+        # corpus scale the centroid_id-keyed shuffle co-locates each
+        # cluster's members with its own sub-centroids)
         j = over.join(cent_df, "centroid_id")
         s = fround(cosine_expr(F.col(vec_col).cast("array<double>"), F.col("scvec")))
         w = Window.partitionBy(id_col).orderBy(F.col("_ssim").desc(), F.col("sub_id"))

@@ -551,11 +551,16 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     },
     "dedup_semantic_prune": {
-        # SemDeDup composition: broadcast-centroid assignment (k rows), then
-        # the within-cluster pair join MUST key on centroid_id — a global
-        # all-pairs CartesianProduct here is the scale failure the cluster
-        # contract exists to prevent
-        "require": ["BroadcastHashJoin", "SortMergeJoin"],
+        # SemDeDup composition (r9): the assignment relation is
+        # checkpointed ONCE (the sub-kmeans + pair + verdict stages made
+        # 6+ full re-executions of the corpus scan through it), so the
+        # broadcast-centroid assignment join sits behind the checkpoint
+        # boundary and is certified by the kmeans/IVF query plans instead.
+        # What this plan must still show: the within-(cluster, sub, salt)
+        # pair join as a keyed SortMergeJoin — a global all-pairs
+        # CartesianProduct is the scale failure the cluster contract
+        # exists to prevent — and no per-row Python.
+        "require": ["SortMergeJoin"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
     "nation_market_share": {
