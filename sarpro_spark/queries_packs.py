@@ -407,6 +407,7 @@ register_pack(
         Member("tpch_large_orders", ("o_orderkey",)),
         Member("tpch_disjunctive_filter", ()),
         Member("tpch_excess_supply", ("s_name",)),
+        Member("tpcds_margin_rank", ("p_type", "p_brand")),
     ),
     doc="Union certificate: the fourteen TPC-H shapes not already covered "
     "by queries_relational.py (r7 — Q2 Q4 Q6 Q9 Q11 Q12 Q13 Q14 Q15 Q16 "
@@ -415,7 +416,10 @@ register_pack(
     "shapes): correlated-MIN and correlated-AVG decorrelation, EXISTS with "
     "non-equi residual, scalar-subquery thresholds, disjunctive pushdown, "
     "outer-join distribution, NOT-IN anti-join, nested-IN chains, and "
-    "HAVING-fed top-k.",
+    "HAVING-fed top-k. r9 adds the TPC-DS Q36 shape (tpcds_margin_rank): "
+    "GROUPING()-flag hierarchy level over a ROLLUP margin ratio with "
+    "RANK() partitioned by a conditional grouping-flag expression — the "
+    "lochierarchy / rank-within-parent pattern.",
     tags=("relational", "tpch", "pack"),
 )
 

@@ -611,3 +611,72 @@ def q_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
     )
     return out
+
+
+# --- TPC-DS Q36 shape: within-hierarchy-level margin ranking ------------------
+
+_MARGIN_RANK_SQL = """
+WITH j AS (
+  SELECT p.p_type, p.p_brand,
+         l.l_extendedprice * (1.0 - l.l_discount) AS rev,
+         l.l_quantity * p.p_retailprice * 0.6 AS cost
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+g AS (
+  SELECT p_type, p_brand,
+         (FLOOR(((SUM(rev) - SUM(cost)) / SUM(rev)) * 1000000.0 + 0.5) / 1000000.0) AS margin_ratio,
+         CAST(GROUPING(p_type) AS INTEGER) AS g_type,
+         CAST(GROUPING(p_brand) AS INTEGER) AS g_brand
+  FROM j GROUP BY ROLLUP (p_type, p_brand)
+)
+SELECT p_type, p_brand, g_type + g_brand AS lochierarchy, margin_ratio,
+       CAST(RANK() OVER (
+         PARTITION BY g_type + g_brand, CASE WHEN g_brand = 0 THEN p_type END
+         ORDER BY margin_ratio ASC, p_type ASC NULLS FIRST, p_brand ASC NULLS FIRST
+       ) AS BIGINT) AS rank_within_parent
+FROM g
+""".strip()
+
+
+@query("tpcds_margin_rank", sql=_MARGIN_RANK_SQL, tags=("relational", "tpcds", "agg", "window"))
+def q_tpcds_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q36 SHAPE (r9, adapted to the reduced star schema): gross
+    margin ratio over a ROLLUP hierarchy (type -> brand; cost proxied as
+    0.6 * retail price since the schema has no cost column), with
+    GROUPING()-derived hierarchy level and RANK() WITHIN THE PARENT — the
+    window partitions on (level, CASE WHEN the brand level is live THEN
+    its parent type END), exactly Q36's lochierarchy trick. Shape
+    ingredients beyond plain rollup_sales: GROUPING() flags as data, a
+    ratio of two rollup aggregates, and a rank whose PARTITION KEY is a
+    conditional expression over grouping flags. One shuffle feeds every
+    grouping level (Spark expands sets map-side); the rank re-shuffles at
+    hierarchy-level grain only. NULLS FIRST is pinned explicitly — Spark
+    and DuckDB default opposite null orderings in ASC sorts."""
+    from pyspark.sql import Window as W
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    p = frames.load_table(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_type", "p_brand",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+        (F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.6)).alias("cost"),
+    )
+    g = j.rollup("p_type", "p_brand").agg(
+        fround((F.sum("rev") - F.sum("cost")) / F.sum("rev"), 6).alias("margin_ratio"),
+        F.grouping("p_type").cast("int").alias("g_type"),
+        F.grouping("p_brand").cast("int").alias("g_brand"),
+    )
+    w = W.partitionBy(
+        (F.col("g_type") + F.col("g_brand")),
+        F.when(F.col("g_brand") == 0, F.col("p_type")),
+    ).orderBy(
+        F.col("margin_ratio").asc(),
+        F.col("p_type").asc_nulls_first(),
+        F.col("p_brand").asc_nulls_first(),
+    )
+    return g.select(
+        "p_type", "p_brand",
+        (F.col("g_type") + F.col("g_brand")).alias("lochierarchy"),
+        "margin_ratio",
+        F.rank().over(w).cast("long").alias("rank_within_parent"),
+    )

@@ -542,6 +542,16 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
         "schema_excludes": ["c_name", "c_mktsegment", "o_orderdate", "o_totalprice"],
     },
+    "tpcds_margin_rank": {
+        # Q36 shape: ONE expand+shuffle feeds every rollup level
+        # (HashAggregate with partial/map-side combine), the rank window
+        # re-shuffles only at hierarchy-level grain; the lineitem x part
+        # join must never be a cartesian, and the scan reads only the 5
+        # needed part columns + 4 lineitem columns
+        "require": ["Expand", "HashAggregate", "Window"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["p_name", "p_size", "l_shipdate", "l_tax"],
+    },
     "dedup_stream_stream_neardup": {
         # r9 cross-stream twin: the cross-pair join must key on the LSH
         # (band, bucket) — a CartesianProduct here is the all-pairs scan
