@@ -246,3 +246,38 @@ def test_tmerc_roundtrip_property(zone, dlon, lat):
     lo, la = tm.utm_inverse_np(e, n, lon0, south)
     assert abs(float(lo) - lon) < 1e-9
     assert abs(float(la) - lat) < 1e-9
+
+
+@given(
+    st.floats(min_value=2.0, max_value=7.0, allow_nan=False),
+    st.floats(min_value=49.0, max_value=52.0, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_bd72_roundtrip_property(lon, lat):
+    """r9: forward->inverse through the FULL BD72 chain (WGS84 geocentric ->
+    exact-inverse Helmert -> International 1924 geodetic -> pole-origin
+    LCC-2SP and back) is the identity to 1e-7 deg anywhere in the Belgium
+    design window — the property the bd72_roundtrip_points certificate
+    samples on a fixed grid, here over arbitrary points."""
+    from sarpro_spark.operators import tmerc as tm
+
+    e, n = tm.bd72_forward_np([lon], [lat])
+    lo, la = tm.bd72_inverse_np(e, n)
+    assert abs(float(lo[0]) - lon) < 1e-7
+    assert abs(float(la[0]) - lat) < 1e-7
+
+
+@given(
+    st.floats(min_value=-125.0, max_value=-67.0, allow_nan=False),
+    st.floats(min_value=23.0, max_value=50.0, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_albers_roundtrip_property(lon, lat):
+    """r9: EPSG:5070 Conus Albers forward->inverse identity to 1e-7 deg
+    over the CONUS design window (authalic series truncation ~1e-8)."""
+    from sarpro_spark.operators import tmerc as tm
+
+    e, n = tm.albers_forward_np([lon], [lat])
+    lo, la = tm.albers_inverse_np(e, n)
+    assert abs(float(lo[0]) - lon) < 1e-7
+    assert abs(float(la[0]) - lat) < 1e-7
