@@ -297,6 +297,41 @@ def centroid_epsg(gcps: DataFrame, group_cols: list[str]) -> DataFrame:
 # --- S1/S2: product open with per-product status ------------------------------
 
 
+#: open_products / open_product_dirs output layout (shared with the
+#: streaming ingest twin, streaming/ingest.py)
+OPEN_COLS = [
+    "product_path", "status", "platform", "product_type", "acquisition_start",
+    "acquisition_stop", "orbit_number", "polarizations", "vv_path", "vh_path",
+    "hh_path", "hv_path",
+]
+OPEN_SCHEMA = (
+    "product_path string, status string, platform string, product_type string, "
+    "acquisition_start string, acquisition_stop string, orbit_number bigint, "
+    "polarizations string, vv_path string, vh_path string, hh_path string, hv_path string"
+)
+
+
+def open_product_dirs(products: DataFrame) -> DataFrame:
+    """S1 validate + S2 error-tolerant open over a (product_path) relation —
+    the per-directory half of :func:`open_products`, shared with the
+    streaming ingest (streaming/ingest.py opens exactly the dirs that
+    arrived in a micro-batch). Each executor task opens/parses the products
+    it owns — the driver never touches the filesystem (the r01 collect()
+    loop broke at millions of products)."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            out = [_open_one(p) for p in pdf["product_path"]]
+            yield pd.DataFrame(out, columns=OPEN_COLS)
+
+    return (
+        products.select("product_path")
+        .repartition("product_path")
+        .mapInPandas(fn, schema=OPEN_SCHEMA)
+    )
+
+
 def open_products(spark: SparkSession, input_dir: str, permissive: bool = True) -> DataFrame:
     """S1 validate + S2 error-tolerant open over the products DataFrame.
 
@@ -305,31 +340,7 @@ def open_products(spark: SparkSession, input_dir: str, permissive: bool = True) 
     (permissive) instead of raising — the reference's open_with_warnings.
     Returns one row per product with metadata + band file map + status.
     """
-    import pandas as pd
-
-    products = iterate_safe_products(spark, input_dir)
-    cols = [
-        "product_path", "status", "platform", "product_type", "acquisition_start",
-        "acquisition_stop", "orbit_number", "polarizations", "vv_path", "vh_path",
-        "hh_path", "hv_path",
-    ]
-    schema = (
-        "product_path string, status string, platform string, product_type string, "
-        "acquisition_start string, acquisition_stop string, orbit_number bigint, "
-        "polarizations string, vv_path string, vh_path string, hh_path string, hv_path string"
-    )
-
-    def fn(batches):
-        for pdf in batches:
-            out = [_open_one(p) for p in pdf["product_path"]]
-            yield pd.DataFrame(out, columns=cols)
-
-    # each executor task opens/parses the products it owns — the driver never
-    # touches the filesystem (the r01 collect() loop broke at millions of
-    # products); strict mode still raises driver-side from the status column
-    opened = (
-        products.repartition("product_path").mapInPandas(fn, schema=schema)
-    )
+    opened = open_product_dirs(iterate_safe_products(spark, input_dir))
     if not permissive:
         bad = opened.where(F.col("status") != "ok").select("product_path", "status").first()
         if bad is not None:

@@ -1,0 +1,100 @@
+"""Streaming SAFE-product ingest: S11's batch directory iteration as
+CONTINUOUS ARRIVAL — the raster half of the streaming story (events and
+documents have streaming twins since r4/r7; products did not).
+
+The reference's batch loop (api/mod.rs:460-470 `iterate_safe_products` —
+list subdirectories, process each) assumes the input directory is
+complete. Operationally, products LAND over time (a downlink station
+drops new .SAFE directories continuously); re-running the batch loop
+re-opens everything. This module re-expresses the loop as a Structured
+Streaming query:
+
+1. **Arrival signal = manifest.safe** (`stream_product_arrivals`): a file
+   source watches ``<input>/*/manifest.safe``. The manifest is the
+   product's completion marker (a .SAFE directory is written
+   measurement-first, manifest-last in the standard handoff contract), so
+   triggering on it never opens a half-written product. Spark's file
+   source gives exactly-once per file via the checkpointed file log.
+2. **Per-batch open = the BATCH opener** (`ingest_products_stream`):
+   ``foreachBatch`` maps each micro-batch's newly-arrived manifest paths
+   to their product directories and runs
+   :func:`sarpro_spark.sources.safe.open_product_dirs` — the identical
+   mapInPandas task the batch path runs, so stream and batch cannot
+   diverge by construction — then appends the opened rows to a parquet
+   sink. Epoch + checkpoint give at-least-once with idempotent re-runs
+   (re-delivered epochs rewrite the same rows).
+
+Certificate: tests/test_streaming.py asserts a drained stream's sink ==
+`open_products` over the same directory, including error-status rows for
+broken products, under multi-batch staggered arrival. (No registered
+oracle row: the DuckDB gate cannot run streams; the batch twin it would
+hash IS `safe_discovery`, already head-certified via sources_pack.)
+
+Scale contract: the stream moves METADATA (one row per product); band
+pixels stay in executor-side reads exactly like the batch path. State is
+Spark's file-source log (one entry per manifest), not product content.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sarpro_spark.sources.safe import open_product_dirs
+
+
+def stream_product_arrivals(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming (manifest_path) relation — one row per LINE of each newly
+    arrived manifest (the text file source's grain); consumers take the
+    distinct dirname. maxFilesPerTrigger=1 keeps one product per
+    micro-batch so arrival order is observable in tests."""
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(os.path.join(input_dir, "*", "manifest.safe"))
+        .select(F.input_file_name().alias("manifest_path"))
+    )
+
+
+def ingest_products_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    transform=None,
+):
+    """Start the continuous-ingest query: new products (manifest arrival)
+    -> batch-identical open -> optional caller transform -> parquet append.
+    Returns the StreamingQuery (caller drains with availableNow or leaves
+    it running)."""
+
+    def handle(batch_df, epoch_id: int) -> None:
+        # manifest lines -> distinct product dirs that arrived this epoch
+        dirs = (
+            batch_df.select("manifest_path")
+            .distinct()
+            .select(
+                F.expr("substring(manifest_path, 1, length(manifest_path) - length('/manifest.safe'))")
+                .alias("product_path")
+            )
+            .distinct()
+        )
+        # file-source URIs are file:-scheme ('file:///abs/path'); the opener
+        # takes plain filesystem paths
+        dirs = dirs.select(
+            F.regexp_replace("product_path", "^file:(//)?", "").alias("product_path")
+        )
+        opened = open_product_dirs(dirs)
+        if transform is not None:
+            opened = transform(opened)
+        opened.write.mode("append").parquet(sink_dir)
+
+    return (
+        stream_product_arrivals(spark, input_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

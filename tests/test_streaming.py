@@ -604,3 +604,54 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp_path, nanos_co
         for r in spark.sql("SELECT * FROM enrich_stream").collect()
     }
     assert got == expected
+
+
+def test_streaming_product_ingest_equals_batch_open(spark, tmp_path):
+    """r9 streaming SAFE ingest (streaming/ingest.py): products LANDING
+    over time — manifest.safe arrival triggers the micro-batch, which
+    opens exactly the arrived directories through the SAME mapInPandas
+    opener the batch path uses. Drained sink == open_products over the
+    full directory, row for row, including the error-status row of a
+    broken product, with one product per micro-batch (staggered mtimes)
+    and the broken product arriving in the MIDDLE."""
+    import os
+    import time
+
+    from tests.test_sources_sinks import MANIFEST
+    from sarpro_spark.sources import safe
+    from sarpro_spark.streaming.ingest import ingest_products_stream
+
+    root = tmp_path / "landing"
+    root.mkdir()
+    t0 = time.time() - 300
+
+    def stage(name, order, broken=False):
+        p = root / name
+        (p / "annotation").mkdir(parents=True)
+        (p / "annotation" / "iw-vv.xml").write_text("<product/>")
+        if not broken:
+            (p / "measurement").mkdir()
+            (p / "measurement" / f"s1a-iw-grd-vv-{order}.tiff").write_bytes(b"II*\0")
+            (p / "measurement" / f"s1a-iw-grd-vh-{order}.tiff").write_bytes(b"II*\0")
+        mpath = p / "manifest.safe"
+        mpath.write_text(MANIFEST)
+        os.utime(mpath, (t0 + order * 10, t0 + order * 10))
+
+    stage("A.SAFE", 0)
+    stage("C.SAFE", 1, broken=True)  # arrives between the two good ones
+    stage("B.SAFE", 2)
+
+    expected = {
+        tuple(r)
+        for r in safe.open_products(spark, str(root), permissive=True).collect()
+    }
+    assert len(expected) == 3
+    assert any(r[1].startswith("error:") for r in expected)
+
+    sink = str(tmp_path / "ingest_sink")
+    q = ingest_products_stream(
+        spark, str(root), sink, str(tmp_path / "ingest_ckpt")
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    assert got == expected
