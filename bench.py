@@ -100,6 +100,7 @@ HEADLINE = [
     "dedup_semantic_prune",
     "dedup_stream_stream_neardup",
     "ann_recall_multiprobe",
+    "tpcds_margin_rank",
 ]
 
 
