@@ -72,19 +72,23 @@ def main() -> int:
     if unknown:
         print(f"unknown queries: {unknown}; available: {sorted(REGISTRY)}")
         return 2
-    for name in names:
-        spec = REGISTRY[name]
-        t0 = time.time()
-        sdf = spec.fn(spark, args.sf)
-        srows = sdf.collect()
-        scols = sdf.columns
-        t_spark = time.time() - t0
+
+    # r9: the full sweep crept past 10 minutes run serially. The two legs
+    # of each query are independent, so the DuckDB oracle + compare of
+    # query N runs on ONE background worker while the main thread collects
+    # query N+1 from Spark (collect blocks on the JVM socket with the GIL
+    # released, so the python-side compare genuinely overlaps). A single
+    # FIFO worker keeps the duckdb connection single-threaded and the
+    # output in submission order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check_one(name: str, spec, srows, scols, t_spark: float) -> None:
         oracle_sql = spec.resolve_sql()
         if oracle_sql is None:
             print(f"  {name}: rows-only ({len(srows)} rows, {t_spark:.1f}s spark) — no oracle")
             if len(srows) == 0:
                 failures.append((name, "zero rows (rows-only check)"))
-            continue
+            return
         t0 = time.time()
         try:
             res = con.execute(oracle_sql)
@@ -99,7 +103,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"oracle SQL error: {e}"))
             print(f"✗ {name}: oracle SQL error: {e}")
-            continue
+            return
         t_duck = time.time() - t0
 
         problems = []
@@ -127,6 +131,19 @@ def main() -> int:
             print(f"✗ {name}: {'; '.join(problems)}")
         else:
             print(f"✓ {name}: {len(srows)} rows match ({t_spark:.1f}s spark, {t_duck:.1f}s duckdb)")
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = []
+        for name in names:
+            spec = REGISTRY[name]
+            t0 = time.time()
+            sdf = spec.fn(spark, args.sf)
+            srows = sdf.collect()
+            scols = sdf.columns
+            t_spark = time.time() - t0
+            pending.append(pool.submit(check_one, name, spec, srows, scols, t_spark))
+        for f in pending:
+            f.result()  # surface worker exceptions; FIFO order == names order
 
     print()
     if failures:
