@@ -20,9 +20,11 @@ Streaming query:
    to their product directories and runs
    :func:`sarpro_spark.sources.safe.open_product_dirs` — the identical
    mapInPandas task the batch path runs, so stream and batch cannot
-   diverge by construction — then appends the opened rows to a parquet
-   sink. Epoch + checkpoint give at-least-once with idempotent re-runs
-   (re-delivered epochs rewrite the same rows).
+   diverge by construction — then writes the opened rows to the sink
+   under an ``epoch=<id>`` subdirectory with OVERWRITE semantics.
+   foreachBatch is at-least-once (a crash after the write but before the
+   commit re-delivers the epoch); per-epoch overwrite makes the redelivery
+   idempotent — a blind append would duplicate the epoch's rows.
 
 Certificate: tests/test_streaming.py asserts a drained stream's sink ==
 `open_products` over the same directory, including error-status rows for
@@ -89,7 +91,9 @@ def ingest_products_stream(
         opened = open_product_dirs(dirs)
         if transform is not None:
             opened = transform(opened)
-        opened.write.mode("append").parquet(sink_dir)
+        # idempotent under foreachBatch's at-least-once redelivery: the
+        # epoch's subdirectory is overwritten, never appended
+        opened.write.mode("overwrite").parquet(os.path.join(sink_dir, f"epoch={epoch_id}"))
 
     return (
         stream_product_arrivals(spark, input_dir)

@@ -653,7 +653,7 @@ def test_streaming_product_ingest_equals_batch_open(spark, tmp_path):
         spark, str(root), sink, str(tmp_path / "ingest_ckpt")
     )
     q.awaitTermination(180)
-    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    got = {tuple(r) for r in spark.read.parquet(sink).drop("epoch").collect()}
     assert got == expected
 
 
@@ -708,5 +708,5 @@ def test_streaming_ingest_full_pipeline_equals_batch(spark, tmp_path):
         spark, str(root), sink, str(tmp_path / "px_ckpt"), transform=pipeline
     )
     q.awaitTermination(180)
-    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    got = {tuple(r) for r in spark.read.parquet(sink).drop("epoch").collect()}
     assert got == expected
