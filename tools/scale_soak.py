@@ -32,7 +32,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC_SF = "/root/testdata/sf0.1"
 SOAK_DIR = os.path.join(REPO, ".soak", "sf1")
-OUT_JSON = os.path.join(REPO, os.environ.get("SOAK_OUT", "SOAK_r07.json"))
+
+
+def _infer_round() -> int:
+    """Same rule as bench.py/plan_dump.py (ADVICE r8 fix class): env wins,
+    else 1 + the newest driver artifact; loud failure if neither exists —
+    a frozen literal would silently stamp a stale round."""
+    import re as _re
+
+    ns = [
+        int(m.group(1))
+        for fn in os.listdir(REPO)
+        if (m := _re.match(r"(?:BENCH|CORRECTNESS)_r(\d+)\.json$", fn))
+    ]
+    if not ns:
+        raise SystemExit("no round artifact to infer from; set the *_OUT env var")
+    return max(ns) + 1
+
+OUT_JSON = os.path.join(
+    REPO, os.environ.get("SOAK_OUT", f"SOAK_r{_infer_round():02d}.json")
+)
 FACTOR = 10
 
 #: id columns to shift, per table (column -> base-key family)

@@ -24,7 +24,26 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT_JSON = os.path.join(REPO, os.environ.get("SHUFFLE_OUT", "SHUFFLE_r07.json"))
+
+
+def _infer_round() -> int:
+    """Same rule as bench.py/plan_dump.py (ADVICE r8 fix class): env wins,
+    else 1 + the newest driver artifact; loud failure if neither exists —
+    a frozen literal would silently stamp a stale round."""
+    import re as _re
+
+    ns = [
+        int(m.group(1))
+        for fn in os.listdir(REPO)
+        if (m := _re.match(r"(?:BENCH|CORRECTNESS)_r(\d+)\.json$", fn))
+    ]
+    if not ns:
+        raise SystemExit("no round artifact to infer from; set the *_OUT env var")
+    return max(ns) + 1
+
+OUT_JSON = os.path.join(
+    REPO, os.environ.get("SHUFFLE_OUT", f"SHUFFLE_r{_infer_round():02d}.json")
+)
 UI_PORT = 4049
 
 
