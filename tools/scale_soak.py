@@ -13,7 +13,7 @@ Usage:
     python tools/scale_soak.py            # build replica if missing, run, write SOAK json
     python tools/scale_soak.py --rebuild  # force replica rebuild
 
-Output: SOAK_r07.json (override: SOAK_OUT) at the repo root — per-query sf0.1 and sf1 seconds,
+Output: SOAK_r{N}.json (round inferred; override: SOAK_OUT) at the repo root — per-query sf0.1 and sf1 seconds,
 the sf1/sf0.1 ratio, and a scaling verdict (ratio / 10 <= ~1.5 == at most
 ~1.5x-linear). bench.py embeds the summary into its JSON line so the
 driver-recorded BENCH carries the soak evidence.

@@ -4,7 +4,7 @@
 Runs each (headline, by default) query once with the Spark UI's REST API
 enabled, diffs the application's stage metrics before/after, and records
 input bytes, shuffle write bytes, shuffle read bytes and task count per
-query into SHUFFLE_r07.json (override: SHUFFLE_OUT). A query whose shuffle volume is a large
+query into SHUFFLE_r{N}.json (round inferred; override: SHUFFLE_OUT). A query whose shuffle volume is a large
 multiple of its input is the one to re-plan; the recorded ratios are the
 honest evidence for the plan-shape claims in tools/explain_audit.py.
 
