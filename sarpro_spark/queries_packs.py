@@ -408,6 +408,7 @@ register_pack(
         Member("tpch_disjunctive_filter", ()),
         Member("tpch_excess_supply", ("s_name",)),
         Member("tpcds_margin_rank", ("p_type", "p_brand")),
+        Member("tpcds_rollup_topk", ("p_type", "p_brand", "ship_month")),
     ),
     doc="Union certificate: the fourteen TPC-H shapes not already covered "
     "by queries_relational.py (r7 — Q2 Q4 Q6 Q9 Q11 Q12 Q13 Q14 Q15 Q16 "
@@ -419,7 +420,9 @@ register_pack(
     "HAVING-fed top-k. r9 adds the TPC-DS Q36 shape (tpcds_margin_rank): "
     "GROUPING()-flag hierarchy level over a ROLLUP margin ratio with "
     "RANK() partitioned by a conditional grouping-flag expression — the "
-    "lochierarchy / rank-within-parent pattern.",
+    "lochierarchy / rank-within-parent pattern — and the Q67 shape "
+    "(tpcds_rollup_topk): top-k per category over a three-level rollup, "
+    "detail rows competing with their own subtotals in one rank.",
     tags=("relational", "tpch", "pack"),
 )
 

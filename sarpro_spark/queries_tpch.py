@@ -680,3 +680,65 @@ def q_tpcds_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "margin_ratio",
         F.rank().over(w).cast("long").alias("rank_within_parent"),
     )
+
+
+# --- TPC-DS Q67 shape: top-k per category over a deep rollup ------------------
+
+_ROLLUP_TOPK_SQL = """
+WITH j AS (
+  SELECT p.p_type, p.p_brand,
+         CAST(EXTRACT(month FROM l.l_shipdate) AS INTEGER) AS ship_month,
+         l.l_extendedprice * (1.0 - l.l_discount) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+g AS (
+  SELECT p_type, p_brand, ship_month,
+         (FLOOR(SUM(rev) * 10000.0 + 0.5) / 10000.0) AS sumsales
+  FROM j GROUP BY ROLLUP (p_type, p_brand, ship_month)
+)
+SELECT p_type, p_brand, ship_month, sumsales,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT g.*,
+         RANK() OVER (
+           PARTITION BY p_type
+           ORDER BY sumsales DESC, p_brand ASC NULLS FIRST, ship_month ASC NULLS FIRST
+         ) AS rk
+  FROM g
+) r WHERE rk <= 5
+""".strip()
+
+
+@query("tpcds_rollup_topk", sql=_ROLLUP_TOPK_SQL, tags=("relational", "tpcds", "agg", "window"))
+def q_tpcds_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 SHAPE (r9, adapted): top-5 sales rows PER CATEGORY over a
+    THREE-level rollup (type -> brand -> ship month) — every hierarchy
+    level of a category competes in one rank (detail rows vs their own
+    subtotals, exactly Q67's 'best rows at any grain' semantics; the
+    grand-total rollup rows form the NULL-category partition). Beyond the
+    Q36 shape this adds depth (4 grouping sets from one expand+shuffle)
+    and the rank-then-filter top-k on the rolled-up measure. The sum is
+    floor-rounded at 1e-4 BEFORE ranking so both engines rank identical
+    doubles; tiebreaks and NULLS FIRST are pinned explicitly."""
+    from pyspark.sql import Window as W
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    p = frames.load_table(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_type", "p_brand",
+        F.month("l_shipdate").cast("int").alias("ship_month"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+    )
+    g = j.rollup("p_type", "p_brand", "ship_month").agg(
+        fround(F.sum("rev"), 4).alias("sumsales")
+    )
+    w = W.partitionBy("p_type").orderBy(
+        F.col("sumsales").desc(),
+        F.col("p_brand").asc_nulls_first(),
+        F.col("ship_month").asc_nulls_first(),
+    )
+    return (
+        g.withColumn("rk", F.rank().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("p_type", "p_brand", "ship_month", "sumsales", "rk")
+    )

@@ -552,6 +552,13 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
         "schema_excludes": ["p_name", "p_size", "l_shipdate", "l_tax"],
     },
+    "tpcds_rollup_topk": {
+        # Q67 shape: one expand feeds 4 grouping sets; rank-then-filter
+        # top-k at category grain; no cartesian, pruned scans
+        "require": ["Expand", "HashAggregate", "Window"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["p_name", "p_size", "l_tax", "l_quantity"],
+    },
     "dedup_stream_stream_neardup": {
         # r9 cross-stream twin: the cross-pair join must key on the LSH
         # (band, bucket) — a CartesianProduct here is the all-pairs scan
