@@ -101,6 +101,7 @@ HEADLINE = [
     "dedup_stream_stream_neardup",
     "ann_recall_multiprobe",
     "tpcds_margin_rank",
+    "tpcds_rollup_topk",
 ]
 
 
