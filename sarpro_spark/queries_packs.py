@@ -409,6 +409,7 @@ register_pack(
         Member("tpch_excess_supply", ("s_name",)),
         Member("tpcds_margin_rank", ("p_type", "p_brand")),
         Member("tpcds_rollup_topk", ("p_type", "p_brand", "ship_month")),
+        Member("tpcds_cumulative_crossover", ("pri", "m")),
     ),
     doc="Union certificate: the fourteen TPC-H shapes not already covered "
     "by queries_relational.py (r7 — Q2 Q4 Q6 Q9 Q11 Q12 Q13 Q14 Q15 Q16 "
@@ -422,7 +423,10 @@ register_pack(
     "RANK() partitioned by a conditional grouping-flag expression — the "
     "lochierarchy / rank-within-parent pattern — and the Q67 shape "
     "(tpcds_rollup_topk): top-k per category over a three-level rollup, "
-    "detail rows competing with their own subtotals in one rank.",
+    "detail rows competing with their own subtotals in one rank — and "
+    "the Q51 shape (tpcds_cumulative_crossover): FULL OUTER-joined "
+    "cumulative series with a running-MAX crossover flag (window over "
+    "window).",
     tags=("relational", "tpch", "pack"),
 )
 

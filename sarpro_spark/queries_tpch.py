@@ -742,3 +742,97 @@ def q_tpcds_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select("p_type", "p_brand", "ship_month", "sumsales", "rk")
     )
+
+
+# --- TPC-DS Q51 shape: cumulative-series crossover via FULL OUTER join --------
+
+_CUMULATIVE_CROSSOVER_SQL = """
+WITH base AS (
+  SELECT o_orderpriority AS pri,
+         CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+         o_totalprice AS rev,
+         o_orderstatus AS st
+  FROM orders
+),
+a AS (
+  SELECT pri, m, (FLOOR(SUM(rev) * 100.0 + 0.5) / 100.0) AS rev_a
+  FROM base WHERE st = 'F' GROUP BY pri, m
+),
+b AS (
+  SELECT pri, m, (FLOOR(SUM(rev) * 100.0 + 0.5) / 100.0) AS rev_b
+  FROM base WHERE st = 'O' GROUP BY pri, m
+),
+joined AS (
+  SELECT COALESCE(a.pri, b.pri) AS pri, COALESCE(a.m, b.m) AS m,
+         a.rev_a, b.rev_b
+  FROM a FULL OUTER JOIN b ON a.pri = b.pri AND a.m = b.m
+),
+cum AS (
+  SELECT pri, m,
+         (FLOOR(SUM(COALESCE(rev_a, 0.0)) OVER (
+            PARTITION BY pri ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0) AS cum_a,
+         (FLOOR(SUM(COALESCE(rev_b, 0.0)) OVER (
+            PARTITION BY pri ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0) AS cum_b
+  FROM joined
+)
+SELECT pri, m, cum_a, cum_b,
+       (FLOOR(MAX(cum_a) OVER (
+          PARTITION BY pri ORDER BY m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0) AS max_cum_a,
+       cum_b > (MAX(cum_a) OVER (
+          PARTITION BY pri ORDER BY m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS b_leads
+FROM cum
+""".strip()
+
+
+@query("tpcds_cumulative_crossover", sql=_CUMULATIVE_CROSSOVER_SQL, tags=("relational", "tpcds", "window", "join"))
+def q_tpcds_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 SHAPE (r9, adapted): two per-(priority, month) revenue
+    series (finished vs open orders standing in for web vs store
+    channels), FULL OUTER joined on the shared key so a month present in
+    only one channel survives with a NULL other side, then per-priority
+    CUMULATIVE sums with explicit unbounded-preceding frames and the
+    running-MAX comparison that marks where the open channel's cumulative
+    total overtakes the finished channel's best so far — Q51's
+    crossover-detection pattern. Shape ingredients new to the certified
+    window set: a genuine FULL OUTER join (the Q13 family covers left
+    outer only) and window-over-window composition (running MAX over a
+    running SUM). Sums are floor-rounded at cents BEFORE the windows so
+    both engines accumulate identical doubles."""
+    from pyspark.sql import Window as W
+
+    o = frames.load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.col("o_totalprice").alias("rev"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    a = (
+        base.where(F.col("st") == "F")
+        .groupBy("pri", "m")
+        .agg(fround(F.sum("rev"), 2).alias("rev_a"))
+    )
+    b = (
+        base.where(F.col("st") == "O")
+        .groupBy("pri", "m")
+        .agg(fround(F.sum("rev"), 2).alias("rev_b"))
+    )
+    joined = (
+        a.join(b, ["pri", "m"], "full_outer")
+        .select("pri", "m", "rev_a", "rev_b")
+    )
+    wc = W.partitionBy("pri").orderBy("m").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = joined.select(
+        "pri", "m",
+        fround(F.sum(F.coalesce("rev_a", F.lit(0.0))).over(wc), 2).alias("cum_a"),
+        fround(F.sum(F.coalesce("rev_b", F.lit(0.0))).over(wc), 2).alias("cum_b"),
+    )
+    return cum.select(
+        "pri", "m", "cum_a", "cum_b",
+        fround(F.max("cum_a").over(wc), 2).alias("max_cum_a"),
+        (F.col("cum_b") > F.max("cum_a").over(wc)).alias("b_leads"),
+    )

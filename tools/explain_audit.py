@@ -559,6 +559,14 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
         "schema_excludes": ["p_name", "p_size", "l_tax", "l_quantity"],
     },
+    "tpcds_cumulative_crossover": {
+        # Q51 shape: the channel join must be a keyed FULL OUTER (SMJ),
+        # never cartesian; two window passes (cumsum, running max) over
+        # the per-priority ordering; orders scan pruned to 4 columns
+        "require": ["SortMergeJoin", "FullOuter", "Window"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["o_comment", "o_custkey", "o_clerk"],
+    },
     "dedup_stream_stream_neardup": {
         # r9 cross-stream twin: the cross-pair join must key on the LSH
         # (band, bucket) — a CartesianProduct here is the all-pairs scan
