@@ -715,6 +715,41 @@ def quantize_int8(
 SEMDEDUP_MAX_CLUSTER = 4096
 
 
+def _seed_subcentroids(
+    m: DataFrame,
+    seed_limit: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sub-centroid seeds for oversized clusters: the ``nsplit``
+    lowest-id members of each cluster with ``nsplit > 1``.
+
+    Skew contract (r10): ``_rk <= nsplit`` alone is a COLUMN-valued rank
+    limit, which defeats Spark's InferWindowGroupLimit pushdown — every
+    oversized cluster would sort its ENTIRE membership inside one task
+    before the filter ran (the exact hot cluster the re-cluster exists
+    for becomes one skewed task at 100 TB). Conjoining ``_rk <=
+    seed_limit`` with ``seed_limit`` a LITERAL (= max(nsplit), computed
+    by the caller as a 1-row scalar) plants a ``WindowGroupLimit`` that
+    prunes every map partition to <= seed_limit rows BEFORE the
+    exchange; the ``<= nsplit`` refinement keeps per-cluster seed counts
+    exact, so the selected rows — and the oracle hash — are unchanged.
+    ``tests/test_llm.py`` asserts the Partial-mode WindowGroupLimit on
+    this frame's executed plan and skew-tests a planted giant cluster.
+    """
+    wseed = Window.partitionBy("centroid_id").orderBy(id_col)
+    return (
+        m.where(F.col("nsplit") > 1)
+        .withColumn("_rk", F.row_number().over(wseed))
+        .where((F.col("_rk") <= F.lit(seed_limit)) & (F.col("_rk") <= F.col("nsplit")))
+        .select(
+            "centroid_id",
+            (F.col("_rk") - 1).cast("int").alias("sub_id"),
+            F.col(vec_col).cast("array<double>").alias("scvec"),
+        )
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int = 8,
@@ -789,17 +824,15 @@ def semantic_dedup(
     small = m.where(F.col("nsplit") <= 1).select(
         id_col, "centroid_id", vec_col, F.lit(0).alias("sub_id")
     )
-    wseed = Window.partitionBy("centroid_id").orderBy(id_col)
-    subcent = (
-        m.where(F.col("nsplit") > 1)
-        .withColumn("_rk", F.row_number().over(wseed))
-        .where(F.col("_rk") <= F.col("nsplit"))
-        .select(
-            "centroid_id",
-            (F.col("_rk") - 1).cast("int").alias("sub_id"),
-            F.col(vec_col).cast("array<double>").alias("scvec"),
-        )
+    # max(nsplit) as a 1-row scalar (the family's documented collect
+    # exception, over the already-checkpointed relation) — the literal
+    # rank bound it feeds is what lets WindowGroupLimit prune the seed
+    # window map-side (see _seed_subcentroids).
+    _seed_cap = (
+        m.where(F.col("nsplit") > 1).agg(F.max("nsplit").alias("L")).collect()
     )
+    seed_limit = int(_seed_cap[0]["L"] or 0) if _seed_cap else 0
+    subcent = _seed_subcentroids(m, seed_limit, id_col=id_col, vec_col=vec_col)
 
     def _sub_assign(cent_df: DataFrame) -> DataFrame:
         # sub-centroid relation is ceil(size/max_cluster) rows per oversized

@@ -1024,6 +1024,39 @@ def test_semantic_dedup_salt_inert_when_clusters_fit(spark):
     assert a == b
 
 
+def test_semantic_dedup_seed_window_prunes_map_side(spark):
+    """r10 (r9 verdict item 1): the sub-centroid seed selection bounds its
+    rank filter with a LITERAL max(nsplit), so InferWindowGroupLimit
+    plants a Partial-mode WindowGroupLimit — every map partition is
+    pruned to <= L rows BEFORE the exchange, and a planted giant cluster
+    no longer sorts its whole membership inside one task. The `<= nsplit`
+    refinement keeps per-cluster seed counts exact."""
+    # m-shaped relation: one giant cluster (0: 1000 members, nsplit=4) and
+    # one mildly-oversized cluster (1: 20 members, nsplit=2); ids interleaved
+    rows = [(i, [float(i % 7), 1.0], 0, 4) for i in range(1000)]
+    rows += [(10_000 + i, [2.0, float(i)], 1, 2) for i in range(20)]
+    m = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, centroid_id int, nsplit long"
+    )
+    seeds = sim._seed_subcentroids(m, 4)
+    plan = seeds._jdf.queryExecution().executedPlan().toString()
+    wgl = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln]
+    # Partial = map-side pruning before the exchange; Final after it
+    assert any("Partial" in ln for ln in wgl), plan
+    assert any("Final" in ln for ln in wgl), plan
+    assert any("centroid_id" in ln for ln in wgl), plan
+    got = sorted((r["centroid_id"], r["sub_id"]) for r in seeds.collect())
+    # giant cluster seeds 4 lowest ids, the nsplit=2 cluster exactly 2 —
+    # the literal bound (4) did NOT inflate the smaller cluster's seeds
+    assert got == [(0, 0), (0, 1), (0, 2), (0, 3), (1, 0), (1, 1)]
+    picked = {r["centroid_id"]: [] for r in seeds.collect()}
+    for r in seeds.collect():
+        picked[r["centroid_id"]].append((r["sub_id"], r["scvec"]))
+    # lowest-id members: cluster 0 ids 0..3 -> vectors [i%7, 1.0]
+    c0 = sorted(picked[0])
+    assert [v for _, v in c0] == [[float(i % 7), 1.0] for i in range(4)]
+
+
 def test_ann_recall_sweep_monotone_and_multiprobe_lifts(spark, sf_dir):
     """r9 sweep invariants: (a) per-query hit counts are non-decreasing in
     the probe radius / nprobe (candidate supersets — recall@5 cannot drop
