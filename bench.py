@@ -105,19 +105,38 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # r9 (verdict item 10): r8's committed numbers were polluted by a
-    # loadavg-19 box. Gate the recording: wait briefly for idle, and if the
-    # box never settles, stamp the artifact load_contaminated=true so a
-    # polluted run can never masquerade as a regression (or improvement).
+def idle_gate(
+    threshold: float = 2.0, max_waits: int = 10, wait_sec: float = 45.0
+) -> tuple[float, bool]:
+    """Wait for the box to go idle before recording; returns
+    ``(loadavg_start, load_contaminated)``.
+
+    r9 (verdict item 10): r8's committed numbers were polluted by a
+    loadavg-19 box. r10 (verdict item 4): the 2x45s wait was too short for
+    driver-invoked runs — r9's driver artifact recorded at loadavg 4.36 and
+    became the diff base anyway. Now: retry up to 10x45s (~7.5 min), and if
+    the box STILL never settles the caller stamps load_contaminated=true
+    AND refuses to overwrite the committed BENCH_FULL.json comparison base
+    unless SPARK_GRAFT_FORCE=1 — a polluted run identifies itself on
+    stdout but can never silently become next round's baseline."""
     load_start = round(os.getloadavg()[0], 2)
     waits = 0
-    while load_start > 2.0 and waits < 2:
-        time.sleep(45)
+    while load_start > threshold and waits < max_waits:
+        print(
+            f"# idle gate: loadavg {load_start} > {threshold}, "
+            f"wait {waits + 1}/{max_waits} ({wait_sec:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(wait_sec)
         waits += 1
         load_start = round(os.getloadavg()[0], 2)
-    load_contaminated = load_start > 2.0
+    return load_start, load_start > threshold
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    force = os.environ.get("SPARK_GRAFT_FORCE") == "1"
+    load_start, load_contaminated = idle_gate()
     spark = build_session("sarpro_spark_bench")
     qs = spark_queries()
     names = [n for n in HEADLINE if n in qs]
@@ -231,24 +250,27 @@ def main() -> None:
         ]
         return max(ns) + 1 if ns else None
 
+    full_payload = {
+        "round": _infer_round(),
+        "metric": "headline_queries_total",
+        "loadavg_start": load_start,
+        "load_contaminated": load_contaminated,
+        "forced": force if load_contaminated else None,
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "loadavg": loadavg,
+        "sf1_soak": soak_summary,
+        "sf": sf_val,
+        "prev": prev,
+    }
+    # contaminated recordings must not replace the clean comparison base:
+    # divert them to a side file the judge can still inspect
+    full_preserved = load_contaminated and not force and os.path.exists(full_path)
+    if full_preserved:
+        full_path = os.path.join(repo, "BENCH_FULL_CONTAMINATED.json")
     with open(full_path, "w") as fh:
-        json.dump(
-            {
-                "round": _infer_round(),
-                "metric": "headline_queries_total",
-                "loadavg_start": load_start,
-                "load_contaminated": load_contaminated,
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "loadavg": loadavg,
-                "sf1_soak": soak_summary,
-                "sf": sf_val,
-                "prev": prev,
-            },
-            fh,
-            indent=1,
-        )
+        json.dump(full_payload, fh, indent=1)
         fh.write("\n")
 
     line_obj = {
@@ -258,8 +280,10 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,
-        "detail": "BENCH_FULL.json",
+        "detail": os.path.basename(full_path),
     }
+    if load_contaminated:
+        line_obj["forced"] = force
     line = json.dumps(line_obj, separators=(",", ":"))
     if len(line) > 1900:
         # drop the fastest lines until the JSON fits; the judge reads the

@@ -370,6 +370,7 @@ register_pack(
         Member("events_cohort_retention", ("cohort_day", "day_offset")),
         Member("events_ab_test", ()),
         Member("events_path_transitions", ("prev_type", "next_type")),
+        Member("window_range_frames", ("o_orderkey",)),
         Member("suppliers_sole_problem", ("s_name",)),
         Member("nation_market_share", ("o_year",)),
         Member("dormant_rich_customers", ("c_nationkey",)),
@@ -410,6 +411,7 @@ register_pack(
         Member("tpcds_margin_rank", ("p_type", "p_brand")),
         Member("tpcds_rollup_topk", ("p_type", "p_brand", "ship_month")),
         Member("tpcds_cumulative_crossover", ("pri", "m")),
+        Member("tpcds_cross_channel_items", ("p_brand", "p_type")),
     ),
     doc="Union certificate: the fourteen TPC-H shapes not already covered "
     "by queries_relational.py (r7 — Q2 Q4 Q6 Q9 Q11 Q12 Q13 Q14 Q15 Q16 "
@@ -426,7 +428,10 @@ register_pack(
     "detail rows competing with their own subtotals in one rank — and "
     "the Q51 shape (tpcds_cumulative_crossover): FULL OUTER-joined "
     "cumulative series with a running-MAX crossover flag (window over "
-    "window).",
+    "window). r10 adds the Q14 shape (tpcds_cross_channel_items): "
+    "multi-column INTERSECT as a join driver — items common to all three "
+    "channels gate a revenue aggregate that must also beat the all-items "
+    "average.",
     tags=("relational", "tpch", "pack"),
 )
 

@@ -227,6 +227,83 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINDOW_RANGE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS pri,
+         CAST(FLOOR(EPOCH(o_orderdate) / 86400.0) AS BIGINT) AS day,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, pri, day,
+       CAST(SUM(cents) OVER (PARTITION BY pri ORDER BY day
+          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS sum_trail_30,
+       COUNT(*) OVER (PARTITION BY pri ORDER BY day
+          RANGE BETWEEN CURRENT ROW AND 14 FOLLOWING) AS n_next_14,
+       COUNT(*) OVER (PARTITION BY pri ORDER BY day
+          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS peer_cnt,
+       (FLOOR(COALESCE(
+          CAST(SUM(cents) OVER wprev AS DOUBLE)
+            / (CAST(COUNT(*) OVER wprev AS DOUBLE) * 100.0),
+          0.0) * 1000000.0 + 0.5) / 1000000.0) AS avg_prev_60
+FROM base
+WINDOW wprev AS (PARTITION BY pri ORDER BY day
+                 RANGE BETWEEN 60 PRECEDING AND 1 PRECEDING)
+""".strip()
+
+
+@query("window_range_frames", sql=_WINDOW_RANGE_SQL, tags=("relational", "window"))
+def q_window_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windows (r10, r9 verdict item 9): the certified window
+    family pinned ROWS frames everywhere; this row pins the VALUE-based
+    frame semantics under the oracle. Per order: a trailing-30-day revenue
+    sum, a forward-14-day order count, the PEER count (RANGE BETWEEN
+    CURRENT ROW AND CURRENT ROW = all rows sharing the ORDER BY value —
+    the exact spot where RANGE and ROWS diverge under duplicate keys; the
+    fixture has many same-day orders per priority), and a 60-to-1-day
+    look-back average that EXCLUDES the current day's peers. Semantics
+    pinned: the ORDER BY key is an integer epoch-day (both engines frame
+    on identical int64 arithmetic — framing on raw timestamps would hang
+    on interval-type differences); no tiebreak column is needed because
+    RANGE aggregates are peer-closed (every peer sees the same frame);
+    the empty-frame average is COALESCEd to 0 (both engines yield NULL,
+    pinned explicitly); and the money accumulates as EXACT INTEGER CENTS
+    with ONE double division at the end — sliding-frame SUM/AVG over
+    doubles accumulates in engine-specific order (Spark's running
+    add/remove vs DuckDB's segment tree) and disagreed in the last cent
+    on 34/15000 rows. DuckDB's BIGINT window SUM widens to HUGEINT, so
+    the twin casts to DOUBLE before dividing (the pack-member invariant).
+    One shuffle on the partition key serves all four frames (same
+    ordering reused)."""
+    from pyspark.sql.window import Window as W
+
+    from sarpro_spark.queries import fround
+
+    o = frames.load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint").alias("day"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("pri").orderBy("day")
+    wprev = w.rangeBetween(-60, -1)
+    return base.select(
+        "o_orderkey", "pri", "day",
+        (F.sum("cents").over(w.rangeBetween(-30, 0)).cast("double") / 100.0)
+        .alias("sum_trail_30"),
+        F.count(F.lit(1)).over(w.rangeBetween(0, 14)).alias("n_next_14"),
+        F.count(F.lit(1)).over(w.rangeBetween(0, 0)).alias("peer_cnt"),
+        fround(
+            F.coalesce(
+                F.sum("cents").over(wprev).cast("double")
+                / (F.count(F.lit(1)).over(wprev).cast("double") * 100.0),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("avg_prev_60"),
+    )
+
+
 # --- rollup / cube -----------------------------------------------------------
 
 _ROLLUP_SQL = """

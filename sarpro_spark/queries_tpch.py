@@ -836,3 +836,72 @@ def q_tpcds_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.max("cum_a").over(wc), 2).alias("max_cum_a"),
         (F.col("cum_b") > F.max("cum_a").over(wc)).alias("b_leads"),
     )
+
+
+# --- TPC-DS Q14 shape: INTERSECT-driven cross-channel common items ------------
+
+_CROSS_CHANNEL_SQL = """
+WITH j AS (
+  SELECT o.o_orderstatus AS st, p.p_brand, p.p_type,
+         l.l_extendedprice * (1.0 - l.l_discount) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+cross_items AS (
+  SELECT p_brand, p_type FROM j WHERE st = 'F'
+  INTERSECT
+  SELECT p_brand, p_type FROM j WHERE st = 'O'
+  INTERSECT
+  SELECT p_brand, p_type FROM j WHERE st = 'P'
+),
+allagg AS (
+  SELECT p_brand, p_type, (FLOOR(SUM(rev) * 100.0 + 0.5) / 100.0) AS item_rev
+  FROM j GROUP BY p_brand, p_type
+),
+thr AS (
+  SELECT (FLOOR(AVG(item_rev) * 1000000.0 + 0.5) / 1000000.0) AS avg_rev FROM allagg
+)
+SELECT a.p_brand, a.p_type, a.item_rev
+FROM allagg a
+JOIN cross_items c ON a.p_brand = c.p_brand AND a.p_type = c.p_type,
+     thr t
+WHERE a.item_rev > t.avg_rev
+""".strip()
+
+
+@query("tpcds_cross_channel_items", sql=_CROSS_CHANNEL_SQL, tags=("relational", "tpcds", "setop", "scalar-subquery"))
+def q_tpcds_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14 SHAPE (r10, adapted): items sold in ALL THREE channels —
+    order status F/O/P standing in for store/catalog/web — via a chained
+    multi-column INTERSECT, restricting a revenue aggregate that must also
+    beat the all-items average (Q14's avg_sales scalar gate). Shape
+    ingredients new to the certified set-op family: INTERSECT as a JOIN
+    DRIVER (Spark rewrites each INTERSECT to a distinct-aggregated
+    left-semi join — `set_operations` certifies only scalar set algebra),
+    composed with the Q15-style 1-row broadcast threshold. Per-item
+    revenue rounds to cents and the threshold to 1e-6 BEFORE the
+    comparison so both engines gate on identical doubles. At scale: the
+    channel legs are partial-aggregated map-side before their semi joins,
+    the threshold is a 1-row broadcast, and no leg is ever cartesian."""
+    t = frames.load_all(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("o_orderstatus").alias("st"), "p_brand", "p_type", rev.alias("rev"))
+    )
+
+    def chan(st: str) -> DataFrame:
+        return j.where(F.col("st") == st).select("p_brand", "p_type")
+
+    cross_items = chan("F").intersect(chan("O")).intersect(chan("P"))
+    allagg = j.groupBy("p_brand", "p_type").agg(fround(F.sum("rev"), 2).alias("item_rev"))
+    thr = allagg.agg(fround(F.avg("item_rev"), 6).alias("avg_rev"))
+    return (
+        allagg.join(cross_items, ["p_brand", "p_type"])
+        .join(F.broadcast(thr))
+        .where(F.col("item_rev") > F.col("avg_rev"))
+        .select("p_brand", "p_type", "item_rev")
+    )

@@ -93,3 +93,46 @@ def test_singlepart_window_forbid():
     assert ea.singlepart_window_problems(_BAD_PLAN)
     assert not ea.singlepart_window_problems(_GOOD_PLAN)  # post-limit rank
     assert not ea.singlepart_window_problems(_PARTITIONED_PLAN)
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "bench.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_idle_gate_retries_then_clears(monkeypatch):
+    """r10 (r9 verdict item 4): the idle gate retries up to max_waits and
+    reports clean once the box settles — no time actually slept in-test."""
+    bench = _load_bench()
+    loads = iter([9.0, 7.0, 3.0, 1.2])
+    slept: list[float] = []
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (next(loads), 0, 0))
+    monkeypatch.setattr(bench.time, "sleep", slept.append)
+    start, contaminated = bench.idle_gate(threshold=2.0, max_waits=10, wait_sec=45)
+    assert (start, contaminated) == (1.2, False)
+    assert slept == [45, 45, 45]
+
+
+def test_bench_idle_gate_refuses_to_clear_under_sustained_load(monkeypatch):
+    """If the box never settles the gate exhausts max_waits and stamps the
+    run contaminated — main() then refuses to overwrite BENCH_FULL.json
+    (diverts to BENCH_FULL_CONTAMINATED.json) unless SPARK_GRAFT_FORCE=1."""
+    bench = _load_bench()
+    slept: list[float] = []
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (8.8, 0, 0))
+    monkeypatch.setattr(bench.time, "sleep", slept.append)
+    start, contaminated = bench.idle_gate(threshold=2.0, max_waits=10, wait_sec=45)
+    assert (start, contaminated) == (8.8, True)
+    assert len(slept) == 10
+    # the diversion branch is live code in main(): assert its contract
+    # statically (running main would launch a full sf0.1 bench)
+    src = open(bench.__file__ if hasattr(bench, "__file__") else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")).read()
+    assert "BENCH_FULL_CONTAMINATED.json" in src
+    assert "SPARK_GRAFT_FORCE" in src

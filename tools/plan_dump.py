@@ -24,7 +24,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _infer_round() -> int:
-    env = os.environ.get("PLANS_ROUND")
+    # SPARK_GRAFT_ROUND is the cross-tool round override (ADVICE r9);
+    # PLANS_ROUND kept as this tool's historical spelling
+    env = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get("PLANS_ROUND")
     if env:
         return int(env)
     import re as _re

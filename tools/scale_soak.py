@@ -35,9 +35,16 @@ SOAK_DIR = os.path.join(REPO, ".soak", "sf1")
 
 
 def _infer_round() -> int:
-    """Same rule as bench.py/plan_dump.py (ADVICE r8 fix class): env wins,
-    else 1 + the newest driver artifact; loud failure if neither exists —
-    a frozen literal would silently stamp a stale round."""
+    """Same rule as bench.py/plan_dump.py: SPARK_GRAFT_ROUND wins (ADVICE
+    r9: the env really is consulted now — a post-driver re-run would
+    otherwise stamp max(artifact)+1 and mislabel output as the NEXT
+    round); else 1 + the newest driver artifact (correct while the
+    driver has not yet written this round's artifact); loud failure if
+    neither exists — a frozen literal would silently stamp a stale
+    round."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
     import re as _re
 
     ns = [
