@@ -682,7 +682,13 @@ def lcc_inverse_steps(
         ),
         (
             "lcc_lon",
-            f"{c['lon0']!r} + DEGREES(ATAN2(li_dx, li_dy) / {c['n']!r})",
+            # Snyder 14-11 applies to the conformal conic too: theta's ATAN2
+            # arguments sign-flip with rho when n < 0 (same ADVICE-r9 class
+            # as the Albers fix; flip emitted only for southern instances so
+            # n > 0 oracle SQL stays byte-identical)
+            f"{c['lon0']!r} + DEGREES(ATAN2("
+            + (f"{sgn!r} * li_dx, {sgn!r} * li_dy" if sgn < 0 else "li_dx, li_dy")
+            + f") / {c['n']!r})",
         ),
     ]
 
@@ -715,7 +721,8 @@ def lcc_inverse_np(e, n, c: dict | None = None):
         + c["c6"] * np.sin(6.0 * chi)
         + c["c8"] * np.sin(8.0 * chi)
     )
-    lon = c["lon0"] + np.degrees(np.arctan2(dx, dy) / c["n"])
+    # Snyder 14-11: ATAN2 arguments sign-flip with rho when n < 0 (ADVICE r9)
+    lon = c["lon0"] + np.degrees(np.arctan2(sgn * dx, sgn * dy) / c["n"])
     return lon, lat
 
 
@@ -1263,6 +1270,11 @@ def albers_inverse_steps(
     return [
         ("abi_dx", f"({e} - {c['fe']!r})"),
         ("abi_dy", f"({c['rho0']!r} - ({n} - {c['fn']!r}))"),
+        # Snyder 14-11: for n < 0 the ATAN2 arguments' signs reverse along
+        # with rho's — sign-flipping rho alone would compute the wrong
+        # longitude for a southern-parallel instance (ADVICE r9). The flip
+        # is emitted only when sgn < 0 so the n > 0 instances' oracle SQL
+        # stays byte-identical.
         ("abi_rho", f"{sgn!r} * SQRT(abi_dx * abi_dx + abi_dy * abi_dy)"),
         (
             "abi_q",
@@ -1277,7 +1289,12 @@ def albers_inverse_steps(
             f" + {c['c4']!r} * SIN(4.0 * abi_beta)"
             f" + {c['c6']!r} * SIN(6.0 * abi_beta))",
         ),
-        ("alb_lon", f"{c['lon0']!r} + DEGREES(ATAN2(abi_dx, abi_dy) / {c['n']!r})"),
+        (
+            "alb_lon",
+            f"{c['lon0']!r} + DEGREES(ATAN2("
+            + (f"{sgn!r} * abi_dx, {sgn!r} * abi_dy" if sgn < 0 else "abi_dx, abi_dy")
+            + f") / {c['n']!r})",
+        ),
     ]
 
 
@@ -1311,5 +1328,6 @@ def albers_inverse_np(e, n, c: dict | None = None):
         + c["c4"] * np.sin(4.0 * beta)
         + c["c6"] * np.sin(6.0 * beta)
     )
-    lon = c["lon0"] + np.degrees(np.arctan2(dx, dy) / c["n"])
+    # Snyder 14-11: ATAN2 arguments sign-flip with rho when n < 0 (ADVICE r9)
+    lon = c["lon0"] + np.degrees(np.arctan2(sgn * dx, sgn * dy) / c["n"])
     return lon, lat

@@ -474,6 +474,7 @@ register_pack(
         Member("osgb_roundtrip_points", ("product_id", "gi", "gj")),
         Member("bd72_roundtrip_points", ("product_id", "gi", "gj")),
         Member("albers_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("ingest_sink_roundtrip", ("product",)),
     ),
     doc="Union certificate: S1-S3/S10/S11 SAFE discovery over the fixture "
     "tree, S8/S9 manifest+annotation parse, S6 generic reader roundtrip, "

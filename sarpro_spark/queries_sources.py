@@ -374,3 +374,79 @@ def q_sidecar_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, "product_id int, kind string, content string")
+
+
+# --- S11 streaming twin: drained ingest sink == batch opener (r10) -----------
+
+_INGEST_SINK_SQL = """
+SELECT * FROM (VALUES
+  ('A.SAFE', 'ok', 'SENTINEL-1', 'GRD', CAST(51234 AS BIGINT), 'VV,VH',
+   's1a-iw-grd-vv-0.tiff', 's1a-iw-grd-vh-0.tiff', TRUE),
+  ('B.SAFE', 'ok', 'SENTINEL-1', 'GRD', CAST(51234 AS BIGINT), 'VV,VH',
+   's1a-iw-grd-vv-1.tiff', 's1a-iw-grd-vh-1.tiff', TRUE),
+  ('C.SAFE', 'error', NULL, NULL, CAST(NULL AS BIGINT), NULL, NULL, NULL, TRUE)
+) t(product, status_kind, platform, product_type, orbit_number, polarizations,
+    vv_file, vh_file, stream_equals_batch)
+""".strip()
+
+
+def _normalize_opened(df: DataFrame) -> DataFrame:
+    """Project an open_products-shaped relation to tmp-path-independent
+    columns (basenames; error rows' payload nulled like safe_discovery)."""
+    ok = F.col("status") == "ok"
+    return df.select(
+        F.element_at(F.split("product_path", "/"), -1).alias("product"),
+        F.when(ok, "ok").otherwise("error").alias("status_kind"),
+        *[
+            F.when(ok, F.col(c)).alias(c)
+            for c in ("platform", "product_type", "acquisition_start",
+                      "acquisition_stop", "orbit_number", "polarizations")
+        ],
+        *[
+            F.when(ok, F.element_at(F.split(c, "/"), -1)).alias(c.replace("_path", "_file"))
+            for c in ("vv_path", "vh_path", "hh_path", "hv_path")
+        ],
+    )
+
+
+@query("ingest_sink_roundtrip", sql=_INGEST_SINK_SQL, tags=("source", "safe", "streaming"))
+def q_ingest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 streaming-arrival twin UNDER THE ORACLE (r10, r9 verdict item 3):
+    run the real continuous-ingest query (streaming/ingest.py — manifest
+    arrival -> batch-identical open -> epoch-overwrite parquet sink) to
+    drain over the canonical SAFE fixture, read the sink back WITHOUT the
+    epoch partition column (readers drop it — the epoch is redelivery
+    bookkeeping, not data), and compare it to the batch opener
+    (open_products) COLUMN BY COLUMN as data: stream_equals_batch is the
+    eqNullSafe conjunction over every payload column, per product. The
+    oracle hand-states the expected table with stream_equals_batch=TRUE —
+    a sink that dropped, duplicated, or altered any product row (e.g. a
+    non-idempotent redelivery append) breaks the hash. Until this row, the
+    idempotent-sink contract lived only in pytest; the DuckDB gate cannot
+    run streams, but it CAN hash a drained sink."""
+    import os as _os
+
+    from sarpro_spark.streaming.ingest import ingest_products_stream
+
+    root = fx.build_safe_fixture(tempfile.mkdtemp(prefix="sarpro_ingest_fx_"))
+    sink = _os.path.join(tempfile.mkdtemp(prefix="sarpro_ingest_sink_"), "sink")
+    ckpt = _os.path.join(tempfile.mkdtemp(prefix="sarpro_ingest_ck_"), "ckpt")
+    q = ingest_products_stream(spark, root, sink, ckpt)
+    q.awaitTermination(180)
+    drained = _normalize_opened(spark.read.parquet(sink).drop("epoch"))
+    batch = _normalize_opened(safe.open_products(spark, root, permissive=True))
+    payload = [c for c in drained.columns if c != "product"]
+    b = batch.select("product", *[F.col(c).alias(f"b_{c}") for c in payload])
+    eq = F.lit(True)
+    for c in payload:
+        eq = eq & F.col(c).eqNullSafe(F.col(f"b_{c}"))
+    return (
+        drained.join(b, "product", "full_outer")
+        .select(
+            "product",
+            F.col("status_kind"),
+            "platform", "product_type", "orbit_number", "polarizations",
+            "vv_file", "vh_file",
+            eq.alias("stream_equals_batch"),
+        )
+    )

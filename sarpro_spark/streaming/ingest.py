@@ -28,9 +28,20 @@ Streaming query:
 
 Certificate: tests/test_streaming.py asserts a drained stream's sink ==
 `open_products` over the same directory, including error-status rows for
-broken products, under multi-batch staggered arrival. (No registered
-oracle row: the DuckDB gate cannot run streams; the batch twin it would
-hash IS `safe_discovery`, already head-certified via sources_pack.)
+broken products, under multi-batch staggered arrival. r10 adds the
+registered row `ingest_sink_roundtrip` (sources_pack): a drained ingest
+sink read back (epoch partition dropped) hashes equal to the batch
+opener as DATA, putting the epoch-overwrite idempotence contract under
+the oracle.
+
+Equivalence scope (ADVICE r9): the stream triggers on MANIFEST arrival,
+so 'drained sink == open_products' holds for MANIFESTED directories. A
+subdirectory that never receives a manifest is, by the landing contract
+above, a product still being written — the batch opener (which scans a
+directory presumed complete) emits an error row for it, the stream
+correctly keeps waiting. Operators who want stale half-written products
+surfaced should run the batch opener as a periodic sweep next to the
+stream; the stream itself never times a directory out.
 
 Scale contract: the stream moves METADATA (one row per product); band
 pixels stay in executor-side reads exactly like the batch path. State is
@@ -47,14 +58,24 @@ from pyspark.sql import functions as F
 from sarpro_spark.sources.safe import open_product_dirs
 
 
-def stream_product_arrivals(spark: SparkSession, input_dir: str) -> DataFrame:
+#: manifests admitted per micro-batch. High by default: one micro-batch per
+#: product (the old hard-coded 1) serializes a checkpoint commit + parquet
+#: write per product, which at 'millions of products' throttles ingest to the
+#: commit latency (ADVICE r9). Tests pin 1 to make arrival order observable.
+DEFAULT_MAX_FILES_PER_TRIGGER = 1024
+
+
+def stream_product_arrivals(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int = DEFAULT_MAX_FILES_PER_TRIGGER,
+) -> DataFrame:
     """Streaming (manifest_path) relation — one row per LINE of each newly
     arrived manifest (the text file source's grain); consumers take the
-    distinct dirname. maxFilesPerTrigger=1 keeps one product per
-    micro-batch so arrival order is observable in tests."""
+    distinct dirname."""
     return (
         spark.readStream.format("text")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(os.path.join(input_dir, "*", "manifest.safe"))
         .select(F.input_file_name().alias("manifest_path"))
     )
@@ -66,6 +87,7 @@ def ingest_products_stream(
     sink_dir: str,
     checkpoint_dir: str,
     transform=None,
+    max_files_per_trigger: int = DEFAULT_MAX_FILES_PER_TRIGGER,
 ):
     """Start the continuous-ingest query: new products (manifest arrival)
     -> batch-identical open -> optional caller transform -> parquet append.
@@ -83,10 +105,22 @@ def ingest_products_stream(
             )
             .distinct()
         )
-        # file-source URIs are file:-scheme ('file:///abs/path'); the opener
-        # takes plain filesystem paths
+        # file-source URIs are file:-scheme AND percent-encoded
+        # ('file:///abs/My%20Product.SAFE'); the opener takes plain
+        # filesystem paths, so strip the scheme and percent-DECODE
+        # (ADVICE r9: an undecoded %20 yields a path that doesn't exist and
+        # a spurious error row). url_decode also maps '+' to space
+        # (URLDecoder semantics) which is WRONG for a literal '+' in a
+        # directory name — input_file_name never encodes '+' — so protect
+        # it as %2B first. Pure column expressions, no Python in the plan.
         dirs = dirs.select(
-            F.regexp_replace("product_path", "^file:(//)?", "").alias("product_path")
+            F.url_decode(
+                F.replace(
+                    F.regexp_replace("product_path", "^file:(//)?", ""),
+                    F.lit("+"),
+                    F.lit("%2B"),
+                )
+            ).alias("product_path")
         )
         opened = open_product_dirs(dirs)
         if transform is not None:
@@ -96,7 +130,7 @@ def ingest_products_stream(
         opened.write.mode("overwrite").parquet(os.path.join(sink_dir, f"epoch={epoch_id}"))
 
     return (
-        stream_product_arrivals(spark, input_dir)
+        stream_product_arrivals(spark, input_dir, max_files_per_trigger)
         .writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

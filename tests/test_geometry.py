@@ -929,6 +929,58 @@ def test_albers_snyder_worked_example_and_steps(spark):
         assert abs(r["alb_lat"] - r["lat"]) < 1e-7
 
 
+def test_albers_lcc_southern_parallel_inverse(spark):
+    """ADVICE r9: Snyder 14-11 reverses the ATAN2 arguments' signs along
+    with rho's when n < 0 — sign-flipping rho alone computes the wrong
+    longitude for a southern-parallel instance (every REGISTERED instance
+    has n > 0 and was unaffected). Anchor: Australian-Albers-style GRS80
+    parameters (EPSG:3577 — parallels 18S/36S, origin 0N 132E) and a
+    southern LCC-2SP; both must roundtrip in the numpy twins AND the
+    portable SQL step chains."""
+    import numpy as np
+
+    from sarpro_spark.operators import tmerc as tmx
+
+    grs_a, grs_f = 6378137.0, 1.0 / 298.257222101
+    alb = tmx.albers_constants(grs_a, grs_f, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0)
+    assert alb["n"] < 0  # the branch under test
+    lons = np.repeat(np.linspace(115.0, 150.0, 5), 5)
+    lats = np.tile(np.linspace(-42.0, -12.0, 5), 5)
+    E, N = tmx.albers_forward_np(lons, lats, alb)
+    lo, la = tmx.albers_inverse_np(E, N, alb)
+    assert float(np.abs(lo - lons).max()) <= 1e-7
+    assert float(np.abs(la - lats).max()) <= 1e-7
+
+    lcc = tmx.lcc2sp_constants(grs_a, grs_f, -32.0, -60.0, -30.0, -36.0, 0.0, 0.0)
+    assert lcc["n"] < 0
+    lons2 = np.repeat(np.linspace(-72.0, -54.0, 5), 5)
+    lats2 = np.tile(np.linspace(-50.0, -22.0, 5), 5)
+    E2, N2 = tmx.lcc_forward_np(lons2, lats2, lcc)
+    lo2, la2 = tmx.lcc_inverse_np(E2, N2, lcc)
+    assert float(np.abs(lo2 - lons2).max()) <= 1e-7
+    assert float(np.abs(la2 - lats2).max()) <= 1e-7
+
+    # SQL step chains agree with the numpy twins on the southern branch
+    pts = [(135.0, -25.0), (118.0, -35.0), (148.0, -15.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    iv = tmx.apply_steps(
+        tmx.apply_steps(df, tmx.albers_forward_steps(alb)),
+        tmx.albers_inverse_steps(alb),
+    )
+    for r in iv.select("lon", "lat", "alb_lon", "alb_lat").collect():
+        assert abs(r["alb_lon"] - r["lon"]) < 1e-7
+        assert abs(r["alb_lat"] - r["lat"]) < 1e-7
+    pts2 = [(-65.0, -30.0), (-70.0, -45.0), (-56.0, -25.0)]
+    df2 = spark.createDataFrame(pts2, "lon double, lat double")
+    iv2 = tmx.apply_steps(
+        tmx.apply_steps(df2, tmx.lcc_forward_steps(lcc)),
+        tmx.lcc_inverse_steps(lcc),
+    )
+    for r in iv2.select("lon", "lat", "lcc_lon", "lcc_lat").collect():
+        assert abs(r["lcc_lon"] - r["lon"]) < 1e-7
+        assert abs(r["lcc_lat"] - r["lat"]) < 1e-7
+
+
 def test_gcp_warp_dispatch_interpolants_agree_on_affine(spark):
     """plans.pipeline.gcp_warp consumes ProcessingParams.gcp_interpolant:
     'grid' -> warp_gcp_grid, 'tps' -> warp_gcp_tps, from ONE regular

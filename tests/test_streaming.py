@@ -612,8 +612,14 @@ def test_streaming_product_ingest_equals_batch_open(spark, tmp_path):
     opens exactly the arrived directories through the SAME mapInPandas
     opener the batch path uses. Drained sink == open_products over the
     full directory, row for row, including the error-status row of a
-    broken product, with one product per micro-batch (staggered mtimes)
-    and the broken product arriving in the MIDDLE."""
+    broken product, with one product per micro-batch (staggered mtimes —
+    the test pins max_files_per_trigger=1; production defaults to 1024 so
+    ingest isn't serialized to one checkpoint commit per product, ADVICE
+    r9) and the broken product arriving in the MIDDLE. Two products carry
+    a SPACE and a literal '+' in their directory names: input_file_name()
+    returns percent-encoded URIs, and an undecoded path (or a '+'
+    url-decoded to space) would produce a spurious error row (ADVICE
+    r9)."""
     import os
     import time
 
@@ -640,17 +646,20 @@ def test_streaming_product_ingest_equals_batch_open(spark, tmp_path):
     stage("A.SAFE", 0)
     stage("C.SAFE", 1, broken=True)  # arrives between the two good ones
     stage("B.SAFE", 2)
+    stage("D SPACE.SAFE", 3)  # %20 in the file-source URI
+    stage("E+PLUS.SAFE", 4)  # literal '+' must NOT decode to a space
 
     expected = {
         tuple(r)
         for r in safe.open_products(spark, str(root), permissive=True).collect()
     }
-    assert len(expected) == 3
-    assert any(r[1].startswith("error:") for r in expected)
+    assert len(expected) == 5
+    assert sum(1 for r in expected if r[1].startswith("error:")) == 1
 
     sink = str(tmp_path / "ingest_sink")
     q = ingest_products_stream(
-        spark, str(root), sink, str(tmp_path / "ingest_ckpt")
+        spark, str(root), sink, str(tmp_path / "ingest_ckpt"),
+        max_files_per_trigger=1,
     )
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.read.parquet(sink).drop("epoch").collect()}
