@@ -449,6 +449,122 @@ WHERE CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) >= {thre
 """.strip()
 
 
+def minhash_probe_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = 16,
+    bands: int = 4,
+    probe: int = 1,
+) -> DataFrame:
+    """Doc-side multi-probe MinHash LSH (r10, r9 verdict item 7 — the r9
+    multi-probe lived only on the embedding/ANN side): candidate pairs with
+    the LEVEL of the cheapest probe that found them.
+
+    Level 0 is the classic banding (bucket = hash of all ``r`` band
+    positions). ``probe >= 1`` ADDITIONALLY emits, per band, r
+    leave-one-out buckets — position j masked out of the hash — so two
+    docs collide at level 1 iff their band agrees on the other r-1
+    positions (collision probability s^(r-1) per drop vs s^r for the full
+    band). That buys the recall of (r-1)-row banding WITHOUT re-hashing
+    the corpus or committing the index to looser buckets: the probe level
+    is a per-run knob, exactly like the ANN side's Hamming ball. Returns
+    (doc_a, doc_b, level) with level = MIN over all colliding keys.
+
+    Scale contract: keys grow by a factor of (1 + r) per band at probe=1
+    and leave-one-out buckets are coarser, so the same hot-bucket caveat
+    as every banding applies — the join keys on (band, dropped, bucket),
+    never all-pairs; candidates are meant to feed the exact-jaccard
+    verifier which bounds downstream cost to |candidates|."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    from sarpro_spark.llm.cluster import _checkpointer
+
+    # banding reads the signature frame (1 + probe*r) x bands times —
+    # materialize once (same policy as minhash_jaccard_pairs)
+    sig = _checkpointer(sig)(sig)
+    key_frames = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        key_frames.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.lit(-1).alias("dropped"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+        if probe >= 1:
+            for j in range(rows_per_band):
+                kept = [c for i, c in enumerate(cols) if i != j]
+                key_frames.append(
+                    sig.select(
+                        F.col(id_col),
+                        F.lit(b).alias("band"),
+                        F.lit(j).alias("dropped"),
+                        F.md5(F.concat_ws("|", *kept)).alias("bucket"),
+                    )
+                )
+    keys = key_frames[0]
+    for kf in key_frames[1:]:
+        keys = keys.unionByName(kf)
+    level = F.when(F.col("dropped") == -1, 0).otherwise(1)
+    return (
+        keys.select(F.col(id_col).alias("doc_a"), "band", "dropped", "bucket")
+        .join(
+            keys.select(F.col(id_col).alias("doc_b"), "band", "dropped", "bucket"),
+            ["band", "dropped", "bucket"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min(level).alias("level"))
+    )
+
+
+def sql_minhash_probe_candidates(
+    src_rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    num_hashes: int = 16,
+    bands: int = 4,
+    probe: int = 1,
+) -> str:
+    """DuckDB twin of :func:`minhash_probe_candidates` — CTE ``probecand``
+    (doc_a, doc_b, level)."""
+    rows_per_band = num_hashes // bands
+    ctes = sql_minhash_ctes(src_rel, id_col, text_col, n, num_hashes)
+    sep = " || '|' || "
+    key_selects = []
+    for b in range(bands):
+        all_cols = [f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key_selects.append(
+            f"SELECT {id_col}, {b} AS band, -1 AS dropped, "
+            f"MD5({sep.join(all_cols)}) AS bucket FROM sigs"
+        )
+        if probe >= 1:
+            for j in range(rows_per_band):
+                kept = [c for i, c in enumerate(all_cols) if i != j]
+                key_selects.append(
+                    f"SELECT {id_col}, {b} AS band, {j} AS dropped, "
+                    f"MD5({sep.join(kept)}) AS bucket FROM sigs"
+                )
+    keys = "\n  UNION ALL\n  ".join(key_selects)
+    return f"""{ctes},
+probekeys AS (
+  {keys}
+),
+probecand AS (
+  SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+         MIN(CASE WHEN a.dropped = -1 THEN 0 ELSE 1 END) AS level
+  FROM probekeys a
+  JOIN probekeys b ON a.band = b.band AND a.dropped = b.dropped AND a.bucket = b.bucket
+  WHERE a.{id_col} < b.{id_col}
+  GROUP BY a.{id_col}, b.{id_col}
+)"""
+
+
 def sql_minhash_ctes(
     src_rel: str,
     id_col: str = "doc_id",

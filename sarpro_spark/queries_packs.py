@@ -192,6 +192,7 @@ register_pack(
         Member("dedup_streaming_neardup", ("doc_id",)),
         Member("dedup_stream_stream_neardup", ("a_id", "b_id")),
         Member("dedup_semantic_prune", ("vec_id",)),
+        Member("neardup_recall_multiprobe", ()),
         Member("corpus_leakage_safe_split", ("split",)),
     ),
     doc="Union certificate: exact dedup (+normalized), n-gram Jaccard pairs, "

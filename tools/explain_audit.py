@@ -567,6 +567,15 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
         "schema_excludes": ["o_comment", "o_custkey", "o_clerk"],
     },
+    "neardup_recall_multiprobe": {
+        # r10 doc-side multi-probe: candidates come from the keyed
+        # (band, dropped, bucket) self-join — a CartesianProduct here is
+        # the all-pairs scan banding exists to prevent; truth is the
+        # inverted-index exact-jaccard path; everything is column
+        # expressions (md5 banding), no Python anywhere
+        "require": ["HashAggregate"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
     "window_range_frames": {
         # r10 RANGE-frame cert: all four value-based frames share ONE
         # partition-key ordering (a second sort/exchange would mean the
