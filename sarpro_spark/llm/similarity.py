@@ -720,9 +720,14 @@ def _seed_subcentroids(
     seed_limit: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    group_cols: tuple[str, ...] = ("centroid_id",),
+    sub_col: str = "sub_id",
 ) -> DataFrame:
-    """Sub-centroid seeds for oversized clusters: the ``nsplit``
-    lowest-id members of each cluster with ``nsplit > 1``.
+    """Sub-centroid seeds for oversized groups: the ``nsplit`` lowest-id
+    members of each ``group_cols`` group with ``nsplit > 1`` (r10: the
+    group key is a parameter so depth-k recursion reuses the level —
+    level 1 groups by centroid_id, level d by centroid_id + the sub ids
+    of levels 1..d-1).
 
     Skew contract (r10): ``_rk <= nsplit`` alone is a COLUMN-valued rank
     limit, which defeats Spark's InferWindowGroupLimit pushdown — every
@@ -737,14 +742,14 @@ def _seed_subcentroids(
     ``tests/test_llm.py`` asserts the Partial-mode WindowGroupLimit on
     this frame's executed plan and skew-tests a planted giant cluster.
     """
-    wseed = Window.partitionBy("centroid_id").orderBy(id_col)
+    wseed = Window.partitionBy(*group_cols).orderBy(id_col)
     return (
         m.where(F.col("nsplit") > 1)
         .withColumn("_rk", F.row_number().over(wseed))
         .where((F.col("_rk") <= F.lit(seed_limit)) & (F.col("_rk") <= F.col("nsplit")))
         .select(
-            "centroid_id",
-            (F.col("_rk") - 1).cast("int").alias("sub_id"),
+            *group_cols,
+            (F.col("_rk") - 1).cast("int").alias(sub_col),
             F.col(vec_col).cast("array<double>").alias("scvec"),
         )
     )
@@ -760,6 +765,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_cluster: int = SEMDEDUP_MAX_CLUSTER,
     sub_iters: int = 2,
+    depth: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023, public): k-means
     cluster the corpus, then inside each cluster drop every vector that has
@@ -771,24 +777,28 @@ def semantic_dedup(
     size BY DESIGN (that is SemDeDup's semantics); k is chosen so n/k stays
     task-sized — the same contract as the IVF probe lists. Clusters larger
     than ``max_cluster`` are RE-CLUSTERED (r9, replacing the r7 md5
-    sub-bucket salt): one bounded recursion level of grouped k-means runs
-    inside every oversized cluster — ceil(size/max_cluster) sub-centroids
-    seeded from the cluster's lowest-id members, ``sub_iters`` Lloyd
+    sub-bucket salt; r10 generalizes the single level to bounded
+    ``depth``-level recursion): each level runs grouped k-means inside
+    every still-oversized group — ceil(size/max_cluster) sub-centroids
+    seeded from the group's lowest-id members, ``sub_iters`` Lloyd
     rounds, all in the same fround'd-cosine / fround'd-AVG arithmetic as
-    the top-level trainer so the DuckDB twin reproduces it — and pairs are
-    compared within a sub-cluster. Semantically-near vectors therefore
-    stay TOGETHER when a hot cluster splits (an md5 salt scattered
-    duplicate groups uniformly across sub-buckets, losing ~(1 - 1/nsplit)
-    of their pairs; k-means keeps a duplicate group in one sub-cluster
-    unless it straddles a sub-centroid boundary). A residual md5 salt
-    (the family's hash_bucket arithmetic) still hard-bounds any
-    sub-cluster the re-cluster could not shrink below ``max_cluster``, so
-    the worst-case pair work stays max_cluster^2 per bucket even on
-    pathological corpora. When every cluster fits max_cluster both layers
-    are identity (sub_id = 0, salt = 0) and the semantics are exactly
-    SemDeDup's. One kmeans train (k-row state), one broadcast-centroid
-    assignment pass, sub_iters+1 passes over ONLY the oversized clusters,
-    one (cluster, sub, salt)-keyed self-join, one anti-join.
+    the top-level trainer so the DuckDB twin reproduces it — and the next
+    level re-groups by the accumulated (centroid, sub_1..sub_d) path.
+    Semantically-near vectors therefore stay TOGETHER when a hot cluster
+    splits (an md5 salt scattered duplicate groups uniformly across
+    sub-buckets, losing ~(1 - 1/nsplit) of their pairs; k-means keeps a
+    duplicate group in one sub-cluster unless it straddles a sub-centroid
+    boundary). A residual md5 salt (the family's hash_bucket arithmetic)
+    still hard-bounds any group the full recursion could not shrink below
+    ``max_cluster``, so the worst-case pair work stays max_cluster^2 per
+    bucket even on pathological corpora. When every group at a level fits
+    max_cluster that level (and all deeper ones) is provably identity
+    (sub = 0 everywhere) and is SKIPPED without launching its no-op
+    k-means jobs — so depth=1 behaves exactly like r9, and extra depth is
+    free on corpora that don't need it. One kmeans train (k-row state),
+    one broadcast-centroid assignment pass, sub_iters+1 passes over ONLY
+    the oversized groups per exercised level, one (group-path, salt)-keyed
+    self-join, one anti-join.
 
     Returns (id, centroid_id, kept) for every input vector.
     """
@@ -819,69 +829,95 @@ def semantic_dedup(
     # plan; the assignment broadcast is certified by the kmeans/IVF
     # queries whose plans it remains visible in.
     m = checkpoint(m)
-    # --- depth-1 recursive re-cluster of oversized clusters (r9) ------------
-    over = m.where(F.col("nsplit") > 1).select(id_col, "centroid_id", vec_col)
-    small = m.where(F.col("nsplit") <= 1).select(
-        id_col, "centroid_id", vec_col, F.lit(0).alias("sub_id")
-    )
-    # max(nsplit) as a 1-row scalar (the family's documented collect
-    # exception, over the already-checkpointed relation) — the literal
-    # rank bound it feeds is what lets WindowGroupLimit prune the seed
-    # window map-side (see _seed_subcentroids).
-    _seed_cap = (
-        m.where(F.col("nsplit") > 1).agg(F.max("nsplit").alias("L")).collect()
-    )
-    seed_limit = int(_seed_cap[0]["L"] or 0) if _seed_cap else 0
-    subcent = _seed_subcentroids(m, seed_limit, id_col=id_col, vec_col=vec_col)
-
-    def _sub_assign(cent_df: DataFrame) -> DataFrame:
-        # sub-centroid relation is ceil(size/max_cluster) rows per oversized
-        # cluster — bounded per CLUSTER but O(n/max_cluster) globally, so it
-        # is NOT pinned broadcast (AQE broadcasts while it is small; at
-        # corpus scale the centroid_id-keyed shuffle co-locates each
-        # cluster's members with its own sub-centroids)
-        j = over.join(cent_df, "centroid_id")
-        s = fround(cosine_expr(F.col(vec_col).cast("array<double>"), F.col("scvec")))
-        w = Window.partitionBy(id_col).orderBy(F.col("_ssim").desc(), F.col("sub_id"))
-        return (
-            j.select(id_col, "centroid_id", "sub_id", s.alias("_ssim"))
-            .withColumn("_rnk", F.row_number().over(w))
-            .where(F.col("_rnk") == 1)
-            .select(id_col, "centroid_id", "sub_id")
+    # --- bounded depth-k recursive re-cluster of oversized groups -----------
+    # (r9 depth-1, r10 depth-k: each level re-runs the SAME grouped-kmeans
+    # arithmetic keyed by the accumulated group path, so the DuckDB twin
+    # unrolls level-for-level)
+    group_cols: list[str] = ["centroid_id"]
+    cur = m  # (id, vec, *group_cols, nsplit) at the CURRENT grouping
+    for d in range(1, depth + 1):
+        sub_col = "sub_id" if d == 1 else f"sub{d}_id"
+        # max(nsplit) as a 1-row scalar (the family's documented collect
+        # exception, over a checkpointed relation) — the literal rank bound
+        # it feeds is what lets WindowGroupLimit prune the seed window
+        # map-side (see _seed_subcentroids).
+        _seed_cap = (
+            cur.where(F.col("nsplit") > 1).agg(F.max("nsplit").alias("L")).collect()
         )
-
-    for _ in range(sub_iters):
-        sassign = _sub_assign(subcent)
-        mem = over.join(sassign.select(id_col, "sub_id"), id_col)
-        aggs = [
-            fround(F.avg(F.col(vec_col)[i].cast("double")), 6).alias(f"_c{i}")
-            for i in range(dim)
-        ]
-        subcent = checkpoint(
-            mem.groupBy("centroid_id", "sub_id")
-            .agg(*aggs)
-            .select(
-                "centroid_id", "sub_id",
-                F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("scvec"),
+        seed_limit = int(_seed_cap[0]["L"] or 0) if _seed_cap else 0
+        small = cur.where(F.col("nsplit") <= 1).select(
+            id_col, *group_cols, vec_col, F.lit(0).alias(sub_col)
+        )
+        if seed_limit <= 1:
+            # nothing oversized at this level: the grouped kmeans would
+            # assign sub = 0 everywhere — take the identity without
+            # launching its no-op jobs (deeper levels are identity too,
+            # but running the remaining loop iterations costs only this
+            # same 1-row aggregate each)
+            msub = small
+        else:
+            over = cur.where(F.col("nsplit") > 1).select(id_col, *group_cols, vec_col)
+            subcent = _seed_subcentroids(
+                cur, seed_limit, id_col=id_col, vec_col=vec_col,
+                group_cols=tuple(group_cols), sub_col=sub_col,
             )
+
+            def _sub_assign(cent_df: DataFrame, over=over, sub_col=sub_col) -> DataFrame:
+                # sub-centroid relation is ceil(size/max_cluster) rows per
+                # oversized group — bounded per GROUP but O(n/max_cluster)
+                # globally, so it is NOT pinned broadcast (AQE broadcasts
+                # while it is small; at corpus scale the group-keyed shuffle
+                # co-locates each group's members with its own sub-centroids)
+                j = over.join(cent_df, group_cols)
+                s = fround(cosine_expr(F.col(vec_col).cast("array<double>"), F.col("scvec")))
+                w = Window.partitionBy(id_col).orderBy(F.col("_ssim").desc(), F.col(sub_col))
+                return (
+                    j.select(id_col, *group_cols, sub_col, s.alias("_ssim"))
+                    .withColumn("_rnk", F.row_number().over(w))
+                    .where(F.col("_rnk") == 1)
+                    .select(id_col, *group_cols, sub_col)
+                )
+
+            for _ in range(sub_iters):
+                sassign = _sub_assign(subcent)
+                mem = over.join(sassign.select(id_col, sub_col), id_col)
+                aggs = [
+                    fround(F.avg(F.col(vec_col)[i].cast("double")), 6).alias(f"_c{i}")
+                    for i in range(dim)
+                ]
+                subcent = checkpoint(
+                    mem.groupBy(*group_cols, sub_col)
+                    .agg(*aggs)
+                    .select(
+                        *group_cols, sub_col,
+                        F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("scvec"),
+                    )
+                )
+            over_sub = over.join(_sub_assign(subcent).select(id_col, sub_col), id_col)
+            msub = over_sub.select(id_col, *group_cols, vec_col, sub_col).unionByName(small)
+        group_cols.append(sub_col)
+        # group sizes at the refined path: feeds the next level's split
+        # decision, or (after the last level) the residual salt hard bound
+        ssz = msub.groupBy(*group_cols).agg(
+            F.ceil(F.count(F.lit(1)) / float(max_cluster)).cast("long").alias("nsplit")
         )
-    over_sub = over.join(_sub_assign(subcent).select(id_col, "sub_id"), id_col)
-    msub = over_sub.select(id_col, "centroid_id", vec_col, "sub_id").unionByName(small)
-    # residual hard bound: any sub-cluster the re-cluster could not shrink
+        cur = msub.join(ssz, group_cols)
+        if d < depth:
+            # next level makes sub_iters+2 passes over cur — same
+            # materialize-once policy as m
+            cur = checkpoint(cur)
+    # residual hard bound: any group the full recursion could not shrink
     # below max_cluster still md5-salts (bounded, documented approximation)
-    ssz = msub.groupBy("centroid_id", "sub_id").agg(
-        F.ceil(F.count(F.lit(1)) / float(max_cluster)).cast("long").alias("nsplit2")
-    )
-    msalt = msub.join(ssz, ["centroid_id", "sub_id"]).withColumn(
-        "_salt", hash_bucket(F.col(id_col), seed="semsalt") % F.col("nsplit2")
+    msalt = cur.withColumn(
+        "_salt", hash_bucket(F.col(id_col), seed="semsalt") % F.col("nsplit")
     )
     a = msalt.select(
-        "centroid_id", "sub_id", "_salt", F.col(id_col).alias("ida"), F.col(vec_col).alias("va")
+        *group_cols, "_salt", F.col(id_col).alias("ida"), F.col(vec_col).alias("va")
     )
     b = msalt.select(
-        "centroid_id", "sub_id", "_salt", F.col(id_col).alias("idb"), F.col(vec_col).alias("vb")
+        *group_cols, "_salt", F.col(id_col).alias("idb"), F.col(vec_col).alias("vb")
     )
-    pairs = a.join(b, ["centroid_id", "sub_id", "_salt"]).where(F.col("ida") < F.col("idb"))
+    pairs = a.join(b, [*group_cols, "_salt"]).where(F.col("ida") < F.col("idb"))
     sim = fround(cosine_expr(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")))
     dropped = (
         pairs.where(sim >= F.lit(tau)).select(F.col("idb").alias(id_col)).distinct()
@@ -902,13 +938,16 @@ def sql_semantic_dedup(
     vec_col: str = "embedding",
     max_cluster: int = SEMDEDUP_MAX_CLUSTER,
     sub_iters: int = 2,
+    depth: int = 1,
 ) -> str:
     """DuckDB twin of :func:`semantic_dedup` — kmeans CTEs (unrolled), one
-    final assignment round, the r9 depth-1 grouped sub-kmeans over
-    oversized clusters UNROLLED in the same fround'd-cosine / fround'd-AVG
-    arithmetic, the residual md5 salt, the within-(cluster, sub, salt)
-    pair scan with the SAME fround'd cosine, lowest-id-wins drop. Ends in
-    CTE ``semkept``."""
+    final assignment round, the grouped sub-kmeans over oversized groups
+    UNROLLED level-for-level to ``depth`` (r10; r9 was depth-1) in the
+    same fround'd-cosine / fround'd-AVG arithmetic, the residual md5 salt,
+    the within-(group-path, salt) pair scan with the SAME fround'd cosine,
+    lowest-id-wins drop. A level with no oversized group produces empty
+    over/seed CTEs and the identity union — exactly the Spark side's
+    skipped-identity path. Ends in CTE ``semkept``."""
     from sarpro_spark.llm.sampling import sql_hash_bucket
 
     km = sql_kmeans(emb_rel, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
@@ -920,102 +959,133 @@ def sql_semantic_dedup(
         prefix="fa_",
     )
     salt = sql_hash_bucket(f"m.{id_col}", "semsalt")
+    mc = float(max_cluster)
 
-    def sub_sim(cent_rel: str, out: str) -> str:
-        # fround'd cosine of each oversized-cluster member against its
-        # cluster's sub-centroids (same formula as the pair scan below)
-        return f"""{out} AS (
-  SELECT o.{id_col}, o.centroid_id, c.sub_id,
+    def level_ctes(d: int, rel_prev: str, keys: list[str]) -> tuple[list[str], str, list[str]]:
+        """CTEs for recursion level d over ``rel_prev`` (grouped by ``keys``,
+        carrying that grouping's nsplit). Returns (ctes, out_rel, out_keys)."""
+        sub = "sub_id" if d == 1 else f"sub{d}_id"
+        p = f"s{d}"
+        ksel = ", ".join(f"m.{c}" for c in keys)
+        kusing = ", ".join(keys)
+
+        def sub_sim(cent_rel: str, out: str) -> str:
+            # fround'd cosine of each oversized-group member against its
+            # group's sub-centroids (same formula as the pair scan below)
+            okeys = ", ".join(f"o.{c}" for c in keys)
+            return f"""{out} AS MATERIALIZED (
+  SELECT o.{id_col}, {okeys}, c.{sub},
          (FLOOR((SUM(CAST(ox.x AS DOUBLE) * CAST(cx.x AS DOUBLE))
            / (SQRT(SUM(CAST(ox.x AS DOUBLE) * CAST(ox.x AS DOUBLE)))
             * SQRT(SUM(CAST(cx.x AS DOUBLE) * CAST(cx.x AS DOUBLE))))) * 1000000.0 + 0.5) / 1000000.0) AS sim
-  FROM sover o JOIN {cent_rel} c USING (centroid_id),
+  FROM {p}over o JOIN {cent_rel} c USING ({kusing}),
        LATERAL (SELECT UNNEST(o.v) AS x, GENERATE_SUBSCRIPTS(o.v, 1) AS i) ox,
        LATERAL (SELECT UNNEST(c.scvec) AS x, GENERATE_SUBSCRIPTS(c.scvec, 1) AS i) cx
   WHERE ox.i = cx.i
-  GROUP BY o.{id_col}, o.centroid_id, c.sub_id
+  GROUP BY o.{id_col}, {okeys}, c.{sub}
 )"""
 
-    def sub_pick(sim_rel: str, out: str) -> str:
-        return f"""{out} AS (
-  SELECT {id_col}, centroid_id, sub_id FROM (
-    SELECT {id_col}, centroid_id, sub_id,
-           ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY sim DESC, sub_id) AS rnk
+        def sub_pick(sim_rel: str, out: str) -> str:
+            return f"""{out} AS MATERIALIZED (
+  SELECT {id_col}, {kusing}, {sub} FROM (
+    SELECT {id_col}, {kusing}, {sub},
+           ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY sim DESC, {sub}) AS rnk
     FROM {sim_rel}
   ) r WHERE rnk = 1
 )"""
 
-    sub_ctes = [
-        f"""sover AS (
-  SELECT m.{id_col}, m.v, m.centroid_id FROM semmm m WHERE m.nsplit > 1
+        ctes = [
+            f"""{p}over AS MATERIALIZED (
+  SELECT m.{id_col}, m.v, {ksel} FROM {rel_prev} m WHERE m.nsplit > 1
 )""",
-        f"""scent0 AS (
-  SELECT centroid_id, CAST(rk - 1 AS INTEGER) AS sub_id, v AS scvec FROM (
-    SELECT m.centroid_id, m.v, m.nsplit,
-           ROW_NUMBER() OVER (PARTITION BY m.centroid_id ORDER BY m.{id_col}) AS rk
-    FROM semmm m WHERE m.nsplit > 1
+            f"""{p}cent0 AS MATERIALIZED (
+  SELECT {kusing}, CAST(rk - 1 AS INTEGER) AS {sub}, v AS scvec FROM (
+    SELECT {ksel}, m.v, m.nsplit,
+           ROW_NUMBER() OVER (PARTITION BY {kusing} ORDER BY m.{id_col}) AS rk
+    FROM {rel_prev} m WHERE m.nsplit > 1
   ) s WHERE rk <= nsplit
 )""",
-    ]
-    prev = "scent0"
-    for it in range(1, sub_iters + 1):
-        sub_ctes.append(sub_sim(prev, f"ss{it}sim"))
-        sub_ctes.append(sub_pick(f"ss{it}sim", f"ss{it}assign"))
-        sub_ctes.append(
-            f"""ss{it}avg AS (
-  SELECT a.centroid_id, a.sub_id, u.i,
+        ]
+        prev = f"{p}cent0"
+        akeys = ", ".join(f"a.{c}" for c in keys)
+        for it in range(1, sub_iters + 1):
+            ctes.append(sub_sim(prev, f"{p}i{it}sim"))
+            ctes.append(sub_pick(f"{p}i{it}sim", f"{p}i{it}assign"))
+            ctes.append(
+                f"""{p}i{it}avg AS MATERIALIZED (
+  SELECT {akeys}, a.{sub}, u.i,
          FLOOR(AVG(CAST(u.x AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS val
-  FROM sover o
-  JOIN ss{it}assign a ON a.{id_col} = o.{id_col},
+  FROM {p}over o
+  JOIN {p}i{it}assign a ON a.{id_col} = o.{id_col},
        LATERAL (SELECT UNNEST(o.v) AS x, GENERATE_SUBSCRIPTS(o.v, 1) AS i) u
-  GROUP BY a.centroid_id, a.sub_id, u.i
+  GROUP BY {akeys}, a.{sub}, u.i
+)"""
+            )
+            ctes.append(
+                f"""{p}cent{it} AS MATERIALIZED (
+  SELECT {kusing}, {sub}, LIST(val ORDER BY i) AS scvec
+  FROM {p}i{it}avg GROUP BY {kusing}, {sub}
+)"""
+            )
+            prev = f"{p}cent{it}"
+        ctes.append(sub_sim(prev, f"{p}finsim"))
+        ctes.append(sub_pick(f"{p}finsim", f"{p}finassign"))
+        out_keys = keys + [sub]
+        okusing = ", ".join(out_keys)
+        ctes.append(
+            f"""{p}ub AS MATERIALIZED (
+  SELECT o.{id_col}, o.v, {', '.join(f'o.{c}' for c in keys)}, f.{sub}
+  FROM {p}over o JOIN {p}finassign f ON f.{id_col} = o.{id_col}
+  UNION ALL
+  SELECT m.{id_col}, m.v, {ksel}, 0 AS {sub}
+  FROM {rel_prev} m WHERE m.nsplit <= 1
 )"""
         )
-        sub_ctes.append(
-            f"""scent{it} AS (
-  SELECT centroid_id, sub_id, LIST(val ORDER BY i) AS scvec
-  FROM ss{it}avg GROUP BY centroid_id, sub_id
+        ctes.append(
+            f"""{p}sz AS MATERIALIZED (
+  SELECT {okusing},
+         CAST(CEIL(COUNT(*) / {mc!r}) AS BIGINT) AS nsplit
+  FROM {p}ub GROUP BY {okusing}
 )"""
         )
-        prev = f"scent{it}"
-    sub_ctes.append(sub_sim(prev, "ssfinsim"))
-    sub_ctes.append(sub_pick("ssfinsim", "ssfinassign"))
-    sub_body = ",\n".join(sub_ctes)
+        ctes.append(
+            f"""{p}rel AS MATERIALIZED (
+  SELECT u.{id_col}, u.v, {', '.join(f'u.{c}' for c in out_keys)}, z.nsplit
+  FROM {p}ub u JOIN {p}sz z USING ({okusing})
+)"""
+        )
+        return ctes, f"{p}rel", out_keys
+
+    all_level_ctes: list[str] = []
+    rel, keys = "semmm", ["centroid_id"]
+    for d in range(1, depth + 1):
+        ctes, rel, keys = level_ctes(d, rel, keys)
+        all_level_ctes.extend(ctes)
+    sub_body = ",\n".join(all_level_ctes)
+    pair_on = " AND ".join(f"x.{c} = y.{c}" for c in keys)
     return f"""{km},
 {assign},
-fa_assign AS (
+fa_assign AS MATERIALIZED (
   SELECT {id_col}, query_id AS centroid_id FROM (
     SELECT {id_col}, query_id,
            ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY sim DESC, query_id) AS rnk
     FROM fa_scored
   ) r WHERE rnk = 1
 ),
-semsz AS (
-  SELECT centroid_id, CAST(CEIL(COUNT(*) / {float(max_cluster)!r}) AS BIGINT) AS nsplit
+semsz AS MATERIALIZED (
+  SELECT centroid_id, CAST(CEIL(COUNT(*) / {mc!r}) AS BIGINT) AS nsplit
   FROM fa_assign GROUP BY centroid_id
 ),
-semmm AS (
+semmm AS MATERIALIZED (
   SELECT e.{id_col}, CAST(e.{vec_col} AS DOUBLE[]) AS v, a.centroid_id, s.nsplit
   FROM {emb_rel} e
   JOIN fa_assign a USING ({id_col})
   JOIN semsz s USING (centroid_id)
 ),
 {sub_body},
-ssub AS (
-  SELECT o.{id_col}, o.v, o.centroid_id, f.sub_id
-  FROM sover o JOIN ssfinassign f ON f.{id_col} = o.{id_col}
-  UNION ALL
-  SELECT m.{id_col}, m.v, m.centroid_id, 0 AS sub_id
-  FROM semmm m WHERE m.nsplit <= 1
-),
-ssz2 AS (
-  SELECT centroid_id, sub_id,
-         CAST(CEIL(COUNT(*) / {float(max_cluster)!r}) AS BIGINT) AS nsplit2
-  FROM ssub GROUP BY centroid_id, sub_id
-),
-smsalt AS (
-  SELECT m.{id_col}, m.v, m.centroid_id, m.sub_id, ({salt}) % z.nsplit2 AS _salt
-  FROM ssub m JOIN ssz2 z USING (centroid_id, sub_id)
+smsalt AS MATERIALIZED (
+  SELECT m.{id_col}, m.v, {', '.join(f'm.{c}' for c in keys)}, ({salt}) % m.nsplit AS _salt
+  FROM {rel} m
 ),
 semdrop AS (
   SELECT DISTINCT idb AS {id_col} FROM (
@@ -1024,7 +1094,7 @@ semdrop AS (
              / (SQRT(SUM(CAST(ax.x AS DOUBLE) * CAST(ax.x AS DOUBLE)))
               * SQRT(SUM(CAST(bx.x AS DOUBLE) * CAST(bx.x AS DOUBLE))))) * 1000000.0 + 0.5) / 1000000.0) AS sim
     FROM smsalt x JOIN smsalt y
-      ON x.centroid_id = y.centroid_id AND x.sub_id = y.sub_id
+      ON {pair_on}
      AND x._salt = y._salt AND x.{id_col} < y.{id_col},
          LATERAL (SELECT UNNEST(x.v) AS x, GENERATE_SUBSCRIPTS(x.v, 1) AS i) ax,
          LATERAL (SELECT UNNEST(y.v) AS x, GENERATE_SUBSCRIPTS(y.v, 1) AS i) bx

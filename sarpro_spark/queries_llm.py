@@ -1410,12 +1410,16 @@ _SEMDEDUP_TAU = 0.35
 #: at 500 vectors) exceed it — the r9 recursive re-cluster path is EXERCISED
 #: by the certificate, not just reachable
 _SEMDEDUP_MAXC = 40
+#: r10: at max_cluster=40 the fixture leaves SIX sub-groups still oversized
+#: after the first split (measured), so depth=2 genuinely runs the second
+#: recursion level in this certificate — not just reachable code
+_SEMDEDUP_DEPTH = 2
 
 
 def _semdedup_sql() -> str:
     ctes = sim.sql_semantic_dedup(
         "embeddings", k=_KMEANS_K, iters=_KMEANS_ITERS, tau=_SEMDEDUP_TAU,
-        max_cluster=_SEMDEDUP_MAXC,
+        max_cluster=_SEMDEDUP_MAXC, depth=_SEMDEDUP_DEPTH,
     )
     return f"""
 WITH {ctes}
@@ -1429,20 +1433,23 @@ def q_dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding corpus, then inside each cluster drop every vector with a
     near-duplicate (fround'd cosine >= 0.35, the corpus's near-dup grain)
     of smaller id — keep-one-per-duplicate-group with the family's
-    lowest-id-wins rule. The pair join keys on (centroid_id, sub_id, salt)
-    — never global all-pairs: clusters above max_cluster are re-clustered
-    by ONE bounded level of grouped k-means (r9, llm/similarity.py
-    semantic_dedup — semantically-near vectors stay together when a hot
-    cluster splits, where the old md5 salt scattered duplicate groups and
-    lost their pairs), with a residual md5 salt hard-bounding anything the
-    re-cluster could not shrink. max_cluster is set BELOW the fixture's
-    mean cluster size so this certificate runs the sub-kmeans for real.
-    Oracle = the identical kmeans + assignment + unrolled sub-kmeans +
-    pair scan in SQL."""
+    lowest-id-wins rule. The pair join keys on (group-path, salt) — never
+    global all-pairs: groups above max_cluster are re-clustered by
+    BOUNDED-DEPTH grouped k-means (r9 depth-1; r10 depth-2 — a group
+    still oversized after one split is re-clustered again instead of
+    falling straight to the md5 salt; llm/similarity.py semantic_dedup —
+    semantically-near vectors stay together when a hot cluster splits,
+    where an md5 salt scattered duplicate groups and lost their pairs),
+    with a residual salt hard-bounding anything the full recursion could
+    not shrink. max_cluster is set BELOW the fixture's mean cluster size
+    so this certificate runs the sub-kmeans for real, and six sub-groups
+    stay oversized after the first split so the SECOND level runs for
+    real too. Oracle = the identical kmeans + assignment + level-for-level
+    unrolled sub-kmeans + pair scan in SQL."""
     e = frames.load_table(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(
         e, k=_KMEANS_K, iters=_KMEANS_ITERS, tau=_SEMDEDUP_TAU, dim=64,
-        max_cluster=_SEMDEDUP_MAXC,
+        max_cluster=_SEMDEDUP_MAXC, depth=_SEMDEDUP_DEPTH,
     )
 
 
