@@ -905,6 +905,21 @@ OSGB_TM = tm_constants(
     fe=400000.0, fn=-100000.0,
 )
 
+#: Australian National Spheroid (public EPSG ellipsoid 7003) — the AGD66
+#: datum's ellipsoid, reached from WGS84 via the NTv2 grid shift
+#: (operators/gridshift.py), not a Helmert
+ANS_A = 6378160.0
+ANS_F = 1.0 / 298.25
+
+#: EPSG:20255 — AGD66 / AMG zone 55 (Australian Map Grid: standard UTM
+#: parameters on the ANS ellipsoid, southern false northing). NOTE:
+#: EPSG:28355 — with which this was long confused in this repo's loud-fail
+#: example — is GDA94 / MGA zone 55 (GRS80, no datum shift from WGS84).
+AMG55_TM = tm_constants(
+    ANS_A, ANS_F, lat0=0.0, lon0=147.0, k0=0.9996,
+    fe=500000.0, fn=10000000.0,
+)
+
 
 def tm_forward_steps_c(
     c: dict, lon: str = "lon", lat: str = "lat", p: str = "gt",

@@ -213,11 +213,26 @@ def crs_projection_support(target_crs: str) -> str | None:
     return None
 
 
+#: CRSs whose datum needs an NTv2-style distortion GRID (EPSG method 9615)
+#: rather than a Helmert: supported ONLY when the caller supplies the shift
+#: grid (operators/gridshift.py — the grid files are jurisdiction data, not
+#: engine code). Maps CRS -> the in-engine projection instance applied AFTER
+#: the datum shift.
+NTV2_FAMILIES: dict[str, str] = {
+    # AGD66 / AMG zone 55 (ANS ellipsoid + AGD66<-WGS84 grid shift).
+    # EPSG:28355 — this repo's historical label for the example — is
+    # actually GDA94 / MGA zone 55 (no datum shift); 20255 is the real
+    # grid-shifted code.
+    "EPSG:20255": "amg55",
+}
+
+
 def warp_route(
     current_epsg: str | None,
     target_crs: str | None,
     has_gcps: bool = False,
     gcp_crs: str | None = None,
+    ntv2_grids: frozenset[str] | set[str] | None = None,
 ) -> str:
     """G5 route selection mirroring the reference's warp dispatch
     (sentinel1.rs:959-1032), every route in-engine:
@@ -236,6 +251,13 @@ def warp_route(
     - 'gcp_osgb': same with EPSG:27700 British National Grid (r8) — the
       first DATUM-SHIFTED route: the 7-parameter Helmert (EPSG 9606)
       carries WGS84 GCPs onto OSGB36 before the Airy-ellipsoid TM
+    - 'gcp_ntv2' (r10): a GRID-SHIFTED datum target (NTV2_FAMILIES, e.g.
+      AGD66 EPSG:20255) when the caller SUPPLIED the shift grid
+      (``ntv2_grids`` contains the code): the NTv2 inverse shift
+      (operators/gridshift.py, EPSG method 9615) carries WGS84 GCPs onto
+      the grid datum before the family's projection. Without a grid the
+      code keeps failing loudly — the engine ships the MECHANISM, the
+      jurisdiction grids stay user-supplied data.
     - 'gcp': no projection, GCP grid already in target ground units —
       geometry.warp_gcp_grid directly
 
@@ -251,6 +273,11 @@ def warp_route(
             fam = crs_projection_support(target_crs) if target_crs else None
             if fam is not None:
                 return f"gcp_{fam}"
+            code = target_crs.strip().upper() if target_crs else ""
+            if code in NTV2_FAMILIES and ntv2_grids and code in {
+                c.strip().upper() for c in ntv2_grids
+            }:
+                return "gcp_ntv2"
             raise ValueError(
                 f"unsupported target CRS {target_crs!r} for geographic GCPs: "
                 "in-engine projection covers UTM (EPSG:326xx/327xx, zones "
@@ -259,26 +286,57 @@ def warp_route(
                 "Albers (EPSG:5070), and the Helmert datum-shift families "
                 "British National Grid (EPSG:27700) and Belgian Lambert 72 "
                 "(EPSG:31370); CRSs whose datum needs a distortion GRID "
-                "(e.g. AGD66 EPSG:28355) cannot be covered by a single "
-                "national Helmert — reproject externally or supply GCPs "
-                "in target ground units"
+                "(e.g. AGD66 EPSG:20255) route 'gcp_ntv2' ONLY when their "
+                "NTv2 shift grid is supplied (operators/gridshift.py) — "
+                "otherwise reproject externally or supply GCPs in target "
+                "ground units"
             )
         return "gcp"
     return "affine"
 
 
-def project_gcps(gcps: DataFrame, target_crs: str, lon: str = "lon", lat: str = "lat") -> DataFrame:
+def project_gcps(
+    gcps: DataFrame,
+    target_crs: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    ntv2_grid: DataFrame | None = None,
+    ntv2_header: dict | None = None,
+) -> DataFrame:
     """Project a geographic (EPSG:4326) GCP grid into the ground units of a
     supported target CRS — the execution half of the 'gcp_utm' / 'gcp_ups'
     routes (warp_route). Emits ``gx``/``gy`` columns ready for
     geometry.warp_gcp_grid. For an explicit UTM target the zone/hemisphere
     come from the CODE (a user-supplied --target-crs pins them), unlike the
     auto-CRS flow where utm_zone_steps derives them per GCP centroid.
-    Unsupported CRSs raise, mirroring warp_route."""
+    r10: an NTV2_FAMILIES target executes when the caller supplies the
+    shift-grid relation + header (the 'gcp_ntv2' route): NTv2 INVERSE
+    shift (WGS84/GDA-side -> grid datum, operators/gridshift.py) then the
+    family's projection. Unsupported CRSs raise, mirroring warp_route."""
     from sarpro_spark.operators import tmerc as tmx
 
     fam = crs_projection_support(target_crs)
     code = target_crs.strip().upper()
+    if fam is None and code in NTV2_FAMILIES and ntv2_grid is not None:
+        from sarpro_spark.operators import gridshift as gsx
+
+        # GCPs are WGS84; the grid stores source(AGD66)->target(WGS84-era
+        # datum) shifts, so carrying GCPs ONTO the grid datum is the
+        # fixed-point INVERSE
+        shifted = gsx.grid_shift_inverse(
+            gcps, ntv2_grid, ntv2_header, lon=lon, lat=lat,
+            out_lon="ntv_lon", out_lat="ntv_lat",
+        )
+        proj = tmx.apply_steps(
+            shifted,
+            tmx.tm_forward_steps_c(
+                tmx.AMG55_TM, lon="ntv_lon", lat="ntv_lat", p="ntm",
+                easting="ntv2_easting", northing="ntv2_northing",
+            ),
+        )
+        return proj.withColumn("gx", F.col("ntv2_easting")).withColumn(
+            "gy", F.col("ntv2_northing")
+        )
     if fam == "utm":
         zone = int(code[-2:])
         south = code[:8] == "EPSG:327"

@@ -216,7 +216,9 @@ SELECT * FROM (VALUES
   (15, 'single', 'vv', TRUE, 'gcp_osgb', 'bilinear'),
   (16, 'single', 'vv', TRUE, 'error:unsupported_crs', 'bilinear'),
   (17, 'single', 'vv', TRUE, 'gcp_bd72', 'bilinear'),
-  (18, 'single', 'vv', TRUE, 'gcp_albers', 'bilinear')
+  (18, 'single', 'vv', TRUE, 'gcp_albers', 'bilinear'),
+  (19, 'single', 'vv', TRUE, 'error:unsupported_crs', 'bilinear'),
+  (20, 'single', 'vv', TRUE, 'gcp_ntv2', 'bilinear')
 ) t(case_id, route, band, needs_warp, warp_route, resample_kernel)
 """.strip()
 
@@ -302,10 +304,11 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap vs the reference's gdalwarp delegation)
     rows.append((15, route7, band7, needs_warp(None, "EPSG:27700"),
                  warp_route(None, "EPSG:27700", True, gcp_crs="EPSG:4326"), k7))
-    # the loud-failure doctrine keeps a standing example: EPSG:28355
-    # (AGD66 / AMG zone 55) needs a distortion-GRID datum shift, which a
-    # single national Helmert cannot express (r9 — EPSG:31370 graduated to
-    # the in-engine 'gcp_bd72' route, see case 17)
+    # the loud-failure doctrine keeps a standing example. (r10 correction:
+    # EPSG:28355 — long mislabeled AGD66 here — is actually GDA94 / MGA
+    # zone 55; it stays unsupported-without-external-reprojection because
+    # it is not in the family table, but the GRID-shifted AGD66 code is
+    # EPSG:20255, exercised in cases 19/20.)
     try:
         wr16 = warp_route(None, "EPSG:28355", True, gcp_crs="EPSG:4326")
     except ValueError:
@@ -318,6 +321,18 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                  warp_route(None, "EPSG:31370", True, gcp_crs="EPSG:4326"), k7))
     rows.append((18, route7, band7, needs_warp(None, "EPSG:5070"),
                  warp_route(None, "EPSG:5070", True, gcp_crs="EPSG:4326"), k7))
+    # r10: NTv2 grid-shift dispatch (EPSG method 9615, operators/gridshift
+    # .py) — AGD66 EPSG:20255 keeps the loud failure WITHOUT a supplied
+    # shift grid (case 19) and routes 'gcp_ntv2' WITH one (case 20): the
+    # engine ships the mechanism, the jurisdiction grid stays user data
+    try:
+        wr19 = warp_route(None, "EPSG:20255", True, gcp_crs="EPSG:4326")
+    except ValueError:
+        wr19 = "error:unsupported_crs"
+    rows.append((19, route7, band7, needs_warp(None, "EPSG:20255"), wr19, k7))
+    rows.append((20, route7, band7, needs_warp(None, "EPSG:20255"),
+                 warp_route(None, "EPSG:20255", True, gcp_crs="EPSG:4326",
+                            ntv2_grids={"EPSG:20255"}), k7))
     return spark.createDataFrame(
         rows,
         "case_id int, route string, band string, needs_warp boolean, "

@@ -475,7 +475,8 @@ def test_warp_route_crs_matrix():
     assert crs_projection_support("EPSG:5070") == "albers"
     assert warp_route(None, "EPSG:5070", True, gcp_crs="EPSG:4326") == "gcp_albers"
     # geographic GCPs + unsupported target must FAIL, not route 'gcp'.
-    # EPSG:28355 (AGD66 / AMG zone 55) is the standing loud-failure
+    # EPSG:28355 (GDA94 / MGA zone 55 — r10 corrected the old AGD66
+    # mislabel; true AGD66 AMG55 is EPSG:20255) is the standing loud-failure
     # example: its datum shift needs a distortion GRID (no single national
     # Helmert), so the in-engine families cannot cover it.
     import pytest as _pt
@@ -569,7 +570,8 @@ def test_project_gcps_utm_and_ups(spark):
     assert (lcc_row["gx"], lcc_row["gy"]) == pytest.approx((float(ce), float(cn)), abs=1e-6)
 
     # r8: EPSG:27700 projects through the Helmert chain; the loud-failure
-    # example is now EPSG:28355 (AGD66 needs a grid shift, not a Helmert)
+    # example is now EPSG:28355 (not in the family table; the grid-shifted
+    # AGD66 code EPSG:20255 routes gcp_ntv2 when a grid is supplied, r10)
     osgb_row = project_gcps(
         spark.createDataFrame(
             [("p", 0, 0, -1.0, 52.0)], "g string, gi int, gj int, lon double, lat double"
@@ -1141,3 +1143,84 @@ def test_warp_gcp_tps_degenerate_named(spark):
     out = warp_gcp_tps(px, gcps, geo, ["product_id"], value="v")
     with pytest.raises(Exception, match="degenerate GCP set for product key"):
         out.collect()
+
+
+def test_ntv2_interp_mechanism_and_twins(spark):
+    """r10 NTv2 grid-shift mechanism (operators/gridshift.py, EPSG method
+    9615): (a) bilinear interpolation at exact node points returns the
+    node values; (b) the Spark 4-broadcast-join interpolation is
+    bit-compatible with the numpy twin off-node; (c) points outside the
+    grid window get NULL shifts (never edge extrapolation); (d) the
+    fixed-point inverse recovers the forward to ~1e-14 deg."""
+    import numpy as np
+
+    from sarpro_spark.operators import gridshift as gsx
+
+    h = gsx.SYNTH_HEADER
+    dla, dlo = gsx.synthetic_shift_arrays()
+    # (a) node exactness
+    node_lat = h["lat0"] + 7 * h["lat_inc"]
+    node_lon = h["lon0"] + 11 * h["lon_inc"]
+    a, o = gsx.interp_shift_np([node_lon], [node_lat])
+    assert a[0] == dla[7, 11] and o[0] == dlo[7, 11]
+    # (b) Spark == numpy off-node
+    pts = [(-42.13, 141.77), (-35.5, 148.2), (-30.0, 155.0), (-44.0, 140.0)]
+    df = spark.createDataFrame([(la, lo) for la, lo in pts], "lat double, lon double")
+    grid = gsx.synthetic_grid_df(spark)
+    out = gsx.grid_shift_forward(df, grid, lon="lon", lat="lat", p="t")
+    rows = {(r["lat"], r["lon"]): (r["gs_lat"], r["gs_lon"]) for r in out.collect()}
+    for la, lo in pts:
+        nlo, nla = gsx.grid_shift_forward_np([lo], [la])
+        gla, glo = rows[(la, lo)]
+        assert abs(gla - float(nla[0])) <= 1e-12
+        assert abs(glo - float(nlo[0])) <= 1e-12
+    # (c) outside the window -> NULL, not extrapolated
+    far = spark.createDataFrame([(-50.0, 120.0), (-20.0, 160.0)], "lat double, lon double")
+    fr = gsx.grid_shift_forward(far, grid, lon="lon", lat="lat", p="f").collect()
+    assert all(r["gs_lat"] is None and r["gs_lon"] is None for r in fr)
+    # (d) inverse fixed point
+    lons = np.linspace(141.0, 152.0, 8)
+    lats = np.linspace(-43.0, -31.0, 8)
+    slo, sla = gsx.grid_shift_inverse_np(lons, lats, iters=3)
+    flo, fla = gsx.grid_shift_forward_np(slo, sla)
+    assert float(np.abs(flo - lons).max()) <= 1e-12
+    assert float(np.abs(fla - lats).max()) <= 1e-12
+
+
+def test_ntv2_route_dispatch_and_execution(spark):
+    """r10: EPSG:20255 (AGD66 / AMG zone 55 — the TRUE grid-shifted code;
+    EPSG:28355 is GDA94/MGA55 and stays the generic unsupported example)
+    routes 'gcp_ntv2' ONLY when the caller supplies the shift grid, keeps
+    the loud ValueError when not, and project_gcps executes the full
+    inverse-shift + ANS-ellipsoid TM chain producing plausible AMG zone-55
+    ground coordinates."""
+    import pytest as pt
+
+    from sarpro_spark.operators import gridshift as gsx
+    from sarpro_spark.plans.pipeline import project_gcps, warp_route
+
+    with pt.raises(ValueError):
+        warp_route(None, "EPSG:20255", True, gcp_crs="EPSG:4326")
+    assert (
+        warp_route(None, "EPSG:20255", True, gcp_crs="EPSG:4326",
+                   ntv2_grids={"EPSG:20255"})
+        == "gcp_ntv2"
+    )
+    # a supplied grid for a DIFFERENT CRS does not unlock this one
+    with pt.raises(ValueError):
+        warp_route(None, "EPSG:20255", True, gcp_crs="EPSG:4326",
+                   ntv2_grids={"EPSG:9999"})
+
+    gcps = spark.createDataFrame(
+        [(0, 147.0, -35.0), (1, 149.5, -37.25)], "gid int, lon double, lat double"
+    )
+    with pt.raises(ValueError):
+        project_gcps(gcps, "EPSG:20255")
+    grid = gsx.synthetic_grid_df(spark)
+    out = {r["gid"]: (r["gx"], r["gy"]) for r in
+           project_gcps(gcps, "EPSG:20255", ntv2_grid=grid).collect()}
+    # central meridian -> easting ~ 500000 (minus the westward AGD66 shift)
+    assert abs(out[0][0] - 500000.0) < 500.0
+    # southern false northing: lat -35 => ~10e6 - 3.87e6
+    assert 6.0e6 < out[0][1] < 6.3e6
+    assert 5.7e6 < out[1][1] < 6.0e6 and out[1][0] > 600000.0

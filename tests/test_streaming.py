@@ -551,6 +551,31 @@ def test_stream_stream_neardup_equals_batch_twin(spark, sf_dir, tmp_path, nanos_
     }
     assert got == expected
 
+    # r10 (r9 verdict item 10): the state-store size is ASSERTED, not
+    # assumed — applyInPandasWithState keeps exactly one state row per
+    # (band, bucket) group, so numRowsTotal at drain must equal the
+    # batch-computed distinct key count across both sides (a leak — e.g.
+    # keying state per doc, or failing to merge sides into one row —
+    # fails loudly here), and is hard-bounded by bands * n_docs, the
+    # contract that keeps state linear in the corpus at 100 TB.
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators")
+    ]
+    assert state_rows, "drained run must report state operator progress"
+    expected_keys = (
+        sdd.doc_sig_bands(a, "doc_id", "text").select("band", "bucket")
+        .unionByName(sdd.doc_sig_bands(b, "doc_id", "text").select("band", "bucket"))
+        .distinct()
+        .count()
+    )
+    assert state_rows[-1] == expected_keys
+    n_docs = a.count() + b.count()
+    assert state_rows[-1] <= sdd.DEFAULT_BANDS * n_docs
+    # monotone accumulation, never shrinking mid-run (NoTimeout policy)
+    assert state_rows == sorted(state_rows)
+
 
 def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp_path, nanos_conf_reset):
     """enrich_events_stream: the event stream joined to a static user

@@ -567,6 +567,14 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
         "schema_excludes": ["o_comment", "o_custkey", "o_clerk"],
     },
+    "ntv2_roundtrip_points": {
+        # r10 grid-shift datum chain: every bilinear interpolation is four
+        # BROADCAST joins of the bounded shift-grid dimension against the
+        # point relation — a shuffled or cartesian grid join would be the
+        # wrong plan at every scale; the TM series is pure codegen
+        "require": ["BroadcastHashJoin"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+    },
     "neardup_recall_multiprobe": {
         # r10 doc-side multi-probe: candidates come from the keyed
         # (band, dropped, bucket) self-join — a CartesianProduct here is
@@ -722,6 +730,11 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
         "one TPS coefficient row per product (GCP-grid-sized arrays; the "
         "tiles_b class of k^2-fold-reduced relation)",
     ),
+    ("operators/gridshift.py", "corner"): (
+        "constant",
+        "NTv2 shift-grid nodes — a national grid is a bounded few-MB "
+        "dimension fixed by geography, never SF-scaling",
+    ),
     ("operators/stats.py", "base"): ("per-product", "per-(product,band) stats rows"),
     ("operators/stats.py", "pct_rows"): ("constant", "fixed percentile list"),
     ("operators/autoscale.py", "params"): ("per-product", "per-(product,band) autoscale params"),
@@ -750,6 +763,7 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ("llm/tfidf.py", "total"): ("constant", "1-row corpus count"),
     ("llm/tfidf.py", "vocab_idx"): ("bounded-batch", "dense path only: vocab <= DENSE_VOCAB_MAX"),
     ("llm/tfidf.py", "reps"): ("constant", "G replication ids"),
+    ("queries_llm.py", "cost"): ("constant", "1-row candidate-count aggregate"),
     ("queries_llm.py", "cr"): ("constant", "count-min row of W counters"),
     ("queries_llm.py", "straddle"): ("constant", "1-row straddling-pair count"),
     ("queries_relational.py", "avg_bal"): ("constant", "1-row scalar-subquery aggregate"),
