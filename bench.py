@@ -102,6 +102,14 @@ HEADLINE = [
     "ann_recall_multiprobe",
     "tpcds_margin_rank",
     "tpcds_rollup_topk",
+    # round-10 additions: NTv2 grid-shift datum family, the RANGE-frame
+    # window cert, the Q14 INTERSECT shape, doc-side multi-probe near-dup
+    # recall, and the drained-ingest-sink certificate
+    "ntv2_roundtrip_points",
+    "window_range_frames",
+    "tpcds_cross_channel_items",
+    "neardup_recall_multiprobe",
+    "ingest_sink_roundtrip",
 ]
 
 

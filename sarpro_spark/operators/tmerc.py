@@ -920,6 +920,24 @@ AMG55_TM = tm_constants(
     fe=500000.0, fn=10000000.0,
 )
 
+#: GRS80 (public EPSG ellipsoid 7019) — GDA94's ellipsoid; differs from
+#: WGS84 only in the 9th decimal of the flattening
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+
+
+def mga_tm(zone: int) -> dict:
+    """EPSG:283{zone} — GDA94 / MGA (Map Grid of Australia) zone 49-56:
+    standard UTM-south parameters on GRS80 (GDA94 ~ WGS84, no datum
+    shift — the Albers/NAD83 doctrine). r10: the family the repo's old
+    loud-fail example EPSG:28355 ACTUALLY belongs to."""
+    if not 49 <= zone <= 56:
+        raise ValueError(f"MGA zone {zone} outside 49-56")
+    return tm_constants(
+        GRS80_A, GRS80_F, lat0=0.0, lon0=zone * 6.0 - 183.0, k0=0.9996,
+        fe=500000.0, fn=10000000.0,
+    )
+
 
 def tm_forward_steps_c(
     c: dict, lon: str = "lon", lat: str = "lat", p: str = "gt",

@@ -173,6 +173,8 @@ def needs_warp(current_epsg: str | None, target_crs: str | None) -> bool:
 _UTM_EPSG_RE = re.compile(r"^EPSG:32[67](0[1-9]|[1-5]\d|60)$")
 #: UPS polar codes lonlat_to_epsg emits at |lat| >= 84 / <= -80
 _UPS_EPSG_CODES = frozenset({"EPSG:32661", "EPSG:32761"})
+#: GDA94 / MGA zones 49-56 (EPSG:28349-28356) — exact code shape only
+_MGA_EPSG_RE = re.compile(r"^EPSG:283(49|5[0-6])$")
 
 
 def crs_projection_support(target_crs: str) -> str | None:
@@ -210,6 +212,11 @@ def crs_projection_support(target_crs: str) -> str | None:
         # r9: Albers equal-area conic (NAD83 Conus Albers; NAD83 ~ WGS84,
         # no datum shift — tmerc.py albers_forward_steps)
         return "albers"
+    if _MGA_EPSG_RE.match(code):
+        # r10: GDA94 / MGA zones 49-56 — UTM-south parameters on GRS80
+        # (GDA94 ~ WGS84, same no-shift doctrine as NAD83). The family the
+        # repo's old loud-fail example EPSG:28355 actually belongs to.
+        return "mga"
     return None
 
 
@@ -283,7 +290,8 @@ def warp_route(
                 "in-engine projection covers UTM (EPSG:326xx/327xx, zones "
                 "1-60), UPS (EPSG:32661/32761), LAEA Europe (EPSG:3035), "
                 "Web Mercator (EPSG:3857), Lambert-93 (EPSG:2154), Conus "
-                "Albers (EPSG:5070), and the Helmert datum-shift families "
+                "Albers (EPSG:5070), GDA94/MGA zones 49-56 "
+                "(EPSG:28349-28356), and the Helmert datum-shift families "
                 "British National Grid (EPSG:27700) and Belgian Lambert 72 "
                 "(EPSG:31370); CRSs whose datum needs a distortion GRID "
                 "(e.g. AGD66 EPSG:20255) route 'gcp_ntv2' ONLY when their "
@@ -384,6 +392,17 @@ def project_gcps(
         proj = tmx.apply_steps(gcps, tmx.albers_forward_steps(lon=lon, lat=lat))
         return proj.withColumn("gx", F.col("alb_easting")).withColumn(
             "gy", F.col("alb_northing")
+        )
+    if fam == "mga":
+        proj = tmx.apply_steps(
+            gcps,
+            tmx.tm_forward_steps_c(
+                tmx.mga_tm(int(code[-2:])), lon=lon, lat=lat, p="mga",
+                easting="mga_easting", northing="mga_northing",
+            ),
+        )
+        return proj.withColumn("gx", F.col("mga_easting")).withColumn(
+            "gy", F.col("mga_northing")
         )
     raise ValueError(
         f"unsupported target CRS {target_crs!r}: in-engine projection covers "

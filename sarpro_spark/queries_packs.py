@@ -476,6 +476,7 @@ register_pack(
         Member("bd72_roundtrip_points", ("product_id", "gi", "gj")),
         Member("albers_roundtrip_points", ("product_id", "gi", "gj")),
         Member("ntv2_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("mga_roundtrip_points", ("product_id", "gi", "gj")),
         Member("ingest_sink_roundtrip", ("product",)),
     ),
     doc="Union certificate: S1-S3/S10/S11 SAFE discovery over the fixture "

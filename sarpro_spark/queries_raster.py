@@ -2233,3 +2233,91 @@ def q_ntv2_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("ntv_lat") - F.col("lat")) * 3600.0).between(-7.0, -5.0)
          & ((F.col("ntv_lon") - F.col("lon")) * 3600.0).between(-6.0, -4.0)).alias("shift_ok"),
     )
+
+
+def _mga_roundtrip_sql() -> str:
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import sql_fround
+
+    tm = tmx.mga_tm(55)
+    fwd = tmx.sql_steps_select(
+        "pts",
+        tmx.tm_forward_steps_c(tm, p="mgf", easting="mga_easting", northing="mga_northing"),
+    )
+    inv = tmx.sql_steps_select(
+        "fw",
+        tmx.tm_inverse_steps_c(
+            tm, e="mga_easting", n="mga_northing", p="mgi",
+            lon_out="mga_lon", lat_out="mga_lat",
+        ),
+    )
+    return f"""
+WITH prods AS (
+  SELECT DISTINCT CAST(l_orderkey % {frames.N_PRODUCTS} AS INTEGER) AS product_id FROM lineitem
+),
+pts AS (
+  SELECT product_id, i.i AS gi, j.j AS gj,
+         -43.5 + CAST((product_id * 3) % 9 AS DOUBLE) + i.i * 0.4 AS lat,
+         144.2 + CAST((product_id * 7) % 5 AS DOUBLE) + j.j * 0.4 AS lon
+  FROM prods,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS i) i,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS j) j
+),
+fw AS ({fwd}),
+iv AS ({inv})
+SELECT product_id, gi, gj,
+       {sql_fround('mga_lat', 8)} AS lat_rt,
+       {sql_fround('mga_lon', 8)} AS lon_rt,
+       ABS(mga_lat - lat) <= 1e-7 AND ABS(mga_lon - lon) <= 1e-7 AS rt_ok
+FROM iv
+""".strip()
+
+
+@query("mga_roundtrip_points", sql=_mga_roundtrip_sql(), tags=("raster", "geometry", "crs"))
+def q_mga_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/G5 GDA94 / MGA leg (r10): lon/lat -> EPSG:28355 (MGA zone 55,
+    GRS80 Transverse Mercator, southern false northing — the CRS this
+    repo's loud-fail example long mislabeled as AGD66; GDA94 ~ WGS84 so
+    no datum shift, the NAD83/Albers doctrine) forward -> inverse via the
+    generic tm_constants Krüger instance, recovering the input to
+    <= 1e-7 deg over the zone-55 window. warp_route 'gcp_mga' (zones
+    49-56 by exact code shape); pure column arithmetic, codegen, no UDF;
+    DuckDB twin runs the identical step chain."""
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import fround
+
+    tm = tmx.mga_tm(55)
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    prods = li.select(
+        (F.col("l_orderkey") % frames.N_PRODUCTS).cast("int").alias("product_id")
+    ).distinct()
+    pid = F.col("product_id")
+    pts = (
+        prods.select(
+            "product_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gi")
+        )
+        .select("product_id", "gi", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gj"))
+        .select(
+            "product_id", "gi", "gj",
+            (F.lit(-43.5) + ((pid * 3) % 9).cast("double") + F.col("gi") * 0.4).alias("lat"),
+            (F.lit(144.2) + ((pid * 7) % 5).cast("double") + F.col("gj") * 0.4).alias("lon"),
+        )
+    )
+    fw = tmx.apply_steps(
+        pts,
+        tmx.tm_forward_steps_c(tm, p="mgf", easting="mga_easting", northing="mga_northing"),
+    )
+    iv = tmx.apply_steps(
+        fw,
+        tmx.tm_inverse_steps_c(
+            tm, e="mga_easting", n="mga_northing", p="mgi",
+            lon_out="mga_lon", lat_out="mga_lat",
+        ),
+    )
+    return iv.select(
+        "product_id", "gi", "gj",
+        fround(F.col("mga_lat"), 8).alias("lat_rt"),
+        fround(F.col("mga_lon"), 8).alias("lon_rt"),
+        ((F.abs(F.col("mga_lat") - F.col("lat")) <= 1e-7)
+         & (F.abs(F.col("mga_lon") - F.col("lon")) <= 1e-7)).alias("rt_ok"),
+    )

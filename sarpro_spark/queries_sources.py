@@ -214,7 +214,7 @@ SELECT * FROM (VALUES
   (13, 'single', 'vv', TRUE, 'gcp_webmerc', 'bilinear'),
   (14, 'single', 'vv', TRUE, 'gcp_lcc', 'bilinear'),
   (15, 'single', 'vv', TRUE, 'gcp_osgb', 'bilinear'),
-  (16, 'single', 'vv', TRUE, 'error:unsupported_crs', 'bilinear'),
+  (16, 'single', 'vv', TRUE, 'gcp_mga', 'bilinear'),
   (17, 'single', 'vv', TRUE, 'gcp_bd72', 'bilinear'),
   (18, 'single', 'vv', TRUE, 'gcp_albers', 'bilinear'),
   (19, 'single', 'vv', TRUE, 'error:unsupported_crs', 'bilinear'),
@@ -304,16 +304,13 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap vs the reference's gdalwarp delegation)
     rows.append((15, route7, band7, needs_warp(None, "EPSG:27700"),
                  warp_route(None, "EPSG:27700", True, gcp_crs="EPSG:4326"), k7))
-    # the loud-failure doctrine keeps a standing example. (r10 correction:
-    # EPSG:28355 — long mislabeled AGD66 here — is actually GDA94 / MGA
-    # zone 55; it stays unsupported-without-external-reprojection because
-    # it is not in the family table, but the GRID-shifted AGD66 code is
-    # EPSG:20255, exercised in cases 19/20.)
-    try:
-        wr16 = warp_route(None, "EPSG:28355", True, gcp_crs="EPSG:4326")
-    except ValueError:
-        wr16 = "error:unsupported_crs"
-    rows.append((16, route7, band7, needs_warp(None, "EPSG:28355"), wr16, k7))
+    # r10 correction + graduation: EPSG:28355 — long mislabeled AGD66 in
+    # this table — is actually GDA94 / MGA zone 55 (GRS80, no datum shift)
+    # and now routes through the in-engine 'mga' family; the REAL
+    # grid-shifted AGD66 code EPSG:20255 carries the loud-failure doctrine
+    # in cases 19/20
+    rows.append((16, route7, band7, needs_warp(None, "EPSG:28355"),
+                 warp_route(None, "EPSG:28355", True, gcp_crs="EPSG:4326"), k7))
     # r9: EPSG:31370 Belgian Lambert 72 (second Helmert family — exact
     # inverse of the published BD72->WGS84 set + LCC-2SP) and EPSG:5070
     # Conus Albers (equal-area conic) join the in-engine families

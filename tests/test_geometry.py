@@ -474,17 +474,23 @@ def test_warp_route_crs_matrix():
     assert warp_route(None, "EPSG:31370", True, gcp_crs="EPSG:4326") == "gcp_bd72"
     assert crs_projection_support("EPSG:5070") == "albers"
     assert warp_route(None, "EPSG:5070", True, gcp_crs="EPSG:4326") == "gcp_albers"
+    # r10: EPSG:28355 — long mislabeled AGD66 here — is GDA94 / MGA zone
+    # 55 (GRS80, no datum shift) and now genuinely routes; the exact-shape
+    # regex must not overmatch neighbors
+    assert crs_projection_support("EPSG:28355") == "mga"
+    assert warp_route(None, "EPSG:28355", True, gcp_crs="EPSG:4326") == "gcp_mga"
+    assert crs_projection_support("EPSG:28349") == "mga"
+    assert crs_projection_support("EPSG:28348") is None
+    assert crs_projection_support("EPSG:28357") is None
     # geographic GCPs + unsupported target must FAIL, not route 'gcp'.
-    # EPSG:28355 (GDA94 / MGA zone 55 — r10 corrected the old AGD66
-    # mislabel; true AGD66 AMG55 is EPSG:20255) is the standing loud-failure
-    # example: its datum shift needs a distortion GRID (no single national
-    # Helmert), so the in-engine families cannot cover it.
+    # The standing loud-failure example is now EPSG:20255 (AGD66 / AMG 55)
+    # WITHOUT its NTv2 grid — a distortion-grid datum no Helmert covers.
     import pytest as _pt
 
     with _pt.raises(ValueError, match="unsupported target CRS"):
-        warp_route(None, "EPSG:28355", True, gcp_crs="EPSG:4326")
+        warp_route(None, "EPSG:20255", True, gcp_crs="EPSG:4326")
     # ground-unit GCPs still route 'gcp' for any target
-    assert warp_route(None, "EPSG:28355", True, gcp_crs=None) == "gcp"
+    assert warp_route(None, "EPSG:20255", True, gcp_crs=None) == "gcp"
 
 
 def test_resample_kernel_param_consumed():
@@ -600,8 +606,22 @@ def test_project_gcps_utm_and_ups(spark):
     ae, an = tmx.albers_forward_np([-96.0], [38.0])
     assert (al_row["gx"], al_row["gy"]) == pytest.approx((float(ae[0]), float(an[0])), abs=1e-6)
 
+    # r10: EPSG:28355 (GDA94/MGA55) projects as plain GRS80 TM — near the
+    # WGS84 UTM 55S value (datum identical, ellipsoid differs in the 9th
+    # decimal of 1/f)
+    mga_row = project_gcps(
+        spark.createDataFrame(
+            [("p", 0, 0, 147.5, -35.0)], "g string, gi int, gj int, lon double, lat double"
+        ),
+        "EPSG:28355",
+    ).collect()[0]
+    ue, un = tmx.utm_forward_np([147.5], [-35.0], 147.0, True)
+    assert (mga_row["gx"], mga_row["gy"]) == pytest.approx(
+        (float(ue[0]), float(un[0])), abs=1.0
+    )
+
     with pytest.raises(ValueError, match="unsupported target CRS"):
-        project_gcps(gcps, "EPSG:28355")
+        project_gcps(gcps, "EPSG:20255")
 
 
 def test_laea_epsg_worked_example():

@@ -567,6 +567,11 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
         "schema_excludes": ["o_comment", "o_custkey", "o_clerk"],
     },
+    "mga_roundtrip_points": {
+        # r10 GDA94/MGA family: pure-codegen Krüger TM, no joins at all
+        "require": [], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "Exchange hashpartitioning"],
+    },
     "ntv2_roundtrip_points": {
         # r10 grid-shift datum chain: every bilinear interpolation is four
         # BROADCAST joins of the bounded shift-grid dimension against the
