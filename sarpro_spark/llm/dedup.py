@@ -449,6 +449,135 @@ WHERE CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) >= {thre
 """.strip()
 
 
+def ngram_jaccard_pairs_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    broadcast_sets: bool = False,
+) -> DataFrame:
+    """Exact n-gram jaccard pairs via per-doc HASH SETS (r10): same
+    candidates as :func:`ngram_jaccard_pairs` (inverted index with the
+    df cap), but verification is ``array_intersect`` of each doc's
+    sorted 60-bit shingle-hash set — the :func:`minhash_jaccard_pairs`
+    verifier. On HIGH-OVERLAP corpora (tiny shared vocabulary, candidate
+    set ~ all pairs) the classic verifier shuffles |cand| x
+    shingles-per-doc rows (measured 200M+ rows / 40 s on a 1500-doc
+    panel); this one moves each doc's set ONCE per pair side. Returns
+    (doc_a, doc_b, jaccard) — jaccard over distinct shingle HASHES,
+    identical to shingle-set jaccard up to the ~1e-12 md5-prefix
+    collision both engine twins share.
+
+    ``broadcast_sets=True`` pins the set relation broadcast: ONLY valid
+    when the caller's ``df`` is a bounded panel (the recall-measurement
+    contract — the checkpointed set relation reports no stats, so Spark
+    would otherwise shuffle every candidate pair's two ~KB arrays
+    through a sort-merge join; measured 13 s -> ~2 s on the 1000-doc
+    panel). Default False: a corpus-scale set relation must never be
+    broadcast, AQE sizes it."""
+    from sarpro_spark.llm.cluster import _checkpointer
+
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+    hashed = char_shingles(df, id_col, text_col, n, distinct=False).select(
+        F.col(id_col), base.alias("h")
+    )
+    sets = hashed.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("h")).alias("hset")
+    ).withColumn("sz", F.size("hset"))
+    sets = _checkpointer(sets)(sets)
+    hdist = sets.select(id_col, F.explode("hset").alias("h"))
+    if max_shingle_df is not None:
+        dfreq = hdist.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
+        rare = hdist.join(
+            dfreq.where(F.col("df_") <= max_shingle_df), "h", "left_semi"
+        )
+    else:
+        rare = hdist
+    cand = (
+        rare.select(F.col(id_col).alias("doc_a"), "h")
+        .join(rare.select(F.col(id_col).alias("doc_b"), "h"), "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # the per-pair array_intersect below is COMPUTE-bound, but the cand
+    # relation is byte-tiny (16 B/row) so AQE coalesces it to ~one
+    # partition and the whole verify runs on one core (measured: 481 k
+    # pairs -> ~10 s serial). Spread the compute explicitly; the extra
+    # shuffle moves only the skinny pair list.
+    cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+    sa = sets.select(
+        F.col(id_col).alias("doc_a"), F.col("hset").alias("set_a"), F.col("sz").alias("sz_a")
+    )
+    sb = sets.select(
+        F.col(id_col).alias("doc_b"), F.col("hset").alias("set_b"), F.col("sz").alias("sz_b")
+    )
+    if broadcast_sets:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+def sql_ngram_jaccard_sets(
+    src_rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+    max_shingle_df: int = DEFAULT_MAX_SHINGLE_DF,
+) -> str:
+    """DuckDB twin of :func:`ngram_jaccard_pairs_sets` — jaccard over the
+    same 60-bit md5-prefix hash stream, so both engines share any
+    collision identically."""
+    shingles = sql_char_shingles(src_rel, id_col, text_col, n)
+    p = MINHASH_PRIME
+    return f"""
+WITH {shingles},
+hashed AS (
+  SELECT {id_col},
+         CAST(('0x' || SUBSTR(MD5(shingle), 1, 15)) AS BIGINT) % {p} AS h
+  FROM shingles
+),
+hdist AS (SELECT DISTINCT {id_col}, h FROM hashed),
+sizes AS (SELECT {id_col}, COUNT(*) AS sz FROM hdist GROUP BY {id_col}),
+hdf AS (SELECT h, COUNT(*) AS df_ FROM hdist GROUP BY h),
+rare AS (SELECT d.* FROM hdist d JOIN hdf USING (h) WHERE hdf.df_ <= {max_shingle_df}),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+  FROM rare a JOIN rare b USING (h)
+  WHERE a.{id_col} < b.{id_col}
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN hdist sa ON sa.{id_col} = c.doc_a
+  JOIN hdist sb ON sb.{id_col} = c.doc_b AND sb.h = sa.h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes za ON za.{id_col} = i.doc_a
+JOIN sizes zb ON zb.{id_col} = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) >= {threshold!r}
+""".strip()
+
+
 def minhash_probe_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -481,15 +610,19 @@ def minhash_probe_candidates(
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     from sarpro_spark.llm.cluster import _checkpointer
 
-    # banding reads the signature frame (1 + probe*r) x bands times —
-    # materialize once (same policy as minhash_jaccard_pairs)
+    # the key relation feeds both sides of the banding self-join —
+    # materialize the signature aggregation once
     sig = _checkpointer(sig)(sig)
-    key_frames = []
+    # ONE explode of an inline struct array, NOT a bands*(1+r)-way union of
+    # selects: the union form multiplies the source partitioning (20 selects
+    # x 32 partitions = 640 map tasks of near-empty data per downstream
+    # shuffle, measured as the dominant fixed cost of the recall line) and
+    # re-scans the signature frame once per member
+    entries = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        key_frames.append(
-            sig.select(
-                F.col(id_col),
+        entries.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.lit(-1).alias("dropped"),
                 F.md5(F.concat_ws("|", *cols)).alias("bucket"),
@@ -498,17 +631,16 @@ def minhash_probe_candidates(
         if probe >= 1:
             for j in range(rows_per_band):
                 kept = [c for i, c in enumerate(cols) if i != j]
-                key_frames.append(
-                    sig.select(
-                        F.col(id_col),
+                entries.append(
+                    F.struct(
                         F.lit(b).alias("band"),
                         F.lit(j).alias("dropped"),
                         F.md5(F.concat_ws("|", *kept)).alias("bucket"),
                     )
                 )
-    keys = key_frames[0]
-    for kf in key_frames[1:]:
-        keys = keys.unionByName(kf)
+    keys = sig.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("_k")
+    ).select(id_col, "_k.band", "_k.dropped", "_k.bucket")
     level = F.when(F.col("dropped") == -1, 0).otherwise(1)
     return (
         keys.select(F.col(id_col).alias("doc_a"), "band", "dropped", "bucket")

@@ -699,11 +699,20 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- doc-side multi-probe recall frontier (r10) -------------------------------
 
 _NEARDUP_MP_TAU = 0.3
+#: recall is measured on a FIXED-ID panel, not the whole corpus: exact
+#: all-pairs ground truth is never computable corpus-wide (it is the very
+#: quadratic the LSH exists to avoid), so the measurement cost must be
+#: O(1) in corpus scale. 1000 covers the full sf0.01 oracle fixture (500
+#: docs — the gate measures everything) and bounds the sf0.1+ bench legs.
+_NEARDUP_MP_PANEL = 1000
 
 _NEARDUP_MP_SQL = f"""
-WITH {dd.sql_minhash_probe_candidates("documents", probe=1)},
+WITH docpanel AS (
+  SELECT * FROM documents WHERE doc_id < {_NEARDUP_MP_PANEL}
+),
+{dd.sql_minhash_probe_candidates("docpanel", probe=1)},
 truth AS (
-  SELECT doc_a, doc_b FROM ({dd.sql_ngram_jaccard("documents", threshold=_NEARDUP_MP_TAU)}) tp
+  SELECT doc_a, doc_b FROM ({dd.sql_ngram_jaccard_sets("docpanel", threshold=_NEARDUP_MP_TAU)}) tp
 ),
 hits AS (
   SELECT COUNT(*) AS n_true,
@@ -735,10 +744,29 @@ def q_neardup_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~23x at probe 1 on this corpus (coarser r-1 buckets) — the same
     recall-vs-cost trade the ANN multi-probe line documents, as data. Both
     probe levels come from ONE key relation (level = MIN over colliding
-    keys), one banding join, never all-pairs."""
-    d = frames.load_table(spark, sf_dir, "documents")
-    truth = dd.ngram_jaccard_pairs(d, threshold=_NEARDUP_MP_TAU).select("doc_a", "doc_b")
+    keys), one banding join, never all-pairs. The whole measurement runs
+    on a FIXED-ID panel (doc_id < 1000 — the full sf0.01 fixture, a
+    bounded subset beyond): exact all-pairs truth corpus-wide IS the
+    quadratic LSH exists to avoid, so the line is O(1) in corpus scale
+    by construction (44 s -> ~9 s at sf0.1; constant at sf1+). Truth
+    verification uses the set-intersect variant (ngram_jaccard_pairs_sets)
+    — the classic per-shingle verify join shuffled 200M+ rows on this
+    high-overlap panel."""
+    from sarpro_spark.llm.cluster import _checkpointer
+
+    d = frames.load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _NEARDUP_MP_PANEL
+    )
+    # broadcast_sets: valid exactly because d is the bounded panel; truth
+    # and cand are checkpointed because the hits/cost branches would
+    # otherwise each re-execute the full pipelines (both are panel-bounded
+    # pair lists, a few thousand skinny rows)
+    truth = dd.ngram_jaccard_pairs_sets(
+        d, threshold=_NEARDUP_MP_TAU, broadcast_sets=True
+    ).select("doc_a", "doc_b")
     cand = dd.minhash_probe_candidates(d, probe=1)
+    ckpt = _checkpointer(d)
+    truth, cand = ckpt(truth), ckpt(cand)
     hits = truth.join(cand, ["doc_a", "doc_b"], "left").agg(
         F.count(F.lit(1)).alias("n_true"),
         F.sum(F.when(F.col("level") == 0, 1).otherwise(0)).cast("long").alias("hits_p0"),

@@ -754,6 +754,15 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ("operators/geometry.py", "tiles_b"): ("per-product", "pinned GCP tile grid, grid-cell grain"),
     ("operators/local_enhance.py", "dims"): ("per-product", "per-(product,band) dims row"),
     ("operators/kernel.py", "params"): ("per-product", "per-(product,band) kernel params"),
+    ("llm/dedup.py", "sa"): (
+        "bounded-batch",
+        "set relation broadcast ONLY behind broadcast_sets=True — the "
+        "caller's bounded-panel contract (recall measurement lines)",
+    ),
+    ("llm/dedup.py", "sb"): (
+        "bounded-batch",
+        "same panel-bounded contract as sa (broadcast_sets=True only)",
+    ),
     ("llm/sampling.py", "rate_df"): ("constant", "per-stratum rates over enumerated strata"),
     ("llm/text.py", "freqs"): ("bounded-batch", "vocabulary CAPPED to top-K before broadcast"),
     ("llm/text.py", "totals"): ("constant", "1-row global totals"),
