@@ -15,9 +15,11 @@ n_lat, n_lon)`` — node (i, j) sits at ``(lat0 + i*lat_inc, lon0 +
 j*lon_inc)`` and stores the source->target shift in arc-seconds. A real
 national grid (e.g. A66 National ~1.4M nodes, ~30 MB) is a bounded
 broadcast dimension; the synthetic in-repo fixture (~900 nodes) exercises
-the identical plumbing. Interpolation is FOUR broadcast hash joins (one
-per surrounding node) + pure column arithmetic — no shuffle of the point
-relation, no UDF, whole-stage codegen.
+the identical plumbing. Interpolation is ONE broadcast hash join against
+the cell-grain relation (grid pre-joined so each cell row carries its
+four corner shifts) + pure column arithmetic — no shuffle of the point
+relation, no UDF, whole-stage codegen; the cell broadcast is shared by
+every fixed-point round.
 
 Sign convention: shifts are stored POSITIVE-EAST / POSITIVE-NORTH
 (``target = source + shift``). Real NTv2 binary files store longitude
@@ -92,6 +94,30 @@ def sql_synthetic_grid_cte(name: str = "ntv2grid", hdr: dict | None = None) -> s
     return f"{name} AS (SELECT * FROM (VALUES\n  {rows}\n) g(i, j, dlat_sec, dlon_sec))"
 
 
+def grid_cells(grid: DataFrame) -> DataFrame:
+    """Pre-join the grid to CELL grain: one row per full cell ``(ci, cj)``
+    carrying all four corner shifts (a00/a01/a10/a11 = dlat at the
+    +0/+1 index combinations, o* = dlon). Built by three 1-step
+    self-joins of the tiny grid relation; every interpolation then needs
+    ONE broadcast join instead of four (r10 bench: 16 joins -> 4 across
+    the 3-round inverse + forward, 9.7 s -> ~3 s), and the single
+    broadcast exchange is reused across all interpolation rounds."""
+    g00 = grid.select("i", "j", F.col("dlat_sec").alias("a00"), F.col("dlon_sec").alias("o00"))
+    g01 = grid.select("i", (F.col("j") - 1).alias("j"), F.col("dlat_sec").alias("a01"), F.col("dlon_sec").alias("o01"))
+    g10 = grid.select((F.col("i") - 1).alias("i"), "j", F.col("dlat_sec").alias("a10"), F.col("dlon_sec").alias("o10"))
+    g11 = grid.select((F.col("i") - 1).alias("i"), (F.col("j") - 1).alias("j"), F.col("dlat_sec").alias("a11"), F.col("dlon_sec").alias("o11"))
+    # the self-join sides are the grid itself (bounded dimension) — hint
+    # them broadcast so the cell build never sort-merges even under static
+    # planning (the audit session runs AQE-off)
+    return (
+        g00.join(F.broadcast(g01), ["i", "j"])
+        .join(F.broadcast(g10), ["i", "j"])
+        .join(F.broadcast(g11), ["i", "j"])
+        .select(F.col("i").alias("ci"), F.col("j").alias("cj"),
+                "a00", "a01", "a10", "a11", "o00", "o01", "o10", "o11")
+    )
+
+
 def _interp_shift(
     pts: DataFrame,
     grid: DataFrame,
@@ -99,11 +125,13 @@ def _interp_shift(
     lon: str,
     lat: str,
     p: str,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Bilinear shift interpolation at (``lat``, ``lon``): adds columns
     ``{p}_dlat`` / ``{p}_dlon`` (arc-seconds; NULL outside the grid window).
-    Four broadcast joins fetch the surrounding nodes; the weights and the
-    blend are column arithmetic (codegen)."""
+    One broadcast join against the cell-grain relation fetches all four
+    surrounding nodes; the weights and the blend are column arithmetic
+    (codegen)."""
     la0, lo0 = hdr["lat0"], hdr["lon0"]
     lai, loi = hdr["lat_inc"], hdr["lon_inc"]
     nla, nlo = hdr["n_lat"], hdr["n_lon"]
@@ -121,19 +149,18 @@ def _interp_shift(
     out = pts.withColumn(f"{p}_i0", i0).withColumn(f"{p}_j0", j0).withColumn(
         f"{p}_fy", fi - F.col(f"{p}_i0")
     ).withColumn(f"{p}_fx", fj - F.col(f"{p}_j0")).withColumn(f"{p}_in", inside)
-    for tag, di, dj in (("00", 0, 0), ("01", 0, 1), ("10", 1, 0), ("11", 1, 1)):
-        corner = grid.select(
-            F.col("i").alias(f"{p}_gi{tag}"),
-            F.col("j").alias(f"{p}_gj{tag}"),
-            F.col("dlat_sec").alias(f"{p}_a{tag}"),
-            F.col("dlon_sec").alias(f"{p}_o{tag}"),
-        )
-        out = out.join(
-            F.broadcast(corner),
-            (F.col(f"{p}_i0") + F.lit(di) == F.col(f"{p}_gi{tag}"))
-            & (F.col(f"{p}_j0") + F.lit(dj) == F.col(f"{p}_gj{tag}")),
-            "left",
-        ).drop(f"{p}_gi{tag}", f"{p}_gj{tag}")
+    cellsrc = grid_cells(grid) if cells is None else cells
+    corner = cellsrc.select(
+        F.col("ci").alias(f"{p}_ci"),
+        F.col("cj").alias(f"{p}_cj"),
+        *[F.col(f"a{t}").alias(f"{p}_a{t}") for t in ("00", "01", "10", "11")],
+        *[F.col(f"o{t}").alias(f"{p}_o{t}") for t in ("00", "01", "10", "11")],
+    )
+    out = out.join(
+        F.broadcast(corner),
+        (F.col(f"{p}_i0") == F.col(f"{p}_ci")) & (F.col(f"{p}_j0") == F.col(f"{p}_cj")),
+        "left",
+    ).drop(f"{p}_ci", f"{p}_cj")
     fy, fx = F.col(f"{p}_fy"), F.col(f"{p}_fx")
     w00 = (1.0 - fy) * (1.0 - fx)
     w01 = (1.0 - fy) * fx
@@ -188,12 +215,13 @@ def grid_shift_inverse(
     far below the 1e-9-degree certificate grain. Each round is one
     4-broadcast-join interpolation — the relational twin of PROJ's loop."""
     h = SYNTH_HEADER if hdr is None else hdr
-    cur_lat, cur_lon = F.col(lat), F.col(lon)
+    cells = grid_cells(grid)  # one cell relation: its broadcast exchange is
+    cur_lat, cur_lon = F.col(lat), F.col(lon)  # reused by every round
     out = pts
     for k in range(iters):
         step = f"{p}{k}"
         out = out.withColumn(f"{step}_lat", cur_lat).withColumn(f"{step}_lon", cur_lon)
-        out = _interp_shift(out, grid, h, f"{step}_lon", f"{step}_lat", step)
+        out = _interp_shift(out, grid, h, f"{step}_lon", f"{step}_lat", step, cells=cells)
         cur_lat = F.col(lat) - F.col(f"{step}_dlat") / 3600.0
         cur_lon = F.col(lon) - F.col(f"{step}_dlon") / 3600.0
     return out.withColumn(out_lat, cur_lat).withColumn(out_lon, cur_lon)
@@ -253,19 +281,36 @@ def grid_shift_inverse_np(lon, lat, hdr: dict | None = None, arrays=None, iters:
 # --- DuckDB twin -------------------------------------------------------------
 
 
+def sql_grid_cells_cte(grid_rel: str = "ntv2grid", name: str = "ntv2cells") -> str:
+    """Cell-grain CTE twin of :func:`grid_cells` — one row per full cell
+    with all four corner shifts (emitted ONCE per query; every
+    interpolation CTE joins it)."""
+    return f"""{name} AS MATERIALIZED (
+  SELECT g00.i AS ci, g00.j AS cj,
+         g00.dlat_sec AS a00, g01.dlat_sec AS a01,
+         g10.dlat_sec AS a10, g11.dlat_sec AS a11,
+         g00.dlon_sec AS o00, g01.dlon_sec AS o01,
+         g10.dlon_sec AS o10, g11.dlon_sec AS o11
+  FROM {grid_rel} g00
+  JOIN {grid_rel} g01 ON g01.i = g00.i AND g01.j = g00.j + 1
+  JOIN {grid_rel} g10 ON g10.i = g00.i + 1 AND g10.j = g00.j
+  JOIN {grid_rel} g11 ON g11.i = g00.i + 1 AND g11.j = g00.j + 1
+)"""
+
+
 def sql_interp_shift(
     src_rel: str,
     out: str,
     hdr: dict | None = None,
     lon: str = "lon",
     lat: str = "lat",
-    grid_rel: str = "ntv2grid",
+    cells_rel: str = "ntv2cells",
     keep: str = "*",
 ) -> str:
     """One bilinear-interpolation CTE: ``{out}`` = ``{src_rel}`` + columns
     ``dlat_sec`` / ``dlon_sec`` (NULL outside the window) — the exact twin
-    of :func:`_interp_shift` (same 4-node join, same clamp, same blend
-    expression shape)."""
+    of :func:`_interp_shift` (same cell join, same clamp, same blend
+    expression shape and term order)."""
     h = SYNTH_HEADER if hdr is None else hdr
     la0, lo0 = float(h["lat0"]), float(h["lon0"])
     lai, loi = float(h["lat_inc"]), float(h["lon_inc"])
@@ -283,22 +328,19 @@ def sql_interp_shift(
 {out} AS (
   SELECT x.* EXCLUDE (i0, j0, inside),
          CASE WHEN x.inside THEN
-           (1.0 - (({lat} - {la0!r}) / {lai!r} - x.i0)) * (1.0 - (({lon} - {lo0!r}) / {loi!r} - x.j0)) * g00.dlat_sec
-         + (1.0 - (({lat} - {la0!r}) / {lai!r} - x.i0)) * (({lon} - {lo0!r}) / {loi!r} - x.j0) * g01.dlat_sec
-         + (({lat} - {la0!r}) / {lai!r} - x.i0) * (1.0 - (({lon} - {lo0!r}) / {loi!r} - x.j0)) * g10.dlat_sec
-         + (({lat} - {la0!r}) / {lai!r} - x.i0) * (({lon} - {lo0!r}) / {loi!r} - x.j0) * g11.dlat_sec
+           (1.0 - (({lat} - {la0!r}) / {lai!r} - x.i0)) * (1.0 - (({lon} - {lo0!r}) / {loi!r} - x.j0)) * c.a00
+         + (1.0 - (({lat} - {la0!r}) / {lai!r} - x.i0)) * (({lon} - {lo0!r}) / {loi!r} - x.j0) * c.a01
+         + (({lat} - {la0!r}) / {lai!r} - x.i0) * (1.0 - (({lon} - {lo0!r}) / {loi!r} - x.j0)) * c.a10
+         + (({lat} - {la0!r}) / {lai!r} - x.i0) * (({lon} - {lo0!r}) / {loi!r} - x.j0) * c.a11
          END AS dlat_sec,
          CASE WHEN x.inside THEN
-           (1.0 - (({lat} - {la0!r}) / {lai!r} - x.i0)) * (1.0 - (({lon} - {lo0!r}) / {loi!r} - x.j0)) * g00.dlon_sec
-         + (1.0 - (({lat} - {la0!r}) / {lai!r} - x.i0)) * (({lon} - {lo0!r}) / {loi!r} - x.j0) * g01.dlon_sec
-         + (({lat} - {la0!r}) / {lai!r} - x.i0) * (1.0 - (({lon} - {lo0!r}) / {loi!r} - x.j0)) * g10.dlon_sec
-         + (({lat} - {la0!r}) / {lai!r} - x.i0) * (({lon} - {lo0!r}) / {loi!r} - x.j0) * g11.dlon_sec
+           (1.0 - (({lat} - {la0!r}) / {lai!r} - x.i0)) * (1.0 - (({lon} - {lo0!r}) / {loi!r} - x.j0)) * c.o00
+         + (1.0 - (({lat} - {la0!r}) / {lai!r} - x.i0)) * (({lon} - {lo0!r}) / {loi!r} - x.j0) * c.o01
+         + (({lat} - {la0!r}) / {lai!r} - x.i0) * (1.0 - (({lon} - {lo0!r}) / {loi!r} - x.j0)) * c.o10
+         + (({lat} - {la0!r}) / {lai!r} - x.i0) * (({lon} - {lo0!r}) / {loi!r} - x.j0) * c.o11
          END AS dlon_sec
   FROM {out}_ix x
-  LEFT JOIN {grid_rel} g00 ON g00.i = x.i0 AND g00.j = x.j0
-  LEFT JOIN {grid_rel} g01 ON g01.i = x.i0 AND g01.j = x.j0 + 1
-  LEFT JOIN {grid_rel} g10 ON g10.i = x.i0 + 1 AND g10.j = x.j0
-  LEFT JOIN {grid_rel} g11 ON g11.i = x.i0 + 1 AND g11.j = x.j0 + 1
+  LEFT JOIN {cells_rel} c ON c.ci = x.i0 AND c.cj = x.j0
 )"""
 
 
@@ -310,10 +352,10 @@ def sql_grid_shift_forward(
     lat: str = "lat",
     out_lon: str = "gs_lon",
     out_lat: str = "gs_lat",
-    grid_rel: str = "ntv2grid",
+    cells_rel: str = "ntv2cells",
 ) -> str:
     """CTE chain twin of :func:`grid_shift_forward` (ends in ``{out}``)."""
-    interp = sql_interp_shift(src_rel, f"{out}_sh", hdr, lon, lat, grid_rel)
+    interp = sql_interp_shift(src_rel, f"{out}_sh", hdr, lon, lat, cells_rel)
     return f"""{interp},
 {out} AS (
   SELECT * EXCLUDE (dlat_sec, dlon_sec),
@@ -332,7 +374,7 @@ def sql_grid_shift_inverse(
     out_lon: str = "gsi_lon",
     out_lat: str = "gsi_lat",
     iters: int = 3,
-    grid_rel: str = "ntv2grid",
+    cells_rel: str = "ntv2cells",
 ) -> str:
     """CTE chain twin of :func:`grid_shift_inverse` — the fixed-point
     rounds unrolled, one interpolation CTE pair per round (ends in
@@ -342,7 +384,7 @@ def sql_grid_shift_inverse(
     for k in range(iters):
         step = f"{out}_it{k}"
         ctes.append(
-            sql_interp_shift(cur, f"{step}_sh", hdr, "_cur_lon", "_cur_lat", grid_rel)
+            sql_interp_shift(cur, f"{step}_sh", hdr, "_cur_lon", "_cur_lat", cells_rel)
         )
         ctes.append(
             f"""{step} AS (

@@ -2112,6 +2112,7 @@ def _ntv2_roundtrip_sql() -> str:
     from sarpro_spark.queries import sql_fround
 
     grid = gsx.sql_synthetic_grid_cte("ntv2grid")
+    cells = gsx.sql_grid_cells_cte("ntv2grid", "ntv2cells")
     inv_shift = gsx.sql_grid_shift_inverse(
         "pts", "sh", lon="lon", lat="lat", out_lon="ntv_lon", out_lat="ntv_lat"
     )
@@ -2146,6 +2147,7 @@ pts AS (
        LATERAL (SELECT UNNEST(RANGE(0, 5)) AS j) j
 ),
 {grid},
+{cells},
 {inv_shift},
 tmf AS ({tmf}),
 tmi AS ({tmi}),

@@ -737,8 +737,17 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ),
     ("operators/gridshift.py", "corner"): (
         "constant",
-        "NTv2 shift-grid nodes — a national grid is a bounded few-MB "
+        "NTv2 shift-grid cells — a national grid is a bounded few-MB "
         "dimension fixed by geography, never SF-scaling",
+    ),
+    ("operators/gridshift.py", "g01"): (
+        "constant", "grid self-join side in the cell build (same bound)",
+    ),
+    ("operators/gridshift.py", "g10"): (
+        "constant", "grid self-join side in the cell build (same bound)",
+    ),
+    ("operators/gridshift.py", "g11"): (
+        "constant", "grid self-join side in the cell build (same bound)",
     ),
     ("operators/stats.py", "base"): ("per-product", "per-(product,band) stats rows"),
     ("operators/stats.py", "pct_rows"): ("constant", "fixed percentile list"),
