@@ -23,6 +23,7 @@ two sides can't disagree about which bucket a column hashes in.
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +40,11 @@ _NUM_TYPES = ("INT", "DOUBLE", "FLOAT", "DECIMAL", "REAL")
 
 _type_cache: dict[str, list[tuple[str, str]]] = {}
 _duck = None
+#: one DuckDB connection shared by every pack's schema binding — NOT
+#: thread-safe, and tools/explain_audit.py builds pack plans on a thread
+#: pool (r10): serialize both the lazy init and the DESCRIBE (an unlocked
+#: race surfaced as an intermittent empty ParseException in the audit)
+_duck_lock = threading.Lock()
 
 
 def _member_schema(name: str) -> list[tuple[str, str]]:
@@ -48,13 +54,16 @@ def _member_schema(name: str) -> list[tuple[str, str]]:
     global _duck
     import duckdb
 
-    if _duck is None:
-        _duck = duckdb.connect()
-        for t in TABLES:
-            _duck.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{_SCHEMA_SF}/{t}.parquet')"
-            )
-    rows = _duck.execute(f"DESCRIBE {REGISTRY[name].sql}").fetchall()
+    with _duck_lock:
+        if name in _type_cache:  # raced: another thread bound it meanwhile
+            return _type_cache[name]
+        if _duck is None:
+            _duck = duckdb.connect()
+            for t in TABLES:
+                _duck.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{_SCHEMA_SF}/{t}.parquet')"
+                )
+        rows = _duck.execute(f"DESCRIBE {REGISTRY[name].sql}").fetchall()
     out = []
     for col, dtype, *_ in rows:
         up = str(dtype).upper()

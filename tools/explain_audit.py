@@ -913,6 +913,13 @@ def main() -> int:
 
     with ThreadPoolExecutor(max_workers=min(16, max(1, len(audited)))) as pool:
         plan_by_name = dict(zip(audited, pool.map(_plans, audited)))
+    # flake-proofing: any explain that failed inside the pool is retried
+    # ONCE serially — a real plan problem reproduces, a concurrency
+    # artifact (shared-state race in query construction) does not, and a
+    # gate must never fail on the artifact
+    for name, (plan, simple) in list(plan_by_name.items()):
+        if plan is None:
+            plan_by_name[name] = _plans(name)
 
     failures = []
     for name in names:

@@ -76,6 +76,10 @@ FLAGSHIPS = [
     ("dedup_semantic_prune", "SemDeDup with recursive re-cluster: broadcast assignment + (cluster,sub,salt)-keyed pair join"),
     ("dedup_stream_stream_neardup", "cross-stream near-dup twin: banded cross-side join, never all-pairs"),
     ("ann_recall_multiprobe", "recall sweep: 6 candidate variants joined to one truth relation"),
+    ("ntv2_roundtrip_points", "NTv2 grid-shift datum chain: one cell-grain broadcast join per interpolation round, TM codegen between"),
+    ("tpcds_cross_channel_items", "Q14 shape: INTERSECT as distinct-aggregated left-semi joins + 1-row broadcast threshold"),
+    ("window_range_frames", "RANGE frames: four value-based frames off one partition-key ordering, integer-cents codegen"),
+    ("neardup_recall_multiprobe", "doc-side multi-probe recall: panel-bounded truth, single-explode probe keys, compute-spread verify"),
 ]
 
 
