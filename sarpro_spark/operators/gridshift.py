@@ -403,3 +403,123 @@ def sql_grid_shift_inverse(
 )"""
     )
     return ",\n".join(ctes)
+
+
+# --- NTv2 .gsb binary I/O ------------------------------------------------------
+# The public NTv2 binary layout (National Transformation v2, Geodetic Survey
+# of Canada; also documented in the GDAit developer guide): 16-byte records
+# of an 8-char ASCII name + an 8-byte value. Overview header (11 records),
+# then per subgrid an 11-record header + GS_COUNT nodes of four float32
+# (lat shift, lon shift, lat accuracy, lon accuracy), all in arc-seconds.
+# The two traps this loader pins:
+#   * longitudes (E_LONG/W_LONG and the per-node lon shift) are POSITIVE
+#     WEST — the engine convention is positive-east, so bounds and shifts
+#     NEGATE on load (and on write);
+#   * nodes start at (S_LAT, E_LONG) with LONGITUDE varying fastest and
+#     increasing WESTWARD — the engine's j index increases EASTWARD, so
+#     j reverses on load.
+# int-valued records (NUM_OREC/NUM_SREC/NUM_FILE/GS_COUNT) are int32 + 4
+# pad bytes; float records are float64; string records are 8-char ASCII.
+
+import struct as _struct
+
+
+def _rec_str(name: str, val: str) -> bytes:
+    return name.encode("ascii").ljust(8) + val.encode("ascii").ljust(8)[:8]
+
+
+def _rec_int(name: str, val: int) -> bytes:
+    return name.encode("ascii").ljust(8) + _struct.pack("<i", val) + b"\x00" * 4
+
+
+def _rec_f64(name: str, val: float) -> bytes:
+    return name.encode("ascii").ljust(8) + _struct.pack("<d", val)
+
+
+def write_gsb(path: str, hdr: dict | None = None, arrays=None,
+              sub_name: str = "SYNTHET1", system_f: str = "AGD66",
+              system_t: str = "GDA94") -> None:
+    """Write a single-subgrid little-endian NTv2 ``.gsb`` file from an
+    engine-convention grid (positive-east shifts, j increasing east).
+    Node shifts quantize to float32 (the format's precision); accuracies
+    are written as 0.0 (unknown), like most published grids' fillers."""
+    h = SYNTH_HEADER if hdr is None else hdr
+    dlat, dlon = synthetic_shift_arrays(h) if arrays is None else arrays
+    nla, nlo = h["n_lat"], h["n_lon"]
+    s_lat = h["lat0"] * 3600.0
+    n_lat = (h["lat0"] + (nla - 1) * h["lat_inc"]) * 3600.0
+    # positive-west bounds: engine lon0 (west edge, positive east) maps to
+    # the numerically LARGER W_LONG; the east edge to E_LONG
+    w_long = -h["lon0"] * 3600.0
+    e_long = -(h["lon0"] + (nlo - 1) * h["lon_inc"]) * 3600.0
+    out = [
+        _rec_int("NUM_OREC", 11), _rec_int("NUM_SREC", 11), _rec_int("NUM_FILE", 1),
+        _rec_str("GS_TYPE ", "SECONDS "), _rec_str("VERSION ", "NTv2.0  "),
+        _rec_str("SYSTEM_F", system_f), _rec_str("SYSTEM_T", system_t),
+        _rec_f64("MAJOR_F ", 6378160.0), _rec_f64("MINOR_F ", 6356774.719),
+        _rec_f64("MAJOR_T ", 6378137.0), _rec_f64("MINOR_T ", 6356752.3141),
+        _rec_str("SUB_NAME", sub_name), _rec_str("PARENT  ", "NONE"),
+        _rec_str("CREATED ", "20260815"), _rec_str("UPDATED ", "20260815"),
+        _rec_f64("S_LAT   ", s_lat), _rec_f64("N_LAT   ", n_lat),
+        _rec_f64("E_LONG  ", e_long), _rec_f64("W_LONG  ", w_long),
+        _rec_f64("LAT_INC ", h["lat_inc"] * 3600.0),
+        _rec_f64("LONG_INC", h["lon_inc"] * 3600.0),
+        _rec_int("GS_COUNT", nla * nlo),
+    ]
+    body = bytearray()
+    for i in range(nla):  # S_LAT upward
+        for jw in range(nlo):  # E_LONG going WEST = engine j going DOWN
+            j = (nlo - 1) - jw
+            body += _struct.pack(
+                "<ffff", float(dlat[i, j]), float(-dlon[i, j]), 0.0, 0.0
+            )
+    with open(path, "wb") as fh:
+        fh.write(b"".join(out) + bytes(body))
+
+
+def read_gsb(path: str, subgrid: int = 0) -> tuple[dict, list[tuple[int, int, float, float]]]:
+    """Read one subgrid of an NTv2 ``.gsb`` file into the ENGINE convention:
+    returns ``(header, rows)`` with header keys matching
+    :data:`SYNTH_HEADER` and rows ``(i, j, dlat_sec, dlon_sec)`` with
+    positive-EAST lon shifts and j increasing EASTWARD, ready for
+    ``spark.createDataFrame(rows, 'i int, j int, dlat_sec double,
+    dlon_sec double')``. Endianness is detected from NUM_OREC."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    endian = "<" if _struct.unpack_from("<i", buf, 8)[0] == 11 else ">"
+
+    def rint(off): return _struct.unpack_from(endian + "i", buf, off + 8)[0]
+
+    def rf64(off): return _struct.unpack_from(endian + "d", buf, off + 8)[0]
+
+    n_file = rint(32)
+    if not 0 <= subgrid < n_file:
+        raise ValueError(f"subgrid {subgrid} out of range (NUM_FILE={n_file})")
+    off = 11 * 16
+    for _ in range(subgrid):  # skip earlier subgrids
+        cnt = rint(off + 10 * 16)
+        off += 11 * 16 + cnt * 16
+    s_lat, n_lat = rf64(off + 4 * 16), rf64(off + 5 * 16)
+    e_long, w_long = rf64(off + 6 * 16), rf64(off + 7 * 16)
+    lat_inc, lon_inc = rf64(off + 8 * 16), rf64(off + 9 * 16)
+    count = rint(off + 10 * 16)
+    nla = int(round((n_lat - s_lat) / lat_inc)) + 1
+    nlo = int(round((w_long - e_long) / lon_inc)) + 1
+    if nla * nlo != count:
+        raise ValueError(f"GS_COUNT {count} != {nla}x{nlo} from bounds/incs")
+    hdr = {
+        "lat0": s_lat / 3600.0,
+        "lon0": -w_long / 3600.0,  # west edge, positive-east degrees
+        "lat_inc": lat_inc / 3600.0,
+        "lon_inc": lon_inc / 3600.0,
+        "n_lat": nla, "n_lon": nlo,
+    }
+    rows = []
+    node = off + 11 * 16
+    for i in range(nla):
+        for jw in range(nlo):
+            a, o = _struct.unpack_from(endian + "ff", buf, node)
+            node += 16
+            rows.append(((i), (nlo - 1) - jw, float(a), float(-o)))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return hdr, rows

@@ -1244,3 +1244,77 @@ def test_ntv2_route_dispatch_and_execution(spark):
     # southern false northing: lat -35 => ~10e6 - 3.87e6
     assert 6.0e6 < out[0][1] < 6.3e6
     assert 5.7e6 < out[1][1] < 6.0e6 and out[1][0] > 600000.0
+
+
+def test_ntv2_gsb_binary_roundtrip(spark, tmp_path):
+    """r10 NTv2 .gsb binary I/O (public format): write the synthetic grid
+    as a single-subgrid little-endian .gsb, read it back, and get the
+    engine-convention grid to float32 precision. Pins the format's two
+    traps: longitudes are POSITIVE-WEST in the file (bounds and per-node
+    lon shifts negate on load — asserted on raw bytes), and nodes run
+    longitude-fastest WESTWARD from (S_LAT, E_LONG) (j reverses on load).
+    The loaded grid drives grid_shift_forward within float32 tolerance of
+    the float64 in-repo fixture."""
+    import struct
+
+    import numpy as np
+
+    from sarpro_spark.operators import gridshift as gsx
+
+    path = str(tmp_path / "synthetic.gsb")
+    gsx.write_gsb(path)
+    hdr, rows = gsx.read_gsb(path)
+    h0 = gsx.SYNTH_HEADER
+    for k in ("lat0", "lon0", "lat_inc", "lon_inc"):
+        assert abs(hdr[k] - h0[k]) < 1e-9, k
+    assert (hdr["n_lat"], hdr["n_lon"]) == (h0["n_lat"], h0["n_lon"])
+    dla, dlo = gsx.synthetic_shift_arrays()
+    got = {(i, j): (a, o) for i, j, a, o in rows}
+    assert len(got) == h0["n_lat"] * h0["n_lon"]
+    for (i, j), (a, o) in got.items():
+        assert a == np.float32(dla[i, j])  # exact f32 quantization
+        assert o == -np.float32(-dlo[i, j])
+    # raw bytes: the FIRST node is (S_LAT, E_LONG) = engine (i=0, j=n-1),
+    # and its lon shift is stored NEGATED (positive-west)
+    buf = open(path, "rb").read()
+    a0, o0 = struct.unpack_from("<ff", buf, 22 * 16)
+    assert a0 == np.float32(dla[0, h0["n_lon"] - 1])
+    assert o0 == np.float32(-dlo[0, h0["n_lon"] - 1])
+    # the loaded grid drives the shift within f32 tolerance of the fixture
+    grid_loaded = spark.createDataFrame(
+        rows, "i int, j int, dlat_sec double, dlon_sec double"
+    )
+    pts = spark.createDataFrame(
+        [(-42.13, 141.77), (-35.5, 148.2)], "lat double, lon double"
+    )
+    out = {
+        (r["lat"], r["lon"]): (r["gs_lat"], r["gs_lon"])
+        for r in gsx.grid_shift_forward(pts, grid_loaded, hdr, p="t").collect()
+    }
+    for la, lo in ((-42.13, 141.77), (-35.5, 148.2)):
+        nlo_, nla_ = gsx.grid_shift_forward_np([lo], [la])
+        gla, glo = out[(la, lo)]
+        # f32 node quantization bounds the shift error at ~1e-7 arcsec
+        assert abs(gla - float(nla_[0])) < 1e-9
+        assert abs(glo - float(nlo_[0])) < 1e-9
+
+
+def test_ntv2_gsb_reader_validates(tmp_path):
+    """Loud failures: subgrid index out of range; inconsistent GS_COUNT."""
+    import struct
+
+    import pytest as pt
+
+    from sarpro_spark.operators import gridshift as gsx
+
+    path = str(tmp_path / "g.gsb")
+    gsx.write_gsb(path)
+    with pt.raises(ValueError, match="subgrid 1 out of range"):
+        gsx.read_gsb(path, subgrid=1)
+    buf = bytearray(open(path, "rb").read())
+    # corrupt GS_COUNT (record 21 = subgrid header record 11)
+    struct.pack_into("<i", buf, 21 * 16 + 8, 7)
+    bad = str(tmp_path / "bad.gsb")
+    open(bad, "wb").write(bytes(buf))
+    with pt.raises(ValueError, match="GS_COUNT"):
+        gsx.read_gsb(bad)
