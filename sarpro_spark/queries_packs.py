@@ -452,6 +452,7 @@ register_pack(
         Member("warp_gcp_tps", ("product_id", "row", "col")),
         Member("warp_params_tps", ("product_id", "row", "col")),
         Member("tps_gcp_residuals", ("product_id", "scol_i", "srow_i")),
+        Member("warp_ntv2_from_lonlat", ("product_id", "row", "col")),
     ),
     doc="Union certificate: both G5 GCP-warp interpolants — the exact "
     "piecewise-bilinear GCP grid (warp_gcp_grid) and the true thin-plate-"

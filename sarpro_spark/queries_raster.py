@@ -2323,3 +2323,144 @@ def q_mga_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.abs(F.col("mga_lat") - F.col("lat")) <= 1e-7)
          & (F.abs(F.col("mga_lon") - F.col("lon")) <= 1e-7)).alias("rt_ok"),
     )
+
+
+def _warp_ntv2_sql() -> str:
+    from sarpro_spark.operators import gridshift as gsx
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.operators.geometry import sql_warp_gcp_grid
+    from sarpro_spark.queries import sql_fround
+
+    u8 = asc.oracle_autoscale_sql(_VV_SRC_CTE, ["product_id"], _KEYS, "standard-a2", BitDepth.U8)
+    grid = gsx.sql_synthetic_grid_cte("ntv2grid")
+    cells = gsx.sql_grid_cells_cte("ntv2grid", "ntv2cells")
+    inv = gsx.sql_grid_shift_inverse(
+        "gg", "sh", lon="lon", lat="lat", out_lon="ntv_lon", out_lat="ntv_lat"
+    )
+    fwd = tmx.sql_steps_select(
+        "sh",
+        tmx.tm_forward_steps_c(
+            tmx.AMG55_TM, lon="ntv_lon", lat="ntv_lat", p="ntm",
+            easting="easting", northing="northing",
+        ),
+    )
+    warp = sql_warp_gcp_grid("u8", "gcpz", "wgeo", ["product_id"], _GCP_K, 256.0, "q")
+    return f"""
+WITH u8 AS ({u8}),
+wdims AS (
+  SELECT product_id, CAST(MAX(row)+1 AS INTEGER) AS rows, CAST(MAX(col)+1 AS INTEGER) AS cols
+  FROM u8 GROUP BY product_id
+),
+ctr AS (
+  SELECT product_id, rows, cols,
+         141.5 + CAST((product_id * 7) % 11 AS DOUBLE) AS lon_c,
+         -42.5 + CAST((product_id * 3) % 9 AS DOUBLE) AS lat_c
+  FROM wdims
+),
+gg AS (
+  SELECT product_id, lon_c, lat_c, i.i AS gi, j.j AS gj,
+         lon_c + j.j * {_UTM_DLL!r} AS lon,
+         lat_c - i.i * {_UTM_DLL!r} AS lat
+  FROM ctr,
+       LATERAL (SELECT UNNEST(RANGE(0, CAST(CEIL(rows/{_GCP_K}.0) AS BIGINT) + 1)) AS i) i,
+       LATERAL (SELECT UNNEST(RANGE(0, CAST(CEIL(cols/{_GCP_K}.0) AS BIGINT) + 1)) AS j) j
+),
+{grid},
+{cells},
+{inv},
+fw AS ({fwd}),
+gcpz AS (
+  SELECT product_id, gi, gj,
+         FLOOR(easting * 4.0 + 0.5) / 4.0 AS gx,
+         FLOOR(northing * 4.0 + 0.5) / 4.0 AS gy
+  FROM fw
+),
+wgeo AS (
+  SELECT product_id, MIN(gx) AS dg0, 8.0 AS dg1, 0.0 AS dg2,
+         MAX(gy) AS dg3, 0.0 AS dg4, -8.0 AS dg5,
+         CAST(CEIL((MAX(gy) - MIN(gy)) / 8.0) AS BIGINT) AS dst_rows,
+         CAST(CEIL((MAX(gx) - MIN(gx)) / 8.0) AS BIGINT) AS dst_cols
+  FROM gcpz GROUP BY product_id
+),
+{warp}
+SELECT product_id, row, col, {sql_fround('q')} AS q FROM warped
+""".strip()
+
+
+@query("warp_ntv2_from_lonlat", sql=_warp_ntv2_sql(), tags=("raster", "geometry", "warp", "crs", "datum"))
+def q_warp_ntv2_from_lonlat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 grid-shift warp END-TO-END (r10): lon/lat GCPs (WGS84) -> NTv2
+    fixed-point inverse shift onto AGD66 (operators/gridshift.py, one
+    cell-grain broadcast join per round) -> AMG zone 55 Transverse
+    Mercator on the ANS ellipsoid -> 0.25 m lattice snap ->
+    piecewise-bilinear GCP warp of the quantized band onto the projected
+    target grid — the full dataflow behind warp_route's 'gcp_ntv2' +
+    project_gcps, as ONE relational plan (the reference delegates this
+    whole path to gdalwarp + PROJ grid files, sentinel1.rs:914-1072).
+    Same warp/snap scaffolding as warp_utm_from_lonlat; only the
+    projection leg differs, so a dispatch bug in the datum chain cannot
+    hide behind the shared warp math."""
+    from sarpro_spark.operators import gridshift as gsx
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.operators.geometry import product_dims, warp_gcp_grid
+    from sarpro_spark.queries import fround
+
+    import sarpro_spark.operators.kernel as krn
+
+    px = frames.single_band(spark, sf_dir, "vv")
+    u8 = krn.single_band_kernel(px, ["product_id"], "standard-a2", BitDepth.U8)
+    dims = product_dims(px, ["product_id"])
+    kf = float(_GCP_K)
+    pid = F.col("product_id")
+    ctr = dims.select(
+        "product_id", "rows", "cols",
+        (F.lit(141.5) + ((pid * 7) % 11).cast("double")).alias("lon_c"),
+        (F.lit(-42.5) + ((pid * 3) % 9).cast("double")).alias("lat_c"),
+    )
+    gg = (
+        ctr.select(
+            "product_id", "lon_c", "lat_c", "cols",
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.col("rows") / kf).cast("int"))
+            ).alias("gi"),
+        )
+        .select(
+            "product_id", "lon_c", "lat_c", "gi",
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.col("cols") / kf).cast("int"))
+            ).alias("gj"),
+        )
+        .select(
+            "product_id", "lon_c", "lat_c", "gi", "gj",
+            (F.col("lon_c") + F.col("gj") * _UTM_DLL).alias("lon"),
+            (F.col("lat_c") - F.col("gi") * _UTM_DLL).alias("lat"),
+        )
+    )
+    sh = gsx.grid_shift_inverse(
+        gg, gsx.synthetic_grid_df(spark),
+        lon="lon", lat="lat", out_lon="ntv_lon", out_lat="ntv_lat",
+    )
+    fw = tmx.apply_steps(
+        sh,
+        tmx.tm_forward_steps_c(
+            tmx.AMG55_TM, lon="ntv_lon", lat="ntv_lat", p="ntm",
+            easting="easting", northing="northing",
+        ),
+    )
+    gcps = fw.select(
+        "product_id", "gi", "gj",
+        (F.floor(F.col("easting") * 4.0 + F.lit(0.5)) / 4.0).alias("gx"),
+        (F.floor(F.col("northing") * 4.0 + F.lit(0.5)) / 4.0).alias("gy"),
+    )
+    geo = gcps.groupBy("product_id").agg(
+        F.min("gx").alias("dg0"),
+        F.lit(8.0).alias("dg1"),
+        F.lit(0.0).alias("dg2"),
+        F.max("gy").alias("dg3"),
+        F.lit(0.0).alias("dg4"),
+        F.lit(-8.0).alias("dg5"),
+        F.ceil((F.max("gy") - F.min("gy")) / 8.0).cast("long").alias("dst_rows"),
+        F.ceil((F.max("gx") - F.min("gx")) / 8.0).cast("long").alias("dst_cols"),
+    )
+    out = warp_gcp_grid(u8, gcps, geo, ["product_id"], k=_GCP_K, bucket=256.0, value="q")
+    return out.select("product_id", "row", "col", fround(F.col("q")).alias("q"))

@@ -567,6 +567,15 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
         "schema_excludes": ["o_comment", "o_custkey", "o_clerk"],
     },
+    "warp_ntv2_from_lonlat": {
+        # same scaffolding contract as warp_utm_from_lonlat (pinned tile
+        # broadcast, explicit canvas repartition, no Python) PLUS the
+        # datum leg's cell-grain grid broadcast; the gather stays a keyed
+        # SortMergeJoin, never cartesian
+        "require": ["BroadcastHashJoin", "HashAggregate", "REPARTITION_BY_NUM",
+                    "SortMergeJoin"],
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
     "mga_roundtrip_points": {
         # r10 GDA94/MGA family: pure-codegen Krüger TM, no joins at all
         "require": [], "codegen": True,
