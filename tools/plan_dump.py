@@ -80,6 +80,7 @@ FLAGSHIPS = [
     ("tpcds_cross_channel_items", "Q14 shape: INTERSECT as distinct-aggregated left-semi joins + 1-row broadcast threshold"),
     ("window_range_frames", "RANGE frames: four value-based frames off one partition-key ordering, integer-cents codegen"),
     ("neardup_recall_multiprobe", "doc-side multi-probe recall: panel-bounded truth, single-explode probe keys, compute-spread verify"),
+    ("warp_ntv2_from_lonlat", "gcp_ntv2 route end-to-end: grid-shift datum leg + AMG TM + pinned-SMJ GCP warp"),
 ]
 
 
