@@ -106,6 +106,7 @@ HEADLINE = [
     # window cert, the Q14 INTERSECT shape, doc-side multi-probe near-dup
     # recall, and the drained-ingest-sink certificate
     "ntv2_roundtrip_points",
+    "ntv2_multigrid_points",
     "warp_ntv2_from_lonlat",
     "window_range_frames",
     "tpcds_cross_channel_items",

@@ -523,3 +523,242 @@ def read_gsb(path: str, subgrid: int = 0) -> tuple[dict, list[tuple[int, int, fl
             rows.append(((i), (nlo - 1) - jw, float(a), float(-o)))
     rows.sort(key=lambda r: (r[0], r[1]))
     return hdr, rows
+
+
+# --- multi-subgrid dispatch ----------------------------------------------------
+# Real NTv2 files NEST subgrids: a dense local grid (e.g. a city survey
+# adjustment) sits inside the sparse national grid, and the spec selects
+# the DENSEST subgrid containing the point. Relationally that selection
+# IS a coalesce: interpolate against each grid densest-first — the
+# single-grid interpolation already yields NULL outside its window — and
+# take the first non-NULL shift. One broadcast cell join per subgrid per
+# round; fine for the tens of subgrids real files carry (a header-ranked
+# dispatch join would replace the chain if a file ever had hundreds).
+
+#: dense local fixture nested inside SYNTH_HEADER's window (Victoria-ish),
+#: 4x denser, deliberately DIFFERENT field so selection is observable
+SYNTH_DENSE_HEADER: dict = {
+    "lat0": -38.0, "lon0": 144.0,
+    "lat_inc": 0.125, "lon_inc": 0.125,
+    "n_lat": 17, "n_lon": 25,  # lat -38..-36, lon 144..147 inclusive
+}
+
+
+def synthetic_dense_arrays(hdr: dict | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Dense-subgrid shift field, built the way REAL densifications are:
+    the parent grid's bilinear interpolation at the dense nodes (so the
+    two branches agree exactly where no local data exists — the dense
+    node spacing divides the parent's, so re-interpolating the sampled
+    values reproduces the parent field bit-for-bit inside every parent
+    cell) PLUS a local distortion bump (~0.3") TAPERED to zero at the
+    window edge. The taper is load-bearing: a subgrid that disagrees
+    with its parent at the boundary makes the transformation
+    discontinuous, and the fixed-point inverse near the edge then
+    converges to the WRONG branch (measured 8.5e-5 deg stuck error on an
+    untapered fixture) — exactly why the NTv2 spec requires boundary
+    agreement."""
+    h = SYNTH_DENSE_HEADER if hdr is None else hdr
+    i = np.arange(h["n_lat"], dtype=np.float64)[:, None]
+    j = np.arange(h["n_lon"], dtype=np.float64)[None, :]
+    lat = h["lat0"] + i * h["lat_inc"] + 0.0 * j
+    lon = h["lon0"] + j * h["lon_inc"] + 0.0 * i
+    base_lat, base_lon = interp_shift_np(lon.ravel(), lat.ravel())
+    base_lat = base_lat.reshape(h["n_lat"], h["n_lon"])
+    base_lon = base_lon.reshape(h["n_lat"], h["n_lon"])
+    taper = (
+        np.sin(np.pi * i / (h["n_lat"] - 1)) ** 2
+        * np.sin(np.pi * j / (h["n_lon"] - 1)) ** 2
+    )
+    dlat = base_lat + 0.30 * taper * np.sin(0.25 * i + 0.1 * j)
+    dlon = base_lon + 0.25 * taper * np.cos(0.2 * i - 0.15 * j)
+    return dlat, dlon
+
+
+def synthetic_dense_rows(hdr: dict | None = None) -> list[tuple[int, int, float, float]]:
+    h = SYNTH_DENSE_HEADER if hdr is None else hdr
+    dlat, dlon = synthetic_dense_arrays(h)
+    return [
+        (i, j, float(dlat[i, j]), float(dlon[i, j]))
+        for i in range(h["n_lat"])
+        for j in range(h["n_lon"])
+    ]
+
+
+def synthetic_dense_df(spark: SparkSession, hdr: dict | None = None) -> DataFrame:
+    return spark.createDataFrame(
+        synthetic_dense_rows(hdr), "i int, j int, dlat_sec double, dlon_sec double"
+    )
+
+
+def sql_synthetic_dense_cte(name: str = "ntv2dense", hdr: dict | None = None) -> str:
+    rows = ",\n  ".join(
+        f"({i}, {j}, {la!r}, {lo!r})" for i, j, la, lo in synthetic_dense_rows(hdr)
+    )
+    return f"{name} AS (SELECT * FROM (VALUES\n  {rows}\n) g(i, j, dlat_sec, dlon_sec))"
+
+
+def _densest_first(grids: list) -> list:
+    """Order (hdr, grid_df_or_cells) pairs densest-first (smallest
+    lat_inc*lon_inc cell area) — the NTv2 selection rule."""
+    return sorted(grids, key=lambda g: g[0]["lat_inc"] * g[0]["lon_inc"])
+
+
+def multigrid_interp(
+    pts: DataFrame,
+    grids: list,
+    lon: str,
+    lat: str,
+    p: str,
+) -> DataFrame:
+    """Interpolate the shift from the DENSEST covering subgrid: ``grids``
+    is a list of ``(hdr, grid_df)``; adds ``{p}_dlat`` / ``{p}_dlon``
+    (NULL when no subgrid covers the point) and ``{p}_gid`` (index into
+    the densest-first ordering that supplied the value; NULL when none).
+    ``grid_df`` entries may be pre-built cell relations from
+    :func:`grid_cells` tagged via ``(hdr, (grid_df, cells_df))``."""
+    ordered = _densest_first(grids)
+    out = pts
+    dlats, dlons, gids = [], [], []
+    for gi, (hdr, g) in enumerate(ordered):
+        grid_df, cells = (g if isinstance(g, tuple) else (g, None))
+        sub = f"{p}g{gi}"
+        out = _interp_shift(out, grid_df, hdr, lon, lat, sub, cells=cells)
+        dlats.append(F.col(f"{sub}_dlat"))
+        dlons.append(F.col(f"{sub}_dlon"))
+        gids.append(F.when(F.col(f"{sub}_dlat").isNotNull(), gi))
+    return (
+        out.withColumn(f"{p}_dlat", F.coalesce(*dlats))
+        .withColumn(f"{p}_dlon", F.coalesce(*dlons))
+        .withColumn(f"{p}_gid", F.coalesce(*gids))
+    )
+
+
+def multigrid_shift_forward(
+    pts: DataFrame,
+    grids: list,
+    lon: str = "lon",
+    lat: str = "lat",
+    out_lon: str = "gs_lon",
+    out_lat: str = "gs_lat",
+    p: str = "mgf",
+) -> DataFrame:
+    out = multigrid_interp(pts, grids, lon, lat, p)
+    return out.withColumn(
+        out_lat, F.col(lat) + F.col(f"{p}_dlat") / 3600.0
+    ).withColumn(out_lon, F.col(lon) + F.col(f"{p}_dlon") / 3600.0)
+
+
+def multigrid_shift_inverse(
+    pts: DataFrame,
+    grids: list,
+    lon: str = "lon",
+    lat: str = "lat",
+    out_lon: str = "gsi_lon",
+    out_lat: str = "gsi_lat",
+    iters: int = 3,
+    p: str = "mgi",
+) -> DataFrame:
+    """Fixed-point inverse over the subgrid family: each round
+    RE-DISPATCHES (a point can cross a subgrid boundary between rounds —
+    the spec behavior), so the per-round cell broadcasts are built once
+    and shared across rounds."""
+    ordered = _densest_first(grids)
+    shared = [
+        (hdr, (g if isinstance(g, tuple) else (g, grid_cells(g))))
+        for hdr, g in ordered
+    ]
+    cur_lat, cur_lon = F.col(lat), F.col(lon)
+    out = pts
+    for k in range(iters):
+        step = f"{p}{k}"
+        out = out.withColumn(f"{step}_lat", cur_lat).withColumn(f"{step}_lon", cur_lon)
+        out = multigrid_interp(out, shared, f"{step}_lon", f"{step}_lat", step)
+        cur_lat = F.col(lat) - F.col(f"{step}_dlat") / 3600.0
+        cur_lon = F.col(lon) - F.col(f"{step}_dlon") / 3600.0
+    return (
+        out.withColumn(out_lat, cur_lat)
+        .withColumn(out_lon, cur_lon)
+        .withColumn(f"{p}_gid", F.col(f"{p}{iters - 1}_gid"))
+    )
+
+
+def sql_multigrid_interp(
+    src_rel: str,
+    out: str,
+    grids: list,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> str:
+    """DuckDB twin of :func:`multigrid_interp`: ``grids`` is a
+    densest-first-sortable list of ``(hdr, cells_rel)``; emits the
+    per-grid interpolation CTE chain and a final ``{out}`` with
+    ``dlat_sec`` / ``dlon_sec`` / ``gid`` coalesced densest-first."""
+    ordered = _densest_first(grids)
+    ctes, cur = [], src_rel
+    for gi, (hdr, cells_rel) in enumerate(ordered):
+        step = f"{out}_g{gi}"
+        ctes.append(sql_interp_shift(cur, step, hdr, lon, lat, cells_rel))
+        ctes.append(
+            f"""{step}r AS (
+  SELECT * EXCLUDE (dlat_sec, dlon_sec),
+         dlat_sec AS g{gi}_dlat, dlon_sec AS g{gi}_dlon
+  FROM {step}
+)"""
+        )
+        cur = f"{step}r"
+    dl = ", ".join(f"g{i}_dlat" for i in range(len(ordered)))
+    do = ", ".join(f"g{i}_dlon" for i in range(len(ordered)))
+    gid = ", ".join(
+        f"CASE WHEN g{i}_dlat IS NOT NULL THEN {i} END" for i in range(len(ordered))
+    )
+    drops = ", ".join(f"g{i}_dlat, g{i}_dlon" for i in range(len(ordered)))
+    ctes.append(
+        f"""{out} AS (
+  SELECT * EXCLUDE ({drops}),
+         COALESCE({dl}) AS dlat_sec,
+         COALESCE({do}) AS dlon_sec,
+         COALESCE({gid}) AS gid
+  FROM {cur}
+)"""
+    )
+    return ",\n".join(ctes)
+
+
+def sql_multigrid_shift_inverse(
+    src_rel: str,
+    out: str,
+    grids: list,
+    lon: str = "lon",
+    lat: str = "lat",
+    out_lon: str = "gsi_lon",
+    out_lat: str = "gsi_lat",
+    iters: int = 3,
+) -> str:
+    """CTE chain twin of :func:`multigrid_shift_inverse` (re-dispatching
+    fixed point over the subgrid family; ends in ``{out}`` carrying the
+    last round's ``gid``)."""
+    ctes = [f"{out}_s0 AS (SELECT *, {lat} AS _cur_lat, {lon} AS _cur_lon FROM {src_rel})"]
+    cur = f"{out}_s0"
+    for k in range(iters):
+        step = f"{out}_it{k}"
+        ctes.append(
+            sql_multigrid_interp(cur, f"{step}_sh", grids, "_cur_lon", "_cur_lat")
+        )
+        keep_gid = f", gid AS {out}_gid" if k == iters - 1 else ""
+        ctes.append(
+            f"""{step} AS (
+  SELECT * EXCLUDE (_cur_lat, _cur_lon, dlat_sec, dlon_sec, gid),
+         {lat} - dlat_sec / 3600.0 AS _cur_lat,
+         {lon} - dlon_sec / 3600.0 AS _cur_lon{keep_gid}
+  FROM {step}_sh
+)"""
+        )
+        cur = step
+    ctes.append(
+        f"""{out} AS (
+  SELECT * EXCLUDE (_cur_lat, _cur_lon),
+         _cur_lat AS {out_lat}, _cur_lon AS {out_lon}
+  FROM {cur}
+)"""
+    )
+    return ",\n".join(ctes)

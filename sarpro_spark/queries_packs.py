@@ -486,6 +486,7 @@ register_pack(
         Member("bd72_roundtrip_points", ("product_id", "gi", "gj")),
         Member("albers_roundtrip_points", ("product_id", "gi", "gj")),
         Member("ntv2_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("ntv2_multigrid_points", ("product_id", "gi", "gj")),
         Member("mga_roundtrip_points", ("product_id", "gi", "gj")),
         Member("ingest_sink_roundtrip", ("product",)),
     ),

@@ -2464,3 +2464,108 @@ def q_warp_ntv2_from_lonlat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = warp_gcp_grid(u8, gcps, geo, ["product_id"], k=_GCP_K, bucket=256.0, value="q")
     return out.select("product_id", "row", "col", fround(F.col("q")).alias("q"))
+
+
+def _ntv2_multigrid_sql() -> str:
+    from sarpro_spark.operators import gridshift as gsx
+    from sarpro_spark.queries import sql_fround
+
+    grids = [
+        (gsx.SYNTH_DENSE_HEADER, "dcells"),
+        (gsx.SYNTH_HEADER, "ncells"),
+    ]
+    fwd = gsx.sql_multigrid_interp("pts", "mgf", grids)
+    inv = gsx.sql_multigrid_shift_inverse(
+        "shifted", "mgi", grids, lon="gs_lon", lat="gs_lat",
+        out_lon="rt_lon", out_lat="rt_lat",
+    )
+    return f"""
+WITH prods AS (
+  SELECT DISTINCT CAST(l_orderkey % {frames.N_PRODUCTS} AS INTEGER) AS product_id FROM lineitem
+),
+pts AS (
+  SELECT product_id, i.i AS gi, j.j AS gj,
+         -42.0 + CAST((product_id * 3) % 8 AS DOUBLE) + i.i * 0.45 AS lat,
+         142.0 + CAST((product_id * 7) % 9 AS DOUBLE) + j.j * 0.45 AS lon
+  FROM prods,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS i) i,
+       LATERAL (SELECT UNNEST(RANGE(0, 5)) AS j) j
+),
+{gsx.sql_synthetic_dense_cte('dgrid')},
+{gsx.sql_grid_cells_cte('dgrid', 'dcells')},
+{gsx.sql_synthetic_grid_cte('ngrid')},
+{gsx.sql_grid_cells_cte('ngrid', 'ncells')},
+{fwd},
+shifted AS (
+  SELECT * EXCLUDE (dlat_sec, dlon_sec, gid), gid AS fwd_gid,
+         lat + dlat_sec / 3600.0 AS gs_lat,
+         lon + dlon_sec / 3600.0 AS gs_lon
+  FROM mgf
+),
+{inv}
+SELECT product_id, gi, gj, CAST(fwd_gid AS INTEGER) AS gid,
+       {sql_fround('gs_lat', 9)} AS lat_s,
+       {sql_fround('gs_lon', 9)} AS lon_s,
+       ABS(rt_lat - lat) <= 1e-9 AND ABS(rt_lon - lon) <= 1e-9 AS rt_ok
+FROM mgi
+""".strip()
+
+
+@query("ntv2_multigrid_points", sql=_ntv2_multigrid_sql(), tags=("raster", "geometry", "crs", "datum"))
+def q_ntv2_multigrid_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTv2 MULTI-SUBGRID dispatch (r10): real NTv2 files nest a dense
+    local grid inside the sparse national one, and the spec selects the
+    DENSEST subgrid covering each point. Relationally the selection IS a
+    coalesce — interpolate densest-first, take the first non-NULL shift
+    (the single-grid interpolation already yields NULL outside its
+    window), one broadcast cell join per subgrid. This row hashes, per
+    lattice point spanning both regimes: WHICH subgrid supplied the shift
+    (gid: 0 = the 4x-denser local fixture carrying an interior distortion
+    bump, 1 = national — a wrong selection order or containment test
+    cannot hash green), the shifted coordinates, and the re-dispatching
+    fixed-point inverse roundtrip (a point may cross a subgrid boundary
+    between rounds; rt <= 1e-9 deg). The dense fixture agrees with its
+    parent at the boundary — base = the parent's own bilinear values,
+    bump edge-tapered — the NTv2 spec's boundary-consistency requirement;
+    an untapered (discontinuous) fixture left the inverse stuck on the
+    wrong branch at 8.5e-5 deg near edges, which is the failure mode the
+    requirement exists to prevent. DuckDB twin runs the identical
+    coalesce chain over identical grid literals."""
+    from sarpro_spark.operators import gridshift as gsx
+    from sarpro_spark.queries import fround
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    prods = li.select(
+        (F.col("l_orderkey") % frames.N_PRODUCTS).cast("int").alias("product_id")
+    ).distinct()
+    pid = F.col("product_id")
+    pts = (
+        prods.select(
+            "product_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gi")
+        )
+        .select("product_id", "gi", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gj"))
+        .select(
+            "product_id", "gi", "gj",
+            (F.lit(-42.0) + ((pid * 3) % 8).cast("double") + F.col("gi") * 0.45).alias("lat"),
+            (F.lit(142.0) + ((pid * 7) % 9).cast("double") + F.col("gj") * 0.45).alias("lon"),
+        )
+    )
+    dense = gsx.synthetic_dense_df(spark)
+    national = gsx.synthetic_grid_df(spark)
+    grids = [
+        (gsx.SYNTH_DENSE_HEADER, (dense, gsx.grid_cells(dense))),
+        (gsx.SYNTH_HEADER, (national, gsx.grid_cells(national))),
+    ]
+    fw = gsx.multigrid_shift_forward(pts, grids, p="mf")
+    iv = gsx.multigrid_shift_inverse(
+        fw, grids, lon="gs_lon", lat="gs_lat",
+        out_lon="rt_lon", out_lat="rt_lat", p="mv",
+    )
+    return iv.select(
+        "product_id", "gi", "gj",
+        F.col("mf_gid").cast("int").alias("gid"),
+        fround(F.col("gs_lat"), 9).alias("lat_s"),
+        fround(F.col("gs_lon"), 9).alias("lon_s"),
+        ((F.abs(F.col("rt_lat") - F.col("lat")) <= 1e-9)
+         & (F.abs(F.col("rt_lon") - F.col("lon")) <= 1e-9)).alias("rt_ok"),
+    )

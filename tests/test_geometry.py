@@ -1318,3 +1318,76 @@ def test_ntv2_gsb_reader_validates(tmp_path):
     open(bad, "wb").write(bytes(buf))
     with pt.raises(ValueError, match="GS_COUNT"):
         gsx.read_gsb(bad)
+
+
+def test_ntv2_multigrid_dispatch_and_twin(spark):
+    """r10 multi-subgrid NTv2: real files NEST subgrids and the spec picks
+    the DENSEST one covering the point — expressed as densest-first
+    coalesce of the single-grid interpolations. (a) inside the dense
+    window the dense field wins (gid 0, values == dense numpy twin);
+    (b) inside only the national window the sparse field applies (gid 1);
+    (c) outside both -> NULL; (d) the fixed-point inverse re-dispatches
+    per round and roundtrips; (e) the DuckDB twin produces the identical
+    relation."""
+    import duckdb
+    import numpy as np
+
+    from sarpro_spark.operators import gridshift as gsx
+
+    grids = [
+        (gsx.SYNTH_DENSE_HEADER, gsx.synthetic_dense_df(spark)),
+        (gsx.SYNTH_HEADER, gsx.synthetic_grid_df(spark)),
+    ]
+    pts_py = [
+        (0, -37.3, 145.2),   # dense window
+        (1, -36.01, 146.9),  # dense window, near its edge
+        (2, -41.0, 149.0),   # national only
+        (3, -37.3, 150.0),   # dense lat band but east of it -> national
+        (4, -20.0, 145.0),   # outside both
+    ]
+    pts = spark.createDataFrame(pts_py, "pid int, lat double, lon double")
+    fw = gsx.multigrid_shift_forward(pts, grids, p="m")
+    rows = {r["pid"]: r for r in fw.collect()}
+    dla_d, dlo_d = gsx.synthetic_dense_arrays()
+    for pid in (0, 1):
+        la, lo = pts_py[pid][1], pts_py[pid][2]
+        assert rows[pid]["m_gid"] == 0
+        a, o = gsx.interp_shift_np([lo], [la], gsx.SYNTH_DENSE_HEADER, (dla_d, dlo_d))
+        assert abs(rows[pid]["gs_lat"] - (la + a[0] / 3600.0)) <= 1e-12
+        assert abs(rows[pid]["gs_lon"] - (lo + o[0] / 3600.0)) <= 1e-12
+    for pid in (2, 3):
+        la, lo = pts_py[pid][1], pts_py[pid][2]
+        assert rows[pid]["m_gid"] == 1
+        a, o = gsx.interp_shift_np([lo], [la])
+        assert abs(rows[pid]["gs_lat"] - (la + a[0] / 3600.0)) <= 1e-12
+    assert rows[4]["m_gid"] is None and rows[4]["gs_lat"] is None
+
+    # (d) inverse roundtrips through the dispatch (re-dispatch per round)
+    tgt = fw.where(F.col("pid") < 4).select(
+        "pid", F.col("gs_lat").alias("lat"), F.col("gs_lon").alias("lon")
+    )
+    iv = gsx.multigrid_shift_inverse(tgt, grids, p="v")
+    back = {r["pid"]: (r["gsi_lat"], r["gsi_lon"]) for r in iv.collect()}
+    for pid, la, lo in pts_py[:4]:
+        assert abs(back[pid][0] - la) <= 1e-10
+        assert abs(back[pid][1] - lo) <= 1e-10
+
+    # (e) DuckDB twin equality on the forward interp
+    con = duckdb.connect()
+    vals = ", ".join(f"({p}, {la!r}, {lo!r})" for p, la, lo in pts_py)
+    sql = f"""
+WITH pts AS (SELECT * FROM (VALUES {vals}) t(pid, lat, lon)),
+{gsx.sql_synthetic_dense_cte('dgrid')},
+{gsx.sql_grid_cells_cte('dgrid', 'dcells')},
+{gsx.sql_synthetic_grid_cte('ngrid')},
+{gsx.sql_grid_cells_cte('ngrid', 'ncells')},
+{gsx.sql_multigrid_interp('pts', 'mg', [
+    (gsx.SYNTH_DENSE_HEADER, 'dcells'), (gsx.SYNTH_HEADER, 'ncells')])}
+SELECT pid, lat + dlat_sec / 3600.0 AS gs_lat, lon + dlon_sec / 3600.0 AS gs_lon, gid
+FROM mg ORDER BY pid
+"""
+    want = con.execute(sql).fetchall()
+    got = sorted(
+        (r["pid"], r["gs_lat"], r["gs_lon"], r["m_gid"]) for r in fw.collect()
+    )
+    assert [tuple(w) for w in want] == got

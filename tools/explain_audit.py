@@ -576,6 +576,12 @@ AUDITS: dict[str, dict] = {
                     "SortMergeJoin"],
         "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     },
+    "ntv2_multigrid_points": {
+        # densest-first coalesce dispatch: one broadcast cell join per
+        # subgrid per round, never a shuffled or cartesian grid join
+        "require": ["BroadcastHashJoin"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+    },
     "mga_roundtrip_points": {
         # r10 GDA94/MGA family: pure-codegen Krüger TM, no joins at all
         "require": [], "codegen": True,
