@@ -275,8 +275,10 @@ def main() -> None:
         "prev": prev,
     }
     # contaminated recordings must not replace the clean comparison base:
-    # divert them to a side file the judge can still inspect
-    full_preserved = load_contaminated and not force and os.path.exists(full_path)
+    # divert them to a side file the judge can still inspect. Unconditional
+    # (r11 ADVICE): on a fresh clone with no clean base yet, a contaminated
+    # run must not silently BECOME the base either.
+    full_preserved = load_contaminated and not force
     if full_preserved:
         full_path = os.path.join(repo, "BENCH_FULL_CONTAMINATED.json")
     with open(full_path, "w") as fh:

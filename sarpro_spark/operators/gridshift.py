@@ -492,6 +492,15 @@ def read_gsb(path: str, subgrid: int = 0) -> tuple[dict, list[tuple[int, int, fl
 
     def rf64(off): return _struct.unpack_from(endian + "d", buf, off + 8)[0]
 
+    # GS_TYPE is overview record 4 (offset 48): the spec also permits
+    # RADIANS; loading radian shifts as arc-seconds would be silently
+    # wrong by ~2e5x, so anything but SECONDS fails loudly (r11 ADVICE)
+    gs_type = buf[48 + 8:48 + 16].decode("ascii", "replace").strip()
+    if gs_type != "SECONDS":
+        raise ValueError(
+            f"NTv2 GS_TYPE {gs_type!r} unsupported: this reader pins the "
+            "SECONDS convention (radian grids would need unit conversion)"
+        )
     n_file = rint(32)
     if not 0 <= subgrid < n_file:
         raise ValueError(f"subgrid {subgrid} out of range (NUM_FILE={n_file})")

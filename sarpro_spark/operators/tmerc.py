@@ -926,6 +926,27 @@ GRS80_A = 6378137.0
 GRS80_F = 1.0 / 298.257222101
 
 
+#: Clarke 1866 (public EPSG ellipsoid 7008) — NAD27's ellipsoid, defined
+#: by semi-axes a/b rather than a/1-f (Snyder p.12; f derived exactly)
+CLARKE1866_A = 6378206.4
+CLARKE1866_B = 6356583.8
+CLARKE1866_F = (CLARKE1866_A - CLARKE1866_B) / CLARKE1866_A
+
+
+def nad27_tm(zone: int) -> dict:
+    """EPSG:267{zone:02d} — NAD27 / UTM northern zones on Clarke 1866:
+    standard UTM-north parameters (k0=0.9996, FE 500km, FN 0). The datum
+    leg (NAD27<->NAD83/WGS84) is NOT a Helmert — it crosses via a NADCON
+    distortion grid (operators/gridshift.py read_loslas_df), the same
+    'gcp_ntv2' plan route as AGD66 (r11)."""
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone {zone} outside 1-60")
+    return tm_constants(
+        CLARKE1866_A, CLARKE1866_F, lat0=0.0, lon0=zone * 6.0 - 183.0,
+        k0=0.9996, fe=500000.0, fn=0.0,
+    )
+
+
 def mga_tm(zone: int) -> dict:
     """EPSG:283{zone} — GDA94 / MGA (Map Grid of Australia) zone 49-56:
     standard UTM-south parameters on GRS80 (GDA94 ~ WGS84, no datum

@@ -231,7 +231,28 @@ NTV2_FAMILIES: dict[str, str] = {
     # actually GDA94 / MGA zone 55 (no datum shift); 20255 is the real
     # grid-shifted code.
     "EPSG:20255": "amg55",
+    # NAD27 / UTM zone 14N (Clarke-1866 ellipsoid + NAD27<-NAD83 NADCON
+    # grid shift, r11) — the second grid FORMAT instance (.las/.los);
+    # same 'gcp_ntv2' route, the loaders differ, the mechanism doesn't.
+    "EPSG:26714": "nad27utm14",
 }
+
+
+def gridshift_family_tm(family: str) -> dict:
+    """Projection constants for a grid-shifted family (NTV2_FAMILIES
+    values) — a dispatch TABLE, not a hardcoded instance, so adding a
+    family cannot silently reuse another family's zone constants
+    (r11 ADVICE): each entry pairs the post-shift Transverse Mercator
+    with its own ellipsoid/zone."""
+    from sarpro_spark.operators import tmerc as tmx
+
+    table = {
+        "amg55": lambda: tmx.AMG55_TM,
+        "nad27utm14": lambda: tmx.nad27_tm(14),
+    }
+    if family not in table:
+        raise ValueError(f"no projection constants for grid-shift family {family!r}")
+    return table[family]()
 
 
 def warp_route(
@@ -328,6 +349,16 @@ def project_gcps(
     if fam is None and code in NTV2_FAMILIES and ntv2_grid is not None:
         from sarpro_spark.operators import gridshift as gsx
 
+        if ntv2_header is None:
+            # A grid without its header would silently interpolate with the
+            # synthetic fixture's window/increments (grid_shift_inverse's
+            # hdr=None default) — wrong-but-plausible coordinates, the exact
+            # failure the gridshift doctrine says must fail loudly.
+            raise ValueError(
+                f"NTv2 route for {code}: ntv2_grid supplied without "
+                "ntv2_header — read_gsb/read_gsb_df return the header; pass "
+                "it through (the synthetic-fixture default is test-only)"
+            )
         # GCPs are WGS84; the grid stores source(AGD66)->target(WGS84-era
         # datum) shifts, so carrying GCPs ONTO the grid datum is the
         # fixed-point INVERSE
@@ -338,7 +369,8 @@ def project_gcps(
         proj = tmx.apply_steps(
             shifted,
             tmx.tm_forward_steps_c(
-                tmx.AMG55_TM, lon="ntv_lon", lat="ntv_lat", p="ntm",
+                gridshift_family_tm(NTV2_FAMILIES[code]),
+                lon="ntv_lon", lat="ntv_lat", p="ntm",
                 easting="ntv2_easting", northing="ntv2_northing",
             ),
         )

@@ -440,25 +440,41 @@ def q_ingest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sarpro_spark.streaming.ingest import ingest_products_stream
 
-    root = fx.build_safe_fixture(tempfile.mkdtemp(prefix="sarpro_ingest_fx_"))
-    sink = _os.path.join(tempfile.mkdtemp(prefix="sarpro_ingest_sink_"), "sink")
-    ckpt = _os.path.join(tempfile.mkdtemp(prefix="sarpro_ingest_ck_"), "ckpt")
-    q = ingest_products_stream(spark, root, sink, ckpt)
-    q.awaitTermination(180)
-    drained = _normalize_opened(spark.read.parquet(sink).drop("epoch"))
-    batch = _normalize_opened(safe.open_products(spark, root, permissive=True))
-    payload = [c for c in drained.columns if c != "product"]
-    b = batch.select("product", *[F.col(c).alias(f"b_{c}") for c in payload])
-    eq = F.lit(True)
-    for c in payload:
-        eq = eq & F.col(c).eqNullSafe(F.col(f"b_{c}"))
-    return (
-        drained.join(b, "product", "full_outer")
-        .select(
+    import shutil as _shutil
+
+    fx_dir = tempfile.mkdtemp(prefix="sarpro_ingest_fx_")
+    sink_dir = tempfile.mkdtemp(prefix="sarpro_ingest_sink_")
+    ckpt_dir = tempfile.mkdtemp(prefix="sarpro_ingest_ck_")
+    try:
+        root = fx.build_safe_fixture(fx_dir)
+        sink = _os.path.join(sink_dir, "sink")
+        ckpt = _os.path.join(ckpt_dir, "ckpt")
+        q = ingest_products_stream(spark, root, sink, ckpt)
+        # availableNow drain: the boolean MUST be checked — on a loaded box
+        # a fall-through timeout would read the sink mid-write and produce
+        # a flaky oracle hash (r11 ADVICE)
+        if not q.awaitTermination(180):
+            q.stop()
+            raise RuntimeError("ingest_sink_roundtrip: drain did not finish in 180s")
+        drained = _normalize_opened(spark.read.parquet(sink).drop("epoch"))
+        batch = _normalize_opened(safe.open_products(spark, root, permissive=True))
+        payload = [c for c in drained.columns if c != "product"]
+        b = batch.select("product", *[F.col(c).alias(f"b_{c}") for c in payload])
+        eq = F.lit(True)
+        for c in payload:
+            eq = eq & F.col(c).eqNullSafe(F.col(f"b_{c}"))
+        out = drained.join(b, "product", "full_outer").select(
             "product",
             F.col("status_kind"),
             "platform", "product_type", "orbit_number", "polarizations",
             "vv_file", "vh_file",
             eq.alias("stream_equals_batch"),
         )
-    )
+        # bounded fixture-grain relation (a handful of products): eager
+        # localCheckpoint materializes it so the three temp dirs can be
+        # deleted before returning (oracle + bench both run this row —
+        # they leaked on every invocation before r11)
+        return out.localCheckpoint(eager=True)
+    finally:
+        for d in (fx_dir, sink_dir, ckpt_dir):
+            _shutil.rmtree(d, ignore_errors=True)

@@ -1237,8 +1237,13 @@ def test_ntv2_route_dispatch_and_execution(spark):
     with pt.raises(ValueError):
         project_gcps(gcps, "EPSG:20255")
     grid = gsx.synthetic_grid_df(spark)
+    # r11 ADVICE: a grid without its header must fail loudly, not fall
+    # back to the synthetic header silently
+    with pt.raises(ValueError, match="ntv2_header"):
+        project_gcps(gcps, "EPSG:20255", ntv2_grid=grid)
     out = {r["gid"]: (r["gx"], r["gy"]) for r in
-           project_gcps(gcps, "EPSG:20255", ntv2_grid=grid).collect()}
+           project_gcps(gcps, "EPSG:20255", ntv2_grid=grid,
+                        ntv2_header=gsx.SYNTH_HEADER).collect()}
     # central meridian -> easting ~ 500000 (minus the westward AGD66 shift)
     assert abs(out[0][0] - 500000.0) < 500.0
     # southern false northing: lat -35 => ~10e6 - 3.87e6
