@@ -60,13 +60,20 @@ def synthetic_shift_arrays(hdr: dict | None = None) -> tuple[np.ndarray, np.ndar
     converges at the rate of the field's gradient (~0.03"/node here, as in
     real grids). The fields are evaluated ONCE (grid build); the engine
     twins only ever see the node VALUES as data, so no libm runs inside
-    either engine's query."""
+    either engine's query. r11: node values are quantized through float32
+    AT SOURCE — ``.gsb`` stores float32 nodes, so pinning the fixture at
+    the format's own precision makes write_gsb -> read_gsb an exact
+    identity and lets certs put the real binary file in the loop without
+    changing their hash vs the in-memory grid."""
     h = SYNTH_HEADER if hdr is None else hdr
     i = np.arange(h["n_lat"], dtype=np.float64)[:, None]
     j = np.arange(h["n_lon"], dtype=np.float64)[None, :]
     dlat = 5.60 + 0.020 * i - 0.008 * j + 0.25 * np.sin(0.4 * i) * np.cos(0.3 * j)
     dlon = 4.50 + 0.012 * j + 0.006 * i + 0.20 * np.cos(0.3 * i) * np.sin(0.4 * j)
-    return dlat, dlon
+    return (
+        dlat.astype(np.float32).astype(np.float64),
+        dlon.astype(np.float32).astype(np.float64),
+    )
 
 
 def synthetic_grid_rows(hdr: dict | None = None) -> list[tuple[int, int, float, float]]:
@@ -436,34 +443,25 @@ def _rec_f64(name: str, val: float) -> bytes:
     return name.encode("ascii").ljust(8) + _struct.pack("<d", val)
 
 
-def write_gsb(path: str, hdr: dict | None = None, arrays=None,
-              sub_name: str = "SYNTHET1", system_f: str = "AGD66",
-              system_t: str = "GDA94") -> None:
-    """Write a single-subgrid little-endian NTv2 ``.gsb`` file from an
-    engine-convention grid (positive-east shifts, j increasing east).
-    Node shifts quantize to float32 (the format's precision); accuracies
-    are written as 0.0 (unknown), like most published grids' fillers."""
-    h = SYNTH_HEADER if hdr is None else hdr
-    dlat, dlon = synthetic_shift_arrays(h) if arrays is None else arrays
-    nla, nlo = h["n_lat"], h["n_lon"]
-    s_lat = h["lat0"] * 3600.0
-    n_lat = (h["lat0"] + (nla - 1) * h["lat_inc"]) * 3600.0
+def _gsb_subgrid_bytes(hdr: dict, arrays, sub_name: str, parent: str) -> bytes:
+    """Serialize one subgrid (11 header records + nodes) in the file's
+    conventions: positive-WEST longitudes, nodes longitude-fastest going
+    WEST from (S_LAT, E_LONG), float32 shifts, accuracies 0.0."""
+    dlat, dlon = synthetic_shift_arrays(hdr) if arrays is None else arrays
+    nla, nlo = hdr["n_lat"], hdr["n_lon"]
+    s_lat = hdr["lat0"] * 3600.0
+    n_lat = (hdr["lat0"] + (nla - 1) * hdr["lat_inc"]) * 3600.0
     # positive-west bounds: engine lon0 (west edge, positive east) maps to
     # the numerically LARGER W_LONG; the east edge to E_LONG
-    w_long = -h["lon0"] * 3600.0
-    e_long = -(h["lon0"] + (nlo - 1) * h["lon_inc"]) * 3600.0
-    out = [
-        _rec_int("NUM_OREC", 11), _rec_int("NUM_SREC", 11), _rec_int("NUM_FILE", 1),
-        _rec_str("GS_TYPE ", "SECONDS "), _rec_str("VERSION ", "NTv2.0  "),
-        _rec_str("SYSTEM_F", system_f), _rec_str("SYSTEM_T", system_t),
-        _rec_f64("MAJOR_F ", 6378160.0), _rec_f64("MINOR_F ", 6356774.719),
-        _rec_f64("MAJOR_T ", 6378137.0), _rec_f64("MINOR_T ", 6356752.3141),
-        _rec_str("SUB_NAME", sub_name), _rec_str("PARENT  ", "NONE"),
+    w_long = -hdr["lon0"] * 3600.0
+    e_long = -(hdr["lon0"] + (nlo - 1) * hdr["lon_inc"]) * 3600.0
+    recs = [
+        _rec_str("SUB_NAME", sub_name), _rec_str("PARENT  ", parent),
         _rec_str("CREATED ", "20260815"), _rec_str("UPDATED ", "20260815"),
         _rec_f64("S_LAT   ", s_lat), _rec_f64("N_LAT   ", n_lat),
         _rec_f64("E_LONG  ", e_long), _rec_f64("W_LONG  ", w_long),
-        _rec_f64("LAT_INC ", h["lat_inc"] * 3600.0),
-        _rec_f64("LONG_INC", h["lon_inc"] * 3600.0),
+        _rec_f64("LAT_INC ", hdr["lat_inc"] * 3600.0),
+        _rec_f64("LONG_INC", hdr["lon_inc"] * 3600.0),
         _rec_int("GS_COUNT", nla * nlo),
     ]
     body = bytearray()
@@ -473,8 +471,33 @@ def write_gsb(path: str, hdr: dict | None = None, arrays=None,
             body += _struct.pack(
                 "<ffff", float(dlat[i, j]), float(-dlon[i, j]), 0.0, 0.0
             )
+    return b"".join(recs) + bytes(body)
+
+
+def write_gsb(path: str, hdr: dict | None = None, arrays=None,
+              sub_name: str = "SYNTHET1", system_f: str = "AGD66",
+              system_t: str = "GDA94", subgrids: list | None = None) -> None:
+    """Write a little-endian NTv2 ``.gsb`` file from engine-convention
+    grids (positive-east shifts, j increasing east). Default: ONE subgrid
+    from ``hdr``/``arrays``. r11: ``subgrids`` writes a NUM_FILE>1 file —
+    a list of ``(hdr, arrays, sub_name, parent)`` tuples in file order
+    (real files put the national grid first with nested densifications
+    after, PARENT naming the containing subgrid). Node shifts quantize to
+    float32 (the format's precision); accuracies are written as 0.0
+    (unknown), like most published grids' fillers."""
+    if subgrids is None:
+        subgrids = [(SYNTH_HEADER if hdr is None else hdr, arrays, sub_name, "NONE")]
+    out = [
+        _rec_int("NUM_OREC", 11), _rec_int("NUM_SREC", 11),
+        _rec_int("NUM_FILE", len(subgrids)),
+        _rec_str("GS_TYPE ", "SECONDS "), _rec_str("VERSION ", "NTv2.0  "),
+        _rec_str("SYSTEM_F", system_f), _rec_str("SYSTEM_T", system_t),
+        _rec_f64("MAJOR_F ", 6378160.0), _rec_f64("MINOR_F ", 6356774.719),
+        _rec_f64("MAJOR_T ", 6378137.0), _rec_f64("MINOR_T ", 6356752.3141),
+    ]
+    out.extend(_gsb_subgrid_bytes(h, a, n, p) for h, a, n, p in subgrids)
     with open(path, "wb") as fh:
-        fh.write(b"".join(out) + bytes(body))
+        fh.write(b"".join(out))
 
 
 def read_gsb(path: str, subgrid: int = 0) -> tuple[dict, list[tuple[int, int, float, float]]]:
@@ -534,6 +557,36 @@ def read_gsb(path: str, subgrid: int = 0) -> tuple[dict, list[tuple[int, int, fl
     return hdr, rows
 
 
+def gsb_num_file(path: str) -> int:
+    """NUM_FILE (subgrid count) of a ``.gsb`` file, endian-detected."""
+    with open(path, "rb") as fh:
+        head = fh.read(48)
+    endian = "<" if _struct.unpack_from("<i", head, 8)[0] == 11 else ">"
+    return _struct.unpack_from(endian + "i", head, 40)[0]
+
+
+GRID_SCHEMA = "i int, j int, dlat_sec double, dlon_sec double"
+
+
+def read_gsb_df(spark: SparkSession, path: str, subgrid: int | None = None):
+    """Load a ``.gsb`` file straight into the engine's grid convention
+    (r11 verdict item 1 — the convenience a user with a real jurisdiction
+    grid hits first; the reference consumes ``.gsb`` via PROJ,
+    sentinel1.rs:988-1032). With an int ``subgrid``: ``(header, grid_df)``
+    ready for grid_shift_forward/inverse. With ``subgrid=None``: a list of
+    ``(header, grid_df)`` over ALL subgrids, ready for the multigrid_*
+    family (which orders densest-first itself, per the NTv2 selection
+    rule). A national grid is bounded dimension data (~30 MB) — fine to
+    materialize driver-side and broadcast."""
+    if subgrid is not None:
+        h, rows = read_gsb(path, subgrid)
+        return h, spark.createDataFrame(rows, GRID_SCHEMA)
+    return [
+        (h, spark.createDataFrame(rows, GRID_SCHEMA))
+        for h, rows in (read_gsb(path, k) for k in range(gsb_num_file(path)))
+    ]
+
+
 # --- multi-subgrid dispatch ----------------------------------------------------
 # Real NTv2 files NEST subgrids: a dense local grid (e.g. a city survey
 # adjustment) sits inside the sparse national grid, and the spec selects
@@ -580,7 +633,14 @@ def synthetic_dense_arrays(hdr: dict | None = None) -> tuple[np.ndarray, np.ndar
     )
     dlat = base_lat + 0.30 * taper * np.sin(0.25 * i + 0.1 * j)
     dlon = base_lon + 0.25 * taper * np.cos(0.2 * i - 0.15 * j)
-    return dlat, dlon
+    # f32-quantized at source like the parent fixture (exact .gsb identity;
+    # the resulting boundary disagreement with the parent field is at most
+    # 1 f32 ulp ~ 3e-7 arcsec — six orders below the discontinuity that
+    # broke the fixed-point inverse)
+    return (
+        dlat.astype(np.float32).astype(np.float64),
+        dlon.astype(np.float32).astype(np.float64),
+    )
 
 
 def synthetic_dense_rows(hdr: dict | None = None) -> list[tuple[int, int, float, float]]:
@@ -771,3 +831,159 @@ def sql_multigrid_shift_inverse(
 )"""
     )
     return ",\n".join(ctes)
+
+
+# --- NADCON .las/.los (second grid FORMAT, r11) --------------------------------
+# The public NAD27->NAD83 distortion grids ship as PAIRED Fortran
+# direct-access files: .las holds latitude shifts, .los longitude shifts,
+# identical headers. Layout (NOAA NADCON docs; GDAL reads it as LOSLAS):
+#   record length = 4*(NC+1) bytes; record 0 is the header:
+#     bytes 0-55   IDENT   (CHARACTER*56)
+#     bytes 56-63  PGM     (CHARACTER*8)
+#     bytes 64-67  NC      (int32, columns)
+#     bytes 68-71  NR      (int32, rows)
+#     bytes 72-75  NZ      (int32, always 1)
+#     bytes 76-79  XMIN    (float32 DEGREES, lon of column 0, positive east
+#                           — CONUS files carry negative west values)
+#     bytes 80-83  DX      (float32 degrees)
+#     bytes 84-87  YMIN    (float32 degrees, lat of row 0, SOUTH edge)
+#     bytes 88-91  DY      (float32 degrees)
+#     bytes 92-95  ANGLE   (float32, 0.0)
+#   data record r (r = 1..NR, SOUTH to north) at byte r*reclen: a 4-byte
+#   leading slot (row marker, ignored on read) then NC float32 shift
+#   values west->east, ARC-SECONDS, positive north (.las) / EAST (.los).
+# Contrast with NTv2: values are already positive-east (no negation),
+# rows/columns already run the engine's way (no j reversal), but the
+# window geometry is FLOAT32 degrees — pick f32-exact origins/increments.
+
+#: synthetic NAD27 fixture: south-central US window (UTM zone 14 region),
+#: 0.5-degree lattice, f32-exact geometry
+NAD27_HEADER: dict = {
+    "lat0": 25.0, "lon0": -109.0,
+    "lat_inc": 0.5, "lon_inc": 0.5,
+    "n_lat": 25, "n_lon": 33,  # lat 25..37, lon -109..-93 inclusive
+}
+
+
+def nad27_shift_arrays(hdr: dict | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic smooth shift fields (arc-seconds) shaped like the real
+    NAD27->NAD83 transformation over the south-central US (lat shifts a
+    fraction of an arc-second, lon shifts up to a few arc-seconds, slow
+    regional variation). f32-quantized at source so the .las/.los file
+    loop is an exact identity (the r11 .gsb doctrine)."""
+    h = NAD27_HEADER if hdr is None else hdr
+    i = np.arange(h["n_lat"], dtype=np.float64)[:, None]
+    j = np.arange(h["n_lon"], dtype=np.float64)[None, :]
+    dlat = 0.35 + 0.012 * i - 0.004 * j + 0.15 * np.sin(0.3 * i) * np.cos(0.25 * j)
+    dlon = 1.80 + 0.018 * j - 0.007 * i + 0.22 * np.cos(0.35 * i) * np.sin(0.2 * j)
+    return (
+        dlat.astype(np.float32).astype(np.float64),
+        dlon.astype(np.float32).astype(np.float64),
+    )
+
+
+def nad27_grid_rows(hdr: dict | None = None) -> list[tuple[int, int, float, float]]:
+    h = NAD27_HEADER if hdr is None else hdr
+    dlat, dlon = nad27_shift_arrays(h)
+    return [
+        (i, j, float(dlat[i, j]), float(dlon[i, j]))
+        for i in range(h["n_lat"])
+        for j in range(h["n_lon"])
+    ]
+
+
+def nad27_grid_df(spark: SparkSession, hdr: dict | None = None) -> DataFrame:
+    return spark.createDataFrame(nad27_grid_rows(hdr), GRID_SCHEMA)
+
+
+def sql_nad27_grid_cte(name: str = "nadgrid", hdr: dict | None = None) -> str:
+    rows = ",\n  ".join(
+        f"({i}, {j}, {la!r}, {lo!r})" for i, j, la, lo in nad27_grid_rows(hdr)
+    )
+    return f"{name} AS (SELECT * FROM (VALUES\n  {rows}\n) g(i, j, dlat_sec, dlon_sec))"
+
+
+def _loslas_one(path: str, hdr: dict, vals: np.ndarray, ident: str, pgm: str) -> None:
+    nc, nr = hdr["n_lon"], hdr["n_lat"]
+    reclen = 4 * (nc + 1)
+    head = bytearray(reclen)
+    head[0:56] = ident.encode("ascii").ljust(56)[:56]
+    head[56:64] = pgm.encode("ascii").ljust(8)[:8]
+    _struct.pack_into("<iii", head, 64, nc, nr, 1)
+    _struct.pack_into(
+        "<fffff", head, 76,
+        hdr["lon0"], hdr["lon_inc"], hdr["lat0"], hdr["lat_inc"], 0.0,
+    )
+    out = bytearray(bytes(head))
+    for r in range(nr):  # south to north
+        rec = bytearray(reclen)
+        _struct.pack_into("<f", rec, 0, float(r + 1))  # row marker slot
+        _struct.pack_into(f"<{nc}f", rec, 4, *(float(v) for v in vals[r]))
+        out += rec
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
+def write_loslas(las_path: str, los_path: str, hdr: dict | None = None,
+                 arrays=None, ident: str = "NAD27 to NAD83 synthetic fixture",
+                 pgm: str = "NADCON") -> None:
+    """Write a paired NADCON ``.las``/``.los`` grid from an
+    engine-convention grid (arc-seconds, positive north/east)."""
+    h = NAD27_HEADER if hdr is None else hdr
+    dlat, dlon = nad27_shift_arrays(h) if arrays is None else arrays
+    _loslas_one(las_path, h, dlat, ident, pgm)
+    _loslas_one(los_path, h, dlon, ident, pgm)
+
+
+def _loslas_header(buf: bytes, path: str) -> tuple[dict, int, int]:
+    nc, nr, nz = _struct.unpack_from("<iii", buf, 64)
+    if nz != 1:
+        raise ValueError(f"{path}: NADCON NZ {nz} != 1")
+    xmin, dx, ymin, dy, angle = _struct.unpack_from("<fffff", buf, 76)
+    if angle != 0.0:
+        raise ValueError(f"{path}: NADCON ANGLE {angle} != 0 unsupported")
+    hdr = {
+        "lat0": float(ymin), "lon0": float(xmin),
+        "lat_inc": float(dy), "lon_inc": float(dx),
+        "n_lat": nr, "n_lon": nc,
+    }
+    return hdr, nc, nr
+
+
+def read_loslas(las_path: str, los_path: str) -> tuple[dict, list[tuple[int, int, float, float]]]:
+    """Read a paired NADCON ``.las``/``.los`` grid into the engine
+    convention — the SAME ``(header, rows)`` contract as :func:`read_gsb`,
+    so the second format drops into every grid-shift operator unchanged
+    (r11 verdict item 2). The two files' headers must agree exactly: a
+    mixed pair (e.g. conus.las with hawaii.los) would interpolate
+    inconsistent fields, so it fails loudly."""
+    with open(las_path, "rb") as fh:
+        las = fh.read()
+    with open(los_path, "rb") as fh:
+        los = fh.read()
+    hdr, nc, nr = _loslas_header(las, las_path)
+    hdr2, _, _ = _loslas_header(los, los_path)
+    if hdr != hdr2:
+        raise ValueError(
+            f"NADCON pair mismatch: {las_path} header {hdr} != {los_path} header {hdr2}"
+        )
+    reclen = 4 * (nc + 1)
+    expected = reclen * (nr + 1)
+    for path, buf in ((las_path, las), (los_path, los)):
+        if len(buf) < expected:
+            raise ValueError(
+                f"{path}: truncated NADCON file ({len(buf)} < {expected} bytes)"
+            )
+    rows = []
+    for i in range(nr):
+        a = _struct.unpack_from(f"<{nc}f", las, (i + 1) * reclen + 4)
+        o = _struct.unpack_from(f"<{nc}f", los, (i + 1) * reclen + 4)
+        rows.extend((i, j, float(a[j]), float(o[j])) for j in range(nc))
+    return hdr, rows
+
+
+def read_loslas_df(spark: SparkSession, las_path: str, los_path: str):
+    """NADCON pair -> ``(header, grid_df)`` in the engine grid convention
+    (the .las/.los twin of :func:`read_gsb_df`)."""
+    hdr, rows = read_loslas(las_path, los_path)
+    return hdr, spark.createDataFrame(rows, GRID_SCHEMA)

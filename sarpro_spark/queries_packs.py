@@ -487,6 +487,7 @@ register_pack(
         Member("albers_roundtrip_points", ("product_id", "gi", "gj")),
         Member("ntv2_roundtrip_points", ("product_id", "gi", "gj")),
         Member("ntv2_multigrid_points", ("product_id", "gi", "gj")),
+        Member("nad27_roundtrip_points", ("product_id", "gi", "gj")),
         Member("mga_roundtrip_points", ("product_id", "gi", "gj")),
         Member("ingest_sink_roundtrip", ("product",)),
     ),
@@ -502,6 +503,10 @@ register_pack(
     "family — exact inverse of the published BD72->WGS84 set + pole-origin "
     "LCC-2SP on International 1924, <= 1e-7 deg), and the EPSG:5070 Conus "
     "Albers equal-area round-trip (r9: Snyder authalic-latitude form "
-    "anchored to the published Clarke 1866 worked example, <= 1e-7 deg).",
+    "anchored to the published Clarke 1866 worked example, <= 1e-7 deg), "
+    "the NTv2/NADCON grid-shift round-trips with the REAL binary files in "
+    "the loop (r10/r11: .gsb incl. NUM_FILE=2 nesting, .las/.los pair — "
+    "write -> file -> read_gsb_df/read_loslas_df -> warp, f32-exact), and "
+    "the drained streaming-ingest sink hashed against the batch opener.",
     tags=("source", "pack"),
 )

@@ -1396,3 +1396,65 @@ FROM mg ORDER BY pid
         (r["pid"], r["gs_lat"], r["gs_lon"], r["m_gid"]) for r in fw.collect()
     )
     assert [tuple(w) for w in want] == got
+
+
+def test_read_gsb_df_exact_identity_and_multigrid(spark, tmp_path):
+    """r11: the f32-quantized fixtures make write_gsb -> read_gsb_df an
+    EXACT identity (the cert's file-in-the-loop contract), single and
+    NUM_FILE=2; read_gsb_df(path) returns all subgrids ready for the
+    multigrid family, and a mid-file GS_COUNT offset bug cannot pass."""
+    from sarpro_spark.operators import gridshift as gsx
+
+    p1 = str(tmp_path / "single.gsb")
+    gsx.write_gsb(p1)
+    hdr, df = gsx.read_gsb_df(spark, p1, subgrid=0)
+    assert hdr == gsx.SYNTH_HEADER
+    assert sorted(tuple(r) for r in df.collect()) == gsx.synthetic_grid_rows()
+
+    p2 = str(tmp_path / "nested.gsb")
+    gsx.write_gsb(p2, subgrids=[
+        (gsx.SYNTH_HEADER, None, "NATIONAL", "NONE"),
+        (gsx.SYNTH_DENSE_HEADER, gsx.synthetic_dense_arrays(), "DENSE001", "NATIONAL"),
+    ])
+    assert gsx.gsb_num_file(p2) == 2
+    loaded = gsx.read_gsb_df(spark, p2)
+    assert [h for h, _ in loaded] == [gsx.SYNTH_HEADER, gsx.SYNTH_DENSE_HEADER]
+    assert sorted(tuple(r) for r in loaded[0][1].collect()) == gsx.synthetic_grid_rows()
+    assert sorted(tuple(r) for r in loaded[1][1].collect()) == gsx.synthetic_dense_rows()
+
+
+def test_nad27_loslas_route_and_projection(spark, tmp_path):
+    """r11: NADCON .las/.los is the SECOND grid format behind the same
+    'gcp_ntv2' route — EPSG:26714 routes only when its grid is supplied,
+    fails loudly without, and project_gcps dispatches the Clarke-1866
+    zone-14 TM (gridshift_family_tm), never AMG55 constants."""
+    import pytest as pt
+
+    from sarpro_spark.operators import gridshift as gsx
+    from sarpro_spark.plans.pipeline import project_gcps, warp_route
+
+    with pt.raises(ValueError):
+        warp_route(None, "EPSG:26714", True, gcp_crs="EPSG:4326")
+    assert (
+        warp_route(None, "EPSG:26714", True, gcp_crs="EPSG:4326",
+                   ntv2_grids={"EPSG:26714"})
+        == "gcp_ntv2"
+    )
+
+    las, los = str(tmp_path / "stx.las"), str(tmp_path / "stx.los")
+    gsx.write_loslas(las, los)
+    hdr, grid = gsx.read_loslas_df(spark, las, los)
+    assert hdr == gsx.NAD27_HEADER
+    gcps = spark.createDataFrame(
+        [(0, -99.0, 30.0), (1, -96.5, 33.25)], "gid int, lon double, lat double"
+    )
+    out = {r["gid"]: (r["gx"], r["gy"]) for r in
+           project_gcps(gcps, "EPSG:26714", ntv2_grid=grid,
+                        ntv2_header=hdr).collect()}
+    # zone 14 central meridian -99 -> easting ~ 500000 (minus the small
+    # westward NAD27 shift); NORTHERN hemisphere false northing 0:
+    # lat 30 => northing ~ 3.32e6 m
+    assert abs(out[0][0] - 500000.0) < 300.0
+    assert 3.26e6 < out[0][1] < 3.38e6
+    # lon -96.5 is ~2.5 deg east of the CM at lat 33.25 -> easting > 700km
+    assert out[1][0] > 700000.0 and 3.6e6 < out[1][1] < 3.73e6
