@@ -414,17 +414,21 @@ def resample_gather(
 ) -> DataFrame:
     """Kernel dispatch for the gather stage shared by every warp route —
     the execution-side consumer of ProcessingParams.resample_alg (the
-    reference's ``-r`` flag, src/cli/runner.rs:61-67). ``lanczos`` is
-    accepted here with the same documented bilinear fallback the reference
-    warp applies (sentinel1.rs:937-941 ``_ => "bilinear"``), so a caller
-    passing ``params.resample_alg.value`` straight through — bypassing
-    plans.pipeline.resample_kernel — gets reference behavior, not a crash."""
-    if alg in ("bilinear", "lanczos"):
+    reference's ``-r`` flag, src/cli/runner.rs:61-67). ``lanczos`` is the
+    TRUE 36-tap windowed sinc since r11 (lanczos_gather) — the reference's
+    warp silently degrades it to bilinear (sentinel1.rs:937-941
+    ``_ => "bilinear"``) even though its RESIZE stage is Lanczos3; this
+    engine honors the request exactly instead (documented deviation — a
+    user needing byte-parity with the reference's degraded output passes
+    ``-r bilinear`` explicitly)."""
+    if alg == "bilinear":
         return bilinear_gather(coords, px, group_cols, value)
     if alg in ("near", "nearest"):
         return nearest_gather(coords, px, group_cols, value)
     if alg == "cubic":
         return cubic_gather(coords, px, group_cols, value)
+    if alg == "lanczos":
+        return lanczos_gather(coords, px, group_cols, value)
     raise ValueError(f"unsupported resample alg {alg!r} (near|bilinear|cubic|lanczos)")
 
 
@@ -598,23 +602,124 @@ def cubic_gather(
     )
 
 
+#: Lanczos window half-width (a = 3 -> 6 taps/axis, 36 taps total) — the
+#: same Lanczos3 the reference's RESIZE stage uses (fast_image_resize;
+#: lanczos_resize_array above); r11 brings it to the WARP gather too.
+LANCZOS_A = 3
+#: fractional-phase quantization: the per-axis fraction snaps to 1/32
+#: pixel and the 1-D weights come from a PRECOMPUTED 6x33 table — the
+#: standard separable phase-LUT trick real resamplers use, and the dyadic
+#: doctrine's answer to sin() in the hot path: no libm runs in EITHER
+#: engine (Java Math.sin and C libm differ in the last ulp — with ~1e6
+#: weights per warp a rounding-boundary straddle WILL happen), the table
+#: floats are shared literals, and the plan stays whole-stage codegen.
+LANCZOS_PHASES = 32
+#: combined 2-D weight grain: w = floor(w_r*w_c*2^24 + 0.5)/2^24. With
+#: integer-quantized pixel values (<= 2^16) every w*v addend is then an
+#: EXACT f64 multiple of 2^-24, so the 36-tap sums are order-independent
+#: and both engines hash identically regardless of aggregation order.
+_LANCZOS_WSCALE = 16777216.0  # 2^24
+
+
+def _lanczos_phase_table() -> list[float]:
+    """6x33 separable weight table: index (d+2)*33 + phase, where tap
+    offset d in [-2, 3] and the source fraction f snapped to phase/32.
+    L(x) = sinc(x)*sinc(x/3) for |x| < 3, else 0 (x = |d - f|)."""
+    tab = []
+    for d in range(-(LANCZOS_A - 1), LANCZOS_A + 1):
+        for ph in range(LANCZOS_PHASES + 1):
+            x = abs(d - ph / float(LANCZOS_PHASES))
+            w = 0.0 if x >= LANCZOS_A else float(np.sinc(x) * np.sinc(x / LANCZOS_A))
+            tab.append(w)
+    return tab
+
+
+def _lanczos_w_col(d, phase) -> "F.Column":
+    """1-D Lanczos weight as a literal-array lookup (codegen, no libm):
+    ``d`` tap-offset column in [-2, 3], ``phase`` snapped-fraction column
+    in [0, 32]."""
+    arr = F.array(*[F.lit(w) for w in _lanczos_phase_table()])
+    return F.element_at(arr, (d + F.lit(2)) * F.lit(LANCZOS_PHASES + 1) + phase + F.lit(1))
+
+
+def lanczos_gather(
+    coords: DataFrame,
+    px: DataFrame,
+    group_cols: list[str],
+    value: str = "v",
+) -> DataFrame:
+    """``-r lanczos``: TRUE 36-tap Lanczos3 windowed-sinc gather (r11) —
+    the kernel the reference resizes with but degrades to bilinear in the
+    warp (sentinel1.rs:937-941). Same plan shape as cubic (tap explode ->
+    one co-partitioned join -> per-cell weighted agg), 6x6 taps; the
+    fractional phase snaps to 1/32 pixel and weights come from the
+    precomputed table (see LANCZOS_PHASES — determinism is structural,
+    not a rounding afterthought). Edge renormalization and the |mass|
+    drop rule match cubic (lanczos lobes go negative too)."""
+    gcols = [F.col(c) for c in group_cols]
+    cs, rs = F.col("cs"), F.col("rs")
+    src = coords.select(
+        *gcols, "row", "col",
+        F.floor(cs).cast("int").alias("c0"),
+        F.floor(rs).cast("int").alias("r0"),
+        F.floor((cs - F.floor(cs)) * LANCZOS_PHASES + F.lit(0.5)).cast("int").alias("pc"),
+        F.floor((rs - F.floor(rs)) * LANCZOS_PHASES + F.lit(0.5)).cast("int").alias("pr"),
+    )
+    taps = src.select(
+        *gcols, "row", "col", "c0", "r0", "pc", "pr",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+                    for dr in range(-(LANCZOS_A - 1), LANCZOS_A + 1)
+                    for dc in range(-(LANCZOS_A - 1), LANCZOS_A + 1)
+                ]
+            )
+        ).alias("k"),
+    )
+    wr = _lanczos_w_col(F.col("k.dr"), F.col("pr"))
+    wc = _lanczos_w_col(F.col("k.dc"), F.col("pc"))
+    w = F.floor(wr * wc * F.lit(_LANCZOS_WSCALE) + F.lit(0.5)) / F.lit(_LANCZOS_WSCALE)
+    tapped = taps.select(
+        *gcols, "row", "col",
+        (F.col("r0") + F.col("k.dr")).alias("srow"),
+        (F.col("c0") + F.col("k.dc")).alias("scol"),
+        w.alias("w"),
+    )
+    srcpx = px.select(
+        *gcols, F.col("row").alias("srow"), F.col("col").alias("scol"),
+        F.col(value).cast("double").alias("_v"),
+    )
+    # same BIG x BIG structural pin as every gather (r5 soak OOM class)
+    hit = tapped.join(srcpx.hint("shuffle_merge"), [*group_cols, "srow", "scol"])
+    return (
+        hit.groupBy(*group_cols, "row", "col")
+        .agg(F.sum(F.col("w") * F.col("_v")).alias("_wv"), F.sum("w").alias("_w"))
+        .where(F.abs(F.col("_w")) > 1e-9)
+        .select(*gcols, "row", "col", (F.col("_wv") / F.col("_w")).alias(value))
+    )
+
+
 def all_kernels_gather(
     coords: DataFrame,
     px: DataFrame,
     group_cols: list[str],
     value: str = "v",
 ) -> DataFrame:
-    """All three ``-r`` kernels from ONE gather: the nearest tap and the 4
-    bilinear corners are subsets of the cubic 4x4 patch, so a single 16-tap
-    explode + ONE co-partitioned join computes q_near / q_bilinear /
-    q_cubic simultaneously (one shuffle of the pixel frame instead of
-    three). Hash-equivalence with the single-kernel gathers is exact, not
-    approximate: under the dyadic fixture doctrine every weight is exact
-    IEEE, the bilinear weights are exactly 0.0 on the 12 outer taps, and
+    """All four ``-r`` kernels from ONE gather: the nearest tap, the 4
+    bilinear corners, and the cubic 4x4 patch are subsets of the Lanczos3
+    6x6 patch (r11), so a single 36-tap explode + ONE co-partitioned join
+    computes q_near / q_bilinear / q_cubic / q_lanczos simultaneously (one
+    shuffle of the pixel frame instead of four). Hash-equivalence with the
+    single-kernel gathers is exact, not approximate: under the dyadic
+    fixture doctrine every weight is exact IEEE, the bilinear/cubic
+    weights are literal 0.0 on taps outside their own patch, and
     x + 0.0 = x — so each per-leg sum is bit-identical to the sum the
-    dedicated gather computes over its own tap subset, in any order.
+    dedicated gather computes over its own tap subset, in any order (the
+    lanczos addends are exact 2^-24 multiples — see _LANCZOS_WSCALE).
     Per-leg presence mirrors each gather's drop rule: nearest needs its
-    tap matched, bilinear positive corner mass, cubic |mass| > 1e-9."""
+    tap matched, bilinear positive corner mass, cubic/lanczos |mass| >
+    1e-9."""
     gcols = [F.col(c) for c in group_cols]
     cs, rs = F.col("cs"), F.col("rs")
     src = coords.select(
@@ -625,15 +730,17 @@ def all_kernels_gather(
         (rs - F.floor(rs)).alias("fr"),
         F.floor(cs + F.lit(0.5)).cast("int").alias("cn"),
         F.floor(rs + F.lit(0.5)).cast("int").alias("rn"),
+        F.floor((cs - F.floor(cs)) * LANCZOS_PHASES + F.lit(0.5)).cast("int").alias("pc"),
+        F.floor((rs - F.floor(rs)) * LANCZOS_PHASES + F.lit(0.5)).cast("int").alias("pr"),
     )
     taps = src.select(
-        *gcols, "row", "col", "c0", "r0", "fc", "fr", "cn", "rn",
+        *gcols, "row", "col", "c0", "r0", "fc", "fr", "cn", "rn", "pc", "pr",
         F.explode(
             F.array(
                 *[
                     F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
-                    for dr in (-1, 0, 1, 2)
-                    for dc in (-1, 0, 1, 2)
+                    for dr in range(-(LANCZOS_A - 1), LANCZOS_A + 1)
+                    for dc in range(-(LANCZOS_A - 1), LANCZOS_A + 1)
                 ]
             )
         ).alias("k"),
@@ -648,18 +755,29 @@ def all_kernels_gather(
         )
 
     dr, dc = F.col("k.dr"), F.col("k.dc")
-    w_cub = _cubic_w(axis_dist(dr, F.col("fr"))) * _cubic_w(axis_dist(dc, F.col("fc")))
+    cub_taps = (-1, 0, 1, 2)
+    w_cub = F.when(
+        dr.isin(*cub_taps) & dc.isin(*cub_taps),
+        _cubic_w(axis_dist(dr, F.col("fr"))) * _cubic_w(axis_dist(dc, F.col("fc"))),
+    ).otherwise(F.lit(0.0))
     w_bil = F.when(
         dr.isin(0, 1) & dc.isin(0, 1),
         F.when(dr == 1, F.col("fr")).otherwise(1.0 - F.col("fr"))
         * F.when(dc == 1, F.col("fc")).otherwise(1.0 - F.col("fc")),
     ).otherwise(F.lit(0.0))
+    w_lan = (
+        F.floor(
+            _lanczos_w_col(dr, F.col("pr")) * _lanczos_w_col(dc, F.col("pc"))
+            * F.lit(_LANCZOS_WSCALE) + F.lit(0.5)
+        ) / F.lit(_LANCZOS_WSCALE)
+    )
     tapped = taps.select(
         *gcols, "row", "col", "cn", "rn",
         (F.col("r0") + dr).alias("srow"),
         (F.col("c0") + dc).alias("scol"),
         w_cub.alias("w_cub"),
         w_bil.alias("w_bil"),
+        w_lan.alias("w_lan"),
     )
     srcpx = px.select(
         *gcols, F.col("row").alias("srow"), F.col("col").alias("scol"),
@@ -672,6 +790,8 @@ def all_kernels_gather(
         F.sum("w_cub").alias("_w_c"),
         F.sum(F.col("w_bil") * F.col("_v")).alias("_wv_b"),
         F.sum("w_bil").alias("_w_b"),
+        F.sum(F.col("w_lan") * F.col("_v")).alias("_wv_l"),
+        F.sum("w_lan").alias("_w_l"),
         F.max(near_v).alias("_v_n"),
     )
     return agg.select(
@@ -679,6 +799,7 @@ def all_kernels_gather(
         F.col("_v_n").alias("q_near"),
         F.when(F.col("_w_b") > 0.0, F.col("_wv_b") / F.col("_w_b")).alias("q_bilinear"),
         F.when(F.abs(F.col("_w_c")) > 1e-9, F.col("_wv_c") / F.col("_w_c")).alias("q_cubic"),
+        F.when(F.abs(F.col("_w_l")) > 1e-9, F.col("_wv_l") / F.col("_w_l")).alias("q_lanczos"),
     )
 
 
@@ -1271,7 +1392,45 @@ warped AS (
   GROUP BY {g}, row, col
   HAVING ABS(SUM(w)) > 1e-9
 )"""
-    raise ValueError(f"unsupported resample alg {alg!r} (near|bilinear|cubic)")
+    if alg == "lanczos":
+        # r11 TRUE Lanczos3: phase-snapped table lookup — the weight list
+        # is the SAME Python-computed literals the Spark plan carries, so
+        # no libm runs in either engine (see LANCZOS_PHASES) and the
+        # 2^-24-grain combined weights make the 36-tap sums
+        # order-independent (see _LANCZOS_WSCALE)
+        wlist = "[" + ", ".join(repr(w) for w in _lanczos_phase_table()) + "]"
+        nper = LANCZOS_PHASES + 1
+        offs = list(range(-(LANCZOS_A - 1), LANCZOS_A + 1))
+        taps = ",".join(str(d) for d in offs for _ in offs)
+        tapsc = ",".join(str(d) for _ in offs for d in offs)
+        wr = f"list_extract(lwtab.t, (kk.dr + 2) * {nper} + pr + 1)"
+        wc = f"list_extract(lwtab.t, (kk.dc + 2) * {nper} + pc + 1)"
+        return f"""lwtab AS (SELECT {wlist} AS t),
+{corners_name} AS (
+  SELECT {g}, row, col,
+         CAST(FLOOR(rs) AS INTEGER) + kk.dr AS srow,
+         CAST(FLOOR(cs) AS INTEGER) + kk.dc AS scol,
+         FLOOR({wr} * {wc} * {_LANCZOS_WSCALE!r} + 0.5) / {_LANCZOS_WSCALE!r} AS w
+  FROM (SELECT *,
+          CAST(FLOOR((rs - FLOOR(rs)) * {LANCZOS_PHASES} + 0.5) AS INTEGER) AS pr,
+          CAST(FLOOR((cs - FLOOR(cs)) * {LANCZOS_PHASES} + 0.5) AS INTEGER) AS pc
+        FROM {coords_rel}),
+       lwtab,
+       LATERAL (SELECT UNNEST([{taps}]) AS dr, UNNEST([{tapsc}]) AS dc) kk
+),
+warped AS (
+  SELECT {g}, row, col, SUM(w * _v) / SUM(w) AS {value}
+  FROM (
+    SELECT c.*, CAST(p.{value} AS DOUBLE) AS _v
+    FROM {corners_name} c
+    JOIN {px_rel} p
+      ON {on}
+     AND p.row = c.srow AND p.col = c.scol
+  ) j
+  GROUP BY {g}, row, col
+  HAVING ABS(SUM(w)) > 1e-9
+)"""
+    raise ValueError(f"unsupported resample alg {alg!r} (near|bilinear|cubic|lanczos)")
 
 
 

@@ -459,9 +459,13 @@ def resample_kernel(params) -> str:
         ResampleAlg.NEAREST: "near",
         ResampleAlg.BILINEAR: "bilinear",
         ResampleAlg.CUBIC: "cubic",
-        # the reference's warp maps Lanczos to bilinear
-        # (sentinel1.rs:937-941); Lanczos proper is the resize kernel
-        ResampleAlg.LANCZOS: "bilinear",
+        # r11: TRUE Lanczos3 in the warp (geometry.lanczos_gather). The
+        # reference DEGRADES -r lanczos to bilinear in its warp
+        # (sentinel1.rs:937-941 '_ => "bilinear"') even though its resize
+        # stage is Lanczos3 — this engine honors the request exactly
+        # (documented deviation; byte-parity with the reference's degraded
+        # output = pass -r bilinear explicitly)
+        ResampleAlg.LANCZOS: "lanczos",
     }[params.resample_alg]
 
 

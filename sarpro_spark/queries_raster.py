@@ -1853,8 +1853,13 @@ def q_warp_params_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import sarpro_spark.operators.kernel as krn
 
+    # resample_alg pinned explicitly: this row's contract is bit-identity
+    # with warp_gcp_tps' bilinear gather; since r11 the LANCZOS default
+    # routes the true 36-tap kernel, so relying on the default would flip
+    # this cert's kernel leg
     params = ProcessingParams.from_dict(
-        {"gcp_interpolant": "tps", "target_crs": "EPSG:32631"}
+        {"gcp_interpolant": "tps", "target_crs": "EPSG:32631",
+         "resample_alg": "bilinear"}
     )
     # ground-unit GCPs (gcp_crs=None) + a differing target CRS: the 'gcp'
     # route — warp in the GCP grid's own ground units (the reference's
@@ -1993,7 +1998,7 @@ def _warp_kernels_sql() -> str:
 
     u8 = asc.oracle_autoscale_sql(_VV_SRC_CTE, ["product_id"], _KEYS, "standard-a2", BitDepth.U8)
     legs = []
-    for alg in ("near", "bilinear", "cubic"):
+    for alg in ("near", "bilinear", "cubic", "lanczos"):
         warp = sql_affine_warp("u8", "kgeo", ["product_id"], "q", alg)
         legs.append(
             f"""SELECT product_id, '{alg}' AS alg, row, col, {sql_fround('q')} AS q FROM (
@@ -2020,14 +2025,19 @@ kgeo AS (
 @query("affine_warp_kernels", sql=_warp_kernels_sql(), tags=("raster", "geometry", "warp", "kernels"))
 def q_affine_warp_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 resampling-kernel family certificate: the SAME affine warp fixture
-    resampled with all three of the reference's ``-r`` kernels (near /
-    bilinear / cubic — src/io/sentinel1.rs:933-942; the reference DEFAULT is
-    lanczos→bilinear, core/params.rs:38) in one union row. Target grid: same scale as the
-    source with a dyadic x- AND y-shear (dg2 = dg4 = 2), so both axes carry
-    fractional source coordinates (denominator 8) and every Keys weight is
-    exact IEEE — nearest certifies bit-exact with no rounding doctrine,
-    bilinear/cubic under the shared dyadic doctrine (fround guards only the
-    final weighted division)."""
+    resampled with all FOUR ``-r`` kernels (near / bilinear / cubic —
+    src/io/sentinel1.rs:933-942 — plus, r11, the TRUE 36-tap Lanczos3 the
+    reference requests by default but silently degrades to bilinear,
+    core/params.rs:38 + sentinel1.rs:937-941) in one union row. Target
+    grid: same scale as the source with a dyadic x- AND y-shear (dg2 =
+    dg4 = 2), so both axes carry fractional source coordinates
+    (denominator 8) and every Keys weight is exact IEEE — nearest
+    certifies bit-exact with no rounding doctrine, bilinear/cubic under
+    the shared dyadic doctrine, lanczos under the phase-table doctrine
+    (geometry.LANCZOS_PHASES: weights are shared literals, no libm in
+    either engine; with denominator-8 fractions the 1/32 phase snap is
+    EXACT, so this leg certifies unquantized Lanczos3 too). fround guards
+    only the final weighted division."""
     import sarpro_spark.operators.kernel as krn
     from sarpro_spark.operators import geometry as geom
     from sarpro_spark.operators.geometry import product_dims
@@ -2048,12 +2058,12 @@ def q_affine_warp_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pid * -64.0).alias("dg3"), F.lit(2.0).alias("dg4"), F.lit(-8.0).alias("dg5"),
         F.col("rows").alias("dst_rows"), F.col("cols").alias("dst_cols"),
     )
-    # ONE 16-tap gather computes all three kernels (the nearest tap and the
-    # bilinear corners are subsets of the cubic patch): one pixel shuffle
-    # instead of three, bit-identical per leg under the dyadic doctrine.
-    # The unpivot is a single-pass explode (3 rows per cell, nulls dropped
-    # after), NOT a 3-branch union — a union would re-execute the join+agg
-    # subtree once per kernel leg.
+    # ONE 36-tap gather computes all four kernels (nearest tap, bilinear
+    # corners, and the cubic patch are subsets of the Lanczos3 patch): one
+    # pixel shuffle instead of four, bit-identical per leg under the
+    # dyadic doctrine. The unpivot is a single-pass explode (4 rows per
+    # cell, nulls dropped after), NOT a union — a union would re-execute
+    # the join+agg subtree once per kernel leg.
     fused = geom.all_kernels_gather(
         geom.affine_coords(geo, ["product_id"]), u8, ["product_id"], value="q"
     )
@@ -2062,6 +2072,7 @@ def q_affine_warp_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.lit("near").alias("alg"), F.col("q_near").alias("qv")),
             F.struct(F.lit("bilinear").alias("alg"), F.col("q_bilinear").alias("qv")),
             F.struct(F.lit("cubic").alias("alg"), F.col("q_cubic").alias("qv")),
+            F.struct(F.lit("lanczos").alias("alg"), F.col("q_lanczos").alias("qv")),
         )
     )
     return (

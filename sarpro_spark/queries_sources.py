@@ -198,27 +198,27 @@ def q_generic_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PLAN_FLAGS_SQL = """
 SELECT * FROM (VALUES
-  (0, 'single', 'vv', FALSE, 'none', 'bilinear'),
+  (0, 'single', 'vv', FALSE, 'none', 'lanczos'),
   (1, 'single', 'vh', TRUE, 'gcp', 'near'),
-  (2, 'multiband', 'vv+vh', FALSE, 'none', 'bilinear'),
+  (2, 'multiband', 'vv+vh', FALSE, 'none', 'lanczos'),
   (3, 'operation', 'vv+vh', TRUE, 'affine', 'bilinear'),
-  (4, 'multiband', 'vv+vh', FALSE, 'none', 'bilinear'),
-  (5, 'single', 'hh', FALSE, 'none', 'bilinear'),
-  (6, 'single', 'vv', TRUE, 'affine', 'bilinear'),
-  (7, 'single', 'vv', TRUE, 'gcp_utm', 'bilinear'),
-  (8, 'single', 'vv', TRUE, 'gcp', 'bilinear'),
-  (9, 'single', 'vv', TRUE, 'gcp_ups', 'bilinear'),
-  (10, 'single', 'vv', TRUE, 'gcp_laea', 'bilinear'),
-  (11, 'single', 'vv', TRUE, 'affine', 'bilinear'),
+  (4, 'multiband', 'vv+vh', FALSE, 'none', 'lanczos'),
+  (5, 'single', 'hh', FALSE, 'none', 'lanczos'),
+  (6, 'single', 'vv', TRUE, 'affine', 'lanczos'),
+  (7, 'single', 'vv', TRUE, 'gcp_utm', 'lanczos'),
+  (8, 'single', 'vv', TRUE, 'gcp', 'lanczos'),
+  (9, 'single', 'vv', TRUE, 'gcp_ups', 'lanczos'),
+  (10, 'single', 'vv', TRUE, 'gcp_laea', 'lanczos'),
+  (11, 'single', 'vv', TRUE, 'affine', 'lanczos'),
   (12, 'single', 'vv', TRUE, 'affine', 'cubic'),
-  (13, 'single', 'vv', TRUE, 'gcp_webmerc', 'bilinear'),
-  (14, 'single', 'vv', TRUE, 'gcp_lcc', 'bilinear'),
-  (15, 'single', 'vv', TRUE, 'gcp_osgb', 'bilinear'),
-  (16, 'single', 'vv', TRUE, 'gcp_mga', 'bilinear'),
-  (17, 'single', 'vv', TRUE, 'gcp_bd72', 'bilinear'),
-  (18, 'single', 'vv', TRUE, 'gcp_albers', 'bilinear'),
-  (19, 'single', 'vv', TRUE, 'error:unsupported_crs', 'bilinear'),
-  (20, 'single', 'vv', TRUE, 'gcp_ntv2', 'bilinear')
+  (13, 'single', 'vv', TRUE, 'gcp_webmerc', 'lanczos'),
+  (14, 'single', 'vv', TRUE, 'gcp_lcc', 'lanczos'),
+  (15, 'single', 'vv', TRUE, 'gcp_osgb', 'lanczos'),
+  (16, 'single', 'vv', TRUE, 'gcp_mga', 'lanczos'),
+  (17, 'single', 'vv', TRUE, 'gcp_bd72', 'lanczos'),
+  (18, 'single', 'vv', TRUE, 'gcp_albers', 'lanczos'),
+  (19, 'single', 'vv', TRUE, 'error:unsupported_crs', 'lanczos'),
+  (20, 'single', 'vv', TRUE, 'gcp_ntv2', 'lanczos')
 ) t(case_id, route, band, needs_warp, warp_route, resample_kernel)
 """.strip()
 
@@ -281,8 +281,9 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GCPs route 'gcp_laea' instead of raising
     rows.append((10, route7, band7, needs_warp(None, "EPSG:3035"),
                  warp_route(None, "EPSG:3035", True, gcp_crs="EPSG:4326"), k7))
-    # lanczos: accepted by the CLI, warps as bilinear (the reference's own
-    # fallback, sentinel1.rs:937-941 — Lanczos proper is the resize kernel)
+    # lanczos: TRUE 36-tap Lanczos3 in the warp since r11
+    # (geometry.lanczos_gather) — the reference degrades it to bilinear
+    # (sentinel1.rs:937-941); documented deviation, see resample_kernel
     p11 = ProcessingParams(polarization=Polarization.VV, resample_alg=ResampleAlg.LANCZOS)
     route11, band11 = pipeline_route(p11)
     rows.append((11, route11, band11, needs_warp("EPSG:32631", "EPSG:32632"),

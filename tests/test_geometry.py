@@ -442,8 +442,7 @@ def test_resample_gather_dispatch(spark):
     assert geom.resample_gather(coords, px, ["g"], alg="near").count() == 1
     assert geom.resample_gather(coords, px, ["g"], alg="bilinear").count() == 1
     assert geom.resample_gather(coords, px, ["g"], alg="cubic").count() == 1
-    # lanczos is accepted with the reference's bilinear fallback
-    # (sentinel1.rs:937-941) — covered by test_resample_gather_accepts_lanczos
+    assert geom.resample_gather(coords, px, ["g"], alg="lanczos").count() == 1
     with pytest.raises(ValueError, match="unsupported resample alg"):
         geom.resample_gather(coords, px, ["g"], alg="sinc")
 
@@ -497,21 +496,23 @@ def test_resample_kernel_param_consumed():
     from sarpro_spark.plans.pipeline import resample_kernel
     from sarpro_spark.types import ProcessingParams, ResampleAlg
 
-    # reference default is lanczos (core/params.rs:38, api/mod.rs:498),
-    # which the warp maps to bilinear (sentinel1.rs:937-941)
+    # reference default is lanczos (core/params.rs:38, api/mod.rs:498);
+    # the reference's warp DEGRADES it to bilinear (sentinel1.rs:937-941),
+    # this engine honors it with the true 36-tap kernel since r11
     assert ProcessingParams().resample_alg == ResampleAlg.LANCZOS
-    assert resample_kernel(ProcessingParams()) == "bilinear"
+    assert resample_kernel(ProcessingParams()) == "lanczos"
     assert resample_kernel(ProcessingParams(resample_alg=ResampleAlg.CUBIC)) == "cubic"
     assert resample_kernel(ProcessingParams(resample_alg=ResampleAlg.NEAREST)) == "near"
     assert resample_kernel(ProcessingParams(resample_alg=ResampleAlg.BILINEAR)) == "bilinear"
 
 
 def test_resample_gather_accepts_lanczos(spark):
-    # a caller passing params.resample_alg.value straight through (bypassing
-    # resample_kernel) must get the reference's bilinear fallback, not a crash
-    from pyspark.sql import functions as F
-
-    from sarpro_spark.operators.geometry import bilinear_gather, resample_gather
+    # r11: -r lanczos dispatches the TRUE 36-tap kernel (no more bilinear
+    # degrade). On a symmetric 2x2 patch at the half-pixel point the 4
+    # inner taps dominate and renormalization makes the result the source
+    # mean — same as bilinear there — while the kernel itself is lanczos
+    # (verified by the dedicated gather being the dispatch target).
+    from sarpro_spark.operators.geometry import lanczos_gather, resample_gather
 
     coords = spark.createDataFrame(
         [("p", 0, 0, 0.5, 0.5)], "g string, row int, col int, cs double, rs double"
@@ -521,8 +522,39 @@ def test_resample_gather_accepts_lanczos(spark):
         "g string, row int, col int, v double",
     )
     got = resample_gather(coords, px, ["g"], alg="lanczos").collect()
-    want = bilinear_gather(coords, px, ["g"]).collect()
+    want = lanczos_gather(coords, px, ["g"]).collect()
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    # symmetric patch at the exact center: renormalized lanczos = the mean
+    assert got[0]["v"] == pytest.approx(1.5, abs=1e-9)
+
+
+def test_lanczos_gather_properties(spark):
+    """True-kernel checks: integer coordinates reproduce the source value
+    exactly (all non-center taps have weight sinc(k) = 0), and a constant
+    field is preserved at any fractional phase (partition of unity under
+    renormalization)."""
+    from sarpro_spark.operators import geometry as geom
+
+    px = spark.createDataFrame(
+        [("p", r, c, float((r * 7 + c * 3) % 19)) for r in range(12) for c in range(12)],
+        "g string, row int, col int, v double",
+    )
+    coords = spark.createDataFrame(
+        [("p", 0, 0, 5.0, 6.0)], "g string, row int, col int, cs double, rs double"
+    )
+    v = geom.lanczos_gather(coords, px, ["g"]).collect()[0]["v"]
+    assert v == pytest.approx(float((6 * 7 + 5 * 3) % 19), abs=1e-9)
+
+    const = spark.createDataFrame(
+        [("p", r, c, 7.0) for r in range(12) for c in range(12)],
+        "g string, row int, col int, v double",
+    )
+    frac = spark.createDataFrame(
+        [("p", 0, 0, 5.34375, 6.21875)],  # phases 11/32 and 7/32 exactly
+        "g string, row int, col int, cs double, rs double",
+    )
+    v = geom.lanczos_gather(frac, const, ["g"]).collect()[0]["v"]
+    assert v == pytest.approx(7.0, abs=1e-9)
 
 
 def test_project_gcps_utm_and_ups(spark):
