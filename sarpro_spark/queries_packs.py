@@ -422,6 +422,7 @@ register_pack(
         Member("tpcds_rollup_topk", ("p_type", "p_brand", "ship_month")),
         Member("tpcds_cumulative_crossover", ("pri", "m")),
         Member("tpcds_cross_channel_items", ("p_brand", "p_type")),
+        Member("tpcds_frequent_buyers", ("branch", "o_custkey")),
     ),
     doc="Union certificate: the fourteen TPC-H shapes not already covered "
     "by queries_relational.py (r7 — Q2 Q4 Q6 Q9 Q11 Q12 Q13 Q14 Q15 Q16 "

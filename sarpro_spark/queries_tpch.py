@@ -905,3 +905,116 @@ def q_tpcds_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("item_rev") > F.col("avg_rev"))
         .select("p_brand", "p_type", "item_rev")
     )
+
+
+# --- TPC-DS Q23 shape: multi-pass CTE reuse (frequent items + best buyers) ----
+
+_FREQUENT_BUYERS_SQL = """
+WITH part_counts AS MATERIALIZED (
+  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+),
+cthr AS (
+  SELECT (FLOOR(1.25 * AVG(cnt) * 1000000.0 + 0.5) / 1000000.0) AS c_thr FROM part_counts
+),
+freq_items AS MATERIALIZED (
+  SELECT l_partkey FROM part_counts, cthr WHERE cnt > c_thr
+),
+cust_sums AS MATERIALIZED (
+  SELECT o_custkey, (FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0) AS spend
+  FROM orders GROUP BY o_custkey
+),
+sthr AS (
+  SELECT (FLOOR(0.8 * MAX(spend) * 1000000.0 + 0.5) / 1000000.0) AS s_thr FROM cust_sums
+),
+best_customers AS MATERIALIZED (
+  SELECT o_custkey FROM cust_sums, sthr WHERE spend > s_thr
+),
+sales AS (
+  SELECT o.o_custkey, l.l_partkey, l.l_shipdate,
+         l.l_extendedprice * (1.0 - l.l_discount) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+branch AS (
+  SELECT '1996' AS branch, o_custkey, (FLOOR(SUM(rev) * 100.0 + 0.5) / 100.0) AS rev,
+         COUNT(DISTINCT l_partkey) AS n_parts
+  FROM sales
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT l_partkey FROM freq_items)
+    AND o_custkey IN (SELECT o_custkey FROM best_customers)
+  GROUP BY o_custkey
+  UNION ALL
+  SELECT '1997' AS branch, o_custkey, (FLOOR(SUM(rev) * 100.0 + 0.5) / 100.0) AS rev,
+         COUNT(DISTINCT l_partkey) AS n_parts
+  FROM sales
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND l_partkey IN (SELECT l_partkey FROM freq_items)
+    AND o_custkey IN (SELECT o_custkey FROM best_customers)
+  GROUP BY o_custkey
+)
+SELECT branch, o_custkey, rev, n_parts FROM branch
+""".strip()
+
+
+@query("tpcds_frequent_buyers", sql=_FREQUENT_BUYERS_SQL, tags=("relational", "tpcds", "cte-reuse", "scalar-subquery"))
+def q_tpcds_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q23 SHAPE (r11, adapted): two expensive derived sets —
+    FREQUENT items (part order-count above 1.25x the per-part average)
+    and BEST customers (lifetime spend above 0.8x the top spender) — gate
+    a sales aggregate in TWO branches (ship years 1996/1997, standing in
+    for Q23's catalog/web channels), per best customer. The shape's point
+    is MULTI-PASS CTE REUSE: freq_items and best_customers each feed both
+    branches, and cust_sums feeds both its own threshold scalar and the
+    best-customer filter — in Spark each shared aggregate plans ONCE and
+    the second consumer picks it up as a ReusedExchange (audit-pinned;
+    the DuckDB twin pins the same sharing with AS MATERIALIZED — an
+    unmaterialized CTE re-executes per reference, the r10 SemDeDup
+    lesson). The thresholds are 1-row broadcasts (Q15 family); the
+    branch filters push DOWN to the lineitem scan instead of reusing the
+    sales join — pushdown beats reuse when the filter prunes (the
+    scale-right choice at 100 TB: each branch scans a year, not the
+    corpus). Money sums land on the cents grain via fround before
+    comparison/emission so both engines hash identical doubles."""
+    t = frames.load_all(spark, sf_dir)
+    li, o = t["lineitem"], t["orders"]
+
+    part_counts = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    cthr = part_counts.agg(fround(F.lit(1.25) * F.avg("cnt"), 6).alias("c_thr"))
+    freq_items = (
+        part_counts.join(F.broadcast(cthr))
+        .where(F.col("cnt") > F.col("c_thr"))
+        .select("l_partkey")
+    )
+    cust_sums = o.groupBy("o_custkey").agg(fround(F.sum("o_totalprice"), 2).alias("spend"))
+    sthr = cust_sums.agg(fround(F.lit(0.8) * F.max("spend"), 6).alias("s_thr"))
+    best_customers = (
+        cust_sums.join(F.broadcast(sthr))
+        .where(F.col("spend") > F.col("s_thr"))
+        .select("o_custkey")
+    )
+    sales = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_custkey", "l_partkey", "l_shipdate",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+
+    def branch(label: str, lo: str, hi: str) -> DataFrame:
+        return (
+            sales.where(
+                (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+            )
+            .join(freq_items, "l_partkey", "left_semi")
+            .join(best_customers, "o_custkey", "left_semi")
+            .groupBy("o_custkey")
+            .agg(
+                fround(F.sum("rev"), 2).alias("rev"),
+                F.countDistinct("l_partkey").alias("n_parts"),
+            )
+            .select(F.lit(label).alias("branch"), "o_custkey", "rev", "n_parts")
+        )
+
+    return branch("1996", "1996-01-01", "1997-01-01").unionAll(
+        branch("1997", "1997-01-01", "1998-01-01")
+    )

@@ -623,6 +623,18 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct", "BatchEvalPython"],
         "schema_excludes": ["l_quantity", "l_tax", "l_returnflag", "o_totalprice"],
     },
+    "tpcds_frequent_buyers": {
+        # Q23 shape (r11): the freq_items / best_customers / cust_sums
+        # subtrees each feed two consumers — they must plan ONCE and reach
+        # the second consumer as ReusedExchange (re-executing a shared CTE
+        # per branch is the exact multi-pass trap Q23 exists to exercise);
+        # the gates are LeftSemi joins, the thresholds 1-row broadcasts;
+        # branch year filters push down to the lineitem scan
+        "require": ["ReusedExchange", "LeftSemi", "BroadcastNestedLoopJoin",
+                    "HashAggregate", "PushedFilters: [IsNotNull(l_shipdate)"],
+        "forbid": ["CartesianProduct", "BatchEvalPython"],
+        "schema_excludes": ["l_quantity", "l_tax", "l_returnflag", "l_comment"],
+    },
     "dedup_stream_stream_neardup": {
         # r9 cross-stream twin: the cross-pair join must key on the LSH
         # (band, bucket) — a CartesianProduct here is the all-pairs scan
@@ -815,6 +827,8 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ("queries_tpch.py", "reg"): ("constant", "5-row region dim"),
     ("queries_tpch.py", "thr"): ("constant", "1-row scalar-subquery threshold aggregate"),
     ("queries_tpch.py", "maxrev"): ("constant", "1-row MAX-revenue scalar aggregate"),
+    ("queries_tpch.py", "cthr"): ("constant", "1-row AVG-count threshold (Q23 shape)"),
+    ("queries_tpch.py", "sthr"): ("constant", "1-row MAX-spend threshold (Q23 shape)"),
     ("queries_raster.py", "sketch"): ("per-product", "GK sketch rows per-(product,band)"),
     ("queries_raster.py", "pvv"): ("per-product", "per-product percentile row"),
     ("queries_raster.py", "pvh"): ("per-product", "per-product percentile row"),
