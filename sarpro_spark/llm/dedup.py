@@ -596,17 +596,26 @@ def minhash_probe_candidates(
     leave-one-out buckets — position j masked out of the hash — so two
     docs collide at level 1 iff their band agrees on the other r-1
     positions (collision probability s^(r-1) per drop vs s^r for the full
-    band). That buys the recall of (r-1)-row banding WITHOUT re-hashing
-    the corpus or committing the index to looser buckets: the probe level
-    is a per-run knob, exactly like the ANN side's Hamming ball. Returns
-    (doc_a, doc_b, level) with level = MIN over all colliding keys.
+    band). ``probe >= 2`` (r11, verdict item 7) adds the C(r,2)
+    leave-TWO-out buckets per band (agreement on r-2 positions,
+    probability s^(r-2)) — the next rung of the same recall-vs-cost
+    ladder, needing r >= 3. All rungs come from the ONE key relation:
+    the probe level is a per-run knob, exactly like the ANN side's
+    Hamming ball. Returns (doc_a, doc_b, level) with level = MIN over
+    all colliding keys (0 full band, 1 leave-one, 2 leave-two).
 
-    Scale contract: keys grow by a factor of (1 + r) per band at probe=1
-    and leave-one-out buckets are coarser, so the same hot-bucket caveat
-    as every banding applies — the join keys on (band, dropped, bucket),
-    never all-pairs; candidates are meant to feed the exact-jaccard
-    verifier which bounds downstream cost to |candidates|."""
+    Scale contract: keys grow by a factor of (1 + r + C(r,2)) per band at
+    probe=2 and dropped-position buckets are coarser, so the same
+    hot-bucket caveat as every banding applies — the join keys on (band,
+    dropped, bucket), never all-pairs; candidates are meant to feed the
+    exact-jaccard verifier which bounds downstream cost to |candidates|."""
     rows_per_band = num_hashes // bands
+    if probe >= 2 and rows_per_band < 3:
+        raise ValueError(
+            f"probe=2 needs >= 3 rows per band (got {rows_per_band}): "
+            "leave-two-out buckets over r-2 < 1 positions would collide "
+            "everything"
+        )
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     from sarpro_spark.llm.cluster import _checkpointer
 
@@ -638,10 +647,29 @@ def minhash_probe_candidates(
                         F.md5(F.concat_ws("|", *kept)).alias("bucket"),
                     )
                 )
+        if probe >= 2:
+            # dropped-pair codes start at rows_per_band (distinct from the
+            # single-drop codes 0..r-1 and the full-band -1)
+            for pk, (j1, j2) in enumerate(
+                (a, c) for a in range(rows_per_band)
+                for c in range(a + 1, rows_per_band)
+            ):
+                kept = [c for i, c in enumerate(cols) if i not in (j1, j2)]
+                entries.append(
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.lit(rows_per_band + pk).alias("dropped"),
+                        F.md5(F.concat_ws("|", *kept)).alias("bucket"),
+                    )
+                )
     keys = sig.select(
         F.col(id_col), F.explode(F.array(*entries)).alias("_k")
     ).select(id_col, "_k.band", "_k.dropped", "_k.bucket")
-    level = F.when(F.col("dropped") == -1, 0).otherwise(1)
+    level = (
+        F.when(F.col("dropped") == -1, 0)
+        .when(F.col("dropped") < rows_per_band, 1)
+        .otherwise(2)
+    )
     return (
         keys.select(F.col(id_col).alias("doc_a"), "band", "dropped", "bucket")
         .join(
@@ -666,6 +694,8 @@ def sql_minhash_probe_candidates(
     """DuckDB twin of :func:`minhash_probe_candidates` — CTE ``probecand``
     (doc_a, doc_b, level)."""
     rows_per_band = num_hashes // bands
+    if probe >= 2 and rows_per_band < 3:
+        raise ValueError(f"probe=2 needs >= 3 rows per band (got {rows_per_band})")
     ctes = sql_minhash_ctes(src_rel, id_col, text_col, n, num_hashes)
     sep = " || '|' || "
     key_selects = []
@@ -682,6 +712,16 @@ def sql_minhash_probe_candidates(
                     f"SELECT {id_col}, {b} AS band, {j} AS dropped, "
                     f"MD5({sep.join(kept)}) AS bucket FROM sigs"
                 )
+        if probe >= 2:
+            for pk, (j1, j2) in enumerate(
+                (a, c) for a in range(rows_per_band)
+                for c in range(a + 1, rows_per_band)
+            ):
+                kept = [c for i, c in enumerate(all_cols) if i not in (j1, j2)]
+                key_selects.append(
+                    f"SELECT {id_col}, {b} AS band, {rows_per_band + pk} AS dropped, "
+                    f"MD5({sep.join(kept)}) AS bucket FROM sigs"
+                )
     keys = "\n  UNION ALL\n  ".join(key_selects)
     return f"""{ctes},
 probekeys AS (
@@ -689,7 +729,8 @@ probekeys AS (
 ),
 probecand AS (
   SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
-         MIN(CASE WHEN a.dropped = -1 THEN 0 ELSE 1 END) AS level
+         MIN(CASE WHEN a.dropped = -1 THEN 0
+                  WHEN a.dropped < {rows_per_band} THEN 1 ELSE 2 END) AS level
   FROM probekeys a
   JOIN probekeys b ON a.band = b.band AND a.dropped = b.dropped AND a.bucket = b.bucket
   WHERE a.{id_col} < b.{id_col}

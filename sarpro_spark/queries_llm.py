@@ -710,24 +710,29 @@ _NEARDUP_MP_SQL = f"""
 WITH docpanel AS (
   SELECT * FROM documents WHERE doc_id < {_NEARDUP_MP_PANEL}
 ),
-{dd.sql_minhash_probe_candidates("docpanel", probe=1)},
+{dd.sql_minhash_probe_candidates("docpanel", probe=2)},
 truth AS (
   SELECT doc_a, doc_b FROM ({dd.sql_ngram_jaccard_sets("docpanel", threshold=_NEARDUP_MP_TAU)}) tp
 ),
 hits AS (
   SELECT COUNT(*) AS n_true,
          CAST(SUM(CASE WHEN c.level = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits_p0,
-         CAST(SUM(CASE WHEN c.level IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_p1
+         CAST(SUM(CASE WHEN c.level <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_p1,
+         CAST(SUM(CASE WHEN c.level IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_p2
   FROM truth t LEFT JOIN probecand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
 ),
 cost AS (
   SELECT CAST(SUM(CASE WHEN level = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cand_p0,
-         COUNT(*) AS cand_p1
+         CAST(SUM(CASE WHEN level <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS cand_p1,
+         COUNT(*) AS cand_p2
   FROM probecand
 )
-SELECT h.n_true, h.hits_p0, h.hits_p1, c.cand_p0, c.cand_p1,
+SELECT h.n_true, h.hits_p0, h.hits_p1, h.hits_p2, c.cand_p0, c.cand_p1, c.cand_p2,
        (FLOOR(CAST(h.hits_p0 AS DOUBLE) / h.n_true * 1000000.0 + 0.5) / 1000000.0) AS recall_p0,
-       (FLOOR(CAST(h.hits_p1 AS DOUBLE) / h.n_true * 1000000.0 + 0.5) / 1000000.0) AS recall_p1
+       (FLOOR(CAST(h.hits_p1 AS DOUBLE) / h.n_true * 1000000.0 + 0.5) / 1000000.0) AS recall_p1,
+       (FLOOR(CAST(h.hits_p2 AS DOUBLE) / h.n_true * 1000000.0 + 0.5) / 1000000.0) AS recall_p2,
+       (h.hits_p0 <= h.hits_p1 AND h.hits_p1 <= h.hits_p2
+        AND c.cand_p0 <= c.cand_p1 AND c.cand_p1 <= c.cand_p2) AS monotone_ok
 FROM hits h, cost c
 """.strip()
 
@@ -739,12 +744,15 @@ def q_neardup_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_probe_candidates) measured against EXACT n-gram-jaccard truth
     (tau=0.3 — below the 16-hash/4-band S-curve's sweet spot, so level-0
     banding genuinely misses pairs and the lift is visible: measured
-    25/36 -> 27/36 on the fixture). One row: truth size, hits and
-    candidate counts at probe 0/1, fround'd recalls. Candidate cost rises
-    ~23x at probe 1 on this corpus (coarser r-1 buckets) — the same
-    recall-vs-cost trade the ANN multi-probe line documents, as data. Both
-    probe levels come from ONE key relation (level = MIN over colliding
-    keys), one banding join, never all-pairs. The whole measurement runs
+    25/36 -> 27/36 -> 31/36 on the fixture across p0/p1/p2). One row:
+    truth size, hits and candidate counts at probe 0/1/2 (r11 adds the
+    leave-TWO-out rung, C(r,2) extra buckets per band), fround'd recalls,
+    and monotone_ok — the ladder's structural invariant (level = MIN, so
+    hits and candidates are non-decreasing in probe) hashed as data. The
+    candidate cost rises steeply per rung (coarser r-1/r-2 buckets) — the
+    same recall-vs-cost trade the ANN multi-probe line documents, as
+    data. All probe levels come from ONE key relation, one banding join,
+    never all-pairs. The whole measurement runs
     on a FIXED-ID panel (doc_id < 1000 — the full sf0.01 fixture, a
     bounded subset beyond): exact all-pairs truth corpus-wide IS the
     quadratic LSH exists to avoid, so the line is O(1) in corpus scale
@@ -764,24 +772,31 @@ def q_neardup_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = dd.ngram_jaccard_pairs_sets(
         d, threshold=_NEARDUP_MP_TAU, broadcast_sets=True
     ).select("doc_a", "doc_b")
-    cand = dd.minhash_probe_candidates(d, probe=1)
+    cand = dd.minhash_probe_candidates(d, probe=2)
     ckpt = _checkpointer(d)
     truth, cand = ckpt(truth), ckpt(cand)
     hits = truth.join(cand, ["doc_a", "doc_b"], "left").agg(
         F.count(F.lit(1)).alias("n_true"),
         F.sum(F.when(F.col("level") == 0, 1).otherwise(0)).cast("long").alias("hits_p0"),
-        F.sum(F.when(F.col("level").isNotNull(), 1).otherwise(0)).cast("long").alias("hits_p1"),
+        F.sum(F.when(F.col("level") <= 1, 1).otherwise(0)).cast("long").alias("hits_p1"),
+        F.sum(F.when(F.col("level").isNotNull(), 1).otherwise(0)).cast("long").alias("hits_p2"),
     )
     cost = cand.agg(
         F.sum(F.when(F.col("level") == 0, 1).otherwise(0)).cast("long").alias("cand_p0"),
-        F.count(F.lit(1)).alias("cand_p1"),
+        F.sum(F.when(F.col("level") <= 1, 1).otherwise(0)).cast("long").alias("cand_p1"),
+        F.count(F.lit(1)).alias("cand_p2"),
     )
     return (
         hits.join(F.broadcast(cost))
         .select(
-            "n_true", "hits_p0", "hits_p1", "cand_p0", "cand_p1",
+            "n_true", "hits_p0", "hits_p1", "hits_p2",
+            "cand_p0", "cand_p1", "cand_p2",
             fround(F.col("hits_p0").cast("double") / F.col("n_true"), 6).alias("recall_p0"),
             fround(F.col("hits_p1").cast("double") / F.col("n_true"), 6).alias("recall_p1"),
+            fround(F.col("hits_p2").cast("double") / F.col("n_true"), 6).alias("recall_p2"),
+            ((F.col("hits_p0") <= F.col("hits_p1")) & (F.col("hits_p1") <= F.col("hits_p2"))
+             & (F.col("cand_p0") <= F.col("cand_p1"))
+             & (F.col("cand_p1") <= F.col("cand_p2"))).alias("monotone_ok"),
         )
     )
 

@@ -1187,11 +1187,25 @@ def test_neardup_multiprobe_levels_and_lift(spark, sf_dir):
     assert all(lv == 0 for lv in p0.values())
     assert set(p0) <= set(got)
 
-    # (b) fixture sweep: strict lift, bounded cost
+    # (a2) r11 probe=2: leave-two-out keys are a superset of probe=1's and
+    # levels never increase; rows_per_band < 3 fails loudly
+    import pytest as pt
+
+    p2 = {(r["doc_a"], r["doc_b"]): r["level"]
+          for r in dd.minhash_probe_candidates(docs, probe=2).collect()}
+    assert set(got) <= set(p2)
+    assert all(p2[k] <= lv for k, lv in got.items())
+    assert all(lv in (0, 1, 2) for lv in p2.values())
+    with pt.raises(ValueError, match="rows per band"):
+        dd.minhash_probe_candidates(docs, num_hashes=8, bands=4, probe=2)
+
+    # (b) fixture sweep: monotone ladder with strict lift, bounded cost
     row = q_neardup_recall_multiprobe(spark, sf_dir).collect()[0]
+    assert row["monotone_ok"]
     assert row["hits_p1"] > row["hits_p0"]
-    assert row["cand_p1"] >= row["cand_p0"]
-    assert row["recall_p1"] > row["recall_p0"]
+    assert row["hits_p2"] > row["hits_p1"]
+    assert row["cand_p2"] >= row["cand_p1"] >= row["cand_p0"]
+    assert row["recall_p2"] > row["recall_p1"] > row["recall_p0"]
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert row["cand_p1"] < n_docs * (n_docs - 1) / 20  # nowhere near all-pairs
 
