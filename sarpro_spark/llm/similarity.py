@@ -766,6 +766,7 @@ def semantic_dedup(
     max_cluster: int = SEMDEDUP_MAX_CLUSTER,
     sub_iters: int = 2,
     depth: int = 1,
+    telemetry: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023, public): k-means
     cluster the corpus, then inside each cluster drop every vector that has
@@ -800,11 +801,37 @@ def semantic_dedup(
     the oversized groups per exercised level, one (group-path, salt)-keyed
     self-join, one anti-join.
 
-    Returns (id, centroid_id, kept) for every input vector.
+    Returns (id, centroid_id, kept) for every input vector. With
+    ``telemetry=True`` (r11, verdict item 5) returns ``(kept_df,
+    telemetry_df)`` where the second relation carries one row per
+    recursion level (0 = the top-level k-means grouping, 1..depth after
+    each re-cluster): group count, still-oversized count, max group size,
+    and the SALTED PAIR-WORK BOUND (sum over groups of
+    nsplit * C(ceil(size/nsplit), 2) — the worst-case pair count if the
+    residual salt fired at that level). Depth growth becomes observable
+    DATA: each level's n_over/pair_bound should shrink, and a regression
+    that stops the recursion from splitting shows up in a hashed row, not
+    just in wall-clock.
     """
     from sarpro_spark.llm.cluster import _checkpointer
     from sarpro_spark.llm.sampling import hash_bucket
     from sarpro_spark.queries import fround
+
+    def _level_stats(rel: DataFrame, gcols: list[str], level: int) -> DataFrame:
+        g = rel.groupBy(*gcols).agg(F.count(F.lit(1)).alias("size"))
+        ns = F.ceil(F.col("size") / float(max_cluster)).cast("long")
+        g = g.select("size", ns.alias("ns"))
+        b = F.ceil(F.col("size") / F.col("ns")).cast("long")
+        # products stay far under 2^53, so the double intermediate is exact
+        # and both engines cast the same integer
+        bound = F.sum(F.col("ns") * b * (b - 1) / 2).cast("long")
+        return g.agg(
+            F.lit(level).alias("level"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).cast("long").alias("n_over"),
+            F.max("size").alias("max_size"),
+            bound.alias("pair_bound"),
+        )
 
     checkpoint = _checkpointer(emb)
     cent = kmeans_train(emb, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col)
@@ -829,6 +856,7 @@ def semantic_dedup(
     # plan; the assignment broadcast is certified by the kmeans/IVF
     # queries whose plans it remains visible in.
     m = checkpoint(m)
+    telem: list[DataFrame] = [_level_stats(m, ["centroid_id"], 0)] if telemetry else []
     # --- bounded depth-k recursive re-cluster of oversized groups -----------
     # (r9 depth-1, r10 depth-k: each level re-runs the SAME grouped-kmeans
     # arithmetic keyed by the accumulated group path, so the DuckDB twin
@@ -902,6 +930,8 @@ def semantic_dedup(
             F.ceil(F.count(F.lit(1)) / float(max_cluster)).cast("long").alias("nsplit")
         )
         cur = msub.join(ssz, group_cols)
+        if telemetry:
+            telem.append(_level_stats(msub, group_cols, d))
         if d < depth:
             # next level makes sub_iters+2 passes over cur — same
             # materialize-once policy as m
@@ -922,11 +952,17 @@ def semantic_dedup(
     dropped = (
         pairs.where(sim >= F.lit(tau)).select(F.col("idb").alias(id_col)).distinct()
     )
-    return (
+    kept = (
         m.select(id_col, "centroid_id")
         .join(dropped.withColumn("_drop", F.lit(1)), id_col, "left")
         .select(id_col, "centroid_id", F.col("_drop").isNull().alias("kept"))
     )
+    if telemetry:
+        out_t = telem[0]
+        for t in telem[1:]:
+            out_t = out_t.unionByName(t)
+        return kept, out_t
+    return kept
 
 
 def sql_semantic_dedup(

@@ -1464,9 +1464,45 @@ def _semdedup_sql() -> str:
         "embeddings", k=_KMEANS_K, iters=_KMEANS_ITERS, tau=_SEMDEDUP_TAU,
         max_cluster=_SEMDEDUP_MAXC, depth=_SEMDEDUP_DEPTH,
     )
+    # r11 per-level telemetry twin: level 0 aggregates the top-level
+    # grouping (semmm), level d the post-split s{d}rel paths — the same
+    # relations the recursion itself consumes, so the bound is the
+    # algorithm's own arithmetic, not a re-derivation
+    mc = float(_SEMDEDUP_MAXC)
+    lvl_selects = []
+    keys = ["centroid_id"]
+    for d in range(0, _SEMDEDUP_DEPTH + 1):
+        rel = "semmm" if d == 0 else f"s{d}rel"
+        if d >= 1:
+            keys = keys + ["sub_id" if d == 1 else f"sub{d}_id"]
+        kb = ", ".join(keys)
+        lvl_selects.append(f"""
+  SELECT {d} AS level, COUNT(*) AS n_groups,
+         CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+         MAX(size) AS max_size,
+         CAST(SUM(ns * b * (b - 1) / 2) AS BIGINT) AS pair_bound
+  FROM (
+    SELECT size, ns, CAST(CEIL(size / ns) AS BIGINT) AS b FROM (
+      SELECT COUNT(*) AS size, CAST(CEIL(COUNT(*) / {mc!r}) AS BIGINT) AS ns
+      FROM {rel} GROUP BY {kb}
+    ) zz
+  ) z""".strip())
+    levels = "\n  UNION ALL\n  ".join(lvl_selects)
     return f"""
-WITH {ctes}
-SELECT vec_id, centroid_id, kept FROM semkept
+WITH {ctes},
+semtelem AS (
+  {levels}
+)
+SELECT 'vec' AS row_kind, vec_id, centroid_id, kept,
+       CAST(NULL AS INTEGER) AS level, CAST(NULL AS BIGINT) AS n_groups,
+       CAST(NULL AS BIGINT) AS n_over, CAST(NULL AS BIGINT) AS max_size,
+       CAST(NULL AS BIGINT) AS pair_bound
+FROM semkept
+UNION ALL
+SELECT 'level' AS row_kind, CAST(NULL AS BIGINT) AS vec_id,
+       CAST(NULL AS INTEGER) AS centroid_id, CAST(NULL AS BOOLEAN) AS kept,
+       level, CAST(n_groups AS BIGINT) AS n_groups, n_over, CAST(max_size AS BIGINT) AS max_size, pair_bound
+FROM semtelem
 """.strip()
 
 
@@ -1487,13 +1523,38 @@ def q_dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     not shrink. max_cluster is set BELOW the fixture's mean cluster size
     so this certificate runs the sub-kmeans for real, and six sub-groups
     stay oversized after the first split so the SECOND level runs for
-    real too. Oracle = the identical kmeans + assignment + level-for-level
-    unrolled sub-kmeans + pair scan in SQL."""
+    real too. r11 (verdict item 5): the row set now ALSO carries one
+    'level' row per recursion level — group count, still-oversized count,
+    max group size, and the salted pair-work bound — so depth growth is
+    hashed DATA: a regression that stops the recursion from splitting
+    flips n_over/pair_bound, not just wall-clock. Oracle = the identical
+    kmeans + assignment + level-for-level unrolled sub-kmeans + pair scan
+    in SQL, telemetry aggregated from the same unrolled relations."""
     e = frames.load_table(spark, sf_dir, "embeddings")
-    return sim.semantic_dedup(
+    kept, telem = sim.semantic_dedup(
         e, k=_KMEANS_K, iters=_KMEANS_ITERS, tau=_SEMDEDUP_TAU, dim=64,
-        max_cluster=_SEMDEDUP_MAXC, depth=_SEMDEDUP_DEPTH,
+        max_cluster=_SEMDEDUP_MAXC, depth=_SEMDEDUP_DEPTH, telemetry=True,
     )
+    nulls = lambda name, t: F.lit(None).cast(t).alias(name)  # noqa: E731
+    veck = kept.select(
+        F.lit("vec").alias("row_kind"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+        "kept",
+        nulls("level", "int"), nulls("n_groups", "long"), nulls("n_over", "long"),
+        nulls("max_size", "long"), nulls("pair_bound", "long"),
+    )
+    lvl = telem.select(
+        F.lit("level").alias("row_kind"),
+        nulls("vec_id", "long"), nulls("centroid_id", "int"),
+        nulls("kept", "boolean"),
+        F.col("level").cast("int").alias("level"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("n_over").cast("long").alias("n_over"),
+        F.col("max_size").cast("long").alias("max_size"),
+        F.col("pair_bound").cast("long").alias("pair_bound"),
+    )
+    return veck.unionByName(lvl)
 
 
 # --- int8 scalar quantization -------------------------------------------------
