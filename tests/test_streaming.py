@@ -744,3 +744,127 @@ def test_streaming_ingest_full_pipeline_equals_batch(spark, tmp_path):
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.read.parquet(sink).drop("epoch").collect()}
     assert got == expected
+
+
+def test_streaming_ingest_restart_exactly_once(spark, tmp_path):
+    """r11 (verdict item 6): per-product EXACTLY-ONCE across a forced
+    restart. Run 1 crashes MID-EPOCH (the transform raises while batch 1
+    is processing product B, after batch 0 committed product A); a stale
+    partial sink directory for the failed epoch is planted to simulate
+    the nastier crash-after-write-before-commit window. Run 2 resumes
+    from the checkpoint: Spark's offset log redelivers batch 1 with the
+    SAME batch id, the epoch=1 overwrite replaces the planted garbage,
+    and product C (landed between the crash and the restart) flows in a
+    fresh batch. Assertions: drained sink == batch opener row-for-row,
+    every product appears EXACTLY once, the planted row is gone, and the
+    checkpointed file-source state is bounded at one log entry per
+    manifest."""
+    import json
+    import os
+    import time
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from tests.test_sources_sinks import MANIFEST
+    from sarpro_spark.sources import safe
+    from sarpro_spark.streaming.ingest import ingest_products_stream
+
+    root = tmp_path / "landing_rs"
+    root.mkdir()
+    t0 = time.time() - 300
+
+    def stage(name, order):
+        p = root / name
+        (p / "annotation").mkdir(parents=True)
+        (p / "annotation" / "iw-vv.xml").write_text("<product/>")
+        (p / "measurement").mkdir()
+        (p / "measurement" / f"s1a-iw-grd-vv-{order}.tiff").write_bytes(b"II*\0")
+        mpath = p / "manifest.safe"
+        mpath.write_text(MANIFEST)
+        os.utime(mpath, (t0 + order * 10, t0 + order * 10))
+
+    stage("A.SAFE", 0)
+    stage("B.SAFE", 1)
+
+    sink = str(tmp_path / "rs_sink")
+    ckpt = str(tmp_path / "rs_ckpt")
+    bomb = tmp_path / "bomb_armed"
+    bomb.write_text("armed")
+
+    def crash_on_b(opened):
+        # driver-side foreachBatch code: one simulated crash while the
+        # epoch containing B is being processed
+        if bomb.exists() and opened.where(
+            F.col("product_path").endswith("B.SAFE")
+        ).count() > 0:
+            bomb.unlink()
+            raise RuntimeError("simulated mid-epoch crash")
+        return opened
+
+    q = ingest_products_stream(
+        spark, str(root), sink, ckpt, transform=crash_on_b,
+        max_files_per_trigger=1,
+    )
+    crashed = False
+    try:
+        q.awaitTermination(180)
+    except (StreamingQueryException, Py4JJavaError):
+        crashed = True
+    assert crashed and not bomb.exists(), "run 1 must die mid-epoch on B"
+    # batch 0 (A) committed; B's epoch did not
+    run1 = spark.read.parquet(sink)
+    assert [os.path.basename(r["product_path"]) for r in run1.collect()] == ["A.SAFE"]
+
+    # simulate the crash landing AFTER the epoch write but BEFORE the
+    # commit: plant a bogus row in the failed epoch's directory — the
+    # redelivered epoch must OVERWRITE it, not append next to it
+    run1.select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) if f.name != "product_path"
+          else F.lit("/nonexistent/GARBAGE.SAFE").alias("product_path")
+          for f in run1.schema.fields]
+    ).write.mode("overwrite").parquet(os.path.join(sink, "epoch=1"))
+    assert "GARBAGE" in str(spark.read.parquet(sink).collect())
+
+    # C lands while the pipeline is down
+    stage("C.SAFE", 2)
+
+    q2 = ingest_products_stream(
+        spark, str(root), sink, ckpt, max_files_per_trigger=1,
+    )
+    assert q2.awaitTermination(180)
+
+    got = sorted(
+        os.path.basename(r["product_path"])
+        for r in spark.read.parquet(sink).select("product_path").collect()
+    )
+    expected = sorted(
+        os.path.basename(r["product_path"])
+        for r in safe.open_products(spark, str(root), permissive=True).collect()
+    )
+    # exactly once: no duplicate from the redelivery, no planted garbage,
+    # nothing lost across the restart
+    assert got == expected == ["A.SAFE", "B.SAFE", "C.SAFE"]
+    full_stream = {
+        tuple(r) for r in spark.read.parquet(sink).drop("epoch").collect()
+    }
+    full_batch = {
+        tuple(r) for r in safe.open_products(spark, str(root), permissive=True).collect()
+    }
+    assert full_stream == full_batch
+
+    # bounded state: the file-source log holds exactly one entry per
+    # manifest (three), nothing proportional to product CONTENT
+    src_log = os.path.join(ckpt, "sources", "0")
+    entries = []
+    for fn in os.listdir(src_log):
+        fp = os.path.join(src_log, fn)
+        if fn.startswith(".") or not os.path.isfile(fp):
+            continue  # CRC/sidecar files are not log entries
+        with open(fp, "rb") as fh:
+            raw = fh.read()
+        for line in raw.decode("utf-8", errors="ignore").splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"path"' in line:
+                entries.append(json.loads(line)["path"])
+    assert len(entries) == 3 and len(set(entries)) == 3
