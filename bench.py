@@ -170,25 +170,29 @@ def main() -> None:
         frames.band_frame(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    runs_detail: dict[str, list[float]] = {}
     loadavg: dict[str, float] = {}
     for name in names:
         reset_caches()
-        best = None
         n = 0
-        # best-of-2 (first run pays JIT/caching, min = steady state); cheap
-        # queries get a third run — their recordings are the most sensitive
-        # to background load (the r4 +25% was exactly this class)
-        runs = 0
-        while runs < 3:
+        samples: list[float] = []
+        # sampling policy (r11): heavy lines (>2 s) swing +-25% with JVM
+        # state (BENCH_NOTES_r10) — record the MEDIAN of 3 runs so one
+        # GC/JIT outlier can't masquerade as a regression. Light lines keep
+        # the old rule: best-of-2 at >=1 s, best-of-3 under 1 s (min =
+        # steady state; they are the most load-sensitive, the r4 +25%).
+        while len(samples) < 3:
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             n = df.count()  # forces full execution without driver-side collect cost
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-            runs += 1
-            if runs >= 2 and best >= 1.0:
+            samples.append(time.time() - t0)
+            if len(samples) >= 2 and 1.0 <= min(samples) <= 2.0:
                 break
-        timings[name] = round(best, 3)
+        if min(samples) > 2.0:
+            timings[name] = round(sorted(samples)[1], 3)  # median of 3
+        else:
+            timings[name] = round(min(samples), 3)
+        runs_detail[name] = [round(s, 3) for s in samples]
         # 1-min loadavg AT measurement time: a contaminated recording is
         # self-identifying (loadavg >> the bench's own footprint)
         loadavg[name] = round(os.getloadavg()[0], 2)
@@ -269,6 +273,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": runs_detail,
         "loadavg": loadavg,
         "sf1_soak": soak_summary,
         "sf": sf_val,
