@@ -115,16 +115,20 @@ HEAD_ORDER: tuple[str, ...] = (
     "pricing_summary",
     "nation_revenue_join",
     "top_revenue_parts",
-    "window_rank_orders",
-    "grouping_sets_sales",
-    "set_operations",
+    # r11 head rotation (verdict item 10): window_rank_orders,
+    # grouping_sets_sales, set_operations, user_running_totals moved into
+    # relational_pack (still value-hash-certified through its head row);
+    # their seats now exercise the newest code paths directly:
+    "window_range_frames",
+    "neardup_recall_multiprobe",
+    "ntv2_roundtrip_points",
     # semi_anti_join moved into relational_pack (r7); its slot certifies the
     # fourteen remaining TPC-H shapes as one union row
     "tpch_shapes_pack",
     "scalar_function_pack",
     "events_asof_signup",
     "events_range_join",
-    "user_running_totals",
+    "nad27_roundtrip_points",
     # raster operator components
     "band_math_ops",
     "db_conversion_mask",

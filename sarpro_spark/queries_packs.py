@@ -201,7 +201,6 @@ register_pack(
         Member("dedup_streaming_neardup", ("doc_id",)),
         Member("dedup_stream_stream_neardup", ("a_id", "b_id")),
         Member("dedup_semantic_prune", ("vec_id",)),
-        Member("neardup_recall_multiprobe", ()),
         Member("corpus_leakage_safe_split", ("split",)),
     ),
     doc="Union certificate: exact dedup (+normalized), n-gram Jaccard pairs, "
@@ -380,12 +379,17 @@ register_pack(
         Member("events_cohort_retention", ("cohort_day", "day_offset")),
         Member("events_ab_test", ()),
         Member("events_path_transitions", ("prev_type", "next_type")),
-        Member("window_range_frames", ("o_orderkey",)),
         Member("suppliers_sole_problem", ("s_name",)),
         Member("nation_market_share", ("o_year",)),
         Member("dormant_rich_customers", ("c_nationkey",)),
         Member("semi_anti_join", ("kind",)),
         Member("window_analytics_orders", ("o_custkey", "o_orderkey")),
+        # r11 head rotation: these four moved from the driver head into
+        # this pack (window_range_frames moved the other way)
+        Member("set_operations", ("op",)),
+        Member("window_rank_orders", ("o_custkey", "o_orderkey")),
+        Member("user_running_totals", ("user_id",)),
+        Member("grouping_sets_sales", ("l_returnflag", "l_linestatus")),
     ),
     doc="Union certificate: rollup/cube hierarchies, correlated-subquery "
     "decorrelation, as-of via cogrouped applyInPandas, JSON property "
@@ -486,9 +490,9 @@ register_pack(
         Member("osgb_roundtrip_points", ("product_id", "gi", "gj")),
         Member("bd72_roundtrip_points", ("product_id", "gi", "gj")),
         Member("albers_roundtrip_points", ("product_id", "gi", "gj")),
-        Member("ntv2_roundtrip_points", ("product_id", "gi", "gj")),
+        # ntv2_roundtrip_points / nad27_roundtrip_points hold their own
+        # driver-head seats since the r11 rotation
         Member("ntv2_multigrid_points", ("product_id", "gi", "gj")),
-        Member("nad27_roundtrip_points", ("product_id", "gi", "gj")),
         Member("mga_roundtrip_points", ("product_id", "gi", "gj")),
         Member("ingest_sink_roundtrip", ("product",)),
     ),
