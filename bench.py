@@ -112,6 +112,10 @@ HEADLINE = [
     "tpcds_cross_channel_items",
     "neardup_recall_multiprobe",
     "ingest_sink_roundtrip",
+    # round-11 additions: the NADCON second grid format, the Q23-shape
+    # multi-pass CTE reuse, and the lanczos leg rides affine_warp_kernels
+    "nad27_roundtrip_points",
+    "tpcds_frequent_buyers",
 ]
 
 
