@@ -51,7 +51,6 @@ FLAGSHIPS = [
     ("nation_revenue_join", "dim joins broadcast, fact shuffles on keys"),
     ("local_supplier_volume", "Q5 6-way join, nation-equality pruning"),
     ("pipeline_kernel_standard_u8", "per-product raster kernel, one grouped task"),
-    ("affine_warp_kernels", "canvas explode + PINNED SortMergeJoin gathers, 3 -r kernels"),
     ("warp_utm_from_lonlat", "in-engine CRS projection feeding the GCP warp"),
     ("dedup_minhash_verified", "banded LSH self-join, never all-pairs"),
     ("dedup_incremental", "batch x index asymmetric join"),
@@ -81,6 +80,9 @@ FLAGSHIPS = [
     ("window_range_frames", "RANGE frames: four value-based frames off one partition-key ordering, integer-cents codegen"),
     ("neardup_recall_multiprobe", "doc-side multi-probe recall: panel-bounded truth, single-explode probe keys, compute-spread verify"),
     ("warp_ntv2_from_lonlat", "gcp_ntv2 route end-to-end: grid-shift datum leg + AMG TM + pinned-SMJ GCP warp"),
+    ("nad27_roundtrip_points", "NADCON second grid format (r11): .las/.los pair -> same broadcast cell-join chain, Clarke-1866 TM codegen, exchange reused across fixed-point rounds"),
+    ("affine_warp_kernels", "all FOUR -r kernels from ONE fused 36-tap gather (r11 adds true Lanczos3 via phase-LUT literals): one pixel shuffle, SMJ-pinned big-x-big"),
+    ("tpcds_frequent_buyers", "Q23 shape (r11): shared frequent-items/best-customers aggregates plan once, ReusedExchange to second consumers, LeftSemi gates, 1-row broadcast thresholds"),
 ]
 
 
