@@ -987,3 +987,89 @@ def read_loslas_df(spark: SparkSession, las_path: str, los_path: str):
     (the .las/.los twin of :func:`read_gsb_df`)."""
     hdr, rows = read_loslas(las_path, los_path)
     return hdr, spark.createDataFrame(rows, GRID_SCHEMA)
+
+
+# --- PROJ GeoTIFF grids (third grid FORMAT, r11) -------------------------------
+# Modern PROJ distributes its datum grids as cloud-optimized GeoTIFFs (the
+# public "Geodetic TIFF grids" spec, proj.org/specifications/
+# geodetictiffgrids.html): a horizontal_offset grid is a 2-band float32
+# raster — band 1 = latitude offset, band 2 = longitude offset, arc-seconds,
+# POSITIVE EAST (no NTv2-style negation) — georeferenced by the standard
+# ModelPixelScale/ModelTiepoint tags with node centers at pixel centers.
+# The format trap this loader pins: GeoTIFF rasters are NORTH-UP (row 0 =
+# northmost latitude, negative y pixel scale), while the engine's i index
+# increases NORTHWARD from lat0 — rows REVERSE on load (vs NTv2 where the
+# j columns reversed). The reader uses the in-repo TIFF codec
+# (sinks/tiff.py, float32 SampleFormat support added r11), so no external
+# raster library is involved.
+
+
+def write_gtg(path: str, hdr: dict | None = None, arrays=None) -> None:
+    """Write an engine-convention grid as a PROJ-style 2-band float32
+    GeoTIFF (band 1 dlat_sec, band 2 dlon_sec, north-up, node centers at
+    pixel centers)."""
+    from sarpro_spark.sinks.tiff import write_tiff
+
+    h = SYNTH_HEADER if hdr is None else hdr
+    dlat, dlon = synthetic_shift_arrays(h) if arrays is None else arrays
+    stack = np.stack(
+        [np.asarray(dlat, dtype=np.float64), np.asarray(dlon, dtype=np.float64)],
+        axis=-1,
+    ).astype(np.float32)
+    # engine i increases NORTH; GeoTIFF rows run north-up -> flip rows
+    stack = stack[::-1, :, :]
+    lat_max = h["lat0"] + (h["n_lat"] - 1) * h["lat_inc"]
+    gt = (
+        h["lon0"] - h["lon_inc"] / 2.0, h["lon_inc"], 0.0,
+        lat_max + h["lat_inc"] / 2.0, 0.0, -h["lat_inc"],
+    )
+    write_tiff(
+        path, np.ascontiguousarray(stack), geotransform=gt,
+        description="horizontal_offset arc-seconds (lat,lon) positive-east",
+    )
+
+
+def read_gtg(path: str) -> tuple[dict, list[tuple[int, int, float, float]]]:
+    """Read a PROJ-style 2-band horizontal-offset GeoTIFF into the engine
+    convention — the SAME ``(header, rows)`` contract as :func:`read_gsb`
+    and :func:`read_loslas`, so the third format drops into every
+    grid-shift operator unchanged. Rows reverse on load (north-up file ->
+    south-origin engine i); shifts pass through (the format is already
+    positive-east arc-seconds)."""
+    from sarpro_spark.sinks.tiff import read_tiff
+
+    arr, meta = read_tiff(path)
+    if arr.ndim != 3 or arr.shape[2] != 2:
+        raise ValueError(
+            f"{path}: expected a 2-band horizontal_offset grid, got shape {arr.shape}"
+        )
+    if arr.dtype != np.float32:
+        raise ValueError(f"{path}: expected float32 offsets, got {arr.dtype}")
+    gt = meta.get("geotransform")
+    if gt is None:
+        raise ValueError(f"{path}: no ModelPixelScale/ModelTiepoint georeferencing")
+    g0, g1, _, g3, _, g5 = gt
+    if g5 >= 0:
+        raise ValueError(f"{path}: expected a north-up grid (negative y scale)")
+    nla, nlo = arr.shape[0], arr.shape[1]
+    lat_inc, lon_inc = -g5, g1
+    hdr = {
+        "lat0": (g3 + g5 / 2.0) - (nla - 1) * lat_inc,  # south edge
+        "lon0": g0 + g1 / 2.0,
+        "lat_inc": lat_inc, "lon_inc": lon_inc,
+        "n_lat": nla, "n_lon": nlo,
+    }
+    flipped = arr[::-1, :, :]  # back to engine row order (i increases north)
+    rows = [
+        (i, j, float(flipped[i, j, 0]), float(flipped[i, j, 1]))
+        for i in range(nla)
+        for j in range(nlo)
+    ]
+    return hdr, rows
+
+
+def read_gtg_df(spark: SparkSession, path: str):
+    """PROJ GeoTIFF grid -> ``(header, grid_df)`` in the engine grid
+    convention (the GTG twin of :func:`read_gsb_df` / :func:`read_loslas_df`)."""
+    hdr, rows = read_gtg(path)
+    return hdr, spark.createDataFrame(rows, GRID_SCHEMA)

@@ -2412,6 +2412,84 @@ def q_nad27_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("gtg_roundtrip_points", sql=_ntv2_roundtrip_sql(), tags=("raster", "geometry", "crs", "datum"))
+def q_gtg_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIRD grid-shift format (r11): the identical AGD66/AMG55 roundtrip
+    as ntv2_roundtrip_points, but the grid enters through a PROJ-style
+    2-band float32 horizontal-offset GEOTIFF — write_gtg -> file ->
+    read_gtg (operators/gridshift.py, decoded by the in-repo TIFF codec
+    with r11 float32 SampleFormat support). The oracle SQL is
+    ntv2_roundtrip_points' twin VERBATIM: the loader contract is exact
+    identity (f32 fixture, north-up row reversal + positive-east
+    pass-through pinned in tests), so a hash mismatch here isolates to
+    the GeoTIFF byte layout. Three formats (.gsb, .las/.los, GeoTIFF),
+    one relation contract, one mechanism — matching PROJ's own grid
+    evolution (NTv2 -> GTG), reference analog sentinel1.rs:988-1032."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from sarpro_spark.operators import gridshift as gsx
+    from sarpro_spark.operators import tmerc as tmx
+    from sarpro_spark.queries import fround
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    prods = li.select(
+        (F.col("l_orderkey") % frames.N_PRODUCTS).cast("int").alias("product_id")
+    ).distinct()
+    pid = F.col("product_id")
+    pts = (
+        prods.select(
+            "product_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gi")
+        )
+        .select("product_id", "gi", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("gj"))
+        .select(
+            "product_id", "gi", "gj",
+            (F.lit(-43.0) + ((pid * 3) % 8).cast("double") + F.col("gi") * 0.4).alias("lat"),
+            (F.lit(141.0) + ((pid * 7) % 11).cast("double") + F.col("gj") * 0.4).alias("lon"),
+        )
+    )
+    gtg_dir = _tempfile.mkdtemp(prefix="sarpro_gtg_")
+    try:
+        gtg = _os.path.join(gtg_dir, "agd66_synthetic.tif")
+        gsx.write_gtg(gtg)
+        hdr, grid = gsx.read_gtg_df(spark, gtg)
+    finally:
+        _shutil.rmtree(gtg_dir, ignore_errors=True)
+    if hdr != gsx.SYNTH_HEADER:
+        raise AssertionError(f"gtg header drifted through the file loop: {hdr}")
+    sh = gsx.grid_shift_inverse(
+        pts, grid, hdr, lon="lon", lat="lat", out_lon="ntv_lon", out_lat="ntv_lat"
+    )
+    fw = tmx.apply_steps(
+        sh,
+        tmx.tm_forward_steps_c(
+            tmx.AMG55_TM, lon="ntv_lon", lat="ntv_lat", p="ntm",
+            easting="amg_easting", northing="amg_northing",
+        ),
+    )
+    iv = tmx.apply_steps(
+        fw,
+        tmx.tm_inverse_steps_c(
+            tmx.AMG55_TM, e="amg_easting", n="amg_northing", p="nti",
+            lon_out="iamg_lon", lat_out="iamg_lat",
+        ),
+    )
+    bk = gsx.grid_shift_forward(
+        iv, grid, hdr, lon="iamg_lon", lat="iamg_lat",
+        out_lon="rt_lon", out_lat="rt_lat", p="gfb",
+    )
+    return bk.select(
+        "product_id", "gi", "gj",
+        fround(F.col("rt_lat"), 8).alias("lat_rt"),
+        fround(F.col("rt_lon"), 8).alias("lon_rt"),
+        ((F.abs(F.col("rt_lat") - F.col("lat")) <= 1e-7)
+         & (F.abs(F.col("rt_lon") - F.col("lon")) <= 1e-7)).alias("rt_ok"),
+        (((F.col("ntv_lat") - F.col("lat")) * 3600.0).between(-7.0, -5.0)
+         & ((F.col("ntv_lon") - F.col("lon")) * 3600.0).between(-6.0, -4.0)).alias("shift_ok"),
+    )
+
+
 def _mga_roundtrip_sql() -> str:
     from sarpro_spark.operators import tmerc as tmx
     from sarpro_spark.queries import sql_fround

@@ -250,8 +250,13 @@ def write_tiff(
         arr = arr[:, :, None]
     if arr.ndim != 3 or arr.shape[2] > 3:
         raise ValueError("expected (rows, cols[, samples<=3]) array")
-    if arr.dtype not in (np.uint8, np.uint16):
-        raise ValueError(f"unsupported dtype {arr.dtype} (uint8/uint16 only)")
+    if arr.dtype not in (np.uint8, np.uint16, np.float32):
+        raise ValueError(
+            f"unsupported dtype {arr.dtype} (uint8/uint16/float32 only)"
+        )
+    # float32 (SampleFormat=3): the sample type PROJ's GeoTIFF grids carry
+    # (r11 — sarpro rasters stay u8/u16)
+    is_float = arr.dtype == np.float32
     rows, cols, samples = arr.shape
     arr = np.ascontiguousarray(arr)
     bits = arr.dtype.itemsize * 8
@@ -273,7 +278,7 @@ def write_tiff(
         (TAG_PHOTOMETRIC, _SHORT, [2 if samples == 3 else 1]),
         (TAG_SAMPLES_PER_PIXEL, _SHORT, [samples]),
         (TAG_PLANAR, _SHORT, [1]),
-        (TAG_SAMPLE_FORMAT, _SHORT, [1] * samples),
+        (TAG_SAMPLE_FORMAT, _SHORT, [3 if is_float else 1] * samples),
     ]
 
     if tile_size is not None:
@@ -397,7 +402,15 @@ def read_tiff(path: str) -> tuple[np.ndarray, dict]:
     cols, rows = one(TAG_WIDTH), one(TAG_LENGTH)
     samples = one(TAG_SAMPLES_PER_PIXEL, 1)
     bits = tags.get(TAG_BITS, [8])[0]
-    dtype = np.dtype(e + ("u1" if bits == 8 else "u2"))
+    sample_format = one(TAG_SAMPLE_FORMAT, 1)
+    if sample_format == 3:  # IEEE float (PROJ GeoTIFF grids, r11)
+        if bits != 32:
+            raise NotImplementedError(f"float TIFF with {bits} bits not supported")
+        dtype = np.dtype(e + "f4")
+    elif sample_format in (1, 4):  # unsigned (4 = undefined, treated as 1)
+        dtype = np.dtype(e + ("u1" if bits == 8 else "u2"))
+    else:
+        raise NotImplementedError(f"sample format {sample_format} not supported")
 
     def _decomp(raw: bytes) -> bytes:
         if comp in (8, 32946):

@@ -1490,3 +1490,43 @@ def test_nad27_loslas_route_and_projection(spark, tmp_path):
     assert 3.26e6 < out[0][1] < 3.38e6
     # lon -96.5 is ~2.5 deg east of the CM at lat 33.25 -> easting > 700km
     assert out[1][0] > 700000.0 and 3.6e6 < out[1][1] < 3.73e6
+
+
+def test_gtg_geotiff_grid_roundtrip(spark, tmp_path):
+    """r11 THIRD grid format (PROJ GeoTIFF horizontal_offset): exact
+    identity through the in-repo float32 TIFF codec, the NORTH-UP row
+    reversal pinned on the decoded raster (file row 0 = northmost
+    latitude), positive-east pass-through (no NTv2-style negation), and
+    loud failures for a band-count or georeferencing mismatch."""
+    import numpy as np
+    import pytest as pt
+
+    from sarpro_spark.operators import gridshift as gsx
+    from sarpro_spark.sinks import tiff as t
+
+    p = str(tmp_path / "agd66.tif")
+    gsx.write_gtg(p)
+    hdr, df = gsx.read_gtg_df(spark, p)
+    assert hdr == gsx.SYNTH_HEADER
+    assert sorted(tuple(r) for r in df.collect()) == gsx.synthetic_grid_rows()
+
+    # raw decode: row 0 of the FILE is the northmost engine row, and the
+    # stored value is the shift itself (positive-east, un-negated)
+    arr, meta = t.read_tiff(p)
+    dla, dlo = gsx.synthetic_shift_arrays()
+    n = gsx.SYNTH_HEADER["n_lat"] - 1
+    assert arr.shape == (gsx.SYNTH_HEADER["n_lat"], gsx.SYNTH_HEADER["n_lon"], 2)
+    assert arr[0, 0, 0] == np.float32(dla[n, 0])
+    assert arr[0, 0, 1] == np.float32(dlo[n, 0])
+    assert meta["geotransform"][5] < 0  # north-up
+
+    # 1-band file must fail loudly (not a horizontal_offset grid)
+    bad = str(tmp_path / "oneband.tif")
+    t.write_tiff(bad, dla.astype(np.float32), geotransform=meta["geotransform"])
+    with pt.raises(ValueError, match="2-band"):
+        gsx.read_gtg(bad)
+    # missing georeferencing must fail loudly
+    bad2 = str(tmp_path / "nogt.tif")
+    t.write_tiff(bad2, np.stack([dla, dlo], axis=-1).astype(np.float32))
+    with pt.raises(ValueError, match="georeferencing"):
+        gsx.read_gtg(bad2)

@@ -788,6 +788,12 @@ AUDITS: dict[str, dict] = {
         "require": ["BroadcastHashJoin", "ReusedExchange"],
         "forbid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
     },
+    "gtg_roundtrip_points": {
+        # r11 third grid format (PROJ GeoTIFF): identical plan family —
+        # the loader must not change the dataflow, only the bytes
+        "require": ["BroadcastHashJoin", "ReusedExchange"],
+        "forbid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+    },
     "dedup_exact": {
         "require": ["HashAggregate"], "codegen": True,
         "forbid": ["CartesianProduct", "BatchEvalPython"],
