@@ -906,6 +906,15 @@ def sql_nad27_grid_cte(name: str = "nadgrid", hdr: dict | None = None) -> str:
 def _loslas_one(path: str, hdr: dict, vals: np.ndarray, ident: str, pgm: str) -> None:
     nc, nr = hdr["n_lon"], hdr["n_lat"]
     reclen = 4 * (nc + 1)
+    if reclen < 96:
+        # the Fortran direct-access layout gives EVERY record the data
+        # record's length, and the 96-byte header must fit record 0 —
+        # NC < 23 grids are unrepresentable (all real NADCON grids are far
+        # wider); surfaced by the r11 grid-format property test
+        raise ValueError(
+            f"NADCON record length 4*(NC+1)={reclen} cannot hold the 96-byte "
+            "header: grids need NC >= 23 columns in this format"
+        )
     head = bytearray(reclen)
     head[0:56] = ident.encode("ascii").ljust(56)[:56]
     head[56:64] = pgm.encode("ascii").ljust(8)[:8]
@@ -961,6 +970,9 @@ def read_loslas(las_path: str, los_path: str) -> tuple[dict, list[tuple[int, int
         las = fh.read()
     with open(los_path, "rb") as fh:
         los = fh.read()
+    for path, buf in ((las_path, las), (los_path, los)):
+        if len(buf) < 96:
+            raise ValueError(f"{path}: too short to carry a NADCON header")
     hdr, nc, nr = _loslas_header(las, las_path)
     hdr2, _, _ = _loslas_header(los, los_path)
     if hdr != hdr2:

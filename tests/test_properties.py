@@ -281,3 +281,63 @@ def test_albers_roundtrip_property(lon, lat):
     lo, la = tm.albers_inverse_np(e, n)
     assert abs(float(lo[0]) - lon) < 1e-7
     assert abs(float(la[0]) - lat) < 1e-7
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_lat=st.integers(3, 12),
+    n_lon=st.integers(3, 30),
+    lat0_q=st.integers(-320, 280),      # quarter-degrees: f32-exact
+    lon0_q=st.integers(-700, 690),
+    inc_q=st.sampled_from([1, 2, 4]),   # 0.25/0.5/1.0 degrees
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_grid_format_roundtrip_property(n_lat, n_lon, lat0_q, lon0_q, inc_q, seed):
+    """r11: all THREE grid-shift binary formats (.gsb, .las/.los, GeoTIFF)
+    are exact identities for any f32-exact grid window — random headers
+    and random f32 shift fields round-trip bit-for-bit through each
+    writer/reader pair into the same engine relation."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from sarpro_spark.operators import gridshift as gsx
+
+    hdr = {
+        "lat0": lat0_q / 4.0, "lon0": lon0_q / 4.0,
+        "lat_inc": inc_q / 4.0, "lon_inc": inc_q / 4.0,
+        "n_lat": n_lat, "n_lon": n_lon,
+    }
+    rng = np.random.default_rng(seed)
+    dlat = rng.uniform(-10, 10, size=(n_lat, n_lon)).astype(np.float32).astype(np.float64)
+    dlon = rng.uniform(-10, 10, size=(n_lat, n_lon)).astype(np.float32).astype(np.float64)
+    want = [
+        (i, j, float(dlat[i, j]), float(dlon[i, j]))
+        for i in range(n_lat) for j in range(n_lon)
+    ]
+    d = tempfile.mkdtemp()
+    try:
+        p = os.path.join(d, "g.gsb")
+        gsx.write_gsb(p, hdr, (dlat, dlon))
+        h1, r1 = gsx.read_gsb(p)
+        assert h1 == hdr and r1 == want
+
+        las, los = os.path.join(d, "g.las"), os.path.join(d, "g.los")
+        if n_lon >= 23:  # the Fortran record must hold the 96-byte header
+            gsx.write_loslas(las, los, hdr, (dlat, dlon))
+            h2, r2 = gsx.read_loslas(las, los)
+            assert h2 == hdr and r2 == want
+        else:
+            import pytest as pt
+
+            with pt.raises(ValueError, match="NC >= 23"):
+                gsx.write_loslas(las, los, hdr, (dlat, dlon))
+
+        tif = os.path.join(d, "g.tif")
+        gsx.write_gtg(tif, hdr, (dlat, dlon))
+        h3, r3 = gsx.read_gtg(tif)
+        assert h3 == hdr and r3 == want
+    finally:
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
