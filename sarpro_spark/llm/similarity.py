@@ -1251,3 +1251,158 @@ SELECT query_id, {id_col}, sim, rnk FROM (
   FROM scored
 ) r WHERE rnk <= {k}
 """.strip()
+
+
+# --- 1-bit (binary) quantization + Hamming shortlist + exact rerank (r11) -----
+# The third rung of the quantization ladder (f32 -> int8 -> 1 bit): sign-bit
+# codes cut the scan to 1/32 of f32 bytes and replace the inner product with
+# XOR+popcount — the standard binary-embedding pipeline published with
+# modern embedding models (shortlist by Hamming distance, then rescore the
+# shortlist with the exact float cosine). Codes pack 32 dims per BIGINT
+# word so the cross-engine bit arithmetic never touches the sign bit
+# (DuckDB's << raises on signed overflow; Spark's wraps — 32-bit words
+# sidestep the difference entirely, and the packed constants are plain
+# integer literals in both plans).
+
+
+def quantize_binary(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sign-bit codes: word w carries dims [32w, 32w+32) as bits
+    (bit i set iff embedding[32w+i] > 0). Returns (id, *keep, b0..b{W-1})."""
+    words = (dim + 31) // 32
+    v = F.col(vec_col)
+    cols = []
+    for w in range(words):
+        expr = F.lit(0).cast("long")
+        for i in range(32):
+            pos = w * 32 + i
+            if pos >= dim:
+                break
+            expr = expr + F.when(
+                v[pos].cast("double") > 0.0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        cols.append(expr.alias(f"b{w}"))
+    return df.select(F.col(id_col), *[F.col(c) for c in keep], *cols)
+
+
+def cosine_topk_binary(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist_mult: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Binary-quantized ANN: Hamming-distance shortlist (top k*mult per
+    query by XOR+popcount over the packed sign bits — pure integer
+    codegen, deterministic tie-break on id) then EXACT cosine rescoring
+    of the shortlist only. At 100 TB the corpus-side scan touches 8 bytes
+    per 64-dim vector and the float math touches k*mult rows per query.
+    Output (query_id, vec_id, hamming, sim, rnk) keeps the shortlist
+    distance as data, so recall-vs-int8/exact is measurable downstream."""
+    from sarpro_spark.functions.partitioning import widen_if_narrow
+    from sarpro_spark.queries import fround
+
+    words = (dim + 31) // 32
+    qb = quantize_binary(queries, qid_col, qvec_col, dim, keep=(qvec_col,))
+    qb = qb.select(
+        F.col(qid_col), F.col(qvec_col),
+        *[F.col(f"b{w}").alias(f"qb{w}") for w in range(words)],
+    )
+    emb = widen_if_narrow(emb, id_col)
+    cb = quantize_binary(emb, id_col, vec_col, dim, keep=(vec_col,))
+    j = cb.join(F.broadcast(qb))
+    ham = sum(
+        (F.bit_count(F.col(f"b{w}").bitwiseXOR(F.col(f"qb{w}"))) for w in range(words)),
+        F.lit(0),
+    )
+    scored = j.select(
+        F.col(qid_col), F.col(id_col), ham.alias("hamming"),
+        F.col(vec_col), F.col(qvec_col),
+    )
+    wsh = Window.partitionBy(qid_col).orderBy(F.col("hamming"), F.col(id_col))
+    short = (
+        scored.withColumn("_hrnk", F.row_number().over(wsh))
+        .where(F.col("_hrnk") <= k * shortlist_mult)
+    )
+    sim = fround(
+        cosine_expr(F.col(vec_col).cast("array<double>"), F.col(qvec_col).cast("array<double>")),
+        round_digits,
+    )
+    rescored = short.select(
+        F.col(qid_col), F.col(id_col), F.col("hamming"), sim.alias("sim")
+    ).where(F.col("sim").isNotNull())
+    wf = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(wf))
+        .where(F.col("rnk") <= k)
+        .select(qid_col, id_col, "hamming", "sim", "rnk")
+    )
+
+
+def sql_cosine_topk_binary(
+    emb_rel: str, query_sel: str, k: int = 10, shortlist_mult: int = 4,
+    dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`cosine_topk_binary` (full statement)."""
+    from sarpro_spark.queries import sql_fround
+
+    words = (dim + 31) // 32
+
+    def bits(vexpr: str, w: int) -> str:
+        terms = []
+        for i in range(32):
+            pos = w * 32 + i
+            if pos >= dim:
+                break
+            terms.append(
+                f"(CASE WHEN CAST({vexpr}[{pos + 1}] AS DOUBLE) > 0.0 "
+                f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+        return " + ".join(terms)
+
+    qbits = ", ".join(f"({bits('qvec', w)}) AS qb{w}" for w in range(words))
+    cbits = ", ".join(f"({bits(vec_col, w)}) AS b{w}" for w in range(words))
+    ham = " + ".join(f"bit_count(xor(c.b{w}, q.qb{w}))" for w in range(words))
+    dp = (
+        "list_sum(list_transform(range(1, len(s.v) + 1), "
+        "i -> CAST(s.v[i] AS DOUBLE) * CAST(s.qv[i] AS DOUBLE)))"
+    )
+    nv = "SQRT(list_sum(list_transform(s.v, x -> CAST(x AS DOUBLE) * x)))"
+    nq = "SQRT(list_sum(list_transform(s.qv, x -> CAST(x AS DOUBLE) * x)))"
+    return f"""
+WITH queries AS ({query_sel}),
+qbin AS (SELECT query_id, qvec, {qbits} FROM queries),
+cbin AS (SELECT {id_col}, {vec_col}, {cbits} FROM {emb_rel}),
+hammed AS (
+  SELECT q.query_id, c.{id_col}, ({ham}) AS hamming,
+         c.{vec_col} AS v, q.qvec AS qv
+  FROM cbin c CROSS JOIN qbin q
+),
+short AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, {id_col}) AS hrnk
+    FROM hammed
+  ) h WHERE hrnk <= {k * shortlist_mult}
+),
+rescored AS (
+  SELECT s.query_id, s.{id_col}, s.hamming,
+         {sql_fround(f"({dp}) / ({nv} * {nq})")} AS sim
+  FROM short s
+  WHERE {nv} > 0 AND {nq} > 0
+)
+SELECT query_id, {id_col}, hamming, sim, rnk FROM (
+  SELECT query_id, {id_col}, hamming, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, {id_col}) AS rnk
+  FROM rescored
+) r WHERE rnk <= {k}
+""".strip()

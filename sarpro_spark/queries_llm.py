@@ -1596,6 +1596,23 @@ def q_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_int8(e, _spark_queries_frame(spark, sf_dir), k=10)
 
 
+_TOPK_BINARY_SQL = sim.sql_cosine_topk_binary("embeddings", _QUERY_SEL, k=10)
+
+
+@query("similarity_topk_binary", sql=_TOPK_BINARY_SQL, tags=("llm", "similarity"))
+def q_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-BIT quantized ANN (r11 — the third rung of the quantization
+    ladder after f32 and int8): sign-bit codes pack 32 dims per BIGINT
+    word (1/32 of f32 scan bytes), the shortlist is XOR+popcount Hamming
+    distance (pure integer codegen, top k*4 per query, deterministic
+    id tie-break), and only the shortlist is rescored with the exact
+    float cosine — the binary-embedding rerank pipeline published with
+    modern embedding models. The hashed row keeps the Hamming distance
+    next to the rescored sim, so shortlist quality is data."""
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_binary(e, _spark_queries_frame(spark, sf_dir), k=10)
+
+
 # --- training-sequence packing + mixture planning -----------------------------
 
 

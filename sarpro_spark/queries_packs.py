@@ -293,6 +293,7 @@ register_pack(
         Member("similarity_topk_lsh", ("query_id", "vec_id")),
         Member("similarity_topk_ivf", ("query_id", "vec_id")),
         Member("similarity_topk_int8", ("query_id", "vec_id")),
+        Member("similarity_topk_binary", ("query_id", "vec_id")),
         Member("embedding_quantize_int8", ("vec_id", "pos")),
         Member("tfidf_topk_similar", ("doc_id", "nbr_id")),
         Member("tfidf_top_terms", ("doc_id", "term")),

@@ -1249,3 +1249,37 @@ def test_semantic_dedup_recluster_matches_direct_scan(spark):
     # rule — the fixture is doing what it claims
     assert want_kept == {0, 1, 2}
     assert got_kept == want_kept
+
+
+def test_binary_quantization_hamming_rerank(spark):
+    """r11 1-bit ANN: sign-bit packing is exact (known vector -> known
+    words), hamming(x, x) = 0, a sign-flipped vector is at distance dim,
+    and the rescored top-1 for a query that EQUALS a corpus vector is
+    that vector with sim 1.0 — while the shortlist rule is observable
+    (hamming carried next to sim)."""
+    import sarpro_spark.llm.similarity as sim
+
+    dim = 64
+    base = [1.0 if i % 3 == 0 else -1.0 for i in range(dim)]
+    flipped = [-x for x in base]
+    near = list(base)
+    near[5] = -near[5]  # one sign flip -> hamming 1
+    emb = spark.createDataFrame(
+        [(0, base), (1, flipped), (2, near)],
+        "vec_id long, embedding array<double>",
+    )
+    qb = sim.quantize_binary(emb, dim=dim).orderBy("vec_id").collect()
+    # bit i of word w set iff dim 32w+i positive
+    want0 = sum(1 << i for i in range(32) if i % 3 == 0)
+    want1 = sum(1 << (i - 32) for i in range(32, 64) if i % 3 == 0)
+    assert (qb[0]["b0"], qb[0]["b1"]) == (want0, want1)
+    assert (qb[1]["b0"] & qb[0]["b0"]) == 0 and (qb[1]["b1"] & qb[0]["b1"]) == 0
+
+    queries = spark.createDataFrame(
+        [(100, base)], "query_id long, qvec array<double>"
+    )
+    out = {r["vec_id"]: r for r in
+           sim.cosine_topk_binary(emb, queries, k=3, dim=dim).collect()}
+    assert out[0]["hamming"] == 0 and out[0]["rnk"] == 1 and out[0]["sim"] == 1.0
+    assert out[2]["hamming"] == 1
+    assert out[1]["hamming"] == dim and out[1]["sim"] == -1.0

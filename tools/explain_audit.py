@@ -794,6 +794,15 @@ AUDITS: dict[str, dict] = {
         "require": ["BroadcastHashJoin", "ReusedExchange"],
         "forbid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
     },
+    "similarity_topk_binary": {
+        # r11 1-bit ANN: bounded query batch deliberately crossed (must be
+        # broadcast NLJ, never a shuffled cartesian); the Hamming
+        # shortlist and sign-bit packing are pure integer codegen, the
+        # float cosine touches only the shortlisted rows; no Python
+        "require": ["BroadcastNestedLoopJoin", "Window"], "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                   "FlatMapGroupsInPandas", "MapInPandas"],
+    },
     "dedup_exact": {
         "require": ["HashAggregate"], "codegen": True,
         "forbid": ["CartesianProduct", "BatchEvalPython"],
@@ -1022,6 +1031,7 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ("llm/similarity.py", "qkeys"): ("bounded-batch", "LSH keys of the bounded query batch"),
     ("llm/similarity.py", "centroids"): ("constant", "k IVF/k-means centroids"),
     ("llm/similarity.py", "qc"): ("bounded-batch", "query x probe-centroid rows, bounded batch"),
+    ("llm/similarity.py", "qb"): ("bounded-batch", "sign-bit codes of the bounded query batch (r11 binary ANN)"),
     ("llm/tfidf.py", "total"): ("constant", "1-row corpus count"),
     ("llm/tfidf.py", "vocab_idx"): ("bounded-batch", "dense path only: vocab <= DENSE_VOCAB_MAX"),
     ("llm/tfidf.py", "reps"): ("constant", "G replication ids"),
