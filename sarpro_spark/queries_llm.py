@@ -1613,6 +1613,22 @@ def q_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_binary(e, _spark_queries_frame(spark, sf_dir), k=10)
 
 
+_RECALL_BINARY_SQL = sim.sql_binary_recall_sweep("embeddings", _QUERY_SEL, k=5)
+
+
+@query("ann_recall_binary", sql=_RECALL_BINARY_SQL, tags=("llm", "similarity", "quality"))
+def q_ann_recall_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall frontier of the 1-bit pipeline (r11): per query, how many of
+    the EXACT top-5 survive a Hamming shortlist of 5m (m = 1/2/4) + exact
+    rerank — the recall-vs-cost ladder as hashed DATA, same doctrine as
+    the LSH/IVF and doc-side probe sweeps. ONE Hamming scan and ONE
+    rescoring pass serve all three multipliers (smaller m = prefix filter
+    on the same ranked relation); hits is provably non-decreasing in m
+    and monotone_ok pins that per row."""
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return sim.binary_recall_sweep(e, _spark_queries_frame(spark, sf_dir), k=5)
+
+
 # --- training-sequence packing + mixture planning -----------------------------
 
 

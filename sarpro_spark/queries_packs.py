@@ -301,6 +301,7 @@ register_pack(
         Member("embedding_pca_project", ("vec_id",)),
         Member("ann_recall_at_k", ("query_id",)),
         Member("ann_recall_multiprobe", ("query_id",)),
+        Member("ann_recall_binary", ("query_id", "mult")),
     ),
     doc="Union certificate: ANN top-k via brute force, banded-hyperplane "
     "LSH, IVF inverted lists, int8-quantized scan, the int8 quantization "

@@ -1283,3 +1283,20 @@ def test_binary_quantization_hamming_rerank(spark):
     assert out[0]["hamming"] == 0 and out[0]["rnk"] == 1 and out[0]["sim"] == 1.0
     assert out[2]["hamming"] == 1
     assert out[1]["hamming"] == dim and out[1]["sim"] == -1.0
+
+
+def test_binary_recall_sweep_monotone(spark, sf_dir):
+    """r11: the 1-bit recall frontier is monotone in the shortlist
+    multiplier per query (superset shortlist reranked by the same global
+    order), every recall is in [0,1], and the largest multiplier beats or
+    ties the smallest in aggregate."""
+    from sarpro_spark.queries_llm import q_ann_recall_binary
+
+    rows = q_ann_recall_binary(spark, sf_dir).collect()
+    assert len(rows) == 15  # 5 queries x 3 multipliers
+    assert all(r["monotone_ok"] for r in rows)
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    tot = {m: 0 for m in (1, 2, 4)}
+    for r in rows:
+        tot[r["mult"]] += r["hits"]
+    assert tot[1] <= tot[2] <= tot[4]

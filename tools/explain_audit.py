@@ -794,6 +794,17 @@ AUDITS: dict[str, dict] = {
         "require": ["BroadcastHashJoin", "ReusedExchange"],
         "forbid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
     },
+    "ann_recall_binary": {
+        # r11 recall frontier: one Hamming scan + one rescoring pass feed
+        # all three multipliers via a CHECKPOINTED shortlist (uncached it
+        # re-ran the corpus scan per leg). The Hamming BNLJ runs INSIDE
+        # the eager checkpoint so the final plan can't show it (the r9
+        # SemDeDup lesson) — it stays visible in similarity_topk_binary's
+        # audited plan, which shares the scan; here we pin the
+        # post-checkpoint shape: per-mult windows, keyed joins, no Python
+        "require": ["Window", "HashAggregate"],
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
     "similarity_topk_binary": {
         # r11 1-bit ANN: bounded query batch deliberately crossed (must be
         # broadcast NLJ, never a shuffled cartesian); the Hamming
