@@ -113,9 +113,11 @@ HEADLINE = [
     "neardup_recall_multiprobe",
     "ingest_sink_roundtrip",
     # round-11 additions: the NADCON second grid format, the Q23-shape
-    # multi-pass CTE reuse, and the lanczos leg rides affine_warp_kernels
+    # multi-pass CTE reuse, the 1-bit Hamming+rerank ANN; the lanczos leg
+    # rides affine_warp_kernels
     "nad27_roundtrip_points",
     "tpcds_frequent_buyers",
+    "similarity_topk_binary",
 ]
 
 

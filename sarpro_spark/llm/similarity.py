@@ -1286,6 +1286,18 @@ def quantize_binary(
             expr = expr + F.when(
                 v[pos].cast("double") > 0.0, F.lit(1 << i).cast("long")
             ).otherwise(F.lit(0).cast("long"))
+        if w == 0:
+            # a vector shorter than dim would otherwise quantize its
+            # missing tail as silent negative bits — fail loudly instead
+            expr = F.when(
+                F.size(v) < dim,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"quantize_binary: vector shorter than dim={dim}: "),
+                        F.size(v).cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(expr)
         cols.append(expr.alias(f"b{w}"))
     return df.select(F.col(id_col), *[F.col(c) for c in keep], *cols)
 
