@@ -83,6 +83,7 @@ FLAGSHIPS = [
     ("nad27_roundtrip_points", "NADCON second grid format (r11): .las/.los pair -> same broadcast cell-join chain, Clarke-1866 TM codegen, exchange reused across fixed-point rounds"),
     ("affine_warp_kernels", "all FOUR -r kernels from ONE fused 36-tap gather (r11 adds true Lanczos3 via phase-LUT literals): one pixel shuffle, SMJ-pinned big-x-big"),
     ("tpcds_frequent_buyers", "Q23 shape (r11): shared frequent-items/best-customers aggregates plan once, ReusedExchange to second consumers, LeftSemi gates, 1-row broadcast thresholds"),
+    ("similarity_topk_binary", "1-bit ANN (r11): sign-bit packing + XOR/popcount Hamming shortlist in pure integer codegen, broadcast query batch, float cosine only on the shortlist"),
 ]
 
 
