@@ -118,6 +118,7 @@ HEADLINE = [
     "nad27_roundtrip_points",
     "tpcds_frequent_buyers",
     "similarity_topk_binary",
+    "bucketed_colocated_join",
 ]
 
 

@@ -1481,7 +1481,12 @@ def binary_recall_sweep(
         cosine_expr(F.col(vec_col).cast("array<double>"), F.col(qvec_col).cast("array<double>")),
         round_digits,
     )
-    rescored = short.select(qid_col, id_col, "_hrnk", sim.alias("sim"))
+    rescored = short.select(qid_col, id_col, "_hrnk", sim.alias("sim")).where(
+        # zero-norm vectors yield NULL cosine; engines order NULLs
+        # differently under DESC, so drop them BEFORE ranking (the same
+        # guard every topk variant applies)
+        F.col("sim").isNotNull()
+    )
     # the per-multiplier legs and the truth join each consume these
     # relations once per m — uncheckpointed, every leg re-runs the full
     # Hamming scan + shortlist window (measured 12.7 -> ~5 s at sf0.01).
@@ -1570,6 +1575,7 @@ rescored AS (
   SELECT s.query_id, s.{id_col}, s.hrnk,
          {sql_fround(f"({dp}) / ({nv} * {nq})")} AS sim
   FROM short s
+  WHERE {nv} > 0 AND {nq} > 0
 ),
 perq AS (
   {body}

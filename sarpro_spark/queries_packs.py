@@ -386,6 +386,7 @@ register_pack(
         Member("dormant_rich_customers", ("c_nationkey",)),
         Member("semi_anti_join", ("kind",)),
         Member("window_analytics_orders", ("o_custkey", "o_orderkey")),
+        Member("bucketed_colocated_join", ("orderkey",)),
         # r11 head rotation: these four moved from the driver head into
         # this pack (window_range_frames moved the other way)
         Member("set_operations", ("op",)),

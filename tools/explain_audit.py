@@ -794,6 +794,15 @@ AUDITS: dict[str, dict] = {
         "require": ["BroadcastHashJoin", "ReusedExchange"],
         "forbid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
     },
+    "bucketed_colocated_join": {
+        # r11 layout certificate: both sides scan as bucketed tables and
+        # the key join + key aggregate run with ZERO exchanges — any
+        # Exchange in this plan (shuffle or broadcast) means the
+        # co-location regressed; the SMJ is pinned (static stats would
+        # broadcast the small-SF orders side and skip the demonstration)
+        "require": ["SortMergeJoin", "Bucketed: true"],
+        "forbid": ["Exchange", "CartesianProduct", "BatchEvalPython"],
+    },
     "ann_recall_binary": {
         # r11 recall frontier: one Hamming scan + one rescoring pass feed
         # all three multipliers via a CHECKPOINTED shortlist (uncached it
