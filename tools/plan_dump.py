@@ -84,6 +84,7 @@ FLAGSHIPS = [
     ("affine_warp_kernels", "all FOUR -r kernels from ONE fused 36-tap gather (r11 adds true Lanczos3 via phase-LUT literals): one pixel shuffle, SMJ-pinned big-x-big"),
     ("tpcds_frequent_buyers", "Q23 shape (r11): shared frequent-items/best-customers aggregates plan once, ReusedExchange to second consumers, LeftSemi gates, 1-row broadcast thresholds"),
     ("similarity_topk_binary", "1-bit ANN (r11): sign-bit packing + XOR/popcount Hamming shortlist in pure integer codegen, broadcast query batch, float cosine only on the shortlist"),
+    ("bucketed_colocated_join", "bucketed layout (r11): key join + key aggregate over two bucketed scans with ZERO exchanges — the shuffle-once-at-write-time answer"),
 ]
 
 
