@@ -1530,3 +1530,27 @@ def test_gtg_geotiff_grid_roundtrip(spark, tmp_path):
     t.write_tiff(bad2, np.stack([dla, dlo], axis=-1).astype(np.float32))
     with pt.raises(ValueError, match="georeferencing"):
         gsx.read_gtg(bad2)
+
+
+def test_nad27_tm_snyder_worked_example(spark):
+    """Anchor the Clarke-1866 Transverse Mercator to the PUBLIC worked
+    example (Snyder, 'Map Projections — A Working Manual', USGS PP 1395,
+    UTM example: Clarke 1866, zone 18, phi = 40d30'N, lambda = 73d30'W ->
+    x = 127,106.5 m, y = 4,484,124.4 m) — the same anchoring doctrine as
+    the OSGB Annex C, EPSG Texas, and Snyder Albers examples. A constants
+    or series regression in nad27_tm cannot pass within 0.5 m."""
+    from sarpro_spark.operators import tmerc as tmx
+
+    df = spark.createDataFrame([(-73.5, 40.5)], "lon double, lat double")
+    out = tmx.apply_steps(
+        df, tmx.tm_forward_steps_c(tmx.nad27_tm(18), easting="e", northing="n")
+    ).collect()[0]
+    assert abs((out["e"] - 500000.0) - 127106.5) < 0.5
+    assert abs(out["n"] - 4484124.4) < 0.5
+    # and the inverse closes the loop
+    back = tmx.apply_steps(
+        spark.createDataFrame([(out["e"], out["n"])], "e double, n double"),
+        tmx.tm_inverse_steps_c(tmx.nad27_tm(18), e="e", n="n",
+                               lon_out="lon_b", lat_out="lat_b"),
+    ).collect()[0]
+    assert abs(back["lon_b"] - (-73.5)) < 2e-9 and abs(back["lat_b"] - 40.5) < 2e-9
