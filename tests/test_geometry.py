@@ -1554,3 +1554,42 @@ def test_nad27_tm_snyder_worked_example(spark):
                                lon_out="lon_b", lat_out="lat_b"),
     ).collect()[0]
     assert abs(back["lon_b"] - (-73.5)) < 2e-9 and abs(back["lat_b"] - 40.5) < 2e-9
+
+
+def test_multigrid_dispatch_is_format_agnostic(spark, tmp_path):
+    """r11: the densest-covering multigrid dispatch consumes grids from
+    ANY loader — a NADCON .las/.los pair (dense local window) nested over
+    a GeoTIFF-loaded parent produces the same selection semantics as the
+    all-.gsb cert: points inside the dense window take gid 0, points only
+    the parent covers take gid 1, and the fixed-point inverse roundtrips."""
+    import os
+
+    from sarpro_spark.operators import gridshift as gsx
+
+    # parent: the synthetic national grid via GeoTIFF
+    tif = str(tmp_path / "nat.tif")
+    gsx.write_gtg(tif)
+    h_nat, g_nat = gsx.read_gtg_df(spark, tif)
+    # dense: the nested Victoria-ish fixture via NADCON pair (needs NC>=23
+    # columns — the dense fixture has 25)
+    las, los = str(tmp_path / "dense.las"), str(tmp_path / "dense.los")
+    gsx.write_loslas(las, los, gsx.SYNTH_DENSE_HEADER, gsx.synthetic_dense_arrays())
+    h_den, g_den = gsx.read_loslas_df(spark, las, los)
+    assert h_den == gsx.SYNTH_DENSE_HEADER
+
+    grids = [(h_den, g_den), (h_nat, g_nat)]
+    pts = spark.createDataFrame(
+        [(0, -37.1, 145.3),   # inside the dense window -> gid 0
+         (1, -33.0, 150.0)],  # national only -> gid 1
+        "pid int, lat double, lon double",
+    )
+    fw = gsx.multigrid_shift_forward(pts, grids, p="mf")
+    iv = gsx.multigrid_shift_inverse(
+        fw, grids, lon="gs_lon", lat="gs_lat",
+        out_lon="rt_lon", out_lat="rt_lat", p="mv",
+    )
+    rows = {r["pid"]: r for r in iv.collect()}
+    assert rows[0]["mf_gid"] == 0 and rows[1]["mf_gid"] == 1
+    for p in (0, 1):
+        assert abs(rows[p]["rt_lat"] - rows[p]["lat"]) < 1e-9
+        assert abs(rows[p]["rt_lon"] - rows[p]["lon"]) < 1e-9
