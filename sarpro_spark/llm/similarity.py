@@ -817,8 +817,8 @@ def semantic_dedup(
     from sarpro_spark.llm.sampling import hash_bucket
     from sarpro_spark.queries import fround
 
-    def _level_stats(rel: DataFrame, gcols: list[str], level: int) -> DataFrame:
-        g = rel.groupBy(*gcols).agg(F.count(F.lit(1)).alias("size"))
+    def _stats_of_sizes(g: DataFrame, level: int) -> DataFrame:
+        """One telemetry row from a per-group ``size`` relation."""
         ns = F.ceil(F.col("size") / float(max_cluster)).cast("long")
         g = g.select("size", ns.alias("ns"))
         b = F.ceil(F.col("size") / F.col("ns")).cast("long")
@@ -831,6 +831,11 @@ def semantic_dedup(
             F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).cast("long").alias("n_over"),
             F.max("size").alias("max_size"),
             bound.alias("pair_bound"),
+        )
+
+    def _level_stats(rel: DataFrame, gcols: list[str], level: int) -> DataFrame:
+        return _stats_of_sizes(
+            rel.groupBy(*gcols).agg(F.count(F.lit(1)).alias("size")), level
         )
 
     checkpoint = _checkpointer(emb)
@@ -926,12 +931,25 @@ def semantic_dedup(
         group_cols.append(sub_col)
         # group sizes at the refined path: feeds the next level's split
         # decision, or (after the last level) the residual salt hard bound
-        ssz = msub.groupBy(*group_cols).agg(
-            F.ceil(F.count(F.lit(1)) / float(max_cluster)).cast("long").alias("nsplit")
-        )
-        cur = msub.join(ssz, group_cols)
         if telemetry:
-            telem.append(_level_stats(msub, group_cols, d))
+            # materialize the TINY per-group size relation once (one row
+            # per group path): the split decision, the cur join, and the
+            # telemetry row all read it — uncheckpointed, each consumer
+            # re-executed msub's full sub-kmeans lineage (the telemetry
+            # leg alone added ~0.8 s to the cert at sf0.1)
+            sizes = checkpoint(
+                msub.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("size"))
+            )
+            ssz = sizes.select(
+                *group_cols,
+                F.ceil(F.col("size") / float(max_cluster)).cast("long").alias("nsplit"),
+            )
+            telem.append(_stats_of_sizes(sizes, d))
+        else:
+            ssz = msub.groupBy(*group_cols).agg(
+                F.ceil(F.count(F.lit(1)) / float(max_cluster)).cast("long").alias("nsplit")
+            )
+        cur = msub.join(ssz, group_cols)
         if d < depth:
             # next level makes sub_iters+2 passes over cur — same
             # materialize-once policy as m
