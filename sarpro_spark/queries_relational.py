@@ -1656,6 +1656,15 @@ def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- bucketed co-located join (the 100 TB shuffle-elimination layout) ----------
 
+import threading as _threading
+
+#: the scratch-table write/read section is not thread-safe: the audit's
+#: plan pool builds this query's plan AND relational_pack's (which invokes
+#: the same fn) concurrently — two unsynchronized DROP+rmtree+saveAsTable
+#: sequences over one location flake with LOCATION_ALREADY_EXISTS /
+#: FILE_NOT_EXIST (the same class as the r10 _member_schema race)
+_BUCKETED_SCRATCH_LOCK = _threading.Lock()
+
 _BUCKETED_JOIN_SQL = """
 SELECT l.l_orderkey AS orderkey,
        CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -1688,37 +1697,38 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from urllib.parse import urlparse as _urlparse
 
     db = "sarpro_bkt"
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-    # self-healing scratch: a FRESH session's in-memory catalog does not
-    # know tables a previous process wrote, but their warehouse locations
-    # persist and make saveAsTable fail with LOCATION_ALREADY_EXISTS —
-    # drop both the catalog entry and the directory before writing
-    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
-    for tbl in ("lineitem_b", "orders_b"):
-        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
-        _shutil.rmtree(_os.path.join(wh, f"{db}.db", tbl), ignore_errors=True)
-    li = frames.load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    o = frames.load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority"
-    )
-    (
-        li.repartition(16, "l_orderkey")
-        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable(f"{db}.lineitem_b")
-    )
-    (
-        o.repartition(16, "o_orderkey")
-        .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable(f"{db}.orders_b")
-    )
-    # the catalog caches each table's file index: a repeat invocation
-    # rewrites the files, so refresh or the previous index serves deleted
-    # paths (FAILED_READ_FILE on the second run in one session)
-    spark.catalog.refreshTable(f"{db}.lineitem_b")
-    spark.catalog.refreshTable(f"{db}.orders_b")
-    bl, bo = spark.table(f"{db}.lineitem_b"), spark.table(f"{db}.orders_b")
+    with _BUCKETED_SCRATCH_LOCK:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        # self-healing scratch: a FRESH session's in-memory catalog does not
+        # know tables a previous process wrote, but their warehouse locations
+        # persist and make saveAsTable fail with LOCATION_ALREADY_EXISTS —
+        # drop both the catalog entry and the directory before writing
+        wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+        for tbl in ("lineitem_b", "orders_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+            _shutil.rmtree(_os.path.join(wh, f"{db}.db", tbl), ignore_errors=True)
+        li = frames.load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        o = frames.load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        (
+            li.repartition(16, "l_orderkey")
+            .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable(f"{db}.lineitem_b")
+        )
+        (
+            o.repartition(16, "o_orderkey")
+            .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable(f"{db}.orders_b")
+        )
+        # the catalog caches each table's file index: a repeat invocation
+        # rewrites the files, so refresh or the previous index serves
+        # deleted paths (FAILED_READ_FILE on the second run in one session)
+        spark.catalog.refreshTable(f"{db}.lineitem_b")
+        spark.catalog.refreshTable(f"{db}.orders_b")
+        bl, bo = spark.table(f"{db}.lineitem_b"), spark.table(f"{db}.orders_b")
     # pin the merge join: at small SF the static planner would broadcast
     # the orders side and silently skip the co-location this row exists to
     # certify (at 100 TB both sides are fact tables — the r6 de-hint
