@@ -2795,3 +2795,48 @@ def q_encoding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("non_ascii_ratio"),
         (repl > 0).alias("has_mojibake"),
     )
+
+
+# --- exact-substring dedup (suffix-array class, r11) ---------------------------
+
+def _substr_pairs_sql() -> str:
+    from sarpro_spark.llm import substring as ssub
+
+    return ssub.sql_exact_substring_pairs("documents")
+
+
+def _substr_removal_sql() -> str:
+    from sarpro_spark.llm import substring as ssub
+
+    return ssub.sql_exact_substring_removal("documents")
+
+
+@query("dedup_exact_substring", sql=_substr_pairs_sql, tags=("llm", "dedup"))
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (the suffix-array family — ExactSubstr, Lee et
+    al. 2021): every doc pair sharing a verified exact run >= 40 chars, with
+    span count / longest run / duplicated mass. Anchor hashes at every
+    character position (O(total_chars) rows, hash-partitioned — the
+    distributed stand-in for the corpus suffix array), document-frequency
+    cap bounds hot-gram join fan-out, diagonal gaps-and-islands merges
+    anchors back into maximal spans, and spans re-verify the real
+    substrings (candidates->exact-verify doctrine). The oracle groups by
+    the gram itself, so any Spark-side divergence — hashing, islands,
+    verification — fails the hash."""
+    from sarpro_spark.llm import substring as ssub
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return ssub.exact_substring_pairs(d)
+
+
+@query("dedup_substring_removal", sql=_substr_removal_sql, tags=("llm", "dedup"))
+def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc ExactSubstr removal inventory: the merged duplicated
+    intervals (running-max-end island union, so overlapping spans count
+    each character once) and the clean/duplicated char split a removal
+    pass would produce. The quantity that decides whether a 100 TB corpus
+    loses 3% or 30% to boilerplate."""
+    from sarpro_spark.llm import substring as ssub
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return ssub.exact_substring_removal(d)

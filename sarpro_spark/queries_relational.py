@@ -1742,3 +1742,111 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderpriority").alias("pri"),
         )
     )
+
+
+# --- Z-order layout locality (the 100 TB multi-dimensional range layout) -------
+
+
+def _zorder_locality_sql() -> str:
+    from sarpro_spark.functions.zorder import sql_interleave_bits, sql_quantize
+
+    bits, fbits = 16, 6
+    qx = sql_quantize(
+        "o_custkey", "(SELECT MIN(o_custkey) FROM orders)", "(SELECT MAX(o_custkey) FROM orders)", bits
+    )
+    day = "CAST(FLOOR(EPOCH_US(o_orderdate) / 86400000000.0) AS BIGINT)"
+    qy = sql_quantize(day, f"(SELECT MIN({day}) FROM orders)", f"(SELECT MAX({day}) FROM orders)", bits)
+    z = sql_interleave_bits("qx", "qy", bits)
+    lo, hi = 1 << (bits - 2), (1 << (bits - 1)) - 1
+    return f"""
+WITH q AS (SELECT {qx} AS qx, {qy} AS qy FROM orders),
+zed AS (SELECT qx, qy, {z} AS zval FROM q),
+zfiles AS (SELECT qx, qy,
+            zval >> {2 * bits - fbits} AS fz,
+            qx >> {bits - fbits} AS fl,
+            (qx BETWEEN {lo} AND {hi} AND qy BETWEEN {lo} AND {hi}) AS inbox
+          FROM zed),
+zstats AS (SELECT fz, MAX(qx)-MIN(qx)+1 AS w, MAX(qy)-MIN(qy)+1 AS h, BOOL_OR(inbox) AS hit
+           FROM zfiles GROUP BY fz),
+lstats AS (SELECT fl, MAX(qx)-MIN(qx)+1 AS w, MAX(qy)-MIN(qy)+1 AS h, BOOL_OR(inbox) AS hit
+           FROM zfiles GROUP BY fl)
+SELECT (SELECT COUNT(*) FROM zfiles) AS n_rows,
+       (SELECT CAST(SUM(CASE WHEN inbox THEN 1 ELSE 0 END) AS BIGINT) FROM zfiles) AS n_box_rows,
+       (SELECT COUNT(*) FROM zstats) AS z_files,
+       (SELECT COUNT(*) FROM lstats) AS lex_files,
+       (SELECT CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) FROM zstats) AS z_files_hit,
+       (SELECT CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) FROM lstats) AS lex_files_hit,
+       (SELECT CAST(MAX(GREATEST(w, h)) AS BIGINT) FROM zstats) AS z_max_side,
+       (SELECT CAST(MAX(GREATEST(w, h)) AS BIGINT) FROM lstats) AS lex_max_side,
+       (SELECT CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) FROM zstats)
+         <= (SELECT CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) FROM lstats) AS z_no_worse
+""".strip()
+
+
+@query("zorder_layout_locality", sql=_zorder_locality_sql, tags=("relational", "layout", "zorder"))
+def q_zorder_layout_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs lexicographic layout, measured as hashed data (r11):
+    orders quantized on (custkey, order day) to 16-bit fixed point, files
+    assigned by the top 6 Morton bits (a fixed 8x8 tile grid — the
+    oracle-exact stand-in for repartitionByRange's sampled quantiles; the
+    sampled writer is asserted in tests) vs the top 6 bits of custkey
+    alone (the sort-by-one-column layout). One row records, for a
+    quarter-range predicate in BOTH dimensions, how many of the 64 files
+    each layout must read (measured 4 vs 16 on the fixture), the
+    worst-case per-file bounding-box side (8k vs 64k), and the structural
+    invariant z_no_worse — the economics of OPTIMIZE ZORDER as data. The
+    curve value is pure bitwise codegen (functions/zorder.py); min/max
+    scaling comes from ONE broadcast aggregate row, never a window."""
+    from sarpro_spark.functions import zorder as zo
+
+    bits, fbits = 16, 6
+    lo, hi = 1 << (bits - 2), (1 << (bits - 1)) - 1
+    o = frames.load_table(spark, sf_dir, "orders")
+    day = F.floor(_epoch_us("o_orderdate").cast("double") / 86400000000.0).cast("bigint")
+    base = o.select(F.col("o_custkey").alias("x"), day.alias("y"))
+    z = zo.zorder_value(base, "x", "y", bits)
+    files = z.select(
+        "qx",
+        "qy",
+        F.shiftright(F.col("zval"), 2 * bits - fbits).alias("fz"),
+        F.shiftright(F.col("qx"), bits - fbits).alias("fl"),
+        (F.col("qx").between(lo, hi) & F.col("qy").between(lo, hi)).alias("inbox"),
+    )
+    # ONE scan: grouping sets computes both layouts' per-file stats in a
+    # single shuffle (map-side row duplication x2), and the final 1-row
+    # reduce derives totals from the fz branch (each row is in exactly one
+    # fz group, so its sums are the corpus totals — no third scan).
+    per_file = files.groupingSets([[F.col("fz")], [F.col("fl")]], F.col("fz"), F.col("fl")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("inbox").cast("int")).cast("bigint").alias("nbox"),
+        (F.max("qx") - F.min("qx") + F.lit(1)).alias("w"),
+        (F.max("qy") - F.min("qy") + F.lit(1)).alias("h"),
+        F.max("inbox").alias("hit"),
+        F.grouping("fz").alias("gfz"),
+    )
+    is_z = F.col("gfz") == 0
+    side = F.greatest(F.col("w"), F.col("h"))
+    hit_i = F.col("hit").cast("int")
+    return (
+        per_file.agg(
+            F.sum(F.when(is_z, F.col("n"))).cast("bigint").alias("n_rows"),
+            F.sum(F.when(is_z, F.col("nbox"))).cast("bigint").alias("n_box_rows"),
+            F.sum(F.when(is_z, 1).otherwise(0)).cast("bigint").alias("z_files"),
+            F.sum(F.when(~is_z, 1).otherwise(0)).cast("bigint").alias("lex_files"),
+            F.sum(F.when(is_z, hit_i)).cast("bigint").alias("z_files_hit"),
+            F.sum(F.when(~is_z, hit_i)).cast("bigint").alias("lex_files_hit"),
+            F.max(F.when(is_z, side)).cast("bigint").alias("z_max_side"),
+            F.max(F.when(~is_z, side)).cast("bigint").alias("lex_max_side"),
+        )
+        .select(
+            "n_rows",
+            "n_box_rows",
+            "z_files",
+            "lex_files",
+            "z_files_hit",
+            "lex_files_hit",
+            "z_max_side",
+            "lex_max_side",
+            (F.col("z_files_hit") <= F.col("lex_files_hit")).alias("z_no_worse"),
+        )
+    )

@@ -100,3 +100,73 @@ def test_widen_if_narrow_single_large_file(spark, tmp_path):
         assert _estimated_splits(sdf, files) == max(1, -(-sz // (1 << 20)))
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+# --- Z-order layout (functions/zorder.py, r11) ---------------------------------
+
+
+def test_zorder_interleave_roundtrip(spark):
+    # known Morton values: (x=0b11, y=0b01) -> z = x1 y1 x0 y0 = 1 0 1 1 = 11
+    from sarpro_spark.functions.zorder import interleave_bits_expr
+
+    df = spark.createDataFrame([(3, 1), (0, 0), (65535, 65535)], "qx long, qy long")
+    out = [r[0] for r in df.select(interleave_bits_expr(F.col("qx"), F.col("qy"), 16)).collect()]
+    assert out[0] == 0b1011
+    assert out[1] == 0
+    assert out[2] == (1 << 32) - 1  # all 32 bits set
+
+
+def test_zorder_locality_beats_lexicographic(spark):
+    # uniform 64x64 grid of points: quarter-box query must touch strictly
+    # fewer z tiles than x-slices
+    from sarpro_spark.functions.zorder import zorder_value
+
+    pts = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    z = zorder_value(pts, "x", "y", bits=6)
+    files = z.select(
+        F.shiftright("zval", 12 - 4).alias("fz"),
+        F.shiftright("qx", 6 - 4).alias("fl"),
+        (F.col("qx").between(16, 31) & F.col("qy").between(16, 31)).alias("inbox"),
+    )
+    zhit = files.where("inbox").select("fz").distinct().count()
+    lhit = files.where("inbox").select("fl").distinct().count()
+    assert zhit < lhit  # 2-D tiles prune both dims; slices prune one
+
+
+def test_write_zordered_files_are_disjoint_in_z(spark, tmp_path):
+    from sarpro_spark.functions.zorder import write_zordered, zorder_value
+
+    pts = spark.range(0, 5000).select(
+        F.pmod(F.col("id") * 7919, F.lit(997)).alias("x"),
+        F.pmod(F.col("id") * 104729, F.lit(991)).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "zsorted")
+    write_zordered(pts, "x", "y", path, n_files=16, bits=10)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    assert set(back.columns) == {"x", "y", "payload"}
+
+    # recompute z per file: per-file [min_z, max_z] ranges must not overlap
+    # (repartitionByRange guarantees it; this asserts the writer preserved it).
+    # input_file_name() must bind at the scan, BEFORE zorder_value's
+    # broadcast min/max crossJoin adds a second source to the plan.
+    tagged = back.withColumn("f", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    zback = zorder_value(tagged, "x", "y", bits=10)
+    ranges = sorted(
+        (r["lo"], r["hi"])
+        for r in zback.groupBy("f").agg(F.min("zval").alias("lo"), F.max("zval").alias("hi")).collect()
+    )
+    assert len(ranges) > 1
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 <= l2  # disjoint, ordered
+
+    # a 2-D box predicate touches a strict subset of files
+    hit = (
+        zback.where(F.col("x").between(100, 300) & F.col("y").between(100, 300))
+        .select("f").distinct().count()
+    )
+    assert 0 < hit < len(ranges)

@@ -1300,3 +1300,73 @@ def test_binary_recall_sweep_monotone(spark, sf_dir):
     for r in rows:
         tot[r["mult"]] += r["hits"]
     assert tot[1] <= tot[2] <= tot[4]
+
+
+# --- exact-substring dedup (suffix-array class, r11) --------------------------
+
+
+@pytest.fixture(scope="module")
+def run_docs(spark):
+    shared = "x" * 0 + "the shared boilerplate sentence that repeats across documents verbatim here"
+    rows = [
+        (0, "unique preamble alpha. " + shared + " unique tail alpha."),
+        (1, "different opening beta text. " + shared + " beta closing words here."),
+        (2, "no overlap with anything else; entirely fresh content in this row."),
+        # two disjoint shared runs with doc 0 (tests multi-span + islands):
+        (3, "unique preamble alpha. " + shared[:40] + " GAPGAPGAPGAP " + shared[-45:]),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_substring_spans_finds_shared_run(spark, run_docs):
+    from sarpro_spark.llm import substring as ssub
+
+    spans = ssub.exact_substring_spans(run_docs, min_len=30).collect()
+    by_pair = {}
+    for r in spans:
+        by_pair.setdefault((r["doc_a"], r["doc_b"]), []).append(r)
+    # docs 0 and 1 share the full boilerplate sentence
+    assert (0, 1) in by_pair
+    longest = max(r["span_len"] for r in by_pair[(0, 1)])
+    shared_len = len("the shared boilerplate sentence that repeats across documents verbatim here")
+    assert longest >= shared_len
+    # the span really is the claimed substring (verify step keeps it honest)
+    texts = {r["doc_id"]: r["text"] for r in run_docs.collect()}
+    for r in spans:
+        a = texts[r["doc_a"]][r["start_a"] - 1 : r["start_a"] - 1 + r["span_len"]]
+        b = texts[r["doc_b"]][r["start_b"] - 1 : r["start_b"] - 1 + r["span_len"]]
+        assert a == b and len(a) == r["span_len"]
+    # doc 2 shares nothing
+    assert not any(2 in p for p in by_pair)
+
+
+def test_exact_substring_pairs_and_removal(spark, run_docs):
+    from sarpro_spark.llm import substring as ssub
+
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in ssub.exact_substring_pairs(run_docs, min_len=30).collect()}
+    assert (0, 1) in pairs
+    # doc 0 vs 3: prefix run ("unique preamble alpha. " + first 40 of shared)
+    # and the disjoint tail run -> at least 2 spans on different diagonals
+    assert (0, 3) in pairs and pairs[(0, 3)]["n_spans"] >= 2
+
+    rem = {r["doc_id"]: r for r in ssub.exact_substring_removal(run_docs, min_len=30).collect()}
+    assert 2 not in rem  # clean doc never appears
+    for r in rem.values():
+        assert 0 < r["duplicated_chars"] <= r["doc_chars"]
+        assert r["clean_chars"] == r["doc_chars"] - r["duplicated_chars"]
+        assert 0.0 < r["dup_ratio"] <= 1.0
+    # doc 0's intervals from docs 1 and 3 overlap; the union must not
+    # exceed the doc length (double-count guard)
+    assert rem[0]["duplicated_chars"] < rem[0]["doc_chars"]
+
+
+def test_exact_substring_gram_df_cap(spark):
+    from sarpro_spark.llm import substring as ssub
+
+    # 10 identical docs: every anchor gram has df=10; cap at 4 suppresses all
+    rows = [(i, "an identical boilerplate document body repeated many times over") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ssub.exact_substring_pairs(df, min_len=20, max_gram_df=4)
+    assert capped.count() == 0
+    uncapped = ssub.exact_substring_pairs(df, min_len=20, max_gram_df=100)
+    assert uncapped.count() == 45  # all C(10,2) pairs

@@ -1017,6 +1017,11 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ("operators/gridshift.py", "g11"): (
         "constant", "grid self-join side in the cell build (same bound)",
     ),
+    ("functions/zorder.py", "mm"): (
+        "constant",
+        "ONE min/max aggregate row (four scalars) scaled back over the frame "
+        "for fixed-point quantization — 1 row at any SF",
+    ),
     ("operators/stats.py", "base"): ("per-product", "per-(product,band) stats rows"),
     ("operators/stats.py", "pct_rows"): ("constant", "fixed percentile list"),
     ("operators/autoscale.py", "params"): ("per-product", "per-(product,band) autoscale params"),
