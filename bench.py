@@ -119,6 +119,13 @@ HEADLINE = [
     "tpcds_frequent_buyers",
     "similarity_topk_binary",
     "bucketed_colocated_join",
+    # late round-11: exact-substring dedup (suffix-array class), Z-order
+    # layout locality, CDC changelog merge + SCD2 history
+    "dedup_exact_substring",
+    "dedup_substring_removal",
+    "zorder_layout_locality",
+    "cdc_apply_changelog",
+    "cdc_scd2_history",
 ]
 
 

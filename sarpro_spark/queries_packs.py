@@ -63,7 +63,7 @@ def _member_schema(name: str) -> list[tuple[str, str]]:
                 _duck.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{_SCHEMA_SF}/{t}.parquet')"
                 )
-        rows = _duck.execute(f"DESCRIBE {REGISTRY[name].sql}").fetchall()
+        rows = _duck.execute(f"DESCRIBE {REGISTRY[name].resolve_sql()}").fetchall()
     out = []
     for col, dtype, *_ in rows:
         up = str(dtype).upper()
@@ -118,7 +118,7 @@ def _member_sql(m: Member, alias: str) -> tuple[str, str]:
         else:  # str + bool both stringify ('true'/'false' in both engines)
             v_str, v_num = f"CAST({col} AS VARCHAR)", "CAST(NULL AS DOUBLE)"
         structs.append(f"{{'k': '{col}', 'v_str': {v_str}, 'v_num': {v_num}}}")
-    cte = f"{alias} AS ({REGISTRY[m.name].sql})"
+    cte = f"{alias} AS ({REGISTRY[m.name].resolve_sql()})"
     sel = (
         f"SELECT '{m.name}' AS part, key_id, u.k AS k, u.v_str AS v_str, u.v_num AS v_num\n"
         f"FROM (SELECT {_sql_key(m.id_cols)} AS key_id, UNNEST([\n  "
@@ -201,6 +201,8 @@ register_pack(
         Member("dedup_streaming_neardup", ("doc_id",)),
         Member("dedup_stream_stream_neardup", ("a_id", "b_id")),
         Member("dedup_semantic_prune", ("vec_id",)),
+        Member("dedup_exact_substring", ("doc_a", "doc_b")),
+        Member("dedup_substring_removal", ("doc_id",)),
         Member("corpus_leakage_safe_split", ("split",)),
     ),
     doc="Union certificate: exact dedup (+normalized), n-gram Jaccard pairs, "
@@ -379,6 +381,9 @@ register_pack(
         Member("events_incremental_rollup", ("event_type", "hod")),
         Member("events_funnel_steps", ("reached",)),
         Member("events_cohort_retention", ("cohort_day", "day_offset")),
+        Member("cdc_apply_changelog", ("o_orderkey",)),
+        Member("cdc_scd2_history", ("o_orderkey", "valid_from")),
+        Member("zorder_layout_locality", ()),
         Member("events_ab_test", ()),
         Member("events_path_transitions", ("prev_type", "next_type")),
         Member("suppliers_sole_problem", ("s_name",)),

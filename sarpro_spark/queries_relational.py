@@ -1850,3 +1850,127 @@ def q_zorder_layout_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("z_files_hit") <= F.col("lex_files_hit")).alias("z_no_worse"),
         )
     )
+
+
+# --- CDC merge: changelog -> snapshot, SCD2 history (r11) -----------------------
+
+# deterministic changelog derived from orders: three seq rungs exercise
+# latest-wins (U then U then D on overlapping key classes) plus inserts on
+# fresh (negated) keys — identical arithmetic on both engines.
+_CDC_BASE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+_CDC_CHANGES_SQL = """
+cdcbase AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+cdcchanges AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+         1 AS seq, 'U' AS op FROM cdcbase WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.21 AS o_totalprice,
+         2 AS seq, 'U' AS op FROM cdcbase WHERE o_orderkey % 8 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         3 AS seq, 'D' AS op FROM cdcbase WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT -o_orderkey AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+         o_totalprice * 0.5 AS o_totalprice,
+         1 AS seq, 'I' AS op FROM cdcbase WHERE o_orderkey % 50 = 0
+)
+""".strip()
+
+
+def _cdc_changes_frame(spark: SparkSession, sf_dir: str):
+    o = frames.load_table(spark, sf_dir, "orders").select(*_CDC_BASE_COLS)
+    k, p = F.col("o_orderkey"), F.col("o_totalprice")
+    u1 = o.where(k % 4 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", (p * 1.1).alias("o_totalprice"),
+        F.lit(1).alias("seq"), F.lit("U").alias("op"),
+    )
+    u2 = o.where(k % 8 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", (p * 1.21).alias("o_totalprice"),
+        F.lit(2).alias("seq"), F.lit("U").alias("op"),
+    )
+    d3 = o.where(k % 10 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", p.alias("o_totalprice"),
+        F.lit(3).alias("seq"), F.lit("D").alias("op"),
+    )
+    i1 = o.where(k % 50 == 0).select(
+        (-k).alias("o_orderkey"), F.col("o_custkey"), F.lit("N").alias("o_orderstatus"),
+        (p * 0.5).alias("o_totalprice"), F.lit(1).alias("seq"), F.lit("I").alias("op"),
+    )
+    return o, u1.unionAll(u2).unionAll(d3).unionAll(i1)
+
+
+def _cdc_apply_sql() -> str:
+    from sarpro_spark.operators.cdc import sql_apply_changelog
+
+    inner = sql_apply_changelog("cdcbase", "cdcchanges", "o_orderkey", _CDC_BASE_COLS)
+    # sql_apply_changelog opens its own WITH for the cdcfinal CTE; fold the
+    # fixture CTEs into that WITH-list and round the price at the outer edge.
+    # The CTE block ends at the lone ")\nSELECT" boundary its builder emits.
+    cte_part, _, select_part = inner.removeprefix("WITH ").partition("\n)\nSELECT")
+    return f"""
+WITH {_CDC_CHANGES_SQL},
+{cte_part}
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       (FLOOR(o_totalprice * 100.0 + 0.5) / 100.0) AS o_totalprice,
+       applied_seq, applied_op
+FROM (
+SELECT{select_part}
+)
+""".strip()
+
+
+@query("cdc_apply_changelog", sql=_cdc_apply_sql, tags=("relational", "cdc"))
+def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog -> snapshot merge (operators/cdc.py, r11): latest-wins
+    upsert of a three-rung deterministic changelog over orders — U at seq 1
+    (keys %4), a superseding U at seq 2 (keys %8), D at seq 3 (keys %10),
+    inserts on fresh negated keys (%50). ONE window picks each key's final
+    op, one anti-join passes untouched base rows through, one union appends
+    surviving upserts; applied_seq/applied_op are the lineage columns an
+    incremental pipeline checkpoints on. The MERGE INTO of the lakehouse
+    engines as plain DataFrame algebra over bare parquet — with both
+    relations bucketed by the merge key both shuffles go map-side."""
+    from sarpro_spark.operators.cdc import apply_changelog
+
+    base, changes = _cdc_changes_frame(spark, sf_dir)
+    snap = apply_changelog(base, changes, "o_orderkey")
+    return snap.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        fround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        "applied_seq", "applied_op",
+    )
+
+
+def _cdc_scd2_sql() -> str:
+    from sarpro_spark.operators.cdc import sql_scd2_history
+
+    inner = sql_scd2_history("cdcchanges", "o_orderkey", _CDC_BASE_COLS)
+    return f"""
+WITH {_CDC_CHANGES_SQL}
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       (FLOOR(o_totalprice * 100.0 + 0.5) / 100.0) AS o_totalprice,
+       op, valid_from, valid_to, is_current
+FROM ({inner})
+""".strip()
+
+
+@query("cdc_scd2_history", sql=_cdc_scd2_sql, tags=("relational", "cdc"))
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version chains (operators/cdc.py, r11): every changelog row
+    becomes a [valid_from, valid_to) seq interval via one lead() window per
+    key; is_current marks open non-delete versions, so a deleted key has a
+    fully closed chain. The dataset-versioning primitive behind "which rows
+    was model X trained on" — per-key windows, parallel across keys."""
+    from sarpro_spark.operators.cdc import scd2_history
+
+    _, changes = _cdc_changes_frame(spark, sf_dir)
+    hist = scd2_history(changes, "o_orderkey")
+    return hist.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        fround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        "op", "valid_from", "valid_to", "is_current",
+    )

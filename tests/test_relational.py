@@ -35,3 +35,47 @@ def test_bucketed_colocated_join_zero_exchange(spark):
     # the documented overwrite-scratch contract, so count n1 is captured
     # before re-invoking)
     assert q_bucketed_colocated_join(spark, sf_dir).count() == n1
+
+
+# --- CDC merge operators (operators/cdc.py, r11) -------------------------------
+
+
+def test_apply_changelog_semantics(spark):
+    from sarpro_spark.operators.cdc import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 1, "U"),   # update
+            (1, "a3", 2, "U"),   # later update wins
+            (2, "b", 1, "D"),    # delete
+            (4, "d", 1, "I"),    # insert new key
+            (5, "e", 1, "U"),    # upsert on absent key == insert
+            (6, "x", 1, "I"),
+            (6, "x", 2, "D"),    # insert then delete -> absent
+        ],
+        "k long, v string, seq long, op string",
+    )
+    out = {r["k"]: r for r in apply_changelog(base, changes, "k").collect()}
+    assert set(out) == {1, 3, 4, 5}
+    assert out[1]["v"] == "a3" and out[1]["applied_seq"] == 2
+    assert out[3]["v"] == "c" and out[3]["applied_seq"] is None  # untouched
+    assert out[4]["applied_op"] == "I"
+    assert out[5]["applied_op"] == "U"  # idempotent replay semantics
+
+
+def test_scd2_history_chain(spark):
+    from sarpro_spark.operators.cdc import scd2_history
+
+    changes = spark.createDataFrame(
+        [(1, "a1", 1, "I"), (1, "a2", 5, "U"), (1, "a2", 9, "D"), (2, "b1", 3, "I")],
+        "k long, v string, seq long, op string",
+    )
+    rows = {(r["k"], r["valid_from"]): r for r in scd2_history(changes, "k").collect()}
+    assert rows[(1, 1)]["valid_to"] == 5 and not rows[(1, 1)]["is_current"]
+    assert rows[(1, 5)]["valid_to"] == 9 and not rows[(1, 5)]["is_current"]
+    # deleted key: chain fully closed, no current version
+    assert rows[(1, 9)]["valid_to"] is None and not rows[(1, 9)]["is_current"]
+    assert rows[(2, 3)]["is_current"]

@@ -794,6 +794,46 @@ AUDITS: dict[str, dict] = {
         "require": ["BroadcastHashJoin", "ReusedExchange"],
         "forbid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
     },
+    "zorder_layout_locality": {
+        # r11 layout locality row: Morton interleave is pure bitwise
+        # codegen; min/max scaling is ONE broadcast aggregate row crossed
+        # back (BNLJ on a 1-row side, never a shuffled cartesian); both
+        # layouts' per-file stats come from a single grouping-sets pass
+        # (Expand), so the base is scanned once
+        "require": ["Expand", "BroadcastNestedLoopJoin", "HashAggregate"],
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+    },
+    "dedup_exact_substring": {
+        # r11 suffix-array-class dedup: anchor explode (Generate) feeds a
+        # hash self-join whose anchor exchange is REUSED for the gram-df
+        # cap aggregate; diagonal islands are one Window; no Python, no
+        # cartesian — candidates only ever come from shared anchor hashes
+        "require": ["Generate", "Window", "ReusedExchange", "HashAggregate"],
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "dedup_substring_removal": {
+        # same span pipeline + per-doc interval union: the two span sides
+        # union, then running-max-end island merge = one more Window
+        "require": ["Generate", "Window", "Union", "HashAggregate"],
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "cdc_apply_changelog": {
+        # r11 CDC merge: latest-wins rn=1 must prune map-side
+        # (WindowGroupLimit), untouched rows pass via anti-join, upserts
+        # append via Union — two key shuffles total, no Python
+        "require": ["WindowGroupLimit", "Union"],
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
+    "cdc_scd2_history": {
+        # r11 SCD2: one lead() window per key over the changelog — no join
+        # anywhere in the plan
+        "require": ["Window", "Union"],
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "Join"],
+    },
     "bucketed_colocated_join": {
         # r11 layout certificate: both sides scan as bucketed tables and
         # the key join + key aggregate run with ZERO exchanges — any
