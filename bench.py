@@ -126,6 +126,8 @@ HEADLINE = [
     "zorder_layout_locality",
     "cdc_apply_changelog",
     "cdc_scd2_history",
+    "events_resample_gapfill",
+    "bloom_semijoin_reduction",
 ]
 
 

@@ -160,3 +160,119 @@ def range_join_buckets(
         <= max_delta_sec
     )
     return j.where(cond).drop("_lb", "_probe", "_bucket")
+
+
+def resample_gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_us: int,
+) -> DataFrame:
+    """Time-series resample + gap-fill (the hypertable ``time_bucket_gapfill``
+    of TimescaleDB, InfluxDB's ``fill()``): bucket observations to a fixed
+    step, generate each key's DENSE bucket grid between its first and last
+    observation, and fill the empty buckets two ways at once —
+
+      locf     last observation carried forward (step functions: state,
+               config, price)
+      linear   linear interpolation between the surrounding observations
+               (continuous signals: sensors, rates)
+
+    Shape: one per-(key,bucket) aggregate, one per-key bounds aggregate
+    whose ``sequence()`` explode generates the grid (grid size is bounded
+    by span/step per key — never a global calendar cross-join), one left
+    join back, and two ordered per-key window passes (last/first IGNORE
+    NULLS). Every stage shuffles on the key only; keys parallelize.
+
+    Because the grid spans [first, last] per key, its endpoints are always
+    observed buckets: locf is total and interior gaps always have BOTH
+    neighbors, so linear is total too — no extrapolation policy needed.
+
+    Output: (key, bucket_us, n_obs, v_avg nullable, locf, linear).
+    """
+    key, ts, val = F.col(key_col), F.col(ts_col), F.col(value_col)
+    bucket = (F.floor(F.unix_micros(ts.cast("timestamp")) / F.lit(step_us)) * step_us).cast("long")
+    obs = df.groupBy(key.alias("key"), bucket.alias("bucket_us")).agg(
+        F.count(F.lit(1)).alias("n_obs"), F.avg(val).alias("v_avg")
+    )
+    bounds = obs.groupBy("key").agg(
+        F.min("bucket_us").alias("_b0"), F.max("bucket_us").alias("_b1")
+    )
+    grid = bounds.select(
+        "key",
+        F.explode(F.sequence(F.col("_b0"), F.col("_b1"), F.lit(step_us))).alias("bucket_us"),
+    )
+    g = grid.join(obs, on=["key", "bucket_us"], how="left")
+
+    w = Window.partitionBy("key").orderBy("bucket_us")
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    v = F.col("v_avg")
+    t = F.col("bucket_us")
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(fwd)
+    frac = (t - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    linear = F.when(v.isNotNull(), v).otherwise(prev_v + (next_v - prev_v) * frac)
+    return g.select(
+        "key",
+        "bucket_us",
+        F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+        "v_avg",
+        prev_v.alias("locf"),
+        linear.alias("linear"),
+    )
+
+
+def sql_resample_gapfill(
+    src_rel: str,
+    key_expr: str,
+    ts_col: str,
+    value_col: str,
+    step_us: int,
+) -> str:
+    """DuckDB twin of :func:`resample_gapfill` (same op order; the caller
+    wraps with fround on the float columns)."""
+    return f"""
+WITH gfobs AS (
+  SELECT {key_expr} AS key,
+         CAST(FLOOR(EPOCH_US({ts_col}) / {step_us}) * {step_us} AS BIGINT) AS bucket_us,
+         COUNT(*) AS n_obs, AVG({value_col}) AS v_avg
+  FROM {src_rel}
+  GROUP BY 1, 2
+),
+gfbounds AS (
+  SELECT key, MIN(bucket_us) AS b0, MAX(bucket_us) AS b1 FROM gfobs GROUP BY key
+),
+gfgrid AS (
+  SELECT b.key, g.bucket_us
+  FROM gfbounds b, UNNEST(generate_series(b.b0, b.b1, {step_us})) AS g(bucket_us)
+),
+gfjoin AS (
+  SELECT g.key, g.bucket_us, o.n_obs, o.v_avg
+  FROM gfgrid g LEFT JOIN gfobs o ON g.key = o.key AND g.bucket_us = o.bucket_us
+),
+gffill AS (
+  SELECT key, bucket_us, n_obs, v_avg,
+    LAST_VALUE(v_avg IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket_us
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    LAST_VALUE(CASE WHEN v_avg IS NOT NULL THEN bucket_us END IGNORE NULLS)
+        OVER (PARTITION BY key ORDER BY bucket_us
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+    FIRST_VALUE(v_avg IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket_us
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    FIRST_VALUE(CASE WHEN v_avg IS NOT NULL THEN bucket_us END IGNORE NULLS)
+        OVER (PARTITION BY key ORDER BY bucket_us
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM gfjoin
+)
+SELECT key, bucket_us, CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs, v_avg,
+       prev_v AS locf,
+       CASE WHEN v_avg IS NOT NULL THEN v_avg
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(bucket_us - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+       END AS linear
+FROM gffill
+""".strip()

@@ -384,6 +384,8 @@ register_pack(
         Member("cdc_apply_changelog", ("o_orderkey",)),
         Member("cdc_scd2_history", ("o_orderkey", "valid_from")),
         Member("zorder_layout_locality", ()),
+        Member("bloom_semijoin_reduction", ()),
+        Member("events_resample_gapfill", ("key", "bucket_us")),
         Member("events_ab_test", ()),
         Member("events_path_transitions", ("prev_type", "next_type")),
         Member("suppliers_sole_problem", ("s_name",)),

@@ -1974,3 +1974,133 @@ def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("o_totalprice"), 2).alias("o_totalprice"),
         "op", "valid_from", "valid_to", "is_current",
     )
+
+
+# --- time-series resample + gap-fill (r11) -------------------------------------
+
+
+def _gapfill_sql() -> str:
+    from sarpro_spark.operators.temporal import sql_resample_gapfill
+
+    inner = sql_resample_gapfill("events", "user_id % 16", "ts", "value", 21_600_000_000)
+    return f"""
+SELECT key, bucket_us, n_obs,
+       {sql_fround("v_avg")} AS v_avg,
+       {sql_fround("locf")} AS locf,
+       {sql_fround("linear")} AS linear
+FROM ({inner})
+""".strip()
+
+
+@query("events_resample_gapfill", sql=_gapfill_sql, tags=("relational", "events", "timeseries"))
+def q_events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill (operators/temporal.py, r11): the
+    hypertable time_bucket_gapfill — events bucketed to 6-hour steps per
+    key (user_id % 16 keeps series long enough to contain real gaps),
+    each key's dense grid generated from its own bounds (sequence explode,
+    never a global calendar crossJoin), empty buckets filled BOTH ways:
+    locf (step signals) and linear interpolation (continuous signals).
+    Grid endpoints are observed buckets by construction, so both fills
+    are total — no extrapolation policy. Per-key windows; keys
+    parallelize; grid size is span/step per key, bounded."""
+    from sarpro_spark.operators.temporal import resample_gapfill
+
+    e = frames.load_table(spark, sf_dir, "events")
+    e = e.withColumn("gkey", F.col("user_id") % 16)
+    out = resample_gapfill(e, "gkey", "ts", "value", 21_600_000_000)
+    return out.select(
+        "key", "bucket_us", "n_obs",
+        fround(F.col("v_avg")).alias("v_avg"),
+        fround(F.col("locf")).alias("locf"),
+        fround(F.col("linear")).alias("linear"),
+    )
+
+
+# --- Bloom-filter semi-join reduction (r11) ------------------------------------
+
+#: deliberately undersized filter for the certificate so the false-positive
+#: rate is VISIBLE data (production default is 2^17 bits); k=3 hashes
+_BLOOM_CERT_M = 1024
+
+
+def _bloom_semijoin_sql() -> str:
+    from sarpro_spark.functions.bloom import sql_bloom_ctes, sql_bloom_probe_pred
+
+    ctes = sql_bloom_ctes("(SELECT c_custkey FROM customer WHERE c_acctbal < 0)",
+                          "c_custkey", m_bits=_BLOOM_CERT_M)
+    pred = sql_bloom_probe_pred("o.o_custkey", m_bits=_BLOOM_CERT_M)
+    return f"""
+WITH {ctes},
+bloomdim AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+flags AS (
+  SELECT o.o_orderkey,
+         {pred} AS keep,
+         (d.c_custkey IS NOT NULL) AS hit
+  FROM orders o LEFT JOIN bloomdim d ON o.o_custkey = d.c_custkey
+)
+SELECT (SELECT COUNT(*) FROM bloomdim) AS n_dim,
+       COUNT(*) AS n_fact,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pass,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS exact_pass,
+       CAST(SUM(CASE WHEN keep AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+       CAST(SUM(CASE WHEN hit AND NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS false_neg,
+       (FLOOR(CAST(SUM(CASE WHEN keep AND NOT hit THEN 1 ELSE 0 END) AS DOUBLE)
+          / GREATEST(SUM(CASE WHEN NOT hit THEN 1 ELSE 0 END), 1) * 1000000.0 + 0.5)
+          / 1000000.0) AS fp_rate
+FROM flags
+""".strip()
+
+
+@query("bloom_semijoin_reduction", sql=_bloom_semijoin_sql, tags=("relational", "join", "bloom"))
+def q_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (functions/bloom.py, r11): the
+    runtime filter that drops non-matching fact rows BEFORE the join
+    shuffle. The selective dim (negative-balance customers) sets k=3 bits
+    each in a word relation built by ONE BIT_OR groupBy (m/32 rows, never
+    a driver bitmap); orders probe it with three chained broadcast word
+    lookups — no explode, no shuffle. ONE fact pass computes the whole
+    audit row: bloom_pass vs exact_pass (left join on the unique dim key),
+    false_pos (the filter is deliberately undersized at 1024 bits so the
+    fp rate is visible, nonzero DATA), and false_neg — which a Bloom
+    filter makes structurally impossible, hashed as the 0 it must be."""
+    from sarpro_spark.functions.bloom import bloom_build, bloom_coeffs, _base_hash, _bit_index
+
+    c = frames.load_table(spark, sf_dir, "customer")
+    dim = c.where(F.col("c_acctbal") < 0).select("c_custkey")
+    bloom = bloom_build(dim, "c_custkey", m_bits=_BLOOM_CERT_M).cache()
+
+    o = frames.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # inline the probe as a FLAG (bloom_probe filters; the certificate
+    # needs the rejected rows too, to count exact_pass among them)
+    base = _base_hash(F.col("o_custkey"))
+    probed = o
+    keep = F.lit(True)
+    for j, (a, b) in enumerate(bloom_coeffs()):
+        idx = _bit_index(base, a, b, _BLOOM_CERT_M)
+        w = bloom.select(F.col("word").alias(f"_w{j}"), F.col("bits").alias(f"_bits{j}"))
+        probed = probed.join(F.broadcast(w), F.shiftright(idx, 5) == F.col(f"_w{j}"), "left")
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"), (idx % 32).cast("int"))
+        keep = keep & (F.coalesce(F.col(f"_bits{j}"), F.lit(0)).bitwiseAND(bit) != 0)
+    flags = probed.withColumn("keep", keep).join(
+        dim.withColumnRenamed("c_custkey", "_dimkey"),
+        F.col("o_custkey") == F.col("_dimkey"),
+        "left",
+    ).select("o_orderkey", "keep", F.col("_dimkey").isNotNull().alias("hit"))
+
+    ndim = dim.agg(F.count(F.lit(1)).alias("n_dim"))
+    keep_i = F.col("keep").cast("int")
+    hit_i = F.col("hit").cast("int")
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(keep_i).cast("bigint").alias("bloom_pass"),
+        F.sum(hit_i).cast("bigint").alias("exact_pass"),
+        F.sum((F.col("keep") & ~F.col("hit")).cast("int")).cast("bigint").alias("false_pos"),
+        F.sum((F.col("hit") & ~F.col("keep")).cast("int")).cast("bigint").alias("false_neg"),
+        fround(
+            F.sum((F.col("keep") & ~F.col("hit")).cast("int")).cast("double")
+            / F.greatest(F.sum((~F.col("hit")).cast("int")), F.lit(1)).cast("double")
+        ).alias("fp_rate"),
+    )
+    return ndim.crossJoin(agg).select(
+        "n_dim", "n_fact", "bloom_pass", "exact_pass", "false_pos", "false_neg", "fp_rate"
+    )

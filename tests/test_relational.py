@@ -79,3 +79,66 @@ def test_scd2_history_chain(spark):
     # deleted key: chain fully closed, no current version
     assert rows[(1, 9)]["valid_to"] is None and not rows[(1, 9)]["is_current"]
     assert rows[(2, 3)]["is_current"]
+
+
+# --- Bloom-filter semi-join reduction (functions/bloom.py, r11) -----------------
+
+
+def test_bloom_no_false_negatives_and_reduction(spark):
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.functions.bloom import bloom_build, bloom_probe
+
+    dim = spark.range(0, 50).select((F.col("id") * 7).alias("k"))
+    fact = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("payload"))
+    bloom = bloom_build(dim, "k", m_bits=1 << 12)
+    assert bloom.count() <= (1 << 12) / 32
+
+    passed = bloom_probe(fact, "k", bloom, m_bits=1 << 12)
+    passed_keys = {r["k"] for r in passed.collect()}
+    exact_keys = {r["k"] for r in fact.join(dim, "k", "left_semi").collect()}
+    assert exact_keys <= passed_keys          # NO false negatives, ever
+    assert len(passed_keys) < 5000 // 4       # real reduction (>75% dropped)
+
+
+def test_bloom_fp_rate_shrinks_with_m(spark):
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.functions.bloom import bloom_build, bloom_probe
+
+    dim = spark.range(0, 64).select((F.col("id") * 13 + 5).alias("k"))
+    fact = spark.range(0, 4000).select(F.col("id").alias("k"))
+    counts = {}
+    for m in (1 << 9, 1 << 14):
+        bloom = bloom_build(dim, "k", m_bits=m)
+        counts[m] = bloom_probe(fact, "k", bloom, m_bits=m).count()
+    assert counts[1 << 14] <= counts[1 << 9]  # bigger filter, fewer fps
+
+
+# --- time-series resample + gap-fill (operators/temporal.py, r11) ---------------
+
+
+def test_resample_gapfill_fills(spark):
+    import datetime as dt
+
+    from sarpro_spark.operators.temporal import resample_gapfill
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(hours=4), 30.0),   # 3 missing hourly buckets
+        (2, t0, 5.0),                             # single-point series
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {(r["key"], r["bucket_us"]): r for r in
+           resample_gapfill(df, "k", "ts", "v", 3_600_000_000).collect()}
+    h = 3_600_000_000
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert len([k for k in out if k[0] == 1]) == 5          # dense grid
+    assert out[(1, base)]["v_avg"] == 10.0
+    assert out[(1, base + h)]["v_avg"] is None               # a real gap
+    assert out[(1, base + h)]["locf"] == 10.0                # carried forward
+    assert out[(1, base + h)]["linear"] == 15.0              # 10 + (30-10)*1/4
+    assert out[(1, base + 3 * h)]["linear"] == 25.0
+    assert out[(1, base + 4 * h)]["locf"] == 30.0
+    assert len([k for k in out if k[0] == 2]) == 1           # no spurious grid

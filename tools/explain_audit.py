@@ -834,6 +834,24 @@ AUDITS: dict[str, dict] = {
         "codegen": True,
         "forbid": ["CartesianProduct", "BatchEvalPython", "Join"],
     },
+    "bloom_semijoin_reduction": {
+        # r11 runtime filter: the dim-key left join + three word-relation
+        # probes are ALL broadcast hash joins (the word relation is a
+        # cached m/32-row constant — ReusedExchange across probes); the
+        # n_dim crossJoin is a 1-row BNLJ; no shuffle join anywhere on the
+        # fact side, no Python
+        "require": ["BroadcastHashJoin", "InMemoryTableScan", "HashAggregate"],
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "SortMergeJoin"],
+    },
+    "events_resample_gapfill": {
+        # r11 hypertable gapfill: per-key grid via sequence explode
+        # (Generate) from a per-key bounds aggregate — never a global
+        # calendar crossJoin; fills are two per-key Window passes
+        "require": ["Generate", "Window", "HashAggregate"],
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin"],
+    },
     "bucketed_colocated_join": {
         # r11 layout certificate: both sides scan as bucketed tables and
         # the key join + key aggregate run with ZERO exchanges — any
@@ -1104,6 +1122,15 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ("queries_llm.py", "cr"): ("constant", "count-min row of W counters"),
     ("queries_llm.py", "straddle"): ("constant", "1-row straddling-pair count"),
     ("queries_relational.py", "avg_bal"): ("constant", "1-row scalar-subquery aggregate"),
+    ("functions/bloom.py", "w"): (
+        "constant",
+        "bloom word relation — at most m_bits/32 rows (2 KiB at the cert's "
+        "1024 bits, 16 KiB at the 2^17 production default) regardless of "
+        "dim cardinality",
+    ),
+    ("queries_relational.py", "w"): (
+        "constant", "same bloom word relation probed in the certificate's flag loop",
+    ),
     ("queries_relational.py", 't["nation"]'): ("constant", "25-row nation dim"),
     ("queries_relational.py", 't["region"]'): ("constant", "5-row region dim"),
     ("queries_relational.py", "n1"): ("constant", "25-row nation dim"),
