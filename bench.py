@@ -128,6 +128,7 @@ HEADLINE = [
     "cdc_scd2_history",
     "events_resample_gapfill",
     "bloom_semijoin_reduction",
+    "fuzzy_match_partnames",
 ]
 
 

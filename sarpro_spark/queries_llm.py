@@ -2840,3 +2840,73 @@ def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = frames.load_table(spark, sf_dir, "documents")
     return ssub.exact_substring_removal(d)
+
+
+# --- record linkage: q-gram blocked fuzzy join (r11) ---------------------------
+
+# deterministic dirty mentions: every part name loses one character at a
+# key-dependent position; every 5th additionally has its first character
+# replaced — edit distance 1 or 2 from its true name, same arithmetic on
+# both engines.
+_MENTION_SQL = """
+mentions AS (
+  SELECT p_partkey AS mid,
+    CASE WHEN p_partkey % 5 = 0
+      THEN 'x' || SUBSTR(
+        SUBSTR(p_name, 1, (p_partkey % (LENGTH(p_name) - 2)) + 1)
+          || SUBSTR(p_name, (p_partkey % (LENGTH(p_name) - 2)) + 3), 2)
+      ELSE SUBSTR(p_name, 1, (p_partkey % (LENGTH(p_name) - 2)) + 1)
+          || SUBSTR(p_name, (p_partkey % (LENGTH(p_name) - 2)) + 3)
+    END AS mention,
+    p_name AS true_name
+  FROM part
+),
+dict AS (
+  SELECT MIN(p_partkey) AS name_id, p_name FROM part GROUP BY p_name
+)
+""".strip()
+
+
+def _fuzzy_match_sql() -> str:
+    from sarpro_spark.llm.linkage import sql_fuzzy_best_match
+
+    inner = sql_fuzzy_best_match("mentions", "dict", "mid", "mention", "name_id", "p_name")
+    ctes = inner.removeprefix("WITH ").split("\nSELECT lid,", 1)[0]
+    return f"""
+WITH {_MENTION_SQL},
+{ctes}
+SELECT b.lid, b.rid AS best_rid, b.rname AS best_name, b.dist AS best_dist,
+       CAST(b.n_cands AS BIGINT) AS n_cands,
+       (b.rname = m.true_name) AS correct
+FROM lkg_best b JOIN mentions m ON b.lid = m.mid
+WHERE b.rn = 1
+""".strip()
+
+
+@query("fuzzy_match_partnames", sql=_fuzzy_match_sql, tags=("llm", "linkage", "fuzzy"))
+def q_fuzzy_match_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (llm/linkage.py, r11): dirty part-name mentions
+    (one deterministic deletion, every 5th also a substitution) resolved
+    against the canonical name dictionary by q-gram blocking + the
+    Gravano count filter + exact levenshtein verify + min-distance
+    tie-broken resolution — the entity-resolution join that never goes
+    |L|x|R|. `correct` hashes per-mention whether the resolver recovered
+    the true name, so linkage QUALITY is oracle-certified data, not a
+    claim."""
+    from sarpro_spark.llm.linkage import fuzzy_best_match
+
+    part = frames.load_table(spark, sf_dir, "part")
+    nm, key = F.col("p_name"), F.col("p_partkey")
+    pos = (key % (F.length(nm) - 2)) + 1  # 1-based char KEPT up to here
+    deleted = F.concat(
+        nm.substr(F.lit(1), pos), nm.substr(pos + 2, F.lit(1000))
+    )
+    mention = F.when(key % 5 == 0, F.concat(F.lit("x"), deleted.substr(F.lit(2), F.lit(1000)))).otherwise(deleted)
+    mentions = part.select(key.alias("mid"), mention.alias("mention"), nm.alias("true_name"))
+    dic = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    best = fuzzy_best_match(mentions, dic, "mid", "mention", "name_id", "p_name")
+    truth = mentions.select(F.col("mid").alias("lid"), "true_name")
+    return best.join(truth, "lid").select(
+        "lid", "best_rid", "best_name", "best_dist", "n_cands",
+        (F.col("best_name") == F.col("true_name")).alias("correct"),
+    )

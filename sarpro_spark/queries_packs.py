@@ -252,6 +252,7 @@ register_pack(
         Member("text_url_domains", ("domain",)),
         Member("text_dup_passages", ("doc_id",)),
         Member("text_encoding_hygiene", ("doc_id",)),
+        Member("fuzzy_match_partnames", ("lid",)),
         Member("text_bigram_logprob", ("doc_id",)),
         Member("domain_pagerank", ("domain",)),
         Member("corpus_curation_funnel", ("stage",)),

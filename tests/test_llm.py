@@ -1370,3 +1370,49 @@ def test_exact_substring_gram_df_cap(spark):
     assert capped.count() == 0
     uncapped = ssub.exact_substring_pairs(df, min_len=20, max_gram_df=100)
     assert uncapped.count() == 45  # all C(10,2) pairs
+
+
+# --- record linkage (llm/linkage.py, r11) --------------------------------------
+
+
+def test_fuzzy_best_match_resolves_dirty_mentions(spark):
+    from sarpro_spark.llm.linkage import blocked_candidates, fuzzy_best_match
+
+    dic = spark.createDataFrame(
+        [(1, "apple pie"), (2, "banana split"), (3, "carrot cake")],
+        "name_id long, name string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            (10, "aple pie"),       # deletion -> apple pie
+            (11, "banana splat"),   # substitution -> banana split
+            (12, "carrot cake"),    # exact
+            (13, "zzzzzz qqqq"),    # matches nothing
+        ],
+        "mid long, name string",
+    )
+    best = {r["lid"]: r for r in
+            fuzzy_best_match(mentions, dic, "mid", "name", "name_id", "name").collect()}
+    assert best[10]["best_name"] == "apple pie" and best[10]["best_dist"] == 1
+    assert best[11]["best_name"] == "banana split" and best[11]["best_dist"] == 1
+    assert best[12]["best_dist"] == 0
+    assert 13 not in best  # nothing within distance 2
+
+    # the count filter keeps unrelated strings out of the candidate set
+    cand = blocked_candidates(mentions, dic, "mid", "name", "name_id", "name")
+    pairs = {(r["lid"], r["rid"]) for r in cand.collect()}
+    assert (13, 1) not in pairs and (13, 2) not in pairs and (13, 3) not in pairs
+
+
+def test_fuzzy_match_hot_gram_cap(spark):
+    from sarpro_spark.llm.linkage import fuzzy_best_match
+
+    # every dictionary entry shares the gram-rich suffix; cap at 1 kills
+    # all blocking -> no matches survive (deterministic, mirrored in SQL)
+    dic = spark.createDataFrame(
+        [(i, f"item {i:02d} common suffix") for i in range(20)], "name_id long, name string"
+    )
+    mentions = spark.createDataFrame([(0, "item 00 common sufix")], "mid long, name string")
+    assert fuzzy_best_match(mentions, dic, "mid", "name", "name_id", "name", max_gram_df=1).count() == 0
+    hit = fuzzy_best_match(mentions, dic, "mid", "name", "name_id", "name").collect()
+    assert hit and hit[0]["best_name"] == "item 00 common suffix"

@@ -834,6 +834,16 @@ AUDITS: dict[str, dict] = {
         "codegen": True,
         "forbid": ["CartesianProduct", "BatchEvalPython", "Join"],
     },
+    "fuzzy_match_partnames": {
+        # r11 record linkage: q-gram inverted index (Generate) -> count
+        # filter aggregate -> levenshtein verify on candidates only ->
+        # per-mention resolution Window; candidates only ever come from
+        # shared grams — a cartesian distance matrix is the failure mode
+        # this operator exists to avoid
+        "require": ["Generate", "Window", "HashAggregate"],
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin"],
+    },
     "bloom_semijoin_reduction": {
         # r11 runtime filter: the dim-key left join + three word-relation
         # probes are ALL broadcast hash joins (the word relation is a
