@@ -129,6 +129,7 @@ HEADLINE = [
     "events_resample_gapfill",
     "bloom_semijoin_reduction",
     "fuzzy_match_partnames",
+    "cdc_snapshot_diff",
 ]
 
 

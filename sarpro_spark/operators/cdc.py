@@ -156,3 +156,64 @@ SELECT {cols}, {op_col},
         AND {op_col} <> 'D') AS is_current
 FROM {changes_rel}
 """.strip()
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """The inverse of :func:`apply_changelog`: derive the changelog between
+    two snapshots of the same schema.  One full-outer join on the key;
+    op = 'I' (new only), 'D' (old only), 'U' (both, any payload column
+    IS DISTINCT FROM — null-safe).  Unchanged keys emit nothing.  Payload
+    comes from the NEW side for I/U and the OLD side for D (the row being
+    removed).  Round-trip law (tested): apply_changelog(old,
+    snapshot_diff(old, new)) == new."""
+    payload = [c for c in old.columns if c != key_col]
+    # presence flags are explicit TRUE echoes per side — a NULL payload
+    # column must not read as "absent"
+    o = old.select(F.col(key_col).alias("_k"), F.lit(True).alias("_in_o"),
+                   *[F.col(c).alias(f"_o_{c}") for c in payload])
+    n = new.select(F.col(key_col).alias("_k"), F.lit(True).alias("_in_n"),
+                   *[F.col(c).alias(f"_n_{c}") for c in payload])
+    j = o.join(n, "_k", "full_outer")
+    changed = F.lit(False)
+    for c in payload:
+        changed = changed | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    op = (
+        F.when(F.col("_in_o").isNull(), F.lit("I"))
+        .when(F.col("_in_n").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    out_cols = [
+        F.when(op == "D", F.col(f"_o_{c}")).otherwise(F.col(f"_n_{c}")).alias(c)
+        for c in payload
+    ]
+    return (
+        j.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .select(F.col("_k").alias(key_col), *out_cols, "op")
+    )
+
+
+def sql_snapshot_diff(
+    old_rel: str,
+    new_rel: str,
+    key_col: str,
+    payload_cols: list[str],
+) -> str:
+    """Twin of :func:`snapshot_diff`."""
+    changed = " OR ".join(f"o.{c} IS DISTINCT FROM n.{c}" for c in payload_cols)
+    outs = ",\n       ".join(
+        f"CASE WHEN n.{key_col} IS NULL THEN o.{c} ELSE n.{c} END AS {c}" for c in payload_cols
+    )
+    return f"""
+SELECT COALESCE(o.{key_col}, n.{key_col}) AS {key_col},
+       {outs},
+       CASE WHEN o.{key_col} IS NULL THEN 'I'
+            WHEN n.{key_col} IS NULL THEN 'D'
+            WHEN {changed} THEN 'U' END AS op
+FROM {old_rel} o FULL OUTER JOIN {new_rel} n ON o.{key_col} = n.{key_col}
+WHERE (o.{key_col} IS NULL OR n.{key_col} IS NULL OR {changed})
+""".strip()

@@ -384,6 +384,7 @@ register_pack(
         Member("events_cohort_retention", ("cohort_day", "day_offset")),
         Member("cdc_apply_changelog", ("o_orderkey",)),
         Member("cdc_scd2_history", ("o_orderkey", "valid_from")),
+        Member("cdc_snapshot_diff", ("o_orderkey",)),
         Member("zorder_layout_locality", ()),
         Member("bloom_semijoin_reduction", ()),
         Member("events_resample_gapfill", ("key", "bucket_us")),

@@ -2104,3 +2104,50 @@ def q_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ndim.crossJoin(agg).select(
         "n_dim", "n_fact", "bloom_pass", "exact_pass", "false_pos", "false_neg", "fp_rate"
     )
+
+
+def _cdc_diff_sql() -> str:
+    from sarpro_spark.operators.cdc import sql_apply_changelog, sql_snapshot_diff
+
+    inner = sql_apply_changelog("cdcbase", "cdcchanges", "o_orderkey", _CDC_BASE_COLS)
+    cte_part, _, select_part = inner.removeprefix("WITH ").partition("\n)\nSELECT")
+    payload = [c for c in _CDC_BASE_COLS if c != "o_orderkey"]
+    diff = sql_snapshot_diff("cdcbase", "snapnew", "o_orderkey", payload)
+    cols = ", ".join(_CDC_BASE_COLS)
+    return f"""
+WITH {_CDC_CHANGES_SQL},
+{cte_part}
+),
+snapnew AS (
+  SELECT {cols} FROM (
+SELECT{select_part}
+  )
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       (FLOOR(o_totalprice * 100.0 + 0.5) / 100.0) AS o_totalprice,
+       op
+FROM ({diff})
+""".strip()
+
+
+@query("cdc_snapshot_diff", sql=_cdc_diff_sql, tags=("relational", "cdc"))
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/cdc.py, r11): derive the changelog BETWEEN
+    two snapshots — one full-outer join on the key, null-safe payload
+    comparison, I/D/U classification. This certificate runs the two CDC
+    operators against each other: the snapshot produced by
+    apply_changelog is diffed back against the base, and the hashed
+    result must be exactly the surviving effect of the original
+    three-rung changelog (the apply<->diff round-trip law; the exact
+    inverse identity is also asserted in tests). Unchanged keys emit
+    nothing, so diff output scales with churn, not snapshot size."""
+    from sarpro_spark.operators.cdc import apply_changelog, snapshot_diff
+
+    base, changes = _cdc_changes_frame(spark, sf_dir)
+    snap = apply_changelog(base, changes, "o_orderkey").select(*_CDC_BASE_COLS)
+    diff = snapshot_diff(base, snap, "o_orderkey")
+    return diff.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        fround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        "op",
+    )

@@ -142,3 +142,29 @@ def test_resample_gapfill_fills(spark):
     assert out[(1, base + 3 * h)]["linear"] == 25.0
     assert out[(1, base + 4 * h)]["locf"] == 30.0
     assert len([k for k in out if k[0] == 2]) == 1           # no spurious grid
+
+
+def test_snapshot_diff_roundtrip_law(spark):
+    """apply_changelog(old, snapshot_diff(old, new)) must reproduce new."""
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.operators.cdc import apply_changelog, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "d", 4.0)],
+        "k long, v string, w double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),       # unchanged -> no diff row
+         (2, "B", 2.0),       # changed
+         (3, "c", 3.0),       # NULL -> value (null-safe compare)
+         (5, "e", 5.0)],      # inserted; 4 deleted
+        "k long, v string, w double",
+    )
+    diff = snapshot_diff(old, new, "k")
+    ops = {r["k"]: r["op"] for r in diff.collect()}
+    assert ops == {2: "U", 3: "U", 4: "D", 5: "I"}
+
+    clog = diff.withColumn("seq", F.lit(1))
+    rebuilt = apply_changelog(old, clog, "k").select("k", "v", "w")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))

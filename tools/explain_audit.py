@@ -827,6 +827,14 @@ AUDITS: dict[str, dict] = {
         "require": ["WindowGroupLimit", "Union"],
         "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     },
+    "cdc_snapshot_diff": {
+        # r11 apply<->diff cross-validation: the snapshot rebuild keeps
+        # apply's WindowGroupLimit; the diff itself is ONE full-outer
+        # SortMergeJoin on the key — no Python, no cartesian
+        "require": ["SortMergeJoin", "WindowGroupLimit", "Union"],
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
     "cdc_scd2_history": {
         # r11 SCD2: one lead() window per key over the changelog — no join
         # anywhere in the plan
