@@ -130,6 +130,7 @@ HEADLINE = [
     "bloom_semijoin_reduction",
     "fuzzy_match_partnames",
     "cdc_snapshot_diff",
+    "domain_triangle_census",
 ]
 
 

@@ -208,3 +208,132 @@ JOIN gr{iters} r ON r.node = n.node
 LEFT JOIN (SELECT src, COUNT(*) AS cnt FROM gedges GROUP BY src) o ON o.src = n.node
 LEFT JOIN (SELECT dst, COUNT(*) AS cnt FROM gedges GROUP BY dst) i ON i.dst = n.node"""
     )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle counts + local clustering coefficient.
+
+    The degree-orientation algorithm (the standard distributed shape —
+    Suri & Vassilvitskii 2011 "Counting triangles and the curse of the
+    last reducer"): orient every undirected edge from its lower
+    (degree, id) endpoint to the higher, so every wedge is enumerated
+    exactly once at its lowest-order apex and per-vertex wedge fan-out is
+    bounded by O(sqrt(m)) instead of max-degree — the hub that would
+    otherwise be the curse-of-the-last-reducer straggler generates no
+    wedges at all.  A triangle is a wedge whose closing edge exists in
+    the oriented set; each triangle is found exactly once.
+
+    Input may be directed/weighted/duplicated; it is canonicalized to a
+    distinct undirected a<b edge set first.  Output: (vertex, deg,
+    triangles, local_cc = 2*tri / (deg*(deg-1)), 0 where deg < 2).
+    """
+    a, b = F.col(src).cast("string"), F.col(dst).cast("string")
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v")).unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("degb"))
+    ed = e.join(da, "a").join(db, "b")
+    lo_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    orient = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(
+            lo_first, F.struct(F.col("degb").alias("d"), F.col("b").alias("id"))
+        ).otherwise(
+            F.struct(F.col("dega").alias("d"), F.col("a").alias("id"))
+        ).alias("hi"),
+    )
+    x = orient.select(F.col("lo"), F.col("hi").alias("h1"))
+    y = orient.select(F.col("lo"), F.col("hi").alias("h2"))
+    wedges = x.join(y, "lo").where(F.col("h1") < F.col("h2"))
+    closing = orient.select(
+        F.col("lo").alias("c_lo"), F.col("hi").alias("c_hi")
+    )
+    tris = wedges.join(
+        closing,
+        (F.col("h1.id") == F.col("c_lo")) & (F.col("h2") == F.col("c_hi")),
+    ).select(
+        F.col("lo").alias("v1"),
+        F.col("h1.id").alias("v2"),
+        F.col("h2.id").alias("v3"),
+    )
+    per_vertex = (
+        tris.select(F.col("v1").alias("v"))
+        .unionAll(tris.select(F.col("v2").alias("v")))
+        .unionAll(tris.select(F.col("v3").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    from sarpro_spark.queries import fround
+
+    return (
+        deg.join(per_vertex, "v", "left")
+        .select(
+            F.col("v").alias("vertex"),
+            F.col("deg").cast("bigint").alias("deg"),
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+            fround(
+                F.when(
+                    F.col("deg") >= 2,
+                    2.0 * F.coalesce("triangles", F.lit(0)) / (F.col("deg") * (F.col("deg") - 1)),
+                ).otherwise(F.lit(0.0))
+            ).alias("local_cc"),
+        )
+    )
+
+
+def sql_triangle_counts(edges_rel: str, src: str = "src", dst: str = "dst") -> str:
+    """DuckDB twin of :func:`triangle_counts` (same orientation and
+    tuple-order wedge enumeration; ROW() comparisons mirror the struct
+    comparisons)."""
+    return f"""
+WITH tri_e AS (
+  SELECT DISTINCT LEAST(CAST({src} AS VARCHAR), CAST({dst} AS VARCHAR)) AS a,
+         GREATEST(CAST({src} AS VARCHAR), CAST({dst} AS VARCHAR)) AS b
+  FROM {edges_rel} WHERE CAST({src} AS VARCHAR) <> CAST({dst} AS VARCHAR)
+),
+tri_deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM tri_e UNION ALL SELECT b AS v FROM tri_e
+  ) GROUP BY v
+),
+tri_or AS (
+  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS lo,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS hideg,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS hi
+  FROM tri_e e
+  JOIN tri_deg da ON e.a = da.v
+  JOIN tri_deg db ON e.b = db.v
+),
+tri_w AS (
+  SELECT x.lo, x.hideg AS d1, x.hi AS v2, y.hideg AS d2, y.hi AS v3
+  FROM tri_or x JOIN tri_or y ON x.lo = y.lo
+  WHERE (x.hideg, x.hi) < (y.hideg, y.hi)
+),
+tri_t AS (
+  SELECT w.lo AS v1, w.v2, w.v3
+  FROM tri_w w JOIN tri_or c
+    ON w.v2 = c.lo AND (w.d2, w.v3) = (c.hideg, c.hi)
+),
+tri_pv AS (
+  SELECT v, COUNT(*) AS triangles FROM (
+    SELECT v1 AS v FROM tri_t UNION ALL SELECT v2 AS v FROM tri_t
+    UNION ALL SELECT v3 AS v FROM tri_t
+  ) GROUP BY v
+)
+SELECT d.v AS vertex, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       (FLOOR(CASE WHEN d.deg >= 2
+          THEN 2.0 * COALESCE(p.triangles, 0) / (d.deg * (d.deg - 1))
+          ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0) AS local_cc
+FROM tri_deg d LEFT JOIN tri_pv p ON d.v = p.v
+""".strip()

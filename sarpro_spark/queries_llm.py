@@ -2910,3 +2910,62 @@ def q_fuzzy_match_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lid", "best_rid", "best_name", "best_dist", "n_cands",
         (F.col("best_name") == F.col("true_name")).alias("correct"),
     )
+
+
+# --- triangle census over the co-citation graph (r11) --------------------------
+
+# three URL families per doc (7 x 5 x 3 hosts) so the co-citation graph is
+# tripartite with one triangle per present (site, mid, cdn) combination —
+# same augmentation idiom as domain_pagerank, one family richer.
+_TRI_AUG_SQL = (
+    "text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example.com/page and https://mid' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.example.org/item and http://cdn' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '.example.net/asset'"
+)
+
+
+def _tri_census_sql() -> str:
+    from sarpro_spark.llm.graph import sql_triangle_counts
+
+    return f"""
+WITH tri_m AS (
+  SELECT doc_id, UNNEST(regexp_extract_all({_TRI_AUG_SQL}, '{_URL_RE}', 1)) AS domain
+  FROM documents
+),
+tri_md AS (SELECT DISTINCT doc_id, domain FROM tri_m),
+tri_edges AS (
+  SELECT a.domain AS src, b.domain AS dst
+  FROM tri_md a JOIN tri_md b ON a.doc_id = b.doc_id AND a.domain <> b.domain
+)
+SELECT * FROM ({sql_triangle_counts("tri_edges")})
+""".strip()
+
+
+@query("domain_triangle_census", sql=_tri_census_sql, tags=("llm", "graph"))
+def q_domain_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle census (llm/graph.py triangle_counts, r11) over
+    the host co-citation graph: the degree-ORIENTED algorithm (Suri &
+    Vassilvitskii) — every edge points from its lower (degree, id)
+    endpoint to the higher, each wedge enumerates once at its lowest
+    apex, the closing-edge join confirms triangles exactly once. The hub
+    vertex generates no wedges, so there is no last-reducer straggler at
+    100 TB. Output: per-host degree, triangle count, and local
+    clustering coefficient, all hashed."""
+    from sarpro_spark.llm import graph as gr
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    pid = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"), (pid % 7).cast("string"),
+        F.lit(".example.com/page and https://mid"), (pid % 5).cast("string"),
+        F.lit(".example.org/item and http://cdn"), (pid % 3).cast("string"),
+        F.lit(".example.net/asset"),
+    )
+    mentions = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(aug, F.lit(_URL_RE), 1)).alias("domain"),
+    )
+    edges = gr.cocitation_edges(mentions)
+    return gr.triangle_counts(edges)

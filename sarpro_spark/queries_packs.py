@@ -255,6 +255,7 @@ register_pack(
         Member("fuzzy_match_partnames", ("lid",)),
         Member("text_bigram_logprob", ("doc_id",)),
         Member("domain_pagerank", ("domain",)),
+        Member("domain_triangle_census", ("vertex",)),
         Member("corpus_curation_funnel", ("stage",)),
         Member("corpus_export_roundtrip", ("lang",)),
     ),

@@ -105,3 +105,36 @@ def test_asof_cogrouped_matches_union_form(spark):
     assert a[2][0] == 101
     assert a[3] == (None, None)   # right row is after -> null
     assert a[4] == (None, None)   # user 30 has no right rows
+
+
+# --- triangle counting (llm/graph.py, r11) -------------------------------------
+
+
+def test_triangle_counts_known_graphs(spark):
+    from sarpro_spark.llm import graph as gr
+
+    # K4 + pendant: every K4 vertex is in C(3,2)=3 triangles, pendant in 0
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (2, 1)],
+        "src long, dst long",
+    )
+    out = {r["vertex"]: r for r in gr.triangle_counts(k4).collect()}
+    assert all(out[str(v)]["triangles"] == 3 for v in (1, 2, 3))
+    assert out["4"]["triangles"] == 3 and out["4"]["deg"] == 4
+    assert out["5"]["triangles"] == 0 and out["5"]["local_cc"] == 0.0
+    assert out["1"]["local_cc"] == 1.0  # closed neighborhood
+
+    # triangle-free bipartite C4: zero everywhere
+    c4 = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    assert all(r["triangles"] == 0 for r in gr.triangle_counts(c4).collect())
+
+
+def test_triangle_counts_duplicate_and_directed_input(spark):
+    from sarpro_spark.llm import graph as gr
+
+    # duplicated edges in both directions must canonicalize: ONE triangle
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 3)], "src long, dst long"
+    )
+    rows = gr.triangle_counts(e).collect()
+    assert sum(r["triangles"] for r in rows) == 3  # 1 triangle x 3 vertices

@@ -842,6 +842,15 @@ AUDITS: dict[str, dict] = {
         "codegen": True,
         "forbid": ["CartesianProduct", "BatchEvalPython", "Join"],
     },
+    "domain_triangle_census": {
+        # r11 degree-oriented triangles: wedge enumeration joins the
+        # oriented edge set with itself (SMJ on the apex) and the closing
+        # edge confirms by equi-join — never an unconstrained self-join;
+        # Generate is the URL explode
+        "require": ["Generate", "SortMergeJoin", "HashAggregate", "Union"],
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
+    },
     "fuzzy_match_partnames": {
         # r11 record linkage: q-gram inverted index (Generate) -> count
         # filter aggregate -> levenshtein verify on candidates only ->
