@@ -131,6 +131,7 @@ HEADLINE = [
     "fuzzy_match_partnames",
     "cdc_snapshot_diff",
     "domain_triangle_census",
+    "hilbert_vs_morton_locality",
 ]
 
 

@@ -124,3 +124,94 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hilbert_value(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = DEFAULT_BITS,
+) -> DataFrame:
+    """Attach qx/qy/hval: the Hilbert-curve index of the quantized point.
+
+    The Hilbert curve improves on Morton exactly where file layout cares:
+    successive curve positions are ALWAYS grid neighbors (Morton jumps at
+    quadrant seams), so equal-count file cuts get tighter bounding boxes.
+    Standard iterative xy->d transform (the public-domain rot/flip
+    formulation), unrolled to ``bits`` levels of pure integer column
+    arithmetic — no UDF; each level is a projection, all codegen.  Same
+    broadcast min/max quantization as :func:`zorder_value`.
+    """
+    mm = df.agg(
+        F.min(x_col).alias("_xmin"),
+        F.max(x_col).alias("_xmax"),
+        F.min(y_col).alias("_ymin"),
+        F.max(y_col).alias("_ymax"),
+    )
+    j = df.crossJoin(F.broadcast(mm))
+    out = (
+        j.withColumn("qx", quantize_expr(F.col(x_col), F.col("_xmin"), F.col("_xmax"), bits))
+        .withColumn("qy", quantize_expr(F.col(y_col), F.col("_ymin"), F.col("_ymax"), bits))
+        .drop("_xmin", "_xmax", "_ymin", "_ymax")
+        .withColumn("_hx", F.col("qx"))
+        .withColumn("_hy", F.col("qy"))
+        .withColumn("hval", F.lit(0).cast("bigint"))
+    )
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        out = (
+            out.withColumn("_rx", rx)
+            .withColumn("_ry", ry)
+            .withColumn(
+                "hval",
+                F.col("hval")
+                + F.lit(s).cast("bigint") * F.lit(s) * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")),
+            )
+        )
+        # rotate the quadrant: only when ry == 0
+        flip = (F.col("_ry") == 0) & (F.col("_rx") == 1)
+        nx = F.when(flip, F.lit(s - 1) - F.col("_hx")).otherwise(F.col("_hx"))
+        ny = F.when(flip, F.lit(s - 1) - F.col("_hy")).otherwise(F.col("_hy"))
+        out = out.withColumn("_nx", nx).withColumn("_ny", ny).select(
+            *[c for c in out.columns if c not in ("_hx", "_hy", "_nx", "_ny")],
+            F.when(F.col("_ry") == 0, F.col("_ny")).otherwise(F.col("_nx")).alias("_hx"),
+            F.when(F.col("_ry") == 0, F.col("_nx")).otherwise(F.col("_ny")).alias("_hy"),
+        )
+    return out.drop("_hx", "_hy", "_rx", "_ry")
+
+
+def sql_hilbert_steps(base_cte: str, bits: int = DEFAULT_BITS) -> str:
+    """DuckDB twin of :func:`hilbert_value`'s unrolled transform.
+
+    ``base_cte`` must expose (qx, qy, ...) plus any passthrough columns;
+    emits chained CTEs ``hstep{level}`` ending in ``hfinal`` with hval.
+    Passthrough: qx, qy only (callers re-join wider payloads if needed).
+    """
+    prev = base_cte
+    parts = []
+    for i, level in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << level
+        src_x = "qx" if i == 0 else "_hx"
+        src_y = "qy" if i == 0 else "_hy"
+        prev_d = "CAST(0 AS BIGINT)" if i == 0 else "hval"
+        parts.append(f"""
+hstep{level} AS (
+  SELECT qx, qy,
+    {prev_d} + CAST({s} AS BIGINT) * {s} *
+      CAST(xor(3 * (CASE WHEN ({src_x} & {s}) > 0 THEN 1 ELSE 0 END),
+               (CASE WHEN ({src_y} & {s}) > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS hval,
+    CASE WHEN (CASE WHEN ({src_y} & {s}) > 0 THEN 1 ELSE 0 END) = 0
+         THEN (CASE WHEN (CASE WHEN ({src_x} & {s}) > 0 THEN 1 ELSE 0 END) = 1
+                    THEN {s - 1} - {src_y} ELSE {src_y} END)
+         ELSE {src_x} END AS _hx,
+    CASE WHEN (CASE WHEN ({src_y} & {s}) > 0 THEN 1 ELSE 0 END) = 0
+         THEN (CASE WHEN (CASE WHEN ({src_x} & {s}) > 0 THEN 1 ELSE 0 END) = 1
+                    THEN {s - 1} - {src_x} ELSE {src_x} END)
+         ELSE {src_y} END AS _hy
+  FROM {prev}
+)""".strip())
+        prev = f"hstep{level}"
+    parts.append(f"hfinal AS (SELECT qx, qy, hval FROM {prev})")
+    return ",\n".join(parts)

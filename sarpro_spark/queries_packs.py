@@ -387,6 +387,7 @@ register_pack(
         Member("cdc_scd2_history", ("o_orderkey", "valid_from")),
         Member("cdc_snapshot_diff", ("o_orderkey",)),
         Member("zorder_layout_locality", ()),
+        Member("hilbert_vs_morton_locality", ()),
         Member("bloom_semijoin_reduction", ()),
         Member("events_resample_gapfill", ("key", "bucket_us")),
         Member("events_ab_test", ()),

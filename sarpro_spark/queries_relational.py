@@ -2151,3 +2151,119 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("o_totalprice"), 2).alias("o_totalprice"),
         "op",
     )
+
+
+# --- Hilbert vs Morton locality (r11) ------------------------------------------
+
+_HILB_BITS = 8           # 256x256 panel = 65536 points, fully enumerable
+_HILB_IVL = 1365         # deliberately NON-power-of-2 curve interval width
+
+
+def _hilbert_locality_sql() -> str:
+    from sarpro_spark.functions.zorder import sql_hilbert_steps, sql_interleave_bits
+
+    n = 1 << (2 * _HILB_BITS)
+    side = 1 << _HILB_BITS
+    z = sql_interleave_bits("qx", "qy", _HILB_BITS)
+    steps = sql_hilbert_steps("hpanel", _HILB_BITS)
+    return f"""
+WITH hpanel AS (
+  SELECT CAST(i % {side} AS BIGINT) AS qx, CAST(i // {side} AS BIGINT) AS qy
+  FROM (SELECT UNNEST(RANGE(0, {n})) AS i)
+),
+{steps},
+curves AS (
+  SELECT h.qx, h.qy, h.hval, {z} AS zval FROM hfinal h
+),
+hsteps AS (
+  SELECT ABS(a.qx - b.qx) + ABS(a.qy - b.qy) AS st
+  FROM curves a JOIN curves b ON a.hval = b.hval - 1
+),
+zsteps AS (
+  SELECT ABS(a.qx - b.qx) + ABS(a.qy - b.qy) AS st
+  FROM curves a JOIN curves b ON a.zval = b.zval - 1
+),
+hbox AS (
+  SELECT hval // {_HILB_IVL} AS ivl, (MAX(qx)-MIN(qx)+1) * (MAX(qy)-MIN(qy)+1) AS area
+  FROM curves GROUP BY 1
+),
+zbox AS (
+  SELECT zval // {_HILB_IVL} AS ivl, (MAX(qx)-MIN(qx)+1) * (MAX(qy)-MIN(qy)+1) AS area
+  FROM curves GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM curves) AS n_points,
+       (SELECT CAST(MAX(st) AS BIGINT) FROM hsteps) AS hilbert_max_step,
+       (SELECT CAST(MAX(st) AS BIGINT) FROM zsteps) AS morton_max_step,
+       (SELECT (FLOOR(AVG(st) * 1000000.0 + 0.5) / 1000000.0) FROM hsteps) AS hilbert_mean_step,
+       (SELECT (FLOOR(AVG(st) * 1000000.0 + 0.5) / 1000000.0) FROM zsteps) AS morton_mean_step,
+       (SELECT CAST(SUM(area) AS BIGINT) FROM hbox) AS hilbert_interval_bbox_area,
+       (SELECT CAST(SUM(area) AS BIGINT) FROM zbox) AS morton_interval_bbox_area,
+       (SELECT CAST(SUM(area) AS BIGINT) FROM hbox)
+         <= (SELECT CAST(SUM(area) AS BIGINT) FROM zbox) AS hilbert_no_worse
+""".strip()
+
+
+@query("hilbert_vs_morton_locality", sql=_hilbert_locality_sql, tags=("relational", "layout", "zorder"))
+def q_hilbert_vs_morton_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert vs Morton, measured (functions/zorder.py hilbert_value,
+    r11): on the fully-enumerated 256x256 panel, consecutive Hilbert
+    positions are ALWAYS grid neighbors (hilbert_max_step hashes as the
+    1 the curve guarantees) while Morton jumps 255+ cells at quadrant
+    seams; and over deliberately NON-power-of-2 curve intervals (the
+    shape real repartitionByRange file cuts take), Hilbert's bounding
+    boxes are tighter — the reason Hilbert beats Z-order for file
+    skipping when cuts don't align to quadrant boundaries. The panel is
+    bounded (65536 rows) and step measurement is a successor equi-join
+    on curve value + 1 — no global-order window anywhere."""
+    from sarpro_spark.functions.zorder import hilbert_value, interleave_bits_expr
+
+    side = 1 << _HILB_BITS
+    panel = spark.range(side * side).select(
+        (F.col("id") % side).alias("x"), (F.col("id") / side).cast("long").alias("y")
+    )
+    cur = hilbert_value(panel, "x", "y", _HILB_BITS).withColumn(
+        "zval", interleave_bits_expr(F.col("qx"), F.col("qy"), _HILB_BITS)
+    ).select("qx", "qy", "hval", "zval")
+    # ONE materialization of the bounded panel: the successor self-joins and
+    # both box groupings would otherwise each re-analyze (and re-run) the
+    # 16-level unrolled transform lineage
+    from sarpro_spark.llm.cluster import _checkpointer
+
+    cur = _checkpointer(cur)(cur)
+
+    def steps(order_col):
+        # successor lookup by curve value + 1: an equi-join, fully parallel
+        # (no global-order window anywhere near the panel)
+        a = cur.select(F.col(order_col).alias("_d"), F.col("qx").alias("_ax"), F.col("qy").alias("_ay"))
+        b = cur.select((F.col(order_col) - 1).alias("_d"), F.col("qx").alias("_bx"), F.col("qy").alias("_by"))
+        st = F.abs(F.col("_ax") - F.col("_bx")) + F.abs(F.col("_ay") - F.col("_by"))
+        return a.join(b, "_d").select(st.alias("st")).agg(
+            F.max("st").cast("bigint").alias("mx"), fround(F.avg("st")).alias("mean"),
+        )
+
+    def boxes(order_col):
+        return (
+            cur.groupBy(F.floor(F.col(order_col) / _HILB_IVL).alias("ivl"))
+            .agg(
+                (
+                    (F.max("qx") - F.min("qx") + 1) * (F.max("qy") - F.min("qy") + 1)
+                ).alias("area")
+            )
+            .agg(F.sum("area").cast("bigint").alias("area"))
+        )
+
+    hs = steps("hval").select(F.col("mx").alias("hilbert_max_step"), F.col("mean").alias("hilbert_mean_step"))
+    zs = steps("zval").select(F.col("mx").alias("morton_max_step"), F.col("mean").alias("morton_mean_step"))
+    hb = boxes("hval").select(F.col("area").alias("hilbert_interval_bbox_area"))
+    zb = boxes("zval").select(F.col("area").alias("morton_interval_bbox_area"))
+    npts = cur.agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        npts.crossJoin(F.broadcast(hs)).crossJoin(F.broadcast(zs))
+        .crossJoin(F.broadcast(hb)).crossJoin(F.broadcast(zb))
+        .select(
+            "n_points", "hilbert_max_step", "morton_max_step",
+            "hilbert_mean_step", "morton_mean_step",
+            "hilbert_interval_bbox_area", "morton_interval_bbox_area",
+            (F.col("hilbert_interval_bbox_area") <= F.col("morton_interval_bbox_area")).alias("hilbert_no_worse"),
+        )
+    )

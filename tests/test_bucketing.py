@@ -170,3 +170,22 @@ def test_write_zordered_files_are_disjoint_in_z(spark, tmp_path):
         .select("f").distinct().count()
     )
     assert 0 < hit < len(ranges)
+
+
+def test_hilbert_curve_properties(spark):
+    from sarpro_spark.functions.zorder import hilbert_value
+
+    # order-1 U: (0,0)->0 (0,1)->1 (1,1)->2 (1,0)->3
+    pts = spark.createDataFrame([(0, 0), (0, 1), (1, 1), (1, 0)], "x long, y long")
+    out = {(r["qx"], r["qy"]): r["hval"] for r in hilbert_value(pts, "x", "y", bits=1).collect()}
+    assert out == {(0, 0): 0, (0, 1): 1, (1, 1): 2, (1, 0): 3}
+
+    # bits=4: bijection on the 16x16 grid and the neighbor property
+    grid = spark.range(256).select((F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y"))
+    rows = hilbert_value(grid, "x", "y", bits=4).collect()
+    inv = {r["hval"]: (r["qx"], r["qy"]) for r in rows}
+    assert len(inv) == 256 and set(inv) == set(range(256))
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(255)
+    )

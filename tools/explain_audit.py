@@ -879,6 +879,15 @@ AUDITS: dict[str, dict] = {
         "codegen": True,
         "forbid": ["CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin"],
     },
+    "hilbert_vs_morton_locality": {
+        # r11 curve comparison: one enumerated panel feeds the 16-level
+        # unrolled Hilbert transform (pure integer projections, codegen)
+        # and the Morton interleave; measurement windows over the bounded
+        # 65536-row panel; 1-row aggregates cross back as broadcast BNLJ
+        "require": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "Window"],
+    },
     "bucketed_colocated_join": {
         # r11 layout certificate: both sides scan as bucketed tables and
         # the key join + key aggregate run with ZERO exchanges — any
@@ -1155,6 +1164,10 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
         "1024 bits, 16 KiB at the 2^17 production default) regardless of "
         "dim cardinality",
     ),
+    ("queries_relational.py", "hs"): ("constant", "1-row hilbert step aggregate"),
+    ("queries_relational.py", "zs"): ("constant", "1-row morton step aggregate"),
+    ("queries_relational.py", "hb"): ("constant", "1-row hilbert bbox aggregate"),
+    ("queries_relational.py", "zb"): ("constant", "1-row morton bbox aggregate"),
     ("queries_relational.py", "w"): (
         "constant", "same bloom word relation probed in the certificate's flag loop",
     ),
