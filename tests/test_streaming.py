@@ -868,3 +868,83 @@ def test_streaming_ingest_restart_exactly_once(spark, tmp_path):
             if line.startswith("{") and '"path"' in line:
                 entries.append(json.loads(line)["path"])
     assert len(entries) == 3 and len(set(entries)) == 3
+
+
+def test_streaming_cdc_snapshot_restart_exactly_once(spark, tmp_path):
+    """Streaming CDC (streaming/cdc.py, r11): changelog files land
+    continuously; foreachBatch folds each micro-batch with the BATCH
+    apply_changelog into version-dir snapshots. Run 1 crashes mid-epoch
+    while batch 1 processes; a torn v=1 directory (write landed, commit
+    did not) is planted; run 2 resumes from the checkpoint, redelivers
+    epoch 1 into the SAME version dir (overwrite), and a change file that
+    landed during the outage flows in a fresh epoch. Final snapshot must
+    equal the batch operator folded over all three change files, exactly
+    once, garbage gone."""
+    import os
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sarpro_spark.operators.cdc import apply_changelog
+    from sarpro_spark.streaming.cdc import latest_snapshot, maintain_snapshot_stream
+
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    land = tmp_path / "cdc_land"
+    land.mkdir()
+    out = str(tmp_path / "cdc_snap")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "k long, v string, seq long, op string") \
+            .coalesce(1).write.mode("overwrite").parquet(str(land / name))
+
+    drop("c1", [(1, "a2", 1, "U"), (4, "d", 1, "I")])
+    drop("c2", [(2, "b", 2, "D"), (1, "a3", 2, "U")])
+
+    bomb = tmp_path / "cdc_bomb"
+    bomb.write_text("armed")
+
+    def crash_on_delete(batch_df):
+        if bomb.exists() and batch_df.where(F.col("op") == "D").count() > 0:
+            bomb.unlink()
+            raise RuntimeError("simulated mid-epoch crash")
+        return batch_df
+
+    stream = (
+        spark.readStream.schema("k long, v string, seq long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "*"))
+    )
+    q = maintain_snapshot_stream(stream, base, "k", out, ckpt, transform=crash_on_delete)
+    crashed = False
+    try:
+        q.awaitTermination(180)
+    except (StreamingQueryException, Py4JJavaError):
+        crashed = True
+    assert crashed and not bomb.exists()
+
+    # plant a torn write for the failed epoch: data present, semantics wrong
+    spark.createDataFrame([(99, "GARBAGE")], "k long, v string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "v=1"))
+
+    # a third change file lands during the outage
+    drop("c3", [(5, "e", 1, "I")])
+
+    stream2 = (
+        spark.readStream.schema("k long, v string, seq long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "*"))
+    )
+    q2 = maintain_snapshot_stream(stream2, base, "k", out, ckpt)
+    assert q2.awaitTermination(180) or q2.stop() is None
+
+    final = {r["k"]: r["v"] for r in latest_snapshot(spark, out, base).collect()}
+    # batch ground truth: fold the three files in landing order
+    truth = base
+    for name in ("c1", "c2", "c3"):
+        c = spark.read.parquet(str(land / name))
+        truth = apply_changelog(truth, c, "k").select("k", "v")
+    expect = {r["k"]: r["v"] for r in truth.collect()}
+    assert final == expect
+    assert 99 not in final  # the torn write was overwritten by redelivery
