@@ -132,6 +132,7 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "domain_triangle_census",
     "hilbert_vs_morton_locality",
+    "events_interval_overlap",
 ]
 
 

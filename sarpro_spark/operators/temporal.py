@@ -276,3 +276,87 @@ SELECT key, bucket_us, CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs, v_avg,
        END AS linear
 FROM gffill
 """.strip()
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: int,
+) -> DataFrame:
+    """True interval x interval overlap join (closed intervals,
+    ``ls <= re AND rs <= le``) — the genomics/occupancy/session-overlap
+    operator the as-of and |t1-t2|<=d joins don't cover, since BOTH sides
+    here have extent.
+
+    Shape (the standard bucketized interval join): each interval registers
+    in every span bucket it touches (floor(start/B)..floor(end/B) — a
+    bounded sequence explode, fan-out = ceil(span/B)+1), candidates join
+    on (key, bucket), and each overlapping pair is COUNTED EXACTLY ONCE
+    by the first-shared-bucket rule: a pair that overlaps shares every
+    bucket from max(floor(ls/B), floor(rs/B)) upward, so only the
+    candidate row where bucket == that maximum survives — no distinct
+    pass, no pair blow-up.  The exact predicate filters the bucket-grain
+    false positives.  Cost tracks true match density; bucket width trades
+    explode fan-out against candidate precision (pick ~= median span).
+
+    Returns left.* + right payload columns prefixed ``r_``.
+    """
+    lb0 = F.floor(F.col(left_start) / F.lit(bucket)).cast("long")
+    lb1 = F.floor(F.col(left_end) / F.lit(bucket)).cast("long")
+    rb0 = F.floor(F.col(right_start) / F.lit(bucket)).cast("long")
+    rb1 = F.floor(F.col(right_end) / F.lit(bucket)).cast("long")
+    l2 = left.withColumn("_bucket", F.explode(F.sequence(lb0, lb1))).withColumn(
+        "_lb0", lb0
+    )
+    rcols = [c for c in right.columns if c != on]
+    r2 = right.select(
+        F.col(on),
+        F.explode(F.sequence(rb0, rb1)).alias("_bucket"),
+        rb0.alias("_rb0"),
+        *[F.col(c).alias(f"r_{c}") for c in rcols],
+    )
+    j = l2.join(r2, on=[on, "_bucket"])
+    first_shared = F.greatest(F.col("_lb0"), F.col("_rb0"))
+    overlap = (F.col(left_start) <= F.col(f"r_{right_end}")) & (
+        F.col(f"r_{right_start}") <= F.col(left_end)
+    )
+    return (
+        j.where((F.col("_bucket") == first_shared) & overlap)
+        .drop("_bucket", "_lb0", "_rb0")
+    )
+
+
+def sql_interval_overlap_join(
+    left_rel: str,
+    right_rel: str,
+    on: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: int,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> str:
+    """DuckDB twin of :func:`interval_overlap_join` (same bucketization and
+    first-shared-bucket dedup)."""
+    lsel = ", ".join(f"l.{c}" for c in left_cols)
+    rsel = ", ".join(f"r.{c} AS r_{c}" for c in right_cols)
+    return f"""
+SELECT {lsel}, {rsel}
+FROM {left_rel} l
+JOIN (SELECT UNNEST(RANGE(0, (SELECT CAST(MAX(FLOOR(({left_end}) / {bucket}) - FLOOR(({left_start}) / {bucket})) AS BIGINT) + 1 FROM {left_rel}))) AS k) lk
+  ON lk.k <= FLOOR((l.{left_end}) / {bucket}) - FLOOR((l.{left_start}) / {bucket})
+JOIN {right_rel} r
+  ON r.{on} = l.{on}
+ AND FLOOR((l.{left_start}) / {bucket}) + lk.k
+     BETWEEN FLOOR((r.{right_start}) / {bucket}) AND FLOOR((r.{right_end}) / {bucket})
+ AND FLOOR((l.{left_start}) / {bucket}) + lk.k
+     = GREATEST(FLOOR((l.{left_start}) / {bucket}), FLOOR((r.{right_start}) / {bucket}))
+ AND l.{left_start} <= r.{right_end} AND r.{right_start} <= l.{left_end}
+""".strip()

@@ -390,6 +390,7 @@ register_pack(
         Member("hilbert_vs_morton_locality", ()),
         Member("bloom_semijoin_reduction", ()),
         Member("events_resample_gapfill", ("key", "bucket_us")),
+        Member("events_interval_overlap", ("user_id", "event_id", "r_event_id")),
         Member("events_ab_test", ()),
         Member("events_path_transitions", ("prev_type", "next_type")),
         Member("suppliers_sole_problem", ("s_name",)),

@@ -2267,3 +2267,62 @@ def q_hilbert_vs_morton_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hilbert_interval_bbox_area") <= F.col("morton_interval_bbox_area")).alias("hilbert_no_worse"),
         )
     )
+
+
+# --- interval overlap join (r11) -----------------------------------------------
+
+_IVL_SQL_BASE = """
+ivints AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(EPOCH_US(ts) / 1000000.0) AS BIGINT) AS s,
+         CAST(FLOOR(EPOCH_US(ts) / 1000000.0) AS BIGINT) + 300
+           + CAST(FLOOR(value * 100) AS BIGINT) % 3600 AS e
+  FROM events
+)
+""".strip()
+
+
+def _interval_overlap_sql() -> str:
+    from sarpro_spark.operators.temporal import sql_interval_overlap_join
+
+    inner = sql_interval_overlap_join(
+        "ivints", "ivints", "user_id", "s", "e", "s", "e", 1800,
+        ["user_id", "event_id", "s", "e"], ["event_id", "s", "e"],
+    )
+    return f"""
+WITH {_IVL_SQL_BASE}
+SELECT user_id, event_id, r_event_id,
+       CAST(LEAST(e, r_e) - GREATEST(s, r_s) AS BIGINT) AS overlap_sec
+FROM ({inner}) WHERE event_id < r_event_id
+""".strip()
+
+
+@query("events_interval_overlap", sql=_interval_overlap_sql, tags=("relational", "events", "temporal"))
+def q_events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap self-join (operators/temporal.py
+    interval_overlap_join, r11): per-user event intervals (deterministic
+    5min-65min spans derived from value) paired whenever they truly
+    overlap — the genomics/occupancy operator the as-of and bucketized
+    |t1-t2| joins don't cover, since BOTH sides have extent. Bucketized
+    span registration (explode fan-out = ceil(span/B)+1), candidates join
+    on (user, bucket), each overlapping pair survives exactly once at its
+    FIRST shared bucket (no distinct pass), exact predicate filters
+    bucket-grain false positives. Output hashes the pair list plus each
+    pair's overlap length."""
+    from sarpro_spark.operators.temporal import interval_overlap_join
+
+    e = frames.load_table(spark, sf_dir, "events")
+    s = F.floor(_epoch_us("ts").cast("double") / 1e6).cast("long")
+    iv = e.select(
+        "user_id", "event_id", s.alias("s"),
+        (s + 300 + F.floor(F.col("value") * 100).cast("long") % 3600).alias("e"),
+    )
+    j = interval_overlap_join(iv, iv, "user_id", "s", "e", "s", "e", 1800)
+    return (
+        j.where(F.col("event_id") < F.col("r_event_id"))
+        .select(
+            "user_id", "event_id", "r_event_id",
+            (F.least(F.col("e"), F.col("r_e")) - F.greatest(F.col("s"), F.col("r_s")))
+            .cast("bigint").alias("overlap_sec"),
+        )
+    )

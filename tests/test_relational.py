@@ -168,3 +168,26 @@ def test_snapshot_diff_roundtrip_law(spark):
     clog = diff.withColumn("seq", F.lit(1))
     rebuilt = apply_changelog(old, clog, "k").select("k", "v", "w")
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_interval_overlap_join_exact_and_once(spark):
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.operators.temporal import interval_overlap_join
+
+    # hand-checked overlaps on one key: [0,10] x {[5,15] yes, [10,20] yes
+    # (closed touch), [11,20] no, [0,3] yes}; other key isolated
+    left = spark.createDataFrame([(1, 100, 0, 10), (2, 200, 0, 10)], "k long, lid long, s long, e long")
+    right = spark.createDataFrame(
+        [(1, 1, 5, 15), (1, 2, 10, 20), (1, 3, 11, 20), (1, 4, 0, 3), (2, 5, 50, 60)],
+        "k long, rid long, s long, e long",
+    )
+    out = interval_overlap_join(left, right, "k", "s", "e", "s", "e", bucket=4)
+    pairs = sorted((r["lid"], r["r_rid"]) for r in out.collect())
+    assert pairs == [(100, 1), (100, 2), (100, 4)]
+
+    # exactly-once under many shared buckets: long intervals share 100+
+    # buckets but the pair must appear once
+    ll = spark.createDataFrame([(1, 1, 0, 1000)], "k long, lid long, s long, e long")
+    rr = spark.createDataFrame([(1, 9, 5, 900)], "k long, rid long, s long, e long")
+    assert interval_overlap_join(ll, rr, "k", "s", "e", "s", "e", bucket=7).count() == 1

@@ -827,6 +827,15 @@ AUDITS: dict[str, dict] = {
         "require": ["WindowGroupLimit", "Union"],
         "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     },
+    "events_interval_overlap": {
+        # r11 interval x interval: bucket registration is a bounded
+        # Generate; candidates equi-join on (key, bucket); the
+        # first-shared-bucket rule dedupes in the join filter (no
+        # distinct pass, no window); exact predicate in the same Filter
+        "require": ["Generate", "Filter"],
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "Window", "HashAggregate"],
+    },
     "cdc_snapshot_diff": {
         # r11 apply<->diff cross-validation: the snapshot rebuild keeps
         # apply's WindowGroupLimit; the diff itself is ONE full-outer
