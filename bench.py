@@ -133,6 +133,7 @@ HEADLINE = [
     "domain_triangle_census",
     "hilbert_vs_morton_locality",
     "events_interval_overlap",
+    "events_ols_fit",
 ]
 
 

@@ -2969,3 +2969,38 @@ def q_domain_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = gr.cocitation_edges(mentions)
     return gr.triangle_counts(edges)
+
+
+# --- distributed OLS (r11) -----------------------------------------------------
+
+
+def _ols_sql() -> str:
+    from sarpro_spark.llm.regression import sql_ols_fit
+
+    # hour-of-day / day-of-week from raw epoch arithmetic (identical on
+    # both engines; no calendar-function convention risk)
+    x1 = "(CAST(FLOOR(EPOCH_US(ts) / 3600000000.0) AS BIGINT) % 24)"
+    x2 = "(CAST(FLOOR(EPOCH_US(ts) / 86400000000.0) AS BIGINT) % 7)"
+    return sql_ols_fit("events", "value", x1, x2)
+
+
+@query("events_ols_fit", sql=_ols_sql, tags=("llm", "model", "regression"))
+def q_events_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS (llm/regression.py, r11): value ~ 1 + hour + dow
+    fit by normal equations — ONE aggregation pass accumulates the nine
+    X'X / X'y moments, Cramer's rule solves the 3x3 system as column
+    arithmetic on the 1-ROW moment relation (the solve formulas are one
+    SQL text parsed by both engines, so coefficients match to the bit),
+    and a second broadcast-coefficient pass yields R^2. The closed-form
+    sibling of the iterative logistic trainer: no iteration, no collect,
+    model state never leaves the plan. Two scans, zero data shuffles."""
+    from sarpro_spark.llm.regression import ols_fit
+
+    e = frames.load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    feat = e.select(
+        F.col("value"),
+        (F.floor(us.cast("double") / 3600000000.0).cast("bigint") % 24).alias("hod"),
+        (F.floor(us.cast("double") / 86400000000.0).cast("bigint") % 7).alias("dow"),
+    )
+    return ols_fit(feat, "value", "hod", "dow")

@@ -232,6 +232,7 @@ register_pack(
         Member("bpe_encode_corpus", ("doc_id",)),
         Member("quality_classifier_train", ("step",)),
         Member("quality_classifier_scores", ("doc_id",)),
+        Member("events_ols_fit", ()),
     ),
     doc="Union certificate: language ID, token stats, quality features, "
     "signed feature-hashing vectors, "

@@ -1416,3 +1416,53 @@ def test_fuzzy_match_hot_gram_cap(spark):
     assert fuzzy_best_match(mentions, dic, "mid", "name", "name_id", "name", max_gram_df=1).count() == 0
     hit = fuzzy_best_match(mentions, dic, "mid", "name", "name_id", "name").collect()
     assert hit and hit[0]["best_name"] == "item 00 common suffix"
+
+
+# --- distributed OLS (llm/regression.py, r11) ----------------------------------
+
+
+def test_ols_fit_recovers_exact_plane(spark):
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.llm.regression import ols_fit
+
+    # exact plane y = 2 + 3*x1 - 0.5*x2: coefficients recovered, r2 == 1
+    df = spark.range(200).select(
+        (F.col("id") % 13).cast("double").alias("x1"),
+        (F.col("id") % 7).cast("double").alias("x2"),
+    ).withColumn("y", 2.0 + 3.0 * F.col("x1") - 0.5 * F.col("x2"))
+    row = ols_fit(df, "y", "x1", "x2").collect()[0]
+    assert abs(row["b0"] - 2.0) < 1e-5
+    assert abs(row["b1"] - 3.0) < 1e-5
+    assert abs(row["b2"] + 0.5) < 1e-5
+    assert abs(row["r2"] - 1.0) < 1e-6
+
+
+def test_ols_fit_matches_numpy_and_guards_degenerate(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.llm.regression import ols_fit
+
+    # noisy data (deterministic hash noise): match numpy lstsq
+    df = spark.range(500).select(
+        (F.col("id") % 17).cast("double").alias("x1"),
+        (F.col("id") % 5).cast("double").alias("x2"),
+        ((F.xxhash64(F.col("id")) % 1000).cast("double") / 1000.0).alias("noise"),
+    ).withColumn("y", 1.5 - 2.0 * F.col("x1") + 4.0 * F.col("x2") + F.col("noise"))
+    pdf = df.toPandas()
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1, pdf.x2])
+    beta = np.linalg.lstsq(X, pdf.y.values, rcond=None)[0]
+    row = ols_fit(df, "y", "x1", "x2").collect()[0]
+    assert abs(row["b0"] - beta[0]) < 1e-4
+    assert abs(row["b1"] - beta[1]) < 1e-4
+    assert abs(row["b2"] - beta[2]) < 1e-4
+    assert 0.9 < row["r2"] <= 1.0
+
+    # constant predictor -> singular normal matrix -> NULLs, never garbage
+    dg = spark.range(50).select(
+        F.lit(1.0).alias("x1"), F.lit(1.0).alias("x2"),
+        (F.col("id") % 3).cast("double").alias("y"),
+    )
+    drow = ols_fit(dg, "y", "x1", "x2").collect()[0]
+    assert drow["b0"] is None and drow["b1"] is None and drow["b2"] is None

@@ -827,6 +827,14 @@ AUDITS: dict[str, dict] = {
         "require": ["WindowGroupLimit", "Union"],
         "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     },
+    "events_ols_fit": {
+        # r11 closed-form OLS: two scans, one 1-row moment aggregate, one
+        # 1-row coefficient BNLJ broadcast back; no window, no Python, no
+        # data shuffle beyond the final reduces
+        "require": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "Window", "SortMergeJoin"],
+    },
     "events_interval_overlap": {
         # r11 interval x interval: bucket registration is a bounded
         # Generate; candidates equi-join on (key, bucket); the
@@ -1167,6 +1175,7 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ("queries_llm.py", "cr"): ("constant", "count-min row of W counters"),
     ("queries_llm.py", "straddle"): ("constant", "1-row straddling-pair count"),
     ("queries_relational.py", "avg_bal"): ("constant", "1-row scalar-subquery aggregate"),
+    ("llm/regression.py", "coef"): ("constant", "1-row OLS coefficient aggregate"),
     ("functions/bloom.py", "w"): (
         "constant",
         "bloom word relation — at most m_bits/32 rows (2 KiB at the cert's "
