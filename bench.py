@@ -134,6 +134,7 @@ HEADLINE = [
     "hilbert_vs_morton_locality",
     "events_interval_overlap",
     "events_ols_fit",
+    "events_ab_cuped",
 ]
 
 

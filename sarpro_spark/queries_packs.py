@@ -393,6 +393,7 @@ register_pack(
         Member("events_resample_gapfill", ("key", "bucket_us")),
         Member("events_interval_overlap", ("user_id", "event_id", "r_event_id")),
         Member("events_ab_test", ()),
+        Member("events_ab_cuped", ()),
         Member("events_path_transitions", ("prev_type", "next_type")),
         Member("suppliers_sole_problem", ("s_name",)),
         Member("nation_market_share", ("o_year",)),

@@ -191,3 +191,43 @@ def test_interval_overlap_join_exact_and_once(spark):
     ll = spark.createDataFrame([(1, 1, 0, 1000)], "k long, lid long, s long, e long")
     rr = spark.createDataFrame([(1, 9, 5, 900)], "k long, rid long, s long, e long")
     assert interval_overlap_join(ll, rr, "k", "s", "e", "s", "e", bucket=7).count() == 1
+
+
+def test_cuped_reduces_variance_with_real_heterogeneity(spark):
+    """The fixture's users are homogeneous (var_reduction ~ 0.5%, hashed in
+    events_ab_cuped); with persistent per-user levels the same moment
+    arithmetic must remove most between-user variance."""
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.queries import spark_queries
+
+    # engineered: user level L(u) appears in BOTH halves -> x predicts y
+    users = spark.range(200).select(
+        F.col("id").alias("u"),
+        (F.pmod(F.col("id") * 37, F.lit(100)).cast("double")).alias("L"),
+    )
+    per = users.select(
+        "u",
+        (F.col("L") * 10 + F.pmod(F.col("u") * 7, F.lit(5)).cast("double")).alias("x"),
+        (F.col("L") * 10 + F.pmod(F.col("u") * 11, F.lit(5)).cast("double")).alias("y"),
+    )
+    m = per.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).collect()[0]
+    n, sx, sy, sxx, sxy, syy = (m[c] for c in ("n", "sx", "sy", "sxx", "sxy", "syy"))
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    var_y = syy / n - (sy / n) ** 2
+    adj = per.select((F.col("y") - theta * (F.col("x") - sx / n)).alias("ya"))
+    a = adj.agg(F.sum("ya").alias("a1"), F.sum(F.col("ya") * F.col("ya")).alias("a2"),
+                F.count(F.lit(1)).cast("double").alias("n")).collect()[0]
+    var_adj = a["a2"] / a["n"] - (a["a1"] / a["n"]) ** 2
+    assert var_adj < 0.5 * var_y  # heterogeneity absorbed
+
+    # and the registered certificate runs end-to-end on the real fixture
+    row = spark_queries()["events_ab_cuped"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["na"] > 0 and row["nb"] > 0
+    assert -1.0 <= row["var_reduction"] <= 1.0

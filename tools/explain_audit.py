@@ -827,6 +827,14 @@ AUDITS: dict[str, dict] = {
         "require": ["WindowGroupLimit", "Union"],
         "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     },
+    "events_ab_cuped": {
+        # r11 CUPED: per-user aggregate -> 1-row moments -> theta BNLJ
+        # broadcast back -> per-variant reduce; same no-shuffle economics
+        # as the OLS line it composes with
+        "require": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "codegen": True,
+        "forbid": ["CartesianProduct", "BatchEvalPython", "Window", "SortMergeJoin"],
+    },
     "events_ols_fit": {
         # r11 closed-form OLS: two scans, one 1-row moment aggregate, one
         # 1-row coefficient BNLJ broadcast back; no window, no Python, no
