@@ -1184,6 +1184,7 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ("queries_llm.py", "straddle"): ("constant", "1-row straddling-pair count"),
     ("queries_relational.py", "avg_bal"): ("constant", "1-row scalar-subquery aggregate"),
     ("llm/regression.py", "coef"): ("constant", "1-row OLS coefficient aggregate"),
+    ("queries_relational.py", "th"): ("constant", "1-row CUPED theta/xbar aggregate"),
     ("functions/bloom.py", "w"): (
         "constant",
         "bloom word relation — at most m_bits/32 rows (2 KiB at the cert's "
