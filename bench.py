@@ -68,9 +68,8 @@ HEADLINE = [
     # round-5 additions: in-engine UTM warp + multimodal degrade path
     "warp_utm_from_lonlat",
     "multimodal_progressive_fallback",
-    # round-6 additions: Q21-style decorrelation + UPS polar roundtrip
+    # round-6 additions: Q21-style decorrelation
     "suppliers_sole_problem",
-    "ups_roundtrip_points",
     # round-7 additions: the top-k / TPC-H lines tracked individually
     # (previously only certified, not benched), the completed TPC-H suite's
     # heaviest shapes, the true TPS GCP warp, and the new projections
@@ -82,20 +81,19 @@ HEADLINE = [
     "tpch_product_profit",
     "tpch_large_orders",
     "warp_gcp_tps",
-    "laea_roundtrip_points",
-    "webmerc_roundtrip_points",
-    # late round-7: LCC projection, streaming near-dup batch twin, ANN
+    # late round-7: streaming near-dup batch twin, ANN
     # recall certificate, window-function breadth
-    "lcc_roundtrip_points",
     "dedup_streaming_neardup",
     "ann_recall_at_k",
     "window_analytics_orders",
-    # round-8/9 additions: the datum-shift + conic families, the TPS
-    # determinism certificate, the recursive-SemDeDup prune, the
-    # stream-stream cross dedup twin, and the multi-probe recall sweep
-    "osgb_roundtrip_points",
-    "bd72_roundtrip_points",
-    "albers_roundtrip_points",
+    # round-8/9 additions: the TPS determinism certificate, the
+    # recursive-SemDeDup prune, the stream-stream cross dedup twin, and
+    # the multi-probe recall sweep. r12 (verdict item 5): the nine tail
+    # projection/datum round-trip lines (ups/laea/webmerc/lcc/osgb/bd72/
+    # albers/mga/gtg) fused into ONE union-pack line — identical hashed
+    # coverage, one Spark per-job floor instead of nine; ntv2 + nad27
+    # keep their dedicated lines (the two grid-shift binary formats).
+    "datum_roundtrip_pack",
     "tps_gcp_residuals",
     "dedup_semantic_prune",
     "dedup_stream_stream_neardup",
@@ -195,7 +193,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs_detail: dict[str, list[float]] = {}
     loadavg: dict[str, float] = {}
+    # r12 (verdict item 4): the bench's own 32-core footprint inflates the
+    # line that runs right AFTER a heavy block (BENCH_NOTES_r11: affine
+    # sampled 13.0s at in-run loadavg 9.3 vs 4.05s solo) — straggler GC and
+    # page-cache churn from the previous line bleed into the next timed
+    # region. After any >2s line: force a JVM GC and a fixed settle gap so
+    # the next line starts from a drained executor. A loadavg-based wait
+    # would be wrong here (1-min EMA decays far slower than the actual
+    # residue); the fixed gap + GC empties the JVM without stalling the run.
+    settle_gap = float(os.environ.get("SPARK_GRAFT_SETTLE_SEC", "3.0"))
+    prev_heavy = False
     for name in names:
+        if prev_heavy and settle_gap > 0:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(settle_gap)
         reset_caches()
         n = 0
         samples: list[float] = []
@@ -216,6 +227,7 @@ def main() -> None:
         else:
             timings[name] = round(min(samples), 3)
         runs_detail[name] = [round(s, 3) for s in samples]
+        prev_heavy = timings[name] > 2.0
         # 1-min loadavg AT measurement time: a contaminated recording is
         # self-identifying (loadavg >> the bench's own footprint)
         loadavg[name] = round(os.getloadavg()[0], 2)

@@ -10,9 +10,15 @@ speed.  Spark's own runtime bloom (spark.sql.optimizer.runtime.bloomFilter)
 is planner-internal and non-deterministic across engines; this module is
 the explicit, oracle-reproducible DataFrame form:
 
-  build   each dim key sets k bits: base = 60-bit md5-prefix hash (the
-          minhash idiom, llm/dedup.py — ONE md5 per key, exact int64 on
-          both engines), bit_j = (a_j*base + b_j) mod p mod m.  The m-bit
+  build   each dim key sets k bits: ONE md5 per key, but hash function j
+          reads its OWN non-overlapping slice of the digest (base_j =
+          hex slice j of md5, exact int64 on both engines), then
+          bit_j = (a_j*base_j + b_j) mod p mod m.  Independent slices
+          matter: affine transforms of a single shared base would make
+          any base collision collide in all k bits at once — a
+          false-positive floor of ~n/2^31 no m or k can reduce.  With
+          per-j slices an all-bits collision needs the full k*40-bit
+          digest prefix to collide.  The m-bit
           array materializes as an m/32-row (word, bits) relation via ONE
           groupBy(bit >> 5) + BIT_OR aggregate — never a driver-side
           bitmap, never a collect.
@@ -52,9 +58,19 @@ def bloom_coeffs(k: int = DEFAULT_K, seed: int = _BLOOM_SEED) -> list[tuple[int,
     return list(zip(a.tolist(), b.tolist()))
 
 
-def _base_hash(key: Column) -> Column:
+def _slice_width(k: int) -> int:
+    """Hex chars of the md5 digest given to each of the k hash functions."""
+    width = 32 // k
+    if width * 4 < 20:  # need comfortably more entropy than log2(m_bits)
+        raise ValueError(f"k={k} leaves only {width * 4} digest bits per hash")
+    return min(width, 15)  # 15 hex chars = 60 bits, the exact-int64 ceiling
+
+
+def _base_hash(key: Column, j: int = 0, k: int = DEFAULT_K) -> Column:
+    """Base hash for function j: an independent slice of ONE md5 digest."""
+    width = _slice_width(k)
     return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+        F.conv(F.substring(F.md5(key.cast("string")), 1 + j * width, width), 16, 10).cast("long")
         % BLOOM_PRIME
     )
 
@@ -71,10 +87,9 @@ def bloom_build(
 ) -> DataFrame:
     """(word, bits) relation — the filter.  One union of k bit streams, one
     BIT_OR groupBy; at most m_bits/32 rows regardless of dim size (32-bit words: the max shift of 31 stays in BIGINT range on both engines)."""
-    base = _base_hash(F.col(key_col))
     parts = []
-    for a, b in bloom_coeffs(k):
-        idx = _bit_index(base, a, b, m_bits)
+    for j, (a, b) in enumerate(bloom_coeffs(k)):
+        idx = _bit_index(_base_hash(F.col(key_col), j, k), a, b, m_bits)
         parts.append(dim.select(F.shiftright(idx, 5).alias("word"), idx.alias("_idx")))
     allbits = parts[0]
     for p in parts[1:]:
@@ -93,11 +108,10 @@ def bloom_probe(
 ) -> DataFrame:
     """Fact rows whose key passes the filter: k chained broadcast lookups
     (left join — a missing word means that bit is 0, the row drops)."""
-    base = _base_hash(F.col(key_col))
     out = fact
     keep = F.lit(True)
     for j, (a, b) in enumerate(bloom_coeffs(k)):
-        idx = _bit_index(base, a, b, m_bits)
+        idx = _bit_index(_base_hash(F.col(key_col), j, k), a, b, m_bits)
         w = bloom.select(F.col("word").alias(f"_w{j}"), F.col("bits").alias(f"_bits{j}"))
         out = out.join(
             F.broadcast(w), F.shiftright(idx, 5) == F.col(f"_w{j}"), "left"
@@ -117,9 +131,13 @@ def sql_bloom_ctes(
     k: int = DEFAULT_K,
 ) -> str:
     """CTE chain ending in ``bloomwords`` — twin of :func:`bloom_build`."""
-    base = f"(CAST(('0x' || SUBSTR(MD5(CAST({key_expr} AS VARCHAR)), 1, 15)) AS BIGINT) % {BLOOM_PRIME})"
+    width = _slice_width(k)
     selects = []
-    for a, b in bloom_coeffs(k):
+    for j, (a, b) in enumerate(bloom_coeffs(k)):
+        base = (
+            f"(CAST(('0x' || SUBSTR(MD5(CAST({key_expr} AS VARCHAR)), {1 + j * width}, {width}))"
+            f" AS BIGINT) % {BLOOM_PRIME})"
+        )
         idx = f"((({a} * {base} + {b}) % {BLOOM_PRIME}) % {m_bits})"
         selects.append(f"SELECT ({idx} >> 5) AS word, {idx} AS _idx FROM {dim_rel}")
     union = "\n  UNION ALL\n  ".join(selects)
@@ -140,9 +158,13 @@ def sql_bloom_probe_pred(
 ) -> str:
     """Boolean predicate (correlated scalar subqueries against
     ``bloomwords``) — twin of :func:`bloom_probe`'s keep condition."""
-    base = f"(CAST(('0x' || SUBSTR(MD5(CAST({key_expr} AS VARCHAR)), 1, 15)) AS BIGINT) % {BLOOM_PRIME})"
+    width = _slice_width(k)
     preds = []
-    for a, b in bloom_coeffs(k):
+    for j, (a, b) in enumerate(bloom_coeffs(k)):
+        base = (
+            f"(CAST(('0x' || SUBSTR(MD5(CAST({key_expr} AS VARCHAR)), {1 + j * width}, {width}))"
+            f" AS BIGINT) % {BLOOM_PRIME})"
+        )
         idx = f"((({a} * {base} + {b}) % {BLOOM_PRIME}) % {m_bits})"
         preds.append(
             f"(COALESCE((SELECT bits FROM bloomwords w WHERE w.word = ({idx} >> 5)), 0)"

@@ -6,15 +6,26 @@ dictionary (product names, domains, authors) without the |L|x|R| distance
 matrix.  The standard scalable shape (Gravano et al. 2001, VLDB — the
 q-gram count-filter join):
 
-  q-grams   each string explodes into its character q-grams (set
-            semantics) — an inverted index, the same shape as the n-gram
-            Jaccard dedup index (llm/dedup.py).
-  blocking  candidate pairs come ONLY from shared q-grams; the count
-            filter prunes further: edit distance <= d forces at least
-            max(|a|, |b|) - q + 1 - q*d shared q-grams, so low-overlap
-            pairs drop before any distance is computed.  Never a
-            crossJoin; per-gram fan-out is bounded by the dictionary's
-            gram frequency (hot grams capped like hot shingles).
+  q-grams   each string explodes into its character q-grams WITH
+            MULTIPLICITY (an occurrence index disambiguates repeats) —
+            an inverted index, the same shape as the n-gram Jaccard
+            dedup index (llm/dedup.py).  Multiset semantics matter: the
+            Gravano count bound below only holds when repeated grams
+            count once per occurrence; distinct-gram counting silently
+            prunes true matches between repetitive strings ("ababab").
+  blocking  candidate pairs come ONLY from shared (gram, occurrence)
+            keys; the count filter prunes further: edit distance <= d
+            forces a multiset gram intersection of at least
+            max(|a|, |b|) - q + 1 - q*d (each edit destroys at most q
+            of the longer string's |s|-q+1 grams), so low-overlap pairs
+            drop before any distance is computed.  Never a crossJoin;
+            per-gram fan-out is bounded by gram document frequency on
+            BOTH sides (hot grams capped like hot shingles — the cap
+            trades bounded recall for a hard fan-out ceiling; capped
+            grams simply stop generating candidates).
+            Known limitation (documented, inherent to q-gram blocking):
+            strings shorter than q produce zero grams and can never be
+            matched — route sub-q keys through an exact-key equi-join.
   verify    exact levenshtein (identical Wagner-Fischer in Spark and
             DuckDB) on the surviving candidates only.
   resolve   one window per left row: best = min distance, tie-break on
@@ -39,10 +50,17 @@ DEFAULT_MAX_GRAM_DF = 4096
 
 
 def qgram_profile(df: DataFrame, id_col: str, name_col: str, q: int = DEFAULT_Q) -> DataFrame:
-    """(id, gram, len) — distinct character q-grams per string."""
+    """(id, gram, occ, len) — character q-grams with multiplicity.
+
+    ``occ`` numbers repeated occurrences of the same gram within one
+    string (1..m), so an equi-join on (gram, occ) counts the MULTISET
+    gram intersection — the quantity the Gravano count filter bounds.
+    Built agg-side (groupBy + sequence re-explode) rather than with a
+    per-(id, gram) window: one partial-aggregating shuffle, no sort.
+    """
     t = F.col(name_col)
     pos = F.explode(F.sequence(F.lit(1), F.greatest(F.length(t) - (q - 1), F.lit(0))))
-    return (
+    grams = (
         df.select(F.col(id_col).alias("id"), t.alias("_t"), pos.alias("_i"))
         .select(
             "id",
@@ -50,7 +68,16 @@ def qgram_profile(df: DataFrame, id_col: str, name_col: str, q: int = DEFAULT_Q)
             F.length("_t").alias("len"),
         )
         .where(F.length("gram") == q)
-        .distinct()
+    )
+    return (
+        grams.groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("_m"), F.first("len").alias("len"))
+        .select(
+            "id",
+            "gram",
+            F.explode(F.sequence(F.lit(1), F.col("_m"))).alias("occ"),
+            "len",
+        )
     )
 
 
@@ -65,17 +92,26 @@ def blocked_candidates(
     max_dist: int = DEFAULT_MAX_DIST,
     max_gram_df: int = DEFAULT_MAX_GRAM_DF,
 ) -> DataFrame:
-    """(lid, rid, shared) pairs surviving the q-gram count filter."""
+    """(lid, rid, shared) pairs surviving the multiset q-gram count filter.
+
+    ``shared`` = sum over grams of min(left multiplicity, right
+    multiplicity) — the multiset intersection the Gravano bound needs.
+    The hot-gram document-frequency cap applies to BOTH sides: a gram
+    frequent only among left mentions would otherwise still fan out to
+    cap x left-df candidate rows.
+    """
     lg = qgram_profile(left, left_id, left_name, q).withColumnsRenamed(
         {"id": "lid", "len": "llen"}
     )
     rg = qgram_profile(right, right_id, right_name, q).withColumnsRenamed(
         {"id": "rid", "len": "rlen"}
     )
-    sizes = rg.groupBy("gram").agg(F.count(F.lit(1)).alias("_c"))
-    rg = rg.join(sizes.where(F.col("_c") <= max_gram_df), "gram").drop("_c")
+    rsz = rg.groupBy("gram").agg(F.countDistinct("rid").alias("_c"))
+    rg = rg.join(rsz.where(F.col("_c") <= max_gram_df), "gram").drop("_c")
+    lsz = lg.groupBy("gram").agg(F.countDistinct("lid").alias("_c"))
+    lg = lg.join(lsz.where(F.col("_c") <= max_gram_df), "gram").drop("_c")
     return (
-        lg.join(rg, "gram")
+        lg.join(rg, ["gram", "occ"])
         .groupBy("lid", "rid")
         .agg(
             F.count(F.lit(1)).alias("shared"),
@@ -154,25 +190,37 @@ def sql_fuzzy_best_match(
     """Twin of :func:`fuzzy_best_match` (same blocking, count filter,
     verify, and tie-break)."""
     return f"""
-WITH lkg_l AS (
-  SELECT DISTINCT d.{left_id} AS lid, SUBSTR(d.{left_name}, i.i, {q}) AS gram,
-         LENGTH(d.{left_name}) AS llen
+WITH lkg_l0 AS (
+  SELECT d.{left_id} AS lid, SUBSTR(d.{left_name}, i.i, {q}) AS gram,
+         LENGTH(d.{left_name}) AS llen, i.i AS i
   FROM {left_rel} d
   JOIN (SELECT UNNEST(RANGE(1, (SELECT MAX(LENGTH({left_name})) FROM {left_rel}) + 1)) AS i) i
     ON i.i <= LENGTH(d.{left_name}) - {q - 1}
 ),
+lkg_l1 AS (
+  SELECT lid, gram, llen,
+         ROW_NUMBER() OVER (PARTITION BY lid, gram ORDER BY i) AS occ
+  FROM lkg_l0
+),
 lkg_r0 AS (
-  SELECT DISTINCT d.{right_id} AS rid, SUBSTR(d.{right_name}, i.i, {q}) AS gram,
-         LENGTH(d.{right_name}) AS rlen
+  SELECT d.{right_id} AS rid, SUBSTR(d.{right_name}, i.i, {q}) AS gram,
+         LENGTH(d.{right_name}) AS rlen, i.i AS i
   FROM {right_rel} d
   JOIN (SELECT UNNEST(RANGE(1, (SELECT MAX(LENGTH({right_name})) FROM {right_rel}) + 1)) AS i) i
     ON i.i <= LENGTH(d.{right_name}) - {q - 1}
 ),
-lkg_sz AS (SELECT gram, COUNT(*) AS c FROM lkg_r0 GROUP BY gram),
-lkg_r AS (SELECT r.rid, r.gram, r.rlen FROM lkg_r0 r JOIN lkg_sz s USING (gram) WHERE s.c <= {max_gram_df}),
+lkg_r1 AS (
+  SELECT rid, gram, rlen,
+         ROW_NUMBER() OVER (PARTITION BY rid, gram ORDER BY i) AS occ
+  FROM lkg_r0
+),
+lkg_rsz AS (SELECT gram, COUNT(DISTINCT rid) AS c FROM lkg_r1 GROUP BY gram),
+lkg_r AS (SELECT r.rid, r.gram, r.occ, r.rlen FROM lkg_r1 r JOIN lkg_rsz s USING (gram) WHERE s.c <= {max_gram_df}),
+lkg_lsz AS (SELECT gram, COUNT(DISTINCT lid) AS c FROM lkg_l1 GROUP BY gram),
+lkg_l AS (SELECT l.lid, l.gram, l.occ, l.llen FROM lkg_l1 l JOIN lkg_lsz s USING (gram) WHERE s.c <= {max_gram_df}),
 lkg_cand AS (
   SELECT lid, rid, COUNT(*) AS shared, FIRST(llen) AS llen, FIRST(rlen) AS rlen
-  FROM lkg_l l JOIN lkg_r r USING (gram)
+  FROM lkg_l l JOIN lkg_r r USING (gram, occ)
   GROUP BY lid, rid
   HAVING COUNT(*) >= GREATEST(GREATEST(FIRST(llen), FIRST(rlen)) - {q - 1} - {q * max_dist}, 1)
 ),

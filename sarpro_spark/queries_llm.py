@@ -3004,3 +3004,196 @@ def q_events_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(us.cast("double") / 86400000000.0).cast("bigint") % 7).alias("dow"),
     )
     return ols_fit(feat, "value", "hod", "dow")
+
+
+# --- BM25 top-k retrieval (r12) --------------------------------------------------
+
+#: deterministic retrieval fixture: every 97th doc's first 80 chars is a query
+_BM25_QMOD = 97
+_BM25_QLEN = 80
+_BM25_K = 5
+
+
+def _bm25_sql() -> str:
+    from sarpro_spark.llm.bm25 import sql_bm25_topk
+
+    inner = sql_bm25_topk("documents", "bmqueries", k=_BM25_K)
+    ctes = inner.removeprefix("WITH ")
+    return f"""
+WITH bmqueries AS (
+  SELECT doc_id AS query_id, SUBSTR(text, 1, {_BM25_QLEN}) AS qtext
+  FROM documents WHERE doc_id % {_BM25_QMOD} = 0
+),
+{ctes}
+""".strip()
+
+
+@query("text_bm25_topk", sql=_bm25_sql, tags=("llm", "text", "retrieval"))
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval (llm/bm25.py, r12): the ranking sibling
+    of TF-IDF similarity. Query prefixes (every 97th doc's first 80 chars)
+    probe the inverted index — term-keyed join, stop-term df cap, the
+    standard k1=1.2/b=0.75 saturation — and each query's top-5 docs rank
+    under a PER-QUERY window (never a global sort, never a single-partition
+    window). Scores fround'd before ranking, doc-id tiebreak."""
+    from sarpro_spark.llm.bm25 import bm25_topk
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    queries = d.where(F.col("doc_id") % _BM25_QMOD == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring(F.col("text"), 1, _BM25_QLEN).alias("qtext"),
+    )
+    return bm25_topk(d, queries, k=_BM25_K)
+
+
+# --- perceptual-hash image near-dup (r12) ----------------------------------------
+
+
+def _phash_sql() -> str:
+    from sarpro_spark.llm.imagehash import sql_phash_neardup_pairs
+
+    inner = sql_phash_neardup_pairs("(SELECT doc_id FROM documents)")
+    head, tail = inner.split("\nSELECT doc_a,", 1)
+    return f"""{head}
+SELECT doc_a, doc_b,
+       CAST(BIT_COUNT(XOR(pha, phb)) + BIT_COUNT(XOR(pla, plb)) AS INTEGER) AS ph_dist,
+       CAST(BIT_COUNT(XOR(dha, dhb)) + BIT_COUNT(XOR(dla, dlb)) AS INTEGER) AS dh_dist,
+       (doc_a % 20 = 0 AND doc_b = doc_a + 10) AS planted
+FROM phcand
+WHERE BIT_COUNT(XOR(pha, phb)) + BIT_COUNT(XOR(pla, plb)) <= 6
+""".strip()
+
+
+@query("dedup_image_phash", sql=_phash_sql, tags=("llm", "dedup", "image"))
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (llm/imagehash.py, r12): the pixel
+    cell of the dedup matrix. Real PNG payloads (planted 2x-resized
+    duplicates every 20th doc) decode executor-side, hash via fixed-point
+    integer DCT pHash + gradient dHash (no float sign flips between
+    engines), and pair up through the 8x8-bit banded Hamming join —
+    pigeonhole recall is structural for distance <= 7, exact popcount
+    verifies. The oracle recomputes every hash from the pixel FORMULA
+    (no decode), so codec, luma, NN sampling, DCT, and banding are all
+    inside the hashed certificate; planted pairs must surface at
+    distance 0 with planted=true."""
+    from sarpro_spark.llm.imagehash import (
+        attach_image_payload_resized_dups,
+        image_hashes,
+        phash_neardup_pairs,
+    )
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    payloads = attach_image_payload_resized_dups(d)
+    pairs = phash_neardup_pairs(image_hashes(payloads))
+    return pairs.select(
+        "doc_a", "doc_b", "ph_dist", "dh_dist",
+        ((F.col("doc_a") % 20 == 0) & (F.col("doc_b") == F.col("doc_a") + 10)).alias("planted"),
+    )
+
+
+# --- winnow-anchored exact-substring dedup (r12, verdict item 1) -----------------
+
+
+def _substr_winnow_sql() -> str:
+    from sarpro_spark.llm import substring_winnow as sw
+
+    return sw.sql_exact_substring_pairs_winnowed("documents")
+
+
+@query("dedup_exact_substring_winnowed", sql=_substr_winnow_sql, tags=("llm", "dedup"))
+def q_dedup_exact_substring_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr SCALE path (llm/substring_winnow.py, r12): winnowing
+    fingerprints sample anchors content-defined at density 2/(w+1) —
+    cutting the full-density anchor shuffle ~w/2x — candidate diagonals
+    re-densify ONLY inside merged candidate regions, and the identical
+    gaps-and-islands + span-grain exact verify extends them to maximal
+    runs. Winnowing's guarantee (any shared run >= w+k-1 selects a common
+    anchor) makes every true span >= min_len reachable; the oracle runs
+    the winnowed algorithm verbatim on the gram itself."""
+    from sarpro_spark.llm import substring_winnow as sw
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return sw.exact_substring_pairs_winnowed(d)
+
+
+def _substr_winnow_recall_sql() -> str:
+    from sarpro_spark.llm import substring as ssub
+    from sarpro_spark.llm import substring_winnow as sw
+    from sarpro_spark.queries import sql_fround
+
+    full_ctes = ssub.sql_substring_spans_ctes("documents")
+    win_ctes = sw.sql_winnowed_spans_ctes("documents")
+    return f"""
+WITH {full_ctes},
+{win_ctes},
+fpairs AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_spans, MAX(span_len) AS max_span_len,
+         CAST(SUM(span_len) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_a, doc_b
+),
+wpairs AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_spans, MAX(span_len) AS max_span_len,
+         CAST(SUM(span_len) AS BIGINT) AS dup_chars
+  FROM wspans GROUP BY doc_a, doc_b
+),
+joined AS (
+  SELECT COALESCE(f.doc_a, w.doc_a) AS doc_a,
+         f.doc_a IS NOT NULL AS in_full, w.doc_a IS NOT NULL AS in_win,
+         (f.doc_a IS NOT NULL AND w.doc_a IS NOT NULL
+          AND f.n_spans = w.n_spans AND f.max_span_len = w.max_span_len
+          AND f.dup_chars = w.dup_chars) AS value_equal
+  FROM fpairs f FULL OUTER JOIN wpairs w
+    ON f.doc_a = w.doc_a AND f.doc_b = w.doc_b
+)
+SELECT CAST(SUM(CASE WHEN in_full THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_full,
+       CAST(SUM(CASE WHEN in_win THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_winnowed,
+       CAST(SUM(CASE WHEN in_full AND in_win THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_both,
+       CAST(SUM(CASE WHEN value_equal THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_value_equal,
+       {sql_fround("CAST(SUM(CASE WHEN in_full AND in_win THEN 1 ELSE 0 END) AS DOUBLE)"
+                   " / GREATEST(SUM(CASE WHEN in_full THEN 1 ELSE 0 END), 1)")} AS pair_recall
+FROM joined
+""".strip()
+
+
+@query("substring_winnow_recall", sql=_substr_winnow_recall_sql, tags=("llm", "dedup"))
+def q_substring_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-vs-full-density recall certificate (r12, verdict item 1):
+    both ExactSubstr paths run on the same fixture and their per-pair
+    results full-outer join — pair recall AND per-pair value equality
+    (n_spans / max_span_len / dup_chars) are hashed DATA, not a claim.
+    On this fixture every true span >= min_len >= w+k-1, so the winnowed
+    path is expected lossless (recall 1.0) up to hot-gram-cap granularity."""
+    from sarpro_spark.llm import substring as ssub
+    from sarpro_spark.llm import substring_winnow as sw
+    from sarpro_spark.queries import fround
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    full = ssub.exact_substring_pairs(d).select(
+        "doc_a", "doc_b",
+        F.col("n_spans").alias("f_ns"), F.col("max_span_len").alias("f_ms"),
+        F.col("dup_chars").alias("f_dc"),
+    )
+    win = sw.exact_substring_pairs_winnowed(d).select(
+        "doc_a", "doc_b",
+        F.col("n_spans").alias("w_ns"), F.col("max_span_len").alias("w_ms"),
+        F.col("dup_chars").alias("w_dc"),
+    )
+    j = full.join(win, ["doc_a", "doc_b"], "full_outer")
+    in_full = F.col("f_ns").isNotNull()
+    in_win = F.col("w_ns").isNotNull()
+    value_equal = (
+        in_full & in_win
+        & (F.col("f_ns") == F.col("w_ns"))
+        & (F.col("f_ms") == F.col("w_ms"))
+        & (F.col("f_dc") == F.col("w_dc"))
+    )
+    return j.agg(
+        F.sum(in_full.cast("int")).cast("bigint").alias("n_pairs_full"),
+        F.sum(in_win.cast("int")).cast("bigint").alias("n_pairs_winnowed"),
+        F.sum((in_full & in_win).cast("int")).cast("bigint").alias("n_pairs_both"),
+        F.sum(value_equal.cast("int")).cast("bigint").alias("n_pairs_value_equal"),
+        fround(
+            F.sum((in_full & in_win).cast("int")).cast("double")
+            / F.greatest(F.sum(in_full.cast("int")), F.lit(1)).cast("double")
+        ).alias("pair_recall"),
+    )

@@ -203,6 +203,9 @@ register_pack(
         Member("dedup_semantic_prune", ("vec_id",)),
         Member("dedup_exact_substring", ("doc_a", "doc_b")),
         Member("dedup_substring_removal", ("doc_id",)),
+        Member("dedup_exact_substring_winnowed", ("doc_a", "doc_b")),
+        Member("substring_winnow_recall", ()),
+        Member("dedup_image_phash", ("doc_a", "doc_b")),
         Member("corpus_leakage_safe_split", ("split",)),
     ),
     doc="Union certificate: exact dedup (+normalized), n-gram Jaccard pairs, "
@@ -211,9 +214,10 @@ register_pack(
     "oversized clusters), incremental "
     "batch-vs-index dedup, the streaming incremental near-dup batch twin "
     "(r7), the stream-STREAM cross near-dup twin (r9 — the dedup temporal "
-    "matrix's last cell), and the cluster-granular leakage-safe "
-    "train/val/test split — every value of each member in one driver "
-    "hash row.",
+    "matrix's last cell), perceptual-hash image near-dup with planted "
+    "resized duplicates (r12 — the pixel cell of the matrix), and the "
+    "cluster-granular leakage-safe train/val/test split — every value of "
+    "each member in one driver hash row.",
     tags=("llm", "dedup", "pack"),
 )
 
@@ -233,12 +237,14 @@ register_pack(
         Member("quality_classifier_train", ("step",)),
         Member("quality_classifier_scores", ("doc_id",)),
         Member("events_ols_fit", ()),
+        Member("text_bm25_topk", ("query_id", "rnk")),
     ),
     doc="Union certificate: language ID, token stats, quality features, "
     "signed feature-hashing vectors, "
     "whole-doc fingerprint, winnowing fingerprints, BPE vocabulary "
-    "training merges + corpus tokenization stats, and the trained "
-    "logistic-regression quality classifier (training log + scores).",
+    "training merges + corpus tokenization stats, the trained "
+    "logistic-regression quality classifier (training log + scores), "
+    "and Okapi BM25 per-query top-k retrieval (r12).",
     tags=("llm", "text", "pack"),
 )
 
@@ -490,6 +496,29 @@ register_pack(
     "GCPs through the production solve+fold — the distributed solve's "
     "standing determinism guard).",
     tags=("raster", "warp", "pack"),
+)
+
+register_pack(
+    "datum_roundtrip_pack",
+    (
+        Member("ups_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("laea_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("webmerc_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("lcc_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("osgb_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("bd72_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("albers_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("mga_roundtrip_points", ("product_id", "gi", "gj")),
+        Member("gtg_roundtrip_points", ("product_id", "gi", "gj")),
+    ),
+    doc="Bench-consolidation union certificate (r12, verdict item 5): the "
+    "nine tail projection/datum round-trip families in ONE union row — "
+    "each family previously paid its own ~0.5-4s Spark per-job floor on "
+    "the bench while certifying near-identical plan shapes. The union "
+    "runs every member's full plan in one job (same hashed values, one "
+    "floor). ntv2/nad27 keep dedicated head seats (the two grid-shift "
+    "binary-format paths); members stay individually registered.",
+    tags=("raster", "geometry", "crs", "datum", "pack"),
 )
 
 register_pack(

@@ -2072,11 +2072,10 @@ def q_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = frames.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # inline the probe as a FLAG (bloom_probe filters; the certificate
     # needs the rejected rows too, to count exact_pass among them)
-    base = _base_hash(F.col("o_custkey"))
     probed = o
     keep = F.lit(True)
     for j, (a, b) in enumerate(bloom_coeffs()):
-        idx = _bit_index(base, a, b, _BLOOM_CERT_M)
+        idx = _bit_index(_base_hash(F.col("o_custkey"), j), a, b, _BLOOM_CERT_M)
         w = bloom.select(F.col("word").alias(f"_w{j}"), F.col("bits").alias(f"_bits{j}"))
         probed = probed.join(F.broadcast(w), F.shiftright(idx, 5) == F.col(f"_w{j}"), "left")
         bit = F.call_function("shiftleft", F.lit(1).cast("long"), (idx % 32).cast("int"))

@@ -40,31 +40,45 @@ per epoch (no accumulation beyond retention).
 
 from __future__ import annotations
 
-import os
+import posixpath
 import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sarpro_spark.operators.cdc import apply_changelog
+from sarpro_spark.operators.cdc import apply_changelog, scd2_history
 
 
-def _committed_versions(out_dir: str) -> list[int]:
-    if not os.path.isdir(out_dir):
+def _committed_versions(spark: SparkSession, out_dir: str) -> list[int]:
+    """Committed (``_SUCCESS``-marked) version numbers under ``out_dir``.
+
+    Listed through the Hadoop FileSystem API so the snapshot store can be
+    any URI Spark can write (hdfs://, s3a://, file:/) — a driver-local
+    os.listdir would silently return [] for object-store paths and make
+    every epoch re-apply onto base.
+    """
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
         return []
     vs = []
-    for d in os.listdir(out_dir):
-        m = re.fullmatch(r"v=(\d+)", d)
-        if m and os.path.exists(os.path.join(out_dir, d, "_SUCCESS")):
+    for st in fs.listStatus(root):
+        m = re.fullmatch(r"v=(\d+)", st.getPath().getName())
+        if (
+            m
+            and st.isDirectory()
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+        ):
             vs.append(int(m.group(1)))
     return sorted(vs)
 
 
 def latest_snapshot(spark: SparkSession, out_dir: str, base: DataFrame) -> DataFrame:
     """The newest committed snapshot version, or ``base`` before any."""
-    vs = _committed_versions(out_dir)
+    vs = _committed_versions(spark, out_dir)
     if not vs:
         return base
-    return spark.read.parquet(os.path.join(out_dir, f"v={vs[-1]}"))
+    return spark.read.parquet(posixpath.join(out_dir, f"v={vs[-1]}"))
 
 
 def maintain_snapshot_stream(
@@ -96,15 +110,15 @@ def maintain_snapshot_stream(
         # a replay of epoch N must apply to the snapshot BEFORE N: if v=N
         # already exists (committed or torn), the newest version strictly
         # below N is the correct parent; before any version, the base
-        vs = [v for v in _committed_versions(out_dir) if v < epoch_id]
+        vs = [v for v in _committed_versions(spark, out_dir) if v < epoch_id]
         if vs:
-            current = spark.read.parquet(os.path.join(out_dir, f"v={vs[-1]}"))
+            current = spark.read.parquet(posixpath.join(out_dir, f"v={vs[-1]}"))
         else:
             current = base
         new_snap = apply_changelog(
             current.select(*payload_cols), batch_df, key_col, seq_col, op_col
         ).select(*payload_cols)
-        new_snap.write.mode("overwrite").parquet(os.path.join(out_dir, f"v={epoch_id}"))
+        new_snap.write.mode("overwrite").parquet(posixpath.join(out_dir, f"v={epoch_id}"))
 
     return (
         changes_stream.writeStream.foreachBatch(handle)
@@ -112,3 +126,86 @@ def maintain_snapshot_stream(
         .outputMode("update")
         .start()
     )
+
+
+def maintain_scd2_stream(
+    changes_stream: DataFrame,
+    key_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    transform=None,
+):
+    """Streaming type-2 history fold (r12, verdict item 9): the SCD2
+    sibling of :func:`maintain_snapshot_stream`, under the same
+    exactly-once versioned-directory gate.
+
+    Each micro-batch refolds ONLY the touched keys: the committed history
+    of batch N-1 splits into untouched chains (anti-join on the batch's
+    keys — they pass through byte-identical) and affected chains, whose
+    original changelog rows are RECONSTRUCTED from the history itself
+    (valid_from IS the seq; op is carried), unioned with the batch, and
+    refolded through the IDENTICAL batch operator (operators/cdc.py
+    scd2_history) — stream and batch cannot diverge by construction.
+
+    Exactly-once shape is inherited: a replayed epoch N always refolds on
+    top of the newest committed version STRICTLY BELOW N, so a torn v=N
+    write is overwritten, never compounded.  Scale: per epoch two key
+    shuffles over (history of touched keys + batch), never a full-history
+    window — untouched chains move by anti-join pass-through only.
+
+    ``transform`` is the testing seam (mid-epoch crash injection), same as
+    the snapshot variant.
+    """
+    spark = changes_stream.sparkSession
+    change_cols = changes_stream.columns  # payload + seq + op
+    payload_cols = [c for c in change_cols if c not in (seq_col, op_col)]
+    hist_cols = payload_cols + [op_col, "valid_from", "valid_to", "is_current"]
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        vs = [v for v in _committed_versions(spark, out_dir) if v < epoch_id]
+        if vs:
+            prior = spark.read.parquet(posixpath.join(out_dir, f"v={vs[-1]}"))
+        else:
+            prior = (
+                scd2_history(batch_df.limit(0), key_col, seq_col, op_col)
+                .select(*hist_cols)
+            )
+        from pyspark.sql import functions as F
+
+        # no broadcast hint: a micro-batch's key set is not structurally
+        # bounded (a backlogged drain can be arbitrarily large) — AQE picks
+        # broadcast when the batch is actually small, SMJ when it isn't
+        bkeys = batch_df.select(key_col).distinct()
+        untouched = prior.join(bkeys, key_col, "left_anti")
+        affected = prior.join(bkeys, key_col, "left_semi")
+        # history -> changelog reconstruction: valid_from IS the seq
+        replayed = affected.select(
+            *payload_cols, F.col("valid_from").alias(seq_col), F.col(op_col)
+        )
+        refolded = scd2_history(
+            replayed.unionByName(batch_df.select(*payload_cols, seq_col, op_col)),
+            key_col,
+            seq_col,
+            op_col,
+        ).select(*hist_cols)
+        new_hist = untouched.select(*hist_cols).unionByName(refolded)
+        new_hist.write.mode("overwrite").parquet(posixpath.join(out_dir, f"v={epoch_id}"))
+
+    return (
+        changes_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def latest_scd2(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The newest committed SCD2 history version, or None before any."""
+    vs = _committed_versions(spark, out_dir)
+    if not vs:
+        return None
+    return spark.read.parquet(posixpath.join(out_dir, f"v={vs[-1]}"))

@@ -1404,6 +1404,27 @@ def test_fuzzy_best_match_resolves_dirty_mentions(spark):
     assert (13, 1) not in pairs and (13, 2) not in pairs and (13, 3) not in pairs
 
 
+def test_fuzzy_match_repetitive_strings_multiset_bound(spark):
+    """Regression (r12): the Gravano bound holds for MULTISET gram counts.
+
+    'abababababababab' (len 16) has only 2 distinct 3-grams but 14 with
+    multiplicity; the count bound max(16,16)-2-6 = 8 prunes it under set
+    semantics, so even its exact duplicate was silently unmatched before
+    the occurrence-indexed join.
+    """
+    from sarpro_spark.llm.linkage import fuzzy_best_match
+
+    s = "ab" * 8
+    dic = spark.createDataFrame([(1, s)], "name_id long, name string")
+    mentions = spark.createDataFrame(
+        [(10, s), (11, s[:-2] + "ba")], "mid long, name string"
+    )
+    best = {r["lid"]: r for r in
+            fuzzy_best_match(mentions, dic, "mid", "name", "name_id", "name").collect()}
+    assert best[10]["best_dist"] == 0  # exact duplicate now matches
+    assert best[11]["best_dist"] == 2  # swap = 2 edits, still within bound
+
+
 def test_fuzzy_match_hot_gram_cap(spark):
     from sarpro_spark.llm.linkage import fuzzy_best_match
 
@@ -1466,3 +1487,159 @@ def test_ols_fit_matches_numpy_and_guards_degenerate(spark):
     )
     drow = ols_fit(dg, "y", "x1", "x2").collect()[0]
     assert drow["b0"] is None and drow["b1"] is None and drow["b2"] is None
+
+
+# --- BM25 retrieval (llm/bm25.py, r12) ------------------------------------------
+
+
+def test_bm25_ranks_exact_match_first(spark):
+    from sarpro_spark.llm.bm25 import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple apple apple"),
+            (3, "banana banana kiwi"),
+            (4, "totally unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(100, "apple banana")], "query_id long, qtext string")
+    out = bm25_topk(docs, qs, k=3).collect()
+    assert [r["doc_id"] for r in out if r["rnk"] == 1] == [1]  # covers both terms
+    ranked = {r["doc_id"] for r in out}
+    assert 4 not in ranked  # shares no term -> never a candidate
+
+
+def test_bm25_length_normalization(spark):
+    from sarpro_spark.llm.bm25 import bm25_topk
+
+    # same tf of the query term; shorter doc must score higher (b > 0)
+    docs = spark.createDataFrame(
+        [
+            (1, "target word"),
+            (2, "target word padding padding padding padding padding padding"),
+            (3, "other content entirely different"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(1, "target")], "query_id long, qtext string")
+    out = {r["doc_id"]: r for r in bm25_topk(docs, qs, k=3).collect()}
+    assert out[1]["score"] > out[2]["score"]
+    assert out[1]["rnk"] == 1
+
+
+def test_bm25_spark_matches_duckdb_twin(spark):
+    import duckdb
+
+    from sarpro_spark.llm.bm25 import bm25_topk, sql_bm25_topk
+
+    rows = [(i, f"term{i % 7} term{i % 3} shared word{'s' * (i % 4)} tail") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs_rows = [(i, f"term{i % 7} shared") for i in (0, 1, 2)]
+    qs = spark.createDataFrame(qs_rows, "query_id long, qtext string")
+    got = {
+        (r["query_id"], r["rnk"]): (r["doc_id"], r["score"])
+        for r in bm25_topk(docs, qs, k=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES " +
+                ",".join(f"({i}, '{t}')" for i, t in rows) + ") t(doc_id, text)")
+    con.execute("CREATE TABLE q AS SELECT * FROM (VALUES " +
+                ",".join(f"({i}, '{t}')" for i, t in qs_rows) + ") t(query_id, qtext)")
+    want = {
+        (qid, rnk): (did, sc)
+        for qid, did, sc, rnk in con.execute(sql_bm25_topk("d", "q", k=4)).fetchall()
+    }
+    assert got == want
+
+
+# --- perceptual image hashing (llm/imagehash.py, r12) ---------------------------
+
+
+def test_phash_invariant_under_nn_upscale():
+    from sarpro_spark.llm.imagehash import dhash_from_gray, phash_from_gray
+
+    rng_free = mm.formula_image(42, 23, 17, 1)  # deterministic fixture image
+    up2 = np.repeat(np.repeat(rng_free, 2, axis=0), 2, axis=1)
+    up3 = np.repeat(np.repeat(rng_free, 3, axis=0), 3, axis=1)
+    assert phash_from_gray(rng_free) == phash_from_gray(up2) == phash_from_gray(up3)
+    assert dhash_from_gray(rng_free) == dhash_from_gray(up2) == dhash_from_gray(up3)
+
+
+def test_phash_robust_to_jpeg_reencode():
+    """The perceptual property itself: a lossy JPEG re-encode of the same
+    image stays within a small Hamming distance, while a different image
+    is far away. Runs driver-side on the in-repo codecs (no Spark)."""
+    from sarpro_spark.llm.imagehash import _gray_int, phash_from_gray
+    from sarpro_spark.sinks.jpeg import encode_jpeg
+
+    img = mm.formula_image(7, 24, 20, 3)
+    jpeg = mm.decode_image(encode_jpeg(img, 90))
+    h_orig = phash_from_gray(_gray_int(img))
+    h_jpeg = phash_from_gray(_gray_int(jpeg))
+    other = mm.formula_image(8, 24, 20, 3)
+    h_other = phash_from_gray(_gray_int(other))
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert ham(h_orig, h_jpeg) <= 10
+    assert ham(h_orig, h_other) > 10
+
+
+def test_phash_neardup_pairs_finds_planted(spark):
+    from sarpro_spark.llm.imagehash import (
+        attach_image_payload_resized_dups,
+        image_hashes,
+        phash_neardup_pairs,
+    )
+
+    ids = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    payloads = attach_image_payload_resized_dups(ids)
+    pairs = phash_neardup_pairs(image_hashes(payloads)).collect()
+    planted = {(r["doc_a"], r["doc_b"]) for r in pairs
+               if r["doc_a"] % 20 == 0 and r["doc_b"] == r["doc_a"] + 10}
+    assert planted == {(a, a + 10) for a in range(0, 120, 20)}
+    for r in pairs:
+        if (r["doc_a"], r["doc_b"]) in planted:
+            assert r["ph_dist"] == 0 and r["dh_dist"] == 0
+
+
+# --- winnow-anchored ExactSubstr (llm/substring_winnow.py, r12) ------------------
+
+
+def test_winnowed_substring_equals_full_density(spark):
+    """The scale path must reproduce the full-density spans exactly when
+    every true run >= min_len (>= w+k-1): shared-run family, repetitive
+    near-identical template docs, periodic multi-diagonal docs."""
+    from sarpro_spark.llm import substring as ssub
+    from sarpro_spark.llm import substring_winnow as sw
+
+    rows = []
+    shared = "the quick brown fox jumps over the lazy dog again and again!"
+    for i in range(8):
+        rows.append((i, f"prefix{i:02d} " + "x" * (i % 5) + shared + f" tail {i:02d}"))
+    for i in range(8, 20):
+        rows.append((i, f"template number {i} with nothing shared at all beyond short words {i*i}"))
+    rows.append((20, "ab" * 60))
+    rows.append((21, "ab" * 55 + " trailing bits here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {tuple(r) for r in ssub.exact_substring_pairs(df, min_len=40).collect()}
+    win = {tuple(r) for r in sw.exact_substring_pairs_winnowed(df, min_len=40).collect()}
+    assert win == full and len(full) > 0
+
+
+def test_winnowed_substring_anchor_reduction(spark):
+    """The point of the path: winnow anchors are ~2/(w+1) of full density
+    on non-duplicated text (the shuffle-volume reduction, measured)."""
+    from sarpro_spark.llm import substring_winnow as sw
+
+    rows = [(i, f"completely unique document body number {i:04d} "
+             + " ".join(f"tok{i}x{j}" for j in range(30))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    total_chars = sum(len(t) for _, t in rows)
+    n_anchors = sw.winnow_anchors(df).count()
+    # expected density 2/(w+1) = 2/17 ~ 0.118; allow generous headroom
+    assert n_anchors < 0.25 * total_chars
+    assert n_anchors > 0.02 * total_chars
