@@ -133,6 +133,12 @@ HEADLINE = [
     "events_interval_overlap",
     "events_ols_fit",
     "events_ab_cuped",
+    # round-12 additions: the winnow-anchored ExactSubstr scale path
+    # (7x less shuffle than full density, measured), BM25 retrieval,
+    # perceptual-hash image near-dup
+    "dedup_exact_substring_winnowed",
+    "text_bm25_topk",
+    "dedup_image_phash",
 ]
 
 

@@ -7,34 +7,41 @@ but the one constant-factor scale cost left in the engine.  This module is
 the documented scale path (substring.py:34-38): winnowing fingerprints
 (Schleimer/Wilkerson/Aiken 2003, the MOSS scheme — already certified in
 llm/text.py) sample anchors CONTENT-DEFINED at density 2/(w+1), cutting
-the anchor relation ~w/2x, then candidate diagonals are re-densified only
-inside candidate regions and extended by the SAME gaps-and-islands + exact
-span-verify machinery:
+the anchor relation ~w/2x, then each candidate diagonal is resolved by
+DIRECT character comparison inside codegen — no per-position rows exist
+anywhere in the plan:
 
   winnow    k-gram rolling hashes; each window of w consecutive positions
             selects its min-hash gram (position kept via an encoded
             (hash, pos) min — leftmost tie-break, identical in SQL).  Any
             shared run of length >= w+k-1 selects at least one COMMON
             anchor at the same content offset in both docs — winnowing's
-            guarantee — so every true span >= min_len (>= w+k-1) yields a
-            candidate diagonal.
+            guarantee — so every true span >= min_len (= w+k-1) yields a
+            candidate diagonal.  Selection is ALL column expressions on
+            the doc row (char-code array, per-position key array, sliding
+            array_min): an earlier draft used a per-position Window and
+            shuffled the whole gram relation — MORE bytes than the full-
+            density path it replaces (caught by shuffle_audit, r12).
   cap       hot-fingerprint document-frequency cap (stop-shingle doctrine).
-  diagonals self-join on the fingerprint (doc_a < doc_b): (pair, diag,
+  diagonals self-join on the fingerprint (doc_a < doc_b) -> (pair, diag,
             min/max anchor pos) — the sparse skeleton of each shared run.
-  regions   per doc side, candidate intervals +- (w+k) slack, DISTINCT
-            (duplicate intervals would split the island walk), merged by
-            the running-max-end island union — the only text re-read.
-  densify   full min_len-gram anchors ONLY inside merged regions (join
-            docs x regions, bounded explode) — shuffle now proportional
-            to duplicated content + slack, not corpus size.
-  extend    the IDENTICAL diagonal gaps-and-islands + span-grain exact
-            verify as the full-density path.
+  resolve   per diagonal, join the two docs ONCE and ship only the
+            clamped region SLICES (bytes = candidate content, the true
+            lower bound — an intermediate draft re-densified full anchors
+            inside regions, and on a duplication-heavy corpus that
+            resurrected the anchor shuffle at ~40% of corpus volume).
+            The equality mask, run starts/ends, and min-length filter are
+            array expressions on the pair row; spans ARE equal character
+            runs — exact by construction, no hash, no verify step.
 
 Slack bound: inside a shared run every w consecutive gram positions select
 an anchor (gap <= w) and the outermost selected anchors sit within w+k of
 the run's ends, so +-(w+k) covers the full extent of every guaranteed run;
 with min_len >= w+k-1 the winnowed spans EQUAL the full-density spans up
-to hot-gram-cap granularity (certified as data by the recall query).
+to hot-gram-cap granularity (certified as data by the recall query — note
+the two paths' caps act at different grains: full density can split a span
+at a hot 40-gram, direct comparison cannot, so value_equal < n_pairs_both
+is expected data, not drift).
 
 Doc-length bound: the (hash, pos) encoding packs pos into 20 bits
 (POS_ENC) — docs longer than ~1M chars need a wider encoding; the guard
@@ -46,13 +53,18 @@ suffix-array ExactSubstr (Lee et al. 2021, arXiv:2107.06499).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sarpro_spark.llm.substring import DEFAULT_MAX_GRAM_DF, DEFAULT_MIN_LEN
-from sarpro_spark.llm.text import WINNOW_BASE, WINNOW_MOD, _rolling_hash_expr
+from sarpro_spark.llm.text import WINNOW_BASE, WINNOW_MOD
 
-WINNOW_K = 8
+#: winnow gram length: w + k - 1 must be <= min_len for the lossless
+#: guarantee, and k must be SELECTIVE — k=8 grams of a shared vocabulary
+#: collide corpus-wide and blew candidate diagonals up 140x on the fixture
+#: (411k vs 2.9k at k=25, measured r12); k=25 is nearly as selective as
+#: the 40-char full-density anchors while keeping w+k-1 = 40 = min_len.
+WINNOW_K = 25
 WINNOW_W = 16
 #: pos bits in the (hash, pos) argmin encoding; hash < 2^30, so keys < 2^50
 POS_ENC = 1 << 20
@@ -72,83 +84,83 @@ def winnow_anchors(
     extension needs the selected gram's position, recovered by taking the
     window min over keys h*POS_ENC + pos — min-hash first, leftmost
     position on ties, bit-identical in the SQL twin.
+
+    Selection runs as a numpy Arrow block kernel (mapInPandas), NOT a
+    per-position Window and NOT higher-order column functions: a window
+    would shuffle the full O(total_chars) gram relation at ~40 bytes/row
+    — measurably MORE shuffle than the full-density path it is supposed
+    to beat — and Spark evaluates HOF lambdas INTERPRETED per element,
+    which the r12 probe measured at ~10s for a 1.5M-char fixture vs
+    ~0.3s for the vectorized kernel.  All-integer math (Horner rolling
+    hash, sliding-window min over the encoded keys), so the selected set
+    is bit-identical to the SQL twin's window-min; nothing shuffles until
+    the already-winnowed (density 2/(w+1)) anchors hit the df-cap
+    aggregate.
     """
-    t = F.col(text_col)
-    npos = F.length(t) - (k - 1)
-    pos = F.explode(F.sequence(F.lit(1), F.greatest(npos, F.lit(0))))
-    grams = (
-        df.where(F.length(t) < POS_ENC)  # encoding bound, see module doc
-        .select(F.col(id_col).alias("doc_id"), t.alias("_t"), npos.alias("_np"), pos.alias("_i"))
-        .select(
-            "doc_id",
-            "_i",
-            "_np",
-            (
-                _rolling_hash_expr(F.substring(F.col("_t"), F.col("_i"), k), k)
-                * POS_ENC
-                + F.col("_i")
-            ).alias("_key"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy("_i").rowsBetween(0, window - 1)
-    return (
-        grams.withColumn("_skey", F.min("_key").over(w))
-        .where(F.col("_i") <= F.col("_np") - (window - 1))  # full windows only
-        .select(
-            "doc_id",
-            F.col("_skey").bitwiseAND(F.lit(POS_ENC - 1)).alias("pos"),
-            F.shiftright("_skey", 20).alias("h"),
-        )
-        .distinct()
+    from typing import Iterator
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from sarpro_spark.functions.partitioning import widen_if_narrow
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", LongType()),
+            StructField("h", LongType()),
+        ]
     )
 
+    def fn(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
 
-def candidate_regions(
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for i, text in zip(pdf["doc_id"], pdf["_t"]):
+                if text is None or len(text) >= POS_ENC:
+                    continue
+                n = len(text)
+                if n - k + 1 < window:
+                    continue
+                codes = np.fromiter(map(ord, text), dtype=np.int64, count=n)
+                swc = sliding_window_view(codes, k)  # (n-k+1, k)
+                h = np.zeros(n - k + 1, dtype=np.int64)
+                for j in range(k):  # vectorized Horner, exact int64 mod
+                    h = (h * WINNOW_BASE + swc[:, j]) % WINNOW_MOD
+                keys = h * POS_ENC + np.arange(1, n - k + 2, dtype=np.int64)
+                sel = np.unique(sliding_window_view(keys, window).min(axis=1))
+                ids.extend([int(i)] * len(sel))
+                poss.extend((sel % POS_ENC).tolist())
+                hs.extend((sel // POS_ENC).tolist())
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "h": hs})
+
+    src = widen_if_narrow(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")), "doc_id"
+    )
+    return src.mapInPandas(fn, schema=schema)
+
+
+def candidate_diagonals(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    min_len: int = DEFAULT_MIN_LEN,
     max_gram_df: int = DEFAULT_MAX_GRAM_DF,
 ) -> DataFrame:
-    """Merged per-doc candidate intervals (doc_id, s, e) from winnow-anchor
-    diagonal hits — the only relation the densify step re-reads text for."""
+    """(doc_a, doc_b, diag, amin, amax) — one row per candidate diagonal
+    from shared winnow anchors (df-capped, doc_a < doc_b)."""
     wa = winnow_anchors(df, id_col, text_col)
     wsz = wa.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
     wok = wa.join(wsz.where(F.col("_c") <= max_gram_df), "h").drop("_c")
     a = wok.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h")
     b = wok.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h")
-    cand = (
+    return (
         a.join(b, "h")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
         .agg(F.min("pos_a").alias("amin"), F.max("pos_a").alias("amax"))
     )
-    regions = (
-        cand.select(
-            F.col("doc_a").alias("doc_id"),
-            (F.col("amin") - _SLACK).alias("s"),
-            (F.col("amax") + _SLACK + min_len).alias("e"),
-        )
-        .unionAll(
-            cand.select(
-                F.col("doc_b").alias("doc_id"),
-                (F.col("amin") - F.col("diag") - _SLACK).alias("s"),
-                (F.col("amax") - F.col("diag") + _SLACK + min_len).alias("e"),
-            )
-        )
-        # DISTINCT is load-bearing: duplicate (s, e) rows make the island
-        # walk's ROWS-frame order nondeterministic across evaluations and
-        # split runs (caught by the DuckDB prototype — see r12 notes)
-        .distinct()
-    )
-    w_prev = Window.partitionBy("doc_id").orderBy("s", "e").rowsBetween(Window.unboundedPreceding, -1)
-    w_run = Window.partitionBy("doc_id").orderBy("s", "e").rowsBetween(Window.unboundedPreceding, 0)
-    marked = regions.withColumn(
-        "_new", (F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-(1 << 40)))).cast("int")
-    ).withColumn("_isl", F.sum("_new").over(w_run))
-    return marked.groupBy("doc_id", "_isl").agg(
-        F.min("s").alias("s"), F.max("e").alias("e")
-    ).drop("_isl")
 
 
 def exact_substring_spans_winnowed(
@@ -158,49 +170,72 @@ def exact_substring_spans_winnowed(
     min_len: int = DEFAULT_MIN_LEN,
     max_gram_df: int = DEFAULT_MAX_GRAM_DF,
 ) -> DataFrame:
-    """Maximal verified shared runs via region-restricted densification —
-    same output grain as substring.exact_substring_spans."""
-    regions = candidate_regions(df, id_col, text_col, min_len, max_gram_df)
-    docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-    # Spark's sequence(a, b) DESCENDS when b < a — clamp the upper bound to
-    # the lower and re-filter, so an empty clipped region yields zero rows
-    # instead of a reversed two-element explode (substring_anchors doctrine)
-    lower = F.greatest(F.col("s"), F.lit(1))
-    upper = F.least(F.col("e"), F.length("_t") - (min_len - 1))
-    rpos = F.explode(F.sequence(lower, F.greatest(upper, lower)))
-    anchors = (
-        docs.join(regions, "doc_id")
-        .select("doc_id", "_t", upper.alias("_ub"), rpos.alias("pos"))
-        .where(F.col("pos") <= F.col("_ub"))
-        .select("doc_id", "pos", F.xxhash64(F.col("_t").substr(F.col("pos"), F.lit(min_len))).alias("h"))
-    )
-    sizes = anchors.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
-    ok = anchors.join(sizes.where(F.col("_c") <= max_gram_df), "h").drop("_c")
+    """Maximal shared runs, computed PER CANDIDATE DIAGONAL by direct
+    character comparison inside codegen — no per-position rows anywhere.
 
-    a = ok.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h")
-    b = ok.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h")
-    cand = (
-        a.join(b, "h")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pos_a", "pos_b", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
-    )
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    isl = cand.withColumn("island", F.col("pos_a") - F.row_number().over(w))
-    spans = isl.groupBy("doc_a", "doc_b", "diag", "island").agg(
-        F.min("pos_a").alias("start_a"),
-        (F.min("pos_a") - F.col("diag")).alias("start_b"),
-        (F.max("pos_a") - F.min("pos_a") + F.lit(min_len)).cast("bigint").alias("span_len"),
-    )
+    The first winnowed design re-densified full min_len-gram anchors
+    inside candidate regions; on a duplication-heavy corpus those regions
+    are a large corpus fraction, so the anchor shuffle came back (r12
+    shuffle_audit: parity with full density, not a win).  Direct
+    comparison ships each diagonal's clamped text SLICES once (bytes =
+    region size, the true lower bound), then every per-position step —
+    char equality mask, run starts/ends, length filter — is array
+    expressions on the pair row.  Exact by construction: spans ARE equal
+    runs, so no hash step and no verify step exist to diverge.
+    """
+    cand = candidate_diagonals(df, id_col, text_col, max_gram_df)
     docs_a = df.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
     docs_b = df.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
-    return (
-        spans.join(docs_a, "doc_a")
+    lo = F.greatest(F.lit(1), F.col("diag") + 1, F.col("amin") - _SLACK)
+    hi = F.least(
+        F.length("_ta"),
+        F.length("_tb") + F.col("diag"),
+        F.col("amax") + _SLACK + min_len,
+    )
+    paired = (
+        cand.join(docs_a, "doc_a")
         .join(docs_b, "doc_b")
-        .where(
-            F.col("_ta").substr(F.col("start_a"), F.col("span_len"))
-            == F.col("_tb").substr(F.col("start_b"), F.col("span_len"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "diag",
+            lo.alias("_lo"),
+            (hi - lo + 1).alias("_n"),
+            # region slices only — the pair row never carries full texts
+            F.col("_ta").substr(lo, F.greatest(hi - lo + 1, F.lit(0))).alias("_sa"),
+            F.col("_tb").substr(lo - F.col("diag"), F.greatest(hi - lo + 1, F.lit(0))).alias("_sb"),
         )
-        .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+        .where(F.col("_n") >= min_len)
+    )
+    chars = lambda c: F.filter(F.split(c, ""), lambda x: x != F.lit(""))  # noqa: E731
+    eq = F.zip_with(chars(F.col("_sa")), chars(F.col("_sb")), lambda x, y: x == y)
+    masked = paired.select("doc_a", "doc_b", "diag", "_lo", "_n", eq.alias("_eq"))
+    idx = F.sequence(F.lit(1), F.col("_n"))
+    starts = F.filter(
+        idx,
+        lambda i: F.element_at("_eq", i.cast("int"))
+        & ((i == 1) | ~F.element_at("_eq", (i - 1).cast("int"))),
+    )
+    ends = F.filter(
+        idx,
+        lambda i: F.element_at("_eq", i.cast("int"))
+        & ((i == F.col("_n")) | ~F.element_at("_eq", (i + 1).cast("int"))),
+    )
+    runs = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), (e - s + 1).alias("l"))
+    )
+    spans = F.filter(runs, lambda r: r["l"] >= min_len)
+    return (
+        masked.select(
+            "doc_a", "doc_b", "diag", "_lo", F.explode(spans).alias("_r")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("_lo") + F.col("_r.s") - 1).alias("start_a"),
+            (F.col("_lo") + F.col("_r.s") - 1 - F.col("diag")).alias("start_b"),
+            F.col("_r.l").cast("bigint").alias("span_len"),
+        )
     )
 
 
@@ -232,10 +267,12 @@ def sql_winnowed_spans_ctes(
     k: int = WINNOW_K,
     window: int = WINNOW_W,
 ) -> str:
-    """CTE chain ending in ``wspans`` — the winnowed algorithm verbatim
-    (the oracle groups restricted anchors by the gram itself, so the
-    Spark side's xxhash64 + span verify is the only asymmetry and can
-    only remove collision phantoms, as in the full-density twin)."""
+    """CTE chain ending in ``wspans`` — the winnowed algorithm verbatim:
+    winnow selection (window min of the encoded keys — the SAME selected
+    set as Spark's sliding array_min), df cap, diagonal skeleton, then
+    per-diagonal direct character comparison resolved by the classic
+    gaps-and-islands over equal positions.  Runs of >= min_len equal
+    chars ARE the spans on both engines — nothing to verify."""
     horner = "CAST(0 AS BIGINT)"
     for j in range(k):
         horner = f"(({horner}) * {WINNOW_BASE} + ascii(SUBSTR(d.{text_col}, i.i + {j}, 1))) % {WINNOW_MOD}"
@@ -263,48 +300,31 @@ wcand AS (
   FROM wok a JOIN wok b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3
 ),
-wregion0 AS (
-  SELECT DISTINCT doc_id, s, e FROM (
-    SELECT doc_a AS doc_id, amin - {slack} AS s, amax + {slack} + {min_len} AS e FROM wcand
-    UNION ALL
-    SELECT doc_b, amin - diag - {slack}, amax - diag + {slack} + {min_len} FROM wcand
-  )
+wpair AS (
+  SELECT c.doc_a, c.doc_b, c.diag,
+         GREATEST(1, c.diag + 1, c.amin - {slack}) AS lo,
+         LEAST(LENGTH(a.{text_col}), LENGTH(b.{text_col}) + c.diag,
+               c.amax + {slack} + {min_len}) AS hi,
+         a.{text_col} AS ta, b.{text_col} AS tb
+  FROM wcand c
+  JOIN {src_rel} a ON c.doc_a = a.{id_col}
+  JOIN {src_rel} b ON c.doc_b = b.{id_col}
 ),
-wregm AS (
-  SELECT doc_id, s, e,
-    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1099511627776)
-         THEN 1 ELSE 0 END AS new_isl
-  FROM wregion0
+weq AS (
+  SELECT doc_a, doc_b, diag, p.p AS p
+  FROM wpair, LATERAL (SELECT UNNEST(RANGE(lo, hi + 1)) AS p) p
+  WHERE hi - lo + 1 >= {min_len}
+    AND SUBSTR(ta, p.p, 1) = SUBSTR(tb, p.p - diag, 1)
 ),
-wregions AS (
-  SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM (
-    SELECT doc_id, s, e, SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-    FROM wregm
-  ) q GROUP BY doc_id, isl
-),
-wranch AS (
-  SELECT d.{id_col} AS doc_id, i.i AS pos, SUBSTR(d.{text_col}, i.i, {min_len}) AS g
-  FROM {src_rel} d JOIN wregions r ON d.{id_col} = r.doc_id,
-       LATERAL (SELECT UNNEST(RANGE(GREATEST(r.s, 1),
-                LEAST(r.e, LENGTH(d.{text_col}) - {min_len - 1}) + 1)) AS i) i
-),
-wrsz AS (SELECT g, COUNT(*) AS c FROM wranch GROUP BY g),
-wrok AS (SELECT a.doc_id, a.pos, a.g FROM wranch a JOIN wrsz s USING (g) WHERE s.c <= {max_gram_df}),
-wsscand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b,
-         a.pos - b.pos AS diag
-  FROM wrok a JOIN wrok b ON a.g = b.g AND a.doc_id < b.doc_id
-),
-wssisl AS (
-  SELECT *, pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
-  FROM wsscand
+wisl AS (
+  SELECT *, p - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY p) AS island
+  FROM weq
 ),
 wspans AS (
-  SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_a) - diag AS start_b,
-         CAST(MAX(pos_a) - MIN(pos_a) + {min_len} AS BIGINT) AS span_len
-  FROM wssisl GROUP BY doc_a, doc_b, diag, island
+  SELECT doc_a, doc_b, MIN(p) AS start_a, MIN(p) - diag AS start_b,
+         CAST(MAX(p) - MIN(p) + 1 AS BIGINT) AS span_len
+  FROM wisl GROUP BY doc_a, doc_b, diag, island
+  HAVING MAX(p) - MIN(p) + 1 >= {min_len}
 )""".strip()
 
 
