@@ -630,17 +630,19 @@ def sql_kmeans(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prefix: str = "",
 ) -> str:
     """DuckDB twin of :func:`kmeans_train` with the iterations UNROLLED (one
     assignment + one per-dim AVG round per iteration). Ends in CTE
-    ``kfinal`` (centroid_id, cvec, n_members)."""
+    ``{prefix}kfinal`` (centroid_id, cvec, n_members); ``prefix`` lets one
+    statement train several independent codebooks (the PQ subspaces)."""
     ctes = [
-        f"cent0 AS (SELECT {id_col} AS centroid_id, CAST({vec_col} AS DOUBLE[]) AS cvec, "
+        f"{prefix}cent0 AS (SELECT {id_col} AS centroid_id, CAST({vec_col} AS DOUBLE[]) AS cvec, "
         f"0 AS n_members FROM {emb_rel} WHERE {id_col} < {k})"
     ]
-    prev = "cent0"
+    prev = f"{prefix}cent0"
     for it in range(1, iters + 1):
-        p = f"it{it}_"
+        p = f"{prefix}it{it}_"
         ctes.append(
             sql_cosine_ctes(
                 emb_rel,
@@ -671,13 +673,13 @@ def sql_kmeans(
 )"""
         )
         ctes.append(
-            f"""cent{it} AS (
+            f"""{prefix}cent{it} AS (
   SELECT centroid_id, LIST(val ORDER BY i) AS cvec, CAST(MAX(cnt) AS BIGINT) AS n_members
   FROM {p}avg GROUP BY centroid_id
 )"""
         )
-        prev = f"cent{it}"
-    ctes.append(f"kfinal AS (SELECT * FROM {prev})")
+        prev = f"{prefix}cent{it}"
+    ctes.append(f"{prefix}kfinal AS (SELECT * FROM {prev})")
     return ",\n".join(ctes)
 
 
@@ -1593,6 +1595,421 @@ rescored AS (
   SELECT s.query_id, s.{id_col}, s.hrnk,
          {sql_fround(f"({dp}) / ({nv} * {nq})")} AS sim
   FROM short s
+  WHERE {nv} > 0 AND {nq} > 0
+),
+perq AS (
+  {body}
+)
+SELECT query_id, mult, hits,
+       {sql_fround(f"hits / {float(k)!r}")} AS recall,
+       (hits >= COALESCE(LAG(hits) OVER (PARTITION BY query_id ORDER BY mult), hits)) AS monotone_ok
+FROM perq
+""".strip()
+
+
+# --- product quantization: the ADC rung between int8 and 1-bit ------------------
+
+PQ_M = 4      # subspaces
+PQ_KSUB = 16  # centroids per subspace codebook -> 4-bit codes
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace codebooks (subspace, centroid_id, cvec) — Jegou et al.
+    2011 product quantization, trained with the existing distributed
+    k-means (kmeans_train) on each dim/m-wide projection.  m*ksub rows
+    total (64 at the defaults): a codebook is ALWAYS broadcast-bounded,
+    independent of corpus size."""
+    sub = dim // m
+    books = []
+    for j in range(m):
+        proj = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
+        )
+        cb = kmeans_train(proj, k=ksub, iters=iters, dim=sub, id_col=id_col, vec_col=vec_col)
+        books.append(cb.select(F.lit(j).alias("subspace"), "centroid_id", "cvec"))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def pq_assign_codes(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, subspace, code) — each vector's nearest codebook entry per
+    subspace, via the SAME fround'd-cosine + id-tiebreak assignment as
+    ivf_assign (the certified twin semantics), one subspace at a time."""
+    sub = dim // m
+    parts = []
+    for j in range(m):
+        proj = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
+        )
+        cents = codebooks.where(F.col("subspace") == j).select("centroid_id", "cvec")
+        parts.append(
+            ivf_assign(proj, cents, id_col, vec_col).select(
+                F.col(id_col), F.lit(j).alias("subspace"), F.col("centroid_id").alias("code")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def cosine_topk_pq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist_mult: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """PQ-ADC ANN: asymmetric-distance shortlist + exact rerank.
+
+    The scan side touches only m small-int codes per vector (m=4: half
+    the bytes of the 1-bit rung's words, 1/64 of f32); each query
+    precomputes an m*ksub lookup table (dot(q_j, c) and |c|^2 per
+    codebook entry — the ADC table), the scan is one broadcast-LUT join
+    + a SUM over m rows per (query, vector), and the PQ-reconstructed
+    cosine ranks a k*mult shortlist that the exact float cosine then
+    reranks.  Output (query_id, vec_id, adc_sim, sim, rnk) keeps the ADC
+    score as data next to the exact score, same doctrine as the Hamming
+    column of the 1-bit rung."""
+    from sarpro_spark.functions.partitioning import widen_if_narrow
+    from sarpro_spark.llm.cluster import _checkpointer
+    from sarpro_spark.queries import fround
+
+    sub = dim // m
+    ckpt = _checkpointer(emb)
+    books = ckpt(pq_codebooks(emb, m, ksub, 2, dim, id_col, vec_col))
+    emb = widen_if_narrow(emb, id_col)
+    codes = pq_assign_codes(emb, books, m, dim, id_col, vec_col)
+
+    # ADC lookup table: queries x codebook entries (m*ksub per query)
+    qsub = F.slice(F.col(qvec_col), F.col("subspace") * sub + 1, F.lit(sub))
+    lut = (
+        queries.join(F.broadcast(books))
+        .select(
+            F.col(qid_col),
+            "subspace",
+            F.col("centroid_id").alias("code"),
+            _dot(qsub, F.col("cvec")).alias("_qdot"),
+            _dot(F.col("cvec"), F.col("cvec")).alias("_cn2"),
+        )
+    )
+    qn = queries.select(F.col(qid_col), _norm(F.col(qvec_col)).alias("_qnorm"))
+    adc = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("_qdot").alias("_dot"), F.sum("_cn2").alias("_cn2"))
+        .join(F.broadcast(qn), qid_col)
+        .where((F.col("_cn2") > 0) & (F.col("_qnorm") > 0))
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            fround(F.col("_dot") / (F.sqrt("_cn2") * F.col("_qnorm")), round_digits).alias("adc_sim"),
+        )
+    )
+    wsh = Window.partitionBy(qid_col).orderBy(F.col("adc_sim").desc(), F.col(id_col))
+    short = adc.withColumn("_arnk", F.row_number().over(wsh)).where(
+        F.col("_arnk") <= k * shortlist_mult
+    )
+    # exact rescoring of the shortlist only: broadcast the (bounded,
+    # queries x k*mult rows) shortlist against the corpus vectors
+    qv = queries.select(F.col(qid_col), F.col(qvec_col))
+    rescored = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(short), id_col)
+        .join(F.broadcast(qv), qid_col)
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.col("adc_sim"),
+            fround(
+                cosine_expr(
+                    F.col(vec_col).cast("array<double>"), F.col(qvec_col).cast("array<double>")
+                ),
+                round_digits,
+            ).alias("sim"),
+        )
+        .where(F.col("sim").isNotNull())
+    )
+    wf = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(wf))
+        .where(F.col("rnk") <= k)
+        .select(qid_col, id_col, "adc_sim", "sim", "rnk")
+    )
+
+
+def pq_recall_sweep(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    mults: tuple[int, ...] = (1, 2, 4),
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Recall-vs-shortlist frontier for the PQ-ADC pipeline — the same
+    (query_id, mult, hits, recall, monotone_ok) ladder as the 1-bit and
+    multi-probe sweeps: ONE ADC scan and ONE rescoring pass (the largest
+    shortlist) serve every multiplier; hits is provably non-decreasing."""
+    from sarpro_spark.llm.cluster import _checkpointer
+    from sarpro_spark.queries import fround
+
+    mmax = max(mults)
+    truth = cosine_topk(
+        emb, queries, k, id_col, vec_col, qid_col, qvec_col, round_digits
+    ).select(qid_col, id_col)
+    ranked = cosine_topk_pq(
+        emb, queries, k * mmax, 1, m, ksub, dim, id_col, vec_col, qid_col, qvec_col, round_digits
+    )  # k*mmax shortlist, rescored; _arnk order == adc order by construction
+    ckpt = _checkpointer(emb)
+    truth = ckpt(truth)
+    ranked = ckpt(
+        ranked.select(
+            F.col(qid_col), F.col(id_col), F.col("sim"),
+            F.row_number()
+            .over(Window.partitionBy(qid_col).orderBy(F.col("adc_sim").desc(), F.col(id_col)))
+            .alias("_arnk"),
+        )
+    )
+    t = truth.select(F.col(qid_col), F.col(id_col).alias("_tid"))
+    legs = []
+    for mm in mults:
+        wf = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
+        top = (
+            ranked.where(F.col("_arnk") <= k * mm)
+            .withColumn("_rnk", F.row_number().over(wf))
+            .where(F.col("_rnk") <= k)
+            .select(qid_col, id_col)
+        )
+        hit = t.join(
+            top.withColumn("_h", F.lit(1)),
+            (t[qid_col] == top[qid_col]) & (F.col("_tid") == top[id_col]),
+            "left",
+        ).groupBy(t[qid_col].alias(qid_col)).agg(
+            F.sum(F.coalesce(F.col("_h"), F.lit(0))).cast("long").alias("hits")
+        )
+        legs.append(hit.withColumn("mult", F.lit(mm)))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    wm = Window.partitionBy(qid_col).orderBy("mult")
+    return out.select(
+        qid_col, "mult", "hits",
+        fround(F.col("hits") / float(k), round_digits).alias("recall"),
+        (
+            F.col("hits") >= F.coalesce(F.lag("hits").over(wm), F.col("hits"))
+        ).alias("monotone_ok"),
+    )
+
+
+# --- PQ DuckDB twins ------------------------------------------------------------
+
+
+def sql_pq_ctes(
+    emb_rel: str,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """CTE chain ending in ``pqbooks`` (subspace, centroid_id, cvec) and
+    ``pqcodes`` (id, subspace, code) — codebook training is sql_kmeans
+    per subspace (prefixed), assignment reuses the certified
+    sql_cosine_ctes scoring against each codebook."""
+    sub = dim // m
+    parts, unions, assigns = [], [], []
+    for j in range(m):
+        sub_rel = (
+            f"(SELECT {id_col}, list_slice({vec_col}, {j * sub + 1}, {(j + 1) * sub})"
+            f" AS {vec_col} FROM {emb_rel})"
+        )
+        parts.append(sql_kmeans(sub_rel, ksub, iters, id_col, vec_col, prefix=f"pq{j}_"))
+        unions.append(f"SELECT {j} AS subspace, centroid_id, cvec FROM pq{j}_kfinal")
+        parts.append(
+            sql_cosine_ctes(
+                sub_rel,
+                f"SELECT centroid_id AS query_id, cvec AS qvec FROM pq{j}_kfinal",
+                id_col=id_col,
+                vec_col=vec_col,
+                prefix=f"pqa{j}_",
+            )
+        )
+        assigns.append(
+            f"""SELECT {id_col}, {j} AS subspace, query_id AS code FROM (
+    SELECT {id_col}, query_id,
+           ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY sim DESC, query_id) AS rnk
+    FROM pqa{j}_scored
+  ) r WHERE rnk = 1"""
+        )
+    parts.append("pqbooks AS (" + "\n  UNION ALL\n  ".join(unions) + ")")
+    parts.append("pqcodes AS (" + "\n  UNION ALL\n  ".join(assigns) + ")")
+    return ",\n".join(parts)
+
+
+def _sql_pq_adc(query_sel: str, m: int, dim: int, id_col: str) -> str:
+    """CTEs ``pqlut``/``pqadcq`` (expects ``queries``/``pqbooks``/``pqcodes``):
+    the per-query ADC table and the summed PQ-reconstructed cosine."""
+    from sarpro_spark.queries import sql_fround
+
+    sub = dim // m
+    qslice = f"list_slice(q.qvec, b.subspace * {sub} + 1, (b.subspace + 1) * {sub})"
+    qdot = (
+        f"list_sum(list_transform(range(1, {sub} + 1), "
+        f"i -> CAST(({qslice})[i] AS DOUBLE) * CAST(b.cvec[i] AS DOUBLE)))"
+    )
+    cn2 = "list_sum(list_transform(b.cvec, x -> CAST(x AS DOUBLE) * x))"
+    qn = "SQRT(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * x)))"
+    return f"""pqlut AS (
+  SELECT q.query_id, b.subspace, b.centroid_id AS code,
+         {qdot} AS qdot, {cn2} AS cn2
+  FROM queries q CROSS JOIN pqbooks b
+),
+pqqn AS (SELECT query_id, {qn} AS qnorm FROM queries q),
+pqadcq AS (
+  SELECT a.query_id, a.{id_col},
+         {sql_fround('a.adc_dot / (SQRT(a.cn2) * n.qnorm)')} AS adc_sim
+  FROM (
+    SELECT l.query_id, c.{id_col}, SUM(l.qdot) AS adc_dot, SUM(l.cn2) AS cn2
+    FROM pqcodes c JOIN pqlut l ON l.subspace = c.subspace AND l.code = c.code
+    GROUP BY 1, 2
+  ) a JOIN pqqn n USING (query_id)
+  WHERE a.cn2 > 0 AND n.qnorm > 0
+)"""
+
+
+def sql_cosine_topk_pq(
+    emb_rel: str, query_sel: str, k: int = 10, shortlist_mult: int = 4,
+    m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`cosine_topk_pq` (full statement)."""
+    from sarpro_spark.queries import sql_fround
+
+    dp = (
+        "list_sum(list_transform(range(1, len(s.v) + 1), "
+        "i -> CAST(s.v[i] AS DOUBLE) * CAST(s.qv[i] AS DOUBLE)))"
+    )
+    nv = "SQRT(list_sum(list_transform(s.v, x -> CAST(x AS DOUBLE) * x)))"
+    nq = "SQRT(list_sum(list_transform(s.qv, x -> CAST(x AS DOUBLE) * x)))"
+    return f"""
+WITH queries AS ({query_sel}),
+{sql_pq_ctes(emb_rel, m, ksub, 2, dim, id_col, vec_col)},
+{_sql_pq_adc(query_sel, m, dim, id_col)},
+pqshort AS (
+  SELECT * FROM (
+    SELECT query_id, {id_col}, adc_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_sim DESC, {id_col}) AS arnk
+    FROM pqadcq
+  ) h WHERE arnk <= {k * shortlist_mult}
+),
+pqres AS (
+  SELECT s.query_id, s.{id_col}, s.adc_sim,
+         {sql_fround(f"({dp}) / ({nv} * {nq})")} AS sim
+  FROM (
+    SELECT sh.query_id, sh.{id_col}, sh.adc_sim, e.{vec_col} AS v, q.qvec AS qv
+    FROM pqshort sh
+    JOIN {emb_rel} e USING ({id_col})
+    JOIN queries q USING (query_id)
+  ) s
+  WHERE {nv} > 0 AND {nq} > 0
+)
+SELECT query_id, {id_col}, adc_sim, sim, rnk FROM (
+  SELECT query_id, {id_col}, adc_sim, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, {id_col}) AS rnk
+  FROM pqres
+) r WHERE rnk <= {k}
+""".strip()
+
+
+def sql_pq_recall_sweep(
+    emb_rel: str, query_sel: str, k: int = 5, mults: tuple[int, ...] = (1, 2, 4),
+    m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pq_recall_sweep` (full statement)."""
+    from sarpro_spark.queries import sql_fround
+
+    mmax = max(mults)
+    truth = sql_cosine_ctes(emb_rel, query_sel, id_col, vec_col, prefix="tr_")
+    dp = (
+        "list_sum(list_transform(range(1, len(s.v) + 1), "
+        "i -> CAST(s.v[i] AS DOUBLE) * CAST(s.qv[i] AS DOUBLE)))"
+    )
+    nv = "SQRT(list_sum(list_transform(s.v, x -> CAST(x AS DOUBLE) * x)))"
+    nq = "SQRT(list_sum(list_transform(s.qv, x -> CAST(x AS DOUBLE) * x)))"
+    legs = []
+    for mm in mults:
+        legs.append(f"""
+  SELECT t.query_id, {mm} AS mult,
+         CAST(SUM(CASE WHEN p.{id_col} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM truth t LEFT JOIN (
+    SELECT query_id, {id_col} FROM (
+      SELECT query_id, {id_col},
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, {id_col}) AS rnk
+      FROM pqres WHERE arnk <= {k * mm}
+    ) q WHERE rnk <= {k}
+  ) p ON p.query_id = t.query_id AND p.{id_col} = t.{id_col}
+  GROUP BY t.query_id""".strip())
+    body = "\n  UNION ALL\n  ".join(legs)
+    return f"""
+WITH queries AS ({query_sel}),
+{truth},
+truth AS (
+  SELECT query_id, {id_col} FROM (
+    SELECT query_id, {id_col},
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, {id_col}) AS rnk
+    FROM tr_scored
+  ) r WHERE rnk <= {k}
+),
+{sql_pq_ctes(emb_rel, m, ksub, 2, dim, id_col, vec_col)},
+{_sql_pq_adc(query_sel, m, dim, id_col)},
+pqshort AS (
+  SELECT * FROM (
+    SELECT query_id, {id_col}, adc_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_sim DESC, {id_col}) AS arnk
+    FROM pqadcq
+  ) h WHERE arnk <= {k * mmax}
+),
+pqres AS (
+  SELECT s.query_id, s.{id_col}, s.arnk,
+         {sql_fround(f"({dp}) / ({nv} * {nq})")} AS sim
+  FROM (
+    SELECT sh.query_id, sh.{id_col}, sh.arnk, e.{vec_col} AS v, q.qvec AS qv
+    FROM pqshort sh
+    JOIN {emb_rel} e USING ({id_col})
+    JOIN queries q USING (query_id)
+  ) s
   WHERE {nv} > 0 AND {nq} > 0
 ),
 perq AS (

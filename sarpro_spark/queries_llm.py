@@ -1613,6 +1613,39 @@ def q_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_binary(e, _spark_queries_frame(spark, sf_dir), k=10)
 
 
+_TOPK_PQ_SQL = sim.sql_cosine_topk_pq("embeddings", _QUERY_SEL, k=10)
+
+
+@query("similarity_topk_pq", sql=_TOPK_PQ_SQL, tags=("llm", "similarity"))
+def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC ANN (r12 — the rung between int8 and
+    1-bit): per-subspace codebooks trained with the certified distributed
+    k-means (4 subspaces x 16 centroids = 4-bit codes, half the scan
+    bytes of the 1-bit words), each query precomputes the m*ksub ADC
+    lookup table, the scan is one broadcast-LUT join + a 4-row SUM per
+    (query, vector), and the PQ-reconstructed cosine shortlists k*4 for
+    exact rerank. adc_sim rides next to the exact sim in the hashed row,
+    so codebook quality is data — the Jegou et al. 2011 pipeline,
+    relational."""
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_pq(e, _spark_queries_frame(spark, sf_dir), k=10)
+
+
+_RECALL_PQ_SQL = sim.sql_pq_recall_sweep("embeddings", _QUERY_SEL, k=5)
+
+
+@query("ann_recall_pq", sql=_RECALL_PQ_SQL, tags=("llm", "similarity", "quality"))
+def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall frontier of the PQ-ADC pipeline (r12): per query, how many
+    of the EXACT top-5 survive an ADC shortlist of 5m (m = 1/2/4) + exact
+    rerank — completing the quantization ladder's recall evidence
+    (LSH/IVF probes, 1-bit Hamming, now PQ codebooks) with the same
+    hashed monotone_ok pin: ONE ADC scan serves all multipliers, hits
+    provably non-decreasing in m."""
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return sim.pq_recall_sweep(e, _spark_queries_frame(spark, sf_dir), k=5)
+
+
 _RECALL_BINARY_SQL = sim.sql_binary_recall_sweep("embeddings", _QUERY_SEL, k=5)
 
 
@@ -3008,8 +3041,13 @@ def q_events_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- BM25 top-k retrieval (r12) --------------------------------------------------
 
-#: deterministic retrieval fixture: every 97th doc's first 80 chars is a query
+#: deterministic retrieval fixture: every 97th doc's first 80 chars is a
+#: query, with the panel BOUNDED at 50 queries — a real retrieval workload
+#: has a fixed query load, so the certified line must scale with the
+#: CORPUS only (an unbounded panel made the 10x soak quadratic: queries
+#: x postings both grew 10x, measured vs_linear 2.28 in r12)
 _BM25_QMOD = 97
+_BM25_QMAX = 97 * 50
 _BM25_QLEN = 80
 _BM25_K = 5
 
@@ -3022,7 +3060,7 @@ def _bm25_sql() -> str:
     return f"""
 WITH bmqueries AS (
   SELECT doc_id AS query_id, SUBSTR(text, 1, {_BM25_QLEN}) AS qtext
-  FROM documents WHERE doc_id % {_BM25_QMOD} = 0
+  FROM documents WHERE doc_id % {_BM25_QMOD} = 0 AND doc_id < {_BM25_QMAX}
 ),
 {ctes}
 """.strip()
@@ -3039,7 +3077,9 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sarpro_spark.llm.bm25 import bm25_topk
 
     d = frames.load_table(spark, sf_dir, "documents")
-    queries = d.where(F.col("doc_id") % _BM25_QMOD == 0).select(
+    queries = d.where(
+        (F.col("doc_id") % _BM25_QMOD == 0) & (F.col("doc_id") < _BM25_QMAX)
+    ).select(
         F.col("doc_id").alias("query_id"),
         F.substring(F.col("text"), 1, _BM25_QLEN).alias("qtext"),
     )

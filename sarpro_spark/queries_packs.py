@@ -313,6 +313,8 @@ register_pack(
         Member("ann_recall_at_k", ("query_id",)),
         Member("ann_recall_multiprobe", ("query_id",)),
         Member("ann_recall_binary", ("query_id", "mult")),
+        Member("similarity_topk_pq", ("query_id", "vec_id")),
+        Member("ann_recall_pq", ("query_id", "mult")),
     ),
     doc="Union certificate: ANN top-k via brute force, banded-hyperplane "
     "LSH, IVF inverted lists, int8-quantized scan, the int8 quantization "

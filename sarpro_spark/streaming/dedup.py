@@ -86,49 +86,69 @@ def doc_sig_bands(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """(id, band, bucket, sig array<long>) per doc — streaming-safe (no
-    aggregation): shingles as an array via transform over positions, base
-    hash + k permutations element-wise, array_min per permutation. Docs
-    shorter than the shingle width drop (no shingles — matching the batch
-    builder, where they produce no group)."""
-    lowered = F.lower(F.col(text_col))
-    npos = F.length(lowered) - (n - 1)
-    shingles = F.transform(
-        F.sequence(F.lit(1), npos), lambda i: F.substring(lowered, i, n)
+    """(id, band, bucket, sig array<long>) per doc — streaming-safe (a
+    stateless Arrow block kernel; mapInPandas is legal in streams).
+
+    r12 rework (verdict item 7): the column-expression form evaluated the
+    per-shingle md5 and all k permutations as INTERPRETED higher-order
+    lambdas plus an O(len^2) per-position substring scan — the signature
+    stage dominated the stream-stream line and pinned its 10x soak ratio
+    at vs_linear 0.95. The kernel is the identical hash chain (md5-prefix
+    base mod the minhash prime, k affine permutations, array mins, band
+    buckets = md5 of the '|'-joined signature slice — every value
+    bit-equal, oracle re-certified), vectorized: one hashlib md5 per
+    shingle, numpy for the k permutations and mins. Docs shorter than
+    the shingle width drop (no shingles — matching the batch builder).
+    """
+    from typing import Iterator as _Iterator
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("band", IntegerType()),
+            StructField("bucket", StringType()),
+            StructField("sig", ArrayType(LongType())),
+        ]
     )
-    base = F.transform(
-        shingles,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-        % MINHASH_PRIME,
-    )
-    sig_exprs = [
-        F.array_min(
-            F.transform(F.col("_h"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
-        ).alias(f"sig_{i}")
-        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    ]
-    sigs = (
-        docs.where(F.length(F.col(text_col)) >= n)
-        .select(F.col(id_col), base.alias("_h"))
-        .select(F.col(id_col), *sig_exprs)
-    )
+    coeffs = minhash_coeffs(num_hashes)
     rows_per_band = num_hashes // bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+
+    def fn(batches: _Iterator) -> _Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+        for pdf in batches:
+            ids, bnds, bkts, sigs_out = [], [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) < n:
+                    continue
+                t = text.lower()
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t[p:p + n].encode("utf-8")).hexdigest()[:15], 16)
+                        % MINHASH_PRIME
+                        for p in range(len(t) - n + 1)
+                    ),
+                    dtype=np.int64,
                 )
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    return sigs.select(
-        F.col(id_col),
-        F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)]).alias("sig"),
-        F.explode(F.array(*band_structs)).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"), "sig")
+                sig = ((A * hs[None, :] + B) % MINHASH_PRIME).min(axis=1)
+                sig_list = [int(x) for x in sig]
+                for b in range(bands):
+                    chunk = sig_list[b * rows_per_band:(b + 1) * rows_per_band]
+                    bucket = hashlib.md5("|".join(map(str, chunk)).encode()).hexdigest()
+                    ids.append(int(i))
+                    bnds.append(b)
+                    bkts.append(bucket)
+                    sigs_out.append(sig_list)
+            yield pd.DataFrame(
+                {id_col: ids, "band": bnds, "bucket": bkts, "sig": sigs_out}
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(fn, schema=schema)
 
 
 MATCH_SCHEMA = StructType(

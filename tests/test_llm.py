@@ -1643,3 +1643,30 @@ def test_winnowed_substring_anchor_reduction(spark):
     # expected density 2/(w+1) = 2/17 ~ 0.118; allow generous headroom
     assert n_anchors < 0.25 * total_chars
     assert n_anchors > 0.02 * total_chars
+
+
+# --- product quantization ANN (llm/similarity.py, r12) ---------------------------
+
+
+def test_pq_topk_self_and_copy_first(spark, emb):
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = sim.cosine_topk_pq(emb, queries, k=3, m=4, ksub=8, dim=16).collect()
+    assert [r["vec_id"] for r in out if r["rnk"] == 1] == [0]  # exact rerank: self
+    assert [r["vec_id"] for r in out if r["rnk"] == 2] == [7]  # scaled copy
+    for r in out:
+        assert -1.0 - 1e-9 <= r["adc_sim"] <= 1.0 + 1e-9  # reconstructed cosine
+
+
+def test_pq_recall_monotone_and_saturates(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    rows = sim.pq_recall_sweep(emb, queries, k=3, mults=(1, 2, 4), m=4, ksub=8, dim=16).collect()
+    assert all(r["monotone_ok"] for r in rows)
+    by_mult = {}
+    for r in rows:
+        by_mult.setdefault(r["mult"], []).append(r["hits"])
+    assert sum(by_mult[4]) >= sum(by_mult[1])
+    assert all(0 <= h <= 3 for hs in by_mult.values() for h in hs)

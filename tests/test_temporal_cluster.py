@@ -138,3 +138,44 @@ def test_triangle_counts_duplicate_and_directed_input(spark):
     )
     rows = gr.triangle_counts(e).collect()
     assert sum(r["triangles"] for r in rows) == 3  # 1 triangle x 3 vertices
+
+
+def test_gsb_multi_subgrid_overlap_arbitration(spark, tmp_path):
+    """r12 (verdict item 10): NUM_FILE=2 nesting with OVERLAP — a dense
+    child window inside a sparse parent. The NTv2 selection rule (densest
+    covering subgrid wins) must hold point-by-point: inside the child ->
+    child's shift and gid; parent-only -> parent's; outside both -> NULL."""
+    import numpy as np
+
+    from sarpro_spark.operators import gridshift as gsx
+
+    parent_h = {"lat0": 0.0, "lon0": 0.0, "lat_inc": 1.0, "lon_inc": 1.0,
+                "n_lat": 5, "n_lon": 5}
+    child_h = {"lat0": 1.0, "lon0": 1.0, "lat_inc": 0.5, "lon_inc": 0.5,
+               "n_lat": 5, "n_lon": 5}
+    pa = (np.full((5, 5), 3.5), np.full((5, 5), 7.25))     # f32-exact
+    ca = (np.full((5, 5), -1.25), np.full((5, 5), 2.75))
+    p = str(tmp_path / "nested.gsb")
+    gsx.write_gsb(p, subgrids=[
+        (parent_h, pa, "PARENT00", "NONE"),
+        (child_h, ca, "CHILD000", "PARENT00"),
+    ])
+    assert gsx.gsb_num_file(p) == 2
+
+    grids = gsx.read_gsb_df(spark, p)  # all subgrids
+    assert len(grids) == 2
+    pts = spark.createDataFrame(
+        [(0, 0.5, 0.5),    # parent-only (outside child window)
+         (1, 2.0, 2.0),    # inside the dense child -> child wins
+         (2, 2.9, 2.9),    # still inside child extent [1, 3]
+         (3, 10.0, 10.0)], # outside both
+        "pid long, lon double, lat double",
+    )
+    out = {r["pid"]: r for r in
+           gsx.multigrid_interp(pts, grids, "lon", "lat", "t").collect()}
+    # densest-first ordering: child (0.25 deg^2 cells) = gid 0, parent = gid 1
+    assert out[0]["t_gid"] == 1 and out[0]["t_dlat"] == 3.5 and out[0]["t_dlon"] == 7.25
+    for pid in (1, 2):
+        assert out[pid]["t_gid"] == 0
+        assert out[pid]["t_dlat"] == -1.25 and out[pid]["t_dlon"] == 2.75
+    assert out[3]["t_gid"] is None and out[3]["t_dlat"] is None

@@ -638,9 +638,11 @@ AUDITS: dict[str, dict] = {
     "dedup_stream_stream_neardup": {
         # r9 cross-stream twin: the cross-pair join must key on the LSH
         # (band, bucket) — a CartesianProduct here is the all-pairs scan
-        # the banding exists to prevent; signatures are pure column
-        # expressions, no Python in the plan
-        "require": [], "codegen": True,
+        # the banding exists to prevent. r12: the signature stage is the
+        # vectorized Arrow block kernel (MapInPandas — the interpreted
+        # HOF form pinned the 10x soak at vs_linear 0.95); the join and
+        # agreement math stay JVM-side
+        "require": ["MapInPandas"],
         "forbid": ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"],
     },
     "dedup_semantic_prune": {
@@ -1023,6 +1025,354 @@ AUDITS: dict[str, dict] = {
         "require": ["Expand", "Window", "HashAggregate"],
         "forbid": ["CartesianProduct", "BatchEvalPython"],
     },
+    # r12 ratchet: the fourteen TPC-H shapes in one union: broadcast dims, SMJ facts, grouping-set Expand, top-k via TakeOrderedAndProject
+    "tpch_shapes_pack": {
+        "require": ['BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'Expand', 'Generate', 'HashAggregate', 'SortMergeJoin', 'TakeOrderedAndProject', 'Union', 'Window', 'WindowGroupLimit'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12 ratchet: pure scalar expressions on one scan: any join or Python node is a regression
+    "scalar_function_pack": {
+        "require": [],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: as-of via union + last-value window: no join node at all
+    "events_asof_signup": {
+        "require": ['HashAggregate', 'Union', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: cached band frame + mask window; pure column math
+    "db_conversion_mask": {
+        "require": ['InMemoryTableScan', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: per-band stats broadcast back; SMJ only on the band-pair align
+    "tamed_synrgb_u8_copol": {
+        "require": ['BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'HashAggregate', 'InMemoryTableScan', 'SortMergeJoin', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12 ratchet: grouped Arrow kernel per product (FlatMapGroupsInPandas) on the cached frame
+    "pipeline_kernel_clahe_u16": {
+        "require": ['FlatMapGroupsInPandas', 'InMemoryTableScan', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: 3x3 neighborhood via bounded Generate + first-value windows; dims broadcast
+    "local_median_3x3": {
+        "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate', 'InMemoryTableScan', 'ObjectHashAggregate', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: per-product dims aggregate + window; no Python
+    "geotransform_update": {
+        "require": ['HashAggregate', 'InMemoryTableScan', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: grouped Arrow kernel per product
+    "pipeline_kernel_synrgb_default": {
+        "require": ['FlatMapGroupsInPandas', 'InMemoryTableScan', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: grouped Arrow kernel per product
+    "pipeline_kernel_synrgb_suppressed": {
+        "require": ['FlatMapGroupsInPandas', 'InMemoryTableScan', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: ONE grouped-solve task per product (FlatMapGroupsInPandas), bilinear gather joins, no cartesian
+    "warp_gcp_pack": {
+        "require": ['BroadcastHashJoin', 'FlatMapGroupsInPandas', 'Generate', 'HashAggregate', 'InMemoryTableScan', 'SortAggregate', 'SortMergeJoin', 'Union', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12 ratchet: token/shingle Generates + hash aggregates; 1-row stats ride BNLJ
+    "llm_text_pack": {
+        "require": ['BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'Generate', 'HashAggregate', 'Union', 'Window', 'WindowGroupLimit'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: hygiene legs: Generates + aggregates + bounded top-k
+    "llm_hygiene_pack": {
+        "require": ['BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'Generate', 'HashAggregate', 'SortMergeJoin', 'TakeOrderedAndProject', 'Union', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12 ratchet: packing prefix sums: grouping-set Expand + WindowGroupLimit-pruned rank windows
+    "llm_sampling_pack": {
+        "require": ['BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'Expand', 'Generate', 'HashAggregate', 'TakeOrderedAndProject', 'Union', 'Window', 'WindowGroupLimit'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: window legs are grouping-sets (Expand) + explode grids; no join
+    "events_windows_pack": {
+        "require": ['Expand', 'Generate', 'HashAggregate', 'Union'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: encode legs are grouped Arrow kernels; metadata joins broadcast
+    "sink_sidecar_pack": {
+        "require": ['BroadcastHashJoin', 'FlatMapGroupsInPandas', 'Generate', 'HashAggregate', 'InMemoryTableScan', 'Union', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: SAFE tree parse + grid loops: MapInPandas decode legs, broadcast grid joins
+    "sources_pack": {
+        "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate', 'InMemoryTableScan', 'MapInPandas', 'SortMergeJoin', 'Union', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12 ratchet: INTERSECT/EXCEPT lower to join-free aggregates on the union of two scans of one table
+    "set_operations": {
+        "require": [],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: lowered to broadcast semi/anti by AQE at this SF — no shuffle join
+    "semi_anti_join": {
+        "require": [],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: cogrouped as-of compiles to ONE aggregate here (no Python fallback)
+    "events_asof_cogrouped": {
+        "require": ['HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: dim joins broadcast; one aggregate
+    "local_supplier_volume": {
+        "require": ['BroadcastHashJoin', 'HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: old rollup + delta union, re-aggregated — the incremental-maintenance shape
+    "events_incremental_rollup": {
+        "require": ['BroadcastHashJoin', 'HashAggregate', 'Union'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: broadcast dims, one aggregate
+    "tpch_product_profit": {
+        "require": ['BroadcastHashJoin', 'HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: broadcast dims, one aggregate
+    "tpch_priority_shipclass": {
+        "require": ['BroadcastHashJoin', 'HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: anti-join lowered to broadcast at this SF, two aggregates
+    "tpch_customer_distribution": {
+        "require": ['BroadcastHashJoin', 'HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: broadcast semi legs, distinct + count aggregates
+    "tpch_supplier_cnt_distribution": {
+        "require": ['BroadcastHashJoin', 'HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: broadcast part dim, one aggregate
+    "tpch_small_qty_revenue": {
+        "require": ['BroadcastHashJoin', 'HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: band-pair align broadcast on the cached frame; window for the zip
+    "band_zip_ndiff": {
+        "require": ['BroadcastHashJoin', 'InMemoryTableScan', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: grouped Arrow quantize after broadcast param join
+    "pipeline_op_ratio_u8": {
+        "require": ['BroadcastHashJoin', 'FlatMapGroupsInPandas', 'InMemoryTableScan', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: GCP grid explode + per-sheet aggregate; pure column math
+    "ups_forward_points": {
+        "require": ['Generate', 'HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: one aggregate over parsed labels
+    "metadata_polarization_label": {
+        "require": ['HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: six-line sidecar derivation: one aggregate, no join
+    "worldfile_sidecar": {
+        "require": ['HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: pure parse projection: no join, no aggregate, no Python
+    "safe_annotations": {
+        "require": [],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: plan-flag derivation is pure column logic
+    "pipeline_plan_flags": {
+        "require": [],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: sidecar text assembly is pure projection
+    "sidecar_outputs": {
+        "require": [],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: drained-sink read-back: plain scan + projection
+    "ingest_sink_roundtrip": {
+        "require": [],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: banded keys Generate + bucket equi-join (broadcast at this SF) + popcount verify
+    "dedup_simhash_pairs": {
+        "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: probe keys via Arrow UDF; truth legs SMJ; WindowGroupLimit prunes rank windows
+    "ann_recall_multiprobe": {
+        "require": ['ArrowEvalPython', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'Generate', 'HashAggregate', 'SortMergeJoin', 'Window', 'WindowGroupLimit'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython'],
+    },
+    # r12 ratchet: k-gram Generate + per-doc window min + distinct aggregate
+    "text_winnowing": {
+        "require": ['Generate', 'HashAggregate', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: whole-doc hash: pure projection
+    "text_fingerprint": {
+        "require": [],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: driver-unrolled merge rounds end in a bounded literal plan
+    "bpe_vocab_train": {
+        "require": [],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: vocab broadcast into the encode join; explode for pair stats
+    "bpe_encode_corpus": {
+        "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: header sniff: pure projection on binary columns
+    "multimodal_metadata": {
+        "require": [],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: decode-or-degrade is ONE MapInPandas pass
+    "multimodal_progressive_fallback": {
+        "require": ['MapInPandas'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: quasi-identifier grouping: one aggregate
+    "privacy_k_anonymity": {
+        "require": ['HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: shingle Generate + window + aggregate; stats broadcast
+    "text_repetition": {
+        "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: URL regexp explode + rollup aggregate
+    "text_url_domains": {
+        "require": ['Generate', 'HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: token explode, vocab aggregate, 1-row total BNLJ, bounded top-k
+    "text_unigram_logprob": {
+        "require": ['BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'Generate', 'HashAggregate', 'TakeOrderedAndProject'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: weighted rank window pruned map-side (WindowGroupLimit)
+    "sample_weighted_topk": {
+        "require": ['Window', 'WindowGroupLimit'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: codebook kmeans aggregates + broadcast LUT joins + rank windows pruned map-side
+    "similarity_topk_pq": {
+        "require": ['BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'HashAggregate', 'ObjectHashAggregate', 'Union', 'Window', 'WindowGroupLimit'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: truth SMJ + ADC rank windows; one scan serves all multipliers
+    "ann_recall_pq": {
+        "require": ['HashAggregate', 'SortMergeJoin', 'Union', 'Window', 'WindowGroupLimit'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12 ratchet: batch twin of the streaming pipeline: band Generate + bucket join + SMJ verify
+    # r12 ratchet: batch twin of the streaming pipeline — the signature
+    # stage is the vectorized Arrow kernel (MapInPandas), index/bucket
+    # joins and verify stay JVM-side
+    "dedup_streaming_neardup": {
+        "require": ['HashAggregate', 'MapInPandas'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12 ratchet: unrolled logistic steps end in a bounded literal plan
+    "quality_classifier_train": {
+        "require": [],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: power-iteration moments collapse to a literal component plan
+    "embedding_pca": {
+        "require": [],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: CMS rows via Generate + BIT/min aggregates; bounded top-k
+    "terms_heavy_hitters_cms": {
+        "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate', 'TakeOrderedAndProject'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: component labels SMJ to docs; split counts union; 1-row totals BNLJ
+    "corpus_leakage_safe_split": {
+        "require": ['BroadcastNestedLoopJoin', 'HashAggregate', 'SortMergeJoin', 'Union'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12 ratchet: token explode + signed-hash aggregate; dims broadcast
+    "text_feature_hashing": {
+        "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: chunk grid is ONE bounded explode, no shuffle at all
+    "corpus_chunk_windows": {
+        "require": ['Generate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: ONE MapInPandas decode pass
+    "multimodal_audio_features": {
+        "require": ['MapInPandas'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: ONE MapInPandas frame pass
+    "multimodal_audio_frames": {
+        "require": ['MapInPandas'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: ONE MapInPandas thumbnail pass
+    "multimodal_thumbnails": {
+        "require": ['MapInPandas'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: label x prediction matrix: one aggregate
+    "text_lang_confusion": {
+        "require": ['HashAggregate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: threshold legs union + aggregate; no join
+    "quality_threshold_sweep": {
+        "require": ['HashAggregate', 'Union'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: mojibake/control scans are pure projections
+    "text_encoding_hygiene": {
+        "require": [],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: inverted-index probe: term join broadcast at this SF, per-query rank window pruned map-side, 1-row stats BNLJ
+    "text_bm25_topk": {
+        "require": ['BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'Generate', 'HashAggregate', 'Window', 'WindowGroupLimit'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: decode+hash is ONE MapInPandas pass; band join + popcount verify JVM-side
+    "dedup_image_phash": {
+        "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate', 'MapInPandas'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: winnow kernel is ONE MapInPandas pass; diagonal join + per-pair array spans, no per-position rows
+    "dedup_exact_substring_winnowed": {
+        "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate', 'MapInPandas'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r12 ratchet: both paths in one plan: winnow MapInPandas + full-density Generate + SMJ full-outer compare
+    "substring_winnow_recall": {
+        "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate', 'MapInPandas', 'SortMergeJoin', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12 ratchet: nine projection families in one union: grid corners broadcast, GCP explodes, no Python
+    "datum_roundtrip_pack": {
+        "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate', 'Union'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
 }
 
 
@@ -1176,6 +1526,24 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ("llm/similarity.py", "centroids"): ("constant", "k IVF/k-means centroids"),
     ("llm/similarity.py", "qc"): ("bounded-batch", "query x probe-centroid rows, bounded batch"),
     ("llm/similarity.py", "qb"): ("bounded-batch", "sign-bit codes of the bounded query batch (r11 binary ANN)"),
+    ("llm/similarity.py", "books"): (
+        "constant",
+        "PQ codebooks: m*ksub rows (64 at defaults) regardless of corpus size (r12)",
+    ),
+    ("llm/similarity.py", "lut"): (
+        "bounded-batch",
+        "ADC lookup table: query batch x m*ksub codebook entries (r12 PQ)",
+    ),
+    ("llm/similarity.py", "qn"): ("bounded-batch", "one norm row per query in the bounded batch (r12 PQ)"),
+    ("llm/similarity.py", "short"): (
+        "bounded-batch",
+        "ADC shortlist: k*mult rows per query in the bounded batch (r12 PQ rerank)",
+    ),
+    ("llm/similarity.py", "qv"): ("bounded-batch", "query vectors of the bounded batch (r12 PQ rerank)"),
+    ("llm/bm25.py", "stats"): (
+        "constant",
+        "ONE (n_docs, avgdl) corpus-stats row folded into the idf expression (r12 BM25)",
+    ),
     ("llm/tfidf.py", "total"): ("constant", "1-row corpus count"),
     ("llm/tfidf.py", "vocab_idx"): ("bounded-batch", "dense path only: vocab <= DENSE_VOCAB_MAX"),
     ("llm/tfidf.py", "reps"): ("constant", "G replication ids"),

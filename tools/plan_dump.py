@@ -85,6 +85,13 @@ FLAGSHIPS = [
     ("tpcds_frequent_buyers", "Q23 shape (r11): shared frequent-items/best-customers aggregates plan once, ReusedExchange to second consumers, LeftSemi gates, 1-row broadcast thresholds"),
     ("similarity_topk_binary", "1-bit ANN (r11): sign-bit packing + XOR/popcount Hamming shortlist in pure integer codegen, broadcast query batch, float cosine only on the shortlist"),
     ("bucketed_colocated_join", "bucketed layout (r11): key join + key aggregate over two bucketed scans with ZERO exchanges — the shuffle-once-at-write-time answer"),
+    # round-12 flagships
+    ("dedup_exact_substring_winnowed", "winnowed ExactSubstr (r12): ONE Arrow winnow kernel, capped fingerprint self-join -> diagonals, per-pair array-expression spans — no per-position rows, 7x less shuffle than full density"),
+    ("substring_winnow_recall", "winnowed-vs-full recall certificate: both span pipelines + full-outer compare in one plan"),
+    ("dedup_image_phash", "perceptual image near-dup (r12): MapInPandas decode+hash, banded Hamming equi-join + popcount verify, all JVM-side after the kernel"),
+    ("text_bm25_topk", "BM25 retrieval (r12): term-keyed inverted-index probe, 1-row stats BNLJ, per-query rank window pruned map-side (WindowGroupLimit)"),
+    ("similarity_topk_pq", "PQ-ADC ANN (r12): subspace k-means aggregates, broadcast LUT joins, ADC shortlist window + exact rerank"),
+    ("datum_roundtrip_pack", "nine datum/projection families in ONE union plan — the bench-consolidation pack"),
 ]
 
 
