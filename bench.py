@@ -139,6 +139,15 @@ HEADLINE = [
     "dedup_exact_substring_winnowed",
     "text_bm25_topk",
     "dedup_image_phash",
+    # round-12 second wave: the AUDIO cell of the dedup matrix, the
+    # lossless AllPairs prefix-filter join, mergeable Misra-Gries
+    "dedup_audio_fingerprint",
+    "dedup_allpairs_jaccard",
+    "events_heavy_hitters_mg",
+    "lineitem_quantile_sketch",
+    "orders_incremental_agg_maintenance",
+    "suppart_kcore",
+    "orders_overlap_kmv",
 ]
 
 

@@ -337,3 +337,107 @@ SELECT d.v AS vertex, CAST(d.deg AS BIGINT) AS deg,
           ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0) AS local_cc
 FROM tri_deg d LEFT JOIN tri_pv p ON d.v = p.v
 """.strip()
+
+
+# --- k-core decomposition (r12) -------------------------------------------------
+
+
+def kcore_survivors(
+    edges: DataFrame, k: int, rounds: int = 8, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """The k-core after ``rounds`` of synchronous peeling:
+    (v, deg_in_core, converged).
+
+    Iterative peeling (Matula & Beck 1983; the distributed synchronous
+    form of Montresor, De Pellegrini & Miorandi): drop every vertex whose
+    degree within the current induced subgraph is < k, recompute, repeat.
+    Survivor sets are NESTED (S_i contains S_{i+1}), so a round with no
+    drops is the fixpoint and ``converged`` certifies it AS DATA —
+    a fixed round count keeps both engines' computation identical and
+    SQL-unrollable; an unconverged run says so in the hash instead of
+    silently claiming the core.
+
+    Plan shape: each round is two keyed semi-joins (edge endpoints against
+    the survivor set) + one count aggregate — no global structure, no
+    driver iteration over data (the loop builds the PLAN, the data never
+    leaves the cluster).  Lineage is checkpointed every other round so the
+    iterated self-reference cannot re-execute the edge derivation.
+    """
+    a, b = F.col(src).cast("string"), F.col(dst).cast("string")
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    checkpoint = _checkpointer(e)
+    e = checkpoint(e)
+    both = e.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
+        e.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    surv = both.select("v").distinct()
+    deg = None
+    for r in range(rounds):
+        live = (
+            both.join(surv.select(F.col("v")), "v", "left_semi")
+            .join(surv.select(F.col("v").alias("w")), "w", "left_semi")
+        )
+        deg = live.groupBy("v").agg(F.count(F.lit(1)).alias("deg_in_core"))
+        surv = deg.where(F.col("deg_in_core") >= k).select("v")
+        if r % 2 == 1:
+            surv = checkpoint(surv)
+    # converged <=> the last round dropped nothing (nested sets: count
+    # equality is set equality); both counts are 1-row aggregates
+    last = deg.where(F.col("deg_in_core") >= k)
+    n_last = last.agg(F.count(F.lit(1)).alias("n_last"))
+    live2 = (
+        both.join(last.select("v"), "v", "left_semi")
+        .join(last.select(F.col("v").alias("w")), "w", "left_semi")
+    )
+    deg2 = live2.groupBy("v").agg(F.count(F.lit(1)).alias("d2"))
+    n_next = deg2.where(F.col("d2") >= k).agg(F.count(F.lit(1)).alias("n_next"))
+    return (
+        deg2.where(F.col("d2") >= k)
+        .select(F.col("v"), F.col("d2").alias("deg_in_core"))
+        .crossJoin(F.broadcast(n_last))
+        .crossJoin(F.broadcast(n_next))
+        .select(
+            "v",
+            "deg_in_core",
+            (F.col("n_last") == F.col("n_next")).alias("converged"),
+        )
+    )
+
+
+def sql_kcore_survivors(edges_rel: str, k: int, rounds: int = 8) -> str:
+    """DuckDB twin of :func:`kcore_survivors` — the rounds unrolled as
+    CTEs over a relation with (src, dst) columns."""
+    parts = [
+        f"""kc_e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS a,
+                  GREATEST(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS b
+  FROM {edges_rel}
+  WHERE CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+)""",
+        "kc_both AS MATERIALIZED (SELECT a AS v, b AS w FROM kc_e UNION ALL SELECT b, a FROM kc_e)",
+        "kc_s0 AS MATERIALIZED (SELECT DISTINCT v FROM kc_both)",
+    ]
+    prev = "kc_s0"
+    for r in range(rounds + 1):  # +1: the convergence-probe round
+        parts.append(
+            f"""kc_d{r} AS MATERIALIZED (
+  SELECT b.v, COUNT(*) AS deg FROM kc_both b
+  JOIN {prev} s1 ON s1.v = b.v
+  JOIN {prev} s2 ON s2.v = b.w
+  GROUP BY 1
+)"""
+        )
+        parts.append(f"kc_s{r + 1} AS MATERIALIZED (SELECT v FROM kc_d{r} WHERE deg >= {k})")
+        prev = f"kc_s{r + 1}"
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT d.v, CAST(d.deg AS BIGINT) AS deg_in_core,
+       ((SELECT COUNT(*) FROM kc_s{rounds}) = (SELECT COUNT(*) FROM kc_s{rounds + 1})) AS converged
+FROM kc_d{rounds} d
+WHERE d.deg >= {k}
+""".strip()

@@ -1,0 +1,302 @@
+"""Exact set-similarity self-join via prefix filtering (AllPairs family).
+
+The LOSSLESS complement to MinHash-LSH (llm/dedup.py) in the dedup matrix:
+MinHash trades recall for a bounded candidate volume; the df-capped exact
+n-gram join (dedup_ngram_jaccard) keeps exact Jaccard values but can MISS a
+pair whose only shared shingles are hotter than the cap.  Prefix filtering
+(Chaudhuri, Ganti & Kaushik, ICDE'06; Bayardo, Ma & Srikant, WWW'07
+"Scaling Up All Pairs Similarity Search") is exact AND complete: order every
+document's shingle set by GLOBAL rarity (ascending document frequency, ties
+by shingle) and probe only each set's PREFIX —
+
+    prefix_len(s) = s - ceil(t * s) + 1      for Jaccard threshold t
+
+Completeness: J(a,b) >= t forces overlap o >= ceil(t * |x|) on each side x
+(o/(|a|+|b|-o) >= t with |b| <= |a| gives o >= t*|a| >= t*|b|), so the
+globally-smallest common shingle sits within the first |x| - o + 1 <=
+prefix_len(|x|) ordered shingles of BOTH docs — the prefix x prefix join
+cannot drop a true pair.  The DuckDB oracle runs the UNFILTERED brute-force
+join, so the hashed certificate proves losslessness, not just agreement.
+
+Efficiency is the rarest-first order: hot shingles (the df^2 explosion) land
+at the TAIL of every set and never enter a prefix unless a set is nearly all
+hot.  Scale shape at 100 TB: df relation is vocab-sized (aggregate, not
+data-sized); prefix relation is ~(1-t) of the shingle relation; candidate
+join is keyed on shingle (banded-bucket economics); verify joins are keyed
+on doc_id with set arrays carried once per doc.  No broadcast of anything
+SF-scaling, no cartesian product, no Python in the row path.
+
+Reference analog: none (raster engine); built for the pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sarpro_spark.queries import fround, sql_fround
+
+#: default Jaccard threshold, kept rational so BOTH engines compare with
+#: exact integer arithmetic (i * den >= num * union) — no float boundary.
+DEFAULT_THRESHOLD = Fraction(1, 2)
+DEFAULT_SHINGLE_N = 5
+
+
+def _threshold(t) -> Fraction:
+    f = Fraction(t).limit_denominator(1000)
+    if not 0 < f <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {t}")
+    return f
+
+
+def allpairs_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    threshold=DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold, EXACTLY:
+    (doc_a, doc_b, inter_size, jacc).
+
+    One shingle pass feeds three keyed aggregates (df, size, ordered
+    prefix); candidates come from the prefix x prefix join with the
+    size filter t * max(|a|,|b|) <= min(|a|,|b|); the verify step joins
+    each candidate to its two set arrays and counts the exact
+    intersection JVM-side (array_intersect on distinct sets)."""
+    from sarpro_spark.llm.dedup import char_shingles
+
+    t = _threshold(threshold)
+    tn, td = t.numerator, t.denominator
+
+    tok = char_shingles(df, id_col=id_col, text_col=text_col, n=n, distinct=True)
+    dfreq = tok.groupBy("shingle").agg(F.count("*").alias("df"))
+
+    w = Window.partitionBy(id_col).orderBy("df", "shingle")
+    ranked = (
+        tok.join(dfreq, "shingle")
+        .select(
+            F.col(id_col),
+            "shingle",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy(id_col)).alias("s"),
+        )
+    )
+    # prefix_len = s - ceil(t*s) + 1, all-integer: ceil(t*s) = (s*tn+td-1)//td
+    prefix = ranked.where(
+        F.col("rn") <= F.col("s") - F.floor((F.col("s") * tn + td - 1) / td) + 1
+    )
+    a = prefix.select(
+        F.col(id_col).alias("doc_a"), F.col("s").alias("sa"), "shingle"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("doc_b"), F.col("s").alias("sb"), "shingle"
+    )
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        # size filter: J >= t forces t * max <= min
+        .where(F.greatest("sa", "sb") * tn <= F.least("sa", "sb") * td)
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    sets = tok.groupBy(id_col).agg(F.collect_set("shingle").alias("toks"))
+    verified = (
+        cand.join(sets.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("ta")), "doc_a")
+        .join(sets.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("tb")), "doc_b")
+        .withColumn("inter_size", F.size(F.array_intersect("ta", "tb")))
+        .where(F.col("inter_size") * td >= (F.col("sa") + F.col("sb") - F.col("inter_size")) * tn)
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.col("inter_size").cast("int").alias("inter_size"),
+        fround(
+            F.col("inter_size").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("inter_size")).cast("double")
+        ).alias("jacc"),
+    )
+
+
+def sql_allpairs_jaccard_pairs(
+    src_rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    threshold=DEFAULT_THRESHOLD,
+) -> str:
+    """DuckDB twin — deliberately the BRUTE-FORCE join (no prefix filter,
+    no size filter): hash-equality with the Spark side certifies the
+    AllPairs pruning lossless, not merely self-consistent."""
+    from sarpro_spark.llm.dedup import sql_char_shingles
+
+    t = _threshold(threshold)
+    tn, td = t.numerator, t.denominator
+    ctes = sql_char_shingles(src_rel, id_col=id_col, text_col=text_col, n=n)
+    return f"""
+WITH {ctes},
+sz AS (SELECT {id_col}, COUNT(*) AS s FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, COUNT(*) AS i
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.{id_col} < b.{id_col}
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(i AS INTEGER) AS inter_size,
+       {sql_fround('CAST(i AS DOUBLE) / (sa.s + sb.s - i)')} AS jacc
+FROM inter
+JOIN sz sa ON sa.{id_col} = inter.doc_a
+JOIN sz sb ON sb.{id_col} = inter.doc_b
+WHERE i * {td} >= (sa.s + sb.s - i) * {tn}
+""".strip()
+
+
+# --- pruning telemetry certificate ---------------------------------------------
+
+
+def allpairs_prefix_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    threshold=DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """ONE row hashing the pruning the prefix filter buys as DATA:
+    (n_tok, n_prefix, n_candidates, n_pairs).  n_candidates is what the
+    verify step pays; brute force would pay every co-shingled pair.  The
+    oracle replicates the ALGORITHM (same global order, same integer
+    prefix bound), so the candidate set itself is inside the certificate."""
+    from sarpro_spark.llm.dedup import char_shingles
+
+    t = _threshold(threshold)
+    tn, td = t.numerator, t.denominator
+    tok = char_shingles(df, id_col=id_col, text_col=text_col, n=n, distinct=True)
+    dfreq = tok.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "shingle")
+    ranked = tok.join(dfreq, "shingle").select(
+        F.col(id_col), "shingle",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(id_col)).alias("s"),
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("s") - F.floor((F.col("s") * tn + td - 1) / td) + 1
+    )
+    a = prefix.select(F.col(id_col).alias("doc_a"), F.col("s").alias("sa"), "shingle")
+    b = prefix.select(F.col(id_col).alias("doc_b"), F.col("s").alias("sb"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.greatest("sa", "sb") * tn <= F.least("sa", "sb") * td)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pairs = allpairs_jaccard_pairs(df, id_col=id_col, text_col=text_col, n=n, threshold=t)
+    return (
+        tok.agg(F.count("*").alias("n_tok"))
+        .crossJoin(prefix.agg(F.count("*").alias("n_prefix")))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(pairs.agg(F.count("*").alias("n_pairs")))
+    )
+
+
+def sql_allpairs_prefix_stats(
+    src_rel: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    threshold=DEFAULT_THRESHOLD,
+) -> str:
+    """DuckDB algorithm-twin of :func:`allpairs_prefix_stats`."""
+    from sarpro_spark.llm.dedup import sql_char_shingles
+
+    t = _threshold(threshold)
+    tn, td = t.numerator, t.denominator
+    ctes = sql_char_shingles(src_rel, id_col=id_col, text_col=text_col, n=n)
+    pairs_sql = sql_allpairs_jaccard_pairs(
+        src_rel, id_col=id_col, text_col=text_col, n=n, threshold=t
+    ).split("WITH ", 1)[1]
+    return f"""
+WITH {ctes},
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY 1),
+ranked AS (
+  SELECT s.{id_col}, s.shingle,
+         ROW_NUMBER() OVER (PARTITION BY s.{id_col} ORDER BY f.df, s.shingle) AS rn,
+         COUNT(*) OVER (PARTITION BY s.{id_col}) AS sz
+  FROM shingles s JOIN dfreq f USING (shingle)
+),
+pfx AS (
+  SELECT * FROM ranked WHERE rn <= sz - ((sz * {tn} + {td} - 1) // {td}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+  FROM pfx a JOIN pfx b USING (shingle)
+  WHERE a.{id_col} < b.{id_col}
+    AND GREATEST(a.sz, b.sz) * {tn} <= LEAST(a.sz, b.sz) * {td}
+),
+pairs_inner AS (
+  SELECT * FROM (WITH {pairs_sql}) z
+)
+SELECT (SELECT COUNT(*) FROM shingles) AS n_tok,
+       (SELECT COUNT(*) FROM pfx) AS n_prefix,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM pairs_inner) AS n_pairs
+""".strip()
+
+
+# --- salted + planted fixture ----------------------------------------------------
+
+SALT_TOKENS = 8
+
+
+def salted_planted_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """A DISTINCTIVE-vocabulary corpus with planted duplicates: every doc
+    gets 8 doc-unique salt tokens appended (so shingle sets separate the
+    way a real vocabulary does — the raw fixture's 31-word vocabulary
+    makes every pair co-shingled and the candidate set inherently
+    quadratic), and doc_id % 20 == 10 carries doc (doc_id - 10)'s derived
+    text verbatim (Jaccard exactly 1).  The high-threshold join's
+    realistic shape: candidates ~ true pairs, scaling linear."""
+    src = F.when(F.col(id_col) % 20 == 10, F.col(id_col) - 10).otherwise(F.col(id_col))
+    ids = df.select(F.col(id_col), src.alias("_src"))
+    texts = df.select(F.col(id_col).alias("_src"), F.col(text_col).alias("_t"))
+    # md5-derived tokens, NOT numeric ids: ids share digit prefixes, so
+    # 'u123' vs 'u1230' shingles collide and re-create the quadratic
+    # candidate set the salt exists to remove (measured: 2.6M candidates
+    # at sf0.1 with numeric salt, ~planted-only with hashed salt)
+    salt = F.concat(
+        *[
+            F.concat(
+                F.lit(" "),
+                F.substring(
+                    F.md5(F.concat(F.lit(f"salt{j}|"), F.col("_src").cast("string"))),
+                    1,
+                    12,
+                ),
+            )
+            for j in range(SALT_TOKENS)
+        ]
+    )
+    return ids.join(texts, "_src").select(
+        F.col(id_col), F.concat(F.col("_t"), salt).alias(text_col)
+    )
+
+
+def sql_salted_planted_docs(
+    src_rel: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`salted_planted_docs` — a subquery string."""
+    salt = " || ".join(
+        f"' ' || SUBSTR(MD5('salt{j}|' || CAST(s.src_id AS VARCHAR)), 1, 12)"
+        for j in range(SALT_TOKENS)
+    )
+    return f"""(
+  SELECT s.{id_col}, t.{text_col} || {salt} AS {text_col}
+  FROM (SELECT {id_col},
+               CASE WHEN {id_col} % 20 = 10 THEN {id_col} - 10 ELSE {id_col} END AS src_id
+        FROM {src_rel}) s
+  JOIN (SELECT {id_col} AS src_id, {text_col} FROM {src_rel}) t USING (src_id)
+)"""

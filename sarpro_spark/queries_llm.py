@@ -3237,3 +3237,114 @@ def q_substring_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.sum(in_full.cast("int")), F.lit(1)).cast("double")
         ).alias("pair_recall"),
     )
+
+
+# --- audio fingerprint near-dup (r12) -----------------------------------------
+
+
+def _afp_sql() -> str:
+    from sarpro_spark.llm.audiohash import sql_afp_neardup_pairs
+
+    inner = sql_afp_neardup_pairs("(SELECT doc_id FROM documents)")
+    head, _ = inner.split("\nSELECT doc_a,", 1)
+    return f"""{head}
+SELECT doc_a, doc_b,
+       CAST(BIT_COUNT(XOR(ha, hb)) + BIT_COUNT(XOR(la, lb)) AS INTEGER) AS afp_dist,
+       (doc_a % 20 = 0 AND doc_b = doc_a + 10) AS planted
+FROM afpcand
+WHERE BIT_COUNT(XOR(ha, hb)) + BIT_COUNT(XOR(la, lb)) <= 6
+""".strip()
+
+
+@query("dedup_audio_fingerprint", sql=_afp_sql, tags=("llm", "dedup", "audio"))
+def q_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup (llm/audiohash.py, r12): the AUDIO cell
+    of the dedup matrix, next to text/embedding/pixel. Real RIFF/WAVE
+    payloads (planted 2x time-stretched duplicates every 20th doc) decode
+    executor-side through the in-repo PCM16 codec, fingerprint via the
+    all-integer Haitsma-Kalker delta-sign hash (65x16 NN energy grid), and
+    pair up through the 8x8-bit banded Hamming join — pigeonhole recall is
+    structural for distance <= 7, exact popcount verifies. The oracle
+    recomputes every fingerprint from the PCM FORMULA (no decode), so
+    codec, NN grid, energies, delta bits, and banding are all inside the
+    hashed certificate; planted pairs must surface at distance 0 with
+    planted=true."""
+    from sarpro_spark.llm.audiohash import (
+        afp_neardup_pairs,
+        attach_wav_payload_stretched_dups,
+        audio_fingerprints,
+    )
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    payloads = attach_wav_payload_stretched_dups(d)
+    pairs = afp_neardup_pairs(audio_fingerprints(payloads))
+    return pairs.select(
+        "doc_a", "doc_b", "afp_dist",
+        ((F.col("doc_a") % 20 == 0) & (F.col("doc_b") == F.col("doc_a") + 10)).alias("planted"),
+    )
+
+
+# --- exact set-similarity join via prefix filtering (r12) -----------------------
+
+_SETJOIN_T = "4/5"  # rational threshold: integer compare on both engines
+
+
+def _setjoin_pairs_sql() -> str:
+    from fractions import Fraction
+
+    from sarpro_spark.llm.setjoin import (
+        sql_allpairs_jaccard_pairs,
+        sql_salted_planted_docs,
+    )
+
+    return sql_allpairs_jaccard_pairs(
+        sql_salted_planted_docs("documents"), n=8, threshold=Fraction(_SETJOIN_T)
+    )
+
+
+@query("dedup_allpairs_jaccard", sql=_setjoin_pairs_sql, tags=("llm", "dedup"))
+def q_dedup_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING (llm/setjoin.py,
+    r12; AllPairs/PPJoin family): every pair with 5-gram-set Jaccard >= 0.8,
+    candidates probed only through each set's rarest-first prefix
+    (prefix_len = s - ceil(t*s) + 1). LOSSLESS by the prefix-filter theorem
+    — and the oracle is the UNFILTERED brute-force join, so the hashed
+    equality certifies completeness, not just self-consistency. Runs on the
+    salted+planted corpus (doc-unique salt tokens + every 20th doc a
+    verbatim copy): distinctive vocabulary puts each doc's own rare salt
+    shingles in its prefix, so candidates ~ true pairs and the join scales
+    linearly — the raw 31-word-vocabulary corpus keeps every pair
+    co-shingled and stays as the ADVERSARIAL certificate in
+    dedup_allpairs_prefix_stats. Threshold compares are exact integer
+    arithmetic (i*den >= num*union) on both engines."""
+    from fractions import Fraction
+
+    from sarpro_spark.llm.setjoin import allpairs_jaccard_pairs, salted_planted_docs
+
+    d = salted_planted_docs(frames.load_table(spark, sf_dir, "documents"))
+    return allpairs_jaccard_pairs(d, n=8, threshold=Fraction(_SETJOIN_T))
+
+
+def _setjoin_stats_sql() -> str:
+    from fractions import Fraction
+
+    from sarpro_spark.llm.setjoin import sql_allpairs_prefix_stats
+
+    return sql_allpairs_prefix_stats("documents", threshold=Fraction(_SETJOIN_T))
+
+
+@query("dedup_allpairs_prefix_stats", sql=_setjoin_stats_sql, tags=("llm", "dedup"))
+def q_dedup_allpairs_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruning telemetry of the AllPairs prefix filter, hashed as DATA:
+    (n_tok, n_prefix, n_candidates, n_pairs). The oracle replicates the
+    ALGORITHM (identical global rarity order and integer prefix bound), so
+    the candidate-set size the verify step pays is itself certified —
+    at t=0.8 on this corpus the prefix probes ~20% of the shingle relation
+    and the candidate set is ~4x smaller than the co-shingled brute-force
+    pair set (which here is effectively all pairs)."""
+    from fractions import Fraction
+
+    from sarpro_spark.llm.setjoin import allpairs_prefix_stats
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return allpairs_prefix_stats(d, threshold=Fraction(_SETJOIN_T))

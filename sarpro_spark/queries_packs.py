@@ -206,6 +206,9 @@ register_pack(
         Member("dedup_exact_substring_winnowed", ("doc_a", "doc_b")),
         Member("substring_winnow_recall", ()),
         Member("dedup_image_phash", ("doc_a", "doc_b")),
+        Member("dedup_audio_fingerprint", ("doc_a", "doc_b")),
+        Member("dedup_allpairs_jaccard", ("doc_a", "doc_b")),
+        Member("dedup_allpairs_prefix_stats", ()),
         Member("corpus_leakage_safe_split", ("split",)),
     ),
     doc="Union certificate: exact dedup (+normalized), n-gram Jaccard pairs, "
@@ -403,6 +406,11 @@ register_pack(
         Member("events_ab_test", ()),
         Member("events_ab_cuped", ()),
         Member("events_path_transitions", ("prev_type", "next_type")),
+        Member("events_heavy_hitters_mg", ("key",)),
+        Member("lineitem_quantile_sketch", ("q_pct",)),
+        Member("orders_incremental_agg_maintenance", ("grp",)),
+        Member("suppart_kcore", ("v",)),
+        Member("orders_overlap_kmv", ()),
         Member("suppliers_sole_problem", ("s_name",)),
         Member("nation_market_share", ("o_year",)),
         Member("dormant_rich_customers", ("c_nationkey",)),

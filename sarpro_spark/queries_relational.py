@@ -2470,3 +2470,201 @@ def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.expr(t_adj)).alias("t_adj"),
         fround(F.expr(vr)).alias("var_reduction"),
     )
+
+
+# --- distributed heavy hitters: mergeable Misra-Gries (r12) ---------------------
+
+_MG_KEY = "CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END"
+
+
+def _mg_cert_sql() -> str:
+    from sarpro_spark.functions.heavyhitters import sql_mg_survival_certificate
+
+    return sql_mg_survival_certificate("events", _MG_KEY)
+
+
+@query("events_heavy_hitters_mg", sql=_mg_cert_sql, tags=("relational", "events", "sketch"))
+def q_events_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed heavy hitters (functions/heavyhitters.py, r12): mergeable
+    Misra-Gries summaries — per-shard exact counts trimmed to m entries by
+    the (m+1)-th largest (a valid MG summary, Agarwal et al. PODS'12), sum-
+    merged, trimmed once more; the error budget total_err = sum(t_p) + t_g
+    rides in the output. The hashed certificate full-outer-joins the summary
+    with exact counts over a derived skewed key (a third of all events
+    collapse onto one key): under-count-only, bounded-error, and SURVIVAL
+    (freq > total_err implies presence — a dropped survivor surfaces as a
+    null-est row) are all hashed as data. At 100 TB the per-shard count is a
+    map-side combine and only m-entry summaries move — never a key-domain
+    shuffle. Streaming twin: streaming/heavyhitters.py (SpaceSaving)."""
+    from sarpro_spark.functions.heavyhitters import mg_survival_certificate
+
+    e = frames.load_table(spark, sf_dir, "events")
+    keyed = e.withColumn(
+        "hkey", F.when(F.col("user_id") % 3 == 0, F.lit(-1)).otherwise(F.col("user_id"))
+    )
+    return mg_survival_certificate(keyed, "hkey", shard_by="event_id")
+
+
+# --- mergeable quantile summary certificate (r12) -------------------------------
+
+_QS_RID = "l_orderkey * 8 + l_linenumber"
+
+
+def _qs_cert_sql() -> str:
+    from sarpro_spark.functions.quantiles import sql_quantile_certificate
+
+    return sql_quantile_certificate("lineitem", "l_extendedprice", _QS_RID)
+
+
+@query("lineitem_quantile_sketch", sql=_qs_cert_sql, tags=("relational", "lineitem", "sketch"))
+def q_lineitem_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (functions/quantiles.py, r12): each
+    md5 shard keeps a rank-spaced weighted sample of its SORTED values
+    (step_p = ceil(n_p/k); weights sum to n_p — the MRL'98/GK'01 base
+    summary), samples merge by weighted union, and est(q) reads the merged
+    cumulative weights. NO global sort anywhere: the shard sort is
+    shard-local, the merged summary is bounded at shards*(k+1) rows.
+    The certificate hashes the PROVEN rank bound as data across a 7-point
+    panel on l_extendedprice: exact ranks of every estimate recomputed
+    from the raw data must sit within err_budget = sum_p step_p of the
+    target rank — shard assignment, spacing, weights, merge order, and
+    integer target arithmetic all inside the value hash."""
+    from sarpro_spark.functions.quantiles import quantile_certificate
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    return quantile_certificate(
+        li, "l_extendedprice", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+
+
+# --- incremental aggregate maintenance (materialized-view deltas, r12) ----------
+
+_CENTS = "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+
+
+def _incr_agg_sql() -> str:
+    from sarpro_spark.operators.cdc import sql_latest_change
+
+    return f"""
+WITH {_CDC_CHANGES_SQL},
+{sql_latest_change("cdcchanges", "o_orderkey", "seq")},
+incr_newsnap AS (
+  SELECT o_orderstatus, {_CENTS} AS cents FROM (
+    SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+    FROM cdcbase b
+    WHERE NOT EXISTS (SELECT 1 FROM cdcfinal f WHERE f.o_orderkey = b.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM cdcfinal WHERE op <> 'D'
+  ) z
+),
+incr_affected AS (
+  SELECT DISTINCT o_orderstatus AS grp FROM cdcbase b
+  WHERE EXISTS (SELECT 1 FROM cdcfinal f WHERE f.o_orderkey = b.o_orderkey)
+  UNION
+  SELECT DISTINCT o_orderstatus FROM cdcfinal WHERE op <> 'D'
+)
+SELECT o_orderstatus AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total,
+       {sql_fround('SUM(cents) / COUNT(*)')} AS avg,
+       CAST(MIN(cents) AS BIGINT) AS vmin,
+       CAST(MAX(cents) AS BIGINT) AS vmax,
+       o_orderstatus IN (SELECT grp FROM incr_affected) AS minmax_recomputed
+FROM incr_newsnap
+GROUP BY 1
+""".strip()
+
+
+@query("orders_incremental_agg_maintenance", sql=_incr_agg_sql, tags=("relational", "cdc", "incremental"))
+def q_orders_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py, r12):
+    a grouped materialized view (count/sum/avg/min/max of order value in
+    integer cents per status) tracks the CDC changelog WITHOUT a base
+    rescan — count/sum/avg from the retraction/addition delta algebra
+    (Gupta & Mumick IVM), min/max recomputed ONLY for affected groups.
+    The oracle is the FULL RECOMPUTE over the post-changelog snapshot, so
+    hash equality proves the delta algebra, the old-payload retraction
+    sourcing, and the affected-group restriction; the minmax_recomputed
+    flag (its twin replicates the affectedness algebra) rides in the
+    hash so the restriction itself is certified, not just its result."""
+    from sarpro_spark.operators.incremental import maintain_group_aggregate
+    from sarpro_spark.queries import round_floats
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents")
+    base, changes = _cdc_changes_frame(spark, sf_dir)
+    prev = base.select("o_orderkey", "o_orderstatus", cents)
+    ch = changes.select("o_orderkey", "o_orderstatus", cents, "seq", "op")
+    out = maintain_group_aggregate(prev, ch, "o_orderkey", "o_orderstatus", "cents")
+    return round_floats(out)
+
+
+# --- k-core decomposition over the supplier-part graph (r12) --------------------
+
+_KCORE_K = 24
+_KCORE_EDGES_SQL = (
+    "(SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src, "
+    "'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem)"
+)
+
+
+def _kcore_sql() -> str:
+    from sarpro_spark.llm.graph import sql_kcore_survivors
+
+    return sql_kcore_survivors(_KCORE_EDGES_SQL, _KCORE_K)
+
+
+@query("suppart_kcore", sql=_kcore_sql, tags=("relational", "graph", "iterative"))
+def q_suppart_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (llm/graph.py kcore_survivors, r12): synchronous
+    peeling (Matula-Beck; distributed form of Montresor et al.) of the
+    supplier-part bipartite graph — drop every vertex with induced degree
+    < k, recompute, repeat for a FIXED round count; survivor sets are
+    nested so the hashed ``converged`` flag certifies the fixpoint as
+    data rather than trusting an unbounded loop. Each round is two keyed
+    semi-joins + one aggregate — the loop builds the PLAN (checkpointed
+    every other round), the data never visits the driver. The oracle
+    unrolls the identical rounds as CTEs."""
+    from sarpro_spark.llm.graph import kcore_survivors
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return kcore_survivors(edges, _KCORE_K)
+
+
+# --- KMV/theta sketch set-operation overlap (r12) -------------------------------
+
+_KMV_B_REL = (
+    "(SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_orderkey + 1000000000 "
+    "ELSE o_orderkey END AS k FROM orders WHERE o_orderkey % 3 <> 0)"
+)
+
+
+def _kmv_sql() -> str:
+    from sarpro_spark.functions.kmv import sql_kmv_overlap_certificate
+
+    return sql_kmv_overlap_certificate("orders", "o_orderkey", _KMV_B_REL, "k")
+
+
+@query("orders_overlap_kmv", sql=_kmv_sql, tags=("relational", "sketch", "agg"))
+def q_orders_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta set-operation sketches (functions/kmv.py, r12): |A|, |B|,
+    union, intersection and Jaccard between two key sets estimated from two
+    bottom-k sketches (TakeOrdered — no global sort, no raw-set join), the
+    production answer to snapshot/benchmark overlap at 100 TB. The fixture
+    models two table snapshots (a third of keys deleted, a fifth replaced).
+    The certificate hashes exact counts (the expensive verification legs),
+    the deterministic md5-sketch estimates, and the 3-sigma KMV bound
+    booleans — drift past the published rsd flips a hashed value. Exact
+    mode (union < k) takes the same branch on both engines."""
+    from sarpro_spark.functions.kmv import kmv_overlap_certificate
+
+    o = frames.load_table(spark, sf_dir, "orders")
+    b = o.where(F.col("o_orderkey") % 3 != 0).select(
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_orderkey") + 1000000000)
+        .otherwise(F.col("o_orderkey"))
+        .alias("k")
+    )
+    return kmv_overlap_certificate(o, F.col("o_orderkey"), b, F.col("k"))

@@ -209,3 +209,38 @@ def latest_scd2(spark: SparkSession, out_dir: str) -> DataFrame | None:
     if not vs:
         return None
     return spark.read.parquet(posixpath.join(out_dir, f"v={vs[-1]}"))
+
+
+# --- time travel over the version store (r12) -----------------------------------
+
+
+def snapshot_as_of(spark: SparkSession, out_dir: str, base: DataFrame, version: int) -> DataFrame:
+    """TIME-TRAVEL read: the newest COMMITTED snapshot with v <= version
+    (the base before any).  Versions are epoch ids, so "as of epoch N"
+    is exact even when epochs were redelivered (each overwrote its own
+    dir) or retention pruned interior versions — correctness never
+    depends on the version sequence being contiguous."""
+    vs = [v for v in _committed_versions(spark, out_dir) if v <= version]
+    if not vs:
+        return base
+    return spark.read.parquet(posixpath.join(out_dir, f"v={vs[-1]}"))
+
+
+def changes_between(
+    spark: SparkSession,
+    out_dir: str,
+    base: DataFrame,
+    key_col: str,
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """Derived changelog between two committed versions: the I/U/D rows
+    that replay the as-of-``v_from`` snapshot into the as-of-``v_to`` one
+    (snapshot_diff over two time-travel reads — the CDC-read side of the
+    store; apply_changelog(as_of(v_from), changes_between(...)) ==
+    as_of(v_to) by the diff/apply round-trip law)."""
+    from sarpro_spark.operators.cdc import snapshot_diff
+
+    older = snapshot_as_of(spark, out_dir, base, v_from)
+    newer = snapshot_as_of(spark, out_dir, base, v_to)
+    return snapshot_diff(older, newer, key_col)

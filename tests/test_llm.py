@@ -1670,3 +1670,126 @@ def test_pq_recall_monotone_and_saturates(spark, emb):
         by_mult.setdefault(r["mult"], []).append(r["hits"])
     assert sum(by_mult[4]) >= sum(by_mult[1])
     assert all(0 <= h <= 3 for hs in by_mult.values() for h in hs)
+
+
+# --- audio fingerprinting (llm/audiohash.py, r12) --------------------------------
+
+
+def test_afp_invariant_under_repeat_and_gain():
+    from sarpro_spark.llm.audiohash import DEFAULT_MAX_HAMMING, afp_from_samples
+
+    s = mm.formula_audio(42, 517).astype(np.int64)
+    assert afp_from_samples(s) == afp_from_samples(np.repeat(s, 2))
+    assert afp_from_samples(s) == afp_from_samples(np.repeat(s, 3))
+    # positive uniform gain preserves every delta-sign bit (no clipping at
+    # int64; the PCM16 planted fixture uses repetition only for this reason)
+    assert afp_from_samples(s) == afp_from_samples(s * 7)
+    # a structurally different clip is far away (adjacent formula ids are
+    # legitimately near — the +31 offset barely moves block energies, which
+    # is exactly the near-dup sensitivity the banded join exploits)
+    other = mm.formula_audio(997, 731).astype(np.int64)
+    h, o = afp_from_samples(s), afp_from_samples(other)
+    dist = bin(h[0] ^ o[0]).count("1") + bin(h[1] ^ o[1]).count("1")
+    assert dist > DEFAULT_MAX_HAMMING
+
+
+def test_afp_neardup_pairs_finds_planted(spark):
+    from sarpro_spark.llm.audiohash import (
+        afp_neardup_pairs,
+        attach_wav_payload_stretched_dups,
+        audio_fingerprints,
+    )
+
+    ids = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    payloads = attach_wav_payload_stretched_dups(ids)
+    pairs = afp_neardup_pairs(audio_fingerprints(payloads)).collect()
+    planted = {(r["doc_a"], r["doc_b"]) for r in pairs
+               if r["doc_a"] % 20 == 0 and r["doc_b"] == r["doc_a"] + 10}
+    assert planted == {(a, a + 10) for a in range(0, 120, 20)}
+    for r in pairs:
+        if (r["doc_a"], r["doc_b"]) in planted:
+            assert r["afp_dist"] == 0
+
+
+def test_afp_corrupt_payload_degrades(spark):
+    from sarpro_spark.llm.audiohash import audio_fingerprints
+
+    good = mm.encode_wav(mm.formula_audio(5, 450))
+    rows = [(1, bytearray(good)), (2, bytearray(b"\x00garbage not riff")), (3, bytearray(good[:20]))]
+    df = spark.createDataFrame(rows, "doc_id long, wav binary")
+    out = {r["doc_id"]: r for r in audio_fingerprints(df).collect()}
+    assert out[1]["decode_ok"] and out[1]["afp_hi"] is not None
+    assert not out[2]["decode_ok"] and out[2]["afp_hi"] is None
+    assert not out[3]["decode_ok"]
+
+
+# --- exact set-similarity join via prefix filtering (llm/setjoin.py, r12) --------
+
+
+def test_allpairs_equals_brute_force(spark):
+    """Losslessness on an adversarial fixture: two near-identical docs whose
+    shared shingles are ALL corpus-hot (every doc embeds the same template),
+    exactly the pair a df-capped candidate generator can drop."""
+    from fractions import Fraction
+
+    from sarpro_spark.llm.setjoin import allpairs_jaccard_pairs
+
+    template = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, template + f" variant {i:03d}") for i in range(30)]
+    rows.append((30, template + " variant 007"))  # near-identical to doc 7
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["inter_size"]
+           for r in allpairs_jaccard_pairs(df, threshold=Fraction(4, 5)).collect()}
+    # brute force driver-side
+    def sh(t):
+        t = t.lower()
+        return {t[i:i + 5] for i in range(len(t) - 4)}
+    sets = {i: sh(t) for i, t in rows}
+    brute = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                i = len(sets[a] & sets[b])
+                u = len(sets[a] | sets[b])
+                if i * 5 >= u * 4:
+                    brute[(a, b)] = i
+    assert got == brute and (7, 30) in brute
+
+
+def test_allpairs_prefix_prunes(spark):
+    """The prefix relation is ~(1-t) of the shingle relation and the
+    candidate set is smaller than all-pairs on a distinctive corpus."""
+    from fractions import Fraction
+
+    from sarpro_spark.llm.setjoin import allpairs_prefix_stats
+
+    rows = [(i, f"wholly distinct body {i:04d} " + " ".join(
+        f"w{i}q{j}" for j in range(25))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = allpairs_prefix_stats(df, threshold=Fraction(4, 5)).collect()[0]
+    assert r["n_prefix"] < 0.35 * r["n_tok"]
+    assert r["n_candidates"] < 40 * 39 / 2
+    assert r["n_pairs"] == 0
+
+
+def test_allpairs_threshold_is_exact_boundary(spark):
+    """Integer threshold compare: a pair at exactly J = t is kept, one
+    shingle below is dropped (no float-boundary disagreement)."""
+    from fractions import Fraction
+
+    from sarpro_spark.llm.setjoin import allpairs_jaccard_pairs
+
+    # craft sets via distinct 5-char tokens separated so shingles differ
+    base = ["aaa%02d" % k for k in range(8)]
+    a_txt = " ".join(base)
+    b_txt = " ".join(base[:6] + ["zzz98", "zzz99"])
+    df = spark.createDataFrame([(1, a_txt), (2, b_txt)], "doc_id long, text string")
+    def sh(t):
+        t = t.lower()
+        return {t[i:i + 5] for i in range(len(t) - 4)}
+    i = len(sh(a_txt) & sh(b_txt)); u = len(sh(a_txt) | sh(b_txt))
+    t_exact = Fraction(i, u)
+    kept = allpairs_jaccard_pairs(df, threshold=t_exact).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in kept] == [(1, 2)]
+    dropped = allpairs_jaccard_pairs(df, threshold=Fraction(i + 1, u)).collect()
+    assert dropped == []

@@ -89,6 +89,14 @@ def test_every_query_is_driver_certified():
             "dedup_minhash_verified",
             "first stage of the verified chain (same signatures upstream)",
         ),
+        "datum_roundtrip_pack": (
+            "ups_roundtrip_points",
+            "bench-consolidation union (r12, verdict item 5): a pure stack() "
+            "unpivot-union of nine round-trip members, each ALREADY certified "
+            "as a head row or head-pack member; the union row exists only to "
+            "fuse their per-job floors in bench.py and adds no new values — "
+            "its own oracle stays in the tail (check_oracle covers it)",
+        ),
     }
 
     spark_queries()  # load all modules

@@ -231,3 +231,140 @@ def test_cuped_reduces_variance_with_real_heterogeneity(spark):
     row = spark_queries()["events_ab_cuped"](spark, "/root/testdata/sf0.001").collect()[0]
     assert row["na"] > 0 and row["nb"] > 0
     assert -1.0 <= row["var_reduction"] <= 1.0
+
+
+# --- mergeable quantile summary (functions/quantiles.py, r12) --------------------
+
+
+def test_quantile_bound_on_adversarial_distributions(spark):
+    """The rank bound must hold on skew (power-law), near-constant (massive
+    ties), and tiny-n (n < capacity => summary is exact) inputs."""
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.functions.quantiles import quantile_certificate
+
+    cases = {
+        "powerlaw": [(i, float((i % 97) ** 3)) for i in range(5000)],
+        "ties": [(i, float(i % 3)) for i in range(5000)],
+        "tiny": [(i, float(i * 7 % 101)) for i in range(40)],
+    }
+    for name, rows in cases.items():
+        df = spark.createDataFrame(rows, "rid long, v double")
+        out = quantile_certificate(df, "v", F.col("rid")).collect()
+        assert len(out) == 7, name
+        for r in out:
+            assert r["within_bound"], (name, dict(r.asDict()))
+        if name == "tiny":
+            # n < shards*capacity: every shard keeps everything => exact
+            for r in out:
+                assert r["rank_lo"] <= r["target"] <= r["rank_hi"] + r["err_budget"]
+
+
+def test_quantile_summary_weights_sum_to_n(spark):
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.functions.quantiles import quantile_summary
+
+    df = spark.createDataFrame([(i, float(i % 251)) for i in range(3000)], "rid long, v double")
+    kept = quantile_summary(df, "v", F.col("rid"))
+    total = kept.agg(F.sum("w")).collect()[0][0]
+    assert total == 3000
+    per_shard = kept.groupBy("shard").count().collect()
+    for r in per_shard:
+        assert r["count"] <= 64 + 1
+
+
+# --- incremental aggregate maintenance (operators/incremental.py, r12) -----------
+
+
+def test_incremental_agg_group_death_and_extremum_retraction(spark):
+    """The two hard cases of IVM: (a) a group whose last row is deleted
+    must VANISH from the view; (b) deleting the group maximum must yield
+    the recomputed (smaller) max, not the stale one — both must equal the
+    full recompute on the post-changelog snapshot."""
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.operators.cdc import apply_changelog
+    from sarpro_spark.operators.incremental import (
+        group_aggregate,
+        maintain_group_aggregate,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 99), (3, "a", 5), (4, "b", 7), (5, "c", 3)],
+        "k long, g string, v long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "a", 99, 1, "D"),   # retracts group a's maximum
+            (4, "b", 7, 1, "D"),    # kills group b entirely
+            (6, "c", 50, 1, "I"),   # tightens group c's max
+            (1, "a", 11, 1, "U"),   # value update in place
+        ],
+        "k long, g string, v long, seq long, op string",
+    )
+    got = {
+        r["grp"]: (r["n"], r["total"], r["vmin"], r["vmax"], r["minmax_recomputed"])
+        for r in maintain_group_aggregate(base, changes, "k", "g", "v").collect()
+    }
+    new_snap = apply_changelog(base, changes, "k").select("k", "g", "v")
+    want = {
+        r["grp"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+        for r in group_aggregate(new_snap, "g", "v").collect()
+    }
+    assert set(got) == set(want) == {"a", "c"}  # group b died
+    for g in want:
+        assert got[g][:4] == want[g], (g, got[g], want[g])
+    assert got["a"][3] == 11  # stale max 99 retracted, recomputed
+    assert got["a"][4] and got["c"][4]  # both groups were affected
+
+
+def test_incremental_agg_unaffected_groups_not_recomputed(spark):
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.operators.incremental import maintain_group_aggregate
+
+    base = spark.createDataFrame(
+        [(i, "hot" if i % 2 == 0 else "cold", i) for i in range(100)],
+        "k long, g string, v long",
+    )
+    changes = spark.createDataFrame(
+        [(0, "hot", 1000, 1, "U")], "k long, g string, v long, seq long, op string"
+    )
+    rows = {r["grp"]: r for r in maintain_group_aggregate(base, changes, "k", "g", "v").collect()}
+    assert rows["hot"]["minmax_recomputed"]
+    assert not rows["cold"]["minmax_recomputed"]  # untouched group: no rescan
+    assert rows["cold"]["vmax"] == 99 and rows["cold"]["vmin"] == 1
+
+
+# --- KMV/theta set-operation sketches (functions/kmv.py, r12) --------------------
+
+
+def test_kmv_exact_mode_small_sets(spark):
+    """Union below k: theta stays 1.0 and every estimate IS the exact
+    count — the branch both engines must take identically."""
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.functions.kmv import kmv_overlap_certificate
+
+    a = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(25, 75)], "k long")
+    r = kmv_overlap_certificate(a, F.col("k"), b, F.col("k"), k=256).collect()[0]
+    assert r["exact_a"] == 50 and r["exact_b"] == 50
+    assert r["exact_inter"] == 25 and r["exact_union"] == 75
+    assert r["est_a"] == 50.0 and r["est_union"] == 75.0 and r["est_inter"] == 25.0
+
+
+def test_kmv_estimates_track_disjoint_and_identical(spark):
+    """Degenerate overlaps: identical sets estimate Jaccard ~1, disjoint
+    sets estimate intersection ~0 (exactly 0 retained hashes)."""
+    from pyspark.sql import functions as F
+
+    from sarpro_spark.functions.kmv import kmv_overlap_certificate
+
+    a = spark.createDataFrame([(i,) for i in range(4000)], "k long")
+    same = kmv_overlap_certificate(a, F.col("k"), a, F.col("k"), k=128).collect()[0]
+    assert same["jaccard_est"] == 1.0 and same["union_ok"]
+    b = spark.createDataFrame([(i + 1_000_000,) for i in range(4000)], "k long")
+    disj = kmv_overlap_certificate(a, F.col("k"), b, F.col("k"), k=128).collect()[0]
+    assert disj["est_inter"] == 0.0 and disj["exact_inter"] == 0

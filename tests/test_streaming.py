@@ -1029,3 +1029,254 @@ def test_streaming_scd2_restart_exactly_once(spark, tmp_path):
     assert [t[4] for t in k1] == [2, 3, None] and k1[-1][5] is True
     k2 = sorted((t for t in got if t[0] == 2), key=lambda t: t[3])
     assert k2[-1][2] == "D" and all(t[5] is False for t in k2)
+
+
+# --- streaming heavy hitters: SpaceSaving (streaming/heavyhitters.py, r12) -------
+
+
+def _stage_event_files(spark, sf_dir, tmp_path, n_files=4):
+    """events staged as n doc-ordered files with increasing mtimes; returns
+    (stage_dir, schema, [per-file list of (event_id, key)])."""
+    import os
+    import time
+
+    ev = frames.load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    keyed = ev.select(
+        "event_id", "user_id",
+        F.when(F.col("user_id") % 3 == 0, F.lit(-1)).otherwise(F.col("user_id")).alias("hkey"),
+    )
+    ids = sorted(r["event_id"] for r in keyed.select("event_id").collect())
+    cuts = [ids[len(ids) * (i + 1) // n_files] for i in range(n_files - 1)]
+    stage = tmp_path / "hh_stream"
+    stage.mkdir()
+    t0 = time.time() - 100
+    file_batches = []
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        part = keyed
+        if lo is not None:
+            part = part.where(F.col("event_id") >= lo)
+        if hi is not None:
+            part = part.where(F.col("event_id") < hi)
+        pdir = stage / f"part{i}"
+        part.coalesce(1).write.parquet(str(pdir))
+        for root, _dirs, files in os.walk(pdir):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t0 + i * 10, t0 + i * 10))
+        file_batches.append([(r["event_id"], str(r["hkey"])) for r in part.collect()])
+        lo = hi
+    return stage, keyed.schema, file_batches
+
+
+def _shard_of(spark, pairs, shards, seed="ss"):
+    """shard id per event via the SAME md5 bucket the operator uses."""
+    from sarpro_spark.llm.sampling import hash_bucket
+
+    df = spark.createDataFrame(pairs, "event_id long, hkey string")
+    return {
+        r["event_id"]: r["shard"]
+        for r in df.select(
+            "event_id", (hash_bucket(F.col("event_id"), seed) % shards).cast("int").alias("shard")
+        ).collect()
+    }
+
+
+def test_spacesaving_stream_matches_reference_and_guarantees(
+    spark, sf_dir, tmp_path, nanos_conf_reset
+):
+    """Drained stream == the driver-side replay of the identical fold over
+    the same micro-batches (byte-for-byte), and the SpaceSaving bounds hold
+    against exact counts: over-count-only, err-bounded, and every key with
+    freq > N_shard/capacity present."""
+    from sarpro_spark.streaming import heavyhitters as hh
+
+    CAP, SHARDS = 8, 4
+    stage, schema, file_batches = _stage_event_files(spark, sf_dir, tmp_path)
+    all_pairs = [p for fb in file_batches for p in fb]
+    shard_of = _shard_of(spark, all_pairs, SHARDS)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(stage))
+    )
+    out = hh.spacesaving_stream(stream, "hkey", "event_id", capacity=CAP, shards=SHARDS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM ss_stream").collect()
+    # final summary per shard = the emission with that shard's max n_shard
+    final_n = {}
+    for r in rows:
+        final_n[r["shard"]] = max(final_n.get(r["shard"], 0), r["n_shard"])
+    got = {
+        s: sorted((r["key"], r["count"], r["err"]) for r in rows
+                  if r["shard"] == s and r["n_shard"] == final_n[s])
+        for s in final_n
+    }
+
+    # reference replay over the identical batch sequence
+    want = {}
+    for s in final_n:
+        batches = [[k for eid, k in fb if shard_of[eid] == s] for fb in file_batches]
+        keys, counts, errs, n = hh.spacesaving_reference(batches, capacity=CAP)
+        assert n == final_n[s]
+        want[s] = sorted(zip(keys, counts, errs))
+    assert got == want
+
+    # guarantee bounds vs exact per-shard counts
+    from collections import Counter
+
+    for s in final_n:
+        exact = Counter(k for eid, k in all_pairs if shard_of[eid] == s)
+        summ = {k: (c, e) for k, c, e in want[s]}
+        assert len(summ) <= CAP
+        for k, (c, e) in summ.items():
+            assert c >= exact[k], (k, c, exact[k])
+            assert c - e <= exact[k], (k, c, e, exact[k])
+        n_shard = sum(exact.values())
+        for k, f in exact.items():
+            if f > n_shard / CAP:
+                assert k in summ, f"guaranteed survivor {k} missing from shard {s}"
+
+
+def test_spacesaving_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path, nanos_conf_reset):
+    """Kill after two micro-batches, restart on the same checkpoint with two
+    more files staged: the resumed fold must equal the uninterrupted
+    reference replay of all four batches (state-store resume, no re-count)."""
+    import os
+    import shutil
+    import time
+
+    from sarpro_spark.streaming import heavyhitters as hh
+
+    CAP, SHARDS = 8, 4
+    stage_all, schema, file_batches = _stage_event_files(spark, sf_dir, tmp_path)
+    all_pairs = [p for fb in file_batches for p in fb]
+    shard_of = _shard_of(spark, all_pairs, SHARDS)
+
+    live = tmp_path / "hh_live"
+    live.mkdir()
+    ckpt = str(tmp_path / "hh_ckpt")
+
+    def _feed(i):
+        shutil.copytree(stage_all / f"part{i}", live / f"part{i}")
+        t = time.time() - 100 + i * 10
+        for root, _dirs, files in os.walk(live / f"part{i}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+
+    rows = []
+
+    def _run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(live))
+        )
+        out = hh.spacesaving_stream(stream, "hkey", "event_id", capacity=CAP, shards=SHARDS)
+        q = (
+            out.writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _feed(0); _feed(1)
+    _run()
+    _feed(2); _feed(3)
+    _run()
+    final_n = {}
+    for r in rows:
+        final_n[r["shard"]] = max(final_n.get(r["shard"], 0), r["n_shard"])
+    got = {
+        s: sorted((r["key"], r["count"], r["err"]) for r in rows
+                  if r["shard"] == s and r["n_shard"] == final_n[s])
+        for s in final_n
+    }
+    want = {}
+    for s in final_n:
+        batches = [[k for eid, k in fb if shard_of[eid] == s] for fb in file_batches]
+        keys, counts, errs, n = hh.spacesaving_reference(batches, capacity=CAP)
+        assert n == final_n[s]
+        want[s] = sorted(zip(keys, counts, errs))
+    assert got == want
+
+
+def test_cdc_time_travel_and_changes_between(spark, tmp_path):
+    """Time travel over the version store (streaming/cdc.py, r12): after a
+    three-batch maintenance run, snapshot_as_of(epoch) equals the batch
+    fold of the changelog prefix for EVERY epoch (including an as-of
+    before the first version = base), and changes_between(v0, v_last)
+    replays the older snapshot into the newer one through the diff/apply
+    round-trip law."""
+    from sarpro_spark.operators.cdc import apply_changelog
+    from sarpro_spark.streaming.cdc import (
+        _committed_versions,
+        changes_between,
+        maintain_snapshot_stream,
+        snapshot_as_of,
+    )
+
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    land = tmp_path / "tt_land"
+    land.mkdir()
+    out = str(tmp_path / "tt_snap")
+    ckpt = str(tmp_path / "tt_ckpt")
+
+    files = [
+        ("c1", [(1, "a2", 1, "U"), (4, "d", 1, "I")]),
+        ("c2", [(2, "b", 2, "D"), (1, "a3", 2, "U")]),
+        ("c3", [(5, "e", 1, "I"), (4, "d2", 2, "U")]),
+    ]
+    for name, rows in files:
+        spark.createDataFrame(rows, "k long, v string, seq long, op string") \
+            .coalesce(1).write.mode("overwrite").parquet(str(land / name))
+
+    stream = (
+        spark.readStream.schema("k long, v string, seq long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "*"))
+    )
+    q = maintain_snapshot_stream(stream, base, "k", out, ckpt)
+    q.awaitTermination(180)
+
+    vs = _committed_versions(spark, out)
+    assert len(vs) == 3
+
+    # prefix folds (file landing order == epoch order under one-file triggers)
+    def fold(k):
+        snap = base
+        for name, _ in files[:k]:
+            ch = spark.read.parquet(str(land / name))
+            snap = apply_changelog(snap, ch, "k").select("k", "v")
+        return {(r["k"], r["v"]) for r in snap.collect()}
+
+    for i, v in enumerate(vs):
+        got = {(r["k"], r["v"]) for r in snapshot_as_of(spark, out, base, v).collect()}
+        assert got == fold(i + 1), f"as-of v={v}"
+    # an as-of before the first committed version resolves to base
+    pre = {(r["k"], r["v"]) for r in snapshot_as_of(spark, out, base, vs[0] - 1).collect()}
+    assert pre == fold(0)
+
+    # diff/apply round-trip across the store
+    delta = changes_between(spark, out, base, "k", vs[0], vs[-1])
+    replayed = apply_changelog(
+        snapshot_as_of(spark, out, base, vs[0]).select("k", "v"),
+        delta.withColumn("seq", F.lit(1)),
+        "k",
+    )
+    got = {(r["k"], r["v"]) for r in replayed.select("k", "v").collect()}
+    assert got == fold(3)

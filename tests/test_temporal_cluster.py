@@ -179,3 +179,40 @@ def test_gsb_multi_subgrid_overlap_arbitration(spark, tmp_path):
         assert out[pid]["t_gid"] == 0
         assert out[pid]["t_dlat"] == -1.25 and out[pid]["t_dlon"] == 2.75
     assert out[3]["t_gid"] is None and out[3]["t_dlat"] is None
+
+
+# --- k-core decomposition (llm/graph.py, r12) -------------------------------------
+
+
+def test_kcore_known_graph(spark):
+    """Hand-checkable fixture: a 4-clique with pendant vertices — the
+    3-core is exactly the clique (pendants peel, then nothing changes);
+    converged must be true and in-core degrees equal 3."""
+    from sarpro_spark.llm.graph import kcore_survivors
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+             ("a", "x"), ("b", "y"), ("x", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = {r["v"]: r for r in kcore_survivors(df, 3, rounds=4).collect()}
+    assert set(rows) == {"a", "b", "c", "d"}
+    for r in rows.values():
+        assert r["deg_in_core"] == 3 and r["converged"]
+
+
+def test_kcore_cascade_peel(spark):
+    """A chain of triangles sharing single vertices: the 2-core keeps all
+    triangle vertices, the 3-core is empty — cascading removal must not
+    stop after one round."""
+    from sarpro_spark.llm.graph import kcore_survivors
+
+    edges = []
+    for t in range(4):  # triangles t0-(t0+1)-(t0+2) chained by shared vertex
+        a, b, c = f"v{2*t}", f"v{2*t+1}", f"v{2*t+2}"
+        edges += [(a, b), (b, c), (a, c)]
+    edges += [("v0", "pend1"), ("pend1", "pend2"), ("pend2", "pend3")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    two = kcore_survivors(df, 2, rounds=6).collect()
+    assert {r["v"] for r in two} == {f"v{i}" for i in range(9)}
+    assert all(r["converged"] for r in two)
+    three = kcore_survivors(df, 3, rounds=6).collect()
+    assert three == []

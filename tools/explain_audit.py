@@ -1358,6 +1358,53 @@ AUDITS: dict[str, dict] = {
         "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate', 'MapInPandas'],
         "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
     },
+    # r12: mergeable MG — shard/key aggregates + per-shard rank window; the one
+    # global rank window sits on the plan-visible m*shards GlobalLimit (bounded
+    # exception); 1-row budget broadcasts
+    "events_heavy_hitters_mg": {
+        "require": ['HashAggregate', 'Window', 'BroadcastNestedLoopJoin'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12: KMV — bottom-k sketches are TakeOrderedAndProject; all joins are
+    # sketch-sized or 1-row broadcasts; exact legs are hash-distinct aggregates
+    "orders_overlap_kmv": {
+        "require": ['TakeOrderedAndProject', 'HashAggregate', 'BroadcastNestedLoopJoin'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12: k-core — per-round keyed semi-joins (LeftSemi) + count aggregates,
+    # 1-row convergence probes broadcast; no cartesian, no Python
+    "suppart_kcore": {
+        "require": ['HashAggregate', 'BroadcastNestedLoopJoin'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12: IVM — touched-key semi-join + delta agg + affected-group semi-join;
+    # the only windows are the changelog's per-key latest-change rank
+    "orders_incremental_agg_maintenance": {
+        "require": ['HashAggregate', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12: mergeable quantiles — shard-local sort windows; the one global cumsum
+    # window sits on the plan-visible shards*(k+1) GlobalLimit (bounded exception);
+    # panel/budget broadcasts; exact-rank verify is one conditional-agg pass
+    "lineitem_quantile_sketch": {
+        "require": ['HashAggregate', 'Window', 'BroadcastNestedLoopJoin'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12: prefix-filter join — df agg + per-doc window + shingle-keyed candidate join,
+    # set arrays verified JVM-side (array_intersect); no Python, no cartesian
+    "dedup_allpairs_jaccard": {
+        "require": ['HashAggregate', 'Window', 'Generate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    "dedup_allpairs_prefix_stats": {
+        "require": ['HashAggregate', 'Window', 'Generate'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12: decode+fingerprint is ONE MapInPandas pass; band join + popcount verify JVM-side
+    "dedup_audio_fingerprint": {
+        "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate', 'MapInPandas'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
     # r12 ratchet: winnow kernel is ONE MapInPandas pass; diagonal join + per-pair array spans, no per-position rows
     "dedup_exact_substring_winnowed": {
         "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate', 'MapInPandas'],
@@ -1485,6 +1532,41 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ),
     ("operators/gridshift.py", "g11"): (
         "constant", "grid self-join side in the cell build (same bound)",
+    ),
+    ("functions/heavyhitters.py", "budget"): (
+        "constant",
+        "ONE error-budget row (total_err, n_total scalars) scaled back over "
+        "the bounded m*shards summary — 1 row at any SF",
+    ),
+    ("functions/heavyhitters.py", "thr_g"): (
+        "constant",
+        "the (m+1)-th merged count as a 1-row aggregate (global MG trim)",
+    ),
+    ("llm/graph.py", "n_last"): (
+        "constant", "ONE survivor-count row (k-core convergence probe)",
+    ),
+    ("llm/graph.py", "n_next"): (
+        "constant", "ONE survivor-count row (k-core convergence probe)",
+    ),
+    ("functions/kmv.py", "th"): (
+        "constant", "ONE theta row (k-th union hash + sketch size scalars)",
+    ),
+    ("functions/kmv.py", "ea"): ("constant", "ONE exact-|A| verification scalar"),
+    ("functions/kmv.py", "eb"): ("constant", "ONE exact-|B| verification scalar"),
+    ("functions/kmv.py", "ei"): ("constant", "ONE exact-intersection verification scalar"),
+    ("functions/quantiles.py", "totals"): (
+        "constant", "ONE n_total row (scalar) joined to the fixed panel",
+    ),
+    ("functions/quantiles.py", "cum"): (
+        "constant",
+        "the merged weighted summary — bounded shards*(k+1) rows by "
+        "construction (plan-visible GlobalLimit), never SF-scaling",
+    ),
+    ("functions/quantiles.py", "est"): (
+        "constant", "the fixed 7-row quantile panel with estimates",
+    ),
+    ("functions/quantiles.py", "err_budget"): (
+        "constant", "ONE error-budget row (scalar sum of shard steps)",
     ),
     ("functions/zorder.py", "mm"): (
         "constant",
