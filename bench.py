@@ -148,6 +148,7 @@ HEADLINE = [
     "orders_incremental_agg_maintenance",
     "suppart_kcore",
     "orders_overlap_kmv",
+    "entity_resolution_parts",
 ]
 
 

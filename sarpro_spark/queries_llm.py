@@ -3348,3 +3348,101 @@ def q_dedup_allpairs_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
     d = frames.load_table(spark, sf_dir, "documents")
     return allpairs_prefix_stats(d, threshold=Fraction(_SETJOIN_T))
+
+
+# --- entity resolution: linkage pairs -> golden records (r12) --------------------
+
+_RES_RECORDS_SQL = """
+res_dict AS (
+  SELECT d.name_id AS rid, d.p_name AS name,
+         CAST(FLOOR(p.p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+         p.p_brand AS brand, 'dict' AS src
+  FROM dict d JOIN part p ON p.p_partkey = d.name_id
+),
+res_mention AS (
+  SELECT m.mid + 10000000 AS rid, m.mention AS name,
+         CAST(FLOOR(p.p_retailprice * 100.0 + 0.5) AS BIGINT) + m.mid % 7 AS price_cents,
+         CASE WHEN m.mid % 2 = 0 THEN p.p_brand ELSE 'UNK#99' END AS brand,
+         'mention' AS src
+  FROM mentions m JOIN part p ON p.p_partkey = m.mid
+)
+""".strip()
+
+
+def _entity_resolution_sql() -> str:
+    from sarpro_spark.llm.linkage import sql_fuzzy_best_match
+    from sarpro_spark.llm.resolution import sql_resolve_entities
+
+    fuzzy = sql_fuzzy_best_match("mentions", "dict", "mid", "mention", "name_id", "p_name")
+    fuzzy_ctes = fuzzy.removeprefix("WITH ").split("\nSELECT lid,", 1)[0]
+    res_ctes = sql_resolve_entities(
+        "SELECT * FROM res_dict UNION ALL SELECT * FROM res_mention",
+        "SELECT lid + 10000000 AS a, rid AS b FROM lkg_best WHERE rn = 1",
+    )
+    return f"""
+WITH RECURSIVE {_MENTION_SQL},
+{fuzzy_ctes},
+{_RES_RECORDS_SQL},
+{res_ctes}
+SELECT g.cluster_id AS entity_id, g.n_members, g.n_mentions,
+       n.canonical_name, g.latest_price, m.majority_brand
+FROM res_golden g
+JOIN res_name n USING (cluster_id)
+JOIN res_modal m USING (cluster_id)
+""".strip()
+
+
+@query("entity_resolution_parts", sql=_entity_resolution_sql, tags=("llm", "linkage", "resolution"))
+def q_entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (llm/resolution.py, r12): the golden-record stage
+    the linkage operator feeds — dirty part-name mentions (the certified
+    fuzzy_match_partnames fixture: price drift, half the containers
+    unknown) link to the name dictionary by the q-gram/Gravano/levenshtein
+    resolver, match pairs cluster by connected components (only pair
+    members ride the iteration), and SURVIVORSHIP merges each cluster into
+    one golden row: longest-name canonical (ties lexicographically
+    greatest), max-freshness price, modal brand (ties greatest). The
+    oracle replicates components as a recursive min-label closure and
+    every tie-break exactly — cluster formation AND merge rules are
+    hashed, not just asserted."""
+    from sarpro_spark.llm.linkage import fuzzy_best_match
+    from sarpro_spark.llm.resolution import resolve_entities
+
+    part = frames.load_table(spark, sf_dir, "part")
+    nm, key = F.col("p_name"), F.col("p_partkey")
+    pos = (key % (F.length(nm) - 2)) + 1
+    deleted = F.concat(nm.substr(F.lit(1), pos), nm.substr(pos + 2, F.lit(1000)))
+    mention = F.when(
+        key % 5 == 0, F.concat(F.lit("x"), deleted.substr(F.lit(2), F.lit(1000)))
+    ).otherwise(deleted)
+    mentions = part.select(key.alias("mid"), mention.alias("mention"))
+    dic = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+
+    cents = F.floor(F.col("p_retailprice") * 100.0 + 0.5).cast("long")
+    # the representative part's own p_name IS the dict name (name_id is the
+    # min partkey of the name group), so joining on the key alone avoids the
+    # ambiguous duplicate p_name column
+    rec_dict = dic.select("name_id").join(
+        part, F.col("name_id") == F.col("p_partkey")
+    ).select(
+        F.col("name_id").alias("rid"),
+        F.col("p_name").alias("name"),
+        cents.alias("price_cents"),
+        F.col("p_brand").alias("brand"),
+        F.lit("dict").alias("src"),
+    )
+    rec_mention = mentions.join(part, mentions["mid"] == part["p_partkey"]).select(
+        (F.col("mid") + 10000000).alias("rid"),
+        F.col("mention").alias("name"),
+        (cents + F.col("mid") % 7).alias("price_cents"),
+        F.when(F.col("mid") % 2 == 0, F.col("p_brand"))
+        .otherwise(F.lit("UNK#99"))
+        .alias("brand"),
+        F.lit("mention").alias("src"),
+    )
+    records = rec_dict.unionByName(rec_mention)
+    best = fuzzy_best_match(mentions, dic, "mid", "mention", "name_id", "p_name")
+    pairs = best.select(
+        (F.col("lid") + 10000000).alias("doc_a"), F.col("best_rid").alias("doc_b")
+    )
+    return resolve_entities(records, pairs)

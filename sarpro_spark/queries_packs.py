@@ -263,6 +263,7 @@ register_pack(
         Member("text_dup_passages", ("doc_id",)),
         Member("text_encoding_hygiene", ("doc_id",)),
         Member("fuzzy_match_partnames", ("lid",)),
+        Member("entity_resolution_parts", ("entity_id",)),
         Member("text_bigram_logprob", ("doc_id",)),
         Member("domain_pagerank", ("domain",)),
         Member("domain_triangle_census", ("vertex",)),
@@ -382,6 +383,7 @@ register_pack(
         Member("orders_above_cust_avg", ("o_custkey",)),
         Member("events_asof_cogrouped", ("event_id",)),
         Member("events_props_json", ("event_type",)),
+        Member("events_attribution_outer", ("purchase_id",)),
         Member("pivot_order_priority", ("order_year",)),
         Member("lineitem_percentiles", ("l_returnflag",)),
         Member("skewed_agg_salted", ("event_type",)),

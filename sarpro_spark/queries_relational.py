@@ -2668,3 +2668,40 @@ def q_orders_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k")
     )
     return kmv_overlap_certificate(o, F.col("o_orderkey"), b, F.col("k"))
+
+
+# --- LEFT OUTER stream-stream attribution (r12) ---------------------------------
+
+_ATTRIBUTION_OUTER_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id,
+       CAST(EPOCH_US(p.ts) AS BIGINT) AS purchase_ts_us,
+       p.value AS purchase_value, c.event_id AS click_id,
+       CAST(EPOCH_US(c.ts) AS BIGINT) AS click_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+""".strip()
+
+
+@query("events_attribution_outer", sql=_ATTRIBUTION_OUTER_SQL, tags=("relational", "events", "streaming"))
+def q_events_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join surface (streaming/joins.py
+    attribution_join_outer, r12) run in batch mode: every purchase emits,
+    null click columns when nothing preceded it in the window — the
+    unattributed-conversion report. In streaming the null-extended row may
+    only emit once the GLOBAL watermark proves no match can arrive
+    (state-eviction semantics); tests/test_streaming.py drains the bounded
+    stream past a watermark-advancing sentinel and asserts row-for-row
+    equality with this batch twin."""
+    from sarpro_spark.streaming.joins import attribution_join_outer
+
+    e = frames.load_table(spark, sf_dir, "events")
+    out = attribution_join_outer(e)
+    return out.select(
+        "user_id", "purchase_id",
+        (F.unix_micros(F.col("purchase_ts"))).alias("purchase_ts_us"),
+        "purchase_value", "click_id",
+        (F.unix_micros(F.col("click_ts"))).alias("click_ts_us"),
+    )

@@ -94,3 +94,57 @@ def enrich_events_stream(
     the batch run of the same expression is the stream's convergence
     target, which is what the tests assert."""
     return events.join(dim, on=on, how=how)
+
+
+def attribution_join_outer(
+    events: DataFrame,
+    click_events: DataFrame | None = None,
+    window: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER purchase-to-click attribution: every purchase emits, with
+    null click columns when no click preceded it in the window — the
+    unattributed-conversion report.
+
+    The streaming-specific semantics this certifies: an outer stream-stream
+    join can only emit the NULL-extended row once the watermark proves no
+    matching click can still arrive, so unmatched purchases surface with
+    watermark latency (Spark evicts the purchase from state and emits the
+    null row at eviction).  On a DRAINED bounded stream the result equals
+    the batch left join row-for-row — the unified-API property the test
+    asserts; late-data eviction itself is certified by the shared watermark
+    machinery (test_watermark_drops_late_events)."""
+    if click_events is None:
+        click_events = events
+    events = ensure_event_time(events, "ts")
+    click_events = ensure_event_time(click_events, "ts")
+    clicks = click_events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    return purchases.join(
+        clicks,
+        on=[
+            F.col("user_id") == F.col("c_user_id"),
+            F.col("click_ts") >= F.col("purchase_ts") - F.expr(window),
+            F.col("click_ts") <= F.col("purchase_ts"),
+        ],
+        how="left_outer",
+    ).select(
+        "user_id",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )

@@ -1793,3 +1793,50 @@ def test_allpairs_threshold_is_exact_boundary(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in kept] == [(1, 2)]
     dropped = allpairs_jaccard_pairs(df, threshold=Fraction(i + 1, u)).collect()
     assert dropped == []
+
+
+# --- entity resolution survivorship (llm/resolution.py, r12) ---------------------
+
+
+def test_resolution_survivorship_rules(spark):
+    """Hand-checkable cluster: three linked records — canonical name is
+    the longest (ties greatest), price the max, brand the mode with
+    deterministic tie-break; a singleton resolves to itself."""
+    from sarpro_spark.llm.resolution import resolve_entities
+
+    records = spark.createDataFrame(
+        [
+            (1, "acme corp", 100, "B#1", "dict"),
+            (2, "acme corporation", 90, "B#2", "mention"),
+            (3, "acme c", 120, "B#2", "mention"),
+            (9, "lonely ltd", 50, "B#9", "dict"),
+        ],
+        "rid long, name string, price_cents long, brand string, src string",
+    )
+    pairs = spark.createDataFrame([(2, 1), (3, 1)], "doc_a long, doc_b long")
+    rows = {r["entity_id"]: r for r in resolve_entities(records, pairs).collect()}
+    assert set(rows) == {1, 9}
+    e = rows[1]
+    assert e["n_members"] == 3 and e["n_mentions"] == 2
+    assert e["canonical_name"] == "acme corporation"
+    assert e["latest_price"] == 120
+    assert e["majority_brand"] == "B#2"  # 2 votes beat 1
+    s = rows[9]
+    assert s["n_members"] == 1 and s["canonical_name"] == "lonely ltd"
+
+
+def test_resolution_tie_breaks_deterministic(spark):
+    """Equal-length names -> lexicographically greatest; equal brand
+    counts -> greatest brand (the hashed tie-break contract)."""
+    from sarpro_spark.llm.resolution import resolve_entities
+
+    records = spark.createDataFrame(
+        [
+            (1, "aaaa", 1, "B#1", "dict"),
+            (2, "zzzz", 1, "B#2", "mention"),
+        ],
+        "rid long, name string, price_cents long, brand string, src string",
+    )
+    pairs = spark.createDataFrame([(2, 1)], "doc_a long, doc_b long")
+    e = resolve_entities(records, pairs).collect()[0]
+    assert e["canonical_name"] == "zzzz" and e["majority_brand"] == "B#2"

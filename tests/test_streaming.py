@@ -1280,3 +1280,51 @@ def test_cdc_time_travel_and_changes_between(spark, tmp_path):
     )
     got = {(r["k"], r["v"]) for r in replayed.select("k", "v").collect()}
     assert got == fold(3)
+
+
+def test_attribution_outer_join_stream_equals_batch(spark, sf_dir, tmp_path, nanos_conf_reset):
+    """LEFT OUTER stream-stream join: drained bounded stream == batch left
+    join row-for-row, INCLUDING the null-extended unattributed purchases
+    (which streaming may only emit after the watermark proves no match can
+    arrive — availableNow drains past that point)."""
+    import datetime as dt
+
+    from sarpro_spark.streaming.joins import attribution_join_outer
+
+    # sentinel click+purchase (user -1) far past the real data: the global
+    # watermark must pass every real purchase before its null-extended row
+    # can emit — without the sentinels the tail watermark window's
+    # unmatched purchases are legitimately never emitted on drain
+    ev = frames.load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    far = (max_ts if isinstance(max_ts, dt.datetime)
+           else dt.datetime(2024, 2, 15)) + dt.timedelta(hours=10)
+    sentinels = spark.createDataFrame(
+        [(-1, far, -1, "click", 0.0, "{}"), (-2, far, -1, "purchase", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    ev_dir = str(tmp_path / "events_dir_outer")
+    ev.select(*sentinels.columns).unionByName(sentinels).coalesce(2).write.parquet(ev_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    schema = spark.read.parquet(ev_dir).schema
+
+    batch = attribution_join_outer(spark.read.parquet(ev_dir)).where(F.col("user_id") >= 0)
+    expect = {tuple(r) for r in batch.collect()}
+    n_unmatched = sum(1 for r in expect if r[4] is None)
+    assert n_unmatched > 0, "fixture must contain unattributed purchases"
+
+    def mk_stream():
+        return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(ev_dir)
+
+    out = attribution_join_outer(mk_stream(), click_events=mk_stream())
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in
+           spark.sql("SELECT * FROM attrib_outer WHERE user_id >= 0").collect()}
+    assert got == expect

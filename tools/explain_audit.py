@@ -1365,6 +1365,19 @@ AUDITS: dict[str, dict] = {
         "require": ['HashAggregate', 'Window', 'BroadcastNestedLoopJoin'],
         "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
     },
+    # r12: outer stream-stream twin — batch mode is a range LEFT join keyed
+    # on user_id: any hash/merge equi-join is fine, a nested loop is not
+    "events_attribution_outer": {
+        "require": ['Join'],
+        "forbid": ['CartesianProduct', 'BroadcastNestedLoopJoin', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r12: entity resolution — components on the pair-connected subgraph only
+    # (the expensive fuzzy pair lineage is checkpoint-truncated, so no Window
+    # appears in the resolved plan), survivorship = keyed aggregates
+    "entity_resolution_parts": {
+        "require": ['HashAggregate', 'SortMergeJoin', 'BroadcastHashJoin'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
     # r12: KMV — bottom-k sketches are TakeOrderedAndProject; all joins are
     # sketch-sized or 1-row broadcasts; exact legs are hash-distinct aggregates
     "orders_overlap_kmv": {
