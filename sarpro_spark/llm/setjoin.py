@@ -65,7 +65,20 @@ def allpairs_jaccard_pairs(
     prefix); candidates come from the prefix x prefix join with the
     size filter t * max(|a|,|b|) <= min(|a|,|b|); the verify step joins
     each candidate to its two set arrays and counts the exact
-    intersection JVM-side (array_intersect on distinct sets)."""
+    intersection JVM-side (array_intersect on distinct sets).
+
+    Shuffle economics note (both alternatives MEASURED solo-vs-solo on
+    the sf0.1 fixture and rejected): (a) hashing shingles to 60-bit ints
+    before the shuffle bought nothing (28.6 -> 29.2 MB write) — the
+    shuffle codec already compresses low-entropy n-gram strings to about
+    hash width, and hashes are incompressible; (b) deriving the verify
+    arrays from the rank window's doc-partitioned relation (hoping for
+    exchange reuse) re-executed the whole upstream instead (38.9 MB).
+    The shuffle-per-input RATIO on this fixture is dominated by the
+    denominator: a dictionary-text parquet compresses ~100x, so even the
+    single obligatory pass of the shingle relation reads as >1000x;
+    absolute volume is ~16-29 MB for 5k docs (run-context dependent) and
+    scales linearly (SOAK vs_linear 0.62)."""
     from sarpro_spark.llm.dedup import char_shingles
 
     t = _threshold(threshold)

@@ -3396,7 +3396,7 @@ JOIN res_modal m USING (cluster_id)
 def q_entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution (llm/resolution.py, r12): the golden-record stage
     the linkage operator feeds — dirty part-name mentions (the certified
-    fuzzy_match_partnames fixture: price drift, half the containers
+    fuzzy_match_partnames fixture: price drift, half the brands
     unknown) link to the name dictionary by the q-gram/Gravano/levenshtein
     resolver, match pairs cluster by connected components (only pair
     members ride the iteration), and SURVIVORSHIP merges each cluster into

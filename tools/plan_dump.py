@@ -92,6 +92,15 @@ FLAGSHIPS = [
     ("text_bm25_topk", "BM25 retrieval (r12): term-keyed inverted-index probe, 1-row stats BNLJ, per-query rank window pruned map-side (WindowGroupLimit)"),
     ("similarity_topk_pq", "PQ-ADC ANN (r12): subspace k-means aggregates, broadcast LUT joins, ADC shortlist window + exact rerank"),
     ("datum_roundtrip_pack", "nine datum/projection families in ONE union plan — the bench-consolidation pack"),
+    # round-12 second wave
+    ("dedup_audio_fingerprint", "audio fingerprint near-dup (r12): ONE MapInPandas decode+hash pass over the WAV codec, 8x8 banded Hamming equi-join + popcount verify"),
+    ("dedup_allpairs_jaccard", "AllPairs prefix-filter join (r12): df agg + per-doc rarity window, shingle-keyed prefix candidate join, array_intersect verify — lossless vs the brute-force oracle"),
+    ("events_heavy_hitters_mg", "mergeable Misra-Gries (r12): shard/key aggregates + per-shard rank windows; the global trim window rides the plan-visible m*shards limit; 1-row budget broadcasts"),
+    ("lineitem_quantile_sketch", "mergeable quantile summary (r12): shard-local sort windows, bounded weighted merge + cumsum on a GlobalLimit, broadcast panel + one conditional-agg exact-rank verify"),
+    ("orders_incremental_agg_maintenance", "incremental view maintenance (r12): touched-key semi-join retractions + delta agg + affected-group-restricted min/max recompute"),
+    ("suppart_kcore", "k-core peeling (r12): per-round LeftSemi joins + count aggregates, 1-row convergence probes broadcast"),
+    ("orders_overlap_kmv", "KMV/theta overlap (r12): TakeOrderedAndProject bottom-k sketches, sketch-sized joins, 1-row exact verifies"),
+    ("entity_resolution_parts", "entity resolution (r12): checkpoint-truncated fuzzy pairs -> component labels -> keyed survivorship aggregates"),
 ]
 
 

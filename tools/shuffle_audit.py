@@ -116,7 +116,16 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = build_session(
         "sarpro_shuffle_audit",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(UI_PORT)},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+            # r12: the default 1000-stage retention EVICTS early stages by
+            # the time late queries run, so the before/after totals diff
+            # went NEGATIVE for queries late in the run (allpairs showed
+            # -64 MB). Retain enough stages for the whole ~100-line run.
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
     )
     app_id = spark.sparkContext.applicationId
     base = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[-1]}/api/v1/applications/{app_id}"
