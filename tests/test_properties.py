@@ -443,3 +443,60 @@ def test_gtg_rejects_malformed_grids(tmp_path):
     write_tiff(no_geo, np.zeros((3, 4, 2), dtype=np.float32))
     with pt.raises(ValueError, match="ModelPixelScale"):
         read_gtg(no_geo)
+
+
+# --- SpaceSaving fold guarantees (streaming/heavyhitters.py, r12) -----------------
+# _fold_sorted IS the executor code the stateful operator runs — fuzzing it
+# drives the production fold, not a reimplementation.
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=30).map(str), max_size=60),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=12),
+)
+@settings(max_examples=300, deadline=None)
+def test_spacesaving_fold_guarantees_hold_for_any_stream(batches, cap):
+    from collections import Counter
+
+    from sarpro_spark.streaming.heavyhitters import spacesaving_reference
+
+    keys, counts, errs, n = spacesaving_reference(batches, capacity=cap)
+    exact = Counter(k for b in batches for k in b)
+    assert n == sum(exact.values())
+    assert len(keys) <= cap
+    summ = dict(zip(keys, zip(counts, errs)))
+    for k, (c, e) in summ.items():
+        assert c >= exact[k]          # over-count only
+        assert c - e <= exact[k]      # err bounds the over-count
+    if n:
+        for k, f in exact.items():    # survival: freq > n/cap => present
+            if f > n / cap:
+                assert k in summ, (k, f, n, cap)
+
+
+# --- audio fingerprint invariances (llm/audiohash.py, r12) ------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=2, max_size=400),
+    st.integers(min_value=2, max_value=5),
+    st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=300, deadline=None)
+def test_afp_invariances_hold_for_any_pcm(samples, rep, gain):
+    import numpy as np
+
+    from sarpro_spark.llm.audiohash import afp_from_samples
+
+    s = np.asarray(samples, dtype=np.int64)
+    h = afp_from_samples(s)
+    # NN-grid repetition invariance: floor(floor(g*rep*n/G)/rep) == floor(g*n/G)
+    assert afp_from_samples(np.repeat(s, rep)) == h
+    # positive uniform gain preserves every energy-delta sign
+    assert afp_from_samples(s * gain) == h
+    # both halves are non-negative 32-bit (the hashed storage contract)
+    assert 0 <= h[0] < (1 << 32) and 0 <= h[1] < (1 << 32)
