@@ -1328,3 +1328,77 @@ def test_attribution_outer_join_stream_equals_batch(spark, sf_dir, tmp_path, nan
     got = {tuple(r) for r in
            spark.sql("SELECT * FROM attrib_outer WHERE user_id >= 0").collect()}
     assert got == expect
+
+
+# --- streaming KMV sketch (streaming/kmv.py, r12) ---------------------------------
+
+
+def test_kmv_stream_equals_batch_exactly(spark, sf_dir, tmp_path, nanos_conf_reset):
+    """Bottom-k of a set is order-independent, so the drained streaming
+    sketch must equal the batch sketch EXACTLY (the strong stream==batch
+    certificate class), for any micro-batch split; the summed per-shard
+    estimate must land within the 3/sqrt(k-2) KMV band of the true
+    distinct count."""
+    import os
+    import time
+
+    from sarpro_spark.streaming import kmv as skmv
+
+    K, SHARDS = 64, 4
+    ev = frames.load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    # key with real duplication: user_id (150 distinct over 1000 rows at sf0.001)
+    batch_sketch = {
+        (r["shard"], r["pos"], r["h"])
+        for r in skmv.kmv_batch(ev, "user_id", k=K, shards=SHARDS).collect()
+    }
+    n_exact = ev.select("user_id").distinct().count()
+
+    stage = tmp_path / "kmv_stream"
+    stage.mkdir()
+    ids = sorted(r["event_id"] for r in ev.select("event_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    t0 = time.time() - 100
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        part = ev
+        if lo is not None:
+            part = part.where(F.col("event_id") >= lo)
+        if hi is not None:
+            part = part.where(F.col("event_id") < hi)
+        pdir = stage / f"part{i}"
+        part.coalesce(1).write.parquet(str(pdir))
+        for root, _dirs, files in os.walk(pdir):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t0 + i * 10, t0 + i * 10))
+        lo = hi
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(stage))
+    )
+    out = skmv.kmv_stream(stream, "user_id", k=K, shards=SHARDS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM kmv_stream").collect()
+    final_n = {}
+    for r in rows:
+        final_n[r["shard"]] = max(final_n.get(r["shard"], 0), r["n_seen"])
+    got = {
+        (r["shard"], r["pos"], r["h"])
+        for r in rows
+        if r["n_seen"] == final_n[r["shard"]]
+    }
+    assert got == batch_sketch  # EXACT, not bound-based
+
+    est = skmv.estimate_distinct([(s, p, h) for s, p, h in got], k=K)
+    tol = 3.0 / (K - 2) ** 0.5
+    assert abs(est - n_exact) <= max(tol * n_exact, 12), (est, n_exact)
