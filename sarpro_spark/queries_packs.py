@@ -384,6 +384,7 @@ register_pack(
         Member("events_asof_cogrouped", ("event_id",)),
         Member("events_props_json", ("event_type",)),
         Member("events_attribution_outer", ("purchase_id",)),
+        Member("events_kmv_distinct_sketch", ("shard", "pos")),
         Member("pivot_order_priority", ("order_year",)),
         Member("lineitem_percentiles", ("l_returnflag",)),
         Member("skewed_agg_salted", ("event_type",)),

@@ -2705,3 +2705,33 @@ def q_events_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value", "click_id",
         (F.unix_micros(F.col("click_ts"))).alias("click_ts_us"),
     )
+
+
+# --- streaming KMV sketch: batch twin (r12) --------------------------------------
+
+_KMV_STREAM_TWIN_SQL = """
+WITH kvh AS (
+  SELECT DISTINCT
+    CAST(('0x' || SUBSTR(MD5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+    CAST(CAST(('0x' || SUBSTR(MD5('kmvshard' || '|' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 % 4 AS INTEGER) AS shard
+  FROM events
+)
+SELECT shard, CAST(rn - 1 AS INTEGER) AS pos, h
+FROM (SELECT shard, h, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h) AS rn FROM kvh) z
+WHERE rn <= 128
+""".strip()
+
+
+@query("events_kmv_distinct_sketch", sql=_KMV_STREAM_TWIN_SQL, tags=("relational", "events", "sketch", "streaming"))
+def q_events_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct sketch, certified through its batch twin
+    (streaming/kmv.py): per key-hash shard, the k smallest distinct
+    60-bit key hashes — the bounded-state live distinct-count gauge.
+    Bottom-k of a set is ORDER-INDEPENDENT, so the drained stream equals
+    THIS batch relation exactly for any micro-batch split (asserted in
+    tests/test_streaming.py); hashing this row therefore certifies the
+    streaming operator's converged state value-for-value."""
+    from sarpro_spark.streaming.kmv import kmv_batch
+
+    e = frames.load_table(spark, sf_dir, "events")
+    return kmv_batch(e, "user_id", k=128, shards=4)

@@ -1365,6 +1365,11 @@ AUDITS: dict[str, dict] = {
         "require": ['HashAggregate', 'Window', 'BroadcastNestedLoopJoin'],
         "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
     },
+    # r12: streaming-KMV batch twin — one distinct + per-shard rank window
+    "events_kmv_distinct_sketch": {
+        "require": ['HashAggregate', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
     # r12: outer stream-stream twin — batch mode is a range LEFT join keyed
     # on user_id: any hash/merge equi-join is fine, a nested loop is not
     "events_attribution_outer": {
