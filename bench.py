@@ -149,7 +149,62 @@ HEADLINE = [
     "suppart_kcore",
     "orders_overlap_kmv",
     "entity_resolution_parts",
+    # round-13 additions: the VIDEO cell of the dedup matrix (frame-vote
+    # pHash), the FULL OUTER stream-stream batch twin, the IVF-PQ combined
+    # ANN rung, the PPJoin-filtered AllPairs telemetry
+    "dedup_video_phash",
+    "events_attribution_full",
+    "similarity_topk_ivfpq",
+    "dedup_allpairs_prefix_stats",
 ]
+
+#: r13 (verdict item 10): job-floor-bound lines — their wall-clock at sf0.1
+#: is dominated by Spark's fixed per-job scheduling floor (suppart_kcore runs
+#: 18 tiny peel-round jobs; datum_roundtrip_pack is a deliberate 9-family
+#: union), so SOAK vs_linear — not wall — is their watched metric. Tagged in
+#: BENCH_FULL so cross-round NOTES key on the tag instead of re-explaining.
+FLOOR_BOUND = {"suppart_kcore", "datum_roundtrip_pack"}
+
+
+def tree_cpu_sec() -> float:
+    """Total CPU seconds (utime+stime) consumed so far by this process and
+    every live descendant (the JVM driver/executor and its Python workers).
+
+    r13 (verdict item 4): wall-clock on this microVM has a measured 4x
+    same-code spread from hypervisor steal the in-guest loadavg cannot see
+    (BENCH_NOTES_r12). CPU time is steal-resistant — a stolen vCPU does not
+    accumulate utime — so per-line `cpu_sec` deltas are the cross-round
+    regression metric; wall stays recorded for absolute context.
+    `getrusage(RUSAGE_CHILDREN)` only counts reaped children, so walk /proc
+    for the live tree (~100 pids, <5 ms)."""
+    import glob
+
+    tick = os.sysconf("SC_CLK_TCK")
+    ppid_of: dict[int, int] = {}
+    cpu_of: dict[int, float] = {}
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as fh:
+                raw = fh.read()
+        except OSError:
+            continue  # raced with process exit
+        # field 2 (comm) may contain spaces/parens; split after the last ')'
+        pid_s, rest = raw.split(" ", 1)
+        fields = rest.rsplit(")", 1)[1].split()
+        pid = int(pid_s)
+        ppid_of[pid] = int(fields[1])  # field 4 overall
+        cpu_of[pid] = (int(fields[11]) + int(fields[12])) / tick  # utime+stime
+    me = os.getpid()
+    total = 0.0
+    for pid, cpu in cpu_of.items():
+        p, hops = pid, 0
+        while p > 1 and hops < 64:
+            if p == me:
+                total += cpu
+                break
+            p = ppid_of.get(p, 0)
+            hops += 1
+    return total
 
 
 def idle_gate(
@@ -207,7 +262,9 @@ def main() -> None:
         frames.band_frame(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    cpu_secs: dict[str, float] = {}
     runs_detail: dict[str, list[float]] = {}
+    cpu_detail: dict[str, list[float]] = {}
     loadavg: dict[str, float] = {}
     # r12 (verdict item 4): the bench's own 32-core footprint inflates the
     # line that runs right AFTER a heavy block (BENCH_NOTES_r11: affine
@@ -226,29 +283,39 @@ def main() -> None:
         reset_caches()
         n = 0
         samples: list[float] = []
+        cpu_samples: list[float] = []
         # sampling policy (r11): heavy lines (>2 s) swing +-25% with JVM
         # state (BENCH_NOTES_r10) — record the MEDIAN of 3 runs so one
         # GC/JIT outlier can't masquerade as a regression. Light lines keep
         # the old rule: best-of-2 at >=1 s, best-of-3 under 1 s (min =
         # steady state; they are the most load-sensitive, the r4 +25%).
         while len(samples) < 3:
+            c0 = tree_cpu_sec()
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             n = df.count()  # forces full execution without driver-side collect cost
             samples.append(time.time() - t0)
+            cpu_samples.append(tree_cpu_sec() - c0)
             if len(samples) >= 2 and 1.0 <= min(samples) <= 2.0:
                 break
         if min(samples) > 2.0:
-            timings[name] = round(sorted(samples)[1], 3)  # median of 3
+            pick = samples.index(sorted(samples)[1])  # median of 3
         else:
-            timings[name] = round(min(samples), 3)
+            pick = samples.index(min(samples))
+        timings[name] = round(samples[pick], 3)
+        # cpu_sec of the SAME sample the wall number came from, so the two
+        # columns describe one run; min-cpu (steady state, post-JIT) kept in
+        # the detail for forensics
+        cpu_secs[name] = round(cpu_samples[pick], 3)
         runs_detail[name] = [round(s, 3) for s in samples]
+        cpu_detail[name] = [round(s, 3) for s in cpu_samples]
         prev_heavy = timings[name] > 2.0
         # 1-min loadavg AT measurement time: a contaminated recording is
         # self-identifying (loadavg >> the bench's own footprint)
         loadavg[name] = round(os.getloadavg()[0], 2)
         print(
-            f"# {name}: {timings[name]:.3f}s ({n} rows, load {loadavg[name]})",
+            f"# {name}: {timings[name]:.3f}s wall / {cpu_secs[name]:.3f}s cpu "
+            f"({n} rows, load {loadavg[name]})",
             file=sys.stderr,
         )
 
@@ -292,7 +359,7 @@ def main() -> None:
         try:
             with open(full_path) as fh:
                 p = json.load(fh)
-            prev = {k: p.get(k) for k in ("round", "value", "queries", "sf")}
+            prev = {k: p.get(k) for k in ("round", "value", "queries", "cpu_sec", "sf")}
         except (OSError, ValueError):
             pass
     total = round(sum(timings.values()), 3)
@@ -324,7 +391,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cpu_sec": cpu_secs,
+        "cpu_total": round(sum(cpu_secs.values()), 3),
+        "floor_bound": sorted(FLOOR_BOUND & set(names)),
         "runs": runs_detail,
+        "cpu_runs": cpu_detail,
         "loadavg": loadavg,
         "sf1_soak": soak_summary,
         "sf": sf_val,

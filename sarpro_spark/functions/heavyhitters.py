@@ -57,12 +57,18 @@ def mg_summary(
 ) -> DataFrame:
     """Merged Misra-Gries summary: (key, est, total_err, n_total).
 
-    ``shard_by`` names the column whose hash assigns the shard (defaults
-    to the key itself is WRONG for MG semantics — use a row-identity
-    column so a key's occurrences spread across shards, as they would
-    across cluster partitions)."""
+    ``shard_by`` names the column whose hash assigns the shard.  It is
+    REQUIRED (r12 ADVICE): sharding by the key itself is degenerate for
+    MG semantics — a key's occurrences must spread across shards the way
+    cluster partitions spread them, so pass a row-identity column."""
+    if shard_by is None:
+        raise ValueError(
+            "mg_summary requires shard_by (a row-identity column): sharding "
+            "by the key collapses each key into one shard, the degenerate "
+            "layout the MG merge bound is not meant to describe"
+        )
     m = int(capacity)
-    shard = (hash_bucket(F.col(shard_by or key_col), seed) % shards).alias("shard")
+    shard = (hash_bucket(F.col(shard_by), seed) % shards).alias("shard")
     local = df.select(F.col(key_col).alias("key"), shard).groupBy("shard", "key").agg(
         F.count("*").alias("cnt")
     )

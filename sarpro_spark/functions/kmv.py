@@ -38,8 +38,14 @@ from pyspark.sql import functions as F
 from sarpro_spark.queries import fround, sql_fround
 
 DEFAULT_K = 256
-#: 3-sigma headroom on the published KMV rsd — same doctrine as the HLL leg
-TOL = 3.0 / (DEFAULT_K - 2) ** 0.5
+
+
+def kmv_tol(k: int) -> float:
+    """3-sigma headroom on the published KMV rsd 1/sqrt(k-2) — derived from
+    the CALLER's k (r12 ADVICE: a module-level constant from DEFAULT_K gave
+    any non-default k the wrong band on both engines at once, which the
+    hash certificate structurally cannot catch)."""
+    return 3.0 / (k - 2) ** 0.5
 
 _HASH_SPACE = float(1 << 60)
 
@@ -120,7 +126,7 @@ def kmv_overlap_certificate(
     ei = ha.join(hb, "h", "inner").agg(F.count(F.lit(1)).alias("exact_inter"))
     out = est.crossJoin(F.broadcast(ea)).crossJoin(F.broadcast(eb)).crossJoin(F.broadcast(ei))
     exact_union = F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")
-    tol = F.lit(TOL)
+    tol = F.lit(kmv_tol(k))
 
     def ok(est_c: Column, exact_c: Column) -> Column:
         return F.abs(est_c - exact_c) <= tol * exact_c
@@ -148,7 +154,7 @@ def sql_kmv_overlap_certificate(
     a_rel: str, a_expr: str, b_rel: str, b_expr: str, k: int = DEFAULT_K
 ) -> str:
     """DuckDB twin of :func:`kmv_overlap_certificate`."""
-    tol = repr(TOL)
+    tol = repr(kmv_tol(k))
     return f"""
 WITH kmv_ha AS MATERIALIZED (SELECT DISTINCT {sql_key_hash(a_expr)} AS h FROM {a_rel}),
 kmv_hb AS MATERIALIZED (SELECT DISTINCT {sql_key_hash(b_expr)} AS h FROM {b_rel}),

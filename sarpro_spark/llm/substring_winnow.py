@@ -43,9 +43,15 @@ the two paths' caps act at different grains: full density can split a span
 at a hot 40-gram, direct comparison cannot, so value_equal < n_pairs_both
 is expected data, not drift).
 
-Doc-length bound: the (hash, pos) encoding packs pos into 20 bits
-(POS_ENC) — docs longer than ~1M chars need a wider encoding; the guard
-filter drops them loudly rather than corrupting keys silently.
+Doc-length bound: the (hash, pos) encoding packs pos into 32 bits
+(POS_ENC = 2^32; hash < 2^30 so keys < 2^62, still int64) — covering docs
+up to ~4.29e9 chars, far past book length.  Anything longer is still
+skipped for key correctness, but the exclusion is COUNTED and hashed into
+the certificate (`excluded_long_docs` — the registered query carries
+`excluded_docs`, expected 0), so an excluded doc trips the oracle gate
+instead of vanishing.  (r12 shipped POS_ENC = 2^20, which silently
+excluded book-length docs — the r12 verdict's one found defect; fixed r13
+with a planted >1M-char regression fixture in tests/test_llm.py.)
 
 Reference analog: none (raster engine); public precedent: winnowing (MOSS),
 suffix-array ExactSubstr (Lee et al. 2021, arXiv:2107.06499).
@@ -66,8 +72,8 @@ from sarpro_spark.llm.text import WINNOW_BASE, WINNOW_MOD
 #: the 40-char full-density anchors while keeping w+k-1 = 40 = min_len.
 WINNOW_K = 25
 WINNOW_W = 16
-#: pos bits in the (hash, pos) argmin encoding; hash < 2^30, so keys < 2^50
-POS_ENC = 1 << 20
+#: pos bits in the (hash, pos) argmin encoding; hash < 2^30, so keys < 2^62
+POS_ENC = 1 << 32
 _SLACK = WINNOW_W + WINNOW_K
 
 
@@ -252,6 +258,27 @@ def exact_substring_pairs_winnowed(
         F.count(F.lit(1)).alias("n_spans"),
         F.max("span_len").alias("max_span_len"),
         F.sum("span_len").cast("bigint").alias("dup_chars"),
+    )
+
+
+def excluded_long_docs(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """1-row (excluded_docs BIGINT) — docs the winnow kernel cannot encode
+    (length >= POS_ENC).  Hashed into the certificate so an exclusion is a
+    loud oracle break, never a silent recall hole (r12 verdict defect 1)."""
+    return df.agg(
+        F.sum((F.length(text_col) >= POS_ENC).cast("int"))
+        .cast("bigint")
+        .alias("excluded_docs")
+    )
+
+
+def sql_excluded_long_docs(src_rel: str, text_col: str = "text") -> str:
+    """Scalar SQL expression for the DuckDB twin of excluded_long_docs."""
+    return (
+        f"(SELECT CAST(COALESCE(SUM(CASE WHEN LENGTH({text_col}) >= {POS_ENC}"
+        f" THEN 1 ELSE 0 END), 0) AS BIGINT) FROM {src_rel})"
     )
 
 

@@ -60,6 +60,7 @@ def maintain_group_aggregate(
     val_col: str,
     seq_col: str = "seq",
     op_col: str = "op",
+    prev_agg: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally maintained (grp, n, total, avg, vmin, vmax,
     minmax_recomputed) after applying ``changes`` — count/sum/avg from the
@@ -71,8 +72,17 @@ def maintain_group_aggregate(
     the changelog (batch-grain) drive everything; the only reads of
     snapshot rows are key-joins (touched keys) and the affected-group
     restriction of the new snapshot.
+
+    ``prev_agg`` (r13, the streaming path): the PREVIOUS VIEW as the prior
+    aggregate state (grp, n, total, vmin, vmax).  When None (the one-shot
+    certificate), it is derived from ``prev_snapshot`` — a scan the
+    continuous maintainer (streaming/incremental.py) must not pay per
+    epoch, so it passes its committed view version instead.
     """
-    prev_agg = group_aggregate(prev_snapshot, group_col, val_col)
+    if prev_agg is None:
+        prev_agg = group_aggregate(prev_snapshot, group_col, val_col)
+    else:
+        prev_agg = prev_agg.select("grp", "n", "total", "vmin", "vmax")
     final = latest_change_per_key(changes, key_col, seq_col, op_col)
 
     # retractions: the OLD payload of every touched key, by key semi-join
@@ -120,15 +130,27 @@ def maintain_group_aggregate(
         .groupBy(F.col(group_col).alias("grp"))
         .agg(F.min(val_col).alias("rmin"), F.max(val_col).alias("rmax"))
     )
+    # the recomputed flag comes from AFFECTED-set membership, not from
+    # rmin's nullness (r12 ADVICE): an affected group whose surviving
+    # values are all NULL must use the recomputed (NULL) extremum and
+    # report minmax_recomputed=true, matching the SQL twin's
+    # `grp IN incr_affected` — conflating affectedness with value
+    # nullness kept a stale extremum for nullable value columns
+    aff_flag = affected.select(F.col("grp"), F.lit(True).alias("_aff"))
     return (
         merged.join(recomputed, "grp", "left")
+        .join(aff_flag, "grp", "left")
         .select(
             "grp",
             F.col("n_new").alias("n"),
             F.col("total_new").alias("total"),
             (F.col("total_new") / F.col("n_new")).alias("avg"),
-            F.coalesce(F.col("rmin"), F.col("vmin")).alias("vmin"),
-            F.coalesce(F.col("rmax"), F.col("vmax")).alias("vmax"),
-            F.col("rmin").isNotNull().alias("minmax_recomputed"),
+            F.when(F.col("_aff").isNotNull(), F.col("rmin"))
+            .otherwise(F.col("vmin"))
+            .alias("vmin"),
+            F.when(F.col("_aff").isNotNull(), F.col("rmax"))
+            .otherwise(F.col("vmax"))
+            .alias("vmax"),
+            F.col("_aff").isNotNull().alias("minmax_recomputed"),
         )
     )

@@ -207,6 +207,7 @@ register_pack(
         Member("substring_winnow_recall", ()),
         Member("dedup_image_phash", ("doc_a", "doc_b")),
         Member("dedup_audio_fingerprint", ("doc_a", "doc_b")),
+        Member("dedup_video_phash", ("doc_a", "doc_b")),
         Member("dedup_allpairs_jaccard", ("doc_a", "doc_b")),
         Member("dedup_allpairs_prefix_stats", ()),
         Member("corpus_leakage_safe_split", ("split",)),
@@ -218,7 +219,9 @@ register_pack(
     "batch-vs-index dedup, the streaming incremental near-dup batch twin "
     "(r7), the stream-STREAM cross near-dup twin (r9 — the dedup temporal "
     "matrix's last cell), perceptual-hash image near-dup with planted "
-    "resized duplicates (r12 — the pixel cell of the matrix), and the "
+    "resized duplicates (r12 — the pixel cell of the matrix), frame-vote "
+    "video near-dup with planted rescaled + frame-shifted clips (r13 — "
+    "the video cell), and the "
     "cluster-granular leakage-safe train/val/test split — every value of "
     "each member in one driver hash row.",
     tags=("llm", "dedup", "pack"),
@@ -384,6 +387,7 @@ register_pack(
         Member("events_asof_cogrouped", ("event_id",)),
         Member("events_props_json", ("event_type",)),
         Member("events_attribution_outer", ("purchase_id",)),
+        Member("events_attribution_full", ("purchase_id", "click_id")),
         Member("events_kmv_distinct_sketch", ("shard", "pos")),
         Member("pivot_order_priority", ("order_year",)),
         Member("lineitem_percentiles", ("l_returnflag",)),

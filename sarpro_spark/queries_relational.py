@@ -2707,6 +2707,42 @@ def q_events_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- FULL OUTER stream-stream attribution (r13) ----------------------------------
+
+_ATTRIBUTION_FULL_SQL = """
+SELECT COALESCE(p.user_id, c.user_id) AS user_id, p.event_id AS purchase_id,
+       CAST(EPOCH_US(p.ts) AS BIGINT) AS purchase_ts_us,
+       p.value AS purchase_value, c.event_id AS click_id,
+       CAST(EPOCH_US(c.ts) AS BIGINT) AS click_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+""".strip()
+
+
+@query("events_attribution_full", sql=_ATTRIBUTION_FULL_SQL, tags=("relational", "events", "streaming"))
+def q_events_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join surface (streaming/joins.py
+    attribution_join_full, r13) run in batch mode: the symmetric completion
+    of the join matrix — unattributed purchases AND orphan clicks both
+    null-extend. In streaming either side's null row may only emit once the
+    global watermark proves no partner can arrive; tests/test_streaming.py
+    drains the two sides with CROSSED arrival orders and asserts row-for-row
+    equality with this batch twin."""
+    from sarpro_spark.streaming.joins import attribution_join_full
+
+    e = frames.load_table(spark, sf_dir, "events")
+    out = attribution_join_full(e)
+    return out.select(
+        "user_id", "purchase_id",
+        (F.unix_micros(F.col("purchase_ts"))).alias("purchase_ts_us"),
+        "purchase_value", "click_id",
+        (F.unix_micros(F.col("click_ts"))).alias("click_ts_us"),
+    )
+
+
 # --- streaming KMV sketch: batch twin (r12) --------------------------------------
 
 _KMV_STREAM_TWIN_SQL = """

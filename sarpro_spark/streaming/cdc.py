@@ -211,6 +211,64 @@ def latest_scd2(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return spark.read.parquet(posixpath.join(out_dir, f"v={vs[-1]}"))
 
 
+def vacuum_versions(
+    spark: SparkSession,
+    out_dir: str,
+    keep_latest: int = 2,
+    pin: tuple[int, ...] = (),
+    keep_every: int | None = None,
+) -> dict:
+    """Retention over the epoch-versioned store (r13, verdict item 6):
+    delete committed version dirs except the newest ``keep_latest``, any
+    version in ``pin``, and (optionally) every ``keep_every``-th version —
+    the store otherwise grows one full snapshot per epoch forever.
+
+    Returns {"kept": [...], "deleted": [...]} (committed versions only).
+
+    Safety under concurrent maintenance, by construction:
+      * the newest committed version is ALWAYS kept (``keep_latest`` is
+        clamped to >= 1), so the maintainer's next epoch — and a replay of
+        the last in-flight epoch, the only epoch Structured Streaming can
+        redeliver — still resolves its parent correctly;
+      * torn dirs (no _SUCCESS) at or above the newest committed version
+        are left alone: they belong to an in-flight epoch that will
+        overwrite them; torn dirs strictly below it are crash garbage no
+        replay can ever reference again and are removed;
+      * time travel stays correct under its documented non-contiguous
+        contract: snapshot_as_of(v) resolves to the newest SURVIVING
+        version <= v, and changes_between / the diff-apply round-trip law
+        hold between any two surviving versions (asserted in tests across
+        a vacuum).
+
+    Deletion goes through the Hadoop FileSystem API (same reason as
+    _committed_versions: the store can be hdfs:// or s3a://).
+    """
+    keep_latest = max(1, int(keep_latest))
+    committed = _committed_versions(spark, out_dir)
+    keep = set(committed[-keep_latest:]) | (set(pin) & set(committed))
+    if keep_every:
+        keep |= {v for v in committed if v % keep_every == 0}
+    delete = [v for v in committed if v not in keep]
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for v in delete:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(out_dir, f"v={v}"), True)
+    # torn (uncommitted) dirs strictly below the newest committed version
+    # are crash garbage — sweep them too; newer torn dirs are in-flight
+    newest = committed[-1] if committed else None
+    if newest is not None and fs.exists(root):
+        for st in fs.listStatus(root):
+            m = re.fullmatch(r"v=(\d+)", st.getPath().getName())
+            if not (m and st.isDirectory()):
+                continue
+            v = int(m.group(1))
+            if v < newest and v not in keep and v not in delete:
+                fs.delete(st.getPath(), True)
+    return {"kept": sorted(keep), "deleted": delete}
+
+
 # --- time travel over the version store (r12) -----------------------------------
 
 

@@ -22,6 +22,17 @@ def test_broadcast_gate_clean_on_real_tree():
     assert ea.audit_broadcast_sites() == []
 
 
+def test_every_registered_query_has_plan_spec():
+    """r13 (verdict item 9): the r12 ratchet made 'every registered query
+    carries a dedicated plan-shape assertion' an invariant — enforce it so
+    a new registration can't drift in spec-less (main() only prints 'no
+    audit spec' and keeps rc=0 for unlisted names)."""
+    from sarpro_spark.queries import spark_queries
+
+    missing = sorted(n for n in spark_queries() if ea.AUDITS.get(n) is None)
+    assert missing == [], f"registered queries without a plan spec: {missing}"
+
+
 def test_broadcast_gate_rejects_sf_scaling_names(monkeypatch):
     # an allowlist review naming an SF-scaling relation is invalid even if
     # the grain claims 'constant' — the r5 failure mode

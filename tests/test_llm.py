@@ -1606,6 +1606,45 @@ def test_phash_neardup_pairs_finds_planted(spark):
             assert r["ph_dist"] == 0 and r["dh_dist"] == 0
 
 
+# --- video frame-vote near-dup (llm/videohash.py, r13) ---------------------------
+
+
+def test_video_neardup_finds_planted_rescaled_and_shifted(spark):
+    """The VIDEO cell of the dedup matrix: planted 2x-rescaled clips match
+    on ALL frames (NN-upscale pHash invariance, distance 0); planted
+    1-frame-shifted clips match on N-1 of N frames per side (content-keyed
+    voting, not index alignment); nothing else clears the vote."""
+    from sarpro_spark.llm import videohash as vh
+
+    ids = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    fh = vh.video_frame_hashes(vh.attach_video_payload_dups(ids))
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in vh.video_neardup_pairs(fh).collect()}
+    expect = {(a, a + 10) for a in range(0, 120, 20)}
+    assert set(pairs) == expect
+    for (a, b), r in pairs.items():
+        n = vh.CLIP_FRAMES
+        want = n if b % 40 == 10 else n - 1  # rescaled: all; shifted: all but 1
+        assert (r["matched_a"], r["matched_b"]) == (want, want)
+        assert (r["n_frames_a"], r["n_frames_b"]) == (n, n)
+
+
+def test_video_split_concat_png_roundtrip():
+    """Marker-scan frame splitting recovers exactly the encoded frames."""
+    import numpy as np
+
+    from sarpro_spark.llm.multimodal import formula_image, safe_decode_image
+    from sarpro_spark.llm.videohash import split_concat_png
+    from sarpro_spark.sinks.png import encode_png
+
+    frames = [formula_image(7, 12, 9, 3, frame=f) for f in range(4)]
+    blob = b"".join(encode_png(f) for f in frames)
+    parts = split_concat_png(blob)
+    assert len(parts) == 4
+    for orig, part in zip(frames, parts):
+        img, ok = safe_decode_image(part)
+        assert ok and np.array_equal(np.asarray(img), orig)
+
+
 # --- winnow-anchored ExactSubstr (llm/substring_winnow.py, r12) ------------------
 
 
@@ -1643,6 +1682,36 @@ def test_winnowed_substring_anchor_reduction(spark):
     # expected density 2/(w+1) = 2/17 ~ 0.118; allow generous headroom
     assert n_anchors < 0.25 * total_chars
     assert n_anchors > 0.02 * total_chars
+
+
+def test_winnowed_substring_long_doc_regression(spark):
+    """r12 verdict defect 1: docs >= 2^20 chars were silently excluded from
+    the winnowed path (POS_ENC was 2^20).  Two book-length (>1M-char) docs
+    share a planted 200-char span; with POS_ENC widened to 2^32 the span
+    must surface, and the hashed excluded_docs counter must read 0."""
+    from sarpro_spark.llm import substring_winnow as sw
+
+    span = ("shared duplicated sentence that both long documents contain "
+            "verbatim and that substring dedup must recover exactly once. "
+            "it is long enough to clear the min_len forty threshold with a "
+            "very comfortable margin indeed!!")[:200]
+    assert len(span) == 200
+    n_blocks = 135_000  # 8 chars/block -> 1.08M chars, past the old 2^20 bound
+    fill_a = "".join(f"A{i:07d}" for i in range(n_blocks))
+    fill_b = "".join(f"B{i:07d}" for i in range(n_blocks))
+    text_a = fill_a[: len(fill_a) // 2] + span + fill_a[len(fill_a) // 2:]
+    text_b = fill_b[: len(fill_b) // 3] + span + fill_b[len(fill_b) // 3:]
+    assert min(len(text_a), len(text_b)) > (1 << 20)
+    df = spark.createDataFrame([(0, text_a), (1, text_b)], "doc_id long, text string")
+    assert sw.excluded_long_docs(df).collect()[0]["excluded_docs"] == 0
+    spans = sw.exact_substring_spans_winnowed(df, min_len=40).collect()
+    assert len(spans) == 1
+    r = spans[0]
+    # maximal run may extend a couple chars where filler digits coincide
+    assert (r["doc_a"], r["doc_b"]) == (0, 1) and 200 <= r["span_len"] <= 210
+    run_a = text_a[r["start_a"] - 1 : r["start_a"] - 1 + r["span_len"]]
+    run_b = text_b[r["start_b"] - 1 : r["start_b"] - 1 + r["span_len"]]
+    assert run_a == run_b and span in run_a
 
 
 # --- product quantization ANN (llm/similarity.py, r12) ---------------------------
@@ -1768,8 +1837,43 @@ def test_allpairs_prefix_prunes(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     r = allpairs_prefix_stats(df, threshold=Fraction(4, 5)).collect()[0]
     assert r["n_prefix"] < 0.35 * r["n_tok"]
-    assert r["n_candidates"] < 40 * 39 / 2
+    assert r["n_candidates"] <= r["n_cand_prefix_only"] < 40 * 39 / 2
     assert r["n_pairs"] == 0
+
+
+def test_ppjoin_positional_filter_prunes_low_vocab(spark):
+    """r13 (verdict item 2): on a LOW-VOCABULARY dictionary corpus (the
+    raw documents table's shape — every pair heavily co-shingled) the r12
+    prefix-only candidate set was near-quadratic; the accumulation-form
+    positional filter must cut it >= 5x while the planted duplicate — the
+    one true pair — survives (losslessness is separately proven by the
+    brute-force-oracle equality of test_allpairs_equals_brute_force)."""
+    import hashlib
+    from fractions import Fraction
+
+    from sarpro_spark.llm.setjoin import allpairs_jaccard_pairs, allpairs_prefix_stats
+
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+             "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+             "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+             "victor", "whiskey", "xray", "yankee", "zulu", "red", "green",
+             "blue", "amber", "teal"]
+
+    def words(i, n=40):
+        return " ".join(
+            vocab[int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:8], 16) % 31]
+            for j in range(n)
+        )
+
+    rows = [(i, words(i)) for i in range(80)]
+    rows.append((80, words(7)))  # planted exact duplicate of doc 7
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = allpairs_prefix_stats(df, threshold=Fraction(4, 5)).collect()[0]
+    assert r["n_cand_prefix_only"] >= 5 * r["n_candidates"]
+    assert r["n_pairs"] == 1
+    got = {(p["doc_a"], p["doc_b"])
+           for p in allpairs_jaccard_pairs(df, threshold=Fraction(4, 5)).collect()}
+    assert got == {(7, 80)}
 
 
 def test_allpairs_threshold_is_exact_boundary(spark):

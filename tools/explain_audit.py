@@ -1376,6 +1376,12 @@ AUDITS: dict[str, dict] = {
         "require": ['Join'],
         "forbid": ['CartesianProduct', 'BroadcastNestedLoopJoin', 'BatchEvalPython', 'ArrowEvalPython'],
     },
+    # r13: FULL OUTER stream-stream twin — same range-equi-join shape, both
+    # null-extension directions
+    "events_attribution_full": {
+        "require": ['Join'],
+        "forbid": ['CartesianProduct', 'BroadcastNestedLoopJoin', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
     # r12: entity resolution — components on the pair-connected subgraph only
     # (the expensive fuzzy pair lineage is checkpoint-truncated, so no Window
     # appears in the resolved plan), survivorship = keyed aggregates
@@ -1420,6 +1426,12 @@ AUDITS: dict[str, dict] = {
     },
     # r12: decode+fingerprint is ONE MapInPandas pass; band join + popcount verify JVM-side
     "dedup_audio_fingerprint": {
+        "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate', 'MapInPandas'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r13: split+decode+per-frame pHash is ONE MapInPandas pass; frame-band join,
+    # distinct, and the vote aggregate are JVM-side
+    "dedup_video_phash": {
         "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate', 'MapInPandas'],
         "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
     },
@@ -1647,6 +1659,9 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ("llm/tfidf.py", "total"): ("constant", "1-row corpus count"),
     ("llm/tfidf.py", "vocab_idx"): ("bounded-batch", "dense path only: vocab <= DENSE_VOCAB_MAX"),
     ("llm/tfidf.py", "reps"): ("constant", "G replication ids"),
+    ("queries_llm.py", "excl"): (
+        "constant", "1-row excluded-long-docs count (winnow POS_ENC guard, r13)",
+    ),
     ("queries_llm.py", "cost"): ("constant", "1-row candidate-count aggregate"),
     ("queries_llm.py", "cr"): ("constant", "count-min row of W counters"),
     ("queries_llm.py", "straddle"): ("constant", "1-row straddling-pair count"),
