@@ -156,14 +156,21 @@ HEADLINE = [
     "events_attribution_full",
     "similarity_topk_ivfpq",
     "dedup_allpairs_prefix_stats",
+    # round-13 second wave: DSIR importance resampling (integer-exact
+    # hashed-ngram log-weights + Gumbel-top-k), IVF-gated late-interaction
+    # MaxSim rerank, densest-subgraph parallel peel
+    "dsir_resample_en",
+    "similarity_topk_maxsim",
+    "suppart_densest",
 ]
 
 #: r13 (verdict item 10): job-floor-bound lines — their wall-clock at sf0.1
 #: is dominated by Spark's fixed per-job scheduling floor (suppart_kcore runs
 #: 18 tiny peel-round jobs; datum_roundtrip_pack is a deliberate 9-family
-#: union), so SOAK vs_linear — not wall — is their watched metric. Tagged in
-#: BENCH_FULL so cross-round NOTES key on the tag instead of re-explaining.
-FLOOR_BOUND = {"suppart_kcore", "datum_roundtrip_pack"}
+#: union; suppart_densest runs 12 peel rounds x 3 jobs each), so SOAK
+#: vs_linear — not wall — is their watched metric. Tagged in BENCH_FULL so
+#: cross-round NOTES key on the tag instead of re-explaining.
+FLOOR_BOUND = {"suppart_kcore", "datum_roundtrip_pack", "suppart_densest"}
 
 
 def tree_cpu_sec() -> float:

@@ -1,0 +1,177 @@
+"""Late-interaction (MaxSim) retrieval — the ColBERT scoring family (r13).
+
+Khattab & Zaharia 2020 (SIGIR, "ColBERT: Efficient and Effective Passage
+Search via Contextualized Late Interaction", public paper): a document is
+a BAG of token vectors, a query is a bag of token vectors, and the score
+is the sum over query tokens of the maximum cosine against any document
+token — fine-grained term matching that single-vector cosine collapses
+away.  Production systems retrieve candidates with a single-vector ANN
+index and RERANK the shortlist with MaxSim; this module implements
+exactly that composition on the certified IVF machinery.
+
+Multi-vector derivation: the synthetic corpus carries one 64-d vector per
+row, so token vectors are the T=4 contiguous 16-d slices — a documented
+stand-in that keeps every downstream shape (slice-wise cosines, max/sum
+interaction, candidate gating) identical to a real per-token matrix; a
+production corpus swaps the slicer for its token-embedding column.
+
+Determinism: every slice-pair cosine is fround'd and null-guarded to a
+-2.0 sentinel (below any real cosine) BEFORE max/sum, and the final score
+is a fixed-shape expression tree — no float aggregates anywhere, so both
+engines compute bit-identical doubles.
+
+Scale shape (100 TB): candidates come from the probed IVF lists (corpus /
+n_centroids * nprobe rows per query); the T*T cosine block is one
+whole-stage-codegen projection over candidate pairs; the rank window is
+per-query WindowGroupLimit.  No full-corpus interaction anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: token vectors per document (slices of the 64-d corpus vector)
+MAXSIM_T = 4
+
+
+def _slice_cos(
+    qvec: Column, dvec: Column, i: int, j: int, sub: int, round_digits: int
+) -> Column:
+    """fround'd cosine of query slice i against doc slice j, null-guarded
+    to the -2.0 sentinel (ordered below every real cosine)."""
+    from sarpro_spark.llm.similarity import _dot, _norm
+    from sarpro_spark.queries import fround
+
+    qs = F.slice(qvec.cast("array<double>"), i * sub + 1, sub)
+    ds = F.slice(dvec.cast("array<double>"), j * sub + 1, sub)
+    denom = _norm(qs) * _norm(ds)
+    return F.coalesce(
+        fround(F.when(denom > 0, _dot(qs, ds) / denom), round_digits),
+        F.lit(-2.0),
+    )
+
+
+def maxsim_expr(
+    qvec: Column,
+    dvec: Column,
+    t: int = MAXSIM_T,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> Column:
+    """The MaxSim score: sum over query slices of the max slice cosine —
+    one fixed expression tree (t*t fround'd cosines, greatest, +), fully
+    inside whole-stage codegen."""
+    sub = dim // t
+    terms = [
+        F.greatest(
+            *[_slice_cos(qvec, dvec, i, j, sub, round_digits) for j in range(t)]
+        )
+        for i in range(t)
+    ]
+    out = terms[0]
+    for term in terms[1:]:
+        out = out + term
+    return out
+
+
+def maxsim_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    t: int = MAXSIM_T,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-gated MaxSim top-k: (query_id, vec_id, maxsim, rnk).
+
+    Candidates are the probed inverted lists of the single-vector coarse
+    quantizer (the same certified probe as the IVF/IVF-PQ rungs); the
+    late-interaction score only ever touches candidate pairs."""
+    from sarpro_spark.functions.partitioning import widen_if_narrow
+    from sarpro_spark.llm.similarity import cosine_expr, ivf_assign, ivf_centroids
+    from sarpro_spark.queries import fround
+
+    centroids = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    emb = widen_if_narrow(emb, id_col)
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    qsim = queries.join(F.broadcast(centroids)).select(
+        F.col(qid_col),
+        F.col("centroid_id"),
+        fround(cosine_expr(F.col(qvec_col), F.col("cvec")), round_digits).alias(
+            "sim"
+        ),
+    )
+    wq = Window.partitionBy(qid_col).orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    probed = (
+        qsim.withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= nprobe)
+        .select(qid_col, "centroid_id")
+    )
+    cand = probed.join(assign, "centroid_id").select(qid_col, id_col).distinct()
+    qv = queries.select(F.col(qid_col), F.col(qvec_col))
+    scored = (
+        cand.join(emb.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(F.broadcast(qv), qid_col)
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            fround(
+                maxsim_expr(F.col(qvec_col), F.col(vec_col), t, dim, round_digits),
+                round_digits,
+            ).alias("maxsim"),
+        )
+    )
+    wf = Window.partitionBy(qid_col).orderBy(F.col("maxsim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wf))
+        .where(F.col("rnk") <= k)
+        .select(qid_col, id_col, "maxsim", "rnk")
+    )
+
+
+# --- DuckDB twin ---------------------------------------------------------------
+
+
+def sql_maxsim_expr(
+    qvec: str, dvec: str, t: int = MAXSIM_T, dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`maxsim_expr` — the same fixed tree of
+    fround'd, -2.0-guarded slice cosines (1-based list indexing)."""
+    from sarpro_spark.queries import sql_fround
+
+    sub = dim // t
+
+    def dot(a: str, ao: int, b: str, bo: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"t_ -> CAST({a}[{ao} + t_] AS DOUBLE) * CAST({b}[{bo} + t_] AS DOUBLE)))"
+        )
+
+    def nrm(a: str, ao: int) -> str:
+        return (
+            f"SQRT(list_sum(list_transform(range(1, {sub + 1}), "
+            f"t_ -> CAST({a}[{ao} + t_] AS DOUBLE) * CAST({a}[{ao} + t_] AS DOUBLE))))"
+        )
+
+    terms = []
+    for i in range(t):
+        cells = []
+        for j in range(t):
+            qo, do = i * sub, j * sub
+            denom = f"({nrm(qvec, qo)} * {nrm(dvec, do)})"
+            cos = sql_fround(
+                f"CASE WHEN {denom} > 0 THEN ({dot(qvec, qo, dvec, do)}) / {denom} END"
+            )
+            cells.append(f"COALESCE({cos}, -2.0)")
+        terms.append("GREATEST(" + ", ".join(cells) + ")")
+    return "(" + " + ".join(terms) + ")"

@@ -1650,24 +1650,39 @@ def pq_assign_codes(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, subspace, code) — each vector's nearest codebook entry per
-    subspace, via the SAME fround'd-cosine + id-tiebreak assignment as
-    ivf_assign (the certified twin semantics), one subspace at a time."""
+    subspace, via the SAME fround'd-cosine + id-tiebreak arithmetic as
+    ivf_assign (the certified twin semantics), all m subspaces in ONE pass:
+    posexplode the m slices, broadcast-join the codebook table on subspace,
+    one window over (id, subspace).  The r12 per-subspace-leg Union form
+    read the corpus m times and — worse — let Spark 4.1 (AQE off) propagate
+    the legs' shared HashPartitioning through the Union and elide the
+    exchange under a downstream join on ``id_col``, zipping 32-vs-128
+    partition lists at runtime; one exploded scan has no Union to lie
+    about and is the plan you want at scale anyway (m small rows per
+    vector moving once)."""
+    from sarpro_spark.queries import fround
+
     sub = dim // m
-    parts = []
-    for j in range(m):
-        proj = emb.select(
-            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
-        )
-        cents = codebooks.where(F.col("subspace") == j).select("centroid_id", "cvec")
-        parts.append(
-            ivf_assign(proj, cents, id_col, vec_col).select(
-                F.col(id_col), F.lit(j).alias("subspace"), F.col("centroid_id").alias("code")
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    slices = emb.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice(F.col(vec_col), j * sub + 1, sub) for j in range(m)])
+        ).alias("subspace", "_sub_vec"),
+    )
+    scored = slices.join(F.broadcast(codebooks), "subspace").select(
+        F.col(id_col),
+        F.col("subspace"),
+        F.col("centroid_id"),
+        fround(cosine_expr(F.col("_sub_vec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(F.col(id_col), F.col("subspace"), F.col("centroid_id").alias("code"))
+    )
 
 
 def cosine_topk_pq(
@@ -1759,6 +1774,196 @@ def cosine_topk_pq(
         rescored.withColumn("rnk", F.row_number().over(wf))
         .where(F.col("rnk") <= k)
         .select(qid_col, id_col, "adc_sim", "sim", "rnk")
+    )
+
+
+def cosine_topk_ivfpq(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    shortlist_mult: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ combined ANN (r13, verdict item 7) — the standard
+    coarse-quantizer + ADC layout (Jegou et al. 2011 IVFADC, flat-code
+    variant): the corpus partitions into inverted lists by nearest sampled
+    centroid, vectors carry m 4-bit PQ codes, a query probes its nprobe
+    nearest lists and ADC-scores ONLY those lists' codes, and the exact
+    float cosine reranks a k*mult shortlist.  Per-query scan work is
+    corpus/n_centroids * nprobe * m small-int rows — the cells-and-codes
+    economics every production ANN service runs at 100 TB.
+
+    Output (query_id, vec_id, adc_sim, sim, rnk) keeps the ADC score next
+    to the exact one, same doctrine as the PQ and 1-bit rungs."""
+    from sarpro_spark.functions.partitioning import widen_if_narrow
+    from sarpro_spark.llm.cluster import _checkpointer
+    from sarpro_spark.queries import fround
+
+    sub = dim // m
+    ckpt = _checkpointer(emb)
+    centroids = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    books = ckpt(pq_codebooks(emb, m, ksub, 2, dim, id_col, vec_col))
+    emb = widen_if_narrow(emb, id_col)
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    codes = pq_assign_codes(emb, books, m, dim, id_col, vec_col)
+
+    # probe: each query's nprobe nearest lists (same scoring as ivf_assign)
+    qsim = queries.join(F.broadcast(centroids)).select(
+        F.col(qid_col),
+        F.col("centroid_id"),
+        fround(cosine_expr(F.col(qvec_col), F.col("cvec")), round_digits).alias("sim"),
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    probed = (
+        qsim.withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= nprobe)
+        .select(qid_col, "centroid_id")
+    )
+    cand = probed.join(assign, "centroid_id").select(qid_col, id_col).distinct()
+
+    # ADC over the probed lists only: the LUT is (query x m*ksub) bounded,
+    # broadcast; the scan side is candidate codes, never the full corpus
+    qsub = F.slice(F.col(qvec_col), F.col("subspace") * sub + 1, F.lit(sub))
+    lut = (
+        queries.join(F.broadcast(books))
+        .select(
+            F.col(qid_col),
+            "subspace",
+            F.col("centroid_id").alias("code"),
+            _dot(qsub, F.col("cvec")).alias("_qdot"),
+            _dot(F.col("cvec"), F.col("cvec")).alias("_cn2"),
+        )
+    )
+    qn = queries.select(F.col(qid_col), _norm(F.col(qvec_col)).alias("_qnorm"))
+    adc = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(lut), [qid_col, "subspace", "code"])
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("_qdot").alias("_dot"), F.sum("_cn2").alias("_cn2"))
+        .join(F.broadcast(qn), qid_col)
+        .where((F.col("_cn2") > 0) & (F.col("_qnorm") > 0))
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            fround(F.col("_dot") / (F.sqrt("_cn2") * F.col("_qnorm")), round_digits).alias("adc_sim"),
+        )
+    )
+    wsh = Window.partitionBy(qid_col).orderBy(F.col("adc_sim").desc(), F.col(id_col))
+    short = adc.withColumn("_arnk", F.row_number().over(wsh)).where(
+        F.col("_arnk") <= k * shortlist_mult
+    )
+    qv = queries.select(F.col(qid_col), F.col(qvec_col))
+    rescored = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(short), id_col)
+        .join(F.broadcast(qv), qid_col)
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.col("adc_sim"),
+            fround(
+                cosine_expr(
+                    F.col(vec_col).cast("array<double>"), F.col(qvec_col).cast("array<double>")
+                ),
+                round_digits,
+            ).alias("sim"),
+        )
+        .where(F.col("sim").isNotNull())
+    )
+    wf = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(wf))
+        .where(F.col("rnk") <= k)
+        .select(qid_col, id_col, "adc_sim", "sim", "rnk")
+    )
+
+
+def ivfpq_recall_sweep(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    mults: tuple[int, ...] = (1, 2, 4),
+    n_centroids: int = 16,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Recall frontier over the nprobe x shortlist-multiplier grid:
+    (query_id, nprobe, mult, hits, recall, monotone_ok).  Within a fixed
+    nprobe the shortlist is a prefix relation, so hits is PROVABLY
+    non-decreasing in mult — monotone_ok pins that per row (the same
+    hashed-monotonicity doctrine as the PQ/1-bit sweeps).  Across nprobe
+    the recall VALUES are hashed as observed data: a bigger candidate
+    pool is not a superset of the ADC shortlist, so cross-probe
+    monotonicity is expected, not structural — the frontier shows it
+    rather than asserting it.  One ADC scan + one rescoring pass (the
+    largest shortlist) serves every multiplier of each nprobe leg."""
+    from sarpro_spark.llm.cluster import _checkpointer
+    from sarpro_spark.queries import fround
+
+    mmax = max(mults)
+    ckpt = _checkpointer(emb)
+    truth = ckpt(
+        cosine_topk(emb, queries, k, id_col, vec_col, qid_col, qvec_col, round_digits)
+        .select(qid_col, F.col(id_col).alias("_tid"))
+    )
+    legs = []
+    for np_ in nprobes:
+        ranked = cosine_topk_ivfpq(
+            emb, queries, k * mmax, n_centroids, np_, 1, m, ksub, dim,
+            id_col, vec_col, qid_col, qvec_col, round_digits,
+        )
+        ranked = ckpt(
+            ranked.select(
+                F.col(qid_col), F.col(id_col), F.col("sim"),
+                F.row_number()
+                .over(Window.partitionBy(qid_col).orderBy(F.col("adc_sim").desc(), F.col(id_col)))
+                .alias("_arnk"),
+            )
+        )
+        for mm in mults:
+            wf = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
+            top = (
+                ranked.where(F.col("_arnk") <= k * mm)
+                .withColumn("_rnk", F.row_number().over(wf))
+                .where(F.col("_rnk") <= k)
+                .select(qid_col, id_col)
+            )
+            hit = truth.join(
+                top.withColumn("_h", F.lit(1)),
+                (truth[qid_col] == top[qid_col]) & (F.col("_tid") == top[id_col]),
+                "left",
+            ).groupBy(truth[qid_col].alias(qid_col)).agg(
+                F.sum(F.coalesce(F.col("_h"), F.lit(0))).cast("long").alias("hits")
+            )
+            legs.append(
+                hit.withColumn("nprobe", F.lit(np_)).withColumn("mult", F.lit(mm))
+            )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    wm = Window.partitionBy(qid_col, "nprobe").orderBy("mult")
+    return out.select(
+        qid_col, "nprobe", "mult", "hits",
+        fround(F.col("hits") / float(k), round_digits).alias("recall"),
+        (
+            F.col("hits") >= F.coalesce(F.lag("hits").over(wm), F.col("hits"))
+        ).alias("monotone_ok"),
     )
 
 
@@ -1877,9 +2082,14 @@ def sql_pq_ctes(
     return ",\n".join(parts)
 
 
-def _sql_pq_adc(query_sel: str, m: int, dim: int, id_col: str) -> str:
+def _sql_pq_adc(
+    query_sel: str, m: int, dim: int, id_col: str, cand_rel: str | None = None
+) -> str:
     """CTEs ``pqlut``/``pqadcq`` (expects ``queries``/``pqbooks``/``pqcodes``):
-    the per-query ADC table and the summed PQ-reconstructed cosine."""
+    the per-query ADC table and the summed PQ-reconstructed cosine.
+    ``cand_rel`` (r13, the IVF-PQ rung): a (query_id, id) relation that
+    restricts the ADC scan to probed-list candidates instead of the full
+    corpus — the twin of the candidate semi-join on the Spark side."""
     from sarpro_spark.queries import sql_fround
 
     sub = dim // m
@@ -1890,6 +2100,16 @@ def _sql_pq_adc(query_sel: str, m: int, dim: int, id_col: str) -> str:
     )
     cn2 = "list_sum(list_transform(b.cvec, x -> CAST(x AS DOUBLE) * x))"
     qn = "SQRT(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * x)))"
+    if cand_rel is None:
+        scan = f"""SELECT l.query_id, c.{id_col}, SUM(l.qdot) AS adc_dot, SUM(l.cn2) AS cn2
+    FROM pqcodes c JOIN pqlut l ON l.subspace = c.subspace AND l.code = c.code
+    GROUP BY 1, 2"""
+    else:
+        scan = f"""SELECT l.query_id, c.{id_col}, SUM(l.qdot) AS adc_dot, SUM(l.cn2) AS cn2
+    FROM {cand_rel} cd
+    JOIN pqcodes c ON c.{id_col} = cd.{id_col}
+    JOIN pqlut l ON l.query_id = cd.query_id AND l.subspace = c.subspace AND l.code = c.code
+    GROUP BY 1, 2"""
     return f"""pqlut AS (
   SELECT q.query_id, b.subspace, b.centroid_id AS code,
          {qdot} AS qdot, {cn2} AS cn2
@@ -1900,9 +2120,7 @@ pqadcq AS (
   SELECT a.query_id, a.{id_col},
          {sql_fround('a.adc_dot / (SQRT(a.cn2) * n.qnorm)')} AS adc_sim
   FROM (
-    SELECT l.query_id, c.{id_col}, SUM(l.qdot) AS adc_dot, SUM(l.cn2) AS cn2
-    FROM pqcodes c JOIN pqlut l ON l.subspace = c.subspace AND l.code = c.code
-    GROUP BY 1, 2
+    {scan}
   ) a JOIN pqqn n USING (query_id)
   WHERE a.cn2 > 0 AND n.qnorm > 0
 )"""

@@ -1417,6 +1417,90 @@ def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars", "wkey", "rnk")
 
 
+# --- DSIR importance resampling (r13) -----------------------------------------
+
+_DSIR_K = 60
+_DSIR_TARGET = "lang = 'en'"
+
+
+def _dsir_resample_sql() -> str:
+    from sarpro_spark.llm.dsir import sql_dsir_resample
+
+    return sql_dsir_resample("documents", _DSIR_TARGET, _DSIR_K)
+
+
+@query("dsir_resample_en", sql=_dsir_resample_sql(), tags=("llm", "sampling"))
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR pretraining-data selection (llm/dsir.py, r13 — Xie et al. 2023):
+    score every document by the log-likelihood ratio of its hashed
+    unigram+bigram bag under the English-target vs raw bag-of-ngrams LMs,
+    then Gumbel-top-k resample proportional to the importance weight.
+    The per-bucket ratio is nano-unit INTEGER data and the per-doc weight
+    an exact integer dot product (no float association order in the hot
+    sum); the 2048-row model broadcasts; the sample is one rank window.
+    logw, the perturbed key, and the ranks are all inside the hash."""
+    from sarpro_spark.llm.dsir import dsir_resample
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return dsir_resample(d, F.col("lang") == "en", _DSIR_K)
+
+
+def _dsir_by_lang_sql() -> str:
+    from sarpro_spark.llm.dsir import sql_dsir_ctes
+
+    logw = sql_fround("CAST(SUM(w.logw_nano) AS DOUBLE) / 1e9 / COUNT(*)")
+    return f"""
+WITH {sql_dsir_ctes('documents', _DSIR_TARGET)},
+bylang AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, {logw} AS mean_logw
+  FROM ds_logw w JOIN documents d USING (doc_id)
+  GROUP BY d.lang
+)
+SELECT lang, n_docs, mean_logw,
+       (lang = (SELECT lang FROM bylang ORDER BY mean_logw DESC, lang LIMIT 1)) AS is_top
+FROM bylang
+""".strip()
+
+
+@query("dsir_logweight_by_lang", sql=_dsir_by_lang_sql(), tags=("llm", "sampling", "quality"))
+def q_dsir_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR semantic certificate: per-language mean importance
+    log-weight under the English target.  English must surface as the
+    top-weighted language — ``is_top`` pins that AS DATA (the mean is an
+    exact integer sum over nano-unit weights divided once, so both
+    engines agree bit-for-bit).  The argmax is a keyless 1-row
+    ``min_by`` aggregate (negated-mean, lang tiebreak) broadcast back —
+    no global sort window over the lang relation."""
+    from sarpro_spark.llm.dsir import dsir_logweights
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    lw = dsir_logweights(d, F.col("lang") == "en")
+    by = (
+        lw.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("logw_nano").alias("_s"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            fround(F.col("_s").cast("double") / 1e9 / F.col("n_docs"), 6).alias(
+                "mean_logw"
+            ),
+        )
+    )
+    best = by.agg(
+        F.min_by(
+            "lang", F.struct((-F.col("mean_logw")).alias("a"), F.col("lang").alias("b"))
+        ).alias("_best")
+    )
+    return by.crossJoin(F.broadcast(best)).select(
+        "lang", "n_docs", "mean_logw",
+        (F.col("lang") == F.col("_best")).alias("is_top"),
+    )
+
+
 # --- distributed k-means (IVF centroid training) ------------------------------
 
 _KMEANS_K, _KMEANS_ITERS = 8, 2
@@ -1629,6 +1713,220 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational."""
     e = frames.load_table(spark, sf_dir, "embeddings")
     return sim.cosine_topk_pq(e, _spark_queries_frame(spark, sf_dir), k=10)
+
+
+def _ivf_cand_ctes(nprobe: int, kc: int, nq: int) -> str:
+    """CTE chain ``queries``/``ivassign``/``ivprobed``/``ivcand`` — centroid
+    scoring (the certified sql_cosine_ctes instantiation of the IVF rung),
+    inverted-list assignment, query probes, and the probed-list candidate
+    pairs.  Shared by the IVF-PQ and MaxSim twins."""
+    qsel = f"SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {nq}"
+    csel = f"SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {kc}"
+    return f"""queries AS ({qsel}),
+{sim.sql_cosine_ctes('embeddings', csel, prefix='c_')},
+ivassign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT cs.vec_id, cs.query_id AS centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY cs.vec_id ORDER BY cs.sim DESC, cs.query_id) AS rnk
+    FROM c_scored cs
+  ) WHERE rnk = 1
+),
+ivprobed AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT cs.vec_id AS query_id, cs.query_id AS centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY cs.vec_id ORDER BY cs.sim DESC, cs.query_id) AS rnk
+    FROM c_scored cs WHERE cs.vec_id < {nq}
+  ) WHERE rnk <= {nprobe}
+),
+ivcand AS (
+  SELECT DISTINCT p.query_id, a.vec_id FROM ivprobed p JOIN ivassign a USING (centroid_id)
+)"""
+
+
+def _ivfpq_core_ctes(nprobe: int, kc: int, nq: int) -> str:
+    """CTE chain for the IVF-PQ twin: the shared IVF candidate chain plus
+    PQ codebooks/codes and the candidate-restricted ADC (``pqadcq``)."""
+    qsel = f"SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {nq}"
+    return f"""{_ivf_cand_ctes(nprobe, kc, nq)},
+{sim.sql_pq_ctes('embeddings')},
+{sim._sql_pq_adc(qsel, sim.PQ_M, 64, 'vec_id', cand_rel='ivcand')}"""
+
+
+_IVFPQ_RESCORE = """
+ivshort AS (
+  SELECT * FROM (
+    SELECT query_id, vec_id, adc_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_sim DESC, vec_id) AS arnk
+    FROM pqadcq
+  ) h WHERE arnk <= {cap}
+),
+ivres AS (
+  SELECT s.query_id, s.vec_id, s.adc_sim, s.arnk,
+         {simexpr} AS sim
+  FROM (
+    SELECT sh.query_id, sh.vec_id, sh.adc_sim, sh.arnk, e.embedding AS v, q.qvec AS qv
+    FROM ivshort sh
+    JOIN embeddings e USING (vec_id)
+    JOIN queries q USING (query_id)
+  ) s
+  WHERE {nv} > 0 AND {nq} > 0
+)""".strip()
+
+
+def _ivfpq_rescore_ctes(cap: int) -> str:
+    from sarpro_spark.queries import sql_fround
+
+    dp = (
+        "list_sum(list_transform(range(1, len(s.v) + 1), "
+        "i -> CAST(s.v[i] AS DOUBLE) * CAST(s.qv[i] AS DOUBLE)))"
+    )
+    nv = "SQRT(list_sum(list_transform(s.v, x -> CAST(x AS DOUBLE) * x)))"
+    nq_ = "SQRT(list_sum(list_transform(s.qv, x -> CAST(x AS DOUBLE) * x)))"
+    return _IVFPQ_RESCORE.format(
+        cap=cap, simexpr=sql_fround(f"({dp}) / ({nv} * {nq_})"), nv=nv, nq=nq_
+    )
+
+
+def _topk_ivfpq_sql(nprobe: int = 2, kc: int = _IVF_K, nq: int = 5,
+                    k: int = 10, mult: int = 4) -> str:
+    return f"""
+WITH {_ivfpq_core_ctes(nprobe, kc, nq)},
+{_ivfpq_rescore_ctes(k * mult)}
+SELECT query_id, vec_id, adc_sim, sim, rnk FROM (
+  SELECT query_id, vec_id, adc_sim, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM ivres
+) r WHERE rnk <= {k}
+""".strip()
+
+
+def _ivfpq_recall_sql(k: int = 5, nprobes: tuple = (1, 2, 4), mults: tuple = (1, 2, 4),
+                      kc: int = _IVF_K, nq: int = 5) -> str:
+    from sarpro_spark.queries import sql_fround
+
+    mmax = max(mults)
+    qsel = f"SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {nq}"
+    truth = sim.sql_cosine_ctes("embeddings", qsel, prefix="tr_")
+    legs = []
+    for np_ in nprobes:
+        inner = f"""
+WITH {_ivfpq_core_ctes(np_, kc, nq)},
+{_ivfpq_rescore_ctes(k * mmax)}
+SELECT query_id, vec_id, arnk, sim FROM ivres
+""".strip()
+        for mm in mults:
+            legs.append(f"""
+  SELECT t.query_id, {np_} AS nprobe, {mm} AS mult,
+         CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM truth t LEFT JOIN (
+    SELECT query_id, vec_id FROM (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM ({inner}) z WHERE arnk <= {k * mm}
+    ) q WHERE rnk <= {k}
+  ) p ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+  GROUP BY t.query_id""".strip())
+    body = "\n  UNION ALL\n  ".join(legs)
+    return f"""
+WITH {truth},
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+    FROM tr_scored
+  ) r WHERE rnk <= {k}
+),
+perq AS (
+  {body}
+)
+SELECT query_id, nprobe, mult, hits,
+       {sql_fround(f"hits / {float(k)!r}")} AS recall,
+       (hits >= COALESCE(LAG(hits) OVER (PARTITION BY query_id, nprobe ORDER BY mult), hits)) AS monotone_ok
+FROM perq
+""".strip()
+
+
+_TOPK_IVFPQ_SQL = _topk_ivfpq_sql()
+
+
+@query("similarity_topk_ivfpq", sql=_TOPK_IVFPQ_SQL, tags=("llm", "similarity"))
+def q_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined ANN (r13, verdict item 7 — the ladder's production
+    top rung): coarse quantizer partitions the corpus into inverted lists,
+    PQ codes (4 subspaces x 16 centroids) ride inside the lists, a query
+    probes its nprobe=2 nearest lists, ADC-scores ONLY those lists' codes
+    via the broadcast lookup table, and the exact float cosine reranks a
+    k*4 shortlist — per-query work ~ corpus/n_centroids * nprobe * m
+    code rows, the cells-and-codes economics of a production ANN service.
+    adc_sim rides next to the exact sim in the hashed row; centroid
+    scoring, list assignment, probes, codebook training, codes, ADC
+    arithmetic, and both rank windows are all inside the certificate."""
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_ivfpq(
+        e, _spark_queries_frame(spark, sf_dir), k=10,
+        n_centroids=_IVF_K, nprobe=2,
+    )
+
+
+_RECALL_IVFPQ_SQL = _ivfpq_recall_sql()
+
+
+@query("ann_recall_ivfpq", sql=_RECALL_IVFPQ_SQL, tags=("llm", "similarity", "quality"))
+def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ recall frontier over the nprobe x shortlist grid (r13): per
+    query and nprobe in {1,2,4}, how many of the EXACT top-5 survive an
+    ADC shortlist of 5m (m = 1/2/4) + exact rerank. Within a fixed nprobe
+    the shortlist is a prefix relation so hits is PROVABLY non-decreasing
+    in m (monotone_ok pins it per row); across nprobe the frontier values
+    are hashed as observed data — a bigger candidate pool is not a
+    superset of the ADC shortlist, so cross-probe monotonicity is shown,
+    not asserted."""
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return sim.ivfpq_recall_sweep(
+        e, _spark_queries_frame(spark, sf_dir), k=5, n_centroids=_IVF_K,
+    )
+
+
+def _topk_maxsim_sql(nprobe: int = _IVF_NPROBE, kc: int = _IVF_K, nq: int = 5,
+                     k: int = 10) -> str:
+    from sarpro_spark.llm.lateinteraction import sql_maxsim_expr
+
+    ms = sql_fround(sql_maxsim_expr("q.qvec", "e.embedding"))
+    return f"""
+WITH {_ivf_cand_ctes(nprobe, kc, nq)},
+msc AS (
+  SELECT c.query_id, c.vec_id, {ms} AS maxsim
+  FROM ivcand c JOIN embeddings e USING (vec_id) JOIN queries q USING (query_id)
+)
+SELECT query_id, vec_id, maxsim, rnk FROM (
+  SELECT query_id, vec_id, maxsim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY maxsim DESC, vec_id) AS rnk
+  FROM msc
+) r WHERE rnk <= {k}
+""".strip()
+
+
+_TOPK_MAXSIM_SQL = _topk_maxsim_sql()
+
+
+@query("similarity_topk_maxsim", sql=_TOPK_MAXSIM_SQL, tags=("llm", "similarity"))
+def q_topk_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval (llm/lateinteraction.py, r13 —
+    the ColBERT scoring family, Khattab & Zaharia 2020): documents and
+    queries are bags of 4 x 16-d token slices and the score is the sum
+    over query slices of the max slice cosine — fine-grained term matching
+    that single-vector cosine collapses.  Production shape certified here:
+    candidates come from the probed IVF inverted lists (the same coarse
+    quantizer as the IVF/IVF-PQ rungs) and the t*t interaction block — a
+    fixed tree of fround'd, sentinel-guarded cosines, no float aggregates
+    anywhere — runs only on candidate pairs inside whole-stage codegen."""
+    from sarpro_spark.llm.lateinteraction import maxsim_topk_ivf
+
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return maxsim_topk_ivf(
+        e, _spark_queries_frame(spark, sf_dir), k=10,
+        n_centroids=_IVF_K, nprobe=_IVF_NPROBE,
+    )
 
 
 _RECALL_PQ_SQL = sim.sql_pq_recall_sweep("embeddings", _QUERY_SEL, k=5)

@@ -288,6 +288,8 @@ register_pack(
         Member("sample_stratified", ("lang",)),
         Member("sample_topk_per_stratum", ("doc_id",)),
         Member("sample_weighted_topk", ("doc_id",)),
+        Member("dsir_resample_en", ("doc_id",)),
+        Member("dsir_logweight_by_lang", ("lang",)),
         Member("corpus_pack_assignments", ("doc_id",)),
         Member("corpus_pack_sequences", ("bucket", "seq")),
         Member("corpus_chunk_windows", ("doc_id", "chunk_idx")),
@@ -299,8 +301,10 @@ register_pack(
     "exact-k-per-stratum seeded reservoir, concat-and-chunk sequence "
     "packing (per-doc + per-sequence legs), retrieval chunk windows, the "
     "domain mixture plan, and "
-    "per-source cardinality sketches (exact + HLL-bounded), and count-min "
-    "heavy hitters.",
+    "per-source cardinality sketches (exact + HLL-bounded), count-min "
+    "heavy hitters, and the r13 DSIR importance resample (integer-exact "
+    "hashed-ngram log-weights + Gumbel-top-k, with the per-language "
+    "weight ordering certified as data).",
     tags=("llm", "sampling", "packing", "pack"),
 )
 
@@ -322,6 +326,9 @@ register_pack(
         Member("ann_recall_binary", ("query_id", "mult")),
         Member("similarity_topk_pq", ("query_id", "vec_id")),
         Member("ann_recall_pq", ("query_id", "mult")),
+        Member("similarity_topk_ivfpq", ("query_id", "vec_id")),
+        Member("ann_recall_ivfpq", ("query_id", "nprobe", "mult")),
+        Member("similarity_topk_maxsim", ("query_id", "vec_id")),
     ),
     doc="Union certificate: ANN top-k via brute force, banded-hyperplane "
     "LSH, IVF inverted lists, int8-quantized scan, the int8 quantization "
@@ -330,7 +337,9 @@ register_pack(
     "exact ground truth (r7 — index quality as data), and the r9 recall "
     "SWEEP (LSH probe 0 vs Hamming-1, IVF nprobe 1/2/4 — hit counts "
     "provably non-decreasing in both knobs, the accuracy/cost frontier "
-    "hashed per query).",
+    "hashed per query), the r12 PQ-ADC rung + frontier, and the r13 "
+    "IVF-PQ combined rung + frontier and IVF-gated late-interaction "
+    "MaxSim rerank.",
     tags=("llm", "similarity", "pack"),
 )
 
@@ -417,6 +426,7 @@ register_pack(
         Member("lineitem_quantile_sketch", ("q_pct",)),
         Member("orders_incremental_agg_maintenance", ("grp",)),
         Member("suppart_kcore", ("v",)),
+        Member("suppart_densest", ("v",)),
         Member("orders_overlap_kmv", ()),
         Member("suppliers_sole_problem", ("s_name",)),
         Member("nation_market_share", ("o_year",)),
@@ -440,8 +450,9 @@ register_pack(
     "market share, the Q22-style scalar-subquery + anti-join shape, "
     "and incremental rollup "
     "maintenance (partial-state merge == full recompute), ordered "
-    "funnel-step analytics, cohort retention, A/B Welch-t analysis, and "
-    "path-transition mining.",
+    "funnel-step analytics, cohort retention, A/B Welch-t analysis, "
+    "path-transition mining, and the r13 densest-subgraph parallel peel "
+    "(integer-exact threshold, best snapshot + density in the hash).",
     tags=("relational", "pack"),
 )
 

@@ -2634,6 +2634,38 @@ def q_suppart_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_survivors(edges, _KCORE_K)
 
 
+# --- densest subgraph by parallel peeling (r13) ---------------------------------
+
+
+def _densest_sql() -> str:
+    from sarpro_spark.llm.densest import sql_densest_subgraph
+
+    return sql_densest_subgraph(_KCORE_EDGES_SQL)
+
+
+@query("suppart_densest", sql=_densest_sql, tags=("relational", "graph", "iterative"))
+def q_suppart_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest-subgraph 2(1+eps)-approximation (llm/densest.py, r13 —
+    Bahmani, Kumar & Vassilvitskii 2012's parallel peel) over the same
+    supplier-part graph as ``suppart_kcore``: each round deletes EVERY
+    vertex whose induced degree is <= 2.2x the current density, the
+    densest surviving snapshot wins.  eps = 1/10 keeps the peel predicate
+    exact integer arithmetic (10*deg*|V| > 22*|E|) and the cross-round
+    density compare divides exact integers, so the fixed-round unrolled
+    CTE twin is bit-identical.  Per round: two semi-joins + a degree
+    aggregate + two 1-row counts, survivors checkpointed every other
+    round; the best-round vertex set, its degree profile, and the density
+    itself all ride in the hash."""
+    from sarpro_spark.llm.densest import densest_subgraph
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return densest_subgraph(edges)
+
+
 # --- KMV/theta sketch set-operation overlap (r12) -------------------------------
 
 _KMV_B_REL = (

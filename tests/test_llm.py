@@ -1728,6 +1728,37 @@ def test_pq_topk_self_and_copy_first(spark, emb):
         assert -1.0 - 1e-9 <= r["adc_sim"] <= 1.0 + 1e-9  # reconstructed cosine
 
 
+def test_ivfpq_topk_self_and_copy_first(spark, emb):
+    """IVF-PQ (r13): with nprobe covering the self list, the exact rerank
+    puts self first and the scaled copy second — same contract as the
+    PQ-only rung, now through the probed-list candidate gate."""
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = sim.cosine_topk_ivfpq(
+        emb, queries, k=3, n_centroids=4, nprobe=4, m=4, ksub=8, dim=16
+    ).collect()
+    assert [r["vec_id"] for r in out if r["rnk"] == 1] == [0]
+    assert [r["vec_id"] for r in out if r["rnk"] == 2] == [7]
+    for r in out:
+        assert -1.0 - 1e-9 <= r["adc_sim"] <= 1.0 + 1e-9
+
+
+def test_ivfpq_recall_monotone_in_mult_per_probe(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    rows = sim.ivfpq_recall_sweep(
+        emb, queries, k=3, nprobes=(1, 2), mults=(1, 2), n_centroids=4,
+        m=4, ksub=8, dim=16,
+    ).collect()
+    assert all(r["monotone_ok"] for r in rows)
+    assert all(0 <= r["hits"] <= 3 for r in rows)
+    # full probe coverage at nprobe = n_centroids would be exact; at 2 of 4
+    # lists recall is a frontier — just require the grid is fully populated
+    assert {(r["nprobe"], r["mult"]) for r in rows} == {(1, 1), (1, 2), (2, 1), (2, 2)}
+
+
 def test_pq_recall_monotone_and_saturates(spark, emb):
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")

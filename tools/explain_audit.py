@@ -1272,12 +1272,49 @@ AUDITS: dict[str, dict] = {
     },
     # r12 ratchet: codebook kmeans aggregates + broadcast LUT joins + rank windows pruned map-side
     "similarity_topk_pq": {
-        "require": ['BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'HashAggregate', 'ObjectHashAggregate', 'Union', 'Window', 'WindowGroupLimit'],
+        "require": ['BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'HashAggregate', 'ObjectHashAggregate', 'Generate', 'Window', 'WindowGroupLimit'],
         "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
     },
     # r12 ratchet: truth SMJ + ADC rank windows; one scan serves all multipliers
     "ann_recall_pq": {
         "require": ['HashAggregate', 'SortMergeJoin', 'Union', 'Window', 'WindowGroupLimit'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r13: IVF-PQ — probed-list candidates gate the ADC scan (broadcast LUT),
+    # exact rerank windows; no Python, no cartesian
+    "similarity_topk_ivfpq": {
+        "require": ['BroadcastHashJoin', 'HashAggregate', 'Generate', 'Window', 'WindowGroupLimit'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r13: one ADC scan + rescoring pass per nprobe leg serves every multiplier
+    "ann_recall_ivfpq": {
+        "require": ['HashAggregate', 'Union', 'Window', 'WindowGroupLimit'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r13: MaxSim rerank gated by the probed IVF lists — the t*t interaction
+    # block is pure codegen projection over candidate pairs; broadcast query
+    # batch; per-query rank window
+    "similarity_topk_maxsim": {
+        "require": ['BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'HashAggregate', 'Window', 'WindowGroupLimit'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r13: DSIR — exploded hashed n-grams (Generate), map-side-combined bag
+    # counts, broadcast nano-ratio model join, top-k FIRST
+    # (TakeOrderedAndProject) then rank-attach over the <=k survivors
+    "dsir_resample_en": {
+        "require": ['Generate', 'HashAggregate', 'BroadcastHashJoin', 'TakeOrderedAndProject', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r13: the per-language certificate leg — same feature/model stages, one
+    # lang aggregate, the argmax as a keyless 1-row min_by broadcast back
+    "dsir_logweight_by_lang": {
+        "require": ['Generate', 'HashAggregate', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'Window'],
+    },
+    # r13: densest-subgraph peel — per-round semi-joins + degree aggregates,
+    # 1-row stat broadcasts, snapshot/stat unions, the 12-row best window
+    "suppart_densest": {
+        "require": ['HashAggregate', 'BroadcastNestedLoopJoin', 'Union', 'Window'],
         "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
     },
     # r12 ratchet: batch twin of the streaming pipeline: band Generate + bucket join + SMJ verify
@@ -1642,6 +1679,37 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
         "constant",
         "PQ codebooks: m*ksub rows (64 at defaults) regardless of corpus size (r12)",
     ),
+    ("llm/dsir.py", "ratios"): (
+        "constant",
+        "the <= DSIR_BUCKETS-row (2048) nano-unit log-ratio model table (r13)",
+    ),
+    ("llm/dsir.py", "n_raw"): ("constant", "1-row corpus token total (r13 DSIR)"),
+    ("llm/dsir.py", "n_tgt"): ("constant", "1-row target token total (r13 DSIR)"),
+    ("llm/lateinteraction.py", "centroids"): (
+        "constant",
+        "k IVF centroids gating the MaxSim candidate probe (r13)",
+    ),
+    ("llm/lateinteraction.py", "qv"): (
+        "bounded-batch",
+        "query vectors of the bounded batch (r13 MaxSim rerank)",
+    ),
+    ("llm/densest.py", "n_v"): (
+        "constant",
+        "1-row surviving-vertex count of the current peel round (r13)",
+    ),
+    ("llm/densest.py", "n_e"): (
+        "constant",
+        "1-row surviving-edge count of the current peel round (r13)",
+    ),
+    ("llm/densest.py", "best"): (
+        "constant",
+        "the single best-round stats row (round, n_v, n_e, density) (r13)",
+    ),
+    ("llm/similarity.py", "codebooks"): (
+        "constant",
+        "m x ksub PQ codebook rows (4 x 16 default) joined to the exploded "
+        "subspace slices in the one-pass code assignment (r13)",
+    ),
     ("llm/similarity.py", "lut"): (
         "bounded-batch",
         "ADC lookup table: query batch x m*ksub codebook entries (r12 PQ)",
@@ -1663,6 +1731,10 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
         "constant", "1-row excluded-long-docs count (winnow POS_ENC guard, r13)",
     ),
     ("queries_llm.py", "cost"): ("constant", "1-row candidate-count aggregate"),
+    ("queries_llm.py", "best"): (
+        "constant",
+        "1-row argmax (top language by mean DSIR log-weight, r13)",
+    ),
     ("queries_llm.py", "cr"): ("constant", "count-min row of W counters"),
     ("queries_llm.py", "straddle"): ("constant", "1-row straddling-pair count"),
     ("queries_relational.py", "avg_bal"): ("constant", "1-row scalar-subquery aggregate"),
