@@ -1817,6 +1817,42 @@ def cosine_topk_ivfpq(
     codes = pq_assign_codes(emb, books, m, dim, id_col, vec_col)
 
     # probe: each query's nprobe nearest lists (same scoring as ivf_assign)
+    return cosine_topk_ivfpq_from_index(
+        centroids, books, assign, codes, emb, queries, k, nprobe,
+        shortlist_mult, m, dim, id_col, vec_col, qid_col, qvec_col,
+        round_digits,
+    )
+
+
+def cosine_topk_ivfpq_from_index(
+    centroids: DataFrame,
+    books: DataFrame,
+    assign: DataFrame,
+    codes: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist_mult: int = 4,
+    m: int = PQ_M,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Serve IVF-PQ from a PERSISTED index (r13 lifecycle twin of
+    :func:`cosine_topk_ivf_from_index`): ``centroids`` (centroid_id,
+    cvec), ``books`` (subspace, centroid_id, cvec), ``assign`` (id,
+    centroid_id — e.g. parquet partitioned by centroid_id so probes
+    prune to their lists' files), ``codes`` (id, subspace, code), and
+    ``vectors`` (id, vec) for the exact rerank.  Identical results to
+    building the index inline (:func:`cosine_topk_ivfpq`)."""
+    from sarpro_spark.queries import fround
+
+    sub = dim // m
+    centroids = centroids.select("centroid_id", "cvec")
     qsim = queries.join(F.broadcast(centroids)).select(
         F.col(qid_col),
         F.col("centroid_id"),
@@ -1863,7 +1899,7 @@ def cosine_topk_ivfpq(
     )
     qv = queries.select(F.col(qid_col), F.col(qvec_col))
     rescored = (
-        emb.select(F.col(id_col), F.col(vec_col))
+        vectors.select(F.col(id_col), F.col(vec_col))
         .join(F.broadcast(short), id_col)
         .join(F.broadcast(qv), qid_col)
         .select(

@@ -1929,6 +1929,106 @@ def q_topk_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEG_DUP_T = 0.98
+_NEG_K = 5
+
+
+def _hard_negatives_sql(nprobe: int = _IVF_NPROBE, kc: int = _IVF_K, nq: int = 5,
+                        k: int = _NEG_K, dup_t: float = _NEG_DUP_T) -> str:
+    dp = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))"
+    )
+    nv = "SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))"
+    nq_ = "SQRT(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * x)))"
+    simexpr = sql_fround(f"({dp}) / ({nv} * {nq_})")
+    return f"""
+WITH {_ivf_cand_ctes(nprobe, kc, nq)},
+hn_scored AS (
+  SELECT c.query_id, c.vec_id, {simexpr} AS sim
+  FROM ivcand c JOIN embeddings e USING (vec_id) JOIN queries q USING (query_id)
+  WHERE {nv} > 0 AND {nq_} > 0
+),
+hn_excl AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_excluded
+  FROM hn_scored WHERE sim >= {dup_t!r} GROUP BY 1
+)
+SELECT n.query_id, n.vec_id, n.sim, n.rnk,
+       COALESCE(x.n_excluded, 0) AS n_excluded
+FROM (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM hn_scored WHERE sim < {dup_t!r}
+) n LEFT JOIN hn_excl x USING (query_id)
+WHERE n.rnk <= {k}
+""".strip()
+
+
+@query("contrastive_hard_negatives", sql=_hard_negatives_sql(), tags=("llm", "similarity", "sampling"))
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (r13): per query, the
+    k most similar corpus vectors BELOW the near-duplicate threshold
+    (sim < 0.98) — the highest-value negatives — with the count of
+    excluded near-dups/self hashed alongside (n_excluded >= 1 always:
+    a query's own probed list contains itself at sim 1.0).  Candidates
+    come from the probed IVF lists (the production retrieve-then-mine
+    shape); dedup exclusion and ranks are all inside the certificate."""
+    from pyspark.sql.window import Window
+
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    queries = _spark_queries_frame(spark, sf_dir)
+    centroids = sim.ivf_centroids(e, _IVF_K)
+    from sarpro_spark.functions.partitioning import widen_if_narrow
+
+    emb = widen_if_narrow(e, "vec_id")
+    assign = sim.ivf_assign(emb, centroids)
+    qsim = queries.join(F.broadcast(centroids)).select(
+        F.col("query_id"),
+        F.col("centroid_id"),
+        fround(sim.cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    probed = (
+        qsim.withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= _IVF_NPROBE)
+        .select("query_id", "centroid_id")
+    )
+    cand = probed.join(assign, "centroid_id").select("query_id", "vec_id").distinct()
+    qv = queries.select("query_id", "qvec")
+    scored = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            fround(
+                sim.cosine_expr(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("qvec").cast("array<double>"),
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .where(F.col("sim").isNotNull())
+    )
+    excl = (
+        scored.where(F.col("sim") >= _NEG_DUP_T)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_excluded"))
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.where(F.col("sim") < _NEG_DUP_T)
+        .withColumn("rnk", F.row_number().over(wf))
+        .where(F.col("rnk") <= _NEG_K)
+        .join(F.broadcast(excl), "query_id", "left")
+        .select(
+            "query_id", "vec_id", "sim", "rnk",
+            F.coalesce(F.col("n_excluded"), F.lit(0)).cast("long").alias("n_excluded"),
+        )
+    )
+
+
 _RECALL_PQ_SQL = sim.sql_pq_recall_sweep("embeddings", _QUERY_SEL, k=5)
 
 
@@ -2617,6 +2717,40 @@ def q_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists_l = spark.read.parquet(f"{root}/lists")
     return sim.cosine_topk_ivf_from_index(
         cents_l, lists_l, _spark_queries_frame(spark, sf_dir), k=5, nprobe=_IVF_NPROBE
+    )
+
+
+@query("similarity_topk_ivfpq_persisted", sql=_TOPK_IVFPQ_SQL, tags=("llm", "similarity", "index"))
+def q_topk_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index LIFECYCLE certificate (r13): all four index relations
+    — centroid table, PQ codebooks, list assignments (written partitioned
+    by centroid_id, so a probe prunes to its lists' files), PQ codes —
+    are materialized to parquet executor-side, reloaded as the serving
+    copy, and queried through the from_index serve path; results must be
+    identical to the fresh-built rung (same oracle as
+    similarity_topk_ivfpq).  The offline-build / online-serve split every
+    production ANN service runs: train+encode once, serve cells+codes."""
+    import tempfile
+
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(e, _IVF_K)
+    books = sim.pq_codebooks(e)
+    assign = sim.ivf_assign(e, cents)
+    codes = sim.pq_assign_codes(e, books)
+    root = tempfile.mkdtemp(prefix="sarpro_ivfpq_idx_")
+    cents.write.mode("overwrite").parquet(f"{root}/centroids")
+    books.write.mode("overwrite").parquet(f"{root}/books")
+    assign.write.mode("overwrite").partitionBy("centroid_id").parquet(f"{root}/assign")
+    codes.write.mode("overwrite").parquet(f"{root}/codes")
+    return sim.cosine_topk_ivfpq_from_index(
+        spark.read.parquet(f"{root}/centroids"),
+        spark.read.parquet(f"{root}/books"),
+        spark.read.parquet(f"{root}/assign"),
+        spark.read.parquet(f"{root}/codes"),
+        e,
+        _spark_queries_frame(spark, sf_dir),
+        k=10,
+        nprobe=_IVF_NPROBE,
     )
 
 

@@ -329,6 +329,7 @@ register_pack(
         Member("similarity_topk_ivfpq", ("query_id", "vec_id")),
         Member("ann_recall_ivfpq", ("query_id", "nprobe", "mult")),
         Member("similarity_topk_maxsim", ("query_id", "vec_id")),
+        Member("contrastive_hard_negatives", ("query_id", "vec_id")),
     ),
     doc="Union certificate: ANN top-k via brute force, banded-hyperplane "
     "LSH, IVF inverted lists, int8-quantized scan, the int8 quantization "
@@ -424,6 +425,7 @@ register_pack(
         Member("events_path_transitions", ("prev_type", "next_type")),
         Member("events_heavy_hitters_mg", ("key",)),
         Member("lineitem_quantile_sketch", ("q_pct",)),
+        Member("lineitem_ddsketch_quantiles", ("q_pct",)),
         Member("orders_incremental_agg_maintenance", ("grp",)),
         Member("suppart_kcore", ("v",)),
         Member("suppart_densest", ("v",)),

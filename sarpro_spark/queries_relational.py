@@ -2537,6 +2537,37 @@ def q_lineitem_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DDSketch log-linear quantiles (r13) ----------------------------------------
+
+_DD_CENTS = "CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+
+
+def _dd_cert_sql() -> str:
+    from sarpro_spark.functions.ddsketch import sql_ddsketch_certificate
+
+    return sql_ddsketch_certificate("lineitem", _DD_CENTS)
+
+
+@query("lineitem_ddsketch_quantiles", sql=_dd_cert_sql, tags=("relational", "lineitem", "sketch"))
+def q_lineitem_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-family log-linear quantiles (functions/ddsketch.py, r13 —
+    Masson et al. VLDB'19): integer-exact log-spaced buckets (4 per
+    octave, relative width <= 1/4), one counter per occupied bucket.
+    Unlike the rank-spaced r12 summary the bucket map is a pure function
+    of the VALUE, so the sketch is exactly mergeable and fold-order-
+    independent — which is what buys the streaming twin
+    (streaming/ddsketch.py) its EXACT drained==batch certificate.
+    The hashed certificate: per 7-point panel on price cents, the exact
+    ranks of the covering bucket's [lo, hi] must straddle the target rank
+    (coverage proves the true quantile VALUE sits in the bucket) and
+    rel_width_pm is the proven per-mille value-error budget."""
+    from sarpro_spark.functions.ddsketch import ddsketch_certificate
+
+    li = frames.load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    return ddsketch_certificate(li, cents)
+
+
 # --- incremental aggregate maintenance (materialized-view deltas, r12) ----------
 
 _CENTS = "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"

@@ -1666,3 +1666,109 @@ def test_kmv_stream_equals_batch_exactly(spark, sf_dir, tmp_path, nanos_conf_res
     est = skmv.estimate_distinct([(s, p, h) for s, p, h in got], k=K)
     tol = 3.0 / (K - 2) ** 0.5
     assert abs(est - n_exact) <= max(tol * n_exact, 12), (est, n_exact)
+
+
+# --- streaming DDSketch quantiles (streaming/ddsketch.py, r13) ---------------------
+
+
+def test_ddsketch_stream_equals_batch_exactly(spark, sf_dir, tmp_path, nanos_conf_reset):
+    """The bucket map is a pure function of the value and the state is a
+    counter bag, so the fold commutes with ANY micro-batch split — the
+    drained per-shard sketches must equal the batch sketches EXACTLY (the
+    strong stream==batch certificate class, same as KMV), and the merged
+    global sketch answers quantiles with the certified coverage bound."""
+    import os
+    import time
+
+    from sarpro_spark.streaming import ddsketch as sdd
+
+    SHARDS = 4
+    ev = (
+        frames.load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            (F.floor(F.abs(F.col("value")) * 100.0 + 0.5).cast("long") + 1).alias(
+                "cents"
+            ),
+        )
+    )
+    batch_sk = {
+        (r["shard"], r["bucket_id"], r["cnt"])
+        for r in sdd.ddsketch_batch(ev, "cents", "event_id", shards=SHARDS).collect()
+    }
+
+    stage = tmp_path / "dd_stream"
+    stage.mkdir()
+    ids = sorted(r["event_id"] for r in ev.select("event_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    t0 = time.time() - 100
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        part = ev
+        if lo is not None:
+            part = part.where(F.col("event_id") >= lo)
+        if hi is not None:
+            part = part.where(F.col("event_id") < hi)
+        pdir = stage / f"part{i}"
+        part.coalesce(1).write.parquet(str(pdir))
+        for root, _dirs, files in os.walk(pdir):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t0 + i * 10, t0 + i * 10))
+        lo = hi
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(stage))
+    )
+    out = sdd.ddsketch_stream(stream, "cents", "event_id", shards=SHARDS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM dd_stream").collect()
+    final_n = {}
+    for r in rows:
+        final_n[r["shard"]] = max(final_n.get(r["shard"], 0), r["n_seen"])
+    got = {
+        (r["shard"], r["bucket_id"], r["cnt"])
+        for r in rows
+        if r["n_seen"] == final_n[r["shard"]]
+    }
+    assert got == batch_sk  # EXACT, not bound-based
+
+    # the merged global sketch must satisfy the coverage certificate the
+    # batch module proves: median bucket straddles the true median rank
+    from collections import defaultdict
+
+    merged = defaultdict(int)
+    for _s, b, c in got:
+        merged[b] += c
+    n = sum(merged.values())
+    target = (n + 1) // 2
+    cum = 0
+    best = None
+    for b in sorted(merged):
+        cum += merged[b]
+        if cum >= target:
+            best = b
+            break
+    from sarpro_spark.functions.ddsketch import bucket_hi_expr, bucket_lo_expr
+
+    bounds = (
+        spark.range(1)
+        .select(
+            bucket_lo_expr(F.lit(best)).alias("lo"),
+            bucket_hi_expr(F.lit(best)).alias("hi"),
+        )
+        .collect()[0]
+    )
+    vals = sorted(r["cents"] for r in ev.collect())
+    true_median = vals[target - 1]
+    assert bounds["lo"] <= true_median <= bounds["hi"]

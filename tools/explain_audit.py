@@ -1286,9 +1286,22 @@ AUDITS: dict[str, dict] = {
         "require": ['BroadcastHashJoin', 'HashAggregate', 'Generate', 'Window', 'WindowGroupLimit'],
         "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
     },
+    # r13: serving from the persisted IVF-PQ index — centroid/LUT broadcasts,
+    # probe window, candidate join over the reloaded parquet relations; the
+    # codes arrive pre-encoded so no Generate in the serve plan
+    "similarity_topk_ivfpq_persisted": {
+        "require": ['BroadcastHashJoin', 'HashAggregate', 'Window', 'WindowGroupLimit'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
     # r13: one ADC scan + rescoring pass per nprobe leg serves every multiplier
     "ann_recall_ivfpq": {
         "require": ['HashAggregate', 'Union', 'Window', 'WindowGroupLimit'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r13: hard-negative mining — IVF-gated scoring, near-dup exclusion agg,
+    # per-query rank window; broadcast query batch and exclusion counts
+    "contrastive_hard_negatives": {
+        "require": ['BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'HashAggregate', 'Window', 'WindowGroupLimit'],
         "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
     },
     # r13: MaxSim rerank gated by the probed IVF lists — the t*t interaction
@@ -1450,6 +1463,13 @@ AUDITS: dict[str, dict] = {
     "lineitem_quantile_sketch": {
         "require": ['HashAggregate', 'Window', 'BroadcastNestedLoopJoin'],
         "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
+    # r13: DDSketch — one bucket projection + map-side-combined counter agg,
+    # bounded-window cum read-off, broadcast-panel exact-rank verify; the
+    # bucket map is value-pure so no sort/shuffle beyond the tiny sketch
+    "lineitem_ddsketch_quantiles": {
+        "require": ['HashAggregate', 'Window', 'BroadcastNestedLoopJoin'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
     },
     # r12: prefix-filter join — df agg + per-doc window + shingle-keyed candidate join,
     # set arrays verified JVM-side (array_intersect); no Python, no cartesian
@@ -1621,6 +1641,20 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ("functions/kmv.py", "ea"): ("constant", "ONE exact-|A| verification scalar"),
     ("functions/kmv.py", "eb"): ("constant", "ONE exact-|B| verification scalar"),
     ("functions/kmv.py", "ei"): ("constant", "ONE exact-intersection verification scalar"),
+    ("functions/ddsketch.py", "totals"): (
+        "constant", "ONE n_total row (scalar) joined to the fixed panel (r13)",
+    ),
+    ("functions/ddsketch.py", "cum"): (
+        "constant",
+        "the cumulative bucket sketch — <= MAX_BUCKETS (255) rows by "
+        "construction, plan-visible LIMIT (r13)",
+    ),
+    ("functions/ddsketch.py", "est"): (
+        "constant", "the fixed 7-row quantile panel with bucket bounds (r13)",
+    ),
+    ("functions/ddsketch.py", "ranks"): (
+        "constant", "the fixed 7-row exact-rank verify panel (r13)",
+    ),
     ("functions/quantiles.py", "totals"): (
         "constant", "ONE n_total row (scalar) joined to the fixed panel",
     ),
@@ -1728,12 +1762,21 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ("llm/tfidf.py", "vocab_idx"): ("bounded-batch", "dense path only: vocab <= DENSE_VOCAB_MAX"),
     ("llm/tfidf.py", "reps"): ("constant", "G replication ids"),
     ("queries_llm.py", "excl"): (
-        "constant", "1-row excluded-long-docs count (winnow POS_ENC guard, r13)",
+        "bounded-batch",
+        "1-row excluded-long-docs count (winnow POS_ENC guard, r13) and the "
+        "one-exclusion-count-row-per-query relation of the bounded query "
+        "batch (r13 hard negatives)",
     ),
     ("queries_llm.py", "cost"): ("constant", "1-row candidate-count aggregate"),
     ("queries_llm.py", "best"): (
         "constant",
         "1-row argmax (top language by mean DSIR log-weight, r13)",
+    ),
+    ("queries_llm.py", "centroids"): (
+        "constant", "k IVF centroids gating the hard-negative probe (r13)",
+    ),
+    ("queries_llm.py", "qv"): (
+        "bounded-batch", "query vectors of the bounded batch (r13 negatives)",
     ),
     ("queries_llm.py", "cr"): ("constant", "count-min row of W counters"),
     ("queries_llm.py", "straddle"): ("constant", "1-row straddling-pair count"),
