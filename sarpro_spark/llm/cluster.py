@@ -131,19 +131,93 @@ def dedup_clusters(
     )
 
 
-def sql_dedup_clusters(nodes_sel: str, edges_sel: str) -> str:
+def incremental_components(
+    old_labels: DataFrame,
+    new_nodes: DataFrame,
+    delta_edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Incremental connected-components maintenance (r13): given the
+    previous run's labels and ONLY the new edges/nodes, produce labels
+    equal to a full recompute over the union graph — without touching the
+    old edge set.
+
+    The union-find contraction argument: map every delta-edge endpoint to
+    its representative (its old cluster label; a new node represents
+    itself), run components on the CONTRACTED graph — touched clusters +
+    new nodes only, orders of magnitude smaller than the corpus — and
+    compose.  Because the house labeling is min-node-id and min is
+    associative, the composed label (min over merged clusters of their
+    min ids) IS the full-recompute label, exactly: the certificate
+    hashes equality against the full recompute, not a bound.
+
+    At 100 TB this is the dedup-cluster lifecycle operator: a daily
+    crawl delta re-clusters only the clusters it touches; untouched
+    labels (the overwhelming majority) pass through by anti-join
+    semantics (a left join + coalesce — no per-row recompute).
+
+    Returns (id, cluster_id) over old ∪ new nodes.
+    """
+    rep_a = old_labels.select(
+        F.col("id").alias(a), F.col("cluster_id").alias("_ra")
+    )
+    rep_b = old_labels.select(
+        F.col("id").alias(b), F.col("cluster_id").alias("_rb")
+    )
+    contracted = (
+        delta_edges.select(a, b)
+        .join(rep_a, a, "left")
+        .join(rep_b, b, "left")
+        .select(
+            F.coalesce(F.col("_ra"), F.col(a)).alias("a"),
+            F.coalesce(F.col("_rb"), F.col(b)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cnodes = (
+        contracted.select(F.col("a").alias("id"))
+        .unionByName(contracted.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(cnodes, contracted, "id", "a", "b").select(
+        F.col("id").alias("_rep"), F.col("cluster_id").alias("_newlab")
+    )
+    out_old = (
+        old_labels.join(comp, old_labels["cluster_id"] == comp["_rep"], "left")
+        .select(
+            "id", F.coalesce(F.col("_newlab"), F.col("cluster_id")).alias("cluster_id")
+        )
+    )
+    out_new = (
+        new_nodes.select("id")
+        .join(comp, new_nodes["id"] == comp["_rep"], "left")
+        .select("id", F.coalesce(F.col("_newlab"), F.col("id")).alias("cluster_id"))
+    )
+    return out_old.unionByName(out_new)
+
+
+def sql_dedup_clusters(nodes_sel: str, edges_sel: str, prefix: str = "") -> str:
     """DuckDB twin via recursive CTE (min-reachable-label closure).
-    ``nodes_sel`` yields (id); ``edges_sel`` yields (a, b)."""
+    ``nodes_sel`` yields (id); ``edges_sel`` yields (a, b).  ``prefix``
+    (r13) namespaces the CTEs so one statement can instantiate several
+    closures (e.g. the incremental-maintenance certificate's old + full
+    graphs); the caller supplies WITH RECURSIVE when prefixed."""
+    p = prefix
+    body = f"""{p}nodes AS ({nodes_sel}),
+{p}edges0 AS ({edges_sel}),
+{p}edges AS (SELECT a AS u, b AS v FROM {p}edges0 UNION ALL SELECT b, a FROM {p}edges0),
+{p}reach(node, lbl) AS (
+  SELECT id, id FROM {p}nodes
+  UNION
+  SELECT e.v, r.lbl FROM {p}reach r JOIN {p}edges e ON e.u = r.node
+)"""
+    if prefix:
+        return body
     return f"""
 WITH RECURSIVE
-nodes AS ({nodes_sel}),
-edges0 AS ({edges_sel}),
-edges AS (SELECT a AS u, b AS v FROM edges0 UNION ALL SELECT b, a FROM edges0),
-reach(node, lbl) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
-)
+{body}
 SELECT node AS doc_id, MIN(lbl) AS cluster_id,
        (node = MIN(lbl)) AS is_canonical
 FROM reach GROUP BY node

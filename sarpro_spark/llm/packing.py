@@ -265,3 +265,123 @@ SELECT {source_col}, n_docs, avail_tokens, weight AS target_weight,
   ({ratio} > 1.0) AS upsampled
 FROM avail, tot
 """.strip()
+
+
+# --- length-bucketed batching (r13) --------------------------------------------
+
+#: docs per training batch in the length-bucketed batching certificate
+LB_BATCH_DOCS = 8
+_LB_SEED = "lb"
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    batch_docs: int = LB_BATCH_DOCS,
+    shards: int = DEFAULT_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-grouped batching telemetry (r13): the padding-efficiency
+    operator every trainer runs (group sequences of similar length so a
+    batch's pad-to-max waste shrinks; HF ``group_by_length`` / the
+    bucketed-batching idea of Khomenko et al.).
+
+    Both legs batch SHARD-LOCALLY (a distributed trainer batches within
+    its data-parallel shard; no global order anywhere): ``bucketed``
+    groups docs by their log-length bin (the integer-exact DDSketch
+    bucket map — power-of-2-ish bins, 4 per octave) within the shard;
+    ``unbucketed`` is the same sharding without the length grouping.
+    Waste per batch = batch_size * max(len) - sum(len), exact integers;
+    the per-bin aggregate rows and the global baseline row ride in one
+    output, so the efficiency CLAIM (bucketed waste < unbucketed waste)
+    is hashed as data.
+
+    Output: (mode, length_bin, n_docs, n_batches, padded_tokens,
+    actual_tokens, waste_pm) — length_bin = -1 for the baseline leg."""
+    from sarpro_spark.functions.ddsketch import bucket_id_expr
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        (token_count(F.col(text_col)) + 1).alias("n_tok"),  # +1: never zero
+        (hash_bucket(F.col(id_col), _LB_SEED) % shards).alias("shard"),
+    ).withColumn("length_bin", bucket_id_expr(F.col("n_tok")))
+
+    def leg(df: DataFrame, keys: list, mode: str, bin_col) -> DataFrame:
+        w = W.partitionBy(*keys).orderBy("n_tok", "id")
+        batched = df.withColumn(
+            "batch", ((F.row_number().over(w) - 1) / batch_docs).cast("long")
+        )
+        per_batch = batched.groupBy(*keys, "batch").agg(
+            F.count(F.lit(1)).alias("bd"),
+            F.max("n_tok").alias("mx"),
+            F.sum("n_tok").alias("sm"),
+        )
+        return per_batch.groupBy(bin_col.alias("length_bin")).agg(
+            F.sum("bd").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum(F.col("bd") * F.col("mx")).cast("long").alias("padded_tokens"),
+            F.sum("sm").cast("long").alias("actual_tokens"),
+        ).select(
+            F.lit(mode).alias("mode"),
+            "length_bin",
+            "n_docs",
+            "n_batches",
+            "padded_tokens",
+            "actual_tokens",
+            F.floor(
+                1000
+                * (F.col("padded_tokens") - F.col("actual_tokens"))
+                / F.col("padded_tokens")
+            )
+            .cast("long")
+            .alias("waste_pm"),
+        )
+
+    bucketed = leg(
+        base, ["shard", "length_bin"], "bucketed", F.col("length_bin")
+    )
+    baseline = leg(base, ["shard"], "unbucketed", F.lit(-1).cast("long"))
+    return bucketed.unionByName(baseline)
+
+
+def sql_length_bucketed_batches(
+    docs_rel: str,
+    batch_docs: int = LB_BATCH_DOCS,
+    shards: int = DEFAULT_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`length_bucketed_batches` (same bucket map,
+    same shard hash, same batch windows, integer arithmetic)."""
+    from sarpro_spark.functions.ddsketch import _sql_bucket_id
+
+    ntok = f"({_SQL_NTOK} + 1)"
+    shard = f"({sql_hash_bucket('doc_id', _LB_SEED)}) % {shards}"
+
+    def leg(part_keys: str, mode: str, bin_expr: str) -> str:
+        return f"""
+  SELECT '{mode}' AS mode, {bin_expr} AS length_bin,
+         CAST(SUM(bd) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(SUM(bd * mx) AS BIGINT) AS padded_tokens,
+         CAST(SUM(sm) AS BIGINT) AS actual_tokens,
+         CAST(FLOOR(1000 * (SUM(bd * mx) - SUM(sm)) / SUM(bd * mx)) AS BIGINT) AS waste_pm
+  FROM (
+    SELECT {part_keys}, batch,
+           COUNT(*) AS bd, MAX(n_tok) AS mx, SUM(n_tok) AS sm
+    FROM (
+      SELECT shard, length_bin, n_tok, id,
+             (ROW_NUMBER() OVER (PARTITION BY {part_keys} ORDER BY n_tok, id) - 1)
+               // {batch_docs} AS batch
+      FROM lb_base
+    ) GROUP BY {part_keys}, batch
+  ) GROUP BY 2"""
+
+    return f"""
+WITH lb_base AS MATERIALIZED (
+  SELECT doc_id AS id, {ntok} AS n_tok, {shard} AS shard,
+         {_sql_bucket_id(ntok)} AS length_bin
+  FROM {docs_rel}
+)
+{leg('shard, length_bin', 'bucketed', 'length_bin')}
+UNION ALL
+{leg('shard', 'unbucketed', '-1')}
+""".strip()

@@ -851,6 +851,75 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.dedup_clusters(d, pairs)
 
 
+def _inc_cluster_sql() -> str:
+    jp = dd.sql_minhash_jaccard("documents", threshold=0.5)
+    full = cl.sql_dedup_clusters(
+        "SELECT doc_id AS id FROM documents",
+        "SELECT doc_a AS a, doc_b AS b FROM jp",
+        prefix="f_",
+    )
+    old = cl.sql_dedup_clusters(
+        "SELECT doc_id AS id FROM documents WHERE doc_id % 10 < 8",
+        "SELECT doc_a AS a, doc_b AS b FROM jp WHERE doc_a % 10 < 8 AND doc_b % 10 < 8",
+        prefix="o_",
+    )
+    return f"""
+WITH RECURSIVE
+jp AS MATERIALIZED ({jp}),
+{full},
+{old},
+fc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM f_reach GROUP BY node),
+oc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM o_reach GROUP BY node)
+SELECT f.doc_id, f.cluster_id, (f.doc_id % 10 >= 8) AS is_new_doc,
+       COALESCE(f.cluster_id <> o.cluster_id, FALSE) AS relabeled
+FROM fc f LEFT JOIN oc o USING (doc_id)
+""".strip()
+
+
+@query("dedup_incremental_clusters", sql=_inc_cluster_sql(), tags=("llm", "dedup", "iterative"))
+def q_dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components maintenance (llm/cluster.py
+    ``incremental_components``, r13): the dedup-cluster LIFECYCLE
+    operator — given yesterday's labels and only the delta edges (pairs
+    touching a new doc), re-cluster ONLY the contracted graph (touched
+    cluster representatives + new docs) and compose.  Min-id labels are
+    associative under contraction, so the result equals a full recompute
+    EXACTLY — and the oracle IS the full recursive-CTE recompute over
+    the union graph, so hash equality certifies the contraction algebra,
+    the representative mapping, and the untouched-label pass-through.
+    ``relabeled`` (old docs whose label changed) rides in the hash —
+    the touched set itself is certified data, not a claim."""
+    d = frames.load_table(spark, sf_dir, "documents")
+    pairs = cl._checkpointer(d)(dd.minhash_jaccard_pairs(d, threshold=0.5))
+    is_old = lambda c: c % 10 < 8  # noqa: E731
+    old_docs = d.where(is_old(F.col("doc_id")))
+    new_docs = d.where(~is_old(F.col("doc_id")))
+    old_pairs = pairs.where(
+        is_old(F.col("doc_a")) & is_old(F.col("doc_b"))
+    )
+    delta = pairs.where(~(is_old(F.col("doc_a")) & is_old(F.col("doc_b"))))
+    old_labels = cl.dedup_clusters(old_docs, old_pairs).select(
+        F.col("doc_id").alias("id"), "cluster_id"
+    )
+    inc = cl.incremental_components(
+        old_labels,
+        new_docs.select(F.col("doc_id").alias("id")),
+        delta.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+    )
+    prev = old_labels.select("id", F.col("cluster_id").alias("_oldlab"))
+    return (
+        inc.join(prev, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            (~is_old(F.col("id"))).alias("is_new_doc"),
+            F.coalesce(
+                F.col("cluster_id") != F.col("_oldlab"), F.lit(False)
+            ).alias("relabeled"),
+        )
+    )
+
+
 # byte-grain oracle for the decode stand-in: blob bytes via hex substrings,
 # mean/std from exact integer moments (bit-identical to the kernel), entropy
 # in the same algebraic form (residual libm/sum-order noise absorbed by
@@ -1499,6 +1568,31 @@ def q_dsir_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_docs", "mean_logw",
         (F.col("lang") == F.col("_best")).alias("is_top"),
     )
+
+
+# --- length-bucketed batching telemetry (r13) ----------------------------------
+
+
+def _length_bucketed_sql() -> str:
+    from sarpro_spark.llm.packing import sql_length_bucketed_batches
+
+    return sql_length_bucketed_batches("documents")
+
+
+@query("corpus_length_bucketed_batches", sql=_length_bucketed_sql(), tags=("llm", "packing"))
+def q_length_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching telemetry (llm/packing.py, r13 — the
+    HF group_by_length / bucketed-batching efficiency operator): both
+    legs batch SHARD-LOCALLY (no global order); the bucketed leg groups
+    docs by their integer-exact log-length bin (the DDSketch bucket map)
+    before batching, the baseline leg doesn't.  Waste per batch =
+    batch_size*max(len)-sum(len), exact integers — the per-bin rows and
+    the baseline row hash together, so the pad-efficiency claim is
+    certified data, not prose."""
+    from sarpro_spark.llm.packing import length_bucketed_batches
+
+    d = frames.load_table(spark, sf_dir, "documents")
+    return length_bucketed_batches(d)
 
 
 # --- distributed k-means (IVF centroid training) ------------------------------

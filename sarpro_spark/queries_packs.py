@@ -198,6 +198,7 @@ register_pack(
         Member("dedup_simhash", ("doc_id",)),
         Member("dedup_simhash_pairs", ("doc_a", "doc_b")),
         Member("dedup_incremental", ("doc_id",)),
+        Member("dedup_incremental_clusters", ("doc_id",)),
         Member("dedup_streaming_neardup", ("doc_id",)),
         Member("dedup_stream_stream_neardup", ("a_id", "b_id")),
         Member("dedup_semantic_prune", ("vec_id",)),
@@ -291,6 +292,7 @@ register_pack(
         Member("dsir_resample_en", ("doc_id",)),
         Member("dsir_logweight_by_lang", ("lang",)),
         Member("corpus_pack_assignments", ("doc_id",)),
+        Member("corpus_length_bucketed_batches", ("mode", "length_bin")),
         Member("corpus_pack_sequences", ("bucket", "seq")),
         Member("corpus_chunk_windows", ("doc_id", "chunk_idx")),
         Member("corpus_mixture_plan", ("source",)),

@@ -157,3 +157,42 @@ def test_densest_peel_is_deterministic(spark):
     a = sorted(map(tuple, dn.densest_subgraph(_edges_df(spark, pairs)).collect()))
     b = sorted(map(tuple, dn.densest_subgraph(_edges_df(spark, pairs)).collect()))
     assert a == b
+
+
+# --- incremental connected components ------------------------------------------
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    from sarpro_spark.llm import cluster as cl
+
+    old_edges = [(1, 2), (3, 4)]
+    old_nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5]], "id long")
+    old_pairs = spark.createDataFrame(old_edges, "doc_a long, doc_b long")
+    old_labels = cl.dedup_clusters(
+        old_nodes.select(F.col("id").alias("doc_id")), old_pairs
+    ).select(F.col("doc_id").alias("id"), "cluster_id")
+
+    # delta: (2,3) merges the two old clusters; new node 6 attaches to 4;
+    # new node 7 is isolated
+    delta = spark.createDataFrame([(2, 3), (6, 4)], "a long, b long")
+    new_nodes = spark.createDataFrame([(6,), (7,)], "id long")
+    inc = {
+        (r["id"], r["cluster_id"])
+        for r in cl.incremental_components(old_labels, new_nodes, delta).collect()
+    }
+    assert inc == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 1), (7, 7)}
+
+
+def test_incremental_components_no_delta_is_identity(spark):
+    from sarpro_spark.llm import cluster as cl
+
+    old_labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (9, 9)], "id long, cluster_id long"
+    )
+    empty_edges = spark.createDataFrame([], "a long, b long")
+    empty_nodes = spark.createDataFrame([], "id long")
+    out = {
+        (r["id"], r["cluster_id"])
+        for r in cl.incremental_components(old_labels, empty_nodes, empty_edges).collect()
+    }
+    assert out == {(1, 1), (2, 1), (9, 9)}

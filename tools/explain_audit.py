@@ -1298,6 +1298,19 @@ AUDITS: dict[str, dict] = {
         "require": ['HashAggregate', 'Union', 'Window', 'WindowGroupLimit'],
         "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
     },
+    # r13: length-bucketed batching — shard-local rank windows (never global),
+    # two-level integer aggregates, union of the bucketed + baseline legs
+    "corpus_length_bucketed_batches": {
+        "require": ['HashAggregate', 'Window', 'Union'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
+    },
+    # r13: incremental CC maintenance — contracted-graph label propagation
+    # (SMJ rounds + aggregates) composed over the old labels by left joins;
+    # the pair pipeline sits behind a checkpoint so it runs once
+    "dedup_incremental_clusters": {
+        "require": ['HashAggregate', 'SortMergeJoin', 'Union'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
     # r13: hard-negative mining — IVF-gated scoring, near-dup exclusion agg,
     # per-query rank window; broadcast query batch and exclusion counts
     "contrastive_hard_negatives": {
