@@ -101,6 +101,15 @@ FLAGSHIPS = [
     ("suppart_kcore", "k-core peeling (r12): per-round LeftSemi joins + count aggregates, 1-row convergence probes broadcast"),
     ("orders_overlap_kmv", "KMV/theta overlap (r12): TakeOrderedAndProject bottom-k sketches, sketch-sized joins, 1-row exact verifies"),
     ("entity_resolution_parts", "entity resolution (r12): checkpoint-truncated fuzzy pairs -> component labels -> keyed survivorship aggregates"),
+    # round-13 flagships
+    ("dedup_video_phash", "video near-dup (r13): per-frame integer-DCT pHash kernel, banded frame join, content-keyed pair voting"),
+    ("similarity_topk_ivfpq", "IVF-PQ combined ANN (r13): probed-list candidates gate the ADC scan (broadcast LUT), exact rerank — cells-and-codes economics"),
+    ("similarity_topk_maxsim", "late-interaction MaxSim (r13): IVF-gated candidates, t*t fround'd cosine tree in pure codegen, per-query rank window"),
+    ("dsir_resample_en", "DSIR resample (r13): exploded hashed n-grams, broadcast nano-integer ratio model, integer dot-product weights, TakeOrdered top-k + rank-attach"),
+    ("suppart_densest", "densest-subgraph peel (r13): per-round LeftSemi joins + degree aggregates, integer threshold with 1-row stat broadcasts, best-snapshot union"),
+    ("lineitem_ddsketch_quantiles", "DDSketch quantiles (r13): value-pure bucket projection + counter agg, bounded cum window, broadcast-panel exact-rank coverage verify"),
+    ("dedup_incremental_clusters", "incremental CC maintenance (r13): contracted-graph label rounds over delta edges only, composed over old labels by left joins, hashed equal to the full recompute"),
+    ("corpus_length_bucketed_batches", "length-bucketed batching (r13): shard-local rank windows, two-level integer aggregates, bucketed + baseline legs in one union"),
 ]
 
 
