@@ -139,6 +139,93 @@ def maxsim_topk_ivf(
     )
 
 
+def maxsim_topk_brute(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    t: int = MAXSIM_T,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact MaxSim top-k — the ground truth of the recall frontier: one
+    corpus scan against the broadcast query batch, the same fixed
+    interaction tree, a per-query rank window."""
+    from sarpro_spark.queries import fround
+
+    scored = emb.select(F.col(id_col), F.col(vec_col)).join(
+        F.broadcast(queries.select(F.col(qid_col), F.col(qvec_col)))
+    ).select(
+        F.col(qid_col),
+        F.col(id_col),
+        fround(
+            maxsim_expr(F.col(qvec_col), F.col(vec_col), t, dim, round_digits),
+            round_digits,
+        ).alias("maxsim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("maxsim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(qid_col, id_col, "maxsim", "rnk")
+    )
+
+
+def maxsim_recall_sweep(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    n_centroids: int = 16,
+    t: int = MAXSIM_T,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(query_id, nprobe, hits, recall) — how many of the EXACT MaxSim
+    top-k survive the IVF-gated rerank at each probe width.  Probed list
+    sets NEST in nprobe, but a bigger candidate pool can displace a truth
+    item from the top-k, so the frontier values are hashed as OBSERVED
+    data (the ivfpq cross-probe doctrine), not asserted monotone."""
+    from sarpro_spark.llm.cluster import _checkpointer
+    from sarpro_spark.queries import fround
+
+    ckpt = _checkpointer(emb)
+    truth = ckpt(
+        maxsim_topk_brute(
+            emb, queries, k, t, dim, id_col, vec_col, qid_col, qvec_col,
+            round_digits,
+        ).select(qid_col, F.col(id_col).alias("_tid"))
+    )
+    legs = []
+    for np_ in nprobes:
+        top = maxsim_topk_ivf(
+            emb, queries, k, n_centroids, np_, t, dim,
+            id_col, vec_col, qid_col, qvec_col, round_digits,
+        ).select(qid_col, id_col)
+        hit = truth.join(
+            top.withColumn("_h", F.lit(1)),
+            (truth[qid_col] == top[qid_col]) & (F.col("_tid") == top[id_col]),
+            "left",
+        ).groupBy(truth[qid_col].alias(qid_col)).agg(
+            F.sum(F.coalesce(F.col("_h"), F.lit(0))).cast("long").alias("hits")
+        )
+        legs.append(hit.withColumn("nprobe", F.lit(np_)))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.select(
+        qid_col, "nprobe", "hits",
+        fround(F.col("hits") / float(k), round_digits).alias("recall"),
+    )
+
+
 # --- DuckDB twin ---------------------------------------------------------------
 
 

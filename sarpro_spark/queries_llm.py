@@ -2023,6 +2023,70 @@ def q_topk_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _maxsim_recall_sql(k: int = 5, nprobes: tuple = (1, 2, 4), kc: int = _IVF_K,
+                       nq: int = 5) -> str:
+    from sarpro_spark.llm.lateinteraction import sql_maxsim_expr
+
+    qsel = f"SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {nq}"
+    ms = sql_fround(sql_maxsim_expr("q.qvec", "e.embedding"))
+    legs = []
+    for np_ in nprobes:
+        inner = f"""
+WITH {_ivf_cand_ctes(np_, kc, nq)},
+msc AS (
+  SELECT c.query_id, c.vec_id, {ms} AS maxsim
+  FROM ivcand c JOIN embeddings e USING (vec_id) JOIN queries q USING (query_id)
+)
+SELECT query_id, vec_id FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY maxsim DESC, vec_id) AS rnk
+  FROM msc
+) r WHERE rnk <= {k}
+""".strip()
+        legs.append(f"""
+  SELECT t.query_id, {np_} AS nprobe,
+         CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM ms_truth t LEFT JOIN ({inner}) p USING (query_id, vec_id)
+  GROUP BY t.query_id""".strip())
+    body = "\n  UNION ALL\n  ".join(legs)
+    from sarpro_spark.queries import sql_fround as _fr
+
+    return f"""
+WITH ms_all AS (
+  SELECT q.query_id, e.vec_id, {ms} AS maxsim
+  FROM embeddings e, ({qsel}) q
+),
+ms_truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY maxsim DESC, vec_id) AS rnk
+    FROM ms_all
+  ) r WHERE rnk <= {k}
+),
+perq AS (
+  {body}
+)
+SELECT query_id, nprobe, hits, {_fr(f"hits / {float(k)!r}")} AS recall
+FROM perq
+""".strip()
+
+
+@query("ann_recall_maxsim", sql=_maxsim_recall_sql(), tags=("llm", "similarity", "quality"))
+def q_ann_recall_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxSim recall frontier (r13): how many of the EXACT late-interaction
+    top-5 survive the IVF-gated rerank at nprobe 1/2/4.  Probed lists
+    nest but a wider candidate pool can displace truth items, so the
+    frontier values are hashed as OBSERVED data (the ivfpq cross-probe
+    doctrine) — index quality for the MaxSim rung as data, completing
+    the every-rung-has-a-frontier invariant of the ANN ladder."""
+    from sarpro_spark.llm.lateinteraction import maxsim_recall_sweep
+
+    e = frames.load_table(spark, sf_dir, "embeddings")
+    return maxsim_recall_sweep(
+        e, _spark_queries_frame(spark, sf_dir), k=5, n_centroids=_IVF_K,
+    )
+
+
 _NEG_DUP_T = 0.98
 _NEG_K = 5
 

@@ -332,6 +332,7 @@ register_pack(
         Member("ann_recall_ivfpq", ("query_id", "nprobe", "mult")),
         Member("similarity_topk_maxsim", ("query_id", "vec_id")),
         Member("contrastive_hard_negatives", ("query_id", "vec_id")),
+        Member("ann_recall_maxsim", ("query_id", "nprobe")),
     ),
     doc="Union certificate: ANN top-k via brute force, banded-hyperplane "
     "LSH, IVF inverted lists, int8-quantized scan, the int8 quantization "

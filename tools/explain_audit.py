@@ -1317,6 +1317,12 @@ AUDITS: dict[str, dict] = {
         "require": ['BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'HashAggregate', 'Window', 'WindowGroupLimit'],
         "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
     },
+    # r13: MaxSim recall frontier — checkpointed brute truth, one IVF-gated
+    # leg per probe width, per-query hit aggregates unioned
+    "ann_recall_maxsim": {
+        "require": ['HashAggregate', 'Union', 'Window', 'WindowGroupLimit'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+    },
     # r13: MaxSim rerank gated by the probed IVF lists — the t*t interaction
     # block is pure codegen projection over candidate pairs; broadcast query
     # batch; per-query rank window
@@ -1735,6 +1741,11 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
     ("llm/lateinteraction.py", "centroids"): (
         "constant",
         "k IVF centroids gating the MaxSim candidate probe (r13)",
+    ),
+    ("llm/lateinteraction.py", "queries"): (
+        "bounded-batch",
+        "the query batch scored against the corpus in the brute-force "
+        "MaxSim truth leg (r13)",
     ),
     ("llm/lateinteraction.py", "qv"): (
         "bounded-batch",
