@@ -3967,12 +3967,28 @@ def q_dedup_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allpairs_jaccard_pairs(d, n=8, threshold=Fraction(_SETJOIN_T))
 
 
+#: fixed telemetry-sample size: the adversarial corpus is quadratic BY
+#: DESIGN (every pair co-shingled), so the certificate runs on a
+#: deterministic hash-ordered sample of constant size — the pruning
+#: factors it hashes are scale-free, and the quadratic core stops
+#: growing with the corpus (r13: the 10x soak measured the unsampled
+#: form at vs_linear 5.29 — adversarial-by-design must not ride the
+#: scale path)
+_SETJOIN_STATS_CAP = 500
+
+
 def _setjoin_stats_sql() -> str:
     from fractions import Fraction
 
+    from sarpro_spark.llm.sampling import sql_hash_bucket
     from sarpro_spark.llm.setjoin import sql_allpairs_prefix_stats
 
-    return sql_allpairs_prefix_stats("documents", threshold=Fraction(_SETJOIN_T))
+    src = (
+        f"(SELECT doc_id, text FROM documents "
+        f"ORDER BY {sql_hash_bucket('doc_id', 'apstats')}, doc_id "
+        f"LIMIT {_SETJOIN_STATS_CAP})"
+    )
+    return sql_allpairs_prefix_stats(src, threshold=Fraction(_SETJOIN_T))
 
 
 @query("dedup_allpairs_prefix_stats", sql=_setjoin_stats_sql, tags=("llm", "dedup"))
@@ -3982,13 +3998,24 @@ def q_dedup_allpairs_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     ALGORITHM (identical global rarity order and integer prefix bound), so
     the candidate-set size the verify step pays is itself certified —
     at t=0.8 on this corpus the prefix probes ~20% of the shingle relation
-    and the candidate set is ~4x smaller than the co-shingled brute-force
-    pair set (which here is effectively all pairs)."""
+    and the positional filter cuts candidates ~7x vs prefix-only.
+    Runs on a FIXED-size deterministic hash-ordered sample of the
+    adversarial raw corpus (seeded top-500 — TakeOrderedAndProject, one
+    scan): the low-vocabulary corpus keeps every pair co-shingled, so
+    unsampled telemetry is quadratic by design and must not ride the
+    scale path; the hashed pruning FACTORS are corpus-size-free."""
     from fractions import Fraction
 
+    from sarpro_spark.llm.sampling import hash_bucket
     from sarpro_spark.llm.setjoin import allpairs_prefix_stats
 
-    d = frames.load_table(spark, sf_dir, "documents")
+    d = (
+        frames.load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", hash_bucket(F.col("doc_id"), "apstats").alias("_hs"))
+        .orderBy("_hs", "doc_id")
+        .limit(_SETJOIN_STATS_CAP)
+        .drop("_hs")
+    )
     return allpairs_prefix_stats(d, threshold=Fraction(_SETJOIN_T))
 
 
