@@ -106,7 +106,9 @@ def ppjoin_candidates(
     positional vote — one hash-aggregate over the prefix-join output (see
     module docstring for the bound's proof and the measured design datum
     that chose symmetric mid prefixes over the shorter index prefix)."""
-    pfx = ranked.where(F.col("rn") <= _mid_prefix_bound(F.col("s"), tn, td))
+    # both sides of the self-join read this relation — persist so the df
+    # aggregate + rank window upstream run once, not once per join side
+    pfx = ranked.where(F.col("rn") <= _mid_prefix_bound(F.col("s"), tn, td)).persist()
     a = pfx.select(
         F.col(id_col).alias("d_small"), F.col("s").alias("sa"),
         F.col("rn").alias("ra"), "shingle",
@@ -182,7 +184,12 @@ def allpairs_jaccard_pairs(
     t = _threshold(threshold)
     tn, td = t.numerator, t.denominator
 
-    tok = char_shingles(df, id_col=id_col, text_col=text_col, n=n, distinct=True)
+    # r13 optimization round: tok feeds three consumers (the df aggregate
+    # inside _ranked_shingles, the rank join, and the verify-side set
+    # arrays) — unpersisted, the explode+distinct shingle pass ran once per
+    # consumer (24 parquet scans in the sf0.1 plan). Intra-query persist:
+    # materialized during this query's own computation, never across runs.
+    tok = char_shingles(df, id_col=id_col, text_col=text_col, n=n, distinct=True).persist()
     ranked = _ranked_shingles(tok, id_col)
     cand = ppjoin_candidates(ranked, id_col, tn, td)
     sets = tok.groupBy(id_col).agg(F.collect_set("shingle").alias("toks"))
@@ -255,32 +262,76 @@ def allpairs_prefix_stats(
     (the registered query uses the adversarial raw low-vocabulary corpus:
     7.5x at sf0.01, 7.0x at sf0.1).  The oracle replicates the ALGORITHM
     (same global order, same integer bounds), so both candidate sets are
-    inside the certificate."""
+    inside the certificate.
+
+    r13 optimization round: the five counts used to be five independent
+    crossJoined branches, each re-deriving the shingle/rank relations from
+    the parquet scan (34 scans, 90 Exchanges, THREE separate quadratic
+    prefix self-joins — 475 s CPU at sf0.1 on the adversarial corpus).  Now
+    ONE quadratic prefix self-join feeds everything: per id-ordered pair
+    (doc_a < doc_b) one hash-aggregate collects (cnt, max ra, max rb), and
+    both candidate counts are conditional aggregates over it — valid
+    because every PPJoin quantity is orientation-symmetric: the size filter
+    t*s_big <= s_small is max/least arithmetic, alpha depends on sa+sb, and
+    the accumulation bound cnt + least(sa - ra*, sb - rb*) is invariant
+    under swapping the (sa, ra*)/(sb, rb*) roles, so counting id-ordered
+    pairs equals counting the size-roled pairs ppjoin_candidates emits.
+    The verify leg reuses the surviving pairs (orientation irrelevant:
+    array_intersect and the Jaccard test are symmetric).  Shared subtrees
+    (tok, ranked, the pair aggregate) are persisted for intra-query reuse —
+    materialized inside the query's own timed computation, never across
+    runs (guide §2.4: remove shuffles outright; §1.2: fix the algorithm
+    before the per-task work)."""
     from sarpro_spark.llm.dedup import char_shingles
 
     t = _threshold(threshold)
     tn, td = t.numerator, t.denominator
-    tok = char_shingles(df, id_col=id_col, text_col=text_col, n=n, distinct=True)
-    ranked = _ranked_shingles(tok, id_col)
+    tok = char_shingles(df, id_col=id_col, text_col=text_col, n=n, distinct=True).persist()
+    ranked = _ranked_shingles(tok, id_col).persist()
     prefix = ranked.where(F.col("rn") <= _mid_prefix_bound(F.col("s"), tn, td))
-    a = prefix.select(F.col(id_col).alias("doc_a"), F.col("s").alias("sa"), "shingle")
-    b = prefix.select(F.col(id_col).alias("doc_b"), F.col("s").alias("sb"), "shingle")
-    cand_old = (
+    a = prefix.select(
+        F.col(id_col).alias("doc_a"), F.col("s").alias("sa"),
+        F.col("rn").alias("ra"), "shingle",
+    )
+    b = prefix.select(
+        F.col(id_col).alias("doc_b"), F.col("s").alias("sb"),
+        F.col("rn").alias("rb"), "shingle",
+    )
+    pairstats = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .where(F.greatest("sa", "sb") * tn <= F.least("sa", "sb") * td)
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b", "sa", "sb")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.max("ra").alias("_ramax"),
+            F.max("rb").alias("_rbmax"),
+        )
+        .persist()
     )
-    cand_pp = ppjoin_candidates(ranked, id_col, tn, td)
-    pairs = allpairs_jaccard_pairs(df, id_col=id_col, text_col=text_col, n=n, threshold=t)
-    return (
-        tok.agg(F.count("*").alias("n_tok"))
-        .crossJoin(prefix.agg(F.count("*").alias("n_prefix")))
-        .crossJoin(cand_old.agg(F.count("*").alias("n_cand_prefix_only")))
-        .crossJoin(cand_pp.agg(F.count("*").alias("n_candidates")))
-        .crossJoin(pairs.agg(F.count("*").alias("n_pairs")))
+    size_ok = F.greatest("sa", "sb") * tn <= F.least("sa", "sb") * td
+    alpha = F.floor(((F.col("sa") + F.col("sb")) * tn + tn + td - 1) / (tn + td))
+    ub = F.col("_cnt") + F.least(
+        F.col("sa") - F.col("_ramax"), F.col("sb") - F.col("_rbmax")
     )
+    cand = pairstats.where(size_ok & (ub >= alpha)).select("doc_a", "doc_b", "sa", "sb")
+    sets = tok.groupBy(id_col).agg(F.collect_set("shingle").alias("toks"))
+    verified = (
+        cand.join(sets.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("ta")), "doc_a")
+        .join(sets.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("tb")), "doc_b")
+        .withColumn("inter_size", F.size(F.array_intersect("ta", "tb")))
+        .where(F.col("inter_size") * td >= (F.col("sa") + F.col("sb") - F.col("inter_size")) * tn)
+    )
+    rk = ranked.agg(
+        F.count("*").alias("n_tok"),
+        F.count(
+            F.when(F.col("rn") <= _mid_prefix_bound(F.col("s"), tn, td), F.lit(1))
+        ).alias("n_prefix"),
+    )
+    pk = pairstats.agg(
+        F.count(F.when(size_ok, F.lit(1))).alias("n_cand_prefix_only"),
+        F.count(F.when(size_ok & (ub >= alpha), F.lit(1))).alias("n_candidates"),
+    )
+    return rk.crossJoin(pk).crossJoin(verified.agg(F.count("*").alias("n_pairs")))
 
 
 def sql_ppjoin_candidates_ctes(tn: int, td: int, id_col: str) -> str:

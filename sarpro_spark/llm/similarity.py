@@ -1623,22 +1623,67 @@ def pq_codebooks(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-subspace codebooks (subspace, centroid_id, cvec) — Jegou et al.
-    2011 product quantization, trained with the existing distributed
-    k-means (kmeans_train) on each dim/m-wide projection.  m*ksub rows
+    2011 product quantization, trained with the SAME Lloyd arithmetic as
+    kmeans_train (first-ksub-ids init, fround'd-cosine assign with
+    centroid-id tiebreak, fround'd per-dim AVG update, empty clusters
+    drop) but for ALL m subspaces jointly in one grouped iteration: the
+    r12 per-subspace loop ran m sequential kmeans_train chains — m*iters
+    eager checkpoints of tiny (ksub-row) state, each a full job floor
+    (similarity_topk_ivfpq spent 16 s wall on 39 s CPU at sf0.1, nearly
+    all scheduling floors).  Grouping by (subspace, centroid_id) keeps
+    every subspace's arithmetic independent — identical codebooks — while
+    paying iters checkpoints total (guide §1.2: fix the shape of the job
+    before per-task work; the per-subspace results are unchanged because
+    assign ranks within (id, subspace) and update averages within
+    (subspace, centroid), exactly the per-projection math).  m*ksub rows
     total (64 at the defaults): a codebook is ALWAYS broadcast-bounded,
     independent of corpus size."""
+    from sarpro_spark.llm.cluster import _checkpointer
+    from sarpro_spark.queries import fround
+
     sub = dim // m
-    books = []
-    for j in range(m):
-        proj = emb.select(
-            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
+    checkpoint = _checkpointer(emb)
+    slices = emb.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice(F.col(vec_col), j * sub + 1, sub) for j in range(m)])
+        ).alias("subspace", "_sv"),
+    ).persist()
+    cent = slices.where(F.col(id_col) < ksub).select(
+        "subspace",
+        F.col(id_col).alias("centroid_id"),
+        F.col("_sv").cast("array<double>").alias("cvec"),
+    )
+    for _ in range(iters):
+        scored = slices.join(F.broadcast(cent), "subspace").select(
+            F.col(id_col),
+            "subspace",
+            "centroid_id",
+            fround(cosine_expr(F.col("_sv"), F.col("cvec")), 6).alias("sim"),
         )
-        cb = kmeans_train(proj, k=ksub, iters=iters, dim=sub, id_col=id_col, vec_col=vec_col)
-        books.append(cb.select(F.lit(j).alias("subspace"), "centroid_id", "cvec"))
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionByName(b)
-    return out
+        w = Window.partitionBy(id_col, "subspace").orderBy(
+            F.col("sim").desc(), F.col("centroid_id")
+        )
+        assign = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select(id_col, "subspace", "centroid_id")
+        )
+        members = slices.join(assign, [id_col, "subspace"])
+        aggs = [
+            fround(F.avg(F.col("_sv")[i].cast("double")), 6).alias(f"_c{i}")
+            for i in range(sub)
+        ]
+        cent = checkpoint(
+            members.groupBy("subspace", "centroid_id")
+            .agg(*aggs)
+            .select(
+                "subspace",
+                "centroid_id",
+                F.array(*[F.col(f"_c{i}") for i in range(sub)]).alias("cvec"),
+            )
+        )
+    return cent
 
 
 def pq_assign_codes(
@@ -1958,11 +2003,25 @@ def ivfpq_recall_sweep(
         cosine_topk(emb, queries, k, id_col, vec_col, qid_col, qvec_col, round_digits)
         .select(qid_col, F.col(id_col).alias("_tid"))
     )
+    # r13 optimization round: the index (centroids, codebooks, list
+    # assignment, PQ codes) is nprobe-independent — the r13-build loop
+    # re-trained it per nprobe leg (3x the codebook checkpoints, ~350
+    # scheduling-floor stages at sf0.01). Build once, checkpoint the two
+    # corpus-sized relations, serve each leg from the shared index: the
+    # from_index path is the inline path's own implementation, so results
+    # are identical by construction.
+    from sarpro_spark.functions.partitioning import widen_if_narrow
+
+    centroids = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    books = ckpt(pq_codebooks(emb, m, ksub, 2, dim, id_col, vec_col))
+    emb_w = widen_if_narrow(emb, id_col)
+    assign = ckpt(ivf_assign(emb_w, centroids, id_col, vec_col))
+    codes = ckpt(pq_assign_codes(emb_w, books, m, dim, id_col, vec_col))
     legs = []
     for np_ in nprobes:
-        ranked = cosine_topk_ivfpq(
-            emb, queries, k * mmax, n_centroids, np_, 1, m, ksub, dim,
-            id_col, vec_col, qid_col, qvec_col, round_digits,
+        ranked = cosine_topk_ivfpq_from_index(
+            centroids, books, assign, codes, emb_w, queries, k * mmax, np_,
+            1, m, dim, id_col, vec_col, qid_col, qvec_col, round_digits,
         )
         ranked = ckpt(
             ranked.select(

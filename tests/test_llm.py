@@ -1372,6 +1372,25 @@ def test_exact_substring_gram_df_cap(spark):
     assert uncapped.count() == 45  # all C(10,2) pairs
 
 
+def test_exact_substring_removal_tied_intervals_merge(spark):
+    """Two partners sharing one region emit IDENTICAL (doc, s, e) intervals;
+    the merge must count the region ONCE (r13 gate find: fully-tied island
+    window keys made the DuckDB twin nondeterministic — 248 duplicated chars
+    in a 124-char doc on 6/20 runs; both engines now dedupe intervals before
+    the window, which is result-identical and tie-free by construction)."""
+    from sarpro_spark.llm import substring as ssub
+
+    body = "the one shared boilerplate body that is long enough to anchor"
+    # doc 0 duplicates BOTH doc 1 and doc 2 over the same full-body region
+    rows = [(0, body), (1, body + " tail-a unique"), (2, body + " tail-b other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rem = {r["doc_id"]: r for r in ssub.exact_substring_removal(df, min_len=20).collect()}
+    assert rem[0]["n_intervals"] == 1
+    assert rem[0]["duplicated_chars"] == len(body)
+    assert rem[0]["clean_chars"] == 0
+    assert rem[0]["dup_ratio"] == 1.0
+
+
 # --- record linkage (llm/linkage.py, r11) --------------------------------------
 
 

@@ -1732,6 +1732,11 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
         "constant",
         "PQ codebooks: m*ksub rows (64 at defaults) regardless of corpus size (r12)",
     ),
+    ("llm/similarity.py", "cent"): (
+        "constant",
+        "grouped-PQ training centroids: <= m*ksub rows (64 at defaults) per "
+        "Lloyd round, corpus-size-free (r13 optimization round)",
+    ),
     ("llm/dsir.py", "ratios"): (
         "constant",
         "the <= DSIR_BUCKETS-row (2048) nano-unit log-ratio model table (r13)",
