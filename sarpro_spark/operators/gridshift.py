@@ -116,13 +116,24 @@ def grid_cells(grid: DataFrame) -> DataFrame:
     # the self-join sides are the grid itself (bounded dimension) — hint
     # them broadcast so the cell build never sort-merges even under static
     # planning (the audit session runs AQE-off)
-    return (
+    cells = (
         g00.join(F.broadcast(g01), ["i", "j"])
         .join(F.broadcast(g10), ["i", "j"])
         .join(F.broadcast(g11), ["i", "j"])
         .select(F.col("i").alias("ci"), F.col("j").alias("cj"),
                 "a00", "a01", "a10", "a11", "o00", "o01", "o10", "o11")
     )
+    # r13 optimization round: every interpolation round aliases the cell
+    # columns with a round-specific prefix, so the per-round
+    # BroadcastExchanges are not plan-identical and ReuseExchange cannot
+    # dedupe them — each broadcast re-ran this 3-way build (and paid a
+    # fresh whole-stage-codegen compile for its uniquely-aliased subtree;
+    # measured 16 broadcast collects of 0.7-4.5 s each on
+    # ntv2_multigrid_points). Checkpoint once: later broadcasts collect
+    # the cached partitions instead of re-building.
+    from sarpro_spark.llm.cluster import _checkpointer
+
+    return _checkpointer(cells)(cells)
 
 
 def _interp_shift(

@@ -54,6 +54,7 @@ def main() -> int:
             cpu = tree_cpu_sec() - c0
             jobs = [j for j in tracker.getJobIdsForGroup(None) if j not in before_jobs]
             stages, tasks = 0, 0
+            hist: dict[int, int] = {}
             for j in jobs:
                 ji = tracker.getJobInfo(j)
                 if ji is None:
@@ -63,9 +64,11 @@ def main() -> int:
                     if si is not None:
                         stages += 1
                         tasks += si.numTasks
+                        hist[si.numTasks] = hist.get(si.numTasks, 0) + 1
+            dist = " ".join(f"{k}t*{v}" for k, v in sorted(hist.items()))
             print(
                 f"{name} run{r}: wall {wall:.2f}s cpu {cpu:.1f}s "
-                f"jobs {len(jobs)} stages {stages} tasks {tasks} rows {n}",
+                f"jobs {len(jobs)} stages {stages} tasks {tasks} rows {n} [{dist}]",
                 flush=True,
             )
     return 0
