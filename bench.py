@@ -183,7 +183,18 @@ def tree_cpu_sec() -> float:
     accumulate utime — so per-line `cpu_sec` deltas are the cross-round
     regression metric; wall stays recorded for absolute context.
     `getrusage(RUSAGE_CHILDREN)` only counts reaped children, so walk /proc
-    for the live tree (~100 pids, <5 ms)."""
+    for the live tree (~100 pids, <5 ms).
+
+    r13 optimization round (measurement-bug fix, old numbers kept in the
+    committed history): counting only live utime+stime made the metric
+    NON-MONOTONIC — when the JVM reaps a finished Python worker between
+    two samples, the worker's accumulated CPU vanishes from the walk and
+    the delta goes negative (BENCH_FULL r13 recorded cpu_sec -223.6 on
+    suppart_densest, -105 on ann_recall_multiprobe). Including each live
+    process's cutime+cstime (its REAPED children's CPU, /proc stat fields
+    16-17) keeps the total continuous: a worker's time is counted as its
+    own utime while it lives and rolls into its parent's cutime at reap,
+    never disappearing."""
     import glob
 
     tick = os.sysconf("SC_CLK_TCK")
@@ -200,7 +211,10 @@ def tree_cpu_sec() -> float:
         fields = rest.rsplit(")", 1)[1].split()
         pid = int(pid_s)
         ppid_of[pid] = int(fields[1])  # field 4 overall
-        cpu_of[pid] = (int(fields[11]) + int(fields[12])) / tick  # utime+stime
+        # utime+stime (live) + cutime+cstime (reaped descendants)
+        cpu_of[pid] = (
+            int(fields[11]) + int(fields[12]) + int(fields[13]) + int(fields[14])
+        ) / tick
     me = os.getpid()
     total = 0.0
     for pid, cpu in cpu_of.items():

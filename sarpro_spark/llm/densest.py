@@ -18,7 +18,9 @@ Round count is FIXED so the DuckDB twin unrolls the identical rounds as
 CTEs (the k-core doctrine, ``llm/graph.py``).
 
 Scale shape (100 TB): each round is two keyed semi-joins + a degree
-aggregate + two 1-row counts; survivors are checkpointed every other
+aggregate + two 1-row counts (|E| = sum(deg)/2 off the SAME aggregate —
+no separate edge-count pass; r13 optimization round, guide §1.2);
+survivors are checkpointed every other
 round so the iterated lineage never re-executes the edge derivation;
 snapshot membership is a (round, v) union joined against the 1-row best
 round — the data never visits the driver.
@@ -60,36 +62,52 @@ def densest_subgraph(
     both = e.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
         e.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )
-    surv = both.select("v").distinct()
+    # r13 optimization round (guide §1.2 "the distributed algorithm" + §3.3
+    # plan-size note). Two structural changes, results bit-identical:
+    #
+    # 1. The live-edge count needs NO separate semi-join pass over the edge
+    #    relation — ``both`` holds each undirected live edge exactly twice
+    #    ((v,w) and (w,v)), so sum(deg) over the SAME degree aggregate the
+    #    peel already computes equals 2·|E| exactly (integer arithmetic;
+    #    coalesce keeps a peeled-to-empty round's 0 identical). That deletes
+    #    the per-round live_e subtree (2 semi-joins + count — a third of
+    #    every round's stages).
+    # 2. Checkpoint the per-round DEGREE relation (vertex-sized) instead of
+    #    the survivor set every other round: deg feeds the peel filter, the
+    #    |E| stat, the snapshot-membership leg and the next round's
+    #    semi-joins, so truncating lineage AT deg keeps every consumer a
+    #    shallow scan and stops the formatted plan's exponential subtree
+    #    re-expansion (measured 2.2 MB/4680 Exchanges before; the every-
+    #    other-round variant grew to 4.5 MB once live_e was removed —
+    #    planning time is real driver work, guide §7.3).
+    surv = checkpoint(both.select("v").distinct())
     snapshots = []  # (round, surv) membership legs
     stat_legs = []  # 1-row (round, n_v, n_e) legs
     for r in range(rounds):
-        live_e = e.join(surv, e["a"] == surv["v"], "left_semi").join(
-            surv.select(F.col("v").alias("w")), F.col("b") == F.col("w"), "left_semi"
-        )
-        n_e = live_e.agg(F.count(F.lit(1)).alias("n_e"))
-        n_v = surv.agg(F.count(F.lit(1)).alias("n_v"))
-        snapshots.append(surv.select(F.lit(r).alias("round"), "v"))
-        stat_legs.append(
-            n_v.crossJoin(F.broadcast(n_e)).select(
-                F.lit(r).alias("round"), "n_v", "n_e"
-            )
-        )
         live = both.join(surv.select("v"), "v", "left_semi").join(
             surv.select(F.col("v").alias("w")), "w", "left_semi"
         )
-        deg = live.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+        deg = checkpoint(live.groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+        n_v = surv.agg(F.count(F.lit(1)).alias("n_v"))
+        n_e = deg.agg(
+            (F.coalesce(F.sum("deg"), F.lit(0)) / 2).cast("long").alias("n_e")
+        )
+        # the 1-row stat is ALSO checkpointed: n_v counts surv, whose filter
+        # predicate embeds the previous round's stat — left lazy, that chain
+        # re-expands one level per round and every downstream leg drags the
+        # whole history along; truncating the 1-row relation costs one
+        # trivial eager job and makes every consumer depth-1
+        stat = checkpoint(n_v.crossJoin(F.broadcast(n_e)))  # 1-row (n_v, n_e)
+        snapshots.append(surv.select(F.lit(r).alias("round"), "v"))
+        stat_legs.append(stat.select(F.lit(r).alias("round"), "n_v", "n_e"))
         surv = (
-            deg.crossJoin(F.broadcast(n_v))
-            .crossJoin(F.broadcast(n_e))
+            deg.crossJoin(F.broadcast(stat))
             .where(
                 F.col("deg") * F.col("n_v") * DENSEST_DEN
                 > F.lit(DENSEST_NUM) * F.col("n_e")
             )
             .select("v")
         )
-        if r % 2 == 1:
-            surv = checkpoint(surv)
     stats = stat_legs[0]
     for leg in stat_legs[1:]:
         stats = stats.unionByName(leg)

@@ -101,7 +101,7 @@ def sql_synthetic_grid_cte(name: str = "ntv2grid", hdr: dict | None = None) -> s
     return f"{name} AS (SELECT * FROM (VALUES\n  {rows}\n) g(i, j, dlat_sec, dlon_sec))"
 
 
-def grid_cells(grid: DataFrame) -> DataFrame:
+def grid_cells(grid: DataFrame, materialize: bool = True) -> DataFrame:
     """Pre-join the grid to CELL grain: one row per full cell ``(ci, cj)``
     carrying all four corner shifts (a00/a01/a10/a11 = dlat at the
     +0/+1 index combinations, o* = dlon). Built by three 1-step
@@ -131,6 +131,11 @@ def grid_cells(grid: DataFrame) -> DataFrame:
     # measured 16 broadcast collects of 0.7-4.5 s each on
     # ntv2_multigrid_points). Checkpoint once: later broadcasts collect
     # the cached partitions instead of re-building.
+    if not materialize:
+        # one-shot consumers (a single forward interpolation) build and
+        # broadcast the cells exactly once anyway — the eager job would be
+        # pure overhead there
+        return cells
     from sarpro_spark.llm.cluster import _checkpointer
 
     return _checkpointer(cells)(cells)
@@ -167,7 +172,7 @@ def _interp_shift(
     out = pts.withColumn(f"{p}_i0", i0).withColumn(f"{p}_j0", j0).withColumn(
         f"{p}_fy", fi - F.col(f"{p}_i0")
     ).withColumn(f"{p}_fx", fj - F.col(f"{p}_j0")).withColumn(f"{p}_in", inside)
-    cellsrc = grid_cells(grid) if cells is None else cells
+    cellsrc = grid_cells(grid, materialize=False) if cells is None else cells
     corner = cellsrc.select(
         F.col("ci").alias(f"{p}_ci"),
         F.col("cj").alias(f"{p}_cj"),

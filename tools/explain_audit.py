@@ -1756,13 +1756,14 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
         "bounded-batch",
         "query vectors of the bounded batch (r13 MaxSim rerank)",
     ),
-    ("llm/densest.py", "n_v"): (
-        "constant",
-        "1-row surviving-vertex count of the current peel round (r13)",
-    ),
     ("llm/densest.py", "n_e"): (
         "constant",
         "1-row surviving-edge count of the current peel round (r13)",
+    ),
+    ("llm/densest.py", "stat"): (
+        "constant",
+        "the checkpointed 1-row (n_v, n_e) stat of the current peel round "
+        "(r13 optimization: one combined broadcast instead of two)",
     ),
     ("llm/densest.py", "best"): (
         "constant",
