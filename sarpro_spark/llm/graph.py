@@ -360,8 +360,9 @@ def kcore_survivors(
     Plan shape: each round is two keyed semi-joins (edge endpoints against
     the survivor set) + one count aggregate — no global structure, no
     driver iteration over data (the loop builds the PLAN, the data never
-    leaves the cluster).  Lineage is checkpointed every other round so the
-    iterated self-reference cannot re-execute the edge derivation.
+    leaves the cluster).  The vertex-sized degree relation is checkpointed
+    every round so the twice-referenced survivor set cannot re-expand the
+    lineage of later rounds (see the r13 note below).
     """
     a, b = F.col(src).cast("string"), F.col(dst).cast("string")
     e = (
@@ -376,15 +377,23 @@ def kcore_survivors(
     )
     surv = both.select("v").distinct()
     deg = None
+    # r13 optimization round (the llm/densest.py fix, guide §3.3/§7.3):
+    # surv is referenced TWICE per round (both semi-join sides), so with a
+    # checkpoint only every other round the un-truncated round's lineage
+    # re-expanded through both references of every later round — 478
+    # Exchanges / 250 KB formatted plan. Checkpointing the vertex-sized
+    # DEGREE relation every round keeps each round's surv a shallow
+    # filter over materialized state (plan collapses to linear in rounds);
+    # results are bit-identical (a checkpoint changes no data).
     for r in range(rounds):
         live = (
             both.join(surv.select(F.col("v")), "v", "left_semi")
             .join(surv.select(F.col("v").alias("w")), "w", "left_semi")
         )
-        deg = live.groupBy("v").agg(F.count(F.lit(1)).alias("deg_in_core"))
+        deg = checkpoint(
+            live.groupBy("v").agg(F.count(F.lit(1)).alias("deg_in_core"))
+        )
         surv = deg.where(F.col("deg_in_core") >= k).select("v")
-        if r % 2 == 1:
-            surv = checkpoint(surv)
     # converged <=> the last round dropped nothing (nested sets: count
     # equality is set equality); both counts are 1-row aggregates
     last = deg.where(F.col("deg_in_core") >= k)

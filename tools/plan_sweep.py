@@ -40,7 +40,9 @@ def main() -> int:
     for name in names:
         try:
             df = qs[name](spark, args.sf)
-            plan = df._jdf.queryExecution().explainString("formatted")
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
         except Exception as exc:  # noqa: BLE001 - sweep must survive one bad query
             print(f"!! {name}: {type(exc).__name__}: {exc}", file=sys.stderr)
             continue
