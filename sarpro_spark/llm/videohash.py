@@ -139,8 +139,15 @@ def video_neardup_pairs(
     fraction >= ``min_vote``.  Content-keyed matching makes the vote
     invariant to frame order and robust to shifts; everything after the
     single mapInPandas decode is JVM-side codegen.
+
+    The frame-hash relation is persisted: THREE differently-keyed
+    consumers read it (both band-join sides + the per-clip frame-count
+    aggregate) and the split+decode mapInPandas is NOT deduplicated at
+    runtime (measured 3x decode CPU without the persist — r13), so one
+    materialization of the 16-bytes-per-frame hashes replaces two extra
+    full decodes of every clip payload.
     """
-    h = frame_hashes.where(F.col("decode_ok"))
+    h = frame_hashes.where(F.col("decode_ok")).persist()
     band_exprs = []
     for b in range(8):
         src = F.col("ph_lo") if b < 4 else F.col("ph_hi")
