@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sarpro_spark.localrel import local_relation
+
 #: integer percent quantile panel (rational targets: ceil(pct * N / 100))
 DEFAULT_PANEL = (1, 10, 25, 50, 75, 90, 99)
 #: structural bucket cap for the plan-visible LIMIT: 4 sub-buckets per
@@ -103,8 +105,8 @@ def ddsketch_certificate(
     )
     cum = sk.select("bucket_id", F.sum("cnt").over(w_cum).alias("cumw"))
     totals = df.agg(F.count(F.lit(1)).alias("n_total"))
-    qpanel = df.sparkSession.createDataFrame(
-        [(int(p),) for p in panel], "q_pct int"
+    qpanel = local_relation(
+        df.sparkSession, [(int(p),) for p in panel], "q_pct int"
     )
     targets = qpanel.crossJoin(F.broadcast(totals)).select(
         "q_pct", "n_total",

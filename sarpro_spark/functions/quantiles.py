@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sarpro_spark.localrel import local_relation
+
 from sarpro_spark.llm.sampling import hash_bucket, sql_hash_bucket
 
 DEFAULT_CAPACITY = 64   # k: kept values per shard
@@ -121,8 +123,8 @@ def quantile_certificate(
     err_budget = base_counts.agg(
         F.sum(F.floor((F.col("np") + k - 1) / k)).cast("long").alias("err_budget")
     )
-    qpanel = df.sparkSession.createDataFrame(
-        [(int(p),) for p in panel], "q_pct int"
+    qpanel = local_relation(
+        df.sparkSession, [(int(p),) for p in panel], "q_pct int"
     )
     targets = qpanel.crossJoin(F.broadcast(totals)).select(
         "q_pct", "n_total",

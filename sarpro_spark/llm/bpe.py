@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sarpro_spark.localrel import local_relation
+
 #: nested replace passes per merge application (fixpoint for <= 2^4 pairs/word)
 MERGE_PASSES = 4
 #: longest word admitted to training (longer ones are truncated noise anyway)
@@ -125,8 +127,10 @@ def bpe_train(
         )
         if step % 8 == 0:
             words = checkpoint(words)
-    return docs.sparkSession.createDataFrame(
-        learned, "step int, lhs string, rhs string, merged string, pair_freq long"
+    return local_relation(
+        docs.sparkSession,
+        learned,
+        "step int, lhs string, rhs string, merged string, pair_freq long",
     )
 
 

@@ -26,6 +26,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sarpro_spark.localrel import local_relation
+
 from sarpro_spark.llm.sampling import hash_bucket, sql_hash_bucket
 from sarpro_spark.llm.text import LANG_STOPWORDS, _count_word, sql_count_word, token_count
 
@@ -122,7 +124,8 @@ def train_quality_classifier(
         w = [_round_state(wj - lr * row[f"g{j}"]) for j, wj in enumerate(w)]
         log_rows.append((step, *w, row["loss"]))
     feats.unpersist()
-    log = df.sparkSession.createDataFrame(
+    log = local_relation(
+        df.sparkSession,
         log_rows,
         "step int, w0 double, w1 double, w2 double, w3 double, w4 double, loss double",
     )

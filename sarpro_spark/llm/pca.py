@@ -32,6 +32,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sarpro_spark.localrel import local_relation
+
 #: power-iteration steps per component / components extracted
 DEFAULT_ITERS = 15
 DEFAULT_COMPONENTS = 2
@@ -144,8 +146,10 @@ def pca_components(
     for c, (v, lam) in enumerate(comps):
         for i in range(dim):
             rows.append((c, i, v[i], lam, mean[i]))
-    return emb.sparkSession.createDataFrame(
-        rows, "component int, pos int, value double, eigenvalue double, mean double"
+    return local_relation(
+        emb.sparkSession,
+        rows,
+        "component int, pos int, value double, eigenvalue double, mean double",
     )
 
 

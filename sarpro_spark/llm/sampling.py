@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sarpro_spark.localrel import local_relation
+
 BUCKETS = 1_000_000
 
 
@@ -55,7 +57,8 @@ def stratified_sample(
     (e.g. keep 80% code, 20% web). The rate table rides a broadcast join;
     the filter itself is still per-row hash arithmetic."""
     spark = df.sparkSession
-    rate_df = spark.createDataFrame(
+    rate_df = local_relation(
+        spark,
         [(k, int(v * BUCKETS)) for k, v in sorted(rates.items())],
         f"{stratum_col} string, _cut long",
     )

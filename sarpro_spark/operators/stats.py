@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sarpro_spark.localrel import local_relation
+
 from sarpro_spark.types import F64_EPSILON, HIST_NUM_BINS
 
 #: percentiles the reference computes, in its naming
@@ -107,7 +109,7 @@ def histogram_stats(
     )
 
     spark = df.sparkSession
-    pct_rows = spark.createDataFrame([(n, p) for n, p in pcts], "pname string, p double")
+    pct_rows = local_relation(spark, [(n, p) for n, p in pcts], "pname string, p double")
     targets = base.join(F.broadcast(pct_rows)).select(
         *group_cols,
         "pname",

@@ -6,6 +6,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sarpro_spark.localrel import local_relation
+
 from sarpro_spark import frames
 from sarpro_spark.frames import PX_CTE
 from sarpro_spark.operators import autoscale as asc
@@ -1817,15 +1819,16 @@ def q_warp_gcp_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
     gcp_rows = [
         (f["pid"], gx, gy, sc, sr) for f in fix for (gx, gy, sc, sr) in f["pts"]
     ]
-    gcps = spark.createDataFrame(
-        gcp_rows, "product_id int, gx double, gy double, scol double, srow double"
+    gcps = local_relation(
+        spark, gcp_rows, "product_id int, gx double, gy double, scol double, srow double"
     )
     geo_rows = [
         (f["pid"], f["dg0"], _TPS_SCALE, 0.0, f["dg3"], 0.0, -_TPS_SCALE,
          f["dst_rows"], f["dst_cols"])
         for f in fix
     ]
-    geo = spark.createDataFrame(
+    geo = local_relation(
+        spark,
         geo_rows,
         "product_id int, dg0 double, dg1 double, dg2 double, dg3 double, "
         "dg4 double, dg5 double, dst_rows long, dst_cols long",
@@ -1878,15 +1881,16 @@ def q_warp_params_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 gx = float(f["pid"] * 2048 + 32 * gj + 3 * gi * gi + gi * gj)
                 gy = float(-f["pid"] * 2048 - 32 * gi - 2 * gj * gj)
                 gcp_rows.append((f["pid"], gi, gj, gx, gy))
-    gcps = spark.createDataFrame(
-        gcp_rows, "product_id int, gi int, gj int, gx double, gy double"
+    gcps = local_relation(
+        spark, gcp_rows, "product_id int, gi int, gj int, gx double, gy double"
     )
     geo_rows = [
         (f["pid"], f["dg0"], _TPS_SCALE, 0.0, f["dg3"], 0.0, -_TPS_SCALE,
          f["dst_rows"], f["dst_cols"])
         for f in fix
     ]
-    geo = spark.createDataFrame(
+    geo = local_relation(
+        spark,
         geo_rows,
         "product_id int, dg0 double, dg1 double, dg2 double, dg3 double, "
         "dg4 double, dg5 double, dst_rows long, dst_cols long",
@@ -1978,8 +1982,8 @@ def q_tps_gcp_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     gcp_rows = [
         (f["pid"], gx, gy, sc, sr) for f in fix for (gx, gy, sc, sr) in f["pts"]
     ]
-    gcps = spark.createDataFrame(
-        gcp_rows, "product_id int, gx double, gy double, scol double, srow double"
+    gcps = local_relation(
+        spark, gcp_rows, "product_id int, gx double, gy double, scol double, srow double"
     )
     res = tps_gcp_residuals(gcps, ["product_id"])
     return res.select(

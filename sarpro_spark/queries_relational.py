@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sarpro_spark.localrel import local_relation
+
 from sarpro_spark import frames
 from sarpro_spark.queries import fround, query, round_floats, sql_fround
 
@@ -397,7 +399,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("intersect", big.intersect(mach).count()),
         ("except", big.exceptAll(mach).distinct().count()),
     ]
-    return spark_.createDataFrame(rows, "op string, n bigint")
+    return local_relation(spark_, rows, "op string, n bigint")
 
 
 # --- semi/anti joins ---------------------------------------------------------
@@ -419,8 +421,8 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = frames.load_table(spark, sf_dir, "orders")
     semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
     anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
-    return spark.createDataFrame(
-        [("with_orders", semi), ("without_orders", anti)], "kind string, n bigint"
+    return local_relation(
+        spark, [("with_orders", semi), ("without_orders", anti)], "kind string, n bigint"
     )
 
 
@@ -1403,7 +1405,8 @@ def q_skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sarpro_spark.functions.skew import salted_join
 
     e = frames.load_table(spark, sf_dir, "events").select("event_type", "value")
-    dim = spark.createDataFrame(
+    dim = local_relation(
+        spark,
         [("click", 1.0), ("view", 0.25), ("purchase", 5.0), ("signup", 3.0)],
         "event_type string, weight double",
     )

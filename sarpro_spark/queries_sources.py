@@ -17,6 +17,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sarpro_spark.localrel import local_relation
+
 from sarpro_spark.queries import query
 from sarpro_spark.sinks import writers as w
 from sarpro_spark.sources import fixtures as fx
@@ -57,7 +59,8 @@ def q_safe_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("vv_path", "/"), -1).alias("vv_file"),
         F.element_at(F.split("vh_path", "/"), -1).alias("vh_file"),
     )
-    gcps = spark.createDataFrame(
+    gcps = local_relation(
+        spark,
         [(p, lon, lat) for p, pts in fx.FIXTURE_GCPS.items() for lon, lat in pts],
         "product string, lon double, lat double",
     )
@@ -137,7 +140,8 @@ def q_safe_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
         a["samples"],
         a["lines"],
     )
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         [row],
         "platform string, product_type string, instrument_mode string, "
         "acquisition_start string, acquisition_stop string, orbit_number bigint, "
@@ -331,7 +335,8 @@ def q_plan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append((20, route7, band7, needs_warp(None, "EPSG:20255"),
                  warp_route(None, "EPSG:20255", True, gcp_crs="EPSG:4326",
                             ntv2_grids={"EPSG:20255"}), k7))
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         rows,
         "case_id int, route string, band string, needs_warp boolean, "
         "warp_route string, resample_kernel string",
@@ -386,7 +391,7 @@ def q_sidecar_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-    return spark.createDataFrame(rows, "product_id int, kind string, content string")
+    return local_relation(spark, rows, "product_id int, kind string, content string")
 
 
 # --- S11 streaming twin: drained ingest sink == batch opener (r10) -----------

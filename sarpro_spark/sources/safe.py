@@ -23,6 +23,8 @@ import xml.etree.ElementTree as ET
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sarpro_spark.localrel import local_relation
+
 SPEED_OF_LIGHT = 299_792_458.0
 
 # --- S11: batch directory iteration ------------------------------------------
@@ -36,7 +38,7 @@ def iterate_safe_products(spark: SparkSession, input_dir: str) -> DataFrame:
         for d in os.listdir(input_dir)
         if os.path.isdir(os.path.join(input_dir, d))
     )
-    return spark.createDataFrame([(p,) for p in subdirs] or [], "product_path string")
+    return local_relation(spark, [(p,) for p in subdirs], "product_path string")
 
 
 # --- S3: polarization file discovery -----------------------------------------

@@ -1105,10 +1105,15 @@ AUDITS: dict[str, dict] = {
         "require": ['BroadcastHashJoin', 'FlatMapGroupsInPandas', 'Generate', 'HashAggregate', 'InMemoryTableScan', 'Union', 'Window'],
         "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
     },
-    # r12 ratchet: SAFE tree parse + grid loops: MapInPandas decode legs, broadcast grid joins
+    # r12 ratchet: SAFE tree parse + grid loops: MapInPandas decode legs, broadcast grid joins.
+    # r13 optimization round: the fixture GCP/annotation relations became Arrow-backed
+    # LocalRelations (localrel.py) with EXACT size statistics, so the one SortMergeJoin
+    # this spec used to pin (the centroid-CRS leg, planned SMJ only because a pickled-RDD
+    # side had no stats) correctly lowered to a broadcast of the bounded side — every
+    # join in the pack now broadcasts bounded dimension data, the right 100 TB shape.
     "sources_pack": {
-        "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate', 'InMemoryTableScan', 'MapInPandas', 'SortMergeJoin', 'Union', 'Window'],
-        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython'],
+        "require": ['BroadcastHashJoin', 'Generate', 'HashAggregate', 'InMemoryTableScan', 'MapInPandas', 'Union', 'Window'],
+        "forbid": ['CartesianProduct', 'BatchEvalPython', 'ArrowEvalPython', 'SortMergeJoin'],
     },
     # r12 ratchet: INTERSECT/EXCEPT lower to join-free aggregates on the union of two scans of one table
     "set_operations": {
