@@ -44,6 +44,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sarpro_spark.localrel import local_relation
+
 #: synthetic fixture header: south-east Australia window (the AGD66 zone-55
 #: region the loud-failure example EPSG:28355 covers), 0.5-degree lattice
 SYNTH_HEADER: dict = {
@@ -87,8 +89,8 @@ def synthetic_grid_rows(hdr: dict | None = None) -> list[tuple[int, int, float, 
 
 
 def synthetic_grid_df(spark: SparkSession, hdr: dict | None = None) -> DataFrame:
-    return spark.createDataFrame(
-        synthetic_grid_rows(hdr), "i int, j int, dlat_sec double, dlon_sec double"
+    return local_relation(
+        spark, synthetic_grid_rows(hdr), "i int, j int, dlat_sec double, dlon_sec double"
     )
 
 
@@ -101,7 +103,7 @@ def sql_synthetic_grid_cte(name: str = "ntv2grid", hdr: dict | None = None) -> s
     return f"{name} AS (SELECT * FROM (VALUES\n  {rows}\n) g(i, j, dlat_sec, dlon_sec))"
 
 
-def grid_cells(grid: DataFrame, materialize: bool = True) -> DataFrame:
+def grid_cells(grid: DataFrame, materialize: bool = False) -> DataFrame:
     """Pre-join the grid to CELL grain: one row per full cell ``(ci, cj)``
     carrying all four corner shifts (a00/a01/a10/a11 = dlat at the
     +0/+1 index combinations, o* = dlon). Built by three 1-step
@@ -123,18 +125,19 @@ def grid_cells(grid: DataFrame, materialize: bool = True) -> DataFrame:
         .select(F.col("i").alias("ci"), F.col("j").alias("cj"),
                 "a00", "a01", "a10", "a11", "o00", "o01", "o10", "o11")
     )
-    # r13 optimization round: every interpolation round aliases the cell
-    # columns with a round-specific prefix, so the per-round
-    # BroadcastExchanges are not plan-identical and ReuseExchange cannot
-    # dedupe them — each broadcast re-ran this 3-way build (and paid a
-    # fresh whole-stage-codegen compile for its uniquely-aliased subtree;
-    # measured 16 broadcast collects of 0.7-4.5 s each on
-    # ntv2_multigrid_points). Checkpoint once: later broadcasts collect
-    # the cached partitions instead of re-building.
+    # r13 optimization round, revised in the second session: the first
+    # session checkpointed the cell relation because per-round broadcasts
+    # re-ran this build and each re-build was expensive — but the expense
+    # was the PICKLED-RDD grid scans (one Python worker task per partition
+    # per action), not the 3-way join itself. With the grid now an
+    # Arrow-backed JVM LocalRelation (localrel.py) the rebuild is trivial
+    # JVM work, and an interleaved A/B (3 reps, ckpt vs no-ckpt) measured
+    # the eager checkpoint as pure overhead: ntv2_roundtrip_points
+    # 3.78 → 3.37 s steady wall (equal CPU), datum_roundtrip_pack equal.
+    # The checkpoint job + its InMemoryRelation/AQE boundary are gone;
+    # `materialize=True` is kept for callers that want the old behavior
+    # (none in-tree after this change).
     if not materialize:
-        # one-shot consumers (a single forward interpolation) build and
-        # broadcast the cells exactly once anyway — the eager job would be
-        # pure overhead there
         return cells
     from sarpro_spark.llm.cluster import _checkpointer
 
@@ -169,9 +172,18 @@ def _interp_shift(
         (F.col(lat) >= F.lit(la0)) & (F.col(lat) <= F.lit(la0 + (nla - 1) * lai))
         & (F.col(lon) >= F.lit(lo0)) & (F.col(lon) <= F.lit(lo0 + (nlo - 1) * loi))
     )
-    out = pts.withColumn(f"{p}_i0", i0).withColumn(f"{p}_j0", j0).withColumn(
-        f"{p}_fy", fi - F.col(f"{p}_i0")
-    ).withColumn(f"{p}_fx", fj - F.col(f"{p}_j0")).withColumn(f"{p}_in", inside)
+    # one projection instead of five chained withColumns (r13 second
+    # session, guide §7.3: each withColumn re-runs the analyzer on a
+    # growing plan); fy/fx reference the i0/j0 EXPRESSIONS directly —
+    # identical arithmetic, and codegen CSE shares the duplicated subtree
+    out = pts.select(
+        "*",
+        i0.alias(f"{p}_i0"),
+        j0.alias(f"{p}_j0"),
+        (fi - i0).alias(f"{p}_fy"),
+        (fj - j0).alias(f"{p}_fx"),
+        inside.alias(f"{p}_in"),
+    )
     cellsrc = grid_cells(grid, materialize=False) if cells is None else cells
     corner = cellsrc.select(
         F.col("ci").alias(f"{p}_ci"),
@@ -193,11 +205,15 @@ def _interp_shift(
         w00 * F.col(f"{p}_{c}00") + w01 * F.col(f"{p}_{c}01")
         + w10 * F.col(f"{p}_{c}10") + w11 * F.col(f"{p}_{c}11")
     )
-    out = out.withColumn(
-        f"{p}_dlat", F.when(F.col(f"{p}_in"), blend("a"))
-    ).withColumn(f"{p}_dlon", F.when(F.col(f"{p}_in"), blend("o")))
-    drop = [f"{p}_{c}{t}" for c in ("a", "o") for t in ("00", "01", "10", "11")]
-    return out.drop(f"{p}_i0", f"{p}_j0", f"{p}_fy", f"{p}_fx", f"{p}_in", *drop)
+    drop = {f"{p}_{c}{t}" for c in ("a", "o") for t in ("00", "01", "10", "11")}
+    drop |= {f"{p}_i0", f"{p}_j0", f"{p}_fy", f"{p}_fx", f"{p}_in"}
+    # blend + helper drop in ONE projection (same output columns and order
+    # as the old withColumn x2 + drop chain)
+    return out.select(
+        *[c for c in out.columns if c not in drop],
+        F.when(F.col(f"{p}_in"), blend("a")).alias(f"{p}_dlat"),
+        F.when(F.col(f"{p}_in"), blend("o")).alias(f"{p}_dlon"),
+    )
 
 
 def grid_shift_forward(
@@ -214,9 +230,11 @@ def grid_shift_forward(
     interpolation AT THE SOURCE coordinates, shift applied in degrees."""
     h = SYNTH_HEADER if hdr is None else hdr
     out = _interp_shift(pts, grid, h, lon, lat, p)
-    return out.withColumn(
-        out_lat, F.col(lat) + F.col(f"{p}_dlat") / 3600.0
-    ).withColumn(out_lon, F.col(lon) + F.col(f"{p}_dlon") / 3600.0)
+    return out.select(
+        "*",
+        (F.col(lat) + F.col(f"{p}_dlat") / 3600.0).alias(out_lat),
+        (F.col(lon) + F.col(f"{p}_dlon") / 3600.0).alias(out_lon),
+    )
 
 
 def grid_shift_inverse(
@@ -243,11 +261,13 @@ def grid_shift_inverse(
     out = pts
     for k in range(iters):
         step = f"{p}{k}"
-        out = out.withColumn(f"{step}_lat", cur_lat).withColumn(f"{step}_lon", cur_lon)
+        out = out.select(
+            "*", cur_lat.alias(f"{step}_lat"), cur_lon.alias(f"{step}_lon")
+        )
         out = _interp_shift(out, grid, h, f"{step}_lon", f"{step}_lat", step, cells=cells)
         cur_lat = F.col(lat) - F.col(f"{step}_dlat") / 3600.0
         cur_lon = F.col(lon) - F.col(f"{step}_dlon") / 3600.0
-    return out.withColumn(out_lat, cur_lat).withColumn(out_lon, cur_lon)
+    return out.select("*", cur_lat.alias(out_lat), cur_lon.alias(out_lon))
 
 
 # --- numpy twins (tests / anchors) -------------------------------------------
@@ -596,9 +616,9 @@ def read_gsb_df(spark: SparkSession, path: str, subgrid: int | None = None):
     materialize driver-side and broadcast."""
     if subgrid is not None:
         h, rows = read_gsb(path, subgrid)
-        return h, spark.createDataFrame(rows, GRID_SCHEMA)
+        return h, local_relation(spark, rows, GRID_SCHEMA)
     return [
-        (h, spark.createDataFrame(rows, GRID_SCHEMA))
+        (h, local_relation(spark, rows, GRID_SCHEMA))
         for h, rows in (read_gsb(path, k) for k in range(gsb_num_file(path)))
     ]
 
@@ -670,8 +690,8 @@ def synthetic_dense_rows(hdr: dict | None = None) -> list[tuple[int, int, float,
 
 
 def synthetic_dense_df(spark: SparkSession, hdr: dict | None = None) -> DataFrame:
-    return spark.createDataFrame(
-        synthetic_dense_rows(hdr), "i int, j int, dlat_sec double, dlon_sec double"
+    return local_relation(
+        spark, synthetic_dense_rows(hdr), "i int, j int, dlat_sec double, dlon_sec double"
     )
 
 
@@ -711,10 +731,11 @@ def multigrid_interp(
         dlats.append(F.col(f"{sub}_dlat"))
         dlons.append(F.col(f"{sub}_dlon"))
         gids.append(F.when(F.col(f"{sub}_dlat").isNotNull(), gi))
-    return (
-        out.withColumn(f"{p}_dlat", F.coalesce(*dlats))
-        .withColumn(f"{p}_dlon", F.coalesce(*dlons))
-        .withColumn(f"{p}_gid", F.coalesce(*gids))
+    return out.select(
+        "*",
+        F.coalesce(*dlats).alias(f"{p}_dlat"),
+        F.coalesce(*dlons).alias(f"{p}_dlon"),
+        F.coalesce(*gids).alias(f"{p}_gid"),
     )
 
 
@@ -728,9 +749,11 @@ def multigrid_shift_forward(
     p: str = "mgf",
 ) -> DataFrame:
     out = multigrid_interp(pts, grids, lon, lat, p)
-    return out.withColumn(
-        out_lat, F.col(lat) + F.col(f"{p}_dlat") / 3600.0
-    ).withColumn(out_lon, F.col(lon) + F.col(f"{p}_dlon") / 3600.0)
+    return out.select(
+        "*",
+        (F.col(lat) + F.col(f"{p}_dlat") / 3600.0).alias(out_lat),
+        (F.col(lon) + F.col(f"{p}_dlon") / 3600.0).alias(out_lon),
+    )
 
 
 def multigrid_shift_inverse(
@@ -756,14 +779,17 @@ def multigrid_shift_inverse(
     out = pts
     for k in range(iters):
         step = f"{p}{k}"
-        out = out.withColumn(f"{step}_lat", cur_lat).withColumn(f"{step}_lon", cur_lon)
+        out = out.select(
+            "*", cur_lat.alias(f"{step}_lat"), cur_lon.alias(f"{step}_lon")
+        )
         out = multigrid_interp(out, shared, f"{step}_lon", f"{step}_lat", step)
         cur_lat = F.col(lat) - F.col(f"{step}_dlat") / 3600.0
         cur_lon = F.col(lon) - F.col(f"{step}_dlon") / 3600.0
-    return (
-        out.withColumn(out_lat, cur_lat)
-        .withColumn(out_lon, cur_lon)
-        .withColumn(f"{p}_gid", F.col(f"{p}{iters - 1}_gid"))
+    return out.select(
+        "*",
+        cur_lat.alias(out_lat),
+        cur_lon.alias(out_lon),
+        F.col(f"{p}{iters - 1}_gid").alias(f"{p}_gid"),
     )
 
 
@@ -909,7 +935,7 @@ def nad27_grid_rows(hdr: dict | None = None) -> list[tuple[int, int, float, floa
 
 
 def nad27_grid_df(spark: SparkSession, hdr: dict | None = None) -> DataFrame:
-    return spark.createDataFrame(nad27_grid_rows(hdr), GRID_SCHEMA)
+    return local_relation(spark, nad27_grid_rows(hdr), GRID_SCHEMA)
 
 
 def sql_nad27_grid_cte(name: str = "nadgrid", hdr: dict | None = None) -> str:
@@ -1014,7 +1040,7 @@ def read_loslas_df(spark: SparkSession, las_path: str, los_path: str):
     """NADCON pair -> ``(header, grid_df)`` in the engine grid convention
     (the .las/.los twin of :func:`read_gsb_df`)."""
     hdr, rows = read_loslas(las_path, los_path)
-    return hdr, spark.createDataFrame(rows, GRID_SCHEMA)
+    return hdr, local_relation(spark, rows, GRID_SCHEMA)
 
 
 # --- PROJ GeoTIFF grids (third grid FORMAT, r11) -------------------------------
@@ -1100,4 +1126,4 @@ def read_gtg_df(spark: SparkSession, path: str):
     """PROJ GeoTIFF grid -> ``(header, grid_df)`` in the engine grid
     convention (the GTG twin of :func:`read_gsb_df` / :func:`read_loslas_df`)."""
     hdr, rows = read_gtg(path)
-    return hdr, spark.createDataFrame(rows, GRID_SCHEMA)
+    return hdr, local_relation(spark, rows, GRID_SCHEMA)

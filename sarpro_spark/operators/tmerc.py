@@ -144,11 +144,29 @@ def tm_inverse_steps(
 
 
 def apply_steps(df: DataFrame, steps: list[tuple[str, str]]) -> DataFrame:
-    """Spark side: fold the step chain as withColumn(F.expr) — stays inside
-    whole-stage codegen (no Python in the row path)."""
-    for name, expr in steps:
-        df = df.withColumn(name, F.expr(expr))
-    return df
+    """Spark side: the whole step chain in ONE select via lateral column
+    aliases (each step may reference earlier steps' names; the analyzer
+    rewrites the references into nested Projects — the exact plan the old
+    per-step withColumn fold produced, still whole-stage codegen, no
+    Python in the row path).
+
+    r13 optimization round (guide §7.3 — planning time is driver work):
+    the old fold re-ran the analyzer once per step on a growing plan
+    (~30 steps per TM chain, O(steps^2) analysis); one select is one
+    analysis pass. Measured: datum_roundtrip_pack construction 7.1 → 4.9 s
+    cold / 3.9 → 3.5 s steady, results bit-identical (the oracle re-proved
+    every TM-family query at sf0.01 + sf0.001).
+
+    withColumn REPLACES a same-named column while ``SELECT *, ...`` would
+    duplicate it, so a chain that shadows an existing column keeps the old
+    per-step fold (none of the current chains does — names are
+    chain-prefixed — but the semantics must not drift if one ever does)."""
+    existing = set(df.columns)
+    if any(name in existing for name, _ in steps):
+        for name, expr in steps:
+            df = df.withColumn(name, F.expr(expr))
+        return df
+    return df.selectExpr("*", *[f"({expr}) AS {name}" for name, expr in steps])
 
 
 def sql_steps_select(src_rel: str, steps: list[tuple[str, str]], keep: str = "*") -> str:
