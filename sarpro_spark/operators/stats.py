@@ -139,10 +139,17 @@ def histogram_stats(
     pivoted = hit.groupBy(*group_cols).pivot("pname", [n for n, _ in pcts]).agg(F.first("pval"))
 
     out = base.join(pivoted, on=group_cols, how="left")
-    for name, p in pcts:
-        fallback = F.col("vmin") if p <= 0.5 else F.col("vmax")
-        out = out.withColumn(name, F.when(degenerate | F.col(name).isNull(), fallback).otherwise(F.col(name)))
-    return out
+    # one withColumns call (keeps withColumn's replace-the-pivot-column
+    # semantics, one analyzer pass instead of len(pcts) — guide §7.3)
+    return out.withColumns(
+        {
+            name: F.when(
+                degenerate | F.col(name).isNull(),
+                F.col("vmin") if p <= 0.5 else F.col("vmax"),
+            ).otherwise(F.col(name))
+            for name, p in pcts
+        }
+    )
 
 
 def approx_stats(
@@ -168,8 +175,9 @@ def approx_stats(
         F.coalesce(F.stddev_pop(value), F.lit(0.0)).alias("vstd"),
         F.percentile_approx(value, fracs, accuracy).alias("_pcts"),
     )
-    for i, (name, _) in enumerate(pcts):
-        agg = agg.withColumn(name, F.element_at("_pcts", i + 1))
+    agg = agg.withColumns(
+        {name: F.element_at("_pcts", i + 1) for i, (name, _) in enumerate(pcts)}
+    )
     return agg.drop("_pcts")
 
 

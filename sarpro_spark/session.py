@@ -63,6 +63,22 @@ def build_session(
         # both together.
         .config("spark.driver.maxResultSize", os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"))
         .config("spark.ui.enabled", "false")
+        # r13 optimization round: pyspark's worker_util calls
+        # importlib.invalidate_caches() once per TASK, and the stock worker
+        # sys.path leads with pyspark.zip (3.5 MB central directory) + the
+        # py4j zip — every Python task re-parsed both zip directories,
+        # ~0.23 s of pure-Python CPU per task before any data was touched
+        # (cProfile'd inside the worker; see pydaemon.py). The custom
+        # daemon module drops the zip entries when (and only when) the
+        # same pyspark version resolves from site-packages without them.
+        # The executorEnv PYTHONPATH entry makes the daemon module
+        # importable regardless of the launch directory; Spark MERGES it
+        # with its own python path, nothing is replaced.
+        .config("spark.python.daemon.module", "sarpro_spark.pydaemon")
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
