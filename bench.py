@@ -164,6 +164,41 @@ HEADLINE = [
     "suppart_densest",
 ]
 
+#: r14 (verdict item 2): the one-line JSON is budgeted to 1900 chars, so not
+#: all 105 headline lines fit; r13 dropped the FASTEST lines, which made
+#: printed-set membership churn round over round (the driver diffs the
+#: printed set, so every improvement "fell out" as a phantom drop). These
+#: are exactly the names the r13 driver-recorded line printed: they are
+#: ALWAYS kept — the budget loop drops the fastest NON-pinned lines first —
+#: so the driver's round-over-round per-query diff is stable. Append (never
+#: remove) names if a future round's printed line must grow.
+PINNED_PRINT = [
+    "dedup_semantic_prune", "datum_roundtrip_pack", "suppart_densest",
+    "suppart_kcore", "warp_ntv2_from_lonlat", "similarity_topk_ivfpq",
+    "neardup_recall_multiprobe", "affine_warp_kernels",
+    "entity_resolution_parts", "ntv2_roundtrip_points",
+    "nad27_roundtrip_points", "dedup_cluster_components",
+    "warp_utm_from_lonlat", "dedup_stream_stream_neardup",
+    "ann_recall_multiprobe", "ntv2_multigrid_points",
+    "quality_classifier_scores", "dsir_resample_en", "similarity_topk_maxsim",
+    "similarity_topk_binary", "text_bm25_topk", "dedup_incremental",
+    "dedup_minhash_verified", "lineitem_quantile_sketch",
+    "fuzzy_match_partnames", "dedup_embedding_cosine",
+    "tpcds_cross_channel_items", "hilbert_vs_morton_locality",
+    "tpch_min_cost_supplier", "dedup_exact_substring_winnowed",
+    "tpcds_frequent_buyers", "warp_gcp_tps", "orders_overlap_kmv",
+    "dedup_allpairs_jaccard", "nation_revenue_join", "similarity_topk_int8",
+    "autoscale_standard_u8", "dedup_video_phash", "bucketed_colocated_join",
+    "events_heavy_hitters_mg", "tpch_product_profit", "ann_recall_at_k",
+    "dedup_exact_substring", "suppliers_sole_problem", "cdc_snapshot_diff",
+    "domain_triangle_census", "orders_incremental_agg_maintenance",
+    "histogram_stats", "tpch_large_orders", "pipeline_kernel_tiled_u8",
+    "ingest_sink_roundtrip", "similarity_topk_lsh", "tpcds_rollup_topk",
+    "tiff_roundtrip", "dedup_minhash_lsh", "returned_items_report",
+    "dedup_allpairs_prefix_stats", "band_zip_ndiff", "pipeline_op_ratio_u8",
+    "cdc_apply_changelog",
+]
+
 #: r13 (verdict item 10): job-floor-bound lines — their wall-clock at sf0.1
 #: is dominated by Spark's fixed per-job scheduling floor (suppart_kcore runs
 #: 18 tiny peel-round jobs; datum_roundtrip_pack is a deliberate 9-family
@@ -448,12 +483,22 @@ def main() -> None:
     if len(line) > 1900:
         # drop the fastest lines until the JSON fits; the judge reads the
         # complete set from BENCH_FULL.json — a parseable partial beats a
-        # complete-but-truncated line
-        ordered = sorted(timings.items(), key=lambda kv: -kv[1])
-        while len(line) > 1900 and ordered:
-            ordered.pop()
-            line_obj["queries"] = {k: round(v, 2) for k, v in ordered}
-            line_obj["queries_omitted"] = len(timings) - len(ordered)
+        # complete-but-truncated line. r14 (verdict item 2): PINNED_PRINT
+        # names survive the budget (drop the fastest NON-pinned first) so
+        # the printed set the driver diffs is stable across rounds; a
+        # pinned line is dropped only in the degenerate case where the
+        # pinned set alone no longer fits.
+        pinned = set(PINNED_PRINT)
+        keep = sorted(timings.items(), key=lambda kv: -kv[1])
+        while len(line) > 1900 and keep:
+            for i in range(len(keep) - 1, -1, -1):
+                if keep[i][0] not in pinned:
+                    del keep[i]
+                    break
+            else:
+                keep.pop()
+            line_obj["queries"] = {k: round(v, 2) for k, v in keep}
+            line_obj["queries_omitted"] = len(timings) - len(keep)
             line = json.dumps(line_obj, separators=(",", ":"))
     print(line)
 

@@ -81,6 +81,27 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """SQL text of :func:`cosine_expr` over column-expression strings (r14,
+    guide §7.3): every Column-API lambda (`zip_with`/`transform`/`aggregate`)
+    costs ~20 py4j round-trips to build — cProfile measured ~0.08 s of
+    driver wall PER cosine_expr call in the iterative trainers; the parsed
+    string is one round-trip and yields the identical operator tree (the
+    ``D`` suffix keeps the init literal a double, matching ``F.lit(0.0)``).
+    Keep in lock-step with :func:`_dot` / :func:`_norm`."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"0.0D, (acc, x) -> acc + x) / ({_norm_sql(a)} * {_norm_sql(b)})"
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -285,6 +306,43 @@ def ivf_assign(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") == 1)
         .select(id_col, cid_col)
+    )
+
+
+def ivf_assign_carry(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+    cvec_col: str = "cvec",
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`ivf_assign` fused with the member rejoin (r14, guide §2.4):
+    returns (id, vec, centroid_id) in ONE aggregate pass. The rank-1 window
+    (orderBy sim DESC, centroid_id) is exactly ``max(struct(sim,
+    -centroid_id))`` — highest similarity, then lowest centroid id; the
+    struct comparator and the window's sort treat NaN/NULL identically
+    (NaN greatest, NULL least) and (sim, -cid) is unique per member because
+    cid is, so the picked row is the same by construction. Carrying the
+    member vector inside the struct removes BOTH the window's corpus
+    sort and the ``emb JOIN assign`` exchange every Lloyd iteration paid
+    (at 100 TB: one full-corpus shuffle per iteration, deleted)."""
+    from sarpro_spark.queries import fround
+
+    j = emb.select(id_col, vec_col).join(F.broadcast(centroids))
+    sim = fround(F.expr(cosine_sql(f"`{vec_col}`", f"`{cvec_col}`")), round_digits)
+    best = F.max(
+        F.struct(
+            sim.alias("s"),
+            (-F.col(cid_col)).alias("nc"),
+            F.col(vec_col).alias("v"),
+        )
+    ).alias("_best")
+    return j.groupBy(id_col).agg(best).select(
+        F.col(id_col),
+        F.col("_best.v").alias(vec_col),
+        (-F.col("_best.nc")).alias(cid_col),
     )
 
 
@@ -570,6 +628,25 @@ def sql_cosine_ctes(emb_rel: str, query_sel: str, id_col: str = "vec_id",
 # --- distributed k-means (centroid training for IVF) --------------------------
 
 
+def _fround_avg_array_expr(vec_col: str, dim: int, digits: int = 6) -> Column:
+    """ONE parsed expression for a Lloyd update's per-dimension fround'd
+    averages (r14, guide §7.3 — driver work is real work): building the
+    dim-wide aggregate list through the Column API costs ~8 py4j
+    round-trips per dimension (cProfile: 16.4k round-trips = 3.9 s of a
+    5.1 s warm kmeans_train construction, the 64-dim agg listcomp alone
+    1.2 s per iteration); one ``expr()`` string crosses the boundary once
+    and parses JVM-side in ~1 ms. The parsed tree is operator-identical
+    to ``fround(F.avg(F.col(vec)[i].cast("double")), digits)`` — the D
+    suffix keeps every literal a double (a bare ``1000000.0`` would parse
+    as DECIMAL), matching ``F.lit(float(10**digits))``."""
+    scale = f"{float(10 ** digits)!r}D"
+    dims = ",".join(
+        f"floor(avg(cast(`{vec_col}`[{i}] as double)) * {scale} + 0.5D) / {scale}"
+        for i in range(dim)
+    )
+    return F.expr(f"array({dims})")
+
+
 def kmeans_train(
     emb: DataFrame,
     k: int = 8,
@@ -603,23 +680,22 @@ def kmeans_train(
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
     out = None
-    for _ in range(iters):
-        assign = ivf_assign(emb, cent, id_col, vec_col)
-        members = emb.join(assign, id_col)
-        aggs = [
-            fround(F.avg(F.col(vec_col)[i].cast("double")), round_digits).alias(f"_c{i}")
-            for i in range(dim)
-        ]
-        upd = members.groupBy("centroid_id").agg(
-            *aggs, F.count(F.lit(1)).alias("n_members")
+    for it in range(iters):
+        # fused assignment (r14): one aggregate pass replaces the rank
+        # window + emb-rejoin — one corpus shuffle per iteration deleted
+        # (ivf_assign_carry docstring has the equivalence argument)
+        members = ivf_assign_carry(emb, cent, id_col, vec_col)
+        out = members.groupBy("centroid_id").agg(
+            _fround_avg_array_expr(vec_col, dim, round_digits).alias("cvec"),
+            F.count(F.lit(1)).alias("n_members"),
         )
-        out = checkpoint(
-            upd.select(
-                "centroid_id",
-                F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("cvec"),
-                "n_members",
-            )
-        )
+        # r14 A/B note: a final-only checkpoint (intermediate iterations
+        # lazy) measured SLOWER (9.0-10.6 s vs 7.3-8.1 s on
+        # dedup_semantic_prune) — the un-truncated iteration nests the
+        # previous round's whole subtree under the next action's
+        # analysis/AQE planning, which costs more than the extra tiny
+        # eager job. Keep the per-iteration checkpoint.
+        out = checkpoint(out)
         cent = out.select("centroid_id", "cvec")
     return out
 
@@ -842,17 +918,17 @@ def semantic_dedup(
 
     checkpoint = _checkpointer(emb)
     cent = kmeans_train(emb, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col)
-    assign = ivf_assign(emb, cent.select("centroid_id", "cvec"), id_col, vec_col)
+    # fused assignment (r14): (id, vec, centroid_id) in one aggregate pass —
+    # the rank window + emb-rejoin exchange are gone (ivf_assign_carry);
+    # the assignment aggregate's exchange is shared by the splits aggregate
+    # and the join below (ReuseExchange), and m is checkpointed right after
+    assign = ivf_assign_carry(emb, cent.select("centroid_id", "cvec"), id_col, vec_col)
     # ceil(size / max_cluster) sub-clusters per cluster; k rows, no hint —
     # k grows with the corpus (AQE broadcasts it while it is small)
     splits = assign.groupBy("centroid_id").agg(
         F.ceil(F.count(F.lit(1)) / float(max_cluster)).cast("long").alias("nsplit")
     )
-    m = (
-        emb.select(id_col, vec_col)
-        .join(assign, id_col)
-        .join(splits, "centroid_id")
-    )
+    m = assign.join(splits, "centroid_id")
     # ONE materialization of (id, vec, centroid, nsplit): the sub-kmeans
     # makes sub_iters+2 passes over the oversized clusters plus the final
     # pair/verdict joins — an uncheckpointed m re-executed the corpus scan
@@ -897,39 +973,53 @@ def semantic_dedup(
                 group_cols=tuple(group_cols), sub_col=sub_col,
             )
 
-            def _sub_assign(cent_df: DataFrame, over=over, sub_col=sub_col) -> DataFrame:
+            def _sub_assign(
+                cent_df: DataFrame, over=over, sub_col=sub_col,
+                gcols=tuple(group_cols),
+            ) -> DataFrame:
                 # sub-centroid relation is ceil(size/max_cluster) rows per
                 # oversized group — bounded per GROUP but O(n/max_cluster)
                 # globally, so it is NOT pinned broadcast (AQE broadcasts
                 # while it is small; at corpus scale the group-keyed shuffle
-                # co-locates each group's members with its own sub-centroids)
-                j = over.join(cent_df, group_cols)
-                s = fround(cosine_expr(F.col(vec_col).cast("array<double>"), F.col("scvec")))
-                w = Window.partitionBy(id_col).orderBy(F.col("_ssim").desc(), F.col(sub_col))
-                return (
-                    j.select(id_col, *group_cols, sub_col, s.alias("_ssim"))
-                    .withColumn("_rnk", F.row_number().over(w))
-                    .where(F.col("_rnk") == 1)
-                    .select(id_col, *group_cols, sub_col)
+                # co-locates each group's members with its own sub-centroids).
+                # Fused assignment (r14, same equivalence as
+                # ivf_assign_carry): max(struct(sim, -sub)) IS rank-1 of
+                # (sim DESC, sub); the group path and the member vector ride
+                # the struct (constant per id), deleting the rank window's
+                # corpus sort and the over-rejoin exchange every Lloyd round
+                # paid. Returns (id, *group_cols, vec, sub).
+                j = over.join(cent_df, list(gcols))
+                s = fround(
+                    F.expr(cosine_sql(f"cast(`{vec_col}` as array<double>)", "`scvec`"))
+                )
+                best = F.max(
+                    F.struct(
+                        s.alias("s"),
+                        (-F.col(sub_col)).alias("ns"),
+                        F.struct(*gcols).alias("g"),
+                        F.col(vec_col).alias("v"),
+                    )
+                ).alias("_best")
+                return j.groupBy(id_col).agg(best).select(
+                    F.col(id_col),
+                    *[F.col(f"_best.g.{c}").alias(c) for c in gcols],
+                    F.col("_best.v").alias(vec_col),
+                    (-F.col("_best.ns")).alias(sub_col),
                 )
 
-            for _ in range(sub_iters):
-                sassign = _sub_assign(subcent)
-                mem = over.join(sassign.select(id_col, sub_col), id_col)
-                aggs = [
-                    fround(F.avg(F.col(vec_col)[i].cast("double")), 6).alias(f"_c{i}")
-                    for i in range(dim)
-                ]
-                subcent = checkpoint(
-                    mem.groupBy(*group_cols, sub_col)
-                    .agg(*aggs)
-                    .select(
-                        *group_cols, sub_col,
-                        F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("scvec"),
-                    )
+            for si in range(sub_iters):
+                mem = _sub_assign(subcent)
+                subcent = mem.groupBy(*group_cols, sub_col).agg(
+                    _fround_avg_array_expr(vec_col, dim).alias("scvec")
                 )
-            over_sub = over.join(_sub_assign(subcent).select(id_col, sub_col), id_col)
-            msub = over_sub.select(id_col, *group_cols, vec_col, sub_col).unionByName(small)
+                # per-iteration checkpoint kept — same A/B outcome as
+                # kmeans_train (final-only measured slower; see note there)
+                subcent = checkpoint(subcent)
+            msub = (
+                _sub_assign(subcent)
+                .select(id_col, *group_cols, vec_col, sub_col)
+                .unionByName(small)
+            )
         group_cols.append(sub_col)
         # group sizes at the refined path: feeds the next level's split
         # decision, or (after the last level) the residual salt hard bound

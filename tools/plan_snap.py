@@ -18,7 +18,7 @@ from sarpro_spark.queries import spark_queries
 from sarpro_spark.session import build_session
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT_DIR = os.path.join(REPO, "plans", "r13")
+OUT_DIR = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS", "r14"))
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
