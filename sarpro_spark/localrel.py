@@ -28,7 +28,7 @@ from typing import Iterable, Sequence
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructType, TimestampType
 
 
 def local_relation(
@@ -39,7 +39,16 @@ def local_relation(
     """Arrow-backed drop-in for ``spark.createDataFrame(rows, schema)`` on
     bounded driver-side row lists. Values land bit-identical to the pickle
     path; the physical source becomes a LocalTableScan (no Python at
-    execution time)."""
+    execution time).
+
+    Timestamps (r14, ADVICE r13): ``pa.array`` would read a NAIVE datetime
+    as UTC wall time while the pickle path's ``TimestampType.toInternal``
+    interprets it in the driver's LOCAL timezone — divergent on any
+    non-UTC driver. Timestamp columns therefore go through ``toInternal``
+    itself (epoch micros) and are cast to the Arrow type, so the two paths
+    agree BY CONSTRUCTION in every timezone. (No production call site
+    passes timestamps today; the equivalence is pinned by
+    tests/test_localrel.py.)"""
     from pyspark.sql.pandas.types import to_arrow_schema
 
     st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
@@ -49,8 +58,11 @@ def local_relation(
         cols = list(zip(*rows))
     else:
         cols = [[] for _ in arrow_schema]
-    arrays = [
-        pa.array(list(col), type=field.type)
-        for col, field in zip(cols, arrow_schema)
-    ]
+    arrays = []
+    for col, field, sf in zip(cols, arrow_schema, st.fields):
+        if isinstance(sf.dataType, TimestampType):
+            micros = [None if v is None else sf.dataType.toInternal(v) for v in col]
+            arrays.append(pa.array(micros, type=pa.int64()).cast(field.type))
+        else:
+            arrays.append(pa.array(list(col), type=field.type))
     return spark.createDataFrame(pa.Table.from_arrays(arrays, schema=arrow_schema))

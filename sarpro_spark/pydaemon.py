@@ -32,16 +32,22 @@ from __future__ import annotations
 import sys
 
 
+def _version_from_source(src: str) -> str | None:
+    """Extract ``__version__`` from version.py source text."""
+    import re
+
+    m = re.search(r"__version__\s*(?::\s*str\s*)?=\s*['\"]([^'\"]+)['\"]", src)
+    return m.group(1) if m else None
+
+
 def _zip_pyspark_version(zip_path: str) -> str | None:
     """Read ``pyspark/version.py``'s ``__version__`` out of the zip."""
-    import re
     import zipfile
 
     try:
         with zipfile.ZipFile(zip_path) as zf:
             src = zf.read("pyspark/version.py").decode("utf-8", "replace")
-        m = re.search(r"__version__\s*(?::\s*str\s*)?=\s*['\"]([^'\"]+)['\"]", src)
-        return m.group(1) if m else None
+        return _version_from_source(src)
     except Exception:
         return None
 
@@ -60,8 +66,15 @@ def _prune_spark_zips() -> None:
         # (the spark-core assembly jar, thousands of entries) "so pyspark
         # can be imported from the jar" — nothing imports Python code from
         # it when site-packages resolves, but its zipimporter gets
-        # re-parsed per task like the zips do
-        or p.endswith(".jar")
+        # re-parsed per task like the zips do. r14 (ADVICE r13): restrict
+        # the jar prune to THAT jar — the r13 predicate's precedence made
+        # `or p.endswith(".jar")` drop EVERY jar on the worker path, and
+        # the restore guard (pyspark/py4j resolve) would not have noticed
+        # a user's own Python-in-a-jar going missing.
+        or (
+            p.endswith(".jar")
+            and p.rsplit("/", 1)[-1].startswith("spark-core")
+        )
     ]
     if not zips:
         return
@@ -85,7 +98,7 @@ def _prune_spark_zips() -> None:
     try:
         ps = importlib.util.find_spec("pyspark")
         pj = importlib.util.find_spec("py4j")
-        ok = ps is not None and pj is not None
+        ok = ps is not None and pj is not None and ps.origin is not None
         if ok:
             # the non-zip pyspark must be the SAME version the zip carries
             zv = next(
@@ -97,9 +110,22 @@ def _prune_spark_zips() -> None:
                 None,
             )
             if zv is not None:
-                import pyspark  # resolves from the pruned path
+                # r14 (ADVICE r13): compare by READING version.py next to
+                # the resolved package — the r13 `import pyspark` cached
+                # the wrong-version package in sys.modules, so the
+                # mismatch fallback restored sys.path but the daemon still
+                # RAN the site-packages pyspark (exactly the real-distro
+                # case the guard exists for). find_spec + file read leave
+                # sys.modules untouched; the fallback is now genuinely
+                # stock behavior.
+                import os.path as _osp
 
-                ok = pyspark.__version__ == zv
+                vfile = _osp.join(_osp.dirname(ps.origin), "version.py")
+                try:
+                    with open(vfile, encoding="utf-8") as fh:
+                        ok = _version_from_source(fh.read()) == zv
+                except OSError:
+                    ok = False
     except Exception:
         ok = False
     if not ok:

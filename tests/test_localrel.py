@@ -54,6 +54,23 @@ def test_temporal_and_array_types(spark):
     _rows_equal(spark, rows, "ts timestamp, d date, v array<double>")
 
 
+def test_timestamps_use_tointernal_micros(spark):
+    """r14 (ADVICE r13): naive datetimes must cross the Arrow boundary as
+    ``TimestampType.toInternal`` epoch micros — the exact value the pickle
+    path ships — not as pa.array's assumes-UTC wall-time reading, which
+    diverges on any non-UTC driver. Pin the lock-step at the Arrow layer
+    (the DataFrame-level equality above only covers the UTC test env)."""
+    from pyspark.sql.types import TimestampType
+
+    t = TimestampType()
+    vals = [datetime.datetime(2024, 1, 1, 12, 30, 5, 123456), None]
+    df = local_relation(spark, [(v,) for v in vals], "ts timestamp")
+    got = [r["ts"] for r in df.collect()]
+    # round-trip through toInternal/fromInternal == pickle-path semantics
+    assert got[0] == t.fromInternal(t.toInternal(vals[0]))
+    assert got[1] is None
+
+
 def test_empty_rows(spark):
     df = local_relation(spark, [], "i int, s string")
     assert df.count() == 0

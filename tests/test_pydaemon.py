@@ -71,6 +71,42 @@ def test_prune_removes_matching_version_zip(tmp_path, monkeypatch):
     assert str(real) not in sys.path
 
 
+def test_mismatch_guard_never_imports_pyspark(tmp_path, monkeypatch):
+    """r14 (ADVICE r13 medium): the version guard must not `import pyspark`
+    — doing so cached the site-packages (wrong-version) package in
+    sys.modules, so after the fallback restored sys.path the daemon still
+    RAN the wrong pyspark. The guard now reads version.py off the resolved
+    spec; with pyspark absent from sys.modules it must stay absent."""
+    fake = tmp_path / "pyspark.zip"
+    with zipfile.ZipFile(fake, "w") as zf:
+        zf.writestr("pyspark/version.py", '__version__: str = "0.0.0-fake"\n')
+    monkeypatch.setattr(sys, "path", [str(fake)] + list(sys.path))
+    saved = {
+        k: sys.modules.pop(k)
+        for k in list(sys.modules)
+        if k == "pyspark" or k.startswith("pyspark.")
+    }
+    try:
+        pydaemon._prune_spark_zips()
+        assert str(fake) in sys.path  # guard refused: version mismatch
+        assert "pyspark" not in sys.modules  # ...without importing it
+    finally:
+        sys.modules.update(saved)
+
+
+def test_jar_prune_restricted_to_spark_core(tmp_path, monkeypatch):
+    """r14 (ADVICE r13 low): only the spark-core assembly jar is pruned —
+    a user's own Python-shipped-in-a-jar PYTHONPATH entry must survive."""
+    user = tmp_path / "userlib.jar"
+    user.write_bytes(b"PK\x05\x06" + b"\x00" * 18)
+    core = tmp_path / "spark-core_2.13-4.1.2.jar"
+    core.write_bytes(b"PK\x05\x06" + b"\x00" * 18)
+    monkeypatch.setattr(sys, "path", [str(user), str(core)] + list(sys.path))
+    pydaemon._prune_spark_zips()
+    assert str(user) in sys.path
+    assert str(core) not in sys.path
+
+
 def test_zip_version_reader(tmp_path):
     z = tmp_path / "v.zip"
     with zipfile.ZipFile(z, "w") as zf:
