@@ -297,15 +297,17 @@ def ivf_assign(
     from sarpro_spark.queries import fround
 
     j = emb.select(id_col, vec_col).join(F.broadcast(centroids))
-    sim = cosine_expr(F.col(vec_col), F.col(cvec_col))
-    scored = j.select(
-        F.col(id_col), F.col(cid_col), fround(sim, round_digits).alias("sim")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(cid_col))
+    sim = fround(cosine_expr(F.col(vec_col), F.col(cvec_col)), round_digits)
+    # r14: the rank-1 window (orderBy sim DESC, cid) is exactly
+    # max(struct(sim, -cid)) — one partial-aggregating exchange instead of
+    # a full corpus sort per assignment pass (NaN/NULL ordering identical,
+    # (sim, -cid) unique per row because cid is; ivf_assign_carry below
+    # has the full equivalence argument)
+    best = F.max(F.struct(sim.alias("s"), (-F.col(cid_col)).alias("nc"))).alias("_best")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
-        .select(id_col, cid_col)
+        j.groupBy(id_col)
+        .agg(best)
+        .select(F.col(id_col), (-F.col("_best.nc")).alias(cid_col))
     )
 
 
@@ -1745,34 +1747,37 @@ def pq_codebooks(
         F.col("_sv").cast("array<double>").alias("cvec"),
     )
     for _ in range(iters):
-        scored = slices.join(F.broadcast(cent), "subspace").select(
+        # fused assignment (r14, same equivalence as ivf_assign_carry):
+        # max(struct(sim, -cid, slice)) grouped by (id, subspace) IS the
+        # rank-1 window over (sim DESC, centroid_id), and carrying the
+        # member slice deletes the window's sort and the slices-rejoin
+        # exchange each Lloyd round paid; the dim-wide fround'd-AVG update
+        # parses as one expr() string (guide §7.3 — py4j round-trips are
+        # driver wall).
+        j = slices.join(F.broadcast(cent), "subspace")
+        sim = fround(F.expr(cosine_sql("`_sv`", "`cvec`")), 6)
+        best = F.max(
+            F.struct(
+                sim.alias("s"),
+                (-F.col("centroid_id")).alias("nc"),
+                F.col("_sv").alias("v"),
+            )
+        ).alias("_best")
+        members = j.groupBy(id_col, "subspace").agg(best).select(
             F.col(id_col),
-            "subspace",
-            "centroid_id",
-            fround(cosine_expr(F.col("_sv"), F.col("cvec")), 6).alias("sim"),
+            F.col("subspace"),
+            F.col("_best.v").alias("_sv"),
+            (-F.col("_best.nc")).alias("centroid_id"),
         )
-        w = Window.partitionBy(id_col, "subspace").orderBy(
-            F.col("sim").desc(), F.col("centroid_id")
-        )
-        assign = (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") == 1)
-            .select(id_col, "subspace", "centroid_id")
-        )
-        members = slices.join(assign, [id_col, "subspace"])
-        aggs = [
-            fround(F.avg(F.col("_sv")[i].cast("double")), 6).alias(f"_c{i}")
-            for i in range(sub)
-        ]
         cent = checkpoint(
-            members.groupBy("subspace", "centroid_id")
-            .agg(*aggs)
-            .select(
-                "subspace",
-                "centroid_id",
-                F.array(*[F.col(f"_c{i}") for i in range(sub)]).alias("cvec"),
+            members.groupBy("subspace", "centroid_id").agg(
+                _fround_avg_array_expr("_sv", sub).alias("cvec")
             )
         )
+    # the persisted slice relation has no consumer beyond the (eager)
+    # training loop above — release its blocks instead of leaking them
+    # into the session's storage memory (r14, verdict item 4)
+    slices.unpersist()
     return cent
 
 
@@ -1804,19 +1809,16 @@ def pq_assign_codes(
             F.array(*[F.slice(F.col(vec_col), j * sub + 1, sub) for j in range(m)])
         ).alias("subspace", "_sub_vec"),
     )
-    scored = slices.join(F.broadcast(codebooks), "subspace").select(
-        F.col(id_col),
-        F.col("subspace"),
-        F.col("centroid_id"),
-        fround(cosine_expr(F.col("_sub_vec"), F.col("cvec")), 6).alias("sim"),
-    )
-    w = Window.partitionBy(id_col, "subspace").orderBy(
-        F.col("sim").desc(), F.col("centroid_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
-        .select(F.col(id_col), F.col("subspace"), F.col("centroid_id").alias("code"))
+    # fused argmax (r14, same equivalence as ivf_assign_carry): the rank-1
+    # window over (sim DESC, centroid_id) is max(struct(sim, -cid)) — one
+    # partial-aggregating exchange instead of a corpus sort
+    j = slices.join(F.broadcast(codebooks), "subspace")
+    sim = fround(F.expr(cosine_sql("`_sub_vec`", "`cvec`")), 6)
+    best = F.max(
+        F.struct(sim.alias("s"), (-F.col("centroid_id")).alias("nc"))
+    ).alias("_best")
+    return j.groupBy(id_col, "subspace").agg(best).select(
+        F.col(id_col), F.col("subspace"), (-F.col("_best.nc")).alias("code")
     )
 
 
@@ -1851,7 +1853,9 @@ def cosine_topk_pq(
 
     sub = dim // m
     ckpt = _checkpointer(emb)
-    books = ckpt(pq_codebooks(emb, m, ksub, 2, dim, id_col, vec_col))
+    # pq_codebooks already checkpoints its final iteration — a second
+    # eager checkpoint here was a redundant action (r14)
+    books = pq_codebooks(emb, m, ksub, 2, dim, id_col, vec_col)
     emb = widen_if_narrow(emb, id_col)
     codes = pq_assign_codes(emb, books, m, dim, id_col, vec_col)
 
@@ -1946,7 +1950,9 @@ def cosine_topk_ivfpq(
     sub = dim // m
     ckpt = _checkpointer(emb)
     centroids = ivf_centroids(emb, n_centroids, id_col, vec_col)
-    books = ckpt(pq_codebooks(emb, m, ksub, 2, dim, id_col, vec_col))
+    # pq_codebooks already checkpoints its final iteration — a second
+    # eager checkpoint here was a redundant action (r14)
+    books = pq_codebooks(emb, m, ksub, 2, dim, id_col, vec_col)
     emb = widen_if_narrow(emb, id_col)
     assign = ivf_assign(emb, centroids, id_col, vec_col)
     codes = pq_assign_codes(emb, books, m, dim, id_col, vec_col)
@@ -2103,7 +2109,9 @@ def ivfpq_recall_sweep(
     from sarpro_spark.functions.partitioning import widen_if_narrow
 
     centroids = ivf_centroids(emb, n_centroids, id_col, vec_col)
-    books = ckpt(pq_codebooks(emb, m, ksub, 2, dim, id_col, vec_col))
+    # pq_codebooks already checkpoints its final iteration — a second
+    # eager checkpoint here was a redundant action (r14)
+    books = pq_codebooks(emb, m, ksub, 2, dim, id_col, vec_col)
     emb_w = widen_if_narrow(emb, id_col)
     assign = ckpt(ivf_assign(emb_w, centroids, id_col, vec_col))
     codes = ckpt(pq_assign_codes(emb_w, books, m, dim, id_col, vec_col))
