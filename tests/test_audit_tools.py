@@ -100,6 +100,29 @@ _PARTITIONED_PLAN = """AdaptiveSparkPlan isFinalPlan=false
 """
 
 
+def test_persist_gate_clean_on_real_tree():
+    assert ea.audit_persist_sites() == []
+
+
+def test_persist_gate_flags_unreviewed_bad_grain_and_stale(monkeypatch):
+    """r14 (verdict item 4): every .persist site needs a reviewed grain +
+    lifecycle entry; stale entries and unknown grains fail."""
+    bad = dict(ea.PERSIST_ALLOW)
+    removed = bad.pop(("llm/setjoin.py", "pairstats"))
+    bad[("llm/text.py", "ghost")] = ("corpus-rows", "query-lifetime: no such site")
+    bad[("operators/kernel.py", "q16")] = ("huge", "query-lifetime: bad grain")
+    monkeypatch.setattr(ea, "PERSIST_ALLOW", bad)
+    problems = ea.audit_persist_sites()
+    assert any("pairstats" in p and "not in PERSIST_ALLOW" in p for p in problems)
+    assert any("ghost" in p and "stale" in p for p in problems)
+    assert any("grain 'huge'" in p for p in problems)
+    bad2 = dict(ea.PERSIST_ALLOW)
+    bad2[("llm/setjoin.py", "pairstats")] = ("pair-aggregate", "somebody else's problem")
+    monkeypatch.setattr(ea, "PERSIST_ALLOW", bad2)
+    assert any("lifecycle" in p for p in ea.audit_persist_sites())
+    assert removed[0] == "pair-aggregate"
+
+
 def test_singlepart_window_forbid():
     assert ea.singlepart_window_problems(_BAD_PLAN)
     assert not ea.singlepart_window_problems(_GOOD_PLAN)  # post-limit rank

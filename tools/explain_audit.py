@@ -1912,6 +1912,159 @@ def audit_broadcast_sites() -> list[str]:
     return problems
 
 
+#: r14 (verdict item 4): every intra-query `.persist()` site must be reviewed
+#: here — grain (what bounds the cached bytes) + lifecycle (who releases the
+#: blocks). Grain classes: "corpus-rows" = O(input rows) of NARROW columns
+#: (ids/hashes/shingles — never decoded payloads); "pair-aggregate" =
+#: O(surviving candidate pairs) — can exceed the corpus on adversarial
+#: inputs; "bounded" = cardinality fixed by contract. Lifecycle: a site
+#: whose consumers all complete during query CONSTRUCTION must unpersist
+#: inline ("released"); a site feeding the RETURNED lazy plan cannot
+#: (the action happens in the caller) and is "query-lifetime" — the bench
+#: clears the catalog cache between lines, and a long-lived session
+#: releases them via spark.catalog.clearCache().
+PERSIST_GRAINS = {"corpus-rows", "pair-aggregate", "bounded"}
+PERSIST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
+    ("operators/kernel.py", "q16"): (
+        "corpus-rows",
+        "query-lifetime: per-pixel quantized frame feeds both the extent "
+        "aggregate and the rescale join of the returned plan; recompute = "
+        "the pandas kernel twice",
+    ),
+    ("llm/imagehash.py", "h"): (
+        "corpus-rows",
+        "query-lifetime: ids+hashes only (~100 B/row; decoded pixels never "
+        "persist) feeding both banded-join sides (r13 entry)",
+    ),
+    ("llm/audiohash.py", "h"): (
+        "corpus-rows",
+        "query-lifetime: ids+fingerprints only, both banded-join sides",
+    ),
+    ("llm/videohash.py", "h"): (
+        "corpus-rows",
+        "query-lifetime: ids+frame hashes only, banded join + frame-vote "
+        "aggregate",
+    ),
+    ("llm/substring.py", "anchors"): (
+        "corpus-rows",
+        "query-lifetime: (id, pos, gram-hash) anchors feeding the gram-df "
+        "aggregate and the cap join",
+    ),
+    ("llm/substring.py", "ok"): (
+        "corpus-rows",
+        "query-lifetime: capped anchors feeding both self-join sides",
+    ),
+    ("llm/substring.py", "spans"): (
+        "corpus-rows",
+        "query-lifetime: matched spans feeding both sides of the interval "
+        "union in the removal variant",
+    ),
+    ("llm/setjoin.py", "tok"): (
+        "corpus-rows",
+        "query-lifetime: distinct (id, shingle) stream feeding the df "
+        "aggregate, rank join and verify set arrays (r13 entry)",
+    ),
+    ("llm/setjoin.py", "pfx"): (
+        "corpus-rows",
+        "query-lifetime: prefix slice of the shingle stream, both "
+        "self-join sides",
+    ),
+    ("llm/setjoin.py", "ranked"): (
+        "corpus-rows",
+        "query-lifetime: ranked shingles feeding the prefix slice and the "
+        "telemetry aggregate",
+    ),
+    ("llm/setjoin.py", "pairstats"): (
+        "pair-aggregate",
+        "query-lifetime: O(surviving prefix pairs) — on an adversarial "
+        "low-vocabulary corpus this is the largest relation in the query "
+        "(verdict r13 item 2). Bound review: DataFrame persist stores "
+        "compressed COLUMNAR batches at MEMORY_AND_DISK, so overflow "
+        "spills to local disk instead of OOMing, and the relation is 7 "
+        "narrow columns (2 ids + 5 longs) — no payload bytes. The "
+        "prefix-filter size gate (size_ok) caps the blowup the same way "
+        "the verify join's cost is capped; acceptable at the 100 TB "
+        "design point, re-reviewed r14",
+    ),
+    ("llm/classifier.py", "feats"): (
+        "corpus-rows",
+        "released: unpersisted after the training loop's last collect",
+    ),
+    ("llm/similarity.py", "slices"): (
+        "corpus-rows",
+        "released: unpersisted after the (eager) PQ training loop (r14)",
+    ),
+}
+
+
+def audit_persist_sites() -> list[str]:
+    """Static persist gate (r14, verdict item 4): parse every module, find
+    each ``<target> = <expr>.persist(...)`` site, and require a reviewed
+    (grain, lifecycle) entry in PERSIST_ALLOW — so a new cache cannot land
+    without stating what bounds it and who releases it. Stale allowlist
+    entries fail too (they would silently bless a reintroduction)."""
+    import ast
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sarpro_spark"
+    )
+    problems: list[str] = []
+    seen: set[tuple[str, str]] = set()
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg)
+            tree = ast.parse(open(path).read())
+            for node in ast.walk(tree):
+                targets = []
+                if isinstance(node, ast.Assign):
+                    targets = [
+                        t.id for t in node.targets if isinstance(t, ast.Name)
+                    ]
+                    value = node.value
+                elif isinstance(node, ast.AnnAssign) and isinstance(
+                    node.target, ast.Name
+                ):
+                    targets, value = [node.target.id], node.value
+                else:
+                    continue
+                if value is None:
+                    continue
+                for sub in ast.walk(value):
+                    if (
+                        isinstance(sub, ast.Call)
+                        and isinstance(sub.func, ast.Attribute)
+                        and sub.func.attr == "persist"
+                    ):
+                        key = (rel, targets[0] if targets else "<expr>")
+                        seen.add(key)
+                        if key not in PERSIST_ALLOW:
+                            problems.append(
+                                f"sarpro_spark/{rel}:{sub.lineno} .persist() into "
+                                f"{key[1]!r} not in PERSIST_ALLOW — review the "
+                                "cached grain and lifecycle first"
+                            )
+    for key, entry in PERSIST_ALLOW.items():
+        if not (isinstance(entry, tuple) and len(entry) == 2):
+            problems.append(f"PERSIST_ALLOW entry {key} must be a (grain, reason) tuple")
+            continue
+        grain, reason = entry
+        if grain not in PERSIST_GRAINS:
+            problems.append(
+                f"PERSIST_ALLOW entry {key} grain {grain!r} not in {sorted(PERSIST_GRAINS)}"
+            )
+        if not reason.startswith(("query-lifetime", "released")):
+            problems.append(
+                f"PERSIST_ALLOW entry {key} reason must state the lifecycle "
+                "(start with 'query-lifetime:' or 'released:')"
+            )
+        if key not in seen:
+            problems.append(f"PERSIST_ALLOW entry {key} is stale (no such site)")
+    return problems
+
+
 def main() -> int:
     names = sys.argv[1:] or list(AUDITS)
     bcast_problems = audit_broadcast_sites()
@@ -1923,6 +2076,15 @@ def main() -> int:
             return 1
     elif not sys.argv[1:]:
         print("✓ broadcast-gate: all F.broadcast sites reviewed bounded")
+    persist_problems = audit_persist_sites()
+    if persist_problems:
+        for p in persist_problems:
+            print(f"✗ persist-gate: {p}")
+        if not sys.argv[1:]:
+            print(f"\nPLAN AUDIT FAILED (persist gate: {len(persist_problems)})")
+            return 1
+    elif not sys.argv[1:]:
+        print("✓ persist-gate: all .persist sites reviewed (grain + lifecycle)")
     # static planning: AQE hides codegen ids / finalizes lazily, and the
     # audit is about the designed plan shape, not runtime re-planning
     spark = build_session("explain_audit", extra_conf={"spark.sql.adaptive.enabled": "false"})
