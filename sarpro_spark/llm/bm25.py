@@ -64,12 +64,22 @@ def bm25_index(
     """
     toks = docs.select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # r14 (guide §2.4): dl = sum(tf) per doc as a WINDOW over the tf
+    # relation — the r13 form aggregated a separate dl relation and joined
+    # it back, paying an extra aggregate leg + join operator on the same
+    # exchange; the window computes the identical per-doc sum on the one
+    # doc-keyed exchange the join needed anyway.
+    tfd = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N counts ALL docs (token-less docs score 0 but still dilute idf/avgdl
-    # denominators identically on both engines); avgdl over docs WITH tokens.
+    # denominators identically on both engines); avgdl over docs WITH tokens
+    # — sum(dl over docs) = sum(tf over the whole tf relation) and
+    # count(docs with tokens) = count(distinct id over tf), so the stats
+    # come from ONE pass over tf instead of a second aggregate over dl.
     stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        dl.agg(F.sum("dl").alias("_dlsum"), F.count(F.lit(1)).alias("_dln"))
+        tf.agg(
+            F.sum("tf").alias("_dlsum"), F.countDistinct(id_col).alias("_dln")
+        )
     )
     # same no-forced-broadcast reasoning as tfidf_vectors: raw vocabulary is
     # unbounded; the capped dfreq is Zipf-tail-sized and AQE picks the join.
@@ -77,8 +87,7 @@ def bm25_index(
         F.col("df") <= F.col("n_docs") * max_df_frac
     )
     return (
-        tf.join(dl, id_col)
-        .join(dfreq_capped, "term")
+        tfd.join(dfreq_capped, "term")
         .select(
             F.col(id_col),
             "term",

@@ -82,35 +82,42 @@ def densest_subgraph(
     #    planning time is real driver work, guide §7.3).
     surv = checkpoint(both.select("v").distinct())
     snapshots = []  # (round, surv) membership legs
-    stat_legs = []  # 1-row (round, n_v, n_e) legs
+    stat_rows: list[tuple[int, int, int]] = []  # (round, n_v, n_e) scalars
     for r in range(rounds):
         live = both.join(surv.select("v"), "v", "left_semi").join(
             surv.select(F.col("v").alias("w")), "w", "left_semi"
         )
         deg = checkpoint(live.groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
-        n_v = surv.agg(F.count(F.lit(1)).alias("n_v"))
-        n_e = deg.agg(
-            (F.coalesce(F.sum("deg"), F.lit(0)) / 2).cast("long").alias("n_e")
-        )
-        # the 1-row stat is ALSO checkpointed: n_v counts surv, whose filter
-        # predicate embeds the previous round's stat — left lazy, that chain
-        # re-expands one level per round and every downstream leg drags the
-        # whole history along; truncating the 1-row relation costs one
-        # trivial eager job and makes every consumer depth-1
-        stat = checkpoint(n_v.crossJoin(F.broadcast(n_e)))  # 1-row (n_v, n_e)
-        snapshots.append(surv.select(F.lit(r).alias("round"), "v"))
-        stat_legs.append(stat.select(F.lit(r).alias("round"), "n_v", "n_e"))
-        surv = (
-            deg.crossJoin(F.broadcast(stat))
-            .where(
-                F.col("deg") * F.col("n_v") * DENSEST_DEN
-                > F.lit(DENSEST_NUM) * F.col("n_e")
+        # r14 (verdict item 5): the per-round (n_v, n_e) stat is TWO LONGS —
+        # collect them (the family's documented scalar exception, cf. the
+        # connected-components convergence probe) instead of checkpointing
+        # a 1-row relation and broadcasting it into every consumer. The
+        # peel predicate then embeds exact integer LITERALS, the 12
+        # stat-leg subtrees + 12 per-round broadcasts leave the plan, and
+        # the round still pays exactly two eager actions (deg checkpoint +
+        # this 1-row collect — which replaces the old stat-checkpoint
+        # action). A union-the-stat-into-deg variant measured NEGATIVE
+        # (tasks 858 -> 1105: the n_e leg re-executed under the union)
+        # before this form; results are bit-identical either way — the
+        # same integers flow through the same arithmetic.
+        row = (
+            deg.agg(
+                (F.coalesce(F.sum("deg"), F.lit(0)) / 2).cast("long").alias("n_e")
             )
-            .select("v")
+            .crossJoin(surv.agg(F.count(F.lit(1)).alias("n_v")))
+            .collect()[0]
         )
-    stats = stat_legs[0]
-    for leg in stat_legs[1:]:
-        stats = stats.unionByName(leg)
+        n_v, n_e = int(row["n_v"]), int(row["n_e"])
+        stat_rows.append((r, n_v, n_e))
+        snapshots.append(surv.select(F.lit(r).alias("round"), "v"))
+        surv = deg.where(
+            F.col("deg") * F.lit(n_v) * DENSEST_DEN > F.lit(DENSEST_NUM) * F.lit(n_e)
+        ).select("v")
+    from sarpro_spark.localrel import local_relation
+
+    stats = local_relation(
+        edges.sparkSession, stat_rows, "round int, n_v long, n_e long"
+    )
     dens = F.when(
         F.col("n_v") > 0, F.col("n_e").cast("double") / F.col("n_v")
     ).otherwise(F.lit(-1.0))

@@ -76,6 +76,48 @@ def maxsim_expr(
     return out
 
 
+def spark_maxsim_sql(
+    qvec: str,
+    dvec: str,
+    t: int = MAXSIM_T,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> str:
+    """Spark-SQL text of :func:`maxsim_expr` (r14, guide §7.3 — driver
+    work): each Column-API slice cosine costs ~60 py4j round-trips to
+    build (zip_with/transform/aggregate lambdas), ~1000 per t=4 call;
+    the parsed string crosses the boundary once and yields the identical
+    operator tree (D-suffixed literals stay doubles, the -2.0 sentinel
+    and the zero-denominator guard unchanged). Keep in lock-step with
+    :func:`maxsim_expr` / :func:`_slice_cos`."""
+    sub = dim // t
+    scale = f"{float(10 ** round_digits)!r}D"
+    terms = []
+    for i in range(t):
+        qs = f"slice(cast({qvec} as array<double>), {i * sub + 1}, {sub})"
+        qn = (
+            f"sqrt(aggregate(transform({qs}, x -> cast(x as double) * cast(x as double)), "
+            "0.0D, (acc, x) -> acc + x))"
+        )
+        cells = []
+        for j in range(t):
+            ds = f"slice(cast({dvec} as array<double>), {j * sub + 1}, {sub})"
+            dn = (
+                f"sqrt(aggregate(transform({ds}, x -> cast(x as double) * cast(x as double)), "
+                "0.0D, (acc, x) -> acc + x))"
+            )
+            dot = (
+                f"aggregate(zip_with({qs}, {ds}, (x, y) -> cast(x as double) * cast(y as double)), "
+                "0.0D, (acc, x) -> acc + x)"
+            )
+            denom = f"({qn} * {dn})"
+            guarded = f"(case when {denom} > 0 then {dot} / {denom} end)"
+            fr = f"(floor(cast({guarded} as double) * {scale} + 0.5D) / {scale})"
+            cells.append(f"coalesce({fr}, -2.0D)")
+        terms.append("greatest(" + ", ".join(cells) + ")")
+    return "(" + " + ".join(terms) + ")"
+
+
 def maxsim_topk_ivf(
     emb: DataFrame,
     queries: DataFrame,
@@ -126,7 +168,7 @@ def maxsim_topk_ivf(
             F.col(qid_col),
             F.col(id_col),
             fround(
-                maxsim_expr(F.col(qvec_col), F.col(vec_col), t, dim, round_digits),
+                F.expr(spark_maxsim_sql(f"`{qvec_col}`", f"`{vec_col}`", t, dim, round_digits)),
                 round_digits,
             ).alias("maxsim"),
         )
@@ -162,7 +204,7 @@ def maxsim_topk_brute(
         F.col(qid_col),
         F.col(id_col),
         fround(
-            maxsim_expr(F.col(qvec_col), F.col(vec_col), t, dim, round_digits),
+            F.expr(spark_maxsim_sql(f"`{qvec_col}`", f"`{vec_col}`", t, dim, round_digits)),
             round_digits,
         ).alias("maxsim"),
     )

@@ -1761,15 +1761,9 @@ BROADCAST_ALLOW: dict[tuple[str, str], tuple[str, str]] = {
         "bounded-batch",
         "query vectors of the bounded batch (r13 MaxSim rerank)",
     ),
-    ("llm/densest.py", "n_e"): (
-        "constant",
-        "1-row surviving-edge count of the current peel round (r13)",
-    ),
-    ("llm/densest.py", "stat"): (
-        "constant",
-        "the checkpointed 1-row (n_v, n_e) stat of the current peel round "
-        "(r13 optimization: one combined broadcast instead of two)",
-    ),
+    # r14: the per-round n_e / stat broadcasts left llm/densest.py — the
+    # (n_v, n_e) pair is now a driver-side scalar collect whose values are
+    # embedded as literals in the peel predicate (verdict item 5)
     ("llm/densest.py", "best"): (
         "constant",
         "the single best-round stats row (round, n_v, n_e, density) (r13)",
